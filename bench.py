@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end into a noop sink (full plan, no driver
+collect). Run directly: ``python bench.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from columnarmodeling_spark.queries import REGISTRY  # noqa: E402
+from columnarmodeling_spark.session import get_spark  # noqa: E402
+
+# Representative shapes: scan-agg, star join, array HOF, windows, global
+# index, proximity join, dedup, similarity, text analysis.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q18_array_hof",
+    "q22_window_rank_lag",
+    "q25_row_grouping",
+    "q26_sessionization",
+    "q30_proximity_pairs",
+    "q42_ngram_jaccard_pairs",
+    "q44_lsh_candidates",
+    "q46_cosine_topk",
+    "q51_quality_score",
+    "q70_snapshot_codec",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("columnarmodeling-bench")
+    names = [n for n in HEADLINE if n in REGISTRY]
+
+    # Warm the JVM/codegen once on the smallest query.
+    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Scalable global row indexing.
+
+The reference assigns dense incremental ids with a driver-side counter
+(``GenerateColumnar.py:147-150``) and groups every 4 consecutive text rows
+into one face (``BooleanOperation.py:72-73``) — both need a *global* row
+number in sort order.
+
+A naive ``row_number().over(Window.orderBy(...))`` funnels the whole
+dataset through ONE partition — fine at 60k rows, fatal at 100 TB. This
+module implements the scale-safe pattern:
+
+1. range-partition by the sort key (``repartitionByRange`` — Spark samples
+   split points, so partitions are balanced);
+2. sort within partitions (no global shuffle beyond the range exchange);
+3. count rows per partition (cheap scan), prefix-sum the counts on the
+   driver (#partitions values, not #rows);
+4. per-partition ``row_number`` + broadcast offset = exact global index.
+
+Deterministic as long as the sort key is unique: the global index equals
+the rank in total sort order regardless of where the sampled split points
+land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def with_global_index(
+    df: DataFrame,
+    sort_cols: list[str],
+    index_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense 1-based global index in (unique) sort-key order."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.localCheckpoint(eager=False)  # reuse one shuffle for both passes
+
+    counts = part.groupBy("__pid").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid INT, __off LONG"
+        )
+    )
+    w = W.partitionBy("__pid").orderBy(*sort_cols)
+    return (
+        part.join(off_df, "__pid")
+        .withColumn(index_col, F.row_number().over(w) + F.col("__off"))
+        .drop("__pid", "__off")
+    )

@@ -1,0 +1,650 @@
+"""Relational core: scans, filters, equi/semi/anti/positional/range joins,
+hash aggregations, grouping sets, pivot, scalar functions.
+
+Each query re-expresses an operator from SURVEY.md §2 on the driver's
+testdata tables, with the DuckDB oracle form attached. Reference
+citations (file:line under /root/reference/) are in each docstring.
+
+Scale notes apply to every query here: filters/projections are written
+directly on the scan so Catalyst pushes them into the Parquet reader;
+small dimensions are broadcast explicitly; aggregations are plain
+``groupBy`` so partial (map-side) aggregation happens before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+
+# ---------------------------------------------------------------------------
+# Scan → filter → aggregate (the reference's stress–strain pipeline shape:
+# S2 particle scan + P2 platen range filter + A7 reaction aggregation,
+# cf. BALL3D_PSLICE.dat / MLSLD00.dat / MLSOut00E.dat)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                       AS avg_qty,
+           round(avg(l_extendedprice), 4)                                  AS avg_price,
+           round(avg(l_discount), 4)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship scan→filter→agg: the reference's per-step reaction-force "
+    "aggregation (Output/MLSOut00E.dat, SURVEY §2.4 A7) as TPC-H Q1 shape.",
+    tags=("scan", "filter", "agg", "A7", "P2", "S2"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_regional_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    """,
+    doc="Multiway star join with broadcast dims (SURVEY §2.3 J2/J6: "
+    "particle.group→material and facet.jmat→joint-material lookups, "
+    "MLSMat00.dat / MLSJMat.dat).",
+    tags=("join", "broadcast", "J2", "J6"),
+)
+def q02_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q03_semi_join_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+    """,
+    doc="Semi-join probe lookup (SURVEY §2.3 J4: MeasurePar.dat measured "
+    "particle ids kept via semi-join).",
+    tags=("join", "semi", "J4"),
+)
+def q03_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    big = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "q04_anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    doc="Anti-join exclusion (SURVEY §2.3 J3: layer-2 pool = eligible ∖ "
+    "(selected ∪ neighbors), GenerateColumnar.py:285-289). Filtered to "
+    "pending orders so the exclusion set is non-trivial at every sf.",
+    tags=("join", "anti", "J3", "U2"),
+)
+def q04_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    pending = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        pending, cust.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q05_positional_sections",
+    oracle="""
+    WITH a AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn, n_name
+               FROM nation),
+         b AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn, n_regionkey
+               FROM nation)
+    SELECT a.rn AS rn, a.n_name AS n_name, b.n_regionkey AS n_regionkey
+    FROM a JOIN b ON a.rn = b.rn
+    """,
+    doc="Two-section positional join (SURVEY §2.1 S4 / §2.3 J5: "
+    "MLSJDat.dat geometry rows ∥ attribute rows aligned by row index).",
+    tags=("join", "positional", "S4", "J5"),
+)
+def q05_positional_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = t(spark, sf_dir, "nation")
+    w = W.orderBy("n_nationkey")
+    a = nat.select(F.row_number().over(w).alias("rn"), "n_name")
+    b = nat.select(F.row_number().over(w).alias("rn2"), "n_regionkey")
+    return a.join(b, a.rn == b.rn2).select("rn", "n_name", "n_regionkey")
+
+
+@register(
+    "q06_range_band_join",
+    oracle="""
+    SELECT r_name AS band,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN region ON c_acctbal >= r_regionkey * 2000.0
+               AND c_acctbal <  r_regionkey * 2000.0 + 2000.0
+    GROUP BY r_name
+    """,
+    doc="Broadcast range (theta) join: the boundary-condition table applied "
+    "to particles by coordinate range (SURVEY §2.2 P2 / §2.3 J6: "
+    "MLSLD00.dat ranges, SysFile.ini:74-93).",
+    tags=("join", "range", "theta", "P2", "J6"),
+)
+def q06_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    bands = t(spark, sf_dir, "region").select(
+        F.col("r_name"),
+        (F.col("r_regionkey") * 2000.0).alias("lo"),
+        (F.col("r_regionkey") * 2000.0 + 2000.0).alias("hi"),
+    )
+    return (
+        cust.join(
+            F.broadcast(bands),
+            (cust.c_acctbal >= bands.lo) & (cust.c_acctbal < bands.hi),
+        )
+        .groupBy(F.col("r_name").alias("band"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "q07_rounded_dedup_dense_id",
+    oracle="""
+    WITH d AS (SELECT DISTINCT round(c_acctbal, -2) AS bal_bucket, c_nationkey
+               FROM customer)
+    SELECT bal_bucket, c_nationkey,
+           row_number() OVER (ORDER BY bal_bucket, c_nationkey) AS dense_id
+    FROM d
+    """,
+    doc="Rounded-key dedup + dense id assignment (SURVEY §2.4 A3: node dedup "
+    "on round(x,6) keys with incremental ids, GenerateColumnar.py:146-151). "
+    "row_number over sorted distinct keys replaces the sequential counter.",
+    tags=("dedup", "A3", "window"),
+)
+def q07_rounded_dedup_dense_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    d = cust.select(
+        F.round("c_acctbal", -2).alias("bal_bucket"), "c_nationkey"
+    ).distinct()
+    return d.withColumn(
+        "dense_id", F.row_number().over(W.orderBy("bal_bucket", "c_nationkey"))
+    )
+
+
+@register(
+    "q08_flag_quota",
+    oracle="""
+    SELECT sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+           count(*)                                           AS n_total,
+           CAST(ceil(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / 4.0)
+                AS BIGINT)                                    AS quota
+    FROM lineitem
+    """,
+    doc="Boolean-flag counting + quota (SURVEY §2.4 A5/A6: boundary-grain "
+    "count and num_select=ceil(|eligible|/n_joint), "
+    "GenerateColumnar.py:247-251).",
+    tags=("agg", "A5", "A6"),
+)
+def q08_flag_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    flagged = F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+    return li.agg(
+        flagged.alias("n_discounted"),
+        F.count("*").alias("n_total"),
+        F.ceil(flagged / 4.0).cast("long").alias("quota"),
+    )
+
+
+@register(
+    "q09_group_centroids",
+    oracle="""
+    SELECT c_nationkey,
+           round(avg(c_acctbal), 6) AS cx,
+           round(avg(c_custkey), 6) AS cy,
+           count(*) AS n_members
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Per-group centroid (SURVEY §2.4 A1: polygon centroid = mean of "
+    "member coordinates, GenerateColumnar.py:107,195). Hash aggregate: "
+    "partial (map-side) + final for free.",
+    tags=("agg", "A1"),
+)
+def q09_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("cx"),
+        F.round(F.avg("c_custkey"), 6).alias("cy"),
+        F.count("*").alias("n_members"),
+    )
+
+
+@register(
+    "q10_event_histogram",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Edge-type histogram (SURVEY §2.4 A9: bond-type counts in "
+    "MLSBond.dat — 3142 type-1 vs 10670 type-10).",
+    tags=("agg", "A9"),
+)
+def q10_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / cube / pivot (absent in the reference; exposed per
+# SURVEY §2.4 note, free in Spark, oracle-testable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           grouping(o_orderpriority) AS g_pri,
+           grouping(o_orderstatus)   AS g_st,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="GROUPING SETS on the order fact (SURVEY §2.4 note: exposed beyond "
+    "the reference's surface).",
+    tags=("agg", "grouping-sets"),
+)
+def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               cast(grouping(o_orderpriority) AS INT) AS g_pri,
+               cast(grouping(o_orderstatus) AS INT)   AS g_st,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "q12_cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over the lineitem fact (SURVEY §2.4 note).",
+    tags=("agg", "cube"),
+)
+def q12_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "q13_pivot_qty",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot (wide aggregation) — engine extension; oracle is the "
+    "CASE-WHEN expansion.",
+    tags=("agg", "pivot"),
+)
+def q13_pivot_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                    AS name_upper,
+           length(p_name)                   AS name_len,
+           substr(p_brand, 7, 2)            AS brand_code,
+           concat(p_type, '/', p_brand)     AS type_brand,
+           replace(p_name, ' ', '_')        AS name_snake,
+           len(string_split(p_name, ' '))   AS n_words
+    FROM part
+    """,
+    doc="String scalar functions (SURVEY §2.7: split/strip parse "
+    "BooleanOperation.py:52, join :169, fixed-format "
+    "GenerateColumnar.py:327-330).",
+    tags=("scalar", "string"),
+)
+def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_brand", 7, 2).alias("brand_code"),
+        F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@register(
+    "q15_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS INT)    AS yr,
+           CAST(extract(month FROM o_orderdate) AS INT)   AS mo,
+           CAST(extract(day FROM o_orderdate) AS INT)     AS dy,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT)      AS epoch_s
+    FROM orders
+    """,
+    doc="Datetime scalar functions — the reference's time axis is "
+    "step*dT (MLS00con.dat:4, SysFile.ini:55-59); exposed on real "
+    "timestamps. UTC session TZ keeps epoch identical to the oracle.",
+    tags=("scalar", "datetime"),
+)
+def q15_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "q16_math_clamp",
+    oracle="""
+    SELECT p_partkey,
+           round(sqrt(p_retailprice), 6)                       AS sqrt_price,
+           round(ln(p_retailprice + 1.0), 6)                   AS ln_price,
+           abs(p_size - 25)                                    AS dev,
+           CAST(sign(p_size - 25) AS INT)                      AS sgn,
+           round(greatest(0.01, least(p_size / 3.0, 15.0)), 6) AS clamped,
+           round(power(p_size, 2), 2)                          AS size_sq
+    FROM part
+    """,
+    doc="Math scalar functions + clamp projection (SURVEY §2.2 P6: "
+    "max(0.01, min(angle, 15.0)) GenerateColumnar.py:187,210; §2.7 "
+    "tan/radians/sqrt/ceil/round).",
+    tags=("scalar", "math", "P6"),
+)
+def q16_math_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("p_retailprice") + 1.0), 6).alias("ln_price"),
+        F.abs(F.col("p_size") - 25).alias("dev"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("sgn"),
+        F.round(
+            F.greatest(F.lit(0.01), F.least(F.col("p_size") / 3.0, F.lit(15.0))), 6
+        ).alias("clamped"),
+        F.round(F.pow("p_size", F.lit(2)), 2).alias("size_sq"),
+    )
+
+
+@register(
+    "q17_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders)
+    WHERE rk <= 3
+    """,
+    doc="Top-k per group (SURVEY §2.5: W4's quota break as limit-after-"
+    "ordered-window; GenerateColumnar.py:258).",
+    tags=("window", "topk", "W4"),
+)
+def q17_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ragged-array operators (SURVEY §1.1 element table; §2.2 P1 higher-order
+# predicates over variable-length vertex lists)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_array_hof",
+    oracle="""
+    SELECT l_orderkey,
+           count(*)                                        AS n_items,
+           bool_or(l_quantity > 49)                        AS has_big,
+           bool_and(l_discount <= 0.1)                     AS all_low_disc,
+           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_over_half,
+           round(sum(l_quantity), 2)                       AS qty_sum
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="Higher-order functions over ragged arrays (SURVEY §2.2 P1: "
+    "exists(vertices, v -> v.x <= tol) boundary predicate, "
+    "GenerateColumnar.py:236-243; arrays built per §2.4 A2 "
+    "collect_list). exists/forall/filter/aggregate on ArrayType.",
+    tags=("array", "hof", "P1", "A2"),
+)
+def q18_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    grains = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_quantity", "l_discount")).alias("vs")
+    )
+    return grains.select(
+        "l_orderkey",
+        F.size("vs").cast("long").alias("n_items"),
+        F.exists("vs", lambda v: v.l_quantity > 49).alias("has_big"),
+        F.forall("vs", lambda v: v.l_discount <= 0.1).alias("all_low_disc"),
+        F.size(F.filter("vs", lambda v: v.l_quantity > 25))
+        .cast("long")
+        .alias("n_over_half"),
+        F.round(
+            F.aggregate(
+                "vs", F.lit(0.0), lambda acc, v: acc + v.l_quantity
+            ),
+            2,
+        ).alias("qty_sum"),
+    )
+
+
+@register(
+    "q19_mirror_union",
+    oracle="""
+    SELECT 'c'  AS copy, s_suppkey, round(s_acctbal, 2) AS x, CAST(s_suppkey % 50 AS DOUBLE) AS y FROM supplier
+    UNION ALL
+    SELECT 'mx' AS copy, s_suppkey, round(-s_acctbal, 2) AS x, CAST(s_suppkey % 50 AS DOUBLE) AS y FROM supplier
+    UNION ALL
+    SELECT 'px' AS copy, s_suppkey, round(2*12000.0 - s_acctbal, 2) AS x, CAST(s_suppkey % 50 AS DOUBLE) AS y FROM supplier
+    UNION ALL
+    SELECT 'my' AS copy, s_suppkey, round(s_acctbal, 2) AS x, CAST(-(s_suppkey % 50) AS DOUBLE) AS y FROM supplier
+    UNION ALL
+    SELECT 'py' AS copy, s_suppkey, round(s_acctbal, 2) AS x, CAST(2*50 - (s_suppkey % 50) AS DOUBLE) AS y FROM supplier
+    """,
+    doc="5-way mirror union (SURVEY §2.6 U1: mirrored seed copies for "
+    "unbounded Voronoi cells, GenerateColumnar.py:80-86,116-121).",
+    tags=("setop", "union", "U1"),
+)
+def q19_mirror_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("x0"),
+        (F.col("s_suppkey") % 50).cast("double").alias("y0"),
+    )
+
+    def copy(tag: str, x, y) -> DataFrame:
+        return s.select(
+            F.lit(tag).alias("copy"),
+            "s_suppkey",
+            F.round(x, 2).alias("x"),
+            y.cast("double").alias("y"),
+        )
+
+    x0, y0 = F.col("x0"), F.col("y0")
+    return (
+        copy("c", x0, y0)
+        .unionByName(copy("mx", -x0, y0))
+        .unionByName(copy("px", 2 * 12000.0 - x0, y0))
+        .unionByName(copy("my", x0, -y0))
+        .unionByName(copy("py", x0, 2 * 50 - y0))
+    )
+
+
+@register(
+    "q20_boundary_touch",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_vertices,
+           bool_or(s_acctbal <= 0.0 OR s_acctbal >= 9000.0
+                   OR s_suppkey % 50 <= 1 OR s_suppkey % 50 >= 48) AS touches
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    doc="Boundary-touch predicate over ragged vertex arrays (SURVEY §2.2 "
+    "P1, GenerateColumnar.py:236-243): exists() over the collected "
+    "per-grain vertex list.",
+    tags=("array", "hof", "P1", "A5"),
+)
+def q20_boundary_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        F.struct(
+            F.col("s_acctbal").alias("x"),
+            (F.col("s_suppkey") % 50).cast("double").alias("y"),
+        ).alias("v"),
+    )
+    grains = s.groupBy("s_nationkey").agg(F.collect_list("v").alias("vs"))
+    touch = lambda v: (  # noqa: E731
+        (v.x <= 0.0) | (v.x >= 9000.0) | (v.y <= 1.0) | (v.y >= 48.0)
+    )
+    return grains.select(
+        "s_nationkey",
+        F.size("vs").cast("long").alias("n_vertices"),
+        F.exists("vs", touch).alias("touches"),
+    )
+
+
+@register(
+    "q21_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_val
+    FROM events
+    """,
+    doc="Semi-structured field extraction from the events props payload "
+    "(engine extension; the reference has no string data at all, "
+    "SURVEY §1.2).",
+    tags=("scalar", "json"),
+)
+def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )

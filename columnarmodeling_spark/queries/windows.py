@@ -1,0 +1,186 @@
+"""Window / neighbor / ordering operators (SURVEY §2.5 W1-W5).
+
+The reference's neighbor semantics: facet wraparound pairing
+(``GenerateColumnar.py:318-325``), every-4-rows face grouping
+(``BooleanOperation.py:72-73``), time-series deltas on the probe series
+(``Output/MLSOut00E.dat``). All window orderings here carry a unique
+tie-break key so row content is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.operators.indexing import with_global_index
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+
+
+@register(
+    "q22_window_rank_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="rank/lag/delta windows (SURVEY §2.5 W3: strain-rate and force "
+    "deltas between output steps of MLSOut00E.dat; W5 ranking).",
+    tags=("window", "W3", "W5"),
+)
+def q22_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wp).alias("price_rank"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_price"),
+    )
+
+
+@register(
+    "q23_wraparound_neighbor",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           coalesce(lead(o_orderkey) OVER w,
+                    first_value(o_orderkey) OVER w) AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Consecutive-vertex pairing with wraparound (SURVEY §2.3 J8 / "
+    "§2.5 W1: side-quad construction pairs vertex j with (j+1) mod n, "
+    "GenerateColumnar.py:318-325). lead() + coalesce(first_value()).",
+    tags=("window", "W1", "J8"),
+)
+def q23_wraparound_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.lead("o_orderkey").over(w),
+            F.first("o_orderkey").over(wfull),
+        ).alias("next_key"),
+    )
+
+
+@register(
+    "q24_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+    doc="Running (cumulative) aggregation — the damage-accumulation shape "
+    "of MLSOut00B.dat (SURVEY §2.8: cumulative damage ratio per step).",
+    tags=("window", "running"),
+)
+def q24_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "q25_row_grouping",
+    oracle="""
+    WITH idx AS (
+        SELECT l_quantity,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem)
+    SELECT (rn - 1) // 4 AS face_id,
+           count(*) AS n_points,
+           round(sum(l_quantity), 2) AS qty
+    FROM idx
+    GROUP BY (rn - 1) // 4
+    """,
+    doc="Every-4-consecutive-rows grouping (SURVEY §2.5 W2: 4 text points "
+    "→ one face, BooleanOperation.py:72-73). Uses the scale-safe global "
+    "index (range-partition + per-partition row_number + prefix-sum "
+    "offsets, operators/indexing.py) instead of a single-partition "
+    "global window.",
+    tags=("window", "W2", "scale"),
+)
+def q25_row_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    idx = with_global_index(li, ["l_orderkey", "l_linenumber"], "rn")
+    return (
+        idx.withColumn("face_id", ((F.col("rn") - 1) / 4).cast("long"))
+        .groupBy("face_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+@register(
+    "q26_sessionization",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, value, ts,
+               CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, event_id, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM g)
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="Sessionization via lag-gap + cumulative sum (SURVEY §2.8 "
+    "extension; the reference's output cadence is a fixed 250-step "
+    "session, MLS00con.dat:7).",
+    tags=("window", "session"),
+)
+def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
