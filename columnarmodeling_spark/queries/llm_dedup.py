@@ -1,1 +1,300 @@
-"""Placeholder — populated later this round."""
+"""Deduplication operators over the documents table: exact hash dedup,
+n-gram Jaccard similarity join, MinHash signatures, LSH candidate
+generation, SimHash fingerprints.
+
+Training-data-pipeline tier (BASELINE.json north star). The shingle →
+hash → band → bucket-join shape deliberately reuses the binned-join
+skeleton of the proximity join (SURVEY §7 step 7): LSH buckets are to
+near-dup search what grid cells are to spatial search — an equi-join
+key that bounds the candidate set, with an exact verifier as the
+residual filter.
+
+Scale notes: every stage is a shuffle on a well-distributed key
+(shingle hash, band value); the O(n²) pair space is never materialized.
+Hot shingles (stopword-only grams) are the skew risk at 100 TB — the
+standard mitigation (drop shingles with document-frequency above a
+cutoff) is exposed via ``max_df`` in the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.functions.text import (
+    MERSENNE_P,
+    MINHASH_AB,
+    hex_hash,
+    tokens,
+    word_shingles,
+)
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+
+_JACCARD_TAU = 0.2
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct rows — the dedup tier's base relation."""
+    d = t(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    return (
+        d.select("doc_id", F.explode(word_shingles("tk", 3)).alias("s"))
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = """
+    toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk)-1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      FROM toks)
+"""
+
+
+@register(
+    "q40_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content hash (LLM-pipeline tier; the relational "
+    "analog of SURVEY §2.4 A3 rounded-key node dedup). Canonical row = "
+    "min doc_id per hash group — deterministic, unlike dropDuplicates.",
+    tags=("dedup", "llm", "A3"),
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@register(
+    "q42_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= {_JACCARD_TAU}
+    """,
+    doc="Exact n-gram Jaccard similarity join (LLM-pipeline near-dup "
+    "tier): shingle equi-join computes |A∩B| without materializing "
+    "O(n²) pairs; |A∪B| = |A|+|B|−|A∩B|. Same bin-join skeleton as "
+    "the J1 proximity join.",
+    tags=("dedup", "llm", "jaccard", "join"),
+)
+def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
+    u = (hex_hash("s") % MERSENNE_P).alias("u")
+    h = sh.select("doc_id", u)
+    aggs = [
+        F.min((F.lit(a) * F.col("u") + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_signatures() -> str:
+    cols = ",\n             ".join(
+        f"min(({a} * u + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"""
+    {_SQL_SHINGLES},
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MERSENNE_P} AS u
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {cols}
+      FROM h GROUP BY doc_id)
+    """
+
+
+@register(
+    "q43_minhash_signatures",
+    oracle=f"""
+    WITH {_sql_minhash_signatures()}
+    SELECT * FROM sig
+    """,
+    doc="MinHash signatures (8 permutations, (a·u+b) mod 2^31−1 over "
+    "shingle hashes) — LLM-pipeline near-dup tier. Identical integer "
+    "arithmetic on both engines; per-doc min via hash aggregate.",
+    tags=("dedup", "llm", "minhash"),
+)
+def q43_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signatures(spark, sf_dir)
+
+
+@register(
+    "q44_lsh_candidates",
+    oracle=f"""
+    WITH {_sql_minhash_signatures()},
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 * {MERSENNE_P} + mh1 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh2 * {MERSENNE_P} + mh3 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh4 * {MERSENNE_P} + mh5 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, 3 AS band, mh6 * {MERSENNE_P} + mh7 AS bv FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           round(((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) +
+                  (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) +
+                  (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) +
+                  (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END) +
+                  (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END) +
+                  (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END) +
+                  (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END)) / 8.0, 6)
+               AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: 4 bands × 2 rows; a pair is a "
+    "candidate iff any band agrees (bucket equi-join — the scale path: "
+    "no O(n²) pair space). est_jaccard = fraction of agreeing "
+    "minhashes. Same banding as the reference-era LSH literature; "
+    "bucket join reuses the J1 binned-join skeleton.",
+    tags=("dedup", "llm", "minhash", "lsh", "join"),
+)
+def q44_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir).cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                (F.col(f"mh{2 * k}") * MERSENNE_P + F.col(f"mh{2 * k + 1}")).alias(
+                    "bv"
+                ),
+            )
+            for k in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / 8.0, 6).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
+    "q45_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(tk) AS w FROM toks),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS u
+      FROM tok),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (u >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS j) pos
+      GROUP BY doc_id, j)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash,
+           count(*) AS n_bits
+    FROM bits GROUP BY doc_id
+    """,
+    doc="SimHash fingerprint (16-bit): per-token 60-bit hash, signed "
+    "bit-vote per position, sign → fingerprint bit. Token multiset "
+    "(not distinct) — standard SimHash weighting by frequency.",
+    tags=("dedup", "llm", "simhash"),
+)
+def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    tok = d.select("doc_id", F.explode("tk").alias("w"))
+    h = tok.select("doc_id", hex_hash("w").alias("u"))
+    hj = h.select(
+        "doc_id",
+        "u",
+        F.explode(F.array(*[F.lit(j) for j in range(16)])).alias("j"),
+    )
+    bits = hj.groupBy("doc_id", "j").agg(
+        F.sum(
+            F.when(F.expr("(shiftright(u, j) & 1) = 1"), 1).otherwise(-1)
+        ).alias("s")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash"),
+        F.count("*").alias("n_bits"),
+    )

@@ -1,1 +1,207 @@
-"""Placeholder — populated later this round."""
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Training-data-pipeline tier: brute-force cosine top-k as the correctness
+baseline, IVF-style centroid build as the scale path, plus a
+hyperplane-LSH bucketing variant.
+
+Cross-engine exactness trick: floating-point dot products are
+summation-order-dependent, so both engines first quantize each component
+to an integer (``round(x * 1000)`` — embeddings are |x| < 0.6, so values
+fit in ±600 and 64-dim norms in < 2^25). Dot products and norms are then
+EXACT integer arithmetic; only the final cosine division is float, and
+it's the same two operands on both sides.
+
+Scale notes: top-k against 100 TB of vectors is never a cross join — the
+IVF path (q47 centroids → probe nearest cells only) or LSH bucketing
+bounds the candidate set; the cross join here is the sf-small oracle
+baseline, broadcast on the build side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+
+_TOPK = 3
+
+_SQL_QUANT = """
+    q AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, label, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS n2
+      FROM q)
+"""
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+    )
+    return e.select("vec_id", "label", qv.alias("qv")).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+@register(
+    "q46_cosine_topk",
+    oracle=f"""
+    WITH {_SQL_QUANT},
+    p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor, b.label AS neighbor_label,
+             list_sum(list_transform(range(1, len(a.qv) + 1),
+                      i -> a.qv[i] * b.qv[i])) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+    c AS (
+      SELECT vec_id, neighbor, neighbor_label,
+             round(dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS cos9
+      FROM p),
+    r AS (
+      SELECT vec_id, neighbor, neighbor_label,
+             round(cos9, 6) AS cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos9 DESC, neighbor) AS rk
+      FROM c)
+    SELECT vec_id, neighbor, neighbor_label, cosine, rk
+    FROM r WHERE rk <= {_TOPK}
+    """,
+    doc="Brute-force cosine top-k neighbors (ANN correctness baseline, "
+    "LLM-pipeline tier). Integer-quantized dot products make both "
+    "engines bit-identical; ranking ties broken by neighbor id.",
+    tags=("similarity", "llm", "ann", "topk"),
+)
+def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    a = n.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("label").alias("neighbor_label"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos9 = F.round(
+        dot / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")), 9
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos9").desc(), F.col("neighbor"))
+    return (
+        pairs.withColumn("cos9", cos9)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select(
+            "vec_id",
+            "neighbor",
+            "neighbor_label",
+            F.round("cos9", 6).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "q47_ivf_centroids",
+    oracle=f"""
+    WITH {_SQL_QUANT},
+    comp AS (
+      SELECT label, i - 1 AS pos, qv[i] AS v
+      FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx)
+    SELECT label, pos,
+           round(avg(v), 6) AS centroid_val,
+           count(*) AS n_vectors
+    FROM comp GROUP BY label, pos
+    """,
+    doc="IVF coarse-quantizer build: per-label element-wise centroid of "
+    "the (quantized) embeddings — the scale path for ANN (probe only "
+    "nearest cells instead of all vectors). posexplode + hash agg; no "
+    "driver-side array math.",
+    tags=("similarity", "llm", "ann", "ivf", "agg"),
+)
+def q47_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    comp = n.select("label", F.posexplode("qv").alias("pos", "v"))
+    return comp.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("centroid_val"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
+@register(
+    "q48_hyperplane_lsh",
+    oracle=f"""
+    WITH {_SQL_QUANT},
+    planes AS (
+      SELECT p, i,
+             ((1103515245 * (p * 64 + i) + 12345) % 2147483648) - 1073741824 AS w
+      FROM (SELECT unnest(range(0, 8)) AS p)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+    dots AS (
+      SELECT n.vec_id, pl.p,
+             sum(pl.w * n.qv[pl.i]) AS d
+      FROM n CROSS JOIN planes pl
+      GROUP BY n.vec_id, pl.p),
+    sig AS (
+      SELECT vec_id,
+             sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id)
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec
+    FROM sig GROUP BY bucket
+    """,
+    doc="Random-hyperplane LSH bucketing for cosine ANN: 8 deterministic "
+    "pseudo-random planes (LCG-derived integer weights), sign-bit "
+    "signature → bucket. Bucket histogram checked exactly; candidate "
+    "join within buckets reuses the LSH band-join skeleton (q44).",
+    tags=("similarity", "llm", "ann", "lsh"),
+)
+def q48_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    spark_planes = spark.createDataFrame(
+        [
+            (p, i, ((1103515245 * (p * 64 + i) + 12345) % 2147483648) - 1073741824)
+            for p in range(8)
+            for i in range(1, 65)
+        ],
+        "p INT, i INT, w LONG",
+    )
+    comp = n.select("vec_id", F.posexplode("qv").alias("pos", "v")).withColumn(
+        "i", F.col("pos") + 1
+    )
+    dots = (
+        comp.join(F.broadcast(spark_planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("d"))
+    )
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("d") > 0, F.expr("shiftleft(cast(1 as bigint), p)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("bucket")
+    )
+    return sig.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec"),
+    )

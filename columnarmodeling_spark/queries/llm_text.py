@@ -1,1 +1,216 @@
-"""Placeholder — populated later this round."""
+"""Text-analysis operators over the documents table: token counting,
+quality scoring, language ID, fingerprinting.
+
+Training-data-pipeline tier (BASELINE.json north star). All JVM-side
+column expressions — no Python in the hot path — each with an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.functions.text import (
+    MERSENNE_P,
+    hex_hash,
+    tokens,
+    word_shingles,
+)
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for"]
+
+
+@register(
+    "q50_token_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS n_chars_text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents)
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           n_chars_text,
+           round(list_sum(list_transform(tk, x -> length(x))) * 1.0
+                 / len(tk), 6) AS avg_token_len
+    FROM toks WHERE len(tk) > 0
+    """,
+    doc="Token counting (whitespace/punct split) — LLM-pipeline tier; "
+    "token stats per document, JVM-side split + array arithmetic.",
+    tags=("text", "llm", "tokens"),
+)
+def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    return d.filter(F.size("tk") > 0).select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.round(
+            F.aggregate(
+                F.transform("tk", lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            * 1.0
+            / F.size("tk"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q51_quality_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(tk) AS n_tok,
+             length(text) AS n_chr,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(list_filter(tk,
+                 x -> list_contains({_STOPWORDS!r}, x))) AS n_stop
+      FROM toks WHERE len(tk) > 0)
+    SELECT doc_id,
+           round(n_punct * 1.0 / n_chr, 6)        AS punct_ratio,
+           round(n_stop * 1.0 / n_tok, 6)         AS stopword_ratio,
+           round(n_chr * 1.0 / n_tok, 6)          AS chars_per_token,
+           round(least(1.0, n_tok / 50.0) * 0.5
+                 + (n_stop * 1.0 / n_tok) * 0.3
+                 + least(0.2, n_punct * 1.0 / n_chr), 6) AS quality
+    FROM m
+    """,
+    doc="Document quality scoring: length / punctuation / stopword-ratio "
+    "heuristics (LLM-pipeline tier), composed into one bounded score.",
+    tags=("text", "llm", "quality"),
+)
+def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    m = d.filter(F.size("tk") > 0).select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chr"),
+        F.regexp_count("text", F.lit("[.,;:!?]")).cast("long").alias("n_punct"),
+        F.size(F.filter("tk", lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    return m.select(
+        "doc_id",
+        F.round(F.col("n_punct") / F.col("n_chr"), 6).alias("punct_ratio"),
+        F.round(F.col("n_stop") / F.col("n_tok"), 6).alias("stopword_ratio"),
+        F.round(F.col("n_chr") / F.col("n_tok"), 6).alias("chars_per_token"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tok") / 50.0) * 0.5
+            + (F.col("n_stop") / F.col("n_tok")) * 0.3
+            + F.least(F.lit(0.2), F.col("n_punct") / F.col("n_chr")),
+            6,
+        ).alias("quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "row", "table"],
+    "es": ["el", "la", "de", "fila", "tabla"],
+    "zh": ["zh", "biao", "hang", "lie", "shuju"],
+}
+
+
+@register(
+    "q52_lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    sc AS (
+      SELECT doc_id, lang,
+             len(list_filter(tk, x -> list_contains(['the','and','of','row','table'], x))) AS s_en,
+             len(list_filter(tk, x -> list_contains(['el','la','de','fila','tabla'], x))) AS s_es,
+             len(list_filter(tk, x -> list_contains(['zh','biao','hang','lie','shuju'], x))) AS s_zh
+      FROM toks)
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS lang_guess,
+           s_en, s_es, s_zh
+    FROM sc
+    """,
+    doc="Language ID via marker-token scoring with deterministic argmax "
+    "tie-break (en > es > zh) — LLM-pipeline tier n-gram heuristic.",
+    tags=("text", "llm", "langid"),
+)
+def q52_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+
+    def score(lang: str) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return (
+            F.size(F.filter("tk", lambda x: F.array_contains(arr, x)))
+            .cast("long")
+            .alias(f"s_{lang}")
+        )
+
+    sc = d.select(
+        "doc_id", F.col("lang").alias("lang_actual"), score("en"), score("es"), score("zh")
+    )
+    return sc.select(
+        "doc_id",
+        "lang_actual",
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_zh")), "en"
+        )
+        .when(F.col("s_es") >= F.col("s_zh"), "es")
+        .otherwise("zh")
+        .alias("lang_guess"),
+        "s_en",
+        "s_es",
+        "s_zh",
+    )
+
+
+@register(
+    "q53_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)-1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      FROM toks),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MERSENNE_P} AS u
+      FROM sh)
+    SELECT doc_id,
+           min(u)   AS fp_min,
+           max(u)   AS fp_max,
+           count(*) AS n_shingles
+    FROM h GROUP BY doc_id
+    """,
+    doc="Document fingerprinting: winnowing-style min/max over rolling "
+    "shingle hashes (LLM-pipeline tier). Hash = md5-prefix→int mod "
+    "2^31−1, identical arithmetic on both engines.",
+    tags=("text", "llm", "fingerprint"),
+)
+def q53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    sh = d.select("doc_id", F.explode(word_shingles("tk", 3)).alias("s"))
+    h = sh.select("doc_id", (hex_hash("s") % MERSENNE_P).alias("u"))
+    return h.groupBy("doc_id").agg(
+        F.min("u").alias("fp_min"),
+        F.max("u").alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )
