@@ -66,6 +66,7 @@ def _load_all() -> None:
         simulation,
         io_codec,
         streaming,
+        geometry,
     )
 
 

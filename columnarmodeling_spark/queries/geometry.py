@@ -1,0 +1,75 @@
+"""Geometry-tier queries (SURVEY §3 E1): distributed Voronoi mesh
+generation and facet extrusion, driven from deterministic seeds derived
+from the supplier table.
+
+Iterative geometric kernels are not SQL-expressible → rows-only checks;
+the exact-semantics evidence is in tests/test_geometry.py (area
+conservation, facet-count = Σ ring vertices, boundary classification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.geometry.pipeline import generate_columnar_mesh
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+
+_W, _H, _D = 200.0, 200.0, 25.0
+
+
+def _seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("id"),
+        (F.pmod(F.col("s_acctbal"), F.lit(_W - 2.0)) + 1.0).alias("x"),
+        (F.pmod(F.col("s_suppkey") * 37.0, F.lit(_H - 2.0)) + 1.0).alias("y"),
+    )
+
+
+@register(
+    "q90_voronoi_grains",
+    oracle=None,  # iterative geometry — rows-only; properties in tests
+    doc="Distributed Lloyd-relaxed bounded Voronoi tessellation "
+    "(SURVEY §3 E1: GenerateColumnar.py:61-160). Tile+halo "
+    "applyInPandas cells, driver-loop Lloyd with localCheckpoint; "
+    "boundary classification via exists() (P1); greedy selection (W4).",
+    tags=("geometry", "E1", "pandas-udf", "iterative"),
+)
+def q90_voronoi_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grains, _ = generate_columnar_mesh(
+        spark, _seeds(spark, sf_dir), _W, _H, _D, lloyd_iters=2
+    )
+    return grains.select(
+        "grain_id",
+        F.round("cx", 6).alias("cx"),
+        F.round("cy", 6).alias("cy"),
+        F.round("area", 6).alias("area"),
+        "n_vertices",
+        "is_boundary",
+        "selected",
+    )
+
+
+@register(
+    "q91_mesh_facets",
+    oracle=None,  # depends on q90's geometry — rows-only
+    doc="Prism side-facet generation (SURVEY §2.3 J8 / §2.5 W1: "
+    "wraparound vertex pairing, GenerateColumnar.py:318-325; "
+    "extrusion :225-232). One quad per ring edge; summary stats per "
+    "grain (facet count must equal ring length — property-tested).",
+    tags=("geometry", "J8", "W1"),
+)
+def q91_mesh_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, facets = generate_columnar_mesh(
+        spark, _seeds(spark, sf_dir), _W, _H, _D, lloyd_iters=1
+    )
+    edge_len = F.sqrt(
+        (F.col("p2.x") - F.col("p1.x")) * (F.col("p2.x") - F.col("p1.x"))
+        + (F.col("p2.y") - F.col("p1.y")) * (F.col("p2.y") - F.col("p1.y"))
+    )
+    return facets.groupBy("grain_id").agg(
+        F.count("*").alias("n_facets"),
+        F.round(F.sum(edge_len), 6).alias("perimeter"),
+    )

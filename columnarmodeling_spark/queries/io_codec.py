@@ -1,1 +1,129 @@
-"""Placeholder — populated later this round."""
+"""I/O-tier queries: binary snapshot codec round-trip, fixed-format
+sink lines, multimodal decode plumbing (SURVEY §2.1 S7/S9 + LLM tier).
+
+The codec round-trip is oracle-tested through an identity: encoding
+lineitem groups to the reference's binary layout (int32 N + N×4 f32)
+and decoding back must equal a direct float32-cast of the source — so
+the DuckDB oracle is a plain aggregation over ``CAST(x AS FLOAT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.functions.multimodal import decode_media
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+from columnarmodeling_spark.sources.binary_snapshots import (
+    decode_blobs,
+    encode_groups,
+)
+
+
+@register(
+    "q70_snapshot_codec",
+    oracle="""
+    SELECT l_returnflag AS rf,
+           count(*) AS n_rows,
+           round(sum(CAST(CAST(l_quantity AS FLOAT) AS DOUBLE)), 2) AS sum_qty,
+           round(sum(CAST(CAST(l_discount AS FLOAT) AS DOUBLE)), 4) AS sum_disc,
+           round(min(CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE)), 4) AS min_price,
+           round(max(CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE)), 4) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Binary snapshot codec round-trip (SURVEY §2.1 S9: int32 N + "
+    "N×4 LE float32, the MLSOut*.bin layout — verified 4+125000×4×4 "
+    "bytes). Encode via applyInPandas, decode via mapInPandas, then "
+    "aggregate the decoded floats; float32 quantization reproduced in "
+    "the oracle by CAST(x AS FLOAT).",
+    tags=("io", "codec", "S9", "pandas-udf"),
+)
+def q70_snapshot_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    # encode returnflag as a numeric group key (A=0,N=1,R=2)
+    keyed = li.select(
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("gk"),
+        F.col("l_orderkey").cast("double").alias("okey"),
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+    )
+    blobs = encode_groups(
+        keyed, "gk", ["okey", "l_quantity", "l_discount", "l_extendedprice"]
+    )
+    decoded = decode_blobs(blobs, n_fields=4)
+    return (
+        decoded.withColumn(
+            "rf",
+            F.when(F.col("group") == 0, "A")
+            .when(F.col("group") == 1, "N")
+            .otherwise("R"),
+        )
+        .groupBy("rf")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(F.col("f2").cast("double")), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("f3").cast("double")), 4).alias("sum_disc"),
+            F.round(F.min(F.col("f4").cast("double")), 4).alias("min_price"),
+            F.round(F.max(F.col("f4").cast("double")), 4).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q71_fixed_format_lines",
+    oracle="""
+    SELECT p_partkey,
+           printf('%.8f %.8f %.8f',
+                  p_retailprice,
+                  p_retailprice * 0.5,
+                  CAST(p_size AS DOUBLE)) AS line
+    FROM part
+    """,
+    doc="Fixed-format text sink rows (SURVEY §2.1 S7: '%.8f' triplets, "
+    "GenerateColumnar.py:327-330). format_string JVM-side; byte "
+    "format checked against the oracle's printf.",
+    tags=("io", "sink", "S7"),
+)
+def q71_fixed_format_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string(
+            "%.8f %.8f %.8f",
+            F.col("p_retailprice"),
+            F.col("p_retailprice") * 0.5,
+            F.col("p_size").cast("double"),
+        ).alias("line"),
+    )
+
+
+@register(
+    "q72_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS fake_width,
+           CAST(octet_length(CAST(text AS BLOB)) % 480 AS INT) AS fake_height
+    FROM documents
+    """,
+    doc="Multimodal decode plumbing (LLM tier): documents.text encoded "
+    "to an opaque binary payload column, 'decoded' by an Arrow-batched "
+    "mapInPandas stub (deterministic fake features standing in for the "
+    "absent media libraries; see functions/multimodal.py). Oracle "
+    "replays the deterministic features on the raw bytes.",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def q72_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_media(payloads)

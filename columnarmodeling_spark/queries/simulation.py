@@ -1,1 +1,241 @@
-"""Placeholder — populated later this round."""
+"""Simulation-shaped pipelines on testdata (SURVEY §2.4 A7/A8, §3 E1/E3).
+
+The reference's post-processing surface: per-step reaction aggregation →
+stress–strain curve (``Output/MLSOut00E.dat``), per-step bbox + damage
+scalar (``Output/MLSOut00B.dat``), the Lloyd-iteration refinement loop
+(``GenerateColumnar.py:80-111``), and the greedy grain selection
+(``:253-263``). Re-expressed on the events/customer tables so every step
+has a DuckDB oracle — including the *iterative* Lloyd loop, whose 3
+unrolled iterations the oracle replays as a CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.operators.selection import greedy_disjoint_select
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+
+
+@register(
+    "q60_stress_strain",
+    oracle="""
+    WITH steps AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS step,
+             sum(value)  AS reaction,
+             count(*)    AS n_probes
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1)
+    SELECT step,
+           round(reaction, 4) AS reaction,
+           n_probes,
+           round(reaction - lag(reaction) OVER (ORDER BY step), 4) AS delta
+    FROM steps
+    """,
+    doc="Stress–strain curve pipeline (SURVEY §2.4 A7 + §2.5 W3): range "
+    "filter (platen predicate, MLSLD00.dat) → per-step reaction "
+    "aggregation (MLSOut00E.dat shape) → step-over-step delta via lag.",
+    tags=("simulation", "agg", "window", "A7", "W3"),
+)
+def q60_stress_strain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    steps = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            (F.unix_timestamp("ts") / 3600).cast("long").alias("step")
+        )
+        .agg(
+            F.sum("value").alias("reaction_raw"),
+            F.count("*").alias("n_probes"),
+        )
+    )
+    w = W.orderBy("step")
+    return steps.select(
+        "step",
+        F.round("reaction_raw", 4).alias("reaction"),
+        "n_probes",
+        F.round(
+            F.col("reaction_raw") - F.lag("reaction_raw").over(w), 4
+        ).alias("delta"),
+    )
+
+
+@register(
+    "q61_bbox_damage",
+    oracle="""
+    SELECT event_type,
+           CAST(min(floor(epoch(ts))) AS BIGINT) AS t_min,
+           CAST(max(floor(epoch(ts))) AS BIGINT) AS t_max,
+           round(min(value), 4) AS v_min,
+           round(max(value), 4) AS v_max,
+           round(sum(CASE WHEN value < 5.0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS damage_ratio
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Global bbox + damage aggregation (SURVEY §2.4 A8: per-step "
+    "min/max coords + broken-bond ratio, MLSOut00B.dat — final row "
+    "'0.5 45.5 ... 0.046240').",
+    tags=("simulation", "agg", "A8"),
+)
+def q61_bbox_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min(F.unix_timestamp("ts")).alias("t_min"),
+        F.max(F.unix_timestamp("ts")).alias("t_max"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+        F.round(
+            F.sum(F.when(F.col("value") < 5.0, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("damage_ratio"),
+    )
+
+
+# --- Iterative refinement (E1's Lloyd loop) --------------------------------
+
+_N_ITER = 3
+_PTS = """
+      SELECT c_custkey AS id, c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y
+      FROM customer
+"""
+_C0 = """
+      SELECT c_custkey AS cid, c_acctbal AS cx,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS cy
+      FROM customer WHERE c_custkey <= 5
+"""
+
+
+def _lloyd_oracle() -> str:
+    parts = [f"WITH pts AS ({_PTS}),\n c0 AS ({_C0})"]
+    for i in range(1, _N_ITER + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""",
+ a{i} AS (
+   SELECT id, x, y, cid FROM (
+     SELECT p.id, p.x, p.y, c.cid,
+            row_number() OVER (
+              PARTITION BY p.id
+              ORDER BY (p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy), c.cid
+            ) AS rn
+     FROM pts p CROSS JOIN {prev} c) WHERE rn = 1),
+ c{i} AS (
+   SELECT cid, round(avg(x), 6) AS cx, round(avg(y), 6) AS cy
+   FROM a{i} GROUP BY cid)"""
+        )
+    parts.append(
+        f"""
+ SELECT c.cid AS cluster_id, c.cx, c.cy, s.n_points
+ FROM c{_N_ITER} c
+ JOIN (SELECT cid, count(*) AS n_points FROM a{_N_ITER} GROUP BY cid) s
+   USING (cid)"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q62_lloyd_iteration",
+    oracle=_lloyd_oracle(),
+    doc="Iterative refinement loop (SURVEY §3 E1: Lloyd's relaxation — "
+    "assign points to nearest site, move site to cell centroid, "
+    "repeat ×50, GenerateColumnar.py:80-111). Engine form: driver "
+    "loop over DataFrame iterations, centroids collected each pass "
+    "(K rows, not the point cloud), localCheckpoint to truncate "
+    "lineage. Centroids rounded to 6dp per iteration so both engines' "
+    "float summation stays aligned. Oracle unrolls 3 iterations as a "
+    "CTE chain.",
+    tags=("simulation", "iterative", "E1", "scale"),
+)
+def q62_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+    )
+    cents = [
+        (int(r["id"]), float(r["x"]), float(r["y"]))
+        for r in pts.filter(F.col("id") <= 5).collect()
+    ]
+
+    assign = None
+    for _ in range(_N_ITER):
+        cent_df = F.broadcast(
+            spark.createDataFrame(cents, "cid LONG, cx DOUBLE, cy DOUBLE")
+        )
+        dx = F.col("x") - F.col("cx")
+        dy = F.col("y") - F.col("cy")
+        d2 = dx * dx + dy * dy  # plain multiplication: bit-identical to the oracle's (a-b)*(a-b)
+        w = W.partitionBy("id").orderBy(d2.asc(), F.col("cid").asc())
+        assign = (
+            pts.crossJoin(cent_df)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "x", "y", "cid")
+        )
+        new_cents = (
+            assign.groupBy("cid")
+            .agg(
+                F.round(F.avg("x"), 6).alias("cx"),
+                F.round(F.avg("y"), 6).alias("cy"),
+            )
+            .collect()
+        )
+        cents = [
+            (int(r["cid"]), float(r["cx"]), float(r["cy"])) for r in new_cents
+        ]
+
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_points"))
+    cent_final = spark.createDataFrame(cents, "cid LONG, cx DOUBLE, cy DOUBLE")
+    return (
+        cent_final.join(sizes, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "cx",
+            "cy",
+            "n_points",
+        )
+    )
+
+
+@register(
+    "q63_greedy_selection",
+    oracle=None,  # inherently sequential fold — rows-only check (SURVEY §4)
+    doc="Greedy randomized selection under disjointness (SURVEY §2.5 W4: "
+    "GenerateColumnar.py:253-263,289-299 — shuffle pool, take until "
+    "quota, skip on node overlap). Deterministic md5 ordering replaces "
+    "random.shuffle; sequential fold on the driver over the small "
+    "candidate table (operators/selection.py); heavy key-set build "
+    "stays distributed. Non-SQL-expressible → rows-only check; exact "
+    "semantics property-tested in tests/test_selection.py.",
+    tags=("simulation", "W4", "sequential"),
+)
+def q63_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    candidates = (
+        o.groupBy("o_orderpriority", F.dayofmonth("o_orderdate").alias("dom"))
+        .agg(F.collect_set("o_custkey").alias("custs"))
+        .withColumn(
+            "cand_id",
+            F.concat_ws("#", "o_orderpriority", F.col("dom").cast("string")),
+        )
+        .withColumn("ord", F.md5("cand_id"))
+    )
+    chosen = greedy_disjoint_select(
+        candidates, order_col="ord", id_col="cand_id", key_set_col="custs", quota=8
+    )
+    sel = spark.createDataFrame([(c,) for c in chosen], "cand_id STRING")
+    return (
+        candidates.join(F.broadcast(sel), "cand_id")
+        .select(
+            "cand_id",
+            F.size("custs").cast("long").alias("n_customers"),
+        )
+    )

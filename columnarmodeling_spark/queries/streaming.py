@@ -1,1 +1,189 @@
-"""Placeholder — populated later this round."""
+"""Streaming queries (SURVEY §2.8): tumbling / sliding / session windows,
+watermarks, stream-static join, stateful running aggregation.
+
+Each runs a real Structured Streaming query (file source → memory sink,
+``Trigger.AvailableNow`` — the micro-batch analog of the solver's
+250-step output cadence) and returns the drained result, so the driver's
+oracle comparison covers the streaming execution path end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+from columnarmodeling_spark.streaming.sources import drain_to_memory, events_stream
+
+_6H = 21_600
+
+
+@register(
+    "q80_stream_tumbling",
+    oracle=f"""
+    SELECT make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // {_6H})
+                          * {_6H} * 1000000) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling-window streaming aggregation (SURVEY §2.8: emit-every-"
+    "nOutLoops cadence → Trigger.AvailableNow micro-batches; tumbling "
+    "window per output interval). Real readStream → memory sink; "
+    "oracle replays the window grid in batch SQL.",
+    tags=("streaming", "window"),
+)
+def q80_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = drain_to_memory(agg, mode="complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@register(
+    "q81_stream_sliding",
+    oracle=f"""
+    WITH grid AS (
+      SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // {_6H})
+                             * {_6H}) * 1000000) AS ws, value FROM events
+      UNION ALL
+      SELECT make_timestamp(((CAST(floor(epoch(ts) - {_6H}) AS BIGINT) // {_6H})
+                             * {_6H}) * 1000000) AS ws, value FROM events)
+    SELECT ws AS window_start, count(*) AS n, round(sum(value), 2) AS total
+    FROM grid GROUP BY ws
+    """,
+    doc="Sliding-window aggregation (12h window, 6h slide): every event "
+    "lands in two overlapping windows — the oracle replays the two "
+    "shifted tumbling grids. Streaming path like q80.",
+    tags=("streaming", "window", "sliding"),
+)
+def q81_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "12 hours", "6 hours"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = drain_to_memory(agg, mode="complete")
+    return out.select(F.col("window.start").alias("window_start"), "n", "total")
+
+
+@register(
+    "q82_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+      FROM g)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Native session windows (session_window, 30 min gap) — the "
+    "engine's sessionization operator on the streaming-capable path; "
+    "oracle replays gap-cumsum sessionization with exact microsecond "
+    "arithmetic (epoch_us).",
+    tags=("streaming", "session", "window"),
+)
+def q82_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
+@register(
+    "q83_stream_static_join",
+    oracle="""
+    SELECT r_name AS band, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    JOIN region ON value >= r_regionkey * 100.0
+               AND value <  r_regionkey * 100.0 + 100.0
+    GROUP BY r_name
+    """,
+    doc="Stream-static broadcast join (SURVEY §2.8: event stream joined "
+    "to the static BC/load-curve table, MLSLD00.dat). Static side "
+    "broadcast per micro-batch; range predicate like the BC box test.",
+    tags=("streaming", "join", "J6"),
+)
+def q83_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    bands = t(spark, sf_dir, "region").select(
+        "r_name",
+        (F.col("r_regionkey") * 100.0).alias("lo"),
+        (F.col("r_regionkey") * 100.0 + 100.0).alias("hi"),
+    )
+    joined = ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+    )
+    agg = joined.groupBy(F.col("r_name").alias("band")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return drain_to_memory(agg, mode="complete")
+
+
+@register(
+    "q84_stateful_running",
+    oracle=None,  # arbitrary-stateful streaming — rows-only check
+    doc="Custom stateful streaming operator via applyInPandasWithState "
+    "(SURVEY §2.8: cumulative bond-break/damage state across "
+    "micro-batches, MLSOut00B.dat). Per-user running totals held in "
+    "GroupState; AvailableNow drain. Non-SQL-expressible → rows-only.",
+    tags=("streaming", "stateful"),
+)
+def q84_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir)
+
+    def running(key, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "running_total": [total], "n_events": [n]}
+        )
+
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            running,
+            outputStructType="user_id long, running_total double, n_events long",
+            stateStructType="total double, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return drain_to_memory(out, mode="update")

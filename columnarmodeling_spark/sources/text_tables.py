@@ -1,0 +1,185 @@
+"""Whitespace / positional text-table scans (SURVEY §2.1 S1-S5).
+
+The reference's interchange IR is whitespace-separated positional text:
+point tables with 2-or-3-column arity tolerance and bad-line skipping
+(``BooleanOperation.py:43-66``), count-headed particle tables
+(``BALL3D_PSLICE.dat:1``), flag-headed edge lists (``MLSBond.dat:1``),
+and the two-section geometry∥attribute file (``MLSJDat.dat``). Field
+meaning is positional — documented only in ``SysFile.ini`` — so every
+scan here takes an explicit schema; nothing is inferred.
+
+All scans parse with JVM-side column expressions (split + element_at),
+not Python row loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+POINT_SCHEMA = T.StructType(
+    [
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+
+def _tokens(line=None):
+    line = line if line is not None else F.col("value")
+    return F.filter(F.split(F.trim(line), r"\s+"), lambda s: s != "")
+
+
+def read_point_table(spark: SparkSession, path: str) -> DataFrame:
+    """S1: x y [z] lines; z defaults to 0.0; malformed lines dropped.
+
+    Mirrors ``BooleanOperation.py:43-66``: the 2-vs-3 arity branch
+    (:52-59) becomes a ``when`` on token count; the invalid-line log
+    (:60-61) becomes a filter (count the rejects separately if needed
+    via ``read_point_table_rejects``).
+    """
+    toks = _tokens()
+    num = r"^-?\d+(\.\d+)?([eE][-+]?\d+)?$"
+    lines = spark.read.text(path).select(toks.alias("t"))
+    ok = lines.filter(
+        (F.size("t").isin(2, 3))
+        & F.forall("t", lambda s: s.rlike(num))
+    )
+    return ok.select(
+        F.element_at("t", 1).cast("double").alias("x"),
+        F.element_at("t", 2).cast("double").alias("y"),
+        F.when(F.size("t") == 3, F.element_at("t", 3).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
+def read_point_table_rejects(spark: SparkSession, path: str) -> DataFrame:
+    """The malformed lines S1 skips (arity or non-numeric), for logging."""
+    toks = _tokens()
+    num = r"^-?\d+(\.\d+)?([eE][-+]?\d+)?$"
+    lines = spark.read.text(path).select(F.col("value"), toks.alias("t"))
+    return lines.filter(
+        ~(
+            (F.size("t").isin(2, 3))
+            & F.forall("t", lambda s: s.rlike(num))
+        )
+        & (F.size("t") > 0)
+    ).select("value")
+
+
+def read_count_headed(
+    spark: SparkSession, path: str, cols: list[str], validate: bool = True
+) -> DataFrame:
+    """S2: first line = row count, then fixed-arity numeric rows
+    (``BALL3D_PSLICE.dat``). Header recognized by arity (a single
+    token); optional validation asserts the declared count.
+    """
+    arity = len(cols)
+    toks = _tokens()
+    lines = spark.read.text(path).select(toks.alias("t"))
+    data = lines.filter(F.size("t") == arity).select(
+        *[
+            F.element_at("t", i + 1).cast("double").alias(c)
+            for i, c in enumerate(cols)
+        ]
+    )
+    if validate:
+        header = (
+            lines.filter(F.size("t") == 1)
+            .select(F.element_at("t", 1).cast("long").alias("n"))
+            .collect()
+        )
+        if header:
+            declared = header[0]["n"]
+            actual = data.count()
+            if declared is not None and declared != actual:
+                raise ValueError(
+                    f"count-headed table {path}: header declares {declared} "
+                    f"rows, found {actual}"
+                )
+    return data
+
+
+def read_edge_list(spark: SparkSession, path: str) -> DataFrame:
+    """S3: flag line then ``src dst type`` rows (``MLSBond.dat``)."""
+    toks = _tokens()
+    lines = spark.read.text(path).select(toks.alias("t"))
+    return lines.filter(F.size("t") == 3).select(
+        F.element_at("t", 1).cast("long").alias("src"),
+        F.element_at("t", 2).cast("long").alias("dst"),
+        F.element_at("t", 3).cast("int").alias("type"),
+    )
+
+
+def read_two_section(
+    spark: SparkSession,
+    path: str,
+    geo_cols: list[str],
+    attr_cols: list[str],
+) -> DataFrame:
+    """S4/J5: N geometry rows followed by N attribute rows, aligned by
+    row position (``MLSJDat.dat``: 406 triangle rows then 406 joint-
+    material rows). File order is semantic, so this scan indexes lines
+    with ``zipWithIndex`` (the one legitimately order-dependent source;
+    text partitions preserve in-file order) and equi-joins the two
+    sections on row index.
+    """
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = spark.createDataFrame(rdd, "value STRING, idx LONG")
+    toks = _tokens()
+    parsed = lines.select("idx", toks.alias("t")).filter(
+        F.size("t") == len(geo_cols)
+    )
+    # after dropping headers/attr rows of different arity, re-rank
+    from pyspark.sql import Window as W
+
+    if len(geo_cols) == len(attr_cols):
+        # same arity: split by position (first half geometry, second half
+        # attributes) using the count
+        n = parsed.count() // 2
+        ranked = parsed.withColumn(
+            "rn", F.row_number().over(W.orderBy("idx"))
+        )
+        geo = ranked.filter(F.col("rn") <= n).select(
+            (F.col("rn") - 1).alias("row_id"),
+            *[
+                F.element_at("t", i + 1).cast("double").alias(c)
+                for i, c in enumerate(geo_cols)
+            ],
+        )
+        attr = ranked.filter(F.col("rn") > n).select(
+            (F.col("rn") - 1 - n).alias("row_id"),
+            *[
+                F.element_at("t", i + 1).cast("double").alias(c)
+                for i, c in enumerate(attr_cols)
+            ],
+        )
+    else:
+        geo_rows = lines.select("idx", toks.alias("t")).filter(
+            F.size("t") == len(geo_cols)
+        )
+        attr_rows = lines.select("idx", toks.alias("t")).filter(
+            F.size("t") == len(attr_cols)
+        )
+        geo = geo_rows.withColumn(
+            "row_id", F.row_number().over(W.orderBy("idx")) - 1
+        ).select(
+            "row_id",
+            *[
+                F.element_at("t", i + 1).cast("double").alias(c)
+                for i, c in enumerate(geo_cols)
+            ],
+        )
+        attr = attr_rows.withColumn(
+            "row_id", F.row_number().over(W.orderBy("idx")) - 1
+        ).select(
+            "row_id",
+            *[
+                F.element_at("t", i + 1).cast("double").alias(c)
+                for i, c in enumerate(attr_cols)
+            ],
+        )
+    return geo.join(attr, "row_id")

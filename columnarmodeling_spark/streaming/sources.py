@@ -1,0 +1,60 @@
+"""Structured Streaming tier (SURVEY §2.8).
+
+The reference's solver is a micro-batched time loop: state advances per
+step, results append every ``nOutLoops=250`` steps to the ``Output/``
+folder (``MLS00con.dat:7``, ``SysFile.ini:61-63``). The engine mirrors
+that as a file-source stream: ``readStream`` over the snapshot/event
+folder, tumbling windows per output interval, watermark as the
+correctness guard (the reference has no late data — the watermark is
+free insurance), memory sink for synchronous test drains.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.session import tune
+
+_EVENTS_DDL = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    The parquet stores TIMESTAMP(NANOS); the stream schema reads nanos
+    as long and truncates to micros — same convention as the batch
+    catalog (catalog.py), same instants as the DuckDB oracle.
+    """
+    tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-source streams need a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_memory(
+    stream_df: DataFrame, mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming aggregation to completion against the available
+    input (the solver-run analog: process every pending micro-batch,
+    then stop) and return the result as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

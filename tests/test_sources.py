@@ -1,0 +1,128 @@
+"""Unit tests for the I/O tier (SURVEY §2.1): arity-tolerant point scan,
+count-headed table, edge list, two-section positional scan, binary
+snapshot codec round-trip, fixed-format sinks."""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.sources.binary_snapshots import (
+    decode_blobs,
+    encode_groups,
+)
+from columnarmodeling_spark.sources.sinks import (
+    fixed_point_line,
+    vertex_line,
+    write_lines,
+)
+from columnarmodeling_spark.sources.text_tables import (
+    read_count_headed,
+    read_edge_list,
+    read_point_table,
+    read_point_table_rejects,
+    read_two_section,
+)
+
+
+@pytest.fixture()
+def point_file(tmp_path):
+    # mirrors BooleanOperation.py:43-66 input: 2-or-3 col lines + junk
+    p = tmp_path / "points.txt"
+    p.write_text(
+        "1.5 2.5 3.5\n"
+        "4.0 5.0\n"          # 2-col arity → z defaults 0.0
+        "bad line here\n"    # non-numeric → skipped
+        "7 8 9\n"
+        "1 2 3 4\n"          # wrong arity → skipped
+        "\n"
+    )
+    return str(p)
+
+
+def test_point_table_arity_tolerance(spark, point_file):
+    rows = read_point_table(spark, point_file).orderBy("x").collect()
+    assert [(r["x"], r["y"], r["z"]) for r in rows] == [
+        (1.5, 2.5, 3.5),
+        (4.0, 5.0, 0.0),
+        (7.0, 8.0, 9.0),
+    ]
+    rejects = read_point_table_rejects(spark, point_file).collect()
+    assert len(rejects) == 2
+
+
+def test_count_headed_scan(spark, tmp_path):
+    p = tmp_path / "particles.dat"
+    p.write_text("3\n1 10.0 20.0\n2 11.0 21.0\n3 12.0 22.0\n")
+    df = read_count_headed(spark, str(p), ["id", "x", "y"])
+    assert df.count() == 3
+    p2 = tmp_path / "bad.dat"
+    p2.write_text("5\n1 10.0 20.0\n")
+    with pytest.raises(ValueError, match="declares 5"):
+        read_count_headed(spark, str(p2), ["id", "x", "y"])
+
+
+def test_edge_list_scan(spark, tmp_path):
+    p = tmp_path / "bonds.dat"
+    p.write_text("0\n1 2 1\n2 3 10\n")  # MLSBond.dat shape: flag then edges
+    rows = read_edge_list(spark, str(p)).orderBy("src").collect()
+    assert [(r["src"], r["dst"], r["type"]) for r in rows] == [
+        (1, 2, 1),
+        (2, 3, 10),
+    ]
+
+
+def test_two_section_scan(spark, tmp_path):
+    # MLSJDat.dat shape: N geometry rows ∥ N attribute rows
+    p = tmp_path / "jdat.dat"
+    p.write_text(
+        "0 0 1.0\n0 0 2.0\n"  # geometry (3 cols)
+        "7\n8\n"              # attributes (1 col)
+    )
+    df = read_two_section(spark, str(p), ["a", "b", "v"], ["jmat"])
+    rows = df.orderBy("row_id").collect()
+    assert [(r["row_id"], r["v"], r["jmat"]) for r in rows] == [
+        (0, 1.0, 7.0),
+        (1, 2.0, 8.0),
+    ]
+
+
+def test_binary_codec_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(0, float(i), i * 0.5, i * 0.25, i * 2.0) for i in range(10)],
+        "g LONG, a DOUBLE, b DOUBLE, c DOUBLE, d DOUBLE",
+    )
+    blobs = encode_groups(df, "g", ["a", "b", "c", "d"])
+    payload = blobs.collect()[0]["payload"]
+    # byte-exact reference layout: int32 N + N*4 float32 LE
+    assert len(payload) == 4 + 10 * 4 * 4
+    assert struct.unpack("<i", payload[:4])[0] == 10
+    assert struct.unpack("<f", payload[4:8])[0] == 0.0
+
+    back = decode_blobs(blobs, 4).orderBy("idx").collect()
+    assert len(back) == 10
+    assert back[3]["f1"] == 3.0 and back[3]["f4"] == 6.0
+    assert [r["idx"] for r in back] == list(range(10))
+
+
+def test_fixed_format_sink(spark, tmp_path):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "x DOUBLE, y DOUBLE, z DOUBLE")
+    out = str(tmp_path / "out")
+    write_lines(df, fixed_point_line("x", "y", "z"), out, crlf=True)
+    data = b"".join(
+        open(f, "rb").read() for f in sorted(glob.glob(f"{out}/part-*"))
+    )
+    # GenerateColumnar.py:327-330 byte format: %.8f + CRLF
+    assert data == b"1.00000000 2.00000000 3.00000000\r\n"
+
+
+def test_vertex_line_sink(spark):
+    df = spark.createDataFrame(
+        [(1, [(1.0, 2.0, 3.0), (4.0, 5.0, 6.0)])],
+        "id LONG, vs ARRAY<STRUCT<x: DOUBLE, y: DOUBLE, z: DOUBLE>>",
+    )
+    line = df.select(vertex_line("vs").alias("l")).collect()[0]["l"]
+    assert line == "1.00000000 2.00000000 3.00000000 4.00000000 5.00000000 6.00000000"
