@@ -100,18 +100,19 @@ def q31_bond_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_asof_join",
     oracle="""
     WITH last AS (
-        SELECT o_orderkey AS ok, max(ts) AS asof_ts
-        FROM orders JOIN events
-          ON user_id = o_custkey AND ts <= o_orderdate
-        GROUP BY o_orderkey)
-    SELECT o.o_orderkey, l.asof_ts, max(e.event_id) AS event_id
-    FROM orders o
-    JOIN last l ON o.o_orderkey = l.ok
-    JOIN events e ON e.user_id = o.o_custkey AND e.ts = l.asof_ts
-    GROUP BY o.o_orderkey, l.asof_ts
+        SELECT e.event_id AS eid, max(o.o_orderdate) AS asof_ts
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id)
+    SELECT e.event_id, l.asof_ts, max(o.o_orderkey) AS o_orderkey
+    FROM events e
+    JOIN last l ON e.event_id = l.eid
+    JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate = l.asof_ts
+    GROUP BY e.event_id, l.asof_ts
     """,
     doc="As-of join (SURVEY §2.8: load-curve evaluation — most recent "
-    "curve point at-or-before each solver step, SysFile.ini:94). "
+    "curve point at-or-before each solver step, SysFile.ini:94): for "
+    "each event, the latest order at-or-before its timestamp. "
     "Implemented as union-tag + single window pass per key "
     "(operators/asof.py), no theta join.",
     tags=("join", "asof", "window", "scale"),
@@ -120,12 +121,12 @@ def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     orders = t(spark, sf_dir, "orders").withColumn("user_id", F.col("o_custkey"))
     return asof_join(
-        left=ev,
-        right=orders,
+        left=orders,
+        right=ev,
         key="user_id",
-        left_ts="ts",
-        right_ts="o_orderdate",
-        left_val_cols=("event_id",),
-        right_id_cols=("o_orderkey",),
-        tie_break="event_id",
-    ).select("o_orderkey", "asof_ts", "event_id")
+        left_ts="o_orderdate",
+        right_ts="ts",
+        left_val_cols=("o_orderkey",),
+        right_id_cols=("event_id",),
+        tie_break="o_orderkey",
+    ).select("event_id", "asof_ts", "o_orderkey")
