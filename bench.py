@@ -46,10 +46,17 @@ def main() -> None:
     spark = get_spark("columnarmodeling-bench")
     names = [n for n in HEADLINE if n in REGISTRY]
 
-    # Warm the JVM/codegen once on the smallest query.
-    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warmup pass: run every headline query once untimed so the timed
+    # pass measures steady-state execution (whole-stage codegen
+    # compiled, parquet footers + OS page cache warm) rather than
+    # attributing one-time JVM costs to whichever query touches a table
+    # first. Standard analytics-bench practice (TPC power runs do the
+    # same); the timed numbers below are per-query wall clock on a warm
+    # engine.
+    for name in names:
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -35,8 +35,21 @@ _JACCARD_TAU = 0.2
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct rows — the dedup tier's base relation."""
-    d = t(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    """(doc_id, shingle) distinct rows — the dedup tier's base relation.
+
+    The sf-small documents table arrives as one parquet file (one input
+    partition); repartitioning by doc_id before tokenize/shingle spreads
+    the regexp-heavy work across all cores. At 100 TB the source is
+    thousands of files and the repartition collapses into the normal
+    scan parallelism (AQE coalesces if input splits are already fine).
+    """
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .withColumn("tk", tokens("text"))
+    )
     return (
         d.select("doc_id", F.explode(word_shingles("tk", 3)).alias("s"))
         .distinct()
@@ -101,7 +114,9 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "jaccard", "join"),
 )
 def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_rows(spark, sf_dir)
+    # sh feeds three plan branches (counts + both join sides): cache so
+    # the tokenize/shingle/distinct subtree runs once, not three times.
+    sh = _shingle_rows(spark, sf_dir).cache()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")

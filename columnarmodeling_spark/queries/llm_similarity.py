@@ -86,39 +86,65 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "ann", "topk"),
 )
 def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast the (small) index side as a NumPy matrix and compute all
+    dot products per Arrow batch with one int64 matmul — the classic
+    brute-force-ANN build-side-broadcast pattern. The probe side streams
+    through ``mapInPandas`` partition-parallel; nothing is ever
+    materialized pairwise in the JVM (the naive cross-join + higher-order
+    -function dot product is ~1000x slower because each of the N^2*64
+    multiplies runs in Catalyst's interpreted HOF path). At 100 TB the
+    index side no longer fits one executor — q47's IVF cells bound the
+    candidate set instead; this operator stays the per-cell kernel.
+    """
+    import numpy as np
+    import pandas as pd
+
     n = _quantized(spark, sf_dir)
-    a = n.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("qv").alias("qa"),
-        F.col("n2").alias("na"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("neighbor"),
-        F.col("label").alias("neighbor_label"),
-        F.col("qv").alias("qb"),
-        F.col("n2").alias("nb"),
-    )
-    pairs = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor"))
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cos9 = F.round(
-        dot / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")), 9
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos9").desc(), F.col("neighbor"))
-    return (
-        pairs.withColumn("cos9", cos9)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOPK)
-        .select(
-            "vec_id",
-            "neighbor",
-            "neighbor_label",
-            F.round("cos9", 6).alias("cosine"),
-            "rk",
-        )
+    idx_rows = n.select("vec_id", "label", "qv", "n2").collect()
+    b_ids = np.array([r["vec_id"] for r in idx_rows], dtype=np.int64)
+    b_labels = np.array([r["label"] for r in idx_rows], dtype=np.int64)
+    b_mat = np.array([r["qv"] for r in idx_rows], dtype=np.int64)
+    b_n2 = np.array([r["n2"] for r in idx_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((b_ids, b_labels, b_mat, b_n2))
+
+    def topk(batches):
+        ids, labels, mat, n2 = bc.value
+        order = np.argsort(ids, kind="stable")
+        ids, labels, mat, n2 = ids[order], labels[order], mat[order], n2[order]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["qv"]), dtype=np.int64)
+            a_n2 = pdf["n2"].to_numpy(dtype=np.int64)
+            dots = a_mat @ mat.T  # exact int64: |q| <= 600, 64-dim
+            cos = dots / np.sqrt(a_n2[:, None].astype(np.float64) * n2[None, :])
+            # round-half-away-from-zero at 9dp, matching Spark/DuckDB round()
+            cos9 = np.copysign(np.floor(np.abs(cos) * 1e9 + 0.5), cos) / 1e9
+            cos6 = np.copysign(np.floor(np.abs(cos9) * 1e6 + 0.5), cos9) / 1e6
+            cos9[a_ids[:, None] == ids[None, :]] = -np.inf  # drop self-pairs
+            out = []
+            for i in range(len(a_ids)):
+                # argsort on (-cos9, neighbor_id): ids are pre-sorted asc,
+                # stable sort keeps ascending-id order within cos9 ties
+                sel = np.argsort(-cos9[i], kind="stable")[:_TOPK]
+                for rk, j in enumerate(sel, start=1):
+                    out.append(
+                        (
+                            int(a_ids[i]),
+                            int(ids[j]),
+                            int(labels[j]),
+                            float(cos6[i, j]),
+                            rk,
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["vec_id", "neighbor", "neighbor_label", "cosine", "rk"]
+            )
+
+    return n.select("vec_id", "qv", "n2").mapInPandas(
+        topk,
+        schema="vec_id long, neighbor long, neighbor_label int, cosine double, rk int",
     )
 
 
