@@ -20,7 +20,6 @@ baseline, broadcast on the build side.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from columnarmodeling_spark.queries import register
@@ -231,3 +230,113 @@ def q48_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.min("vec_id").alias("min_vec"),
     )
+
+
+_NEARDUP_TAU = 0.35
+_NEARDUP_PLANES = 16  # 4 bands x 4 sign bits
+
+
+def _lcg_weight(p: int, i: int) -> int:
+    """Deterministic pseudo-random hyperplane weight (same LCG family as
+    q48); identical integer arithmetic on both engines."""
+    return ((1103515245 * (p * 64 + i) + 12345) % 2147483648) - 1073741824
+
+
+@register(
+    "q49_embedding_neardup",
+    oracle=f"""
+    WITH {_SQL_QUANT},
+    planes AS (
+      SELECT p, i,
+             ((1103515245 * (p * 64 + i) + 12345) % 2147483648) - 1073741824 AS w
+      FROM (SELECT unnest(range(0, {_NEARDUP_PLANES})) AS p)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+    dots AS (
+      SELECT n.vec_id, pl.p, sum(pl.w * n.qv[pl.i]) AS d
+      FROM n CROSS JOIN planes pl
+      GROUP BY n.vec_id, pl.p),
+    bits AS (
+      SELECT vec_id, p // 4 AS band,
+             sum(CASE WHEN d > 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS bv
+      FROM dots GROUP BY vec_id, p // 4),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bits a JOIN bits b
+        ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> na.qv[i] * nb.qv[i]))
+                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                   9) AS cos9
+      FROM cand c
+      JOIN n na ON c.vec_a = na.vec_id
+      JOIN n nb ON c.vec_b = nb.vec_id)
+    SELECT vec_a, vec_b, round(cos9, 6) AS cosine
+    FROM scored WHERE cos9 >= {_NEARDUP_TAU}
+    """,
+    doc="Embedding-cosine near-duplicate pairs (LLM-pipeline dedup "
+    "tier): banded random-hyperplane LSH (16 planes = 4 bands x 4 sign "
+    "bits) buckets candidates, then an exact integer-quantized cosine "
+    "verifies each within-bucket pair >= tau. The O(n^2) pair space is "
+    "never materialized: the bucket equi-join bounds candidates and the "
+    "verify is a per-bucket NumPy matmul in applyInPandas — the same "
+    "bin-then-verify skeleton as the J1 proximity join. Recall is the "
+    "standard LSH trade-off and is identical in the oracle (same bands, "
+    "same arithmetic).",
+    tags=("dedup", "similarity", "llm", "lsh", "join", "scale"),
+)
+def q49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    n = _quantized(spark, sf_dir)
+    planes = spark.createDataFrame(
+        [
+            (p, i, _lcg_weight(p, i))
+            for p in range(_NEARDUP_PLANES)
+            for i in range(1, 65)
+        ],
+        "p INT, i INT, w LONG",
+    )
+    comp = n.select("vec_id", F.posexplode("qv").alias("pos", "v")).withColumn(
+        "i", F.col("pos") + 1
+    )
+    dots = (
+        comp.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("d"))
+    )
+    bits = dots.groupBy("vec_id", (F.col("p") / 4).cast("int").alias("band")).agg(
+        F.sum(
+            F.when(
+                F.col("d") > 0, F.expr("shiftleft(cast(1 as bigint), p % 4)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bv")
+    )
+    grouped = bits.join(n.select("vec_id", "qv", "n2"), "vec_id")
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["qv"]), dtype=np.int64)
+        n2 = pdf["n2"].to_numpy(dtype=np.int64)
+        dots = mat @ mat.T  # exact int64 within the bucket
+        cos = dots / np.sqrt(n2[:, None].astype(np.float64) * n2[None, :])
+        cos9 = np.copysign(np.floor(np.abs(cos) * 1e9 + 0.5), cos) / 1e9
+        ia, ib = np.where(cos9 >= _NEARDUP_TAU)
+        keep = ids[ia] < ids[ib]
+        ia, ib = ia[keep], ib[keep]
+        c9 = cos9[ia, ib]
+        c6 = np.copysign(np.floor(np.abs(c9) * 1e6 + 0.5), c9) / 1e6
+        return pd.DataFrame(
+            {"vec_a": ids[ia], "vec_b": ids[ib], "cosine": c6}
+        )
+
+    pairs = grouped.groupBy("band", "bv").applyInPandas(
+        verify, schema="vec_a long, vec_b long, cosine double"
+    )
+    # a pair can agree in several bands — dedup is exact because the
+    # verified cosine is a pure function of the pair
+    return pairs.distinct()
