@@ -648,3 +648,149 @@ def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
     )
+
+
+@register(
+    "q33_affine_projection",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, p_brand,
+             p_retailprice - 950.0 AS x,
+             (p_size - 25) * 2.0   AS y
+      FROM part),
+    cent AS (
+      SELECT p_brand,
+             avg(x) AS cx, avg(y) AS cy
+      FROM pts GROUP BY p_brand)
+    SELECT p.p_partkey,
+           round(p.x * cos(radians(30.0)) - p.y * sin(radians(30.0)) + 5.0, 6)
+               AS rx,
+           round(p.x * sin(radians(30.0)) + p.y * cos(radians(30.0)) - 2.0, 6)
+               AS ry,
+           round(c.cx + (p.x - c.cx) * 0.8, 6) AS sx,
+           round(c.cy + (p.y - c.cy) * 0.8, 6) AS sy
+    FROM pts p JOIN cent c ON p.p_brand = c.p_brand
+    """,
+    doc="Affine projections (SURVEY §2.2 P7: translate / rotate about a "
+    "point / scale-toward-centroid, BooleanOperation.py:26-27,199-210, "
+    "GenerateColumnar.py:211-218): rotation as cos/sin withColumn "
+    "arithmetic; shrink factor 0.8 toward the per-group centroid "
+    "(broadcast A1 centroid join). Pure JVM expressions — whole-stage "
+    "codegen, no UDF.",
+    tags=("scalar", "projection", "P7", "A1"),
+)
+def q33_affine_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice") - 950.0).alias("x"),
+        ((F.col("p_size") - 25) * 2.0).alias("y"),
+    )
+    cent = p.groupBy("p_brand").agg(
+        F.avg("x").alias("cx"), F.avg("y").alias("cy")
+    )
+    th = F.radians(F.lit(30.0))
+    return p.join(F.broadcast(cent), "p_brand").select(
+        "p_partkey",
+        F.round(F.col("x") * F.cos(th) - F.col("y") * F.sin(th) + 5.0, 6).alias("rx"),
+        F.round(F.col("x") * F.sin(th) + F.col("y") * F.cos(th) - 2.0, 6).alias("ry"),
+        F.round(F.col("cx") + (F.col("x") - F.col("cx")) * 0.8, 6).alias("sx"),
+        F.round(F.col("cy") + (F.col("y") - F.col("cy")) * 0.8, 6).alias("sy"),
+    )
+
+
+@register(
+    "q34_reject_filters",
+    oracle="""
+    WITH faces AS (
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_linenumber)      AS zs,
+             count(*)                                    AS nv
+      FROM lineitem GROUP BY l_orderkey),
+    typed AS (
+      SELECT f.l_orderkey, f.zs, f.nv
+      FROM faces f JOIN orders o ON f.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus <> 'F')
+    SELECT l_orderkey, nv
+    FROM typed
+    WHERE nv >= 3
+      AND NOT EXISTS (
+        SELECT 1 FROM unnest(typed.zs) AS u(z) WHERE z < 5.0 OR z > 45.0)
+    """,
+    doc="Spatial-reject + type + degenerate filters over ragged vertex "
+    "arrays (SURVEY §2.2 P3: drop faces crossing the clip planes, "
+    "BooleanOperation.py:129-149; P4: delete line-type objects :151-155; "
+    "P5: drop degenerate geometry, size < 3). Vertex list assembled per "
+    "key (A2), then NOT exists(zs, z -> out-of-range) — higher-order "
+    "array predicate, JVM-side.",
+    tags=("array", "hof", "P3", "P4", "P5", "A2"),
+)
+def q34_reject_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    faces = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_quantity"))
+            ).alias("vs")
+        )
+        .select(
+            "l_orderkey",
+            F.transform("vs", lambda v: v["l_quantity"]).alias("zs"),
+            F.size("vs").alias("nv"),
+        )
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        faces.join(
+            orders.filter(F.col("o_orderstatus") != "F"),
+            faces.l_orderkey == orders.o_orderkey,
+        )
+        .filter(F.col("nv") >= 3)
+        .filter(~F.exists("zs", lambda z: (z < 5.0) | (z > 45.0)))
+        .select("l_orderkey", "nv")
+    )
+
+
+@register(
+    "q41_epsilon_dedup",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey AS id,
+             p_retailprice      AS x,
+             p_size * 2.0       AS y
+      FROM part)
+    SELECT a.id, round(a.x, 2) AS x, round(a.y, 2) AS y
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.id < a.id
+        AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) < 0.75)
+    """,
+    doc="Epsilon near-duplicate elimination (SURVEY §2.4 A4: drop faces "
+    "whose centroid lies within 1e-6 of an earlier-kept face, "
+    "BooleanOperation.py:85-95 — the reference's O(n^2) loop replaced by "
+    "the binned self-join: grid cells of size eps, 9-cell candidate "
+    "pairs, survivor = row with no smaller id within eps). Deterministic "
+    "variant: 'smaller id wins' instead of the loop's arrival order — "
+    "same observable dedup on the reference data where clusters are "
+    "mutual. The oracle is the naive quadratic NOT EXISTS; the engine "
+    "side never materializes the pair space (same J1 skeleton as q30).",
+    tags=("dedup", "A4", "join", "scale"),
+)
+def q41_epsilon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+
+    pts = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").alias("x"),
+        (F.col("p_size") * 2.0).alias("y"),
+    )
+    pairs = grid_proximity_join(pts, eps=0.75, coords=("x", "y"), id_col="id")
+    # any pair (src < dst) within eps eliminates dst
+    dropped = pairs.select(F.col("dst").alias("id")).distinct()
+    return pts.join(dropped, "id", "left_anti").select(
+        "id", F.round("x", 2).alias("x"), F.round("y", 2).alias("y")
+    )
