@@ -73,3 +73,35 @@ def q91_mesh_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_facets"),
         F.round(F.sum(edge_len), 6).alias("perimeter"),
     )
+
+
+@register(
+    "q92_clipped_facets",
+    oracle=None,  # CAD-cut analog — rows-only; properties in tests
+    doc="Boolean-cut join analog (SURVEY §2.3 J7: every face cut against "
+    "the specimen solid, BooleanOperation.py:99-125, cutters :178-188): "
+    "side facets clipped against the z-slab cutter via closed-form "
+    "Sutherland-Hodgman in mapInPandas — same observable trim as the "
+    "Rhino _-Split + reject pipeline for convex cutters, with no CAD "
+    "kernel and no shuffle (embarrassingly parallel per facet).",
+    tags=("geometry", "J7", "pandas-udf"),
+)
+def q92_clipped_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.geometry.clip import clip_facets, slab_halfspaces
+
+    _, facets = generate_columnar_mesh(
+        spark, _seeds(spark, sf_dir), _W, _H, _D, lloyd_iters=1
+    )
+    ring = facets.select(
+        "grain_id",
+        "facet_pos",
+        F.array("p1", "p2", "p3", "p4").alias("vertices"),
+    )
+    clipped = clip_facets(ring, slab_halfspaces(2.0, _D - 2.0))
+    zs = F.transform("vertices", lambda v: v["z"])
+    return clipped.select(
+        "grain_id",
+        "facet_pos",
+        "nv",
+        F.round(F.aggregate(zs, F.lit(0.0), lambda a, x: a + x) / F.col("nv"), 6).alias("mean_z"),
+    )

@@ -75,3 +75,40 @@ def test_lloyd_determinism(spark, seeds):
     assert [(r["grain_id"], r["area"]) for r in a] == [
         (r["grain_id"], r["area"]) for r in b
     ]
+
+
+def test_clip_polygon_slab_properties():
+    from columnarmodeling_spark.geometry.clip import clip_polygon, slab_halfspaces
+
+    quad = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (1.0, 0.0, 10.0), (0.0, 0.0, 10.0)]
+    hs = slab_halfspaces(2.0, 8.0)
+    out = clip_polygon(quad, hs)
+    assert len(out) == 4
+    assert all(2.0 <= z <= 8.0 for _, _, z in out)
+    # fully inside -> unchanged
+    inner = [(0.0, 0.0, 3.0), (1.0, 0.0, 3.0), (0.5, 0.0, 7.0)]
+    assert clip_polygon(inner, hs) == inner
+    # fully outside -> clipped away
+    outer = [(0.0, 0.0, 9.0), (1.0, 0.0, 9.0), (0.5, 0.0, 9.5)]
+    assert clip_polygon(outer, hs) == []
+
+
+def test_clip_facets_dataframe(spark):
+    from columnarmodeling_spark.geometry.clip import clip_facets, slab_halfspaces
+
+    rows = [
+        (1, 0, [{"x": 0.0, "y": 0.0, "z": 0.0}, {"x": 1.0, "y": 0.0, "z": 0.0},
+                {"x": 1.0, "y": 0.0, "z": 10.0}, {"x": 0.0, "y": 0.0, "z": 10.0}]),
+        (1, 1, [{"x": 0.0, "y": 0.0, "z": 20.0}, {"x": 1.0, "y": 0.0, "z": 20.0},
+                {"x": 0.5, "y": 0.0, "z": 25.0}]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "grain_id long, facet_pos int, "
+        "vertices array<struct<x: double, y: double, z: double>>",
+    )
+    out = clip_facets(df, slab_halfspaces(2.0, 8.0)).collect()
+    assert len(out) == 1  # facet 1 lies fully above the slab
+    row = out[0]
+    assert row["facet_pos"] == 0 and row["nv"] == 4
+    assert all(2.0 <= v["z"] <= 8.0 for v in row["vertices"])
