@@ -794,3 +794,88 @@ def q41_epsilon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.join(dropped, "id", "left_anti").select(
         "id", F.round("x", 2).alias("x"), F.round("y", 2).alias("y")
     )
+
+
+@register(
+    "q35_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy aggregation — completes the grouping trio with "
+    "q11 (GROUPING SETS) and q12 (CUBE); SURVEY §2.4 note: exposed "
+    "beyond the reference's surface, free in Spark, oracle-testable.",
+    tags=("agg", "rollup"),
+)
+def q35_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (
+                F.grouping("o_orderstatus")
+                + F.lit(2) * F.grouping("o_orderpriority")
+            ).alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "revenue", "gid")
+    )
+
+
+@register(
+    "q37_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS price_p50
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (order statistics over "
+    "the snapshot fact — the engine's quantile surface; Spark "
+    "percentile() and DuckDB quantile_cont share the linear-"
+    "interpolation definition). At scale the approximate path is "
+    "percentile_approx (t-digest) — same call shape, sketch-mergeable "
+    "across partitions.",
+    tags=("agg", "percentile", "stats"),
+)
+def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("price_p50"),
+    )
+
+
+@register(
+    "q38_salted_agg",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+    doc="Skew-resistant two-stage (salted) aggregation: stage 1 groups "
+    "by (key, salt) so one hot key spreads over 8 reducers, stage 2 "
+    "merges partials per key — the mitigation for the proximity join's "
+    "hot central cells (SURVEY §4) and any power-law key at 100 TB. "
+    "Observable result identical to the plain groupBy (the oracle).",
+    tags=("agg", "skew", "salt", "scale"),
+)
+def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("user_id", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 2).alias("total"),
+    )

@@ -187,3 +187,57 @@ def q84_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_to_memory(out, mode="update")
+
+
+@register(
+    "q85_stream_stream_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS a_id,
+           b.event_id AS b_id,
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS delta_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTES
+    """,
+    doc="Stream-stream interval self-join with watermarks on both sides "
+    "(SURVEY §2.8 extension): each event joined to the same user's "
+    "events in the following 30 minutes. The watermark bounds the join "
+    "state buffer — at 100 TB/day this is what keeps the state store "
+    "finite; append output mode, AvailableNow drain.",
+    tags=("streaming", "join", "interval"),
+)
+def q85_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "1 hour")
+    )
+    b = (
+        events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "a_id",
+        "b_id",
+        (
+            F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")
+        ).alias("delta_s"),
+    )
+    return drain_to_memory(joined, mode="append")
