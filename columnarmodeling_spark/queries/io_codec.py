@@ -127,3 +127,53 @@ def q72_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return decode_media(payloads)
+
+
+@register(
+    "q73_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, text AS payload,
+             length(text) // 16 AS n_frames
+      FROM documents),
+    idx AS (
+      SELECT doc_id, payload, unnest(range(0, n_frames, 4)) AS frame_idx
+      FROM v WHERE n_frames > 0)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substring(payload, CAST(frame_idx * 16 + 1 AS INT), 16))
+               AS frame_digest
+    FROM idx
+    """,
+    doc="Frame sampling over opaque media payloads (LLM multimodal "
+    "tier): treat the payload as fixed-size 16-unit frames, sample "
+    "every 4th, digest each sampled frame. The slicing plumbing "
+    "(offset arithmetic, per-frame rows via an exploded stride "
+    "sequence) is exactly the video-frame-sampling shape; a real "
+    "decoder drops into the same mapInPandas slot as q72. Frames are "
+    "character-addressed here because the oracle cannot slice BLOBs; "
+    "on this ASCII corpus char offsets == byte offsets, and the Spark "
+    "plan is the same substring/md5 codegen either way — no Python in "
+    "this path at all.",
+    tags=("multimodal", "llm", "binary", "frames"),
+)
+def q73_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id",
+        F.col("text").alias("payload"),
+        (F.length("text") / 16).cast("long").alias("n_frames"),
+    ).filter(F.col("n_frames") > 0)
+    idx = v.select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))
+        ).alias("frame_idx"),
+    )
+    return idx.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5(
+            F.expr("substring(payload, cast(frame_idx * 16 + 1 as int), 16)")
+        ).alias("frame_digest"),
+    )

@@ -214,3 +214,88 @@ def q53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("u").alias("fp_max"),
         F.count("*").alias("n_shingles"),
     )
+
+
+@register(
+    "q54_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+    freq AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM tok GROUP BY doc_id, w)
+    SELECT doc_id,
+           sum(c)                              AS n_tokens,
+           count(*)                            AS n_distinct,
+           round(max(c) * 1.0 / sum(c), 6)     AS top_word_share,
+           round(count(*) * 1.0 / sum(c), 6)   AS distinct_ratio
+    FROM freq GROUP BY doc_id
+    """,
+    doc="Repetition-ratio quality signal (Gopher-style rule used by "
+    "production LLM data pipelines): share of the most frequent token "
+    "and distinct-token ratio per document — high repetition flags "
+    "boilerplate/spam for filtering. Two hash aggregations, map-side "
+    "combined; no pair space.",
+    tags=("text", "llm", "quality", "repetition"),
+)
+def q54_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    tok = d.select("doc_id", F.explode("tk").alias("w"))
+    freq = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_share"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "q55_pii_redaction",
+    oracle="""
+    WITH msgs AS (
+      SELECT c_custkey,
+             'contact ' || c_name || ' at 555-' ||
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+             ' re ' || c_mktsegment AS msg
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(msg, '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+             'Customer#[0-9]+', '[NAME]', 'g')          AS redacted,
+           len(regexp_extract_all(msg, '[0-9]{3}-[0-9]{4}'))
+             + len(regexp_extract_all(msg, 'Customer#[0-9]+')) AS n_redacted
+    FROM msgs
+    """,
+    doc="PII redaction (LLM-pipeline tier: scrub phone-shaped and "
+    "id-shaped spans before training). Synthetic PII is constructed "
+    "deterministically from customer fields, then removed with global "
+    "regexp_replace; n_redacted counts the scrubbed spans. Pure JVM "
+    "regex — codegen keeps it on the scan, no shuffle at all.",
+    tags=("text", "llm", "pii", "redaction"),
+)
+def q55_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    msg = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re "),
+        F.col("c_mktsegment"),
+    )
+    phone = "[0-9]{3}-[0-9]{4}"
+    name = "Customer#[0-9]+"
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(msg, phone, "[PHONE]"), name, "[NAME]"
+        ).alias("redacted"),
+        (
+            F.size(F.regexp_extract_all(msg, F.lit(phone), 0))
+            + F.size(F.regexp_extract_all(msg, F.lit(name), 0))
+        ).alias("n_redacted"),
+    )

@@ -126,3 +126,23 @@ def test_vertex_line_sink(spark):
     )
     line = df.select(vertex_line("vs").alias("l")).collect()[0]["l"]
     assert line == "1.00000000 2.00000000 3.00000000 4.00000000 5.00000000 6.00000000"
+
+
+def test_snapshot_store_partition_pruning(spark, tmp_path):
+    """S9 scale contract: snapshots stored Parquet-partitioned by step
+    must prune to one partition when filtered on step (SURVEY §4:
+    'per-timestep output files -> partition pruning')."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 4 * 250).alias("step"),
+        F.col("id").alias("particle_id"),
+        (F.col("id") * 0.5).alias("ux"),
+    )
+    path = str(tmp_path / "snapshots")
+    df.write.partitionBy("step").mode("overwrite").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("step") == 250)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(step" in plan and "= 250)" in plan
+    assert pruned.count() == 1000
