@@ -30,11 +30,14 @@ HEADLINE = [
     "q25_row_grouping",
     "q26_sessionization",
     "q30_proximity_pairs",
+    "q37_percentiles",
     "q42_ngram_jaccard_pairs",
     "q44_lsh_candidates",
     "q46_cosine_topk",
+    "q49_embedding_neardup",
     "q51_quality_score",
     "q70_snapshot_codec",
+    "q85_stream_stream_join",
 ]
 
 

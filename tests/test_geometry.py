@@ -112,3 +112,61 @@ def test_clip_facets_dataframe(spark):
     row = out[0]
     assert row["facet_pos"] == 0 and row["nv"] == 4
     assert all(2.0 <= v["z"] <= 8.0 for v in row["vertices"])
+
+
+def test_e1_pipeline_export_roundtrip(spark, tmp_path):
+    """E1 end-to-end (SURVEY §3, §5 golden-file strategy): mesh ->
+    facets -> S7 fixed-format export (4 point-lines per facet, %.8f,
+    CRLF — GenerateColumnar.py:308-332 shape) -> arity-tolerant re-scan
+    -> invariants."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.geometry.pipeline import generate_columnar_mesh
+    from columnarmodeling_spark.sources.sinks import fixed_point_line, write_lines
+    from columnarmodeling_spark.sources.text_tables import read_point_table
+
+    seeds = spark.createDataFrame(
+        [(i, 10.0 + 17.0 * (i % 5), 10.0 + 13.0 * (i // 5)) for i in range(20)],
+        "id long, x double, y double",
+    )
+    _, facets = generate_columnar_mesh(spark, seeds, 100.0, 100.0, 10.0, lloyd_iters=1)
+    n_facets = facets.count()
+    assert n_facets > 0
+
+    # S7 export: one line per facet corner, grain/facet order pinned (W5)
+    pts = facets.select(
+        "grain_id",
+        "facet_pos",
+        F.posexplode(F.array("p1", "p2", "p3", "p4")).alias("corner", "p"),
+    ).orderBy("grain_id", "facet_pos", "corner")
+    line = fixed_point_line("p.x", "p.y", "p.z")
+    out = str(tmp_path / "facets_txt")
+    write_lines(pts.coalesce(1), line, out)
+
+    raw = (tmp_path / "facets_txt").glob("part-*.txt")
+    text = next(iter(raw)).read_bytes()
+    assert b"\r\n" in text  # CRLF like the reference export
+
+    back = read_point_table(spark, out)
+    assert back.count() == 4 * n_facets
+    zs = sorted(r[0] for r in back.select("z").distinct().collect())
+    assert zs[0] == 0.0 and zs[-1] > 0.0  # base plane + extruded tops
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    """The claimed sketch path (q37 doc): approx_count_distinct (HLL++)
+    and percentile_approx (t-digest-style) stay within tolerance of the
+    exact answers — the mergeable-sketch story for 100 TB rollups."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_d"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.02
