@@ -43,14 +43,30 @@ def grid_proximity_join(
     id_col: str = "id",
     radius_col: str | None = None,
     keep_cols: tuple[str, ...] = (),
+    cell_size: float | None = None,
 ) -> DataFrame:
     """All pairs (a, b), a.id < b.id, with dist(a,b) [− r_a − r_b] < eps.
 
     Returns columns ``src``, ``dst``, ``dist`` plus ``<col>_src`` /
     ``<col>_dst`` for every name in *keep_cols*.
+
+    *cell_size* is the reference's ``CellSize`` knob: the adjacent-cell
+    search only finds pairs whose CENTER distance is < cell_size, so it
+    must be ≥ the largest qualifying center distance — ``eps`` for plain
+    points, ``eps + 2·max(radius)`` for the surface-gap form (two big
+    particles can have gap < eps while their centers sit far apart).
+    When omitted it is derived (one tiny agg job for the max radius).
     """
     dims = len(coords)
-    cells = [F.floor(F.col(c) / F.lit(float(eps))).cast("long") for c in coords]
+    if cell_size is None:
+        if radius_col is None:
+            cell_size = float(eps)
+        else:
+            max_r = points.agg(F.max(radius_col)).collect()[0][0] or 0.0
+            cell_size = float(eps) + 2.0 * float(max_r)
+    cells = [
+        F.floor(F.col(c) / F.lit(float(cell_size))).cast("long") for c in coords
+    ]
     base = points.select(
         F.col(id_col).alias("__id"),
         *[F.col(c).alias(f"__c{i}") for i, c in enumerate(coords)],
