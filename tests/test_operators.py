@@ -1,0 +1,100 @@
+"""Unit tests for the custom operators beyond their oracle queries:
+as-of join edge cases, 3-D proximity, bucketed co-located joins
+(SURVEY §4 'bucketing for co-located joins' scale claim)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.operators.asof import asof_join
+from columnarmodeling_spark.operators.proximity import grid_proximity_join
+
+
+def _asof(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "k long, lts long, lval string")
+    right = spark.createDataFrame(right_rows, "k long, rts long, rid long")
+    return asof_join(
+        left,
+        right,
+        key="k",
+        left_ts="lts",
+        right_ts="rts",
+        left_val_cols=("lval",),
+        right_id_cols=("rid",),
+        tie_break="lval",
+    ).collect()
+
+
+def test_asof_basic_and_no_prior(spark):
+    out = _asof(
+        spark,
+        [(1, 10, "a"), (1, 20, "b"), (2, 99, "z")],
+        [(1, 15, 100), (1, 25, 101), (1, 5, 102), (2, 98, 103)],
+    )
+    got = {(r["rid"], r["asof_ts"], r["lval"]) for r in out}
+    # rid=102 (ts 5): no prior left row -> dropped (inner semantics)
+    # rid=103 (k=2, ts 98): curve point is at 99 -> dropped
+    assert got == {(100, 10, "a"), (101, 20, "b")}
+
+
+def test_asof_equal_ts_inclusive_and_tie_break(spark):
+    out = _asof(
+        spark,
+        [(1, 10, "a"), (1, 10, "b")],  # tie on ts -> largest tie_break wins
+        [(1, 10, 100)],
+    )
+    assert [(r["rid"], r["asof_ts"], r["lval"]) for r in out] == [(100, 10, "b")]
+
+
+def test_grid_join_3d(spark):
+    """The reference search box is 3-D (Lx Ly Lz, SysFile.ini:45-55)."""
+    rows = [
+        (1, 0.0, 0.0, 0.0),
+        (2, 1.0, 1.0, 1.0),   # dist sqrt(3) ~ 1.732
+        (3, 10.0, 10.0, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double, z double")
+    got = {
+        (r["src"], r["dst"], round(r["dist"], 3))
+        for r in grid_proximity_join(df, eps=2.0, coords=("x", "y", "z")).collect()
+    }
+    assert got == {(1, 2, 1.732)}
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed by the key -> SortMergeJoin
+    with NO Exchange on either side (the 100 TB repeated-join pattern;
+    SURVEY §4). Guard: the same join on plain parquet DOES shuffle."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+        wh = str(tmp_path)
+        a = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        for name, df in (("bt_a", a), ("bt_b", b)):
+            (
+                df.write.bucketBy(8, "k")
+                .sortBy("k")
+                .option("path", f"{wh}/{name}")
+                .saveAsTable(name)
+            )
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 10000
+
+        plain = a.join(b, "k")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
