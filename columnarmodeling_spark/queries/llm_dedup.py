@@ -313,3 +313,54 @@ def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simhash"),
         F.count("*").alias("n_bits"),
     )
+
+
+@register(
+    "q56_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_SHINGLES},
+    cnt2 AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter2 AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT da, db
+      FROM inter2
+      JOIN cnt2 ca ON da = ca.doc_id
+      JOIN cnt2 cb ON db = cb.doc_id
+      WHERE i * 1.0 / (ca.n + cb.n - i) >= {_JACCARD_TAU}),
+    ed AS (SELECT da AS u, db AS v FROM pairs
+           UNION SELECT db, da FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT ed.v, reach.r FROM reach JOIN ed ON reach.id = ed.u)
+    SELECT id AS doc_id,
+           min(r) AS cluster_id,
+           (id = min(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    doc="Duplicate-cluster assignment (LLM dedup tier): the q42 Jaccard "
+    "pair list as an undirected graph, connected components by "
+    "iterative min-label propagation (operators/graph.py — union-find "
+    "at shuffle scale; large-star/small-star is the documented "
+    "adversarial-diameter upgrade), canonical doc = min id per "
+    "component. The oracle replays components with a recursive CTE — "
+    "transitive closure, not just direct pairs.",
+    tags=("dedup", "llm", "graph", "components", "scale"),
+)
+def q56_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q42_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(
+        docs, pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
