@@ -879,3 +879,107 @@ def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("pv"), 2).alias("total"),
     )
+
+
+@register(
+    "q36_map_funcs",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           string_agg(event_type || ':' || c, ',' ORDER BY event_type)
+               AS type_counts,
+           count(*) AS n_types
+    FROM per_type GROUP BY user_id
+    """,
+    doc="Map-typed aggregation (SURVEY §2.7 note: map functions absent "
+    "in the reference, provided free by Spark): per-user event-type "
+    "histogram built as a map via map_from_entries, then canonicalized "
+    "to sorted 'k:v' text so both engines compare exactly (DuckDB's MAP "
+    "ordering is not hashable cross-engine). Exercises "
+    "map_from_entries / map_keys / transform / sort_array.",
+    tags=("scalar", "map", "agg"),
+)
+def q36_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    entries = F.transform(
+        F.map_keys("m"),
+        lambda k: F.concat(k, F.lit(":"), F.element_at("m", k).cast("string")),
+    )
+    return m.select(
+        "user_id",
+        F.array_join(entries, ",").alias("type_counts"),
+        F.size("m").cast("long").alias("n_types"),
+    )
+
+
+@register(
+    "q39_scalar_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           round(sum(l.l_extendedprice), 2) AS small_qty_revenue,
+           count(*) AS n_small
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    """,
+    doc="Correlated scalar subquery (TPC-H Q17 shape — below-half-average "
+    "quantity per part). Catalyst decorrelates it into an aggregate + "
+    "equi-join; no per-row subquery execution survives in the physical "
+    "plan — the decorrelation rewrite is the point of this entry.",
+    tags=("subquery", "decorrelation", "join", "agg"),
+)
+def q39_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               round(sum(l.l_extendedprice), 2) AS small_qty_revenue,
+               count(*) AS n_small
+        FROM __li l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM __li l2
+          WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey
+        """
+    )
+
+
+@register(
+    "q57_exists_subquery",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Correlated EXISTS subquery (TPC-H Q4 shape — orders with at "
+    "least one deeply-discounted line). Catalyst rewrites to a left "
+    "semi join; equivalent to q03's explicit semi-join, here arriving "
+    "via subquery decorrelation instead.",
+    tags=("subquery", "semi", "decorrelation"),
+)
+def q57_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__ord")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li2")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM __ord o
+        WHERE EXISTS (
+          SELECT 1 FROM __li2 l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+        GROUP BY o.o_orderpriority
+        """
+    )

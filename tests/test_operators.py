@@ -98,3 +98,34 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_b")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_connected_components_chain(spark):
+    """Multi-round propagation: a 10-node chain (diameter 9) plus an
+    isolated node must all collapse to the chain's min id."""
+    from columnarmodeling_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(11)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {(i, 0) for i in range(10)} | {(10, 10)}
+
+
+def test_subqueries_decorrelated(spark, sf_dir):
+    """q39/q57 claim Catalyst decorrelates their subqueries: the
+    physical plan must contain joins, not per-row subquery nodes."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    for name, needle in (
+        ("q57_exists_subquery", "LeftSemi"),
+        ("q39_scalar_subquery", "Join"),
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert needle in plan, f"{name}: expected {needle} in plan"
+        assert "Subquery" not in plan, f"{name}: subquery not decorrelated"
