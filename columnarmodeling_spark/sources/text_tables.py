@@ -183,3 +183,32 @@ def read_two_section(
             ],
         )
     return geo.join(attr, "row_id")
+
+
+def read_config_scalars(
+    spark: SparkSession, path: str, field_names: list[str]
+) -> dict[str, float]:
+    """S5: positional key-less scalar config → driver dict.
+
+    The reference's solver params are bare numbers, one file per concern
+    (``MLS00con.dat:1-11`` — 13 values whose meaning lives only in
+    ``SysFile.ini:45-71``; likewise ``CORENUM.txt``, ``Webull.dat``).
+    They parameterize every operator (dGap, CellSize, dT, nOutLoops), so
+    the engine reads them driver-side and injects them as ``lit()``
+    columns / broadcast config — never as a joined table (they are
+    O(10) scalars; a join would shuffle for nothing).
+
+    Whitespace-tolerant: values may be spread across lines. Extra values
+    beyond *field_names* are ignored; missing ones raise.
+    """
+    tokens: list[str] = []
+    # driver-side read of a tiny config file — not a Spark scan on
+    # purpose (a 10-byte file per job step does not need an executor)
+    with open(path) as fh:
+        for line in fh:
+            tokens.extend(line.split())
+    if len(tokens) < len(field_names):
+        raise ValueError(
+            f"{path}: expected >= {len(field_names)} values, got {len(tokens)}"
+        )
+    return {name: float(v) for name, v in zip(field_names, tokens)}

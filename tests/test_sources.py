@@ -146,3 +146,19 @@ def test_snapshot_store_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(step" in plan and "= 250)" in plan
     assert pruned.count() == 1000
+
+
+def test_config_scalar_read(tmp_path):
+    """S5: positional scalar config (MLS00con.dat shape) -> driver dict."""
+    from columnarmodeling_spark.sources.text_tables import read_config_scalars
+
+    p = tmp_path / "MLS00con.dat"
+    p.write_text("0.002\n1.0\n40 40 40\n1e-7\n500000\n")
+    got = read_config_scalars(
+        None, str(p), ["dGap", "cell", "lx", "ly", "lz", "dT", "n_steps"]
+    )
+    assert got["dGap"] == 0.002 and got["dT"] == 1e-7 and got["n_steps"] == 500000.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_config_scalars(None, str(p), ["a"] * 99)
