@@ -299,3 +299,39 @@ def q55_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.size(F.regexp_extract_all(msg, F.lit(name), 0))
         ).alias("n_redacted"),
     )
+
+
+@register(
+    "q59_length_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             CAST(length(text) // 50 AS BIGINT) AS bucket
+      FROM documents)
+    SELECT bucket,
+           bucket * 50      AS lo,
+           bucket * 50 + 49 AS hi,
+           count(*)         AS n_docs,
+           min(n)           AS min_len,
+           max(n)           AS max_len
+    FROM b GROUP BY bucket
+    """,
+    doc="Document-length histogram (training-data analysis tier: length "
+    "distributions drive truncation/packing decisions). Fixed-width "
+    "binning by integer division — one map-side expression + hash agg; "
+    "the same binning primitive as the proximity grid, in 1-D.",
+    tags=("text", "llm", "histogram", "agg"),
+)
+def q59_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    b = d.select(
+        F.length("text").alias("n"),
+        (F.length("text") / 50).cast("long").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        (F.col("bucket") * 50).alias("lo"),
+        (F.col("bucket") * 50 + 49).alias("hi"),
+        F.count("*").alias("n_docs"),
+        F.min("n").alias("min_len"),
+        F.max("n").alias("max_len"),
+    )

@@ -241,3 +241,26 @@ def q85_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delta_s"),
     )
     return drain_to_memory(joined, mode="append")
+
+
+@register(
+    "q58_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming deduplication with watermarked state "
+    "(dropDuplicates on the event stream — the LLM-pipeline ingest "
+    "guard against replayed/duplicate records; SURVEY §2.8 extension). "
+    "The watermark bounds the dedup state store exactly like the "
+    "stream-stream join buffer; output is the distinct key set, which "
+    "is deterministic regardless of arrival order.",
+    tags=("streaming", "dedup", "state"),
+)
+def q58_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return drain_to_memory(dedup, mode="append")

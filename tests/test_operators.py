@@ -129,3 +129,40 @@ def test_subqueries_decorrelated(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert needle in plan, f"{name}: expected {needle} in plan"
         assert "Subquery" not in plan, f"{name}: subquery not decorrelated"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SURVEY §4 skew claim: the hot-cell key skew of the proximity join
+    is handled by AQE skew-join splitting — prove AQE actually splits a
+    skewed sort-merge join on this session config."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 160_000).select(
+            F.when(F.col("id") < 150_000, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 500).select(
+            F.col("id").alias("k"), F.lit("r").alias("tag")
+        )
+        joined = left.join(right, "k")
+        # execute THIS DataFrame so its adaptive plan finalizes (count()
+        # would spawn a separate query execution and leave this one unplanned)
+        assert len(joined.collect()) == 150_000  # only key 0 matches
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
