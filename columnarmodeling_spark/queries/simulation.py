@@ -239,3 +239,46 @@ def q63_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("custs").cast("long").alias("n_customers"),
         )
     )
+
+
+@register(
+    "q64_solver_steps",
+    oracle=None,  # iterative dynamics — rows-only; invariants in tests
+    doc="E3 solver loop analog (SURVEY §3: 4D-LSM time loop, "
+    "MLS00con.dat:4-7 dT/nOutLoops semantics): bond network from the "
+    "J1 grid join (rest length = 90% of initial distance -> compressed "
+    "springs), then explicit-Euler micro-batch steps entirely as "
+    "joins + hash aggs + map expressions (simulation/solver.py). "
+    "Momentum conservation and snapshot-cadence invariants are pinned "
+    "in tests/test_solver.py.",
+    tags=("simulation", "E3", "iterative", "scale"),
+)
+def q64_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+    from columnarmodeling_spark.simulation.solver import run_solver
+
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+    )
+    bonds = grid_proximity_join(pts, eps=30.0, id_col="id").select(
+        "src", "dst", (F.col("dist") * 0.9).alias("rest")
+    )
+    state0 = pts.select(
+        "id",
+        "x",
+        "y",
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    )
+    final = run_solver(state0, bonds, n_steps=5, k=1.0, dt=0.01)
+    return final.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
+    )

@@ -1,0 +1,69 @@
+"""Invariants for the E3 solver loop (simulation/solver.py): symmetric
+spring forces conserve momentum, the snapshot cadence writes
+step-partitioned output, and the loop is deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.simulation.solver import run_solver, spring_forces
+
+
+def _square(spark):
+    # unit square, springs on the edges, rest length 0.8 (compressed)
+    state = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 0.0, 0.0, 1.0),
+            (2, 1.0, 0.0, 0.0, 0.0, 1.0),
+            (3, 1.0, 1.0, 0.0, 0.0, 1.0),
+            (4, 0.0, 1.0, 0.0, 0.0, 1.0),
+        ],
+        "id long, x double, y double, vx double, vy double, m double",
+    )
+    bonds = spark.createDataFrame(
+        [(1, 2, 0.8), (2, 3, 0.8), (3, 4, 0.8), (4, 1, 0.8)],
+        "src long, dst long, rest double",
+    )
+    return state, bonds
+
+
+def test_forces_are_symmetric(spark):
+    state, bonds = _square(spark)
+    f = spring_forces(state, bonds, k=1.0).agg(
+        F.sum("fx").alias("sx"), F.sum("fy").alias("sy")
+    ).collect()[0]
+    assert abs(f["sx"]) < 1e-9 and abs(f["sy"]) < 1e-9
+
+
+def test_solver_contracts_compressed_springs(spark):
+    state, bonds = _square(spark)
+    out = {
+        r["id"]: (r["x"], r["y"])
+        for r in run_solver(state, bonds, n_steps=10, k=1.0, dt=0.05).collect()
+    }
+    # compressed springs pull the square inward, symmetrically
+    assert out[1][0] > 0.0 and out[3][0] < 1.0
+    cx = sum(x for x, _ in out.values()) / 4
+    cy = sum(y for _, y in out.values()) / 4
+    assert abs(cx - 0.5) < 1e-9 and abs(cy - 0.5) < 1e-9  # centroid fixed
+
+
+def test_solver_determinism(spark):
+    state, bonds = _square(spark)
+    a = sorted(map(tuple, run_solver(state, bonds, 5, 1.0, 0.05).collect()))
+    b = sorted(map(tuple, run_solver(state, bonds, 5, 1.0, 0.05).collect()))
+    assert a == b
+
+
+def test_snapshot_cadence_and_pruning(spark, tmp_path):
+    state, bonds = _square(spark)
+    out = str(tmp_path / "snaps")
+    run_solver(state, bonds, n_steps=10, k=1.0, dt=0.05, n_out=5, out_path=out)
+    snaps = spark.read.parquet(out)
+    assert sorted(
+        r["step"] for r in snaps.select("step").distinct().collect()
+    ) == [5, 10]
+    pruned = snaps.filter(F.col("step") == 10)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(step" in plan
+    assert pruned.count() == 4
