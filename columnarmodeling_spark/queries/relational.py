@@ -983,3 +983,118 @@ def q57_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderpriority
         """
     )
+
+
+@register(
+    "q66_conditional_aggs",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) FILTER (l_discount > 0.05)            AS n_discounted,
+           count(DISTINCT l_suppkey)                      AS n_suppliers,
+           bool_and(l_quantity > 0)                       AS all_positive,
+           bool_or(l_quantity > 45)                       AS any_large,
+           min(CASE WHEN l_tax > 0 THEN l_tax END)        AS min_nonzero_tax
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Conditional/boolean aggregation family (count FILTER, distinct "
+    "count, every/any, conditional min) — the reference's sanity "
+    "counters (SURVEY §2.4 A5) generalized to the full Spark agg "
+    "surface.",
+    tags=("agg", "conditional", "A5"),
+)
+def q66_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_quantity") > 45).alias("any_large"),
+        F.min(F.when(F.col("l_tax") > 0, F.col("l_tax"))).alias(
+            "min_nonzero_tax"
+        ),
+    )
+
+
+@register(
+    "q67_array_set_funcs",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             coalesce(list_sort(list(DISTINCT o_orderpriority)
+                       FILTER (o_orderstatus = 'O')), []) AS open_prios,
+             coalesce(list_sort(list(DISTINCT o_orderpriority)
+                       FILTER (o_orderstatus = 'F')), []) AS done_prios
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           open_prios, done_prios,
+           list_sort(list_intersect(open_prios, done_prios)) AS both_prios,
+           len(list_distinct(list_concat(open_prios, done_prios))) AS n_all
+    FROM per_cust
+    """,
+    doc="Array set algebra (SURVEY §2.6 U3/U4 primitives as array "
+    "functions: array_intersect / array_union / array_distinct / "
+    "array_sort over per-key collected sets).",
+    tags=("array", "setop", "U3", "U4"),
+)
+def q67_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(F.col("o_orderstatus") == "O", F.col("o_orderpriority"))
+                )
+            )
+        ).alias("open_prios"),
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(F.col("o_orderstatus") == "F", F.col("o_orderpriority"))
+                )
+            )
+        ).alias("done_prios"),
+    )
+    return per.select(
+        "o_custkey",
+        "open_prios",
+        "done_prios",
+        F.sort_array(F.array_intersect("open_prios", "done_prios")).alias(
+            "both_prios"
+        ),
+        F.size(F.array_distinct(F.concat("open_prios", "done_prios")))
+        .cast("long")
+        .alias("n_all"),
+    )
+
+
+@register(
+    "q68_stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)  AS sd_qty,
+           round(var_samp(l_quantity), 4)     AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+           round(skewness(l_quantity), 4)     AS skew_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregate family (stddev/variance/correlation/"
+    "covariance/skewness) — the snapshot-analysis statistics surface; "
+    "all partial+final mergeable (one shuffle). Rounded to 4dp: the "
+    "two engines use different numerically-stable merge formulas, "
+    "identical to ~1e-9 relative.",
+    tags=("agg", "stats"),
+)
+def q68_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+            "cov_qty_disc"
+        ),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+    )

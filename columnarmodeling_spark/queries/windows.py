@@ -184,3 +184,35 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("session_value"),
         )
     )
+
+
+@register(
+    "q65_ranking_family",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS first_in_cust,
+           nth_value(o_orderkey, 2) OVER w AS second_in_cust
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    doc="Ranking-function family (SURVEY §2.5 W5 note: rank/dense_rank "
+    "exposed for oracle tests — completed here with ntile, "
+    "percent_rank, cume_dist, first/nth_value over the per-customer "
+    "order sequence).",
+    tags=("window", "W5", "ranking"),
+)
+def q65_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_in_cust"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_in_cust"),
+    )
