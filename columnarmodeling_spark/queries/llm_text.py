@@ -335,3 +335,51 @@ def q59_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_len"),
         F.max("n").alias("max_len"),
     )
+
+
+@register(
+    "q75_chunk_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents),
+    idx AS (
+      SELECT doc_id, tk,
+             unnest(range(0, (len(tk) + 31) // 32)) AS chunk_idx
+      FROM toks WHERE len(tk) > 0)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(tk[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ')
+               AS chunk_text,
+           CAST(least(32, len(tk) - chunk_idx * 32) AS INT) AS n_tokens
+    FROM idx
+    """,
+    doc="Context packing via a real Python UDTF (SURVEY §2.9 UDTF "
+    "surface): split each document into max-32-token chunks — the "
+    "training-data packing primitive. One input row yields N output "
+    "rows from the UDTF's eval generator (LATERAL join in the plan); "
+    "tokenization inside the UDTF replays the engine-wide '[^a-z0-9]+' "
+    "rule so the oracle slices the identical token list.",
+    tags=("text", "llm", "udtf", "chunking"),
+)
+def q75_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class Chunker:
+        def eval(self, text: str):
+            toks = [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+            for i in range(0, len(toks), 32):
+                chunk = toks[i : i + 32]
+                yield i // 32, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunker_udtf", Chunker)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM __docs_udtf d, LATERAL chunker_udtf(d.text) c
+        """
+    )
