@@ -36,6 +36,8 @@ HEADLINE = [
     "q46_cosine_topk",
     "q49_embedding_neardup",
     "q51_quality_score",
+    "q56_dup_clusters",
+    "q64_solver_steps",
     "q70_snapshot_codec",
     "q85_stream_stream_join",
 ]

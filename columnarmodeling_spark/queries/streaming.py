@@ -153,11 +153,19 @@ def q83_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q84_stateful_running",
-    oracle=None,  # arbitrary-stateful streaming — rows-only check
+    oracle="""
+    SELECT user_id,
+           round(sum(value), 2) AS running_total,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
     doc="Custom stateful streaming operator via applyInPandasWithState "
     "(SURVEY §2.8: cumulative bond-break/damage state across "
     "micro-batches, MLSOut00B.dat). Per-user running totals held in "
-    "GroupState; AvailableNow drain. Non-SQL-expressible → rows-only.",
+    "GroupState; AvailableNow drain. The update-mode emission after the "
+    "final micro-batch equals the batch aggregate, which the oracle "
+    "replays (the single-file source yields one batch; with more "
+    "batches the intermediate emissions would be the running prefix).",
     tags=("streaming", "stateful"),
 )
 def q84_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +181,11 @@ def q84_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             n += len(pdf)
         state.update((total, n))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "running_total": [total], "n_events": [n]}
+            {
+                "user_id": [key[0]],
+                "running_total": [round(total, 2)],
+                "n_events": [n],
+            }
         )
 
     out = (
