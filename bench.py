@@ -36,6 +36,7 @@ HEADLINE = [
     "q46_cosine_topk",
     "q49_embedding_neardup",
     "q51_quality_score",
+    "q69_ivf_search",
     "q56_dup_clusters",
     "q64_solver_steps",
     "q70_snapshot_codec",

@@ -232,6 +232,143 @@ def q48_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NPROBE = 2
+_IVF_TOPK = 3
+
+
+@register(
+    "q69_ivf_search",
+    oracle=f"""
+    WITH {_SQL_QUANT},
+    comp AS (
+      SELECT label, i, CAST(round(avg(qv[i])) AS BIGINT) AS cv
+      FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY label, i),
+    cent AS (
+      SELECT label, list(cv ORDER BY i) AS cent
+      FROM comp GROUP BY label),
+    dist AS (
+      SELECT v.vec_id, c.label AS plabel,
+             list_sum(list_transform(range(1, 65),
+                      i -> (v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i]))) AS d2
+      FROM n v CROSS JOIN cent c),
+    probe AS (
+      SELECT vec_id, plabel FROM (
+        SELECT vec_id, plabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, plabel) AS crk
+        FROM dist) WHERE crk <= {_IVF_NPROBE}),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> a.qv[i] * b.qv[i]))
+                   / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)),
+                   9) AS cos9
+      FROM probe p
+      JOIN n a ON a.vec_id = p.vec_id
+      JOIN n b ON b.label = p.plabel AND b.vec_id <> p.vec_id),
+    r AS (
+      SELECT vec_id, neighbor, round(cos9, 6) AS cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos9 DESC, neighbor) AS rk
+      FROM pairs)
+    SELECT vec_id, neighbor, cosine, rk FROM r WHERE rk <= {_IVF_TOPK}
+    """,
+    doc="IVF top-k SEARCH — the ANN scale path q46's docstring promises: "
+    "integer centroids per cell (q47's build, rounded to exact int64), "
+    "each probe vector routed to its nprobe=2 nearest cells, exact "
+    "integer-quantized cosine only within those cells, global top-3 "
+    "across probed cells. Unlike the q46 baseline nothing is collected "
+    "to the driver: probes and index co-shuffle on cell id into a "
+    "cogrouped applyInPandas (per-cell NumPy matmul), so cells stream "
+    "executor-side and the pair space is bounded by cell occupancy — "
+    "at 100 TB only the 10-row centroid table is broadcast.",
+    tags=("similarity", "llm", "ann", "ivf", "topk", "scale"),
+)
+def q69_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    n = _quantized(spark, sf_dir)
+    comp = n.select("label", F.posexplode("qv").alias("pos", "v"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 0).cast("long").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cent")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = (
+        n.select("vec_id", "qv", "n2")
+        .join(F.broadcast(cent.select(F.col("label").alias("plabel"), "cent")))
+        .withColumn("d2", d2)
+    )
+    probe = (
+        dist.withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "plabel")
+            ),
+        )
+        .filter(F.col("crk") <= _IVF_NPROBE)
+        .select("vec_id", "plabel", "qv", "n2")
+    )
+    # fresh scan for the index side: cogroup needs distinct attribute ids
+    index = _quantized(spark, sf_dir).select("label", "vec_id", "qv", "n2")
+
+    def cell_topk(probes: pd.DataFrame, idx: pd.DataFrame) -> pd.DataFrame:
+        if probes.empty or idx.empty:
+            return pd.DataFrame(columns=["vec_id", "neighbor", "cos9"])
+        a_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(probes["qv"]), dtype=np.int64)
+        a_n2 = probes["n2"].to_numpy(dtype=np.int64)
+        order = np.argsort(idx["vec_id"].to_numpy(dtype=np.int64), kind="stable")
+        b_ids = idx["vec_id"].to_numpy(dtype=np.int64)[order]
+        b_mat = np.array(list(idx["qv"]), dtype=np.int64)[order]
+        b_n2 = idx["n2"].to_numpy(dtype=np.int64)[order]
+        dots = a_mat @ b_mat.T  # exact int64
+        cos = dots / np.sqrt(a_n2[:, None].astype(np.float64) * b_n2[None, :])
+        cos9 = np.copysign(np.floor(np.abs(cos) * 1e9 + 0.5), cos) / 1e9
+        cos9[a_ids[:, None] == b_ids[None, :]] = -np.inf
+        out = []
+        for i in range(len(a_ids)):
+            sel = np.argsort(-cos9[i], kind="stable")[:_IVF_TOPK]
+            for j in sel:
+                if np.isfinite(cos9[i, j]):
+                    out.append((int(a_ids[i]), int(b_ids[j]), float(cos9[i, j])))
+        return pd.DataFrame(out, columns=["vec_id", "neighbor", "cos9"])
+
+    local = (
+        probe.groupby("plabel")
+        .cogroup(index.groupby("label"))
+        .applyInPandas(cell_topk, schema="vec_id long, neighbor long, cos9 double")
+    )
+    # per-cell top-k -> global top-k over the <=nprobe probed cells
+    return (
+        local.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cos9").desc(), "neighbor"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("vec_id", "neighbor", F.round("cos9", 6).alias("cosine"), "rk")
+    )
+
+
 _NEARDUP_TAU = 0.35
 _NEARDUP_PLANES = 16  # 4 bands x 4 sign bits
 
