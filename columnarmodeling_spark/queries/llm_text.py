@@ -383,3 +383,44 @@ def q75_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_udtf d, LATERAL chunker_udtf(d.text) c
         """
     )
+
+
+@register(
+    "q76_bpe_pretokenize",
+    oracle=r"""
+    WITH pieces AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text),
+                                ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+') AS pc,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS wd
+      FROM documents)
+    SELECT doc_id,
+           len(pc) AS n_pieces,
+           len(wd) AS n_words,
+           round(len(pc) * 1.0 / len(wd), 6) AS fertility
+    FROM pieces WHERE len(wd) > 0
+    """,
+    doc="BPE-ish pre-tokenization (LLM-pipeline tier): GPT-2-style piece "
+    "regex (space-prefixed letter runs / digit runs / punctuation runs; "
+    "the lookahead-free subset so Java regex and RE2 agree) vs "
+    "whitespace words, per-document fertility = pieces/words — the "
+    "standard tokenizer-cost estimate before a real BPE merge table. "
+    "Pure JVM-side regexp_extract_all; no Python in the hot path.",
+    tags=("text", "llm", "tokens"),
+)
+def q76_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pc = F.expr(
+        r"regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+', 0)"
+    )
+    wd = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    out = d.select("doc_id", pc.alias("pc"), wd.alias("wd"))
+    return out.filter(F.size("wd") > 0).select(
+        "doc_id",
+        F.size("pc").cast("long").alias("n_pieces"),
+        F.size("wd").cast("long").alias("n_words"),
+        F.round(F.size("pc") / F.size("wd"), 6).alias("fertility"),
+    )

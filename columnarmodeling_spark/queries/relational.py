@@ -1098,3 +1098,48 @@ def q68_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
     )
+
+
+@register(
+    "q74_sketch_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_distinct,
+           abs(approx_count_distinct(o_custkey)
+               - count(DISTINCT o_custkey))
+             <= 0.15 * count(DISTINCT o_custkey) AS hll_within_15pct,
+           abs(approx_quantile(o_totalprice, 0.5)
+               - quantile_cont(o_totalprice, 0.5))
+             <= 0.05 * quantile_cont(o_totalprice, 0.5) AS p50_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Sketch aggregate family (SURVEY §2.4 A9 'distinct-count "
+    "variants'): HyperLogLog++ approximate distinct and quantile-sketch "
+    "approximate median, each validated against its exact counterpart "
+    "inside the query. The sketches differ bit-wise across engines "
+    "(Spark HLL++/Greenwald-Khanna vs DuckDB HLL/t-digest), so the "
+    "cross-engine contract is the within-tolerance BOOLEAN plus the "
+    "exact count — at 100 TB the sketch is the only affordable path "
+    "(mergeable partials, fixed memory; exact distinct is a full "
+    "shuffle of the key space).",
+    tags=("agg", "sketch", "approx", "scale"),
+)
+def q74_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("ad"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("p50a"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50e"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_distinct",
+        (
+            F.abs(F.col("ad") - F.col("exact_distinct"))
+            <= 0.15 * F.col("exact_distinct")
+        ).alias("hll_within_15pct"),
+        (F.abs(F.col("p50a") - F.col("p50e")) <= 0.05 * F.col("p50e")).alias(
+            "p50_within_5pct"
+        ),
+    )
