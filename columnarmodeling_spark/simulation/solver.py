@@ -50,9 +50,13 @@ def spring_forces(state: DataFrame, bonds: DataFrame, k: float) -> DataFrame:
     e = both.join(a, "src").join(b, "dst")
     dx, dy = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
     dist = F.sqrt(dx * dx + dy * dy)
-    # force on src toward dst when stretched (dist > rest)
+    # force on src toward dst when stretched (dist > rest); coincident
+    # particles (dist = 0) have no defined bond axis and exert no force —
+    # the guard also keeps ANSI mode from raising DIVIDE_BY_ZERO
     mag = F.lit(k) * (dist - F.col("rest"))
-    fx, fy = mag * dx / dist, mag * dy / dist
+    ux = F.when(dist > 0, dx / dist).otherwise(F.lit(0.0))
+    uy = F.when(dist > 0, dy / dist).otherwise(F.lit(0.0))
+    fx, fy = mag * ux, mag * uy
     return (
         e.select(F.col("src").alias("id"), fx.alias("fx"), fy.alias("fy"))
         .groupBy("id")

@@ -67,3 +67,28 @@ def test_snapshot_cadence_and_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(step" in plan
     assert pruned.count() == 4
+
+
+def test_coincident_particles_exert_no_force(spark):
+    # dist = 0: no defined bond axis -> zero force, no ANSI
+    # DIVIDE_BY_ZERO (regression: sf0.1 customer table has duplicate
+    # (acctbal, custkey%97) coordinates)
+    state = spark.createDataFrame(
+        [
+            (1, 0.5, 0.5, 0.0, 0.0, 1.0),
+            (2, 0.5, 0.5, 0.0, 0.0, 1.0),
+            (3, 1.5, 0.5, 0.0, 0.0, 1.0),
+        ],
+        "id long, x double, y double, vx double, vy double, m double",
+    )
+    bonds = spark.createDataFrame(
+        [(1, 2, 0.0), (2, 3, 0.9)],
+        "src long, dst long, rest double",
+    )
+    rows = {
+        r["id"]: r
+        for r in spring_forces(state, bonds, k=1.0).collect()
+    }
+    assert rows[1]["fx"] == 0.0 and rows[1]["fy"] == 0.0
+    # the 2-3 spring is stretched (1.0 > 0.9): pulls 2 toward 3
+    assert rows[2]["fx"] > 0.0
