@@ -1143,3 +1143,81 @@ def q74_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_within_5pct"
         ),
     )
+
+
+@register(
+    "q77_consistency_checks",
+    oracle="""
+    SELECT 'lineitem_order_fk' AS check_name,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS violations
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'events_user_domain',
+           (SELECT count(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id))
+    UNION ALL
+    SELECT 'lineitem_positive_measures',
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity <= 0 OR l_extendedprice < 0)
+    UNION ALL
+    SELECT 'documents_char_count',
+           (SELECT count(*) FROM documents WHERE n_chars <> length(text))
+    """,
+    doc="Startup consistency pass (SURVEY §3 E3: the solver's 'Make "
+    "Consistency Begin/End' validation, DLSM Log.txt:1-4 — bond "
+    "endpoints must reference real particles, materials must resolve, "
+    "counts must match headers). Re-expressed as a declarative "
+    "data-quality suite: FK orphan checks via broadcast anti-joins, "
+    "domain checks, and derived-column consistency — each check one "
+    "row (name, violation count). At 100 TB each anti-join "
+    "broadcasts the key side or degenerates to a shuffled semi-join; "
+    "all five checks share table scans via a single job.",
+    tags=("validation", "E3", "anti-join"),
+)
+def q77_consistency_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
+    d = t(spark, sf_dir, "documents")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "lineitem_order_fk",
+            li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"),
+        ),
+        one(
+            "orders_customer_fk",
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"),
+        ),
+        one(
+            "events_user_domain",
+            ev.join(c, ev["user_id"] == c["c_custkey"], "left_anti"),
+        ),
+        one(
+            "lineitem_positive_measures",
+            li.filter((F.col("l_quantity") <= 0) | (F.col("l_extendedprice") < 0)),
+        ),
+        one(
+            "documents_char_count",
+            d.filter(F.col("n_chars") != F.length("text")),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out
