@@ -55,3 +55,42 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             yield out
 
     return df.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, n_bytes long, out_bytes long, out_digest string"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched 'resize' STUB: binary payload → resized payload
+    features. A production build decodes, resizes to (width, height)
+    and re-encodes (``PIL.Image.resize`` / ffmpeg scale filter); the
+    deterministic stand-in truncates the payload to the byte budget of
+    the target raster (width*height/8 — as if 1 bit/pixel) so output
+    size, schema, and batch shape behave like the real op. Partitioning
+    and batching notes as in ``decode_media``."""
+    budget = width * height // 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].to_numpy(), pdf[payload_col]):
+                out = p[:budget]
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_bytes": len(p),
+                        "out_bytes": len(out),
+                        "out_digest": hashlib.md5(out).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from columnarmodeling_spark.functions.multimodal import decode_media
+from columnarmodeling_spark.functions.multimodal import decode_media, resize_media
 from columnarmodeling_spark.queries import register
 from columnarmodeling_spark.queries._util import t
 from columnarmodeling_spark.sources.binary_snapshots import (
@@ -177,3 +177,29 @@ def q73_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(payload, cast(frame_idx * 16 + 1 as int), 16)")
         ).alias("frame_digest"),
     )
+
+
+@register(
+    "q78_media_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(least(octet_length(CAST(text AS BLOB)), 512) AS BIGINT)
+             AS out_bytes,
+           md5(substr(text, 1, 512)) AS out_digest
+    FROM documents
+    """,
+    doc="Multimodal resize plumbing (LLM tier): the brief's decode / "
+    "feature-extract / RESIZE / frame-sample set, third member. Binary "
+    "payloads resized to a 64x64 target by the deterministic stub in "
+    "functions/multimodal.py (truncate to the raster byte budget, "
+    "512 B); the oracle replays the truncation + digest on the raw "
+    "bytes. Real plumbing: Arrow batches, schema, column pruning.",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def q78_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return resize_media(payloads, width=64, height=64)
