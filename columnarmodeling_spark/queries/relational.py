@@ -1221,3 +1221,38 @@ def q77_consistency_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "q79_unpivot",
+    oracle="""
+    SELECT o_orderpriority, measure, round(val, 2) AS val
+    FROM (
+      SELECT o_orderpriority,
+             round(sum(o_totalprice), 2) AS total_price,
+             round(avg(o_totalprice), 2) AS avg_price,
+             CAST(count(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY o_orderpriority) w
+    UNPIVOT (val FOR measure IN (total_price, avg_price, n_orders))
+    """,
+    doc="Unpivot / melt (wide → long, the inverse of q13's pivot): the "
+    "per-priority measure block becomes (measure, value) rows via "
+    "Spark's native unpivot (SQL UNPIVOT in the oracle). Wide-to-long "
+    "is the standard shape for feeding metric tables to downstream "
+    "consumers; executes as a generate (expand) projection — no "
+    "shuffle beyond the feeding aggregate.",
+    tags=("reshape", "unpivot"),
+)
+def q79_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.count("*").cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_price", "avg_price", "n_orders"],
+        variableColumnName="measure",
+        valueColumnName="raw_val",
+    ).select("o_orderpriority", "measure", F.round("raw_val", 2).alias("val"))

@@ -276,3 +276,81 @@ def q58_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return drain_to_memory(dedup, mode="append")
+
+
+@register(
+    "q86_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           round(value, 2) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    doc="foreachBatch idempotent upsert sink (SURVEY §2.8 extension — "
+    "the production pattern Structured Streaming uses for MERGE-style "
+    "sinks without a transactional table format): each micro-batch "
+    "reduces to latest-row-per-key, merges with the previous key-value "
+    "state, and atomically swaps a parquet state dir (write-new + "
+    "rename, the same publish discipline as the reference's "
+    "per-snapshot output files). Re-delivered batches reduce to the "
+    "same state (idempotent); deterministic tie-break (ts, event_id). "
+    "The oracle is the batch latest-per-key. At 100 TB the state dir "
+    "becomes a partitioned/bucketed table and the merge a co-located "
+    "join on the bucket key.",
+    tags=("streaming", "sink", "upsert", "foreachBatch"),
+)
+def q86_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    ev = events_stream(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="cm_upsert_")
+    state_dir = os.path.join(scratch, "state")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "value", "ts")
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        incoming = latest_per_key(batch_df)
+        if os.path.exists(state_dir):
+            merged = s.read.parquet(state_dir).unionByName(incoming)
+            final = latest_per_key(merged)
+        else:
+            final = incoming
+        tmp = os.path.join(scratch, f"state_b{batch_id}")
+        final.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(scratch, "old")
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
