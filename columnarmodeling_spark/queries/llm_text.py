@@ -424,3 +424,42 @@ def q76_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("wd").cast("long").alias("n_words"),
         F.round(F.size("pc") / F.size("wd"), 6).alias("fertility"),
     )
+
+
+@register(
+    "q87_hash_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) AS hk
+      FROM documents),
+    sampled AS (
+      SELECT source, doc_id FROM keyed
+      WHERE hk < CAST(0.2 * 65536 AS INTEGER))
+    SELECT source,
+           count(*) AS n_sampled,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM sampled GROUP BY source
+    """,
+    doc="Deterministic hash-based stratified sampling (training-mix "
+    "construction, LLM tier): keep a document iff the first 16 bits of "
+    "md5(doc_id) fall under the 20%% threshold — reproducible across "
+    "engines, runs, and partitionings (unlike rand()-based sampleBy), "
+    "and composable (a 10%% re-sample of the 20%% sample is the 10%% "
+    "sample). Pure map-side filter + hash agg; at 100 TB the filter "
+    "rides the scan and no shuffle precedes the per-source counts.",
+    tags=("text", "llm", "sampling", "scale"),
+)
+def q87_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    hk = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    sampled = d.withColumn("hk", hk).filter(F.col("hk") < int(0.2 * 65536))
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
