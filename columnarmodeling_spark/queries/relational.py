@@ -1256,3 +1256,50 @@ def q79_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="raw_val",
     ).select("o_orderpriority", "measure", F.round("raw_val", 2).alias("val"))
+
+
+@register(
+    "q88_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sqrt(avg(l_quantity * l_quantity)), 6) AS rms_qty,
+           round(sum(l_quantity * (1 - l_discount))
+                 / sum(1 - l_discount), 6) AS wmean_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="GROUPED_AGG pandas UDAF (SURVEY §2.9: the UDM.dll constitutive-"
+    "model extension point as a user-defined aggregate): RMS and "
+    "discount-weighted mean of quantity per return flag, computed in "
+    "NumPy over Arrow-delivered group vectors. Unlike built-in "
+    "aggregates a GROUPED_AGG UDF has no partial/merge path — the "
+    "whole group ships to one worker — so at 100 TB it is reserved "
+    "for aggregates inexpressible as built-ins (the built-in form is "
+    "the oracle; rounding absorbs summation-order differences).",
+    tags=("agg", "udaf", "pandas-udf"),
+)
+def q88_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module-wide `from __future__ import
+    # annotations` stringifies type hints, so hint inference can't see
+    # the Series -> scalar (GROUPED_AGG) shape
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def rms(v):
+        a = v.to_numpy(dtype=np.float64)
+        return float(np.sqrt(np.mean(a * a)))
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(v, w):
+        a = v.to_numpy(dtype=np.float64)
+        b = w.to_numpy(dtype=np.float64)
+        return float(np.sum(a * b) / np.sum(b))
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(rms(F.col("l_quantity")), 6).alias("rms_qty"),
+        F.round(
+            wmean(F.col("l_quantity"), 1 - F.col("l_discount")), 6
+        ).alias("wmean_qty"),
+    )
