@@ -203,3 +203,60 @@ def q78_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return resize_media(payloads, width=64, height=64)
+
+
+@register(
+    "q89_whitespace_roundtrip",
+    oracle="""
+    SELECT CAST(p_partkey % 7 AS INT) AS grp,
+           count(*) AS n_points,
+           round(sum(p_retailprice), 2) AS sum_x,
+           round(sum(CASE WHEN p_partkey % 5 = 0 THEN 0.0
+                          ELSE p_size * 1.0 END), 2) AS sum_z
+    FROM part GROUP BY 1
+    """,
+    doc="S1 whitespace point-table round-trip as a query (SURVEY §2.1: "
+    "BooleanOperation.py:43-66 — 2-or-3-column arity tolerance, "
+    "bad-record skip): part rows exported as 'x y [z]' text lines "
+    "(every 5th row 2-column, plus injected malformed lines), "
+    "re-scanned with the S1 reader (JVM-side split + arity when()), "
+    "aggregated. The oracle replays the arity rule on the parquet "
+    "directly — equality proves the text codec loses nothing "
+    "(values pre-rounded to the %.2f format grid).",
+    tags=("io", "scan", "S1", "roundtrip"),
+)
+def q89_whitespace_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from columnarmodeling_spark.sources.text_tables import read_point_table
+
+    p = t(spark, sf_dir, "part")
+    lines = p.select(
+        F.when(
+            F.col("p_partkey") % 5 == 0,
+            F.format_string(
+                "%.2f %.2f", F.col("p_retailprice"), F.col("p_partkey").cast("double")
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "%.2f %.2f %.2f",
+                F.col("p_retailprice"),
+                F.col("p_partkey").cast("double"),
+                F.col("p_size").cast("double"),
+            )
+        )
+        .alias("value")
+    )
+    junk = spark.createDataFrame(
+        [("# comment line",), ("1.0 2.0 3.0 4.0",), ("a b c",)], "value string"
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="cm_s1_"), "points")
+    lines.unionByName(junk).write.mode("overwrite").text(out_dir)
+    pts = read_point_table(spark, out_dir)
+    return pts.groupBy((F.col("y").cast("long") % 7).cast("int").alias("grp")).agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("x"), 2).alias("sum_x"),
+        F.round(F.sum("z"), 2).alias("sum_z"),
+    )
