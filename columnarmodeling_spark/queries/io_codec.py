@@ -260,3 +260,78 @@ def q89_whitespace_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("x"), 2).alias("sum_x"),
         F.round(F.sum("z"), 2).alias("sum_z"),
     )
+
+
+@register(
+    "q93_vertex_line_roundtrip",
+    oracle="""
+    SELECT CAST(l_orderkey % 7 AS BIGINT) AS grp,
+           count(DISTINCT l_orderkey) AS n_faces,
+           count(*) AS n_vertices,
+           round(sum(round(l_quantity, 2)), 2) AS sum_x
+    FROM lineitem GROUP BY 1
+    """,
+    doc="S8 variable-arity vertex-line round-trip as a query (SURVEY "
+    "§2.1: BooleanOperation.py:159-172 — all vertices of one face on "
+    "one CRLF line, arity varies per face): lineitems become ragged "
+    "per-order vertex arrays, exported via concat_ws(transform(...)) "
+    "(sinks.vertex_line), re-scanned by splitting each line into "
+    "key + 3k coordinate tokens, aggregated. The oracle replays the "
+    "aggregate on the parquet — equality proves the ragged text codec "
+    "preserves arity and values (pre-rounded to the %.2f grid).",
+    tags=("io", "sink", "S8", "roundtrip"),
+)
+def q93_vertex_line_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from columnarmodeling_spark.sources.sinks import vertex_line, write_lines
+
+    li = t(spark, sf_dir, "lineitem")
+    faces = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("pos"),
+                        F.round("l_quantity", 2).alias("x"),
+                        F.round("l_discount", 2).alias("y"),
+                        F.round("l_tax", 2).alias("z"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["x"].alias("x"), s["y"].alias("y"), s["z"].alias("z")
+            ),
+        ).alias("vertices")
+    )
+    line = F.concat_ws(
+        " ",
+        F.col("l_orderkey").cast("string"),
+        vertex_line("vertices", fmt="%.2f"),
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="cm_s8_"), "faces")
+    write_lines(faces, line, out_dir)
+
+    toks = F.filter(F.split(F.trim(F.col("value")), r"\s+"), lambda s: s != "")
+    parsed = (
+        spark.read.text(out_dir)
+        .select(toks.alias("t"))
+        .select(
+            F.element_at("t", 1).cast("long").alias("face_key"),
+            ((F.size("t") - 1) / 3).cast("long").alias("nv"),
+            F.aggregate(
+                F.sequence(
+                    F.lit(0), ((F.size("t") - 1) / 3 - 1).cast("int")
+                ),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at("t", (i * 3 + 2).cast("int")).cast("double"),
+            ).alias("sx"),
+        )
+    )
+    return parsed.groupBy((F.col("face_key") % 7).alias("grp")).agg(
+        F.count("*").alias("n_faces"),
+        F.sum("nv").alias("n_vertices"),
+        F.round(F.sum("sx"), 2).alias("sum_x"),
+    )
