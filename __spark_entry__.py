@@ -22,7 +22,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from columnarmodeling_spark.queries import REGISTRY  # noqa: E402
+from columnarmodeling_spark.queries import REGISTRY, ordered_registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,14 +31,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so the driver's bounded correctness window covers every tier:
+    PRIORITY names (anchor, round-1 red rows, then the previously
+    unverified llm/simulation/io/geometry/streaming tiers) come first,
+    round-1 driver-green queries after.
+    """
+    return {name: spec.fn for name, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query; omitted → rows-only check."""
     return {
         name: spec.oracle
-        for name, spec in REGISTRY.items()
+        for name, spec in ordered_registry().items()
         if spec.oracle is not None
     }

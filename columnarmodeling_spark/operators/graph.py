@@ -49,6 +49,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     )
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und.u == labels.id)
@@ -71,4 +72,13 @@ def connected_components(
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    if changed:
+        # Partially-propagated labels are silently wrong (the oracle's
+        # recursive CTE computes the true closure) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); graph diameter exceeds "
+            "max_iter — raise max_iter or switch to the large-star/"
+            "small-star rewrite for adversarial-diameter graphs"
+        )
     return labels

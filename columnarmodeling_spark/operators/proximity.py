@@ -23,9 +23,13 @@ theta join shuffle-friendly:
 
 Scale behavior at 100 TB: the shuffle is keyed by cell, so density skew
 (the reference's "hot central cells") maps to key skew — handled by AQE
-skew-join splitting (enabled in session.py); for pathological density add
-a salt on the right side and explode the left by salt range. Cost is
-O(n · 3^d + pairs-in-adjacent-cells), not O(n²).
+skew-join splitting (enabled in session.py); for pathological density the
+``salt`` parameter shards each cell key into ``salt`` sub-keys: the right
+side hashes each row to one deterministic sub-key, the left side is
+replicated across all of them, so every qualifying pair still meets
+exactly once while the largest join group shrinks from |L|·|R| to
+|L|·|R|/salt rows. Cost is O(n · 3^d · salt + pairs-in-adjacent-cells),
+not O(n²).
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ def grid_proximity_join(
     radius_col: str | None = None,
     keep_cols: tuple[str, ...] = (),
     cell_size: float | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """All pairs (a, b), a.id < b.id, with dist(a,b) [− r_a − r_b] < eps.
 
@@ -56,6 +61,14 @@ def grid_proximity_join(
     points, ``eps + 2·max(radius)`` for the surface-gap form (two big
     particles can have gap < eps while their centers sit far apart).
     When omitted it is derived (one tiny agg job for the max radius).
+
+    *salt* > 1 enables the skew escape for pathologically dense cells
+    (the reference's hot-central-cell case at 100× density, SURVEY §4):
+    each right-side row lands in one of ``salt`` deterministic sub-keys
+    (``hash(id) mod salt``); the left side is exploded across the full
+    salt range, so each qualifying pair still meets exactly once but the
+    biggest shuffle group is ``salt``× smaller. Output is identical to
+    the unsalted join for any salt value.
     """
     dims = len(coords)
     if cell_size is None:
@@ -107,7 +120,18 @@ def grid_proximity_join(
 
     l = side(left, "src")
     r = side(base, "dst")
-    joined = l.join(r, [f"__cell{i}" for i in range(dims)])
+    join_keys = [f"__cell{i}" for i in range(dims)]
+    if salt > 1:
+        # Deterministic sub-key: xxhash64 (not rand()) so retried tasks
+        # re-derive the same shard and the pair meets exactly once.
+        r = r.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("id_dst")), F.lit(salt))
+        )
+        l = l.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        )
+        join_keys = join_keys + ["__salt"]
+    joined = l.join(r, join_keys)
 
     sq = None
     for i in range(dims):

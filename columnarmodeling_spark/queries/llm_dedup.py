@@ -114,9 +114,37 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "jaccard", "join"),
 )
 def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs_from_shingles(
+        _shingle_rows(spark, sf_dir), tau=_JACCARD_TAU
+    )
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, tau: float, max_df: int | None = None
+) -> DataFrame:
+    """Exact Jaccard pairs from a (doc_id, s) distinct shingle relation.
+
+    *max_df* is the hot-shingle skew escape for the 100 TB tier: a
+    stopword-only shingle appearing in k documents contributes k² rows
+    to the shingle equi-join — one shingle shared by every document
+    degenerates the whole join to the O(n²) pair space. Dropping
+    shingles with document frequency > max_df bounds every join group
+    to max_df² rows. Per-doc sizes are recomputed AFTER the cutoff so
+    the Jaccard denominator stays consistent with the filtered shingle
+    universe (the standard max-df semantics of near-dup pipelines; a
+    hot shingle carries ~zero similarity signal anyway).
+    """
+    if max_df is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(keep, "s")
     # sh feeds three plan branches (counts + both join sides): cache so
     # the tokenize/shingle/distinct subtree runs once, not three times.
-    sh = _shingle_rows(spark, sf_dir).cache()
+    sh = sh.cache()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -132,7 +160,7 @@ def q42_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(F.broadcast(ca), "doc_a")
         .join(F.broadcast(cb), "doc_b")
-        .filter(jac >= _JACCARD_TAU)
+        .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -282,7 +310,8 @@ def q44_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS j) pos
       GROUP BY doc_id, j)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                AS BIGINT) AS simhash,
            count(*) AS n_bits
     FROM bits GROUP BY doc_id
     """,

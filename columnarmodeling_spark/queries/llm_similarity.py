@@ -190,7 +190,8 @@ def q47_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY n.vec_id, pl.p),
     sig AS (
       SELECT vec_id,
-             sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+             CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS bucket
       FROM dots GROUP BY vec_id)
     SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec
     FROM sig GROUP BY bucket

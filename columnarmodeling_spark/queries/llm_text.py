@@ -228,7 +228,7 @@ def q53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w, count(*) AS c
       FROM tok GROUP BY doc_id, w)
     SELECT doc_id,
-           sum(c)                              AS n_tokens,
+           CAST(sum(c) AS BIGINT)              AS n_tokens,
            count(*)                            AS n_distinct,
            round(max(c) * 1.0 / sum(c), 6)     AS top_word_share,
            round(count(*) * 1.0 / sum(c), 6)   AS distinct_ratio

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from columnarmodeling_spark.operators.indexing import with_global_index
 from columnarmodeling_spark.queries import register
 from columnarmodeling_spark.queries._util import t
 
@@ -212,7 +213,8 @@ def q06_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q07_rounded_dedup_dense_id",
     oracle="""
-    WITH d AS (SELECT DISTINCT round(c_acctbal, -2) AS bal_bucket, c_nationkey
+    WITH d AS (SELECT DISTINCT round(c_acctbal, -2) + 0.0 AS bal_bucket,
+                      c_nationkey
                FROM customer)
     SELECT bal_bucket, c_nationkey,
            row_number() OVER (ORDER BY bal_bucket, c_nationkey) AS dense_id
@@ -220,23 +222,26 @@ def q06_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Rounded-key dedup + dense id assignment (SURVEY §2.4 A3: node dedup "
     "on round(x,6) keys with incremental ids, GenerateColumnar.py:146-151). "
-    "row_number over sorted distinct keys replaces the sequential counter.",
+    "Dense ids come from the two-pass range-partitioned global index "
+    "(operators/indexing.py) — NOT a single-partition global window. "
+    "`+ 0.0` on both sides normalizes IEEE -0.0 (DuckDB round(-x,-2) "
+    "emits -0.0, Spark emits 0.0 — equal values, different strings).",
     tags=("dedup", "A3", "window"),
 )
 def q07_rounded_dedup_dense_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     d = cust.select(
-        F.round("c_acctbal", -2).alias("bal_bucket"), "c_nationkey"
+        (F.round("c_acctbal", -2) + F.lit(0.0)).alias("bal_bucket"),
+        "c_nationkey",
     ).distinct()
-    return d.withColumn(
-        "dense_id", F.row_number().over(W.orderBy("bal_bucket", "c_nationkey"))
-    )
+    return with_global_index(d, ["bal_bucket", "c_nationkey"], "dense_id")
 
 
 @register(
     "q08_flag_quota",
     oracle="""
-    SELECT sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+    SELECT CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT)                                    AS n_discounted,
            count(*)                                           AS n_total,
            CAST(ceil(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / 4.0)
                 AS BIGINT)                                    AS quota
@@ -521,7 +526,8 @@ def q17_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                                        AS n_items,
            bool_or(l_quantity > 49)                        AS has_big,
            bool_and(l_discount <= 0.1)                     AS all_low_disc,
-           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_over_half,
+           CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS n_over_half,
            round(sum(l_quantity), 2)                       AS qty_sum
     FROM lineitem
     GROUP BY l_orderkey
@@ -557,15 +563,15 @@ def q18_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_mirror_union",
     oracle="""
-    SELECT 'c'  AS copy, s_suppkey, round(s_acctbal, 2) AS x, CAST(s_suppkey % 50 AS DOUBLE) AS y FROM supplier
+    SELECT 'c'  AS copy, s_suppkey, round(s_acctbal, 2) + 0.0 AS x, CAST(s_suppkey % 50 AS DOUBLE) + 0.0 AS y FROM supplier
     UNION ALL
-    SELECT 'mx' AS copy, s_suppkey, round(-s_acctbal, 2) AS x, CAST(s_suppkey % 50 AS DOUBLE) AS y FROM supplier
+    SELECT 'mx' AS copy, s_suppkey, round(-s_acctbal, 2) + 0.0 AS x, CAST(s_suppkey % 50 AS DOUBLE) + 0.0 AS y FROM supplier
     UNION ALL
-    SELECT 'px' AS copy, s_suppkey, round(2*12000.0 - s_acctbal, 2) AS x, CAST(s_suppkey % 50 AS DOUBLE) AS y FROM supplier
+    SELECT 'px' AS copy, s_suppkey, round(2*12000.0 - s_acctbal, 2) + 0.0 AS x, CAST(s_suppkey % 50 AS DOUBLE) + 0.0 AS y FROM supplier
     UNION ALL
-    SELECT 'my' AS copy, s_suppkey, round(s_acctbal, 2) AS x, CAST(-(s_suppkey % 50) AS DOUBLE) AS y FROM supplier
+    SELECT 'my' AS copy, s_suppkey, round(s_acctbal, 2) + 0.0 AS x, CAST(-(s_suppkey % 50) AS DOUBLE) + 0.0 AS y FROM supplier
     UNION ALL
-    SELECT 'py' AS copy, s_suppkey, round(s_acctbal, 2) AS x, CAST(2*50 - (s_suppkey % 50) AS DOUBLE) AS y FROM supplier
+    SELECT 'py' AS copy, s_suppkey, round(s_acctbal, 2) + 0.0 AS x, CAST(2*50 - (s_suppkey % 50) AS DOUBLE) + 0.0 AS y FROM supplier
     """,
     doc="5-way mirror union (SURVEY §2.6 U1: mirrored seed copies for "
     "unbounded Voronoi cells, GenerateColumnar.py:80-86,116-121).",
@@ -579,11 +585,13 @@ def q19_mirror_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def copy(tag: str, x, y) -> DataFrame:
+        # `+ 0.0` collapses IEEE -0.0 (from mirroring a zero coordinate)
+        # to 0.0 so both engines stringify identically.
         return s.select(
             F.lit(tag).alias("copy"),
             "s_suppkey",
-            F.round(x, 2).alias("x"),
-            y.cast("double").alias("y"),
+            (F.round(x, 2) + F.lit(0.0)).alias("x"),
+            (y.cast("double") + F.lit(0.0)).alias("y"),
         )
 
     x0, y0 = F.col("x0"), F.col("y0")
@@ -1026,14 +1034,20 @@ def q66_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        FILTER (o_orderstatus = 'F')), []) AS done_prios
       FROM orders GROUP BY o_custkey)
     SELECT o_custkey,
-           open_prios, done_prios,
-           list_sort(list_intersect(open_prios, done_prios)) AS both_prios,
+           coalesce(array_to_string(open_prios, ','), '') AS open_prios,
+           coalesce(array_to_string(done_prios, ','), '') AS done_prios,
+           coalesce(array_to_string(
+               list_sort(list_intersect(open_prios, done_prios)), ','), '')
+               AS both_prios,
            len(list_distinct(list_concat(open_prios, done_prios))) AS n_all
     FROM per_cust
     """,
     doc="Array set algebra (SURVEY §2.6 U3/U4 primitives as array "
     "functions: array_intersect / array_union / array_distinct / "
-    "array_sort over per-key collected sets).",
+    "array_sort over per-key collected sets). Array outputs are "
+    "serialized to ','-joined strings on both sides: the driver's "
+    "canonicalizer sorts rows in pandas, and ndarray cells are "
+    "unhashable there (CORRECTNESS_r01 q67 err).",
     tags=("array", "setop", "U3", "U4"),
 )
 def q67_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,11 +1070,11 @@ def q67_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per.select(
         "o_custkey",
-        "open_prios",
-        "done_prios",
-        F.sort_array(F.array_intersect("open_prios", "done_prios")).alias(
-            "both_prios"
-        ),
+        F.array_join("open_prios", ",").alias("open_prios"),
+        F.array_join("done_prios", ",").alias("done_prios"),
+        F.array_join(
+            F.sort_array(F.array_intersect("open_prios", "done_prios")), ","
+        ).alias("both_prios"),
         F.size(F.array_distinct(F.concat("open_prios", "done_prios")))
         .cast("long")
         .alias("n_all"),

@@ -198,7 +198,17 @@ def q84_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return drain_to_memory(out, mode="update")
+    drained = drain_to_memory(out, mode="update")
+    # Update mode emits one row per (user, micro-batch); if the source ever
+    # splits into >1 batch (maxFilesPerTrigger, multiple files) the sink
+    # retains the stale prefix emissions too. n_events is strictly
+    # monotone per user, so the final state is the max-n_events row.
+    final = F.max(F.struct("n_events", "running_total")).alias("m")
+    return (
+        drained.groupBy("user_id")
+        .agg(final)
+        .select("user_id", F.col("m.running_total"), F.col("m.n_events"))
+    )
 
 
 @register(

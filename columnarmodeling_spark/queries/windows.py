@@ -154,9 +154,9 @@ def q25_row_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
         SELECT user_id, event_id, value,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+                    AS BIGINT) AS session_id
         FROM g)
     SELECT user_id, session_id, count(*) AS n_events,
            round(sum(value), 2) AS session_value

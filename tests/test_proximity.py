@@ -75,3 +75,41 @@ def test_grid_join_hot_cell(spark):
     df = spark.createDataFrame(rows, "id long, x double, y double")
     got = grid_proximity_join(df, eps=1.0, coords=("x", "y")).count()
     assert got == 60 * 59 // 2
+
+
+def test_grid_join_salted_exactness_and_bound(spark):
+    """The salt skew escape (SURVEY §4 hot-central-cell case): forcing
+    every point into ONE grid cell, the salted join must (a) return
+    exactly the unsalted pair set and (b) bound every (cell, salt) join
+    group to ~n/salt right-side rows, so no single task sees the whole
+    O(n²) cell."""
+    import pyspark.sql.functions as F
+
+    n, salt = 80, 8
+    rows = [(i, 0.001 * i, 0.0005 * i) for i in range(n)]  # one cell
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    plain = {
+        (r["src"], r["dst"])
+        for r in grid_proximity_join(df, eps=1.0, coords=("x", "y")).collect()
+    }
+    salted = {
+        (r["src"], r["dst"])
+        for r in grid_proximity_join(
+            df, eps=1.0, coords=("x", "y"), salt=salt
+        ).collect()
+    }
+    assert salted == plain == {
+        (a, b) for a in range(n) for b in range(a + 1, n)
+    }
+
+    # Bounded-group property: the right side shards into `salt` sub-keys
+    # of ≈ n/salt rows each (deterministic hash → fixed assignment).
+    shard_sizes = (
+        df.select(F.pmod(F.xxhash64("id"), F.lit(salt)).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(shard_sizes) == salt
+    assert max(r["count"] for r in shard_sizes) <= 3 * n // salt
