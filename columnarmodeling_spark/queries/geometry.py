@@ -79,15 +79,22 @@ def q91_mesh_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q92_clipped_facets",
     oracle=None,  # CAD-cut analog — rows-only; properties in tests
     doc="Boolean-cut join analog (SURVEY §2.3 J7: every face cut against "
-    "the specimen solid, BooleanOperation.py:99-125, cutters :178-188): "
-    "side facets clipped against the z-slab cutter via closed-form "
-    "Sutherland-Hodgman in mapInPandas — same observable trim as the "
-    "Rhino _-Split + reject pipeline for convex cutters, with no CAD "
-    "kernel and no shuffle (embarrassingly parallel per facet).",
+    "the specimen solid, BooleanOperation.py:99-125): the FULL cutter "
+    "menu of :178-188 — z-slab/box planes, sphere specimen, and the "
+    "Brazilian-split z-cylinder — via closed-form Sutherland-Hodgman "
+    "(exact quadric edge crossings, chordal boundary) in mapInPandas; "
+    "same observable trim as the Rhino _-Split + reject pipeline for "
+    "convex cutters, with no CAD kernel and no shuffle "
+    "(embarrassingly parallel per facet).",
     tags=("geometry", "J7", "pandas-udf"),
 )
 def q92_clipped_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from columnarmodeling_spark.geometry.clip import clip_facets, slab_halfspaces
+    from columnarmodeling_spark.geometry.clip import (
+        clip_facets,
+        cylinder_cutters,
+        slab_halfspaces,
+        sphere_cutter,
+    )
 
     _, facets = generate_columnar_mesh(
         spark, _seeds(spark, sf_dir), _W, _H, _D, lloyd_iters=1
@@ -97,11 +104,26 @@ def q92_clipped_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "facet_pos",
         F.array("p1", "p2", "p3", "p4").alias("vertices"),
     )
-    clipped = clip_facets(ring, slab_halfspaces(2.0, _D - 2.0))
+    # The reference's three specimen shapes, scaled to our domain: slab
+    # (box z-planes), centered sphere, and the Brazilian-split cylinder
+    # (base point, radius, height — BooleanOperation.py:183-188).
+    menu = {
+        "slab": slab_halfspaces(2.0, _D - 2.0),
+        "sphere": [sphere_cutter(_W / 2, _H / 2, _D / 2, 70.0)],
+        "cylinder": cylinder_cutters(_W / 2, _H / 2, 2.0, 80.0, _D - 4.0),
+    }
     zs = F.transform("vertices", lambda v: v["z"])
-    return clipped.select(
-        "grain_id",
-        "facet_pos",
-        "nv",
-        F.round(F.aggregate(zs, F.lit(0.0), lambda a, x: a + x) / F.col("nv"), 6).alias("mean_z"),
-    )
+    out = None
+    for kind, cutters in menu.items():
+        part = clip_facets(ring, cutters).select(
+            F.lit(kind).alias("cutter"),
+            "grain_id",
+            "facet_pos",
+            "nv",
+            F.round(
+                F.aggregate(zs, F.lit(0.0), lambda a, x: a + x) / F.col("nv"),
+                6,
+            ).alias("mean_z"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

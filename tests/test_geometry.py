@@ -93,6 +93,119 @@ def test_clip_polygon_slab_properties():
     assert clip_polygon(outer, hs) == []
 
 
+def _area3d(ring):
+    """Polygon area via the cross-product shoelace (planar ring in 3D)."""
+    import math
+
+    n = len(ring)
+    sx = sy = sz = 0.0
+    ox, oy, oz = ring[0]
+    for i in range(1, n - 1):
+        ax, ay, az = (c - o for c, o in zip(ring[i], (ox, oy, oz)))
+        bx, by, bz = (c - o for c, o in zip(ring[i + 1], (ox, oy, oz)))
+        sx += ay * bz - az * by
+        sy += az * bx - ax * bz
+        sz += ax * by - ay * bx
+    return 0.5 * math.sqrt(sx * sx + sy * sy + sz * sz)
+
+
+def test_sphere_cutter_properties():
+    """J7 sphere specimen (BooleanOperation.py:178-182): clipped area ≤
+    original, every output vertex inside the sphere, interior polygons
+    unchanged, exterior polygons dropped."""
+    from columnarmodeling_spark.geometry.clip import (
+        clip_polygon_cutters,
+        sphere_cutter,
+    )
+
+    cut = [sphere_cutter(0.0, 0.0, 0.0, 5.0)]
+    # z=0 square straddling the sphere boundary
+    quad = [(-8.0, -8.0, 0.0), (8.0, -8.0, 0.0), (8.0, 8.0, 0.0), (-8.0, 8.0, 0.0)]
+    out = clip_polygon_cutters(quad, cut)
+    assert len(out) >= 4
+    assert all(x * x + y * y + z * z <= 25.0 + 1e-9 for x, y, z in out)
+    assert _area3d(out) <= _area3d(quad)
+    # chordal approximation stays within the true disk area (pi*r^2)
+    assert _area3d(out) <= 3.14159266 * 25.0
+
+    inner = [(-1.0, -1.0, 0.0), (1.0, -1.0, 0.0), (0.0, 1.0, 0.0)]
+    assert clip_polygon_cutters(inner, cut) == inner
+    outer = [(10.0, 10.0, 0.0), (12.0, 10.0, 0.0), (11.0, 12.0, 0.0)]
+    assert clip_polygon_cutters(outer, cut) == []
+
+
+def test_sphere_cutter_tunneling_edge():
+    """Both endpoints outside, segment passing through the sphere — the
+    case linear Sutherland–Hodgman cannot hit but quadrics can."""
+    from columnarmodeling_spark.geometry.clip import (
+        clip_polygon_cutters,
+        sphere_cutter,
+    )
+
+    cut = [sphere_cutter(0.0, 0.0, 0.0, 2.0)]
+    # thin sliver whose long edges pass through the sphere; all 4
+    # vertices are outside (|x|=10 or y<=-3 corners excluded: choose
+    # a rectangle crossing the equator)
+    rect = [(-10.0, -1.0, 0.0), (10.0, -1.0, 0.0), (10.0, 1.0, 0.0), (-10.0, 1.0, 0.0)]
+    out = clip_polygon_cutters(rect, cut)
+    assert out, "tunneling edges must still produce the lens interior"
+    assert all(x * x + y * y <= 4.0 + 1e-9 for x, y, _ in out)
+    assert _area3d(out) > 0.0
+
+
+def test_cylinder_cutter_properties():
+    """J7 Brazilian-split cylinder (BooleanOperation.py:183-188): caps
+    exact, lateral surface exact at crossings, vertices inside."""
+    from columnarmodeling_spark.geometry.clip import (
+        clip_polygon_cutters,
+        cylinder_cutters,
+    )
+
+    cut = cylinder_cutters(0.0, 0.0, 0.0, 3.0, 10.0)
+    # vertical quad through the axis, wider and taller than the cylinder
+    quad = [(-9.0, 0.0, -5.0), (9.0, 0.0, -5.0), (9.0, 0.0, 15.0), (-9.0, 0.0, 15.0)]
+    out = clip_polygon_cutters(quad, cut)
+    assert len(out) >= 4
+    for x, y, z in out:
+        assert x * x + y * y <= 9.0 + 1e-9
+        assert -1e-9 <= z <= 10.0 + 1e-9
+    # the axial cross-section of the cylinder is exactly 2r × h
+    assert abs(_area3d(out) - 2.0 * 3.0 * 10.0) < 1e-6
+
+    inner = [(0.0, 0.0, 1.0), (1.0, 0.0, 1.0), (0.5, 0.5, 2.0)]
+    assert clip_polygon_cutters(inner, cut) == inner
+    outer = [(5.0, 5.0, 1.0), (6.0, 5.0, 1.0), (5.5, 6.0, 2.0)]
+    assert clip_polygon_cutters(outer, cut) == []
+
+
+def test_clip_facets_with_cutter_menu(spark):
+    """clip_facets accepts mixed half-space + quadric cutters (q92's
+    cutter-menu path through mapInPandas)."""
+    from columnarmodeling_spark.geometry.clip import (
+        clip_facets,
+        cylinder_cutters,
+        sphere_cutter,
+    )
+
+    rows = [
+        (1, 0, [{"x": -9.0, "y": 0.0, "z": 1.0}, {"x": 9.0, "y": 0.0, "z": 1.0},
+                {"x": 9.0, "y": 0.0, "z": 9.0}, {"x": -9.0, "y": 0.0, "z": 9.0}]),
+        (1, 1, [{"x": 20.0, "y": 20.0, "z": 1.0}, {"x": 21.0, "y": 20.0, "z": 1.0},
+                {"x": 20.5, "y": 21.0, "z": 2.0}]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "grain_id long, facet_pos int, "
+        "vertices array<struct<x: double, y: double, z: double>>",
+    )
+    out = clip_facets(df, cylinder_cutters(0.0, 0.0, 0.0, 5.0, 10.0)).collect()
+    assert len(out) == 1 and out[0]["facet_pos"] == 0
+    assert all(v["x"] ** 2 + v["y"] ** 2 <= 25.0 + 1e-9 for v in out[0]["vertices"])
+
+    out2 = clip_facets(df, [sphere_cutter(0.0, 0.0, 5.0, 6.0)]).collect()
+    assert len(out2) == 1 and out2[0]["facet_pos"] == 0
+
+
 def test_clip_facets_dataframe(spark):
     from columnarmodeling_spark.geometry.clip import clip_facets, slab_halfspaces
 
