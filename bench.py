@@ -21,7 +21,9 @@ from columnarmodeling_spark.queries import REGISTRY  # noqa: E402
 from columnarmodeling_spark.session import get_spark  # noqa: E402
 
 # Representative shapes: scan-agg, star join, array HOF, windows, global
-# index, proximity join, dedup, similarity, text analysis.
+# index, proximity join, dedup, similarity, text analysis. The ANN slot
+# is q69 (IVF search, the scale path) — NOT q46, whose driver-side
+# collect is the documented sf-small baseline kernel only.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_regional_revenue",
@@ -33,7 +35,6 @@ HEADLINE = [
     "q37_percentiles",
     "q42_ngram_jaccard_pairs",
     "q44_lsh_candidates",
-    "q46_cosine_topk",
     "q49_embedding_neardup",
     "q51_quality_score",
     "q69_ivf_search",
@@ -80,10 +81,49 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "solver_particle_steps_per_s": _solver_throughput(spark),
             }
         )
     )
     spark.stop()
+
+
+def _solver_throughput(spark) -> float:
+    """Halo-exchange block solver at the reference's own scale: 125 000
+    particles (spring lattice), 100 explicit-Euler steps. The
+    reference's single published number is 2.31M particle-steps/s
+    (CPUTime.txt: 500k steps x 125k particles / 27 049.7 s, 28
+    threads); this measures our equivalent on local[32]."""
+    from columnarmodeling_spark.simulation.solver import run_solver_blocked
+    from pyspark.sql import functions as F
+
+    nx, ny, n_steps = 500, 250, 100
+    ids = spark.range(nx * ny)
+    state = ids.select(
+        F.col("id"),
+        (F.col("id") % nx).cast("double").alias("x"),
+        F.floor(F.col("id") / nx).cast("double").alias("y"),
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    ).cache()
+    right = ids.filter((F.col("id") + 1) % nx != 0).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    down = ids.filter(F.col("id") < nx * (ny - 1)).select(
+        F.col("id").alias("src"), (F.col("id") + nx).alias("dst")
+    )
+    bonds = right.union(down).withColumn("rest", F.lit(0.95)).cache()
+    state.count(), bonds.count()
+    # warm-up round (Arrow/codegen), untimed
+    run_solver_blocked(state, bonds, 2, fuse=2, block=100.0, reach=1.1).count()
+    t0 = time.perf_counter()
+    run_solver_blocked(
+        state, bonds, n_steps, k=1.0, dt=0.001, fuse=100, block=250.0,
+        reach=1.1,
+    ).count()
+    dt_s = time.perf_counter() - t0
+    return round(nx * ny * n_steps / dt_s, 0)
 
 
 if __name__ == "__main__":

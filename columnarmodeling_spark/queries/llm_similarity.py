@@ -99,6 +99,17 @@ def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n = _quantized(spark, sf_dir)
+    # Driver-collect guard: this kernel is only valid while the index
+    # side fits comfortably in driver/executor memory. Beyond that the
+    # IVF path (q47 build + q69 search) is the supported route — fail
+    # loudly rather than OOM the driver at scale.
+    n_index = n.count()
+    if n_index > 1_000_000:
+        raise ValueError(
+            f"q46 brute-force kernel: index side has {n_index} vectors; "
+            "above the 1M driver-collect bound. Use the IVF path "
+            "(q47_ivf_centroids + q69_ivf_search) at this scale."
+        )
     idx_rows = n.select("vec_id", "label", "qv", "n2").collect()
     b_ids = np.array([r["vec_id"] for r in idx_rows], dtype=np.int64)
     b_labels = np.array([r["label"] for r in idx_rows], dtype=np.int64)

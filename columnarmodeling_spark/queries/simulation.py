@@ -207,14 +207,43 @@ def q62_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q63_greedy_selection",
-    oracle=None,  # inherently sequential fold — rows-only check (SURVEY §4)
+    oracle="""
+    WITH RECURSIVE cand AS (
+      SELECT concat_ws('#', o_orderpriority,
+                       CAST(day(o_orderdate) AS VARCHAR)) AS cand_id,
+             list(DISTINCT o_custkey) AS custs
+      FROM orders
+      GROUP BY o_orderpriority, day(o_orderdate)),
+    ordered AS (
+      SELECT cand_id, custs,
+             row_number() OVER (ORDER BY md5(cand_id)) AS rn
+      FROM cand),
+    walk(rn, cid, took, acc, n_taken) AS (
+      SELECT 0, CAST(NULL AS VARCHAR), false, CAST([] AS BIGINT[]), 0
+      UNION ALL
+      SELECT o.rn, o.cand_id,
+             NOT list_has_any(w.acc, o.custs),
+             CASE WHEN NOT list_has_any(w.acc, o.custs)
+                  THEN list_concat(w.acc, o.custs) ELSE w.acc END,
+             w.n_taken
+               + CASE WHEN NOT list_has_any(w.acc, o.custs)
+                      THEN 1 ELSE 0 END
+      FROM walk w JOIN ordered o ON o.rn = w.rn + 1
+      WHERE w.n_taken < 8)
+    SELECT o.cand_id, CAST(len(o.custs) AS BIGINT) AS n_customers
+    FROM walk w JOIN ordered o ON o.rn = w.rn
+    WHERE w.took
+    """,
     doc="Greedy randomized selection under disjointness (SURVEY §2.5 W4: "
     "GenerateColumnar.py:253-263,289-299 — shuffle pool, take until "
     "quota, skip on node overlap). Deterministic md5 ordering replaces "
     "random.shuffle; sequential fold on the driver over the small "
     "candidate table (operators/selection.py); heavy key-set build "
-    "stays distributed. Non-SQL-expressible → rows-only check; exact "
-    "semantics property-tested in tests/test_selection.py.",
+    "stays distributed. The fold is deterministic, so the oracle "
+    "unrolls it as a DuckDB recursive CTE walking the md5-ordered "
+    "candidate list with a running accepted-key set — W4 is "
+    "hash-checked, not rows-only. Exact semantics also "
+    "property-tested in tests/test_selection.py.",
     tags=("simulation", "W4", "sequential"),
 )
 def q63_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,15 +276,18 @@ def q63_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="E3 solver loop analog (SURVEY §3: 4D-LSM time loop, "
     "MLS00con.dat:4-7 dT/nOutLoops semantics): bond network from the "
     "J1 grid join (rest length = 90% of initial distance -> compressed "
-    "springs), then explicit-Euler micro-batch steps entirely as "
-    "joins + hash aggs + map expressions (simulation/solver.py). "
-    "Momentum conservation and snapshot-cadence invariants are pinned "
-    "in tests/test_solver.py.",
+    "springs), then explicit-Euler steps via the halo-exchange block "
+    "solver (simulation/solver.py run_solver_blocked) — fuse steps per "
+    "shuffle round, NumPy kernel per block; bit-identical to the "
+    "per-step relational loop (tests/test_solver.py) but ~60x its "
+    "throughput and the only shape that survives the reference's "
+    "500 000-step horizon. Momentum conservation and snapshot-cadence "
+    "invariants are pinned in tests/test_solver.py.",
     tags=("simulation", "E3", "iterative", "scale"),
 )
 def q64_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnarmodeling_spark.operators.proximity import grid_proximity_join
-    from columnarmodeling_spark.simulation.solver import run_solver
+    from columnarmodeling_spark.simulation.solver import run_solver_blocked
 
     c = t(spark, sf_dir, "customer")
     pts = c.select(
@@ -274,7 +306,9 @@ def q64_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("vy"),
         F.lit(1.0).alias("m"),
     )
-    final = run_solver(state0, bonds, n_steps=5, k=1.0, dt=0.01)
+    final = run_solver_blocked(
+        state0, bonds, n_steps=5, k=1.0, dt=0.01, fuse=5
+    )
     return final.select(
         "id",
         F.round("x", 6).alias("x"),

@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from columnarmodeling_spark.simulation.solver import run_solver, spring_forces
+from columnarmodeling_spark.simulation.solver import (
+    run_solver,
+    run_solver_blocked,
+    spring_forces,
+)
 
 
 def _square(spark):
@@ -67,6 +71,80 @@ def test_snapshot_cadence_and_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(step" in plan
     assert pruned.count() == 4
+
+
+def _lattice(spark, nx=12, ny=6, spacing=1.0):
+    """Rectangular spring lattice with slightly compressed rest lengths."""
+    pts = [
+        (j * nx + i, i * spacing, j * spacing, 0.0, 0.0, 1.0)
+        for j in range(ny)
+        for i in range(nx)
+    ]
+    edges = []
+    for j in range(ny):
+        for i in range(nx):
+            a = j * nx + i
+            if i + 1 < nx:
+                edges.append((a, a + 1, 0.9 * spacing))
+            if j + 1 < ny:
+                edges.append((a, a + nx, 0.9 * spacing))
+    state = spark.createDataFrame(
+        pts, "id long, x double, y double, vx double, vy double, m double"
+    )
+    bonds = spark.createDataFrame(edges, "src long, dst long, rest double")
+    return state, bonds
+
+
+def test_fused_solver_matches_per_step(spark):
+    """fuse>1 only changes job boundaries, never the numbers."""
+    state, bonds = _square(spark)
+    a = sorted(map(tuple, run_solver(state, bonds, 8, 1.0, 0.05).collect()))
+    b = sorted(
+        map(tuple, run_solver(state, bonds, 8, 1.0, 0.05, fuse=4).collect())
+    )
+    assert a == b
+
+
+def test_blocked_solver_matches_per_step(spark):
+    """Halo-exchange block solver must be exact for owned particles: the
+    halo covers `fuse` bond-hops, and influence travels one hop per
+    explicit-Euler step (the correctness argument in the docstring)."""
+    state, bonds = _lattice(spark)
+    ref = {
+        r["id"]: r
+        for r in run_solver(state, bonds, 10, k=1.0, dt=0.02).collect()
+    }
+    got = {
+        r["id"]: r
+        for r in run_solver_blocked(
+            state, bonds, 10, k=1.0, dt=0.02, fuse=5, block=6.0, reach=1.2
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for i in ref:
+        for c in ("x", "y", "vx", "vy"):
+            assert abs(got[i][c] - ref[i][c]) < 1e-9, (i, c)
+
+
+def test_blocked_solver_multi_block(spark):
+    """Small blocks force real halo traffic across ≥ 4 blocks."""
+    state, bonds = _lattice(spark, nx=16, ny=8)
+    ref = sorted(
+        map(tuple, run_solver(state, bonds, 6, k=0.5, dt=0.02).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            run_solver_blocked(
+                state, bonds, 6, k=0.5, dt=0.02, fuse=3, block=4.0, reach=1.0
+            ).collect(),
+        )
+    )
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        assert a[0] == b[0]
+        for u, v in zip(a[1:], b[1:]):
+            assert abs(u - v) < 1e-9
 
 
 def test_coincident_particles_exert_no_force(spark):
