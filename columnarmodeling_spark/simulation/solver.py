@@ -146,8 +146,6 @@ def run_solver_blocked(
     *block* (cell edge) defaults to 4× the halo width; *reach*
     defaults to 1.5 × the max bond rest length (stretch safety).
     """
-    import pandas as pd
-
     if reach is None:
         max_rest = bonds.agg(F.max("rest")).collect()[0][0] or 1.0
         reach = 1.5 * float(max_rest)
@@ -156,6 +154,34 @@ def run_solver_blocked(
         block = 4.0 * halo
 
     bonds = bonds.localCheckpoint(eager=False)
+
+    i = 0
+    while i < n_steps:
+        burst = min(fuse, n_steps - i)
+        state = blocked_round(
+            state, bonds, k, dt, burst, block, halo
+        ).localCheckpoint()
+        i += burst
+    return state
+
+
+def blocked_round(
+    state: DataFrame,
+    bonds: DataFrame,
+    k: float,
+    dt: float,
+    burst: int,
+    block: float,
+    halo: float,
+) -> DataFrame:
+    """One halo-exchange round (the loop body of the block solver),
+    lazily built: block assignment + 3×3 halo replication, local bond
+    extraction, then *burst* Euler sub-steps in one cogrouped NumPy
+    kernel. Exposed separately so the captured plan (PLANS.md q64)
+    shows the per-round shape: ONE FlatMapCoGroupsInPandas whose two
+    inputs hash-partition on the block key — `burst` whole physics
+    steps per shuffle round."""
+    import pandas as pd
 
     out_schema = (
         "id long, x double, y double, vx double, vy double, m double"
@@ -217,78 +243,69 @@ def run_solver_blocked(
 
         return kernel
 
-    i = 0
-    while i < n_steps:
-        burst = min(fuse, n_steps - i)
-        # 1. owner block + 3×3 halo replication (halo < block by design)
-        bxc = F.floor(F.col("x") / F.lit(block))
-        byc = F.floor(F.col("y") / F.lit(block))
-        offs = F.array(
-            *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
+    # 1. owner block + 3×3 halo replication (halo < block by design)
+    bxc = F.floor(F.col("x") / F.lit(block))
+    byc = F.floor(F.col("y") / F.lit(block))
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    rep = (
+        state.withColumn("__bx", bxc)
+        .withColumn("__by", byc)
+        .withColumn("__o", F.explode(offs))
+        .withColumn("bx", F.col("__bx") + F.col("__o.dx"))
+        .withColumn("by", F.col("__by") + F.col("__o.dy"))
+        .withColumn(
+            "owned", (F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)
         )
-        rep = (
-            state.withColumn("__bx", bxc)
-            .withColumn("__by", byc)
-            .withColumn("__o", F.explode(offs))
-            .withColumn("bx", F.col("__bx") + F.col("__o.dx"))
-            .withColumn("by", F.col("__by") + F.col("__o.dy"))
-            .withColumn(
-                "owned", (F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)
-            )
-            # keep a halo copy only if the particle lies within `halo`
-            # of the target block's expanded bounds
-            .filter(
-                F.col("owned")
-                | (
-                    (F.col("x") >= F.col("bx") * block - halo)
-                    & (F.col("x") < (F.col("bx") + 1) * block + halo)
-                    & (F.col("y") >= F.col("by") * block - halo)
-                    & (F.col("y") < (F.col("by") + 1) * block + halo)
-                )
-            )
-            .select("id", "x", "y", "vx", "vy", "m", "bx", "by", "owned")
-        )
-        # 2. bonds whose BOTH ends live in the same block replica
-        mem_src = rep.select(
-            F.col("id").alias("src"),
-            F.col("bx").alias("sbx"),
-            F.col("by").alias("sby"),
-        )
-        mem_dst = rep.select(
-            F.col("id").alias("dst"),
-            F.col("bx").alias("dbx"),
-            F.col("by").alias("dby"),
-        )
-        eb = (
-            bonds.join(mem_src, "src")
-            .join(mem_dst, "dst")
-            .filter(
-                (F.col("sbx") == F.col("dbx")) & (F.col("sby") == F.col("dby"))
-            )
-            .select(
-                "src",
-                "dst",
-                "rest",
-                F.col("sbx").alias("bx"),
-                F.col("sby").alias("by"),
+        # keep a halo copy only if the particle lies within `halo`
+        # of the target block's expanded bounds
+        .filter(
+            F.col("owned")
+            | (
+                (F.col("x") >= F.col("bx") * block - halo)
+                & (F.col("x") < (F.col("bx") + 1) * block + halo)
+                & (F.col("y") >= F.col("by") * block - halo)
+                & (F.col("y") < (F.col("by") + 1) * block + halo)
             )
         )
-        # 3. `burst` sub-steps inside one cogrouped Arrow batch per block
-        stepped = (
-            rep.groupBy("bx", "by")
-            .cogroup(eb.groupBy("bx", "by"))
-            .applyInPandas(
-                make_kernel(burst), schema=out_schema + ", owned boolean"
-            )
+        .select("id", "x", "y", "vx", "vy", "m", "bx", "by", "owned")
+    )
+    # 2. bonds whose BOTH ends live in the same block replica
+    mem_src = rep.select(
+        F.col("id").alias("src"),
+        F.col("bx").alias("sbx"),
+        F.col("by").alias("sby"),
+    )
+    mem_dst = rep.select(
+        F.col("id").alias("dst"),
+        F.col("bx").alias("dbx"),
+        F.col("by").alias("dby"),
+    )
+    eb = (
+        bonds.join(mem_src, "src")
+        .join(mem_dst, "dst")
+        .filter(
+            (F.col("sbx") == F.col("dbx")) & (F.col("sby") == F.col("dby"))
         )
-        state = (
-            stepped.filter("owned")
-            .select("id", "x", "y", "vx", "vy", "m")
-            .localCheckpoint()
+        .select(
+            "src",
+            "dst",
+            "rest",
+            F.col("sbx").alias("bx"),
+            F.col("sby").alias("by"),
         )
-        i += burst
-    return state
+    )
+    # 3. `burst` sub-steps inside one cogrouped Arrow batch per block
+    stepped = (
+        rep.groupBy("bx", "by")
+        .cogroup(eb.groupBy("bx", "by"))
+        .applyInPandas(
+            make_kernel(burst), schema=out_schema + ", owned boolean"
+        )
+    )
+    return stepped.filter("owned").select("id", "x", "y", "vx", "vy", "m")

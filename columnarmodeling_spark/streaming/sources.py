@@ -43,18 +43,35 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def drain_to_memory(
-    stream_df: DataFrame, mode: str = "complete"
+    stream_df: DataFrame, mode: str = "complete", partitions: int = 8
 ) -> DataFrame:
     """Run a streaming aggregation to completion against the available
     input (the solver-run analog: process every pending micro-batch,
-    then stop) and return the result as a batch DataFrame."""
+    then stop) and return the result as a batch DataFrame.
+
+    Stateful streaming spins up one state-store instance PER shuffle
+    partition per stateful operator; at the batch tier's 32 partitions
+    that fixed cost dwarfs the sf-small data. *partitions* temporarily
+    lowers ``spark.sql.shuffle.partitions`` while the stream drains
+    (state-store parallelism is a per-query choice a real deployment
+    sizes to its key cardinality — this is configuration, not
+    semantics; AQE does the equivalent resizing for batch plans but is
+    disabled inside stateful streaming). The previous value is restored
+    before returning so batch queries are unaffected.
+    """
+    spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

@@ -116,6 +116,56 @@ def test_connected_components_chain(spark):
     assert got == {(i, 0) for i in range(10)} | {(10, 10)}
 
 
+def test_star_components_long_chain(spark):
+    """Adversarial-diameter case: a 200-node path graph needs ~200
+    propagation rounds but only O(log² n) large-star/small-star rounds
+    — the 100 TB escape the propagation docstring points to."""
+    from columnarmodeling_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert got == {(i, 0) for i in range(n)} | {(n, n)}
+
+
+def test_star_components_matches_propagation(spark):
+    """Both algorithms must label identically on a random multi-component
+    graph (same canonical-min contract)."""
+    import random
+
+    from columnarmodeling_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    n = 120
+    edges_py = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(edges_py, "src long, dst long").filter(
+        "src != dst"
+    )
+    a = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(nodes, edges).collect()
+    )
+    b = sorted(
+        (r["id"], r["component"])
+        for r in connected_components_star(nodes, edges).collect()
+    )
+    assert a == b
+
+
 def test_subqueries_decorrelated(spark, sf_dir):
     """q39/q57 claim Catalyst decorrelates their subqueries: the
     physical plan must contain joins, not per-row subquery nodes."""

@@ -43,6 +43,74 @@ CASES = {
     "id only — the O(n^2) pair space never appears in the plan.",
 }
 
+# Iterative operators: the registered query's final DataFrame sits behind
+# a lineage-truncating localCheckpoint, so the interesting plan is the
+# PER-ROUND body the loop repeats. These builders construct one round
+# lazily on representative inputs.
+
+
+def _q56_round(spark, sf):
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.operators.graph import propagation_round
+
+    edges = spark.range(1000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7) % 1000).alias("dst")
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).selectExpr("src as u", "dst as v").distinct()
+    labels = spark.range(1000).select(
+        F.col("id"), F.col("id").alias("component")
+    )
+    return propagation_round(und, labels)
+
+
+def _q64_round(spark, sf):
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.simulation.solver import blocked_round
+
+    ids = spark.range(10_000)
+    state = ids.select(
+        "id",
+        (F.col("id") % 100).cast("double").alias("x"),
+        F.floor(F.col("id") / 100).cast("double").alias("y"),
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    )
+    bonds = ids.filter((F.col("id") + 1) % 100 != 0).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+        F.lit(0.95).alias("rest"),
+    )
+    return blocked_round(state, bonds, 1.0, 0.001, 50, 130.0, 55.0)
+
+
+ROUND_CASES = {
+    "q56_dup_clusters (one propagation round)": (
+        "Connected-components loop body (operators/graph.py "
+        "propagation_round; heaviest non-streaming headliner with q64). "
+        "What to check: ONE exchange pair per round — the edge→label "
+        "equi-join feeds a partial/final min hash-agg, and the label "
+        "update joins back on the already-partitioned id key; rounds = "
+        "cluster diameter, each round this same shape re-executes on "
+        "checkpointed inputs.",
+        _q56_round,
+    ),
+    "q64_solver_steps (one blocked round, fuse=50)": (
+        "Halo-exchange block solver round (simulation/solver.py "
+        "blocked_round). What to check: the physics runs in ONE "
+        "FlatMapCoGroupsInPandas whose two inputs hash-partition on the "
+        "block key (bx, by) — 50 whole Euler steps execute inside that "
+        "single operator per shuffle round, which is why throughput is "
+        "~3.7M particle-steps/s instead of the per-step loop's 0.05M "
+        "(tools/solver_bench.py).",
+        _q64_round,
+    ),
+}
+
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -57,6 +125,12 @@ def main() -> None:
     for name, blurb in CASES.items():
         out.write(f"\n## {name}\n\n{blurb}\n\n```\n")
         df = REGISTRY[name].fn(spark, sf)
+        with contextlib.redirect_stdout(out):
+            df.explain("formatted")
+        out.write("```\n")
+    for name, (blurb, builder) in ROUND_CASES.items():
+        out.write(f"\n## {name}\n\n{blurb}\n\n```\n")
+        df = builder(spark, sf)
         with contextlib.redirect_stdout(out):
             df.explain("formatted")
         out.write("```\n")
