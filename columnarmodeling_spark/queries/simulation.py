@@ -270,9 +270,79 @@ def q63_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _solver_oracle(n_steps: int, k: str, dt: str, eps: str) -> str:
+    """Unroll n_steps explicit-Euler steps as a DuckDB CTE chain.
+
+    The bond set and every arithmetic expression mirror the Spark side
+    operation-for-operation (same IEEE ops in the same association), so
+    the two engines agree to summation-order noise (~1e-12 relative),
+    absorbed by the 6dp output rounding — the same unrolled-iteration
+    oracle pattern as q62's Lloyd loop.
+    """
+    head = f"""
+    WITH pts AS (
+      SELECT c_custkey AS id, c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y
+      FROM customer),
+    bonds AS (
+      SELECT a.id AS src, b.id AS dst,
+             0.9 * sqrt((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y)) AS rest
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE sqrt((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) < {eps}),
+    s0 AS (SELECT id, x, y, 0.0 AS vx, 0.0 AS vy, 1.0 AS m FROM pts)"""
+    steps = []
+    for i in range(1, n_steps + 1):
+        p = i - 1
+        steps.append(f""",
+    d{i} AS (
+      SELECT b.src, b.dst, b.rest,
+             pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS by,
+             sqrt((pb.x - pa.x) * (pb.x - pa.x)
+                  + (pb.y - pa.y) * (pb.y - pa.y)) AS dist
+      FROM bonds b
+      JOIN s{p} pa ON b.src = pa.id
+      JOIN s{p} pb ON b.dst = pb.id),
+    f{i} AS (
+      SELECT id, sum(fx) AS fx, sum(fy) AS fy FROM (
+        SELECT src AS id,
+               CASE WHEN dist > 0
+                    THEN {k} * (dist - rest) / dist * (bx - ax)
+                    ELSE 0.0 END AS fx,
+               CASE WHEN dist > 0
+                    THEN {k} * (dist - rest) / dist * (by - ay)
+                    ELSE 0.0 END AS fy
+        FROM d{i}
+        UNION ALL
+        SELECT dst AS id,
+               CASE WHEN dist > 0
+                    THEN -({k} * (dist - rest) / dist * (bx - ax))
+                    ELSE 0.0 END,
+               CASE WHEN dist > 0
+                    THEN -({k} * (dist - rest) / dist * (by - ay))
+                    ELSE 0.0 END
+        FROM d{i})
+      GROUP BY id),
+    s{i} AS (
+      SELECT s.id,
+             s.x + (s.vx + coalesce(f.fx, 0.0) / s.m * {dt}) * {dt} AS x,
+             s.y + (s.vy + coalesce(f.fy, 0.0) / s.m * {dt}) * {dt} AS y,
+             s.vx + coalesce(f.fx, 0.0) / s.m * {dt} AS vx,
+             s.vy + coalesce(f.fy, 0.0) / s.m * {dt} AS vy,
+             s.m
+      FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
+    tail = f"""
+    SELECT id, round(x, 6) AS x, round(y, 6) AS y,
+           round(vx, 6) AS vx, round(vy, 6) AS vy
+    FROM s{n_steps}
+    """
+    return head + "".join(steps) + tail
+
+
 @register(
     "q64_solver_steps",
-    oracle=None,  # iterative dynamics — rows-only; invariants in tests
+    oracle=_solver_oracle(5, "1.0", "0.01", "30.0"),
     doc="E3 solver loop analog (SURVEY §3: 4D-LSM time loop, "
     "MLS00con.dat:4-7 dT/nOutLoops semantics): bond network from the "
     "J1 grid join (rest length = 90% of initial distance -> compressed "
@@ -281,8 +351,11 @@ def q63_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle round, NumPy kernel per block; bit-identical to the "
     "per-step relational loop (tests/test_solver.py) but ~60x its "
     "throughput and the only shape that survives the reference's "
-    "500 000-step horizon. Momentum conservation and snapshot-cadence "
-    "invariants are pinned in tests/test_solver.py.",
+    "500 000-step horizon. The oracle unrolls all 5 steps as a DuckDB "
+    "CTE chain (bond build + force agg + integration per step), so the "
+    "whole dynamics loop is hash-checked against an independent "
+    "engine, not rows-only. Momentum conservation and snapshot-cadence "
+    "invariants are additionally pinned in tests/test_solver.py.",
     tags=("simulation", "E3", "iterative", "scale"),
 )
 def q64_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
