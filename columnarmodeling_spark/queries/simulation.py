@@ -280,23 +280,23 @@ def _solver_oracle(n_steps: int, k: str, dt: str, eps: str) -> str:
     oracle pattern as q62's Lloyd loop.
     """
     head = f"""
-    WITH pts AS (
+    WITH pts AS MATERIALIZED (
       SELECT c_custkey AS id, c_acctbal AS x,
              CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y
       FROM customer),
-    bonds AS (
+    bonds AS MATERIALIZED (
       SELECT a.id AS src, b.id AS dst,
              0.9 * sqrt((a.x - b.x) * (a.x - b.x)
                         + (a.y - b.y) * (a.y - b.y)) AS rest
       FROM pts a JOIN pts b ON a.id < b.id
       WHERE sqrt((a.x - b.x) * (a.x - b.x)
                  + (a.y - b.y) * (a.y - b.y)) < {eps}),
-    s0 AS (SELECT id, x, y, 0.0 AS vx, 0.0 AS vy, 1.0 AS m FROM pts)"""
+    s0 AS MATERIALIZED (SELECT id, x, y, 0.0 AS vx, 0.0 AS vy, 1.0 AS m FROM pts)"""
     steps = []
     for i in range(1, n_steps + 1):
         p = i - 1
         steps.append(f""",
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT b.src, b.dst, b.rest,
              pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS by,
              sqrt((pb.x - pa.x) * (pb.x - pa.x)
@@ -304,7 +304,7 @@ def _solver_oracle(n_steps: int, k: str, dt: str, eps: str) -> str:
       FROM bonds b
       JOIN s{p} pa ON b.src = pa.id
       JOIN s{p} pb ON b.dst = pb.id),
-    f{i} AS (
+    f{i} AS MATERIALIZED (
       SELECT id, sum(fx) AS fx, sum(fy) AS fy FROM (
         SELECT src AS id,
                CASE WHEN dist > 0
@@ -324,7 +324,7 @@ def _solver_oracle(n_steps: int, k: str, dt: str, eps: str) -> str:
                     ELSE 0.0 END
         FROM d{i})
       GROUP BY id),
-    s{i} AS (
+    s{i} AS MATERIALIZED (
       SELECT s.id,
              s.x + (s.vx + coalesce(f.fx, 0.0) / s.m * {dt}) * {dt} AS x,
              s.y + (s.vy + coalesce(f.fy, 0.0) / s.m * {dt}) * {dt} AS y,
