@@ -1,0 +1,153 @@
+"""End-to-end experiment runner — the engine's analog of running one of
+the reference's canonical test cases (SURVEY §3 E3; README.md:29-33
+"cd into a case folder and run the exe").
+
+The reference workflow per case folder (e.g. UniaxialCompressionTest):
+manifest (``mls.c``) names the particle table, materials, boundary
+conditions and output prefix; the solver links particles whose surface
+gap is below ``dGap`` into spring bonds (``MLS00con.dat:1-3``), applies
+range-predicate boundary conditions (``MLSLD00.dat``), advances
+``T/dT`` explicit steps, and appends outputs every ``nOutLoops`` steps:
+binary particle snapshots (``Output/MLSOut*.bin``) plus the E series
+(per-platen reaction forces → stress–strain curve) and B series
+(global bbox + damage scalar).
+
+This module chains the engine's operators into that exact pipeline:
+
+1. bond build = J1 ``grid_proximity_join`` (dGap semantics);
+2. BC selection = P2 range predicate (platen = y-range band);
+3. time loop = halo-exchange block solver (fuse steps/shuffle round);
+4. snapshot sink = S9 step-partitioned parquet (partition pruning);
+5. E series = A7 per-platen reaction aggregation per output step;
+6. B series = A8 global bbox aggregation per output step.
+
+Everything stays distributed: the only driver-side values are the
+per-output-step E/B summary rows (a handful per cadence point).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.operators.proximity import grid_proximity_join
+from columnarmodeling_spark.simulation.solver import run_solver_blocked
+
+
+@dataclass
+class ExperimentConfig:
+    """The ``MLS00con.dat`` scalar block, engine-side (SysFile.ini:45-71
+    field docs): gap threshold, spring stiffness, step size, total
+    steps, output cadence."""
+
+    d_gap: float = 1.5
+    k: float = 1.0
+    dt: float = 0.005
+    n_steps: int = 40
+    n_out: int = 20  # output cadence (nOutLoops)
+    fuse: int = 20
+    platen_frac: float = 0.08  # top/bottom band thickness for E probes
+
+
+def build_bonds(particles: DataFrame, cfg: ExperimentConfig) -> DataFrame:
+    """J1: link particle pairs with surface gap < d_gap (MLSBond.dat
+    shape ``src dst rest``; rest = initial center distance so the
+    network starts at equilibrium)."""
+    pairs = grid_proximity_join(
+        particles,
+        eps=cfg.d_gap,
+        coords=("x", "y"),
+        id_col="id",
+        radius_col="r" if "r" in particles.columns else None,
+    )
+    return pairs.select("src", "dst", F.col("dist").alias("rest"))
+
+
+def run_experiment(
+    spark: SparkSession,
+    particles: DataFrame,
+    cfg: ExperimentConfig,
+    out_path: str,
+) -> dict[str, DataFrame]:
+    """Run the full case: returns dict with ``final`` state, ``e_series``
+    (per-platen reactions per output step) and ``b_series`` (bbox +
+    displacement scalar per output step); snapshots land under
+    *out_path* partitioned by ``step``.
+
+    The initial state is squeezed 2% in y (uniaxial compression analog:
+    the platen displacement of ``MLSLD00.dat``'s -20-valued BC rows),
+    so the compressed spring network pushes back and the E series shows
+    a relaxing reaction force.
+    """
+    bounds = particles.agg(
+        F.min("y").alias("y0"), F.max("y").alias("y1")
+    ).collect()[0]
+    y0, y1 = float(bounds["y0"]), float(bounds["y1"])
+    band = (y1 - y0) * cfg.platen_frac
+
+    bonds = build_bonds(particles, cfg).localCheckpoint()
+
+    # uniaxial squeeze: positions compressed toward the mid-plane
+    mid = 0.5 * (y0 + y1)
+    state = particles.select(
+        "id",
+        "x",
+        (mid + (F.col("y") - mid) * 0.98).alias("y"),
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    )
+
+    e_rows: list[DataFrame] = []
+    b_rows: list[DataFrame] = []
+    step = 0
+    while step < cfg.n_steps:
+        burst = min(cfg.n_out, cfg.n_steps - step)
+        state = run_solver_blocked(
+            state, bonds, burst, k=cfg.k, dt=cfg.dt, fuse=cfg.fuse
+        )
+        step += burst
+        # S9 snapshot sink: parquet partitioned by step → the read side
+        # prunes on the step partition column like the reference's
+        # filename-embedded step
+        state.withColumn("step", F.lit(step)).write.mode("append").partitionBy(
+            "step"
+        ).parquet(out_path)
+
+        # A7 E-series: per-platen mean displacement + reaction proxy
+        platen = F.when(F.col("y") >= y1 - band, F.lit("top")).when(
+            F.col("y") <= y0 + band, F.lit("bottom")
+        )
+        e_rows.append(
+            state.withColumn("platen", platen)
+            .filter(F.col("platen").isNotNull())
+            .groupBy("platen")
+            .agg(
+                F.round(F.avg("y"), 6).alias("mean_y"),
+                F.round(F.sum("vy"), 6).alias("sum_vy"),
+                F.count("*").alias("n"),
+            )
+            .withColumn("step", F.lit(step))
+        )
+        # A8 B-series: global bbox + mean displacement magnitude
+        b_rows.append(
+            state.agg(
+                F.round(F.min("x"), 6).alias("x_min"),
+                F.round(F.max("x"), 6).alias("x_max"),
+                F.round(F.min("y"), 6).alias("y_min"),
+                F.round(F.max("y"), 6).alias("y_max"),
+                F.round(
+                    F.avg(F.sqrt(F.col("vx") ** 2 + F.col("vy") ** 2)), 6
+                ).alias("mean_speed"),
+            ).withColumn("step", F.lit(step))
+        )
+
+    e_series = e_rows[0]
+    for df in e_rows[1:]:
+        e_series = e_series.unionByName(df)
+    b_series = b_rows[0]
+    for df in b_rows[1:]:
+        b_series = b_series.unionByName(df)
+    return {"final": state, "e_series": e_series, "b_series": b_series}
