@@ -149,6 +149,7 @@ def _load_all() -> None:
         llm_dedup,
         llm_similarity,
         llm_text,
+        llm_pipeline,
         simulation,
         io_codec,
         streaming,

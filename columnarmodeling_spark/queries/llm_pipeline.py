@@ -1,0 +1,169 @@
+"""Composed training-data pipeline operators: corpus-mix construction
+and train/eval contamination detection.
+
+These are the LLM-tier analog of the simulation tier's end-to-end
+experiment runner (``simulation/experiment.py``): where the individual
+operators (q40 exact dedup, q51 quality, q87 hash sampling, q42 shingle
+join) are the instruments, these queries chain them into the two
+workflows a training-data team actually runs:
+
+- **q95_training_mix** — quality floor → exact dedup (canonical = min
+  doc_id per content hash) → per-source deterministic hash sampling at
+  mix-specific rates → per-source corpus statistics. Every stage is a
+  map-side filter or a single keyed shuffle; nothing is collected.
+- **q94_contamination** — n-gram overlap between an eval split and the
+  training split: the standard benchmark-leakage check. The train side
+  is reduced to a DISTINCT shingle set before the join, so every probe
+  row matches at most once — the join fan-out is bounded by design (no
+  hot-shingle k² blowup, unlike a raw doc×doc shingle join; compare
+  ``jaccard_pairs_from_shingles``'s ``max_df`` escape).
+
+Both have exact DuckDB oracles (same md5-prefix hash arithmetic as the
+rest of the tier, ``functions/text.py``).
+
+Scale notes (100 TB): q95 is scan → filter → one window shuffle (hash
+partition on content hash) → map filter → per-source agg; the sampling
+filter rides the scan output, so the expensive shuffle sees only
+deduped survivors. q94's two shingle relations shuffle on the shingle
+string; at corpus scale the DISTINCT train side is the big relation and
+the right physical plan is a shuffle hash join (not broadcast) — for a
+small eval split, flipping the build side or a bloom-filter pre-pass
+are the standard refinements; semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from columnarmodeling_spark.functions.text import tokens
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+from columnarmodeling_spark.queries.llm_dedup import _shingle_rows, _SQL_SHINGLES
+
+# Mix-rate menu keyed on the numeric source suffix: low-numbered
+# sources play the "curated" role (keep all), mid the "reference"
+# role (half), the long tail the "web-crawl" role (quarter).
+_RATE_CASE_SQL = """
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 1.0
+              WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 0.5
+              ELSE 0.25 END
+"""
+_MIN_TOKENS = 10
+
+
+@register(
+    "q94_contamination",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0),
+    tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_hit
+      FROM ev e JOIN tr ON e.s = tr.s
+      GROUP BY e.doc_id)
+    SELECT t.doc_id,
+           t.n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           round(coalesce(h.n_hit, 0) * 1.0 / t.n_shingles, 6)
+               AS contamination
+    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    doc="Train/eval contamination detection (LLM-pipeline tier): for "
+    "every eval-split document (doc_id % 10 = 0), the fraction of its "
+    "word 3-grams that also occur anywhere in the train split — the "
+    "standard benchmark-leakage scan. Train side is DISTINCT shingles, "
+    "so the equi-join fan-out is at most 1 per probe row: skew-immune "
+    "by construction.",
+    tags=("text", "llm", "contamination", "join", "scale"),
+)
+def q94_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir).cache()
+    ev = sh.filter(F.col("doc_id") % 10 == 0)
+    tr = sh.filter(F.col("doc_id") % 10 != 0).select("s").distinct()
+    tot = ev.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        ev.join(tr, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_hit = F.coalesce("n_hit", F.lit(0))
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_hit.cast("long").alias("n_contaminated"),
+        F.round(n_hit / F.col("n_shingles"), 6).alias("contamination"),
+    )
+
+
+@register(
+    "q95_training_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    q AS (SELECT * FROM toks WHERE len(tk) >= {_MIN_TOKENS}),
+    dd AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM q),
+    kept AS (SELECT doc_id, source, tk FROM dd WHERE doc_id = mn),
+    rated AS (
+      SELECT doc_id, source, tk,
+             CAST({_RATE_CASE_SQL} AS DOUBLE) AS rate,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) AS hk
+      FROM kept),
+    sampled AS (SELECT * FROM rated WHERE hk < CAST(rate * 65536 AS INTEGER))
+    SELECT source,
+           round(rate, 6) AS mix_rate,
+           count(*) AS n_docs,
+           CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+           round(avg(len(tk)), 6) AS mean_tokens
+    FROM sampled
+    GROUP BY source, rate
+    """,
+    doc="Training-mix construction, end-to-end (LLM-pipeline capstone): "
+    "quality floor (>= 10 tokens) -> exact dedup (canonical = min "
+    "doc_id per md5(text), one hash-partitioned window) -> per-source "
+    "deterministic hash sampling at mix rates (curated 1.0 / reference "
+    "0.5 / web 0.25) -> per-source doc and token counts. The sampling "
+    "predicate is the q87 composable 16-bit-md5 rule: re-running at a "
+    "lower rate yields a subset, and the decision is reproducible "
+    "across engines, runs and partitionings.",
+    tags=("text", "llm", "sampling", "dedup", "pipeline", "scale"),
+)
+def q95_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    q = d.filter(F.size("tk") >= _MIN_TOKENS)
+    kept = (
+        q.withColumn(
+            "mn", F.min("doc_id").over(W.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("mn"))
+        .select("doc_id", "source", "tk")
+    )
+    suffix = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(suffix < 5, F.lit(1.0))
+        .when(suffix < 10, F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    hk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    sampled = kept.withColumn("rate", rate).filter(
+        hk < (F.col("rate") * 65536).cast("int")
+    )
+    return sampled.groupBy("source", "rate").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tk")).cast("bigint").alias("n_tokens"),
+        F.round(F.avg(F.size("tk")), 6).alias("mean_tokens"),
+    ).select(
+        "source",
+        F.round("rate", 6).alias("mix_rate"),
+        "n_docs",
+        "n_tokens",
+        "mean_tokens",
+    )

@@ -1,0 +1,68 @@
+"""Semantic invariants for the composed training-data pipeline queries
+(q94 contamination, q95 training mix) beyond the differential oracle:
+known-answer contamination on a crafted corpus, and the mix's
+rate-monotone subset property (a lower rate samples a subset)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.queries import REGISTRY
+from columnarmodeling_spark.queries.llm_dedup import _shingle_rows
+
+
+def test_contamination_known_answer(spark, tmp_path):
+    # doc 10 (eval) copies doc 3 (train) verbatim -> contamination 1.0;
+    # doc 20 (eval) shares no 3-gram with any train doc -> 0.0.
+    leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (3, leaked, "en", "src0", len(leaked)),
+        (7, "one two three four five six seven eight", "en", "src1", 40),
+        (10, leaked, "en", "src2", len(leaked)),
+        (20, "red orange yellow green blue indigo violet", "en", "src3", 42),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["q94_contamination"].fn(spark, d).collect()
+    }
+    assert set(out) == {10, 20}
+    assert out[10]["contamination"] == 1.0
+    assert out[20]["contamination"] == 0.0
+    # shingle counts: 8 tokens -> 6 3-grams
+    assert out[10]["n_shingles"] == 6
+    assert out[10]["n_contaminated"] == 6
+
+
+def test_mix_sampling_is_rate_monotone(spark, sf_dir):
+    # The 16-bit-md5 sampling rule is composable: every doc kept at a
+    # given rate is kept at any higher rate. The per-source doc counts
+    # of the mix therefore cannot exceed the rate-1.0 (dedup-only)
+    # universe, and the hk threshold partitions doc ids identically
+    # across runs (determinism: two runs agree row-for-row).
+    mix = REGISTRY["q95_training_mix"].fn(spark, sf_dir)
+    a = {(r["source"], r["n_docs"], r["n_tokens"]) for r in mix.collect()}
+    b = {(r["source"], r["n_docs"], r["n_tokens"]) for r in mix.collect()}
+    assert a == b and len(a) > 0
+    rates = {r["source"]: r["mix_rate"] for r in mix.collect()}
+    for src, rate in rates.items():
+        assert rate in (1.0, 0.5, 0.25)
+        idx = int(src[3:])
+        expected = 1.0 if idx < 5 else (0.5 if idx < 10 else 0.25)
+        assert rate == expected
+
+
+def test_contamination_join_fanout_bounded(spark, sf_dir):
+    # The train side is DISTINCT shingles: probing it can never return
+    # more rows than probed. This is the skew-immunity property the
+    # docstring claims -- check it holds on real data.
+    sh = _shingle_rows(spark, sf_dir)
+    ev = sh.filter(F.col("doc_id") % 10 == 0)
+    tr = sh.filter(F.col("doc_id") % 10 != 0).select("s").distinct()
+    n_probe = ev.count()
+    n_joined = ev.join(tr, "s").count()
+    assert n_joined <= n_probe
