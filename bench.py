@@ -38,6 +38,7 @@ HEADLINE = [
     "q49_embedding_neardup",
     "q51_quality_score",
     "q69_ivf_search",
+    "q96_ivf_adaptive",
     "q56_dup_clusters",
     "q64_solver_steps",
     "q70_snapshot_codec",
