@@ -37,6 +37,7 @@ HEADLINE = [
     "q44_lsh_candidates",
     "q49_embedding_neardup",
     "q51_quality_score",
+    "q97_bm25_topterms",
     "q69_ivf_search",
     "q96_ivf_adaptive",
     "q56_dup_clusters",

@@ -627,3 +627,80 @@ def q96_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _IVF_TOPK)
         .select("vec_id", "neighbor", F.round("cos9", 6).alias("cosine"), "rk")
     )
+
+
+# q49's LSH-candidate + exact-verify pair list as reusable oracle CTEs
+# (MATERIALIZED: n and the pair chain are each referenced repeatedly).
+_Q49_PAIR_CTES = f"""
+    planes AS MATERIALIZED (
+      SELECT p, i,
+             ((1103515245 * (p * 64 + i) + 12345) % 2147483648) - 1073741824 AS w
+      FROM (SELECT unnest(range(0, {_NEARDUP_PLANES})) AS p)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+    dots AS MATERIALIZED (
+      SELECT n.vec_id, pl.p, sum(pl.w * n.qv[pl.i]) AS d
+      FROM n CROSS JOIN planes pl
+      GROUP BY n.vec_id, pl.p),
+    bits AS MATERIALIZED (
+      SELECT vec_id, p // 4 AS band,
+             sum(CASE WHEN d > 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS bv
+      FROM dots GROUP BY vec_id, p // 4),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bits a JOIN bits b
+        ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+    dup_pairs AS MATERIALIZED (
+      SELECT c.vec_a, c.vec_b
+      FROM cand c
+      JOIN n na ON c.vec_a = na.vec_id
+      JOIN n nb ON c.vec_b = nb.vec_id
+      WHERE round(list_sum(list_transform(range(1, 65),
+                           i -> na.qv[i] * nb.qv[i]))
+                  / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                  9) >= {_NEARDUP_TAU})
+"""
+
+
+@register(
+    "q98_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_QUANT_MAT},
+    {_Q49_PAIR_CTES},
+    ed AS (SELECT vec_a AS u, vec_b AS v FROM dup_pairs
+           UNION SELECT vec_b, vec_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT ed.v, reach.r FROM reach JOIN ed ON reach.id = ed.u)
+    SELECT id AS vec_id,
+           min(r) AS cluster_id,
+           (id = min(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    doc="End-to-end semantic dedup (LLM-pipeline tier): q49's banded "
+    "hyperplane-LSH + exact-cosine near-dup pairs become an undirected "
+    "graph, resolved to duplicate clusters by the LARGE-STAR/SMALL-STAR "
+    "algorithm (operators/graph.py connected_components_star — O(log^2 "
+    "n) rounds independent of graph diameter, the 100 TB path for "
+    "adversarial chain-shaped duplicate graphs; q56 exercises the "
+    "propagation variant). Canonical vector = min vec_id per cluster, "
+    "the same survivor rule as exact dedup (q40). The oracle replays "
+    "the full pipeline — LSH bands, exact verify, then a recursive-CTE "
+    "transitive closure — so the driver checks clustering, not just "
+    "pair discovery.",
+    tags=("dedup", "similarity", "llm", "graph", "components", "scale"),
+)
+def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.graph import connected_components_star
+
+    nodes = t(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = q49_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    cc = connected_components_star(
+        nodes, pairs, id_col="vec_id", src_col="vec_a", dst_col="vec_b"
+    )
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -463,3 +463,99 @@ def q87_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "q97_bm25_topterms",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    dl AS MATERIALIZED (SELECT doc_id, len(tk) AS dl FROM toks),
+    tf AS MATERIALIZED (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+      GROUP BY doc_id, w),
+    dfreq AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+               / (SELECT count(*) FROM documents) AS avgdl),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, f.df,
+             round(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5)
+                            / (f.df + 0.5))
+                   * ((CAST(t.tf AS DOUBLE) * 2.2)
+                      / (CAST(t.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+                                                 / s.avgdl)))),
+                   9) AS s9
+      FROM tf t
+      JOIN dfreq f USING (term)
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    r AS (
+      SELECT doc_id, term, tf, df, round(s9, 6) AS bm25,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s9 DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, bm25, rk FROM r WHERE rk <= 3
+    """,
+    doc="BM25 top-terms per document (Robertson k1=1.2, b=0.75 — the "
+    "standard relevance/quality-scoring primitive for training-data "
+    "selection). Corpus stats are two exact integer aggregates (doc "
+    "count, total token count); tf and df come from hash aggs on "
+    "(doc_id, term) and term. Cross-engine float discipline: Spark and "
+    "DuckDB ln() differ at 1 ulp on ~8%% of inputs (measured), so "
+    "ranking uses round(score, 9) with a term tie-break — the same "
+    "cos9 pattern as the ANN tier — and only round(score, 6) is "
+    "emitted. Scale: the df join shuffles on term; stopword-grade hot "
+    "terms are bounded because df is a pre-aggregated one-row-per-term "
+    "table (no fan-out), and the per-doc ranking window partitions by "
+    "doc_id. Nothing is collected to the driver; the one-row stats "
+    "frame rides a broadcast cross join.",
+    tags=("text", "llm", "bm25", "tfidf", "ranking", "scale"),
+)
+def q97_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("tk"))
+    dl = d.select("doc_id", F.size("tk").alias("dl"))
+    tf = (
+        d.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s9", F.round(idf * tfc, 9))
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("s9").desc(), "term")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("s9", 6).alias("bm25"), "rk")
+    )

@@ -216,3 +216,95 @@ def q65_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_in_cust"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_in_cust"),
     )
+
+
+@register(
+    "q99_rollup_cascade",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT event_type, date_trunc('minute', ts) AS m_ts,
+             CAST(round(value * 1000000.0) AS BIGINT) AS vq
+      FROM events),
+    g AS (
+      SELECT 'minute' AS grain, event_type, m_ts AS bucket_ts,
+             count(*) AS n_events, sum(vq) AS sq, min(vq) AS mn, max(vq) AS mx
+      FROM base GROUP BY event_type, m_ts
+      UNION ALL
+      SELECT 'hour', event_type, date_trunc('hour', m_ts),
+             count(*), sum(vq), min(vq), max(vq)
+      FROM base GROUP BY event_type, date_trunc('hour', m_ts)
+      UNION ALL
+      SELECT 'day', event_type, date_trunc('day', m_ts),
+             count(*), sum(vq), min(vq), max(vq)
+      FROM base GROUP BY event_type, date_trunc('day', m_ts))
+    SELECT grain, event_type, bucket_ts,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS sum_v,
+           round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_v,
+           round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_v
+    FROM g
+    """,
+    doc="Hypertable-style rollup cascade (continuous-aggregate pattern): "
+    "minute-grain partials per event_type are computed ONCE from the "
+    "raw events, then the hour grain re-aggregates the minute PARTIALS "
+    "and the day grain the hour partials — never re-reading raw data. "
+    "Decomposable aggregates only (count->sum, sum->sum, min->min, "
+    "max->max); values are quantized to exact integers (round(v*1e6)) "
+    "before summing so re-aggregation order cannot perturb floats — the "
+    "cascade is bit-identical to direct aggregation, which is exactly "
+    "what the oracle computes (each grain straight from raw). At 100 TB "
+    "each grain is ~60x smaller than the one below it, so the cascade "
+    "reads raw data once instead of three times and the coarse grains "
+    "aggregate tiny inputs — the same reason streaming rollups persist "
+    "partials per window.",
+    tags=("window", "rollup", "timeseries", "scale"),
+)
+def q99_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("minute", "ts").alias("m_ts"),
+        F.round(F.col("value") * 1000000.0, 0).cast("long").alias("vq"),
+    )
+    minute = (
+        ev.groupBy("event_type", "m_ts")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("vq").alias("sq"),
+            F.min("vq").alias("mn"),
+            F.max("vq").alias("mx"),
+        )
+        .cache()
+    )
+    hour = (
+        minute.groupBy("event_type", F.date_trunc("hour", "m_ts").alias("h_ts"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sq").alias("sq"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .cache()
+    )
+    day = hour.groupBy("event_type", F.date_trunc("day", "h_ts").alias("d_ts")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sq").alias("sq"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+    def fin(df, grain: str, ts_col: str):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "event_type",
+            F.col(ts_col).alias("bucket_ts"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("sq").cast("double") / 1000000.0, 6).alias("sum_v"),
+            F.round(F.col("mn").cast("double") / 1000000.0, 6).alias("min_v"),
+            F.round(F.col("mx").cast("double") / 1000000.0, 6).alias("max_v"),
+        )
+
+    return (
+        fin(minute, "minute", "m_ts")
+        .unionByName(fin(hour, "hour", "h_ts"))
+        .unionByName(fin(day, "day", "d_ts"))
+    )

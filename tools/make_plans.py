@@ -41,6 +41,17 @@ CASES = {
     "shuffle of the vectors); the per-cell exact kernel is a "
     "FlatMapCoGroupsInPandas whose two inputs hash-partition on the cell "
     "id only — the O(n^2) pair space never appears in the plan.",
+    "q96_ivf_adaptive": "Adaptive-k IVF search (k=ceil(sqrt(n)) cells). What "
+    "to check: the seed draw is a TakeOrderedAndProject (per-partition "
+    "top-k, never a single-partition global Sort); the k-row seed table "
+    "is BroadcastExchange into the assignment join; the per-cell kernel "
+    "is the same cogrouped FlatMapCoGroupsInPandas as q69, partitioned "
+    "on the seed id.",
+    "q97_bm25_topterms": "BM25 top-terms (text-ranking shape). What to "
+    "check: tf and df are partial/final HashAggregates (map-side combine "
+    "before each exchange); the one-row corpus-stats frame enters via "
+    "BroadcastExchange; the final ranking window partitions by doc_id — "
+    "no global sort anywhere in the plan.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
