@@ -66,6 +66,12 @@ def register(
 # in case the driver's cap turns out to be time-based (streaming's fixed
 # micro-batch overhead goes last). Everything not listed follows in
 # registration order; those queries were all driver-green in round 1.
+#
+# Round-3 rotation plan: once this window's tiers are green, swap the
+# round-2-green names out for whatever is newest/unverified (currently
+# q78, q94, q95, q97, q98, q99 sit past the cutoff — q96 took q78's
+# slot because the adaptive-k IVF answers a VERDICT-named caveat while
+# q72/q73 already pin the stub-decode plumbing).
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor + round-1 red rows (hash-fail / err), now fixed
@@ -98,6 +104,7 @@ PRIORITY: tuple[str, ...] = (
     "q47_ivf_centroids",
     "q48_hyperplane_lsh",
     "q69_ivf_search",
+    "q96_ivf_adaptive",
     "q49_embedding_neardup",
     # simulation tier
     "q60_stress_strain",
@@ -110,7 +117,6 @@ PRIORITY: tuple[str, ...] = (
     "q71_fixed_format_lines",
     "q72_multimodal_features",
     "q73_frame_sample",
-    "q78_media_resize",
     "q89_whitespace_roundtrip",
     "q93_vertex_line_roundtrip",
     # geometry tier

@@ -570,44 +570,71 @@ _SQL_QUANT_MAT = """
 def q96_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql.window import Window
 
     n = _quantized(spark, sf_dir)
     k = int(math.ceil(math.sqrt(n.count())))
-    seeds = (
+    # The k ~ sqrt(n) seed table is the only thing that ever reaches the
+    # driver (at n = 1e9 vectors that is ~32k rows * 64 int64 = 16 MB);
+    # the draw itself is a distributed TakeOrdered on md5(vec_id).
+    seed_rows = (
         n.select(F.col("vec_id").alias("sid"), F.col("qv").alias("sqv"))
         .orderBy(F.expr("md5(cast(sid as string))"), "sid")
         .limit(k)
+        .collect()
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "sqv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # ascending sid so stable argsort resolves d2 ties to the smallest
+    # seed id — the oracle's ORDER BY d2, sid
+    seed_rows.sort(key=lambda r: r["sid"])
+    s_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
+    s_mat = np.array([r["sqv"] for r in seed_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((s_ids, s_mat))
 
-    def ranked_cells(src: DataFrame) -> DataFrame:
-        return (
-            src.select("vec_id", "qv", "n2")
-            .join(F.broadcast(seeds))
-            .withColumn("d2", d2)
-            .withColumn(
-                "crk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy("d2", "sid")
-                ),
+    def route(batches):
+        # Vectorized coarse quantizer: one int64 matmul per Arrow batch
+        # against the broadcast seed matrix (|v-s|^2 = n2 - 2*v.s + |s|^2,
+        # all exact int64). A zip_with cross join does the same work in
+        # Catalyst's interpreted HOF path ~50x slower.
+        sids, smat = bc.value
+        s_n2 = (smat * smat).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_mat = np.array(list(pdf["qv"]), dtype=np.int64)
+            a_n2 = pdf["n2"].to_numpy(dtype=np.int64)
+            d2 = a_n2[:, None] - 2 * (a_mat @ smat.T) + s_n2[None, :]
+            sel = np.argsort(d2, axis=1, kind="stable")[:, :_IVF_NPROBE]
+            reps = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), _IVF_NPROBE),
+                    "cell": sids[sel].reshape(-1),
+                    "crk": np.tile(
+                        np.arange(1, _IVF_NPROBE + 1, dtype=np.int32), reps
+                    ),
+                    "qv": [q for q in pdf["qv"] for _ in range(_IVF_NPROBE)],
+                    "n2": np.repeat(a_n2, _IVF_NPROBE),
+                }
             )
-        )
+
+    routed_schema = "vec_id long, cell long, crk int, qv array<long>, n2 long"
 
     probe = (
-        ranked_cells(n)
+        n.select("vec_id", "qv", "n2")
+        .mapInPandas(route, schema=routed_schema)
         .filter(F.col("crk") <= _IVF_NPROBE)
-        .select("vec_id", F.col("sid").alias("pcell"), "qv", "n2")
+        .select("vec_id", F.col("cell").alias("pcell"), "qv", "n2")
     )
     # fresh scan for the index side: cogroup needs distinct attribute ids
     index = (
-        ranked_cells(_quantized(spark, sf_dir))
+        _quantized(spark, sf_dir)
+        .select("vec_id", "qv", "n2")
+        .mapInPandas(route, schema=routed_schema)
         .filter(F.col("crk") == 1)
-        .select(F.col("sid").alias("cell"), "vec_id", "qv", "n2")
+        .select(F.col("cell").alias("cell"), "vec_id", "qv", "n2")
     )
     local = (
         probe.groupby("pcell")

@@ -559,3 +559,150 @@ def q97_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", F.round("s9", 6).alias("bm25"), "rk")
     )
+
+
+@register(
+    "q100_bigram_logprob",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(tk))) AS i) idx
+      WHERE len(tk) >= 2),
+    c2 AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+    c1 AS MATERIALIZED (
+      SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(tk) AS w FROM toks)),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(round(ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+                           / (CAST(c1.c1 AS DOUBLE) + CAST(vo.v AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS lq
+      FROM pairs p
+      JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+      JOIN c1 ON p.w1 = c1.w1
+      CROSS JOIN vocab vo)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round((CAST(sum(lq) AS DOUBLE) / count(*)) / 1000000.0, 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram-LM document scoring (KenLM-style quality filter for "
+    "training-data selection): corpus bigram model with add-one "
+    "smoothing, P(w2|w1) = (c2+1)/(c1+V), per-doc mean log-prob. "
+    "Float discipline: each ln is quantized to integer micro-nats "
+    "(round(ln*1e6)) BEFORE the per-doc sum, so the aggregate is exact "
+    "integer arithmetic and immune to summation order — the only "
+    "cross-engine float ops are the ln itself (1-ulp differences "
+    "vanish in the quantization) and one final division. Scale: two "
+    "hash aggs build the model (bigram and unigram-context counts), "
+    "the scoring join shuffles on (w1, w2) — hot function-word bigrams "
+    "are bounded because counts are pre-aggregated (fan-out 1 per "
+    "probe row); the vocab size rides a one-row broadcast.",
+    tags=("text", "llm", "lm", "quality", "scale"),
+)
+def q100_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("tk"))
+    pairs = (
+        d.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> struct(tk[i] as w1, tk[i + 1] as w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        d.select(F.explode("tk").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    lq = F.round(
+        F.log(
+            (F.col("c2").cast("double") + F.lit(1.0))
+            / (F.col("c1").cast("double") + F.col("v").cast("double"))
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lq", lq)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            (F.sum("lq").cast("double") / F.count("*")) / 1000000.0, 6
+        ).alias("avg_logprob"),
+    )
+
+
+@register(
+    "q101_bpe_merge_topk",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    words AS MATERIALIZED (
+      SELECT w FROM (SELECT unnest(tk) AS w FROM toks) WHERE length(w) >= 2),
+    cpairs AS (
+      SELECT substr(w, i, 1) || substr(w, i + 1, 1) AS pair
+      FROM words CROSS JOIN LATERAL (
+        SELECT unnest(range(1, length(w))) AS i) idx),
+    counts AS (
+      SELECT pair, count(*) AS cnt FROM cpairs GROUP BY pair)
+    SELECT pair, cnt,
+           row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+    FROM counts
+    QUALIFY rk <= 20
+    """,
+    doc="One BPE merge iteration (tokenizer training primitive): count "
+    "every adjacent character pair across all token OCCURRENCES "
+    "(frequency-weighted, as BPE training requires) and rank the top "
+    "20 merge candidates. The count is one hash agg over exploded "
+    "pairs — at 100 TB the pair alphabet is tiny (<=36^2 symbols after "
+    "lowercasing) so the final agg state is constant-size and the "
+    "top-k is a TakeOrdered (per-partition top-20 then a 20-row driver "
+    "merge; the row_number window runs on the already-limited 20 rows, "
+    "never on the full distribution). Iterating merges re-runs this "
+    "with the learned symbol table applied — each round is the same "
+    "shuffle shape.",
+    tags=("text", "llm", "bpe", "tokenizer", "scale"),
+)
+def q101_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("tk"))
+    words = d.select(F.explode("tk").alias("w")).filter(F.length("w") >= 2)
+    cpairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))"
+            )
+        ).alias("pair")
+    )
+    counts = cpairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "pair").limit(20)
+    return top.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair")),
+    )

@@ -42,11 +42,12 @@ CASES = {
     "FlatMapCoGroupsInPandas whose two inputs hash-partition on the cell "
     "id only — the O(n^2) pair space never appears in the plan.",
     "q96_ivf_adaptive": "Adaptive-k IVF search (k=ceil(sqrt(n)) cells). What "
-    "to check: the seed draw is a TakeOrderedAndProject (per-partition "
-    "top-k, never a single-partition global Sort); the k-row seed table "
-    "is BroadcastExchange into the assignment join; the per-cell kernel "
-    "is the same cogrouped FlatMapCoGroupsInPandas as q69, partitioned "
-    "on the seed id.",
+    "to check: cell routing is a MapInPandas directly over the scan (the "
+    "seed matrix rides a sc.broadcast; one int64 matmul per Arrow batch "
+    "— no join, no per-vector window); the only exchanges hash-partition "
+    "on the cell id into the same cogrouped FlatMapCoGroupsInPandas as "
+    "q69. The seed draw itself (separate job) is a TakeOrderedAndProject "
+    "— per-partition top-k, never a single-partition global Sort.",
     "q97_bm25_topterms": "BM25 top-terms (text-ranking shape). What to "
     "check: tf and df are partial/final HashAggregates (map-side combine "
     "before each exchange); the one-row corpus-stats frame enters via "

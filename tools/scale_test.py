@@ -35,6 +35,8 @@ _MEASURE = [
     "q49_embedding_neardup",
     "q51_quality_score",
     "q56_dup_clusters",
+    "q96_ivf_adaptive",
+    "q97_bm25_topterms",
 ]
 
 # tables the measured queries touch (events excluded: nanos-typed source
