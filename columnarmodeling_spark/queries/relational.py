@@ -1317,3 +1317,59 @@ def q88_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             wmean(F.col("l_quantity"), 1 - F.col("l_discount")), 6
         ).alias("wmean_qty"),
     )
+
+
+@register(
+    "q102_full_outer_recon",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, count(*) AS n_events,
+             round(sum(value), 2) AS events_value
+      FROM events GROUP BY user_id),
+    od AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey)
+    SELECT coalesce(ev.user_id, od.o_custkey) AS cust_id,
+           CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events,
+           coalesce(ev.events_value, 0.0) AS events_value,
+           CAST(coalesce(od.n_orders, 0) AS BIGINT) AS n_orders,
+           CASE WHEN ev.user_id IS NULL THEN 'orders_only'
+                WHEN od.o_custkey IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence
+    FROM ev FULL OUTER JOIN od ON ev.user_id = od.o_custkey
+    """,
+    doc="Full-outer reconciliation of two per-key aggregate streams "
+    "(event activity vs order activity) — the audit/backfill join "
+    "shape: keys present on either side survive, absent-side metrics "
+    "coalesce to zero, and a presence flag classifies the mismatch. "
+    "Both inputs are pre-aggregated (one row per key) before the full "
+    "outer join, so the shuffle carries aggregate rows, not raw "
+    "events — at 100 TB the join input is bounded by key cardinality "
+    "and AQE picks sort-merge vs shuffled-hash per side.",
+    tags=("join", "full_outer", "recon"),
+)
+def q102_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("events_value"),
+        )
+    )
+    od = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = ev.join(od, ev["user_id"] == od["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("user_id", "o_custkey").alias("cust_id"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("events_value", F.lit(0.0)).alias("events_value"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.when(F.col("user_id").isNull(), "orders_only")
+        .when(F.col("o_custkey").isNull(), "events_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
