@@ -69,9 +69,10 @@ def register(
 #
 # Round-3 rotation plan: once this window's tiers are green, swap the
 # round-2-green names out for whatever is newest/unverified (currently
-# q78, q94, q95, q97, q98, q99 sit past the cutoff — q96 took q78's
-# slot because the adaptive-k IVF answers a VERDICT-named caveat while
-# q72/q73 already pin the stub-decode plumbing).
+# q78 and the round-2 additions q94/q95/q97–q103 sit past the cutoff —
+# q96 took q78's slot because the adaptive-k IVF answers a
+# VERDICT-named caveat while q72/q73 already pin the stub-decode
+# plumbing).
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor + round-1 red rows (hash-fail / err), now fixed

@@ -308,3 +308,62 @@ def q99_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fin(hour, "hour", "h_ts"))
         .unionByName(fin(day, "day", "d_ts"))
     )
+
+
+@register(
+    "q103_range_frame",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 1000000.0) AS BIGINT) AS vq
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, sec,
+             CAST(sum(vq) OVER w AS BIGINT) AS sq,
+             count(*) OVER w AS n_win
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           CAST(n_win AS BIGINT) AS n_win,
+           round((CAST(sq AS DOUBLE) / n_win) / 1000000.0, 6) AS avg_10m
+    FROM f
+    """,
+    doc="RANGE-frame moving aggregate: per user, the trailing-10-minute "
+    "average event value — the frame is bounded by the ORDER-BY VALUE "
+    "(epoch seconds), not a row count, so ties and gaps are handled by "
+    "time distance (every row whose timestamp is within 600 s "
+    "precedes). Values are quantized to exact integer micro-units "
+    "before the frame sum, making the moving aggregate immune to "
+    "frame-internal summation order (frames overlap, so engines are "
+    "otherwise free to re-associate differently). The window "
+    "partitions by user_id — per-key state, no global sort.",
+    tags=("window", "range_frame", "timeseries"),
+)
+def q103_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"),
+        F.round(F.col("value") * 1000000.0, 0).cast("long").alias("vq"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, W.currentRow)
+    )
+    f = base.select(
+        "user_id",
+        "event_id",
+        F.sum("vq").over(w).alias("sq"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.col("n_win").cast("long").alias("n_win"),
+        F.round(
+            (F.col("sq").cast("double") / F.col("n_win")) / 1000000.0, 6
+        ).alias("avg_10m"),
+    )
