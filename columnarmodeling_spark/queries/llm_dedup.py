@@ -393,3 +393,147 @@ def q56_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+@register(
+    "q104_minhash_estimate_error",
+    oracle=f"""
+    WITH {_sql_minhash_signatures()},
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 * {MERSENNE_P} + mh1 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh2 * {MERSENNE_P} + mh3 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh4 * {MERSENNE_P} + mh5 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, 3 AS band, mh6 * {MERSENNE_P} + mh7 AS bv FROM sig),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             ((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END)) AS agree8
+      FROM cand c
+      JOIN sig sa ON c.doc_a = sa.doc_id
+      JOIN sig sb ON c.doc_b = sb.doc_id),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+      GROUP BY c.doc_a, c.doc_b),
+    ex AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS exact_j
+      FROM inter i
+      JOIN cnt ca ON i.doc_a = ca.doc_id
+      JOIN cnt cb ON i.doc_b = cb.doc_id)
+    SELECT e.doc_a, e.doc_b,
+           round(e.agree8 / 8.0, 6) AS est_jaccard,
+           round(coalesce(x.exact_j, 0.0), 6) AS exact_jaccard,
+           round(abs(e.agree8 / 8.0 - coalesce(x.exact_j, 0.0)), 6) AS abs_err
+    FROM est e
+    LEFT JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    """,
+    doc="Sketch-accuracy evaluation: for every MinHash-LSH candidate "
+    "pair (q44's banding) compute BOTH the signature-agreement "
+    "estimate and the exact shingle Jaccard, plus the absolute error — "
+    "the QA query a pipeline owner runs before trusting a sketch "
+    "threshold at 100 TB (false-positive candidates surface as "
+    "est >> exact; LEFT JOIN keeps candidates with zero true overlap). "
+    "The exact side is computed ONLY for candidate pairs (bucket-"
+    "bounded, never O(n^2)); shingle intersection counts group on the "
+    "pair after an equi-join on the shingle.",
+    tags=("dedup", "llm", "minhash", "lsh", "eval", "scale"),
+)
+def q104_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir).cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                (F.col(f"mh{2 * k}") * MERSENNE_P + F.col(f"mh{2 * k + 1}")).alias(
+                    "bv"
+                ),
+            )
+            for k in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.bv"
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .cache()
+    )
+    agree = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    est = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", agree.alias("agree8"))
+    )
+    sh = _shingle_rows(spark, sf_dir).cache()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shb = sh.select(F.col("doc_id").alias("__db"), F.col("s").alias("__sb"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("__db")) & (F.col("s") == F.col("__sb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ex = (
+        inter.join(
+            cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("exact_j"),
+        )
+    )
+    return (
+        est.join(ex, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("agree8") / 8.0, 6).alias("est_jaccard"),
+            F.round(F.coalesce("exact_j", F.lit(0.0)), 6).alias("exact_jaccard"),
+            F.round(
+                F.abs(F.col("agree8") / 8.0 - F.coalesce("exact_j", F.lit(0.0))),
+                6,
+            ).alias("abs_err"),
+        )
+    )
