@@ -53,6 +53,11 @@ CASES = {
     "before each exchange); the one-row corpus-stats frame enters via "
     "BroadcastExchange; the final ranking window partitions by doc_id — "
     "no global sort anywhere in the plan.",
+    "q99_rollup_cascade": "Hypertable rollup cascade (continuous-aggregate "
+    "pattern). What to check: the raw events scan appears ONCE; the hour "
+    "and day branches read InMemoryTableScan of the cached minute/hour "
+    "partials instead of re-scanning raw data — measured 16x more raw "
+    "rows -> 1.1x total time (SCALE.md).",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind

@@ -37,17 +37,26 @@ _MEASURE = [
     "q56_dup_clusters",
     "q96_ivf_adaptive",
     "q97_bm25_topterms",
+    "q99_rollup_cascade",
+    "q103_range_frame",
 ]
 
-# tables the measured queries touch (events excluded: nanos-typed source
-# is driver-provided; streaming queries are not in the measure set)
-_TABLES = ["lineitem", "customer", "documents", "embeddings", "orders"]
+# events is nanos-typed at the driver-provided source; the replica is
+# read through the catalog (ns -> µs truncation) and re-written as µs,
+# which the catalog passes through unchanged — same instants either way.
+_TABLES = ["lineitem", "customer", "documents", "embeddings", "orders", "events"]
 
 
 def build(spark, src: str, out: str, k: int) -> None:
     reps = spark.range(k).withColumnRenamed("id", "rep")
+    from columnarmodeling_spark.catalog import table
+
     for name in _TABLES:
-        df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+        df = (
+            table(spark, src, name)
+            if name == "events"
+            else spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+        )
         r = df.crossJoin(F.broadcast(reps))
         shift = F.col("rep") * _SHIFT
         if name == "lineitem":
@@ -72,6 +81,9 @@ def build(spark, src: str, out: str, k: int) -> None:
             )
         elif name == "embeddings":
             r = r.withColumn("vec_id", F.col("vec_id") + shift)
+        elif name == "events":
+            r = r.withColumn("event_id", F.col("event_id") + shift)
+            r = r.withColumn("user_id", F.col("user_id") + shift)
         r.drop("rep").write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
         )
