@@ -67,72 +67,79 @@ def register(
 # micro-batch overhead goes last). Everything not listed follows in
 # registration order; those queries were all driver-green in round 1.
 #
-# Round-3 rotation plan: once this window's tiers are green, swap the
-# round-2-green names out for whatever is newest/unverified (currently
-# q78 and the round-2 additions q94/q95/q97–q103 sit past the cutoff —
-# q96 took q78's slot because the adaptive-k IVF answers a
-# VERDICT-named caveat while q72/q73 already pin the stub-decode
-# plumbing).
+# Round-4 rotation (executes the round-2 VERDICT's "Next round" item 1;
+# round 3 stalled before rotating): the 11 queries written in round 2
+# that sat past the 50-entry cutoff and have no CORRECTNESS row in any
+# round (q78, q94, q95, q97–q104) move to the front, behind the q01
+# anchor. Five rotating canaries — one per previously-green tier
+# (proximity, dedup, graph, solver, streaming) plus the canonical
+# adaptive IVF — guard against regressions in the tiers that leave the
+# window. The remaining slots re-verify the round-1-green relational/
+# window/setops queries that no round has re-checked since r1, then the
+# geometry tier (which gains hash-checked oracles this round) and the
+# round-4 additions (S5 config scan, geometry invariants, solver
+# bond-break series). Streaming's fixed micro-batch overhead goes last.
+# Union-of-rounds coverage after this window: all 104+new queries
+# driver-checked at least once, zero `no_oracle` rows.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
-    # anchor + round-1 red rows (hash-fail / err), now fixed
+    # anchor
     "q01_pricing_summary",
-    "q07_rounded_dedup_dense_id",
-    "q08_flag_quota",
-    "q18_array_hof",
-    "q19_mirror_union",
-    "q26_sessionization",
-    "q67_array_set_funcs",
-    # llm_text tier (cheap JVM-expression queries)
-    "q50_token_stats",
-    "q51_quality_score",
-    "q52_lang_id",
-    "q53_fingerprint",
-    "q54_repetition_ratio",
-    "q55_pii_redaction",
-    "q59_length_histogram",
-    "q76_bpe_pretokenize",
-    "q87_hash_sample",
-    "q75_chunk_udtf",
-    # llm_dedup tier (q40_exact_dedup already driver-green in round 1)
-    "q42_ngram_jaccard_pairs",
-    "q43_minhash_signatures",
+    # never-verified round-2 additions (VERDICT next-round item 1)
+    "q94_contamination",
+    "q95_training_mix",
+    "q97_bm25_topterms",
+    "q98_semantic_dedup",
+    "q99_rollup_cascade",
+    "q100_bigram_logprob",
+    "q101_bpe_merge_topk",
+    "q102_full_outer_recon",
+    "q103_range_frame",
+    "q104_minhash_estimate_error",
+    "q78_media_resize",
+    # tier canaries (r2-green, kept in-window as regression guards)
+    "q30_proximity_pairs",
     "q44_lsh_candidates",
-    "q45_simhash",
     "q56_dup_clusters",
-    # llm_similarity tier
-    "q46_cosine_topk",
-    "q47_ivf_centroids",
-    "q48_hyperplane_lsh",
-    "q69_ivf_search",
-    "q96_ivf_adaptive",
-    "q49_embedding_neardup",
-    # simulation tier
-    "q60_stress_strain",
-    "q61_bbox_damage",
-    "q62_lloyd_iteration",
-    "q63_greedy_selection",
     "q64_solver_steps",
-    # io / codec tier
-    "q70_snapshot_codec",
-    "q71_fixed_format_lines",
-    "q72_multimodal_features",
-    "q73_frame_sample",
-    "q89_whitespace_roundtrip",
-    "q93_vertex_line_roundtrip",
-    # geometry tier
+    "q96_ivf_adaptive",
+    # r1-green relational/window/setops rows, never re-checked since r1
+    "q02_regional_revenue",
+    "q03_semi_join_orders",
+    "q04_anti_join_customers",
+    "q05_positional_sections",
+    "q06_range_band_join",
+    "q09_group_centroids",
+    "q10_event_histogram",
+    "q11_grouping_sets",
+    "q12_cube_agg",
+    "q13_pivot_qty",
+    "q14_string_funcs",
+    "q15_datetime_funcs",
+    "q16_math_clamp",
+    "q17_topk_per_group",
+    "q20_boundary_touch",
+    "q21_json_extract",
+    "q22_window_rank_lag",
+    "q23_wraparound_neighbor",
+    "q24_running_total",
+    "q25_row_grouping",
+    "q27_set_algebra",
+    "q28_disjointness",
+    "q29_intersect_projection",
+    "q31_bond_type_histogram",
+    "q32_asof_join",
+    "q33_affine_projection",
+    # geometry tier — hash-checked oracles added in round 4
     "q90_voronoi_grains",
     "q91_mesh_facets",
     "q92_clipped_facets",
-    # streaming tier (fixed per-query micro-batch overhead → last in window)
+    # round-4 additions
+    "q105_config_scan",
+    "q106_geometry_invariants",
+    "q107_bond_breaks",
+    # streaming canary (fixed micro-batch overhead → last in window)
     "q80_stream_tumbling",
-    "q81_stream_sliding",
-    "q82_session_window",
-    "q83_stream_static_join",
-    "q84_stateful_running",
-    "q58_stream_dedup",
-    "q86_foreachbatch_upsert",
-    "q85_stream_stream_join",
 )
 
 
