@@ -335,3 +335,74 @@ def q93_vertex_line_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nv").alias("n_vertices"),
         F.round(F.sum("sx"), 2).alias("sum_x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S5: scalar-config scan → broadcast literals
+# ---------------------------------------------------------------------------
+
+# The reference's solver-parameter file is 13 bare whitespace-separated
+# numbers whose meaning lives only in the manifest (SURVEY §2.1 S5;
+# schema /root/reference/UniaxialCompressionTest/SysFile.ini:45-71 —
+# Lx Ly Lz CellSize dGap dT T dURatio nOutLoops Gx Gy Gz Dp; values may
+# spread across lines, MLS00con.dat:1-11). The fixture below has the
+# same shape with this engine's own values.
+_S5_FIELDS = (
+    "Lx", "Ly", "Lz", "CellSize", "dGap", "dT", "T",
+    "dURatio", "nOutLoops", "Gx", "Gy", "Gz", "Dp",
+)
+_S5_FIXTURE = "40 40 25\n2.5\n0.002\n1e-06\n0.05\n0.0001\n100\n0 0 -9.8\n0.3\n"
+
+
+@register(
+    "q105_config_scan",
+    oracle="""
+    SELECT CAST(40.0 AS DOUBLE)  AS Lx,
+           CAST(40.0 AS DOUBLE)  AS Ly,
+           CAST(25.0 AS DOUBLE)  AS Lz,
+           CAST(2.5 AS DOUBLE)   AS CellSize,
+           CAST(0.002 AS DOUBLE) AS dGap,
+           CAST(1e-06 AS DOUBLE) AS dT,
+           CAST(0.05 AS DOUBLE)  AS T,
+           CAST(0.0001 AS DOUBLE) AS dURatio,
+           CAST(100.0 AS DOUBLE) AS nOutLoops,
+           CAST(0.0 AS DOUBLE)   AS Gx,
+           CAST(0.0 AS DOUBLE)   AS Gy,
+           CAST(-9.8 AS DOUBLE)  AS Gz,
+           CAST(0.3 AS DOUBLE)   AS Dp,
+           CAST(50000 AS BIGINT) AS n_steps,
+           CAST(16 AS BIGINT)    AS cells_x,
+           CAST(500 AS BIGINT)   AS n_snapshots
+    """,
+    doc="S5 scalar-config scan (SURVEY §2.1: sources/text_tables.py:188; "
+    "reference schema SysFile.ini:45-71, values MLS00con.dat:1-11): "
+    "whitespace-tolerant positional parse of the 13 solver scalars into "
+    "a driver dict, injected as lit() columns — never a joined table "
+    "(O(10) scalars; a join would shuffle for nothing). Derived "
+    "n_steps = T/dT, cells_x = Lx/CellSize, n_snapshots = n_steps/"
+    "nOutLoops show the broadcast-parameterization pattern every solver "
+    "operator uses (dGap, CellSize, dT, nOutLoops).",
+    tags=("io", "S5", "config"),
+)
+def q105_config_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from columnarmodeling_spark.sources.text_tables import read_config_scalars
+
+    path = os.path.join(tempfile.mkdtemp(prefix="cm_s5_"), "MLS00con.dat")
+    with open(path, "w") as fh:
+        fh.write(_S5_FIXTURE)
+    cfg = read_config_scalars(spark, path, list(_S5_FIELDS))
+
+    row = spark.range(1).select(
+        *[F.lit(cfg[name]).alias(name) for name in _S5_FIELDS]
+    )
+    return row.select(
+        "*",
+        F.round(F.col("T") / F.col("dT")).cast("long").alias("n_steps"),
+        F.round(F.col("Lx") / F.col("CellSize")).cast("long").alias("cells_x"),
+        (
+            F.round(F.col("T") / F.col("dT")) / F.col("nOutLoops")
+        ).cast("long").alias("n_snapshots"),
+    )

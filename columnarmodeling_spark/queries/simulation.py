@@ -389,3 +389,162 @@ def q64_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vx", 6).alias("vx"),
         F.round("vy", 6).alias("vy"),
     )
+
+
+def _breaking_oracle(n_steps: int, k: str, dt: str, eps: str, limit: str) -> str:
+    """Unroll n_steps Euler steps WITH strain-threshold bond removal as a
+    DuckDB CTE chain (same pattern as _solver_oracle; the bond set is now
+    a per-step CTE because breaks change the force network). A bond whose
+    ``(dist-rest)/rest`` exceeds the limit at the top of step i appears
+    in br{i} and is excluded from that step's forces onward — exactly the
+    kernel's rule. Threshold margins were measured at >=4.9e-4 strain for
+    these constants (tools-level sweep), vs ~1e-12 cross-engine noise, so
+    break steps cannot flip between engines."""
+    head = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id, c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y
+      FROM customer),
+    b0 AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             (0.85 + 0.1 * CAST((a.id + b.id) % 4 AS DOUBLE))
+               * sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) AS rest
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE sqrt((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) < {eps}),
+    s0 AS MATERIALIZED (
+      SELECT id, x, y,
+             CAST(id % 3 - 1 AS DOUBLE) * 8.0 AS vx,
+             CAST(id % 5 - 2 AS DOUBLE) * 4.0 AS vy,
+             1.0 AS m
+      FROM pts)"""
+    steps = []
+    for i in range(1, n_steps + 1):
+        p = i - 1
+        steps.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT b.src, b.dst, b.rest,
+             pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS by,
+             sqrt((pb.x - pa.x) * (pb.x - pa.x)
+                  + (pb.y - pa.y) * (pb.y - pa.y)) AS dist
+      FROM b{p} b
+      JOIN s{p} pa ON b.src = pa.id
+      JOIN s{p} pb ON b.dst = pb.id),
+    br{i} AS MATERIALIZED (
+      SELECT src, dst, rest FROM d{i}
+      WHERE dist - rest > {limit} * rest),
+    b{i} AS MATERIALIZED (
+      SELECT src, dst, rest FROM d{i}
+      WHERE NOT (dist - rest > {limit} * rest)),
+    f{i} AS MATERIALIZED (
+      SELECT id, sum(fx) AS fx, sum(fy) AS fy FROM (
+        SELECT src AS id,
+               CASE WHEN dist > 0
+                    THEN {k} * (dist - rest) / dist * (bx - ax)
+                    ELSE 0.0 END AS fx,
+               CASE WHEN dist > 0
+                    THEN {k} * (dist - rest) / dist * (by - ay)
+                    ELSE 0.0 END AS fy
+        FROM d{i} WHERE NOT (dist - rest > {limit} * rest)
+        UNION ALL
+        SELECT dst AS id,
+               CASE WHEN dist > 0
+                    THEN -({k} * (dist - rest) / dist * (bx - ax))
+                    ELSE 0.0 END,
+               CASE WHEN dist > 0
+                    THEN -({k} * (dist - rest) / dist * (by - ay))
+                    ELSE 0.0 END
+        FROM d{i} WHERE NOT (dist - rest > {limit} * rest))
+      GROUP BY id),
+    s{i} AS MATERIALIZED (
+      SELECT s.id,
+             s.x + (s.vx + coalesce(f.fx, 0.0) / s.m * {dt}) * {dt} AS x,
+             s.y + (s.vy + coalesce(f.fy, 0.0) / s.m * {dt}) * {dt} AS y,
+             s.vx + coalesce(f.fx, 0.0) / s.m * {dt} AS vx,
+             s.vy + coalesce(f.fy, 0.0) / s.m * {dt} AS vy,
+             s.m
+      FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
+    series = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({i} AS BIGINT) AS step,
+           (SELECT count(*) FROM br{i}) AS n_broken,
+           (SELECT count(*) FROM b{i}) AS n_alive,
+           round(CAST((SELECT count(*) FROM b0)
+                      - (SELECT count(*) FROM b{i}) AS DOUBLE)
+                 / (SELECT count(*) FROM b0), 6) AS broken_ratio"""
+        for i in range(1, n_steps + 1)
+    )
+    return head + "".join(steps) + "\n" + series
+
+
+@register(
+    "q107_bond_breaks",
+    oracle=_breaking_oracle(8, "1.0", "0.05", "30.0", "0.12"),
+    doc="E3 damage series (SURVEY §2.4 A8: the reference's broken-bond "
+    "curve, Output/MLSOut00B.dat — SysFile.ini documents the B-file as "
+    "the damage output): the q64 particle system, heterogeneous rest "
+    "factors and seeded velocities, advanced 8 steps by the breaking "
+    "block solver (simulation/solver.py run_solver_blocked_breaking). "
+    "Bonds fail when strain exceeds the limit; failures persist across "
+    "halo-exchange rounds; the emitted per-step break counts form the "
+    "damage curve. The oracle replays all 8 steps with per-step alive "
+    "bond CTEs in DuckDB, so the full break dynamics are hash-checked "
+    "against an independent engine. Monotone-damage and multi-round "
+    "equivalence are additionally property-tested in "
+    "tests/test_solver.py.",
+    tags=("simulation", "E3", "A8", "iterative", "scale"),
+)
+def q107_bond_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+    from columnarmodeling_spark.simulation.solver import (
+        run_solver_blocked_breaking,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+    )
+    bonds = grid_proximity_join(pts, eps=30.0, id_col="id").select(
+        "src",
+        "dst",
+        (
+            (0.85 + 0.1 * ((F.col("src") + F.col("dst")) % 4).cast("double"))
+            * F.col("dist")
+        ).alias("rest"),
+    )
+    state0 = pts.select(
+        "id",
+        "x",
+        "y",
+        ((F.col("id") % 3 - 1).cast("double") * 8.0).alias("vx"),
+        ((F.col("id") % 5 - 2).cast("double") * 4.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    )
+    n_steps = 8
+    _, bond_log = run_solver_blocked_breaking(
+        state0, bonds, n_steps=n_steps, strain_limit=0.12, k=1.0, dt=0.05,
+        fuse=n_steps,
+    )
+    total = bond_log.count()
+    per_step = bond_log.filter("break_step > 0").groupBy("break_step").agg(
+        F.count("*").alias("n_broken")
+    )
+    steps = spark.range(1, n_steps + 1).select(F.col("id").alias("step"))
+    w = W.orderBy("step").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        steps.join(
+            per_step.withColumnRenamed("break_step", "step"), "step", "left"
+        )
+        .withColumn("n_broken", F.coalesce("n_broken", F.lit(0)))
+        .withColumn("cum", F.sum("n_broken").over(w))
+        .select(
+            "step",
+            "n_broken",
+            (F.lit(total) - F.col("cum")).alias("n_alive"),
+            F.round(F.col("cum").cast("double") / total, 6).alias(
+                "broken_ratio"
+            ),
+        )
+    )

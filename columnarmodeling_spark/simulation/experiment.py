@@ -33,7 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnarmodeling_spark.operators.proximity import grid_proximity_join
-from columnarmodeling_spark.simulation.solver import run_solver_blocked
+from columnarmodeling_spark.simulation.solver import (
+    run_solver_blocked,
+    run_solver_blocked_breaking,
+)
 
 
 @dataclass
@@ -49,6 +52,9 @@ class ExperimentConfig:
     n_out: int = 20  # output cadence (nOutLoops)
     fuse: int = 20
     platen_frac: float = 0.08  # top/bottom band thickness for E probes
+    # strain threshold for bond failure (Webull.dat strength semantics);
+    # None = unbreakable network (the pre-round-4 behavior)
+    strain_limit: float | None = None
 
 
 def build_bonds(particles: DataFrame, cfg: ExperimentConfig) -> DataFrame:
@@ -100,14 +106,35 @@ def run_experiment(
         F.lit(1.0).alias("m"),
     )
 
+    n_bonds_total = bonds.count()
     e_rows: list[DataFrame] = []
     b_rows: list[DataFrame] = []
     step = 0
     while step < cfg.n_steps:
         burst = min(cfg.n_out, cfg.n_steps - step)
-        state = run_solver_blocked(
-            state, bonds, burst, k=cfg.k, dt=cfg.dt, fuse=cfg.fuse
-        )
+        if cfg.strain_limit is None:
+            state = run_solver_blocked(
+                state, bonds, burst, k=cfg.k, dt=cfg.dt, fuse=cfg.fuse
+            )
+            n_alive = n_bonds_total
+        else:
+            # A8 damage: bonds past the strain limit fail and stay
+            # failed — the surviving network feeds the next burst
+            state, bond_log = run_solver_blocked_breaking(
+                state,
+                bonds,
+                burst,
+                strain_limit=cfg.strain_limit,
+                k=cfg.k,
+                dt=cfg.dt,
+                fuse=cfg.fuse,
+            )
+            bonds = (
+                bond_log.filter("break_step < 0")
+                .select("src", "dst", "rest")
+                .localCheckpoint()
+            )
+            n_alive = bonds.count()
         step += burst
         # S9 snapshot sink: parquet partitioned by step → the read side
         # prunes on the step partition column like the reference's
@@ -131,7 +158,8 @@ def run_experiment(
             )
             .withColumn("step", F.lit(step))
         )
-        # A8 B-series: global bbox + mean displacement magnitude
+        # A8 B-series: global bbox + mean displacement magnitude +
+        # damage (broken-bond ratio — the reference B-file's scalar)
         b_rows.append(
             state.agg(
                 F.round(F.min("x"), 6).alias("x_min"),
@@ -141,7 +169,18 @@ def run_experiment(
                 F.round(
                     F.avg(F.sqrt(F.col("vx") ** 2 + F.col("vy") ** 2)), 6
                 ).alias("mean_speed"),
-            ).withColumn("step", F.lit(step))
+            )
+            .withColumn("step", F.lit(step))
+            .withColumn("n_alive_bonds", F.lit(n_alive))
+            .withColumn(
+                "damage",
+                F.round(
+                    F.lit(
+                        (n_bonds_total - n_alive) / max(n_bonds_total, 1)
+                    ),
+                    6,
+                ),
+            )
         )
 
     e_series = e_rows[0]

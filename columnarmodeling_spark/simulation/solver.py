@@ -309,3 +309,227 @@ def blocked_round(
         )
     )
     return stepped.filter("owned").select("id", "x", "y", "vx", "vy", "m")
+
+
+def run_solver_blocked_breaking(
+    state: DataFrame,
+    bonds: DataFrame,
+    n_steps: int,
+    strain_limit: float,
+    k: float = 1.0,
+    dt: float = 0.01,
+    fuse: int = 25,
+    block: float | None = None,
+    reach: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Block solver with strain-threshold bond removal (E3 damage: the
+    reference's broken-bond series ``Output/MLSOut00B.dat``, SURVEY
+    §2.4 A8 — bonds fail when stretched past a strain limit and the
+    failure count per output step IS the damage curve).
+
+    Per sub-step, before forces: a live bond with
+    ``(dist - rest)/rest > strain_limit`` breaks NOW and exerts no
+    force from this step on. Break decisions depend only on endpoint
+    positions, which are bit-exact inside the halo for ``fuse`` hops,
+    so every replica of a bond reaches the same verdict; each bond is
+    *emitted* exactly once, by the replica that owns its ``src``
+    particle. Alive bonds are carried to the next round, so breaks
+    persist across shuffle rounds.
+
+    ``reach`` defaults to ``(1 + strain_limit) × max rest × 1.05``: a
+    live bond can never be longer (anything longer has broken), so the
+    halo invariant survives stretching.
+
+    Returns ``(final_state, bond_log)`` where *bond_log* has one row
+    per input bond: ``src, dst, rest, break_step`` (1-based global
+    step; -1 = survived).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if reach is None:
+        max_rest = bonds.agg(F.max("rest")).collect()[0][0] or 1.0
+        reach = 1.05 * (1.0 + strain_limit) * float(max_rest)
+    halo = fuse * reach
+    if block is None:
+        block = 4.0 * halo
+
+    out_schema = (
+        "kind int, id long, x double, y double, vx double, vy double, "
+        "m double, owned boolean, src long, dst long, rest double, "
+        "break_step long"
+    )
+
+    def make_kernel(burst: int, step0: int):
+        def kernel(parts: pd.DataFrame, local_bonds: pd.DataFrame):
+            cols = [
+                "kind", "id", "x", "y", "vx", "vy", "m", "owned",
+                "src", "dst", "rest", "break_step",
+            ]
+            if parts.empty:
+                return pd.DataFrame(columns=cols)
+            ids = parts["id"].to_numpy()
+            idx = {int(i): j for j, i in enumerate(ids)}
+            x = parts["x"].to_numpy(dtype=np.float64).copy()
+            y = parts["y"].to_numpy(dtype=np.float64).copy()
+            vx = parts["vx"].to_numpy(dtype=np.float64).copy()
+            vy = parts["vy"].to_numpy(dtype=np.float64).copy()
+            m = parts["m"].to_numpy(dtype=np.float64)
+            owned_p = parts["owned"].to_numpy()
+            if local_bonds.empty:
+                src = dst = np.empty(0, dtype=np.int64)
+                rest = np.empty(0, dtype=np.float64)
+            else:
+                src = np.fromiter(
+                    (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
+                )
+                dst = np.fromiter(
+                    (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
+                )
+                rest = local_bonds["rest"].to_numpy(dtype=np.float64)
+            alive = np.ones(len(src), dtype=bool)
+            break_step = np.full(len(src), -1, dtype=np.int64)
+            for s_i in range(burst):
+                dx = x[dst] - x[src]
+                dy = y[dst] - y[src]
+                dist = np.sqrt(dx * dx + dy * dy)
+                just_broke = alive & (dist - rest > strain_limit * rest)
+                break_step[just_broke] = step0 + s_i + 1
+                alive &= ~just_broke
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    mag = np.where(
+                        alive & (dist > 0), k * (dist - rest) / dist, 0.0
+                    )
+                fx = np.zeros_like(x)
+                fy = np.zeros_like(y)
+                np.add.at(fx, src, mag * dx)
+                np.add.at(fy, src, mag * dy)
+                np.add.at(fx, dst, -mag * dx)
+                np.add.at(fy, dst, -mag * dy)
+                vx += fx / m * dt
+                vy += fy / m * dt
+                x += vx * dt
+                y += vy * dt
+            p_out = pd.DataFrame(
+                {
+                    "kind": 0,
+                    "id": ids,
+                    "x": x, "y": y, "vx": vx, "vy": vy, "m": m,
+                    "owned": owned_p,
+                    "src": -1, "dst": -1, "rest": 0.0, "break_step": -1,
+                }
+            )
+            # exactly-once bond emission: the replica owning `src` reports
+            emit = (
+                np.array([bool(owned_p[s]) for s in src])
+                if len(src)
+                else np.empty(0, dtype=bool)
+            )
+            b_out = pd.DataFrame(
+                {
+                    "kind": 1,
+                    "id": -1,
+                    "x": 0.0, "y": 0.0, "vx": 0.0, "vy": 0.0, "m": 0.0,
+                    "owned": True,
+                    "src": (
+                        local_bonds["src"].to_numpy()[emit]
+                        if len(src) else np.empty(0, dtype=np.int64)
+                    ),
+                    "dst": (
+                        local_bonds["dst"].to_numpy()[emit]
+                        if len(src) else np.empty(0, dtype=np.int64)
+                    ),
+                    "rest": rest[emit] if len(src) else np.empty(0),
+                    "break_step": (
+                        break_step[emit] if len(src)
+                        else np.empty(0, dtype=np.int64)
+                    ),
+                }
+            )
+            return pd.concat([p_out, b_out], ignore_index=True)[cols]
+
+        return kernel
+
+    spark = state.sparkSession
+    log_schema = "src long, dst long, rest double, break_step long"
+    broken_log = spark.createDataFrame([], log_schema)
+    bonds = bonds.select("src", "dst", "rest").localCheckpoint(eager=False)
+
+    i = 0
+    while i < n_steps:
+        burst = min(fuse, n_steps - i)
+        bxc = F.floor(F.col("x") / F.lit(block))
+        byc = F.floor(F.col("y") / F.lit(block))
+        offs = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+        rep = (
+            state.withColumn("__bx", bxc)
+            .withColumn("__by", byc)
+            .withColumn("__o", F.explode(offs))
+            .withColumn("bx", F.col("__bx") + F.col("__o.dx"))
+            .withColumn("by", F.col("__by") + F.col("__o.dy"))
+            .withColumn(
+                "owned", (F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)
+            )
+            .filter(
+                F.col("owned")
+                | (
+                    (F.col("x") >= F.col("bx") * block - halo)
+                    & (F.col("x") < (F.col("bx") + 1) * block + halo)
+                    & (F.col("y") >= F.col("by") * block - halo)
+                    & (F.col("y") < (F.col("by") + 1) * block + halo)
+                )
+            )
+            .select("id", "x", "y", "vx", "vy", "m", "bx", "by", "owned")
+        )
+        mem_src = rep.select(
+            F.col("id").alias("src"),
+            F.col("bx").alias("sbx"),
+            F.col("by").alias("sby"),
+        )
+        mem_dst = rep.select(
+            F.col("id").alias("dst"),
+            F.col("bx").alias("dbx"),
+            F.col("by").alias("dby"),
+        )
+        eb = (
+            bonds.join(mem_src, "src")
+            .join(mem_dst, "dst")
+            .filter(
+                (F.col("sbx") == F.col("dbx")) & (F.col("sby") == F.col("dby"))
+            )
+            .select(
+                "src", "dst", "rest",
+                F.col("sbx").alias("bx"),
+                F.col("sby").alias("by"),
+            )
+        )
+        out = (
+            rep.groupBy("bx", "by")
+            .cogroup(eb.groupBy("bx", "by"))
+            .applyInPandas(make_kernel(burst, i), schema=out_schema)
+            .localCheckpoint()
+        )
+        state = out.filter("kind = 0 AND owned").select(
+            "id", "x", "y", "vx", "vy", "m"
+        )
+        bond_rows = out.filter("kind = 1").select(
+            "src", "dst", "rest", "break_step"
+        )
+        broken_log = broken_log.union(
+            bond_rows.filter("break_step >= 0")
+        ).localCheckpoint(eager=False)
+        bonds = bond_rows.filter("break_step < 0").select(
+            "src", "dst", "rest"
+        ).localCheckpoint(eager=False)
+        i += burst
+
+    bond_log = bonds.withColumn("break_step", F.lit(-1).cast("long")).union(
+        broken_log.select("src", "dst", "rest", "break_step")
+    )
+    return state, bond_log

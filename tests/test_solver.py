@@ -170,3 +170,154 @@ def test_coincident_particles_exert_no_force(spark):
     assert rows[1]["fx"] == 0.0 and rows[1]["fy"] == 0.0
     # the 2-3 spring is stretched (1.0 > 0.9): pulls 2 toward 3
     assert rows[2]["fx"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# strain-threshold bond breaking (round-4: the reference's damage series)
+# ---------------------------------------------------------------------------
+
+
+def _chain(spark, n=12, spacing=1.0, stretch=0.3):
+    """A 1-D chain with seeded velocities pulling the ends apart, so
+    bonds near the ends stretch past the limit at different steps."""
+    state = spark.createDataFrame(
+        [
+            (
+                i,
+                i * spacing,
+                0.0,
+                (stretch if i >= n // 2 else -stretch),
+                0.0,
+                1.0,
+            )
+            for i in range(n)
+        ],
+        "id long, x double, y double, vx double, vy double, m double",
+    )
+    bonds = spark.createDataFrame(
+        [(i, i + 1, spacing) for i in range(n - 1)],
+        "src long, dst long, rest double",
+    )
+    return state, bonds
+
+
+def _numpy_breaking_reference(n, spacing, stretch, limit, k, dt, steps):
+    """Independent per-step loop with the same break rule (strain checked
+    at the top of each step; broken bonds exert no force from then on)."""
+    import numpy as np
+
+    x = np.arange(n, dtype=np.float64) * spacing
+    y = np.zeros(n)
+    vx = np.where(np.arange(n) >= n // 2, stretch, -stretch).astype(np.float64)
+    vy = np.zeros(n)
+    src = np.arange(n - 1)
+    dst = src + 1
+    rest = np.full(n - 1, spacing)
+    alive = np.ones(n - 1, dtype=bool)
+    break_step = np.full(n - 1, -1)
+    for s in range(1, steps + 1):
+        dx = x[dst] - x[src]
+        dy = y[dst] - y[src]
+        dist = np.sqrt(dx * dx + dy * dy)
+        jb = alive & (dist - rest > limit * rest)
+        break_step[jb] = s
+        alive &= ~jb
+        mag = np.where(alive & (dist > 0), k * (dist - rest) / dist, 0.0)
+        fx = np.zeros(n)
+        fy = np.zeros(n)
+        np.add.at(fx, src, mag * dx)
+        np.add.at(fy, src, mag * dy)
+        np.add.at(fx, dst, -mag * dx)
+        np.add.at(fy, dst, -mag * dy)
+        vx = vx + fx * dt
+        vy = vy + fy * dt
+        x = x + vx * dt
+        y = y + vy * dt
+    return x, vx, {(int(s), int(d)): int(b) for s, d, b in zip(src, dst, break_step)}
+
+
+def test_breaking_solver_matches_reference(spark):
+    from columnarmodeling_spark.simulation.solver import (
+        run_solver_blocked_breaking,
+    )
+
+    n, spacing, stretch, limit, k, dt, steps = 12, 1.0, 0.3, 0.05, 1.0, 0.1, 10
+    state, bonds = _chain(spark, n, spacing, stretch)
+    final, log = run_solver_blocked_breaking(
+        state, bonds, steps, strain_limit=limit, k=k, dt=dt, fuse=steps
+    )
+    rx, rvx, rbreaks = _numpy_breaking_reference(
+        n, spacing, stretch, limit, k, dt, steps
+    )
+    got = {r["id"]: r for r in final.collect()}
+    assert len(got) == n
+    for i in range(n):
+        assert abs(got[i]["x"] - rx[i]) < 1e-9
+        assert abs(got[i]["vx"] - rvx[i]) < 1e-9
+    got_breaks = {
+        (r["src"], r["dst"]): r["break_step"] for r in log.collect()
+    }
+    assert got_breaks == rbreaks
+    # some bonds must actually have broken for the test to mean anything
+    assert any(b > 0 for b in rbreaks.values())
+    assert any(b == -1 for b in rbreaks.values())
+
+
+def test_breaking_multi_round_equals_single_round(spark):
+    """Breaks persist across halo-exchange rounds: chaining rounds of
+    fuse=2 gives the same state and break steps as one fuse=10 round."""
+    from columnarmodeling_spark.simulation.solver import (
+        run_solver_blocked_breaking,
+    )
+
+    state, bonds = _chain(spark)
+    f1, l1 = run_solver_blocked_breaking(
+        state, bonds, 10, strain_limit=0.05, k=1.0, dt=0.1, fuse=10
+    )
+    f2, l2 = run_solver_blocked_breaking(
+        state, bonds, 10, strain_limit=0.05, k=1.0, dt=0.1, fuse=2
+    )
+    s1 = {r["id"]: (r["x"], r["vx"]) for r in f1.collect()}
+    s2 = {r["id"]: (r["x"], r["vx"]) for r in f2.collect()}
+    assert set(s1) == set(s2)
+    for i in s1:
+        assert abs(s1[i][0] - s2[i][0]) < 1e-9
+        assert abs(s1[i][1] - s2[i][1]) < 1e-9
+    b1 = {(r["src"], r["dst"]): r["break_step"] for r in l1.collect()}
+    b2 = {(r["src"], r["dst"]): r["break_step"] for r in l2.collect()}
+    assert b1 == b2
+
+
+def test_experiment_damage_series_monotone(spark, tmp_path):
+    """B-series with a strain limit: damage is monotone non-decreasing,
+    alive-bond count monotone non-increasing, and every bond is
+    accounted for."""
+    from columnarmodeling_spark.simulation.experiment import (
+        ExperimentConfig,
+        run_experiment,
+    )
+
+    # 10×20 lattice: the 2% y-squeeze rebounds and explicit-Euler
+    # overshoot stretches bonds past the 1% limit from ~step 8 on
+    # (offline NumPy sweep; breaks land in every cadence window)
+    particles = spark.createDataFrame(
+        [
+            (j * 10 + i, float(i), float(j))
+            for j in range(20)
+            for i in range(10)
+        ],
+        "id long, x double, y double",
+    )
+    cfg = ExperimentConfig(
+        d_gap=1.5, k=1.0, dt=0.2, n_steps=40, n_out=10, fuse=10,
+        strain_limit=0.01,
+    )
+    res = run_experiment(spark, particles, cfg, str(tmp_path / "snaps"))
+    rows = sorted(res["b_series"].collect(), key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == [10, 20, 30, 40]
+    alive = [r["n_alive_bonds"] for r in rows]
+    damage = [r["damage"] for r in rows]
+    assert all(a >= b for a, b in zip(alive, alive[1:]))
+    assert all(d2 >= d1 for d1, d2 in zip(damage, damage[1:]))
+    assert damage[-1] > 0  # the stretch chosen actually breaks bonds
+    assert all(0.0 <= d <= 1.0 for d in damage)
