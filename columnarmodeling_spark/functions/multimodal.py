@@ -2,12 +2,17 @@
 
 Treats image/audio/video payloads as opaque ``binary`` columns with a
 typed metadata struct, processed by Arrow-batched pandas transforms over
-``mapInPandas``. The actual media decode (PIL/ffmpeg/torchaudio) is NOT
-available in this environment — per the build contract it is STUBBED:
-``decode_media`` computes deterministic pseudo-features (byte length,
-md5 digest, fake dimensions derived from the byte length) so the
-Spark-side plumbing — schema, batch shape, partitioning — is fully real
-and testable, while the media-library call sites are clearly marked.
+``mapInPandas``.
+
+Round 4: the decode step is no longer a pure stub. Two uncompressed
+formats are decoded for real with stdlib ``struct`` parsing
+(``media_codec.py``: 24-bit BMP → pixels, 16-bit PCM WAV → samples),
+selected by magic-byte sniffing. Payloads in any other format — the
+ones that would need PIL/ffmpeg, which this environment does not have —
+fall back to the clearly-marked deterministic stub so the pipeline
+still runs end-to-end. ``resize_media`` likewise does a REAL
+nearest-neighbor resize + BMP re-encode for BMP payloads and keeps the
+byte-budget stub otherwise.
 
 At 100 TB the partitioning story matters more than the decode: payloads
 ride in their own column (Parquet column chunk — never materialized by
@@ -21,21 +26,54 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from columnarmodeling_spark.functions.media_codec import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    resize_nearest,
+)
 
 MEDIA_FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, digest string, fake_width int, fake_height int"
 )
 
 
+def _sniff(payload: bytes) -> str:
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "other"
+
+
 def _decode_one(payload: bytes) -> dict:
-    """STUB decode: deterministic fake features in place of a real media
-    decode. A production build replaces the body with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` — the signature, schema and
-    batching stay identical."""
+    """Decode one payload: REAL parse for BMP/WAV (dimensions land in
+    the width/height fields), deterministic stub features otherwise.
+    A production build adds the PIL/ffmpeg formats in the same slot —
+    signature, schema and batching stay identical."""
     digest = hashlib.md5(payload).hexdigest()
     n = len(payload)
+    kind = _sniff(payload)
+    if kind == "bmp":
+        img = decode_bmp(payload)
+        return {
+            "n_bytes": n,
+            "digest": digest,
+            "fake_width": img.shape[1],
+            "fake_height": img.shape[0],
+        }
+    if kind == "wav":
+        rate, channels, samples = decode_wav(payload)
+        return {
+            "n_bytes": n,
+            "digest": digest,
+            "fake_width": int(len(samples) // max(channels, 1)),
+            "fake_height": channels,
+        }
     return {
         "n_bytes": n,
         "digest": digest,
@@ -45,7 +83,7 @@ def _decode_one(payload: bytes) -> dict:
 
 
 def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched 'decode': binary column → feature rows."""
+    """Arrow-batched decode: binary column → feature rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -55,6 +93,58 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             yield out
 
     return df.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+MEDIA_RICH_SCHEMA = (
+    "doc_id long, kind string, width int, height int, channels int, "
+    "sample_rate int, n_samples long, mean_r double, mean_g double, "
+    "mean_b double, mean_amp double"
+)
+
+
+def decode_media_rich(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Full bytes→content decode for the formats the stdlib can parse:
+    per-channel pixel means for BMP, sample stats for WAV, nulls for
+    the fields the other modality doesn't have. Channel sums are exact
+    integer arithmetic in float64 (pixel/sample counts ≪ 2^53), so the
+    means are engine-exact and oracle-checkable."""
+
+    def one(doc_id: int, payload: bytes) -> dict:
+        kind = _sniff(payload)
+        row = {
+            "doc_id": doc_id, "kind": kind, "width": None, "height": None,
+            "channels": None, "sample_rate": None, "n_samples": None,
+            "mean_r": None, "mean_g": None, "mean_b": None, "mean_amp": None,
+        }
+        if kind == "bmp":
+            img = decode_bmp(payload)
+            sums = img.reshape(-1, 3).astype(np.float64).sum(axis=0)
+            npx = float(img.shape[0] * img.shape[1])
+            row.update(
+                width=img.shape[1], height=img.shape[0], channels=3,
+                mean_r=sums[0] / npx, mean_g=sums[1] / npx,
+                mean_b=sums[2] / npx,
+            )
+        elif kind == "wav":
+            rate, channels, samples = decode_wav(payload)
+            row.update(
+                channels=channels, sample_rate=rate,
+                n_samples=int(len(samples) // max(channels, 1)),
+                mean_amp=float(
+                    np.abs(samples.astype(np.float64)).sum() / max(len(samples), 1)
+                ),
+            )
+        return row
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(int(i), p) for i, p in zip(pdf[id_col], pdf[payload_col])]
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_RICH_SCHEMA)
 
 
 RESIZE_SCHEMA = (
@@ -69,20 +159,27 @@ def resize_media(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Arrow-batched 'resize' STUB: binary payload → resized payload
-    features. A production build decodes, resizes to (width, height)
-    and re-encodes (``PIL.Image.resize`` / ffmpeg scale filter); the
-    deterministic stand-in truncates the payload to the byte budget of
-    the target raster (width*height/8 — as if 1 bit/pixel) so output
-    size, schema, and batch shape behave like the real op. Partitioning
+    """Arrow-batched resize: REAL for BMP payloads (nearest-neighbor
+    raster resample to (width, height), re-encoded as BMP); the
+    deterministic byte-budget stand-in for other formats (truncate to
+    width*height/8 bytes — as if 1 bit/pixel) so output size, schema,
+    and batch shape behave like the real op either way. Partitioning
     and batching notes as in ``decode_media``."""
     budget = width * height // 8
+
+    def one(payload: bytes) -> bytes:
+        if _sniff(payload) == "bmp":
+            try:
+                return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
+            except ValueError:
+                pass  # unsupported BMP variant → stub path
+        return payload[:budget]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, p in zip(pdf[id_col].to_numpy(), pdf[payload_col]):
-                out = p[:budget]
+                out = one(p)
                 rows.append(
                     {
                         "doc_id": int(i),

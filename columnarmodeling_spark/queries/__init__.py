@@ -129,7 +129,9 @@ PRIORITY: tuple[str, ...] = (
     "q29_intersect_projection",
     "q31_bond_type_histogram",
     "q32_asof_join",
-    "q33_affine_projection",
+    # round-4 real media decode (q33_affine_projection yields its slot;
+    # q33 was r1-green and unchanged since)
+    "q108_media_decode",
     # geometry tier — hash-checked oracles added in round 4
     "q90_voronoi_grains",
     "q91_mesh_facets",

@@ -406,3 +406,131 @@ def q105_config_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("T") / F.col("dT")) / F.col("nOutLoops")
         ).cast("long").alias("n_snapshots"),
     )
+
+
+# ---------------------------------------------------------------------------
+# real media decode (round 4): stdlib BMP/WAV codecs
+# ---------------------------------------------------------------------------
+
+
+def _synth_media(df: DataFrame) -> DataFrame:
+    """Deterministic per-doc media payloads in REAL formats: even doc_ids
+    get an uncompressed 24-bit BMP (4+id%13 × 3+id%7, seeded RGB
+    pattern), odd ones a 16-bit PCM WAV (50+id%100 mono samples @8 kHz,
+    seeded waveform). The encoder and decoder are independent codepaths
+    over the actual byte layout (media_codec.py), so a decode bug —
+    wrong offset, padding, endianness, row order — breaks the oracle
+    match."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.functions.media_codec import (
+        encode_bmp,
+        encode_wav,
+    )
+
+    def synth(doc_id: int) -> bytes:
+        if doc_id % 2 == 0:
+            w, h = 4 + doc_id % 13, 3 + doc_id % 7
+            y, x = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (doc_id * 31 + y) % 256,
+                    (x * y) % 256,
+                    (doc_id + x) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            return encode_bmp(img)
+        n = 50 + doc_id % 100
+        i = np.arange(n, dtype=np.int64)
+        samples = ((doc_id * 7 + i * 13) % 2003 - 1001).astype(np.int16)
+        return encode_wav(samples, sample_rate=8000)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "payload": [synth(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+@register(
+    "q108_media_decode",
+    oracle="""
+    WITH bmp AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    bmp_feat AS (
+      SELECT b.doc_id, 'bmp' AS kind,
+             CAST(b.w AS INT) AS width, CAST(b.h AS INT) AS height,
+             CAST(3 AS INT) AS channels,
+             CAST(NULL AS INT) AS sample_rate,
+             CAST(NULL AS BIGINT) AS n_samples,
+             round(avg((b.doc_id * 31 + p.y) % 256), 6) AS mean_r,
+             round(avg((p.x * p.y) % 256), 6) AS mean_g,
+             round(avg((b.doc_id + p.x) % 256), 6) AS mean_b,
+             CAST(NULL AS DOUBLE) AS mean_amp
+      FROM bmp b,
+           LATERAL (SELECT unnest(range(b.w)) AS x) px,
+           LATERAL (SELECT unnest(range(b.h)) AS y) py,
+           LATERAL (SELECT px.x AS x, py.y AS y) p
+      GROUP BY b.doc_id, b.w, b.h),
+    wav AS (
+      SELECT doc_id, 50 + doc_id % 100 AS n
+      FROM documents WHERE doc_id % 2 = 1),
+    wav_feat AS (
+      SELECT w.doc_id, 'wav' AS kind,
+             CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+             CAST(1 AS INT) AS channels,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(w.n AS BIGINT) AS n_samples,
+             CAST(NULL AS DOUBLE) AS mean_r,
+             CAST(NULL AS DOUBLE) AS mean_g,
+             CAST(NULL AS DOUBLE) AS mean_b,
+             round(avg(abs((w.doc_id * 7 + s.i * 13) % 2003 - 1001)), 6)
+               AS mean_amp
+      FROM wav w, LATERAL (SELECT unnest(range(w.n)) AS i) s
+      GROUP BY w.doc_id, w.n)
+    SELECT * FROM bmp_feat UNION ALL SELECT * FROM wav_feat
+    """,
+    doc="REAL media decode (round-4: the multimodal tier's bytes→pixels "
+    "step is no longer a stub for stdlib-parsable formats): synthesize "
+    "actual BMP/WAV files per document (media_codec.py encoders — "
+    "headers, bottom-up padded BGR rows, RIFF chunk walk), decode them "
+    "with the independent struct-based parsers, and emit per-channel "
+    "pixel means / sample stats. The oracle computes the same features "
+    "in closed form from the seeding pattern — any decode-offset, "
+    "padding, endianness or row-order bug breaks the hash match. "
+    "Channel sums are integer-exact in float64, so the means are "
+    "engine-exact. The cross-join-free plan is one mapInPandas per "
+    "side (encode, decode) — embarrassingly parallel, no shuffle.",
+    tags=("multimodal", "llm", "codec", "pandas-udf"),
+)
+def q108_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.functions.multimodal import decode_media_rich
+
+    d = t(spark, sf_dir, "documents")
+    payloads = _synth_media(d)
+    feats = decode_media_rich(payloads)
+    return feats.select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+    )
