@@ -11,15 +11,21 @@ free insurance), memory sink for synchronous test drains.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from columnarmodeling_spark.session import tune
 
-_EVENTS_DDL = (
+_EVENTS_NANOS_DDL = (
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+_EVENTS_MICROS_DDL = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -27,19 +33,34 @@ _EVENTS_DDL = (
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.
 
-    The parquet stores TIMESTAMP(NANOS); the stream schema reads nanos
-    as long and truncates to micros — same convention as the batch
-    catalog (catalog.py), same instants as the DuckDB oracle.
+    The parquet's physical timestamp unit has drifted across testdata
+    generations (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)), so the stream
+    schema is derived from the batch reader's view of the same file —
+    the exact guard ``catalog.table`` applies (catalog.py). If the batch
+    schema already yields TimestampType, the file is micros and is
+    declared TIMESTAMP directly; only legacy nanos files (surfaced as
+    LongType under ``nanosAsLong``) take the ns→µs truncation. Either
+    way the stream sees the same instants as the batch path and the
+    DuckDB oracle.
     """
     tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
+    nanos = isinstance(batch_ts, T.LongType)
+    ddl = _EVENTS_NANOS_DDL if nanos else _EVENTS_MICROS_DDL
     # file-source streams need a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(_EVENTS_DDL)
+        spark.readStream.schema(ddl)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def drain_to_memory(
