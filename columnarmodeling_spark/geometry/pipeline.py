@@ -18,7 +18,11 @@ from columnarmodeling_spark.geometry.extrude import (
     shrink_toward_centroid,
     side_facets,
 )
-from columnarmodeling_spark.geometry.voronoi import lloyd_relax, voronoi_cells
+from columnarmodeling_spark.geometry.voronoi import (
+    adaptive_tile,
+    lloyd_relax,
+    voronoi_cells,
+)
 from columnarmodeling_spark.operators.selection import greedy_disjoint_select
 
 
@@ -38,7 +42,10 @@ def generate_columnar_mesh(
     grains: grain_id, cx, cy, area, n_vertices, is_boundary, selected
     facets: grain_id, facet_pos, p1..p4 (struct<x,y,z>)
     """
-    tile = max(width, height) / 4.0
+    # Tile from seed density, not domain size: a fixed max(W,H)/4 tile
+    # violates the halo invariant when seeds are sparse (cells wider
+    # than the tile → overlapping tessellation). One cheap count().
+    tile = adaptive_tile(width, height, seeds.count())
     relaxed = lloyd_relax(seeds, width, height, tile, lloyd_iters)
     cells = voronoi_cells(relaxed, width, height, tile).filter(
         F.col("n_vertices") >= 3

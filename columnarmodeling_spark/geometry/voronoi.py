@@ -31,6 +31,29 @@ CELL_SCHEMA = (
 )
 
 
+def adaptive_tile(
+    width: float, height: float, n_seeds: int, c: float = 3.0
+) -> float:
+    """Tile size satisfying the locality invariant at any seed density.
+
+    The invariant (``voronoi_cells``): tile_size > max cell diameter,
+    else true bisector neighbors fall outside the one-tile halo and
+    cells overlap. With K seeds ~uniform in W×H the expected cell pitch
+    is sqrt(W·H/K); ``c`` covers size dispersion (c=3 bounds the largest
+    cell of a uniform/Lloyd-relaxed tessellation with wide margin —
+    validated by the q106 Σarea=W·H invariant at sf0.001 and sf0.01).
+    Sparse seedings degrade to one global tile (tile ≥ max(W, H) puts
+    every seed in bin 0 — correct, just not parallel); dense seedings
+    get tiles ~c·pitch, so tile count grows linearly with K and the
+    per-tile O(#home × #halo) bisector work stays bounded — the 100 TB
+    path.
+    """
+    if n_seeds <= 0:
+        return max(width, height)
+    tile = c * float(np.sqrt(width * height / n_seeds))
+    return min(max(tile, 1e-9), max(width, height))
+
+
 def _clip_halfplane(xs, ys, a, b, c):
     """Keep the region a*x + b*y <= c of polygon (xs, ys)."""
     out_x, out_y = [], []
