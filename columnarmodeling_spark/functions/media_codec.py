@@ -57,6 +57,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """
     if payload[:2] != BMP_MAGIC:
         raise ValueError("not a BMP payload")
+    if len(payload) < _BMP_HEADER:
+        # malformed inputs raise ValueError uniformly, never struct.error
+        raise ValueError("BMP payload shorter than the 54-byte header")
     (offset,) = struct.unpack_from("<I", payload, 10)
     hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
@@ -65,6 +68,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             f"unsupported BMP (hdr={hdr_size} bpp={bpp} comp={compression})"
         )
     row_size = (w * 3 + 3) // 4 * 4
+    if offset + h * row_size > len(payload):
+        # also bounds the (h, w, 3) allocation against hostile headers
+        raise ValueError("BMP pixel array exceeds payload size")
     img = np.empty((h, w, 3), dtype=np.uint8)
     for i in range(h):
         start = offset + i * row_size
@@ -119,6 +125,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

@@ -24,6 +24,7 @@ partition of large blobs cannot OOM an executor.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -54,26 +55,38 @@ def _decode_one(payload: bytes) -> dict:
     """Decode one payload: REAL parse for BMP/WAV (dimensions land in
     the width/height fields), deterministic stub features otherwise.
     A production build adds the PIL/ffmpeg formats in the same slot —
-    signature, schema and batching stay identical."""
+    signature, schema and batching stay identical.
+
+    Sniffing is a 2-4 byte prefix check, so arbitrary binary (or UTF-8
+    text routed through this op, as q72 does) can false-positive; a
+    payload that *sniffs* like BMP/WAV but fails to parse (truncated,
+    compressed, non-24-bit, non-PCM, …) degrades to the stub row rather
+    than failing the Spark stage."""
     digest = hashlib.md5(payload).hexdigest()
     n = len(payload)
     kind = _sniff(payload)
     if kind == "bmp":
-        img = decode_bmp(payload)
-        return {
-            "n_bytes": n,
-            "digest": digest,
-            "fake_width": img.shape[1],
-            "fake_height": img.shape[0],
-        }
-    if kind == "wav":
-        rate, channels, samples = decode_wav(payload)
-        return {
-            "n_bytes": n,
-            "digest": digest,
-            "fake_width": int(len(samples) // max(channels, 1)),
-            "fake_height": channels,
-        }
+        try:
+            img = decode_bmp(payload)
+            return {
+                "n_bytes": n,
+                "digest": digest,
+                "fake_width": img.shape[1],
+                "fake_height": img.shape[0],
+            }
+        except (ValueError, struct.error):
+            pass
+    elif kind == "wav":
+        try:
+            rate, channels, samples = decode_wav(payload)
+            return {
+                "n_bytes": n,
+                "digest": digest,
+                "fake_width": int(len(samples) // max(channels, 1)),
+                "fake_height": channels,
+            }
+        except (ValueError, struct.error):
+            pass
     return {
         "n_bytes": n,
         "digest": digest,
@@ -118,24 +131,31 @@ def decode_media_rich(
             "channels": None, "sample_rate": None, "n_samples": None,
             "mean_r": None, "mean_g": None, "mean_b": None, "mean_amp": None,
         }
-        if kind == "bmp":
-            img = decode_bmp(payload)
-            sums = img.reshape(-1, 3).astype(np.float64).sum(axis=0)
-            npx = float(img.shape[0] * img.shape[1])
-            row.update(
-                width=img.shape[1], height=img.shape[0], channels=3,
-                mean_r=sums[0] / npx, mean_g=sums[1] / npx,
-                mean_b=sums[2] / npx,
-            )
-        elif kind == "wav":
-            rate, channels, samples = decode_wav(payload)
-            row.update(
-                channels=channels, sample_rate=rate,
-                n_samples=int(len(samples) // max(channels, 1)),
-                mean_amp=float(
-                    np.abs(samples.astype(np.float64)).sum() / max(len(samples), 1)
-                ),
-            )
+        try:
+            if kind == "bmp":
+                img = decode_bmp(payload)
+                sums = img.reshape(-1, 3).astype(np.float64).sum(axis=0)
+                npx = float(img.shape[0] * img.shape[1])
+                row.update(
+                    width=img.shape[1], height=img.shape[0], channels=3,
+                    mean_r=sums[0] / npx, mean_g=sums[1] / npx,
+                    mean_b=sums[2] / npx,
+                )
+            elif kind == "wav":
+                rate, channels, samples = decode_wav(payload)
+                row.update(
+                    channels=channels, sample_rate=rate,
+                    n_samples=int(len(samples) // max(channels, 1)),
+                    mean_amp=float(
+                        np.abs(samples.astype(np.float64)).sum()
+                        / max(len(samples), 1)
+                    ),
+                )
+        except (ValueError, struct.error):
+            # sniff false-positive / unsupported variant: report the
+            # sniffed kind with null content fields instead of failing
+            # the stage
+            row["kind"] = f"{kind}-unparsed"
         return row
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,8 +191,10 @@ def resize_media(
         if _sniff(payload) == "bmp":
             try:
                 return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
-            except ValueError:
-                pass  # unsupported BMP variant → stub path
+            except (ValueError, struct.error):
+                # unsupported variant, or payload shorter than the
+                # 54-byte header (struct.error) → stub path
+                pass
         return payload[:budget]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

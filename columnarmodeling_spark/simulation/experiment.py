@@ -128,6 +128,7 @@ def run_experiment(
                 k=cfg.k,
                 dt=cfg.dt,
                 fuse=cfg.fuse,
+                step0=step,  # keep logged break steps global across bursts
             )
             bonds = (
                 bond_log.filter("break_step < 0")

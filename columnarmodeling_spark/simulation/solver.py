@@ -321,6 +321,7 @@ def run_solver_blocked_breaking(
     fuse: int = 25,
     block: float | None = None,
     reach: float | None = None,
+    step0: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Block solver with strain-threshold bond removal (E3 damage: the
     reference's broken-bond series ``Output/MLSOut00B.dat``, SURVEY
@@ -342,7 +343,9 @@ def run_solver_blocked_breaking(
 
     Returns ``(final_state, bond_log)`` where *bond_log* has one row
     per input bond: ``src, dst, rest, break_step`` (1-based global
-    step; -1 = survived).
+    step; -1 = survived). Callers that drive multiple bursts (the
+    experiment damage loop) pass ``step0`` = steps already simulated so
+    logged break steps stay global, not burst-relative.
     """
     import numpy as np
     import pandas as pd
@@ -512,7 +515,7 @@ def run_solver_blocked_breaking(
         out = (
             rep.groupBy("bx", "by")
             .cogroup(eb.groupBy("bx", "by"))
-            .applyInPandas(make_kernel(burst, i), schema=out_schema)
+            .applyInPandas(make_kernel(burst, step0 + i), schema=out_schema)
             .localCheckpoint()
         )
         state = out.filter("kind = 0 AND owned").select(
@@ -521,9 +524,21 @@ def run_solver_blocked_breaking(
         bond_rows = out.filter("kind = 1").select(
             "src", "dst", "rest", "break_step"
         )
-        broken_log = broken_log.union(
-            bond_rows.filter("break_step >= 0")
-        ).localCheckpoint(eager=False)
+        # One-row-per-input-bond contract, loudly: a bond whose length
+        # exceeds the halo at round start co-blocks with no replica of
+        # its src (eb misses it) and would otherwise vanish from both
+        # the alive set and the log. Such a bond is necessarily broken
+        # already — dist > halo ≥ reach ≥ 1.05·(1+strain_limit)·rest —
+        # so emit it as broken at this round's first sub-step rather
+        # than dropping it silently (round-4 ADVICE).
+        dropped = bonds.join(
+            bond_rows.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).withColumn("break_step", F.lit(step0 + i + 1).cast("long"))
+        broken_log = (
+            broken_log.union(bond_rows.filter("break_step >= 0"))
+            .union(dropped.select("src", "dst", "rest", "break_step"))
+            .localCheckpoint(eager=False)
+        )
         bonds = bond_rows.filter("break_step < 0").select(
             "src", "dst", "rest"
         ).localCheckpoint(eager=False)

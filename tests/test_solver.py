@@ -321,3 +321,35 @@ def test_experiment_damage_series_monotone(spark, tmp_path):
     assert all(d2 >= d1 for d1, d2 in zip(damage, damage[1:]))
     assert damage[-1] > 0  # the stretch chosen actually breaks bonds
     assert all(0.0 <= d <= 1.0 for d in damage)
+
+
+def test_breaking_solver_never_drops_bonds(spark):
+    """One-row-per-input-bond contract under the adversarial shape from
+    the round-4 ADVICE: with fuse=1 (halo == reach) a bond that starts
+    longer than the halo co-blocks with no replica of its src, so the
+    kernel never sees it — it must surface in bond_log as broken, not
+    vanish from both the alive set and the log."""
+    from columnarmodeling_spark.simulation.solver import (
+        run_solver_blocked_breaking,
+    )
+
+    state = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 0.0, 0.0, 1.0),
+            (2, 10.0, 0.0, 0.0, 0.0, 1.0),  # 10 apart
+            (3, 0.0, 0.9, 0.0, 0.0, 1.0),
+        ],
+        "id long, x double, y double, vx double, vy double, m double",
+    )
+    bonds = spark.createDataFrame(
+        # reach = 1.05*(1+0.5)*1.0 = 1.575 < 10: bond (1,2) is in no eb
+        [(1, 2, 1.0), (1, 3, 0.9)],
+        "src long, dst long, rest double",
+    )
+    _, log = run_solver_blocked_breaking(
+        state, bonds, n_steps=2, strain_limit=0.5, fuse=1, step0=100
+    )
+    rows = {(r["src"], r["dst"]): r["break_step"] for r in log.collect()}
+    assert set(rows) == {(1, 2), (1, 3)}  # nothing dropped, nothing extra
+    assert rows[(1, 2)] == 101  # broken at the first global sub-step
+    assert rows[(1, 3)] == -1  # healthy bond survives

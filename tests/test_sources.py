@@ -263,3 +263,44 @@ def test_decode_media_sniffs_real_formats(spark):
     assert (rows[1]["fake_width"], rows[1]["fake_height"]) == (9, 6)
     assert (rows[2]["fake_width"], rows[2]["fake_height"]) == (123, 1)
     assert rows[3]["fake_width"] == len(other) % 640
+
+
+def test_decode_media_malformed_sniff_falls_back(spark):
+    """Payloads that sniff as BMP/WAV but fail to parse (truncated
+    header, compressed BMP, non-PCM WAV, text starting with the magic)
+    degrade to the deterministic stub row instead of failing the stage
+    (round-4 ADVICE: q72 pipes document text through this path)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from columnarmodeling_spark.functions.media_codec import encode_bmp
+    from columnarmodeling_spark.functions.multimodal import (
+        decode_media,
+        decode_media_rich,
+        resize_media,
+    )
+
+    truncated_bmp = b"BM\x01\x02"  # 4 bytes: shorter than the header
+    text_bm = b"BMost of this document is prose that merely starts BM"
+    bad_wav = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"\x00" * 4
+    compressed = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    _struct.pack_into("<I", compressed, 30, 1)  # compression=BI_RLE8
+    payloads = [truncated_bmp, text_bm, bad_wav, bytes(compressed)]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert len(rows) == len(payloads)
+    for i, p in enumerate(payloads):
+        assert rows[i]["fake_width"] == len(p) % 640  # stub features
+
+    rich = {r["doc_id"]: r for r in decode_media_rich(df).collect()}
+    for i in rows:
+        assert rich[i]["kind"].endswith("-unparsed")
+        assert rich[i]["width"] is None and rich[i]["n_samples"] is None
+
+    sized = {r["doc_id"]: r for r in resize_media(df, 8, 8).collect()}
+    for i, p in enumerate(payloads):
+        assert sized[i]["out_bytes"] == min(len(p), 8 * 8 // 8)  # stub path
