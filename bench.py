@@ -84,6 +84,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "solver_particle_steps_per_s": _solver_throughput(spark),
+                "breaking_solver_particle_steps_per_s": (
+                    _breaking_solver_throughput(spark)
+                ),
             }
         )
     )
@@ -124,6 +127,55 @@ def _solver_throughput(spark) -> float:
         state, bonds, n_steps, k=1.0, dt=0.001, fuse=100, block=250.0,
         reach=1.1,
     ).count()
+    dt_s = time.perf_counter() - t0
+    return round(nx * ny * n_steps / dt_s, 0)
+
+
+def _breaking_solver_throughput(spark) -> float:
+    """Damage-curve variant of the solver bench (round-4 verdict #7):
+    same 125k-particle lattice and 100 steps, but through
+    ``run_solver_blocked_breaking`` with the strain limit just above
+    the lattice's initial 5.26% pre-strain (rest=0.95 on unit spacing),
+    so breaks happen only where dynamic overshoot concentrates stress —
+    the per-sub-step strain test, exactly-once emission, anti-join drop
+    guard, and alive-set carry are all inside the timed region while
+    the bond population stays representative. Reports particle-steps/s
+    for the q107 physics so the breaking path has a perf record
+    alongside the elastic one."""
+    from columnarmodeling_spark.simulation.solver import (
+        run_solver_blocked_breaking,
+    )
+    from pyspark.sql import functions as F
+
+    nx, ny, n_steps = 500, 250, 100
+    ids = spark.range(nx * ny)
+    state = ids.select(
+        F.col("id"),
+        (F.col("id") % nx).cast("double").alias("x"),
+        F.floor(F.col("id") / nx).cast("double").alias("y"),
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    ).cache()
+    right = ids.filter((F.col("id") + 1) % nx != 0).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    down = ids.filter(F.col("id") < nx * (ny - 1)).select(
+        F.col("id").alias("src"), (F.col("id") + nx).alias("dst")
+    )
+    bonds = right.union(down).withColumn("rest", F.lit(0.95)).cache()
+    state.count(), bonds.count()
+    # warm-up round (Arrow/codegen), untimed
+    run_solver_blocked_breaking(
+        state, bonds, 2, strain_limit=0.055, fuse=2, block=100.0, reach=1.1
+    )[0].count()
+    t0 = time.perf_counter()
+    final, log = run_solver_blocked_breaking(
+        state, bonds, n_steps, strain_limit=0.055, k=1.0, dt=0.001,
+        fuse=100, block=250.0, reach=1.1,
+    )
+    final.count()
+    log.count()
     dt_s = time.perf_counter() - t0
     return round(nx * ny * n_steps / dt_s, 0)
 

@@ -81,67 +81,80 @@ def register(
 # bond-break series). Streaming's fixed micro-batch overhead goes last.
 # Union-of-rounds coverage after this window: all 104+new queries
 # driver-checked at least once, zero `no_oracle` rows.
+#
+# Round-5 rotation (executes the round-4 VERDICT's "Next round" item 5):
+# the window leads with everything round 5 *changed* — the geometry tier
+# (density-adaptive tiling + re-pinned sf-keyed oracles), the media
+# decode paths (malformed-payload fallbacks), and the breaking solver
+# (drop guard + global step0) — plus the five standing tier canaries.
+# The middle re-verifies the r2-green rows that have had exactly one
+# driver row ever (the tier that just demonstrated it can rot
+# silently includes its batch cousins q60–q75 etc.), then r1/r3 stale
+# relational rows. The full streaming tier closes the window, directly
+# behind the timestamp-unit fix: q80–q86 + q58, their first driver rows
+# since r2. Everything in last round's window was all-green there and
+# unchanged since (except the round-5-changed queries, which stay in).
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
-    # never-verified round-2 additions (VERDICT next-round item 1)
-    "q94_contamination",
-    "q95_training_mix",
-    "q97_bm25_topterms",
-    "q98_semantic_dedup",
-    "q99_rollup_cascade",
-    "q100_bigram_logprob",
-    "q101_bpe_merge_topk",
-    "q102_full_outer_recon",
-    "q103_range_frame",
-    "q104_minhash_estimate_error",
-    "q78_media_resize",
-    # tier canaries (r2-green, kept in-window as regression guards)
+    # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
     "q56_dup_clusters",
-    "q64_solver_steps",
     "q96_ivf_adaptive",
-    # r1-green relational/window/setops rows, never re-checked since r1
-    "q02_regional_revenue",
-    "q03_semi_join_orders",
-    "q04_anti_join_customers",
-    "q05_positional_sections",
-    "q06_range_band_join",
-    "q09_group_centroids",
-    "q10_event_histogram",
-    "q11_grouping_sets",
-    "q12_cube_agg",
-    "q13_pivot_qty",
-    "q14_string_funcs",
-    "q15_datetime_funcs",
-    "q16_math_clamp",
-    "q17_topk_per_group",
-    "q20_boundary_touch",
-    "q21_json_extract",
-    "q22_window_rank_lag",
-    "q23_wraparound_neighbor",
-    "q24_running_total",
-    "q25_row_grouping",
-    "q27_set_algebra",
-    "q28_disjointness",
-    "q29_intersect_projection",
-    "q31_bond_type_histogram",
-    "q32_asof_join",
-    # round-4 real media decode (q33_affine_projection yields its slot;
-    # q33 was r1-green and unchanged since)
-    "q108_media_decode",
-    # geometry tier — hash-checked oracles added in round 4
+    # geometry — round-5 adaptive tiling + sf-keyed re-pins
     "q90_voronoi_grains",
     "q91_mesh_facets",
     "q92_clipped_facets",
-    # round-4 additions
-    "q105_config_scan",
     "q106_geometry_invariants",
+    # media + breaking solver — round-5 hardening
+    "q72_multimodal_features",
+    "q78_media_resize",
+    "q108_media_decode",
     "q107_bond_breaks",
-    # streaming canary (fixed micro-batch overhead → last in window)
+    # r2-green rows with exactly one driver row ever (verdict item 5's
+    # "can rot silently" class), oldest verification first
+    "q07_rounded_dedup_dense_id",
+    "q08_flag_quota",
+    "q18_array_hof",
+    "q19_mirror_union",
+    "q40_exact_dedup",
+    "q60_stress_strain",
+    "q61_bbox_damage",
+    "q63_greedy_selection",
+    "q65_ranking_family",
+    "q70_snapshot_codec",
+    "q71_fixed_format_lines",
+    "q73_frame_sample",
+    "q75_chunk_udtf",
+    "q88_grouped_agg_udaf",
+    "q89_whitespace_roundtrip",
+    "q93_vertex_line_roundtrip",
+    # r1/r3-stale relational & LLM rows not re-checked in r4
+    "q26_sessionization",
+    "q33_affine_projection",
+    "q34_reject_filters",
+    "q35_rollup",
+    "q36_map_funcs",
+    "q37_percentiles",
+    "q38_salted_agg",
+    "q39_scalar_subquery",
+    "q41_epsilon_dedup",
+    "q42_ngram_jaccard_pairs",
+    "q43_minhash_signatures",
+    "q45_simhash",
+    # solver canary, then the full streaming tier behind the ts-unit fix
+    # (fixed micro-batch overhead → end of window)
+    "q64_solver_steps",
     "q80_stream_tumbling",
+    "q81_stream_sliding",
+    "q82_session_window",
+    "q83_stream_static_join",
+    "q84_stateful_running",
+    "q85_stream_stream_join",
+    "q86_foreachbatch_upsert",
+    "q58_stream_dedup",
 )
 
 

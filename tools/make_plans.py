@@ -105,7 +105,112 @@ def _q64_round(spark, sf):
     return blocked_round(state, bonds, 1.0, 0.001, 50, 130.0, 55.0)
 
 
+def _q85_stream(spark, sf):
+    """The pre-drain streaming plan of q85 (the registered fn executes
+    the drain, so the interesting plan is the stream-stream join it
+    starts)."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.streaming.sources import events_stream
+
+    a = events_stream(spark, sf).select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", "1 hour")
+    b = events_stream(spark, sf).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", "1 hour")
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+
+
+def _q90_cells(spark, sf):
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.geometry.voronoi import (
+        adaptive_tile,
+        voronoi_cells,
+    )
+
+    seeds = spark.range(10_000).select(
+        F.col("id"),
+        (F.pmod(F.col("id") * 37.49, F.lit(198.0)) + 1.0).alias("x"),
+        (F.pmod(F.col("id") * 61.03, F.lit(198.0)) + 1.0).alias("y"),
+    )
+    return voronoi_cells(seeds, 200.0, 200.0, adaptive_tile(200.0, 200.0, 10_000))
+
+
+def _q107_round(spark, sf):
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.simulation.solver import (
+        run_solver_blocked_breaking,
+    )
+
+    ids = spark.range(10_000)
+    state = ids.select(
+        "id",
+        (F.col("id") % 100).cast("double").alias("x"),
+        F.floor(F.col("id") / 100).cast("double").alias("y"),
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    )
+    bonds = ids.filter((F.col("id") + 1) % 100 != 0).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+        F.lit(0.95).alias("rest"),
+    )
+    _, log = run_solver_blocked_breaking(
+        state, bonds, n_steps=50, strain_limit=0.1, fuse=50, block=130.0,
+        reach=1.1,
+    )
+    return log
+
+
 ROUND_CASES = {
+    "q85_stream_stream_join (pre-drain streaming plan)": (
+        "Watermark-bounded stream-stream interval self-join (SURVEY §2.8). "
+        "What to check: the join keys carry the user equi-condition (state "
+        "hash-partitions on user), both sides declare a 1-hour watermark "
+        "(the state store evicts - finite at 100 TB/day), and the 30-minute "
+        "bound appears as a join condition, NOT as a cartesian post-filter. "
+        "Round-4 regression note: this plan was always right - the red "
+        "bench number came from the stream source decoding micros "
+        "timestamps as nanos, which collapsed every user's month into "
+        "43 minutes of join state (streaming/sources.py now probes the "
+        "batch schema).",
+        _q85_stream,
+    ),
+    "q90_voronoi_grains (tile+halo cell build, density-adaptive)": (
+        "Distributed bounded-Voronoi cell construction (geometry/"
+        "voronoi.py). What to check: ONE exchange - seeds explode to their "
+        "home tile + 8 halo replicas, then a single hash-partition on the "
+        "tile key feeds FlatMapGroupsInPandas; the per-tile bisector work "
+        "is O(#home x #halo), never global O(n^2). The tile side is "
+        "density-derived (adaptive_tile: ~3x cell pitch from one count()), "
+        "so tile count grows linearly with seed count - the halo invariant "
+        "holds at sparse densities (round-5 fix) and parallelism holds at "
+        "dense ones.",
+        _q90_cells,
+    ),
+    "q107_bond_breaks (one breaking-solver round, fuse=50)": (
+        "Strain-threshold breaking variant of the block solver "
+        "(simulation/solver.py run_solver_blocked_breaking). What to "
+        "check: the same single FlatMapCoGroupsInPandas as the elastic "
+        "round (50 sub-steps per shuffle), plus exactly one extra "
+        "left_anti hash join per round - the loud-drop guard re-unioning "
+        "over-stretched bonds into the log; the bond log union is "
+        "checkpoint-truncated so lineage stays O(1) per round.",
+        _q107_round,
+    ),
     "q56_dup_clusters (one propagation round)": (
         "Connected-components loop body (operators/graph.py "
         "propagation_round; heaviest non-streaming headliner with q64). "
