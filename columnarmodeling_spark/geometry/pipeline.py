@@ -21,7 +21,7 @@ from columnarmodeling_spark.geometry.extrude import (
 from columnarmodeling_spark.geometry.voronoi import (
     adaptive_tile,
     lloyd_relax,
-    voronoi_cells,
+    voronoi_cells_verified,
 )
 from columnarmodeling_spark.operators.selection import greedy_disjoint_select
 
@@ -44,10 +44,13 @@ def generate_columnar_mesh(
     """
     # Tile from seed density, not domain size: a fixed max(W,H)/4 tile
     # violates the halo invariant when seeds are sparse (cells wider
-    # than the tile → overlapping tessellation). One cheap count().
+    # than the tile → overlapping tessellation). One cheap count();
+    # the verified build then *checks* the Σarea = W·H invariant and
+    # doubles the tile when the scatter is skewed enough to beat the
+    # density heuristic (tools/geometry_scale.py measures such shapes).
     tile = adaptive_tile(width, height, seeds.count())
     relaxed = lloyd_relax(seeds, width, height, tile, lloyd_iters)
-    cells = voronoi_cells(relaxed, width, height, tile).filter(
+    cells = voronoi_cells_verified(relaxed, width, height, tile).filter(
         F.col("n_vertices") >= 3
     )
 

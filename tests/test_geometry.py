@@ -283,3 +283,38 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.02
+
+
+def test_verified_cells_heal_skewed_scatter(spark):
+    """A striped (multiplicative-lattice) scatter beats the uniform
+    density heuristic: with the raw tile the cells overlap. The
+    verified build must detect the Σarea violation and converge to an
+    exact tessellation (tools/geometry_scale.py measures this shape at
+    100k seeds; this pins it at test scale)."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.geometry.voronoi import (
+        adaptive_tile,
+        voronoi_cells,
+        voronoi_cells_verified,
+    )
+
+    W_ = H_ = 200.0
+    k = 3000
+    seeds = spark.range(k).select(
+        F.col("id"),
+        (F.pmod(F.col("id") * 37.49 + 0.731, F.lit(W_ - 2.0)) + 1.0).alias("x"),
+        (F.pmod(F.col("id") * 61.03 + 0.177, F.lit(H_ - 2.0)) + 1.0).alias("y"),
+    )
+    tile = adaptive_tile(W_, H_, k)
+    raw = voronoi_cells(seeds, W_, H_, tile).agg(F.sum("area")).collect()[0][0]
+    good = (
+        voronoi_cells_verified(seeds, W_, H_, tile)
+        .agg(F.sum("area"))
+        .collect()[0][0]
+    )
+    assert abs(good - W_ * H_) <= 1e-9 * W_ * H_  # verified build is exact
+    if abs(raw - W_ * H_) <= 1e-9 * W_ * H_:
+        # scatter happened not to violate at this K: the verified path
+        # must then be the same single-pass result
+        assert abs(raw - good) <= 1e-9 * W_ * H_
