@@ -67,3 +67,55 @@ def test_row_counts_match_duckdb(spark, sf_dir, name):
         f"SELECT count(*) FROM read_parquet('{sf_dir}/{name}.parquet')"
     ).fetchone()[0]
     assert table(spark, sf_dir, name).count() == want
+
+
+# DuckDB type → the Spark simpleString the engine's catalog must yield
+# for semantically-equivalent decoding (the round-4 regression was a
+# *physical* parquet type change surfacing as a value change; this
+# fingerprint catches logical drift — new columns, widened ints,
+# date↔timestamp swaps — the moment the driver regenerates testdata).
+_DUCK_TO_SPARK = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    # naive parquet timestamps surface as TIMESTAMP_NTZ on the raw read
+    # (isAdjustedToUTC=false) and as TIMESTAMP on paths that normalize
+    # to an instant (events); both decode to DuckDB's naive values —
+    # the min/max value canaries above pin that equivalence per path
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP_NS": {"timestamp", "timestamp_ntz"},
+    "DATE": {"date"},
+    "BOOLEAN": {"boolean"},
+    "FLOAT[]": {"array<float>"},
+    "DOUBLE[]": {"array<double>"},
+    "BLOB": {"binary"},
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["region", "nation", "customer", "supplier", "part", "orders",
+     "lineitem", "events", "documents", "embeddings"],
+)
+def test_column_types_match_duckdb(spark, sf_dir, name):
+    duck = duckdb.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+    ).fetchall()
+    got = {f.name: f.dataType.simpleString() for f in table(spark, sf_dir, name).schema}
+    want = {}
+    for col, dtype, *_ in duck:
+        mapped = _DUCK_TO_SPARK.get(dtype)
+        assert mapped is not None, (
+            f"{name}.{col}: DuckDB type {dtype!r} has no mapping - testdata "
+            f"gained a new physical type; extend _DUCK_TO_SPARK and check "
+            f"every engine ingest path decodes it"
+        )
+        want[col] = mapped
+    assert set(got) == set(want), f"{name}: column set drifted from testdata"
+    for col, allowed in want.items():
+        assert got[col] in allowed, (
+            f"{name}.{col}: engine decodes as {got[col]!r}, testdata is "
+            f"{allowed} - type drifted"
+        )
