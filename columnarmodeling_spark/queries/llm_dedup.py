@@ -537,3 +537,137 @@ def q104_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+@register(
+    "q109_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    base AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM toks),
+    sh AS (
+      SELECT doc_id, i AS pos, array_to_string(arr[i:i+3], ' ') AS gram
+      FROM toks,
+           LATERAL unnest(generate_series(1, greatest(0, len(arr) - 3))) t(i)
+    ),
+    hot AS (
+      SELECT gram FROM sh GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+    ),
+    spans AS (SELECT doc_id, pos FROM sh JOIN hot USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+                    max(pos + 3) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM spans
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos + 3) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+      FROM merged GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT)   AS n_spans,
+           CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(b.n_tokens - coalesce(p.n_removed, 0) AS BIGINT) AS n_kept
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Exact repeated-span removal (the ExactSubstr pass of 'Deduplicating "
+    "Training Data Makes Language Models Better', Lee et al. 2021, "
+    "df-thresholded): 4-token spans whose gram occurs in >= 3 distinct "
+    "documents are boilerplate; overlapping flagged spans merge via "
+    "gaps-and-islands (running-max window) so removed-token counts never "
+    "double-count. All JVM expressions - shingle equi-join bounds the "
+    "candidate space exactly like q42/q44; one window per doc; linear at "
+    "100 TB. Suffix arrays find *maximal* repeats; the df-thresholded gram "
+    "form is the bucketable equivalent (fixed width, same removal "
+    "guarantee for spans >= the gram width).",
+    tags=("llm", "dedup", "span", "window"),
+)
+def q109_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    N, DF_MIN = 4, 3
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("arr"),
+    ).withColumn("n_tokens", F.size("arr").cast("long"))
+    # sequence(1, n-3) is DESCENDING when n < 4 — guard with empty array
+    grams = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= N,
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("n_tokens") - (N - 1)).cast("int")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("arr", i, N)).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= DF_MIN)
+        .select("gram")
+    )
+    spans = grams.join(hot, "gram").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = spans.withColumn(
+        "is_new",
+        (
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + (N - 1)).over(w_prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("island", F.sum("is_new").over(w_run))
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max(F.col("pos") + (N - 1)).alias("e")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
