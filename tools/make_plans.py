@@ -58,6 +58,13 @@ CASES = {
     "and day branches read InMemoryTableScan of the cached minute/hour "
     "partials instead of re-scanning raw data — measured 16x more raw "
     "rows -> 1.1x total time (SCALE.md).",
+    "q109_span_dedup": "Exact repeated-span removal (ExactSubstr-style "
+    "dedup). What to check: the gram relation is built once by a "
+    "generator expression inside the scan projection (no Python, no "
+    "join for shingling); the hot-gram side is a partial/final hash agg "
+    "whose output is small enough that AQE broadcasts it back onto the "
+    "gram stream; islands merge inside ONE window exchange keyed by "
+    "doc_id. No pairwise doc x doc space exists anywhere in the plan.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
