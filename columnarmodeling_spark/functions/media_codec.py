@@ -124,6 +124,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # declared chunk size overruns the payload: a truncated file
+            # must fail loudly, not yield plausible stats over a prefix
+            raise ValueError(f"truncated {cid!r} chunk ({len(body)}/{size} B)")
         if cid == b"fmt ":
             if len(body) < 16:
                 raise ValueError("truncated fmt chunk")

@@ -192,8 +192,9 @@ def resize_media(
             try:
                 return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
             except (ValueError, struct.error):
-                # unsupported variant, or payload shorter than the
-                # 54-byte header (struct.error) → stub path
+                # decode_bmp raises ValueError for every malformed input
+                # (incl. short headers); struct.error stays as defense
+                # in depth should a codec edge regress → stub path
                 pass
         return payload[:budget]
 

@@ -45,9 +45,10 @@ def generate_columnar_mesh(
     # Tile from seed density, not domain size: a fixed max(W,H)/4 tile
     # violates the halo invariant when seeds are sparse (cells wider
     # than the tile → overlapping tessellation). One cheap count();
-    # the verified build then *checks* the Σarea = W·H invariant and
-    # doubles the tile when the scatter is skewed enough to beat the
-    # density heuristic (tools/geometry_scale.py measures such shapes).
+    # the verified build then repairs any cell whose per-cell exactness
+    # certificate fails (2·r_max > tile) via a bounded tile-ring
+    # rebuild, so skewed scatters that beat the density heuristic still
+    # tessellate exactly (tools/geometry_scale.py measures such shapes).
     tile = adaptive_tile(width, height, seeds.count())
     relaxed = lloyd_relax(seeds, width, height, tile, lloyd_iters)
     cells = voronoi_cells_verified(relaxed, width, height, tile).filter(

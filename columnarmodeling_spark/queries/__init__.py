@@ -87,7 +87,8 @@ def register(
 # (density-adaptive tiling + re-pinned sf-keyed oracles), the media
 # decode paths (malformed-payload fallbacks), and the breaking solver
 # (drop guard + global step0) — plus the five standing tier canaries.
-# The middle re-verifies the r2-green rows that have had exactly one
+# q109 (new this round) gets its first driver row directly behind the
+# anchor. The middle re-verifies the r2-green rows that have had exactly one
 # driver row ever (the tier that just demonstrated it can rot
 # silently includes its batch cousins q60–q75 etc.), then r1/r3 stale
 # relational rows. The full streaming tier closes the window, directly
@@ -98,6 +99,8 @@ def register(
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
+    # round-5 addition - first driver row for the new span-dedup query
+    "q109_span_dedup",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -143,7 +146,6 @@ PRIORITY: tuple[str, ...] = (
     "q41_epsilon_dedup",
     "q42_ngram_jaccard_pairs",
     "q43_minhash_signatures",
-    "q45_simhash",
     # solver canary, then the full streaming tier behind the ts-unit fix
     # (fixed micro-batch overhead → end of window)
     "q64_solver_steps",

@@ -286,7 +286,15 @@ def test_decode_media_malformed_sniff_falls_back(spark):
     bad_wav = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"\x00" * 4
     compressed = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
     _struct.pack_into("<I", compressed, 30, 1)  # compression=BI_RLE8
-    payloads = [truncated_bmp, text_bm, bad_wav, bytes(compressed)]
+    # data chunk declares 1000 bytes but the payload ends after 8: must
+    # fall back, never report stats over the truncated prefix
+    cut_wav = (
+        b"RIFF" + b"\x28\x00\x00\x00" + b"WAVE"
+        + b"fmt " + b"\x10\x00\x00\x00"
+        + _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + b"\xe8\x03\x00\x00" + b"\x00" * 8
+    )
+    payloads = [truncated_bmp, text_bm, bad_wav, bytes(compressed), cut_wav]
     df = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in enumerate(payloads)],
         "doc_id long, payload binary",

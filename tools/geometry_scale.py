@@ -3,12 +3,15 @@
 For K seeds in a fixed W×H domain, ``adaptive_tile`` shrinks the tile
 as ~3·sqrt(W·H/K), so the tile count grows linearly with K and the
 per-tile O(#home × #halo) bisector work stays bounded. The scatter
-here is deliberately striped (multiplicative lattice), which beats the
-uniform-density heuristic — with the raw ``voronoi_cells`` this
-measured Σarea 60 634 vs the 40 000 domain at K=100k. The verified
-build (``voronoi_cells_verified``) detects that with one aggregate and
-doubles the tile until the partition invariant holds, so this tool
-both measures cost and proves the invariant at every K.
+here is deliberately adversarial — 8 seed stripes with 20-unit empty
+gaps, hash-jittered so seeds are distinct points — and beats the
+uniform-density heuristic badly: the raw ``voronoi_cells`` measures
+Σarea 450 718 vs the 40 000 domain at K=100k (gap-bridging cells are
+~10× wider than the density pitch). The verified
+build (``voronoi_cells_verified``) repairs every cell whose exactness
+certificate fails (2·r_max > tile) via a bounded tile-ring rebuild, so
+this tool both measures cost and proves the partition invariant
+(Σ cell area = W·H) at every K.
 
 Usage: python tools/geometry_scale.py [K ...]   (default 1000 10000 100000)
 """

@@ -196,16 +196,20 @@ ROUND_CASES = {
         "batch schema).",
         _q85_stream,
     ),
-    "q90_voronoi_grains (tile+halo cell build, density-adaptive)": (
+    "q90 cell-build kernel (the tile+halo exchange inside voronoi_cells_verified)": (
         "Distributed bounded-Voronoi cell construction (geometry/"
-        "voronoi.py). What to check: ONE exchange - seeds explode to their "
-        "home tile + 8 halo replicas, then a single hash-partition on the "
-        "tile key feeds FlatMapGroupsInPandas; the per-tile bisector work "
-        "is O(#home x #halo), never global O(n^2). The tile side is "
-        "density-derived (adaptive_tile: ~3x cell pitch from one count()), "
-        "so tile count grows linearly with seed count - the halo invariant "
-        "holds at sparse densities (round-5 fix) and parallelism holds at "
-        "dense ones.",
+        "voronoi.py). This captures the BUILD kernel; production q90 runs "
+        "it via voronoi_cells_verified, which adds an eager checkpoint, a "
+        "suspects.isEmpty() probe on the emitted per-cell exactness "
+        "certificate, and - only when a cell fails it - a bounded "
+        "tile-ring repair join (explode + equi-join + applyInPandas; see "
+        "SCALE.md geometry section for its measured cost). What to check "
+        "here: ONE exchange - seeds explode to their home tile + 8 halo "
+        "replicas, then a single hash-partition on the tile key feeds "
+        "FlatMapGroupsInPandas; per-tile bisector work is O(#home x "
+        "#halo), never global O(n^2). The tile is density-derived "
+        "(adaptive_tile: ~3x cell pitch from one count()), so tile count "
+        "grows linearly with seed count.",
         _q90_cells,
     ),
     "q107_bond_breaks (one breaking-solver round, fuse=50)": (
