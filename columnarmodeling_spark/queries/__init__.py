@@ -87,8 +87,9 @@ def register(
 # (density-adaptive tiling + re-pinned sf-keyed oracles), the media
 # decode paths (malformed-payload fallbacks), and the breaking solver
 # (drop guard + global step0) — plus the five standing tier canaries.
-# q109 (new this round) gets its first driver row directly behind the
-# anchor. The middle re-verifies the r2-green rows that have had exactly one
+# q109/q110 (new this round) get their first driver rows directly
+# behind the anchor (q43 yields its slot - r1/r3-green, unchanged, and
+# its minhash machinery is covered by the in-window q44 canary). The middle re-verifies the r2-green rows that have had exactly one
 # driver row ever (the tier that just demonstrated it can rot
 # silently includes its batch cousins q60–q75 etc.), then r1/r3 stale
 # relational rows. The full streaming tier closes the window, directly
@@ -99,8 +100,9 @@ def register(
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
-    # round-5 addition - first driver row for the new span-dedup query
+    # round-5 additions - first driver rows for the new queries
     "q109_span_dedup",
+    "q110_ivf_recall",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -145,7 +147,6 @@ PRIORITY: tuple[str, ...] = (
     "q39_scalar_subquery",
     "q41_epsilon_dedup",
     "q42_ngram_jaccard_pairs",
-    "q43_minhash_signatures",
     # solver canary, then the full streaming tier behind the ts-unit fix
     # (fixed micro-batch overhead → end of window)
     "q64_solver_steps",
