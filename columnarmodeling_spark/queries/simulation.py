@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from columnarmodeling_spark.operators.load_curves import interpolate_curves
 from columnarmodeling_spark.operators.selection import greedy_disjoint_select
 from columnarmodeling_spark.queries import register
 from columnarmodeling_spark.queries._util import t
@@ -475,6 +476,91 @@ def _breaking_oracle(n_steps: int, k: str, dt: str, eps: str, limit: str) -> str
         for i in range(1, n_steps + 1)
     )
     return head + "".join(steps) + "\n" + series
+
+
+@register(
+    "q111_load_curves",
+    oracle="""
+    WITH curve AS (
+      SELECT o_orderpriority AS curve_id,
+             CAST(day(o_orderdate) AS DOUBLE) AS t,
+             round(avg(o_totalprice), 4) AS v
+      FROM orders
+      WHERE day(o_orderdate) % 4 = 1
+        AND day(o_orderdate) BETWEEN 5 AND 25
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT DISTINCT o_orderpriority AS curve_id,
+             CAST(day(o_orderdate) AS DOUBLE) AS t
+      FROM orders),
+    u AS (
+      SELECT curve_id, t, 0 AS kind, t AS ct, v FROM curve
+      UNION ALL
+      SELECT curve_id, t, 1, NULL, NULL FROM probes),
+    w AS (
+      SELECT curve_id, t, kind,
+             last_value(ct IGNORE NULLS) OVER w_back AS t0,
+             last_value(v IGNORE NULLS) OVER w_back AS v0,
+             first_value(ct IGNORE NULLS) OVER w_fwd AS t1,
+             first_value(v IGNORE NULLS) OVER w_fwd AS v1
+      FROM u
+      WINDOW
+        w_back AS (PARTITION BY curve_id ORDER BY t, kind
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY curve_id ORDER BY t, kind
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT curve_id, t, value,
+           round(-20.0 * value, 4) AS applied_vy
+    FROM (
+      SELECT curve_id, t,
+             round(CASE WHEN t0 IS NULL THEN v1
+                        WHEN t1 IS NULL THEN v0
+                        WHEN t1 = t0 THEN v0
+                        ELSE v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+                   END, 6) AS value
+      FROM w WHERE kind = 1)
+    WHERE value IS NOT NULL
+    """,
+    doc="Time-varying load-curve BC evaluation (the reference's "
+    "Load_Data field, present in every MLSLD00.dat BC block — "
+    "SysFile.ini:94,117,140,163 'Apply_the_loading_curve'; the shipped "
+    "uniaxial case ramps its -20-valued top-platen velocity as "
+    "uz = -20·t). Curve control points (one sparse piecewise-linear "
+    "curve per order priority, built from odd days 5-25) are evaluated "
+    "at every probe day via operators/load_curves.interpolate_curves — "
+    "a single union + one window sort per curve, NO range join; probes "
+    "outside the curve domain clamp to the endpoints (days 1-4 forward, "
+    "26+ backward), the solver's hold-last-value convention. applied_vy "
+    "is the resulting platen velocity at the reference's -20 base "
+    "value. The oracle replays the identical union-window plan in "
+    "DuckDB, so interpolation AND both clamp branches are hash-checked. "
+    "The same curve semantics drive the in-kernel np.interp BC path "
+    "(simulation/solver.py BoundaryCondition; E-series ramp test in "
+    "tests/test_experiment.py).",
+    tags=("simulation", "window", "asof", "E3", "P2"),
+)
+def q111_load_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    dom = F.dayofmonth("o_orderdate")
+    curves = (
+        o.filter((dom % 4 == 1) & dom.between(5, 25))
+        .groupBy(
+            F.col("o_orderpriority").alias("curve_id"),
+            dom.cast("double").alias("t"),
+        )
+        .agg(F.round(F.avg("o_totalprice"), 4).alias("v"))
+    )
+    probes = o.select(
+        F.col("o_orderpriority").alias("curve_id"),
+        dom.cast("double").alias("t"),
+    ).distinct()
+    out = interpolate_curves(curves, probes)
+    return out.select(
+        "curve_id",
+        "t",
+        "value",
+        F.round(F.lit(-20.0) * F.col("value"), 4).alias("applied_vy"),
+    )
 
 
 @register(

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from columnarmodeling_spark.operators.proximity import grid_proximity_join
 from columnarmodeling_spark.simulation.solver import (
+    BoundaryCondition,
     run_solver_blocked,
     run_solver_blocked_breaking,
 )
@@ -55,6 +56,16 @@ class ExperimentConfig:
     # strain threshold for bond failure (Webull.dat strength semantics);
     # None = unbreakable network (the pre-round-4 behavior)
     strain_limit: float | None = None
+    # time-varying loading program (MLSLD00.dat value rows + Load_Data
+    # curve, SysFile.ini:72-186): when platen_vy is set, the top platen
+    # band is DRIVEN — its velocity is prescribed each sub-step as
+    # platen_vy × piecewise_linear(load_curve, t) and the bottom band is
+    # clamped at zero, exactly the shipped uniaxial case's two BC blocks
+    # (bottom 0-valued, top -20-valued ramp). load_curve=None with
+    # platen_vy set = constant loading; platen_vy=None = the undriven
+    # squeeze-and-relax initial condition (pre-round-6 behavior).
+    platen_vy: float | None = None
+    load_curve: tuple[tuple[float, float], ...] | None = None
 
 
 def build_bonds(particles: DataFrame, cfg: ExperimentConfig) -> DataFrame:
@@ -95,16 +106,40 @@ def run_experiment(
 
     bonds = build_bonds(particles, cfg).localCheckpoint()
 
-    # uniaxial squeeze: positions compressed toward the mid-plane
-    mid = 0.5 * (y0 + y1)
-    state = particles.select(
-        "id",
-        "x",
-        (mid + (F.col("y") - mid) * 0.98).alias("y"),
-        F.lit(0.0).alias("vx"),
-        F.lit(0.0).alias("vy"),
-        F.lit(1.0).alias("m"),
-    )
+    if cfg.platen_vy is not None:
+        # load-driven run: the two MLSLD00.dat BC blocks — bottom slab
+        # clamped, top platen velocity follows the Load_Data curve.
+        # The lattice starts at rest; all deformation comes from the BC.
+        bcs: tuple[BoundaryCondition, ...] | None = (
+            BoundaryCondition(y1=y0 + band, kind="velocity", vx=0.0, vy=0.0),
+            BoundaryCondition(
+                y0=y1 - band,
+                kind="velocity",
+                vx=0.0,
+                vy=cfg.platen_vy,
+                curve=cfg.load_curve,
+            ),
+        )
+        state = particles.select(
+            "id",
+            "x",
+            "y",
+            F.lit(0.0).alias("vx"),
+            F.lit(0.0).alias("vy"),
+            F.lit(1.0).alias("m"),
+        )
+    else:
+        bcs = None
+        # uniaxial squeeze: positions compressed toward the mid-plane
+        mid = 0.5 * (y0 + y1)
+        state = particles.select(
+            "id",
+            "x",
+            (mid + (F.col("y") - mid) * 0.98).alias("y"),
+            F.lit(0.0).alias("vx"),
+            F.lit(0.0).alias("vy"),
+            F.lit(1.0).alias("m"),
+        )
 
     n_bonds_total = bonds.count()
     e_rows: list[DataFrame] = []
@@ -114,7 +149,8 @@ def run_experiment(
         burst = min(cfg.n_out, cfg.n_steps - step)
         if cfg.strain_limit is None:
             state = run_solver_blocked(
-                state, bonds, burst, k=cfg.k, dt=cfg.dt, fuse=cfg.fuse
+                state, bonds, burst, k=cfg.k, dt=cfg.dt, fuse=cfg.fuse,
+                bcs=bcs, step0=step,
             )
             n_alive = n_bonds_total
         else:
@@ -129,6 +165,7 @@ def run_experiment(
                 dt=cfg.dt,
                 fuse=cfg.fuse,
                 step0=step,  # keep logged break steps global across bursts
+                bcs=bcs,
             )
             bonds = (
                 bond_log.filter("break_step < 0")

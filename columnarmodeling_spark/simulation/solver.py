@@ -26,8 +26,52 @@ OpenMP threads (``CORENUM.txt``) map to executor cores.
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BoundaryCondition:
+    """One boundary-condition block of the reference's ``MLSLD00.dat``
+    (schema ``SysFile.ini:72-186``): a coordinate range box, a BC kind,
+    a value vector, and an optional load curve (the ``Load_Data``
+    field — "Apply_the_loading_curve").
+
+    The shipped uniaxial case has exactly two of these: a zero-velocity
+    clamp on the bottom slab and a ``-20``-valued velocity BC on the
+    top platen whose displacement ramps as ``-20·t`` (the E-series
+    shape). *curve* is a tuple of ``(t, scale)`` control points; the
+    applied value at solver time ``t`` is ``(vx, vy) ×
+    piecewise_linear(curve, t)``, clamped to the endpoint values
+    outside the curve domain (same semantics as
+    ``operators/load_curves.interpolate_curves``). ``curve=None``
+    means a constant BC (scale 1), the pre-round-6 behavior.
+    """
+
+    x0: float = -math.inf
+    x1: float = math.inf
+    y0: float = -math.inf
+    y1: float = math.inf
+    kind: str = "velocity"  # 'velocity' | 'force'
+    vx: float = 0.0
+    vy: float = 0.0
+    curve: tuple[tuple[float, float], ...] | None = None
+
+    def scale_at(self, t: float) -> float:
+        if not self.curve:
+            return 1.0
+        import numpy as np
+
+        return float(
+            np.interp(
+                t,
+                [p[0] for p in self.curve],
+                [p[1] for p in self.curve],
+            )
+        )
 
 
 def spring_forces(state: DataFrame, bonds: DataFrame, k: float) -> DataFrame:
@@ -124,6 +168,8 @@ def run_solver_blocked(
     fuse: int = 25,
     block: float | None = None,
     reach: float | None = None,
+    bcs: tuple[BoundaryCondition, ...] | None = None,
+    step0: int = 0,
 ) -> DataFrame:
     """Halo-exchange block solver — the 100 TB shape of the time loop.
 
@@ -145,6 +191,15 @@ def run_solver_blocked(
 
     *block* (cell edge) defaults to 4× the halo width; *reach*
     defaults to 1.5 × the max bond rest length (stretch safety).
+
+    *bcs* applies the reference's range-box boundary conditions
+    (``MLSLD00.dat`` blocks) inside the kernel at every sub-step —
+    velocity BCs prescribe, force BCs add — each scaled by its load
+    curve evaluated at the global step time ``(step0 + i + 1) · dt``
+    (*step0* = steps already simulated before this call, so curve time
+    stays global across bursts). BC masks depend only on particle
+    positions, which are bit-exact inside the halo, so every replica
+    reaches the same verdict and the halo invariant is unchanged.
     """
     if reach is None:
         max_rest = bonds.agg(F.max("rest")).collect()[0][0] or 1.0
@@ -159,7 +214,8 @@ def run_solver_blocked(
     while i < n_steps:
         burst = min(fuse, n_steps - i)
         state = blocked_round(
-            state, bonds, k, dt, burst, block, halo
+            state, bonds, k, dt, burst, block, halo,
+            bcs=bcs, step0=step0 + i,
         ).localCheckpoint()
         i += burst
     return state
@@ -173,6 +229,8 @@ def blocked_round(
     burst: int,
     block: float,
     halo: float,
+    bcs: tuple[BoundaryCondition, ...] | None = None,
+    step0: int = 0,
 ) -> DataFrame:
     """One halo-exchange round (the loop body of the block solver),
     lazily built: block assignment + 3×3 halo replication, local bond
@@ -213,7 +271,7 @@ def blocked_round(
                     (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
                 )
                 rest = local_bonds["rest"].to_numpy(dtype=np.float64)
-            for _ in range(burst):
+            for s_i in range(burst):
                 dx = x[dst] - x[src]
                 dy = y[dst] - y[src]
                 dist = np.sqrt(dx * dx + dy * dy)
@@ -225,8 +283,34 @@ def blocked_round(
                 np.add.at(fy, src, mag * dy)
                 np.add.at(fx, dst, -mag * dx)
                 np.add.at(fy, dst, -mag * dy)
+                # MLSLD00.dat boundary conditions, per sub-step: masks
+                # use start-of-step positions (pre-integration), curve
+                # scale uses the global end-of-step time — identical in
+                # every halo replica
+                if bcs:
+                    t_now = (step0 + s_i + 1) * dt
+                    for bc in bcs:
+                        msk = (
+                            (x >= bc.x0) & (x <= bc.x1)
+                            & (y >= bc.y0) & (y <= bc.y1)
+                        )
+                        s = bc.scale_at(t_now)
+                        if bc.kind == "force":
+                            fx[msk] += bc.vx * s
+                            fy[msk] += bc.vy * s
                 vx += fx / m * dt
                 vy += fy / m * dt
+                if bcs:
+                    for bc in bcs:
+                        if bc.kind != "velocity":
+                            continue
+                        msk = (
+                            (x >= bc.x0) & (x <= bc.x1)
+                            & (y >= bc.y0) & (y <= bc.y1)
+                        )
+                        s = bc.scale_at((step0 + s_i + 1) * dt)
+                        vx[msk] = bc.vx * s
+                        vy[msk] = bc.vy * s
                 x += vx * dt
                 y += vy * dt
             return pd.DataFrame(
@@ -315,13 +399,14 @@ def run_solver_blocked_breaking(
     state: DataFrame,
     bonds: DataFrame,
     n_steps: int,
-    strain_limit: float,
+    strain_limit: float | None,
     k: float = 1.0,
     dt: float = 0.01,
     fuse: int = 25,
     block: float | None = None,
     reach: float | None = None,
     step0: int = 0,
+    bcs: tuple[BoundaryCondition, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Block solver with strain-threshold bond removal (E3 damage: the
     reference's broken-bond series ``Output/MLSOut00B.dat``, SURVEY
@@ -329,7 +414,7 @@ def run_solver_blocked_breaking(
     failure count per output step IS the damage curve).
 
     Per sub-step, before forces: a live bond with
-    ``(dist - rest)/rest > strain_limit`` breaks NOW and exerts no
+    ``(dist - rest)/rest`` above its strength breaks NOW and exerts no
     force from this step on. Break decisions depend only on endpoint
     positions, which are bit-exact inside the halo for ``fuse`` hops,
     so every replica of a bond reaches the same verdict; each bond is
@@ -337,22 +422,41 @@ def run_solver_blocked_breaking(
     particle. Alive bonds are carried to the next round, so breaks
     persist across shuffle rounds.
 
-    ``reach`` defaults to ``(1 + strain_limit) × max rest × 1.05``: a
+    Strength is per-bond: if *bonds* carries a ``strength`` column it
+    is used directly (the reference's ``Webull.dat`` heterogeneity —
+    per-bond strength drawn from a Weibull distribution; see
+    ``weibull_strengths``), otherwise the scalar *strain_limit* applies
+    to every bond (the homogeneous pre-round-6 behavior; pass
+    ``strain_limit=None`` only with a strength column present).
+
+    ``reach`` defaults to ``(1 + max strength) × max rest × 1.05``: a
     live bond can never be longer (anything longer has broken), so the
     halo invariant survives stretching.
 
-    Returns ``(final_state, bond_log)`` where *bond_log* has one row
-    per input bond: ``src, dst, rest, break_step`` (1-based global
-    step; -1 = survived). Callers that drive multiple bursts (the
-    experiment damage loop) pass ``step0`` = steps already simulated so
-    logged break steps stay global, not burst-relative.
+    Returns ``(final_state, bond_log)`` with one row per input bond:
+    ``src, dst, rest, break_step`` (1-based global step; -1 =
+    survived), plus the ``strength`` column iff the input had one.
+    Callers that drive multiple bursts (the experiment damage loop)
+    pass ``step0`` = steps already simulated so logged break steps stay
+    global, not burst-relative.
     """
     import numpy as np
     import pandas as pd
 
+    has_strength = "strength" in bonds.columns
+    if not has_strength:
+        if strain_limit is None:
+            raise ValueError(
+                "strain_limit is required when bonds has no strength column"
+            )
+        bonds = bonds.withColumn("strength", F.lit(float(strain_limit)))
     if reach is None:
-        max_rest = bonds.agg(F.max("rest")).collect()[0][0] or 1.0
-        reach = 1.05 * (1.0 + strain_limit) * float(max_rest)
+        agg = bonds.agg(
+            F.max("rest").alias("mr"), F.max("strength").alias("ms")
+        ).collect()[0]
+        max_rest = agg["mr"] or 1.0
+        max_strength = agg["ms"] if agg["ms"] is not None else (strain_limit or 0.0)
+        reach = 1.05 * (1.0 + float(max_strength)) * float(max_rest)
     halo = fuse * reach
     if block is None:
         block = 4.0 * halo
@@ -360,14 +464,14 @@ def run_solver_blocked_breaking(
     out_schema = (
         "kind int, id long, x double, y double, vx double, vy double, "
         "m double, owned boolean, src long, dst long, rest double, "
-        "break_step long"
+        "strength double, break_step long"
     )
 
     def make_kernel(burst: int, step0: int):
         def kernel(parts: pd.DataFrame, local_bonds: pd.DataFrame):
             cols = [
                 "kind", "id", "x", "y", "vx", "vy", "m", "owned",
-                "src", "dst", "rest", "break_step",
+                "src", "dst", "rest", "strength", "break_step",
             ]
             if parts.empty:
                 return pd.DataFrame(columns=cols)
@@ -382,6 +486,7 @@ def run_solver_blocked_breaking(
             if local_bonds.empty:
                 src = dst = np.empty(0, dtype=np.int64)
                 rest = np.empty(0, dtype=np.float64)
+                limit = np.empty(0, dtype=np.float64)
             else:
                 src = np.fromiter(
                     (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
@@ -390,13 +495,14 @@ def run_solver_blocked_breaking(
                     (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
                 )
                 rest = local_bonds["rest"].to_numpy(dtype=np.float64)
+                limit = local_bonds["strength"].to_numpy(dtype=np.float64)
             alive = np.ones(len(src), dtype=bool)
             break_step = np.full(len(src), -1, dtype=np.int64)
             for s_i in range(burst):
                 dx = x[dst] - x[src]
                 dy = y[dst] - y[src]
                 dist = np.sqrt(dx * dx + dy * dy)
-                just_broke = alive & (dist - rest > strain_limit * rest)
+                just_broke = alive & (dist - rest > limit * rest)
                 break_step[just_broke] = step0 + s_i + 1
                 alive &= ~just_broke
                 with np.errstate(invalid="ignore", divide="ignore"):
@@ -409,8 +515,33 @@ def run_solver_blocked_breaking(
                 np.add.at(fy, src, mag * dy)
                 np.add.at(fx, dst, -mag * dx)
                 np.add.at(fy, dst, -mag * dy)
+                # load-curve BCs, same discipline as blocked_round:
+                # position-only masks, global end-of-step curve time
+                if bcs:
+                    t_now = (step0 + s_i + 1) * dt
+                    for bc in bcs:
+                        msk = (
+                            (x >= bc.x0) & (x <= bc.x1)
+                            & (y >= bc.y0) & (y <= bc.y1)
+                        )
+                        if bc.kind == "force":
+                            s = bc.scale_at(t_now)
+                            fx[msk] += bc.vx * s
+                            fy[msk] += bc.vy * s
                 vx += fx / m * dt
                 vy += fy / m * dt
+                if bcs:
+                    t_now = (step0 + s_i + 1) * dt
+                    for bc in bcs:
+                        if bc.kind != "velocity":
+                            continue
+                        msk = (
+                            (x >= bc.x0) & (x <= bc.x1)
+                            & (y >= bc.y0) & (y <= bc.y1)
+                        )
+                        s = bc.scale_at(t_now)
+                        vx[msk] = bc.vx * s
+                        vy[msk] = bc.vy * s
                 x += vx * dt
                 y += vy * dt
             p_out = pd.DataFrame(
@@ -419,7 +550,8 @@ def run_solver_blocked_breaking(
                     "id": ids,
                     "x": x, "y": y, "vx": vx, "vy": vy, "m": m,
                     "owned": owned_p,
-                    "src": -1, "dst": -1, "rest": 0.0, "break_step": -1,
+                    "src": -1, "dst": -1, "rest": 0.0, "strength": 0.0,
+                    "break_step": -1,
                 }
             )
             # exactly-once bond emission: the replica owning `src` reports
@@ -443,6 +575,7 @@ def run_solver_blocked_breaking(
                         if len(src) else np.empty(0, dtype=np.int64)
                     ),
                     "rest": rest[emit] if len(src) else np.empty(0),
+                    "strength": limit[emit] if len(src) else np.empty(0),
                     "break_step": (
                         break_step[emit] if len(src)
                         else np.empty(0, dtype=np.int64)
@@ -454,9 +587,13 @@ def run_solver_blocked_breaking(
         return kernel
 
     spark = state.sparkSession
-    log_schema = "src long, dst long, rest double, break_step long"
+    log_schema = (
+        "src long, dst long, rest double, strength double, break_step long"
+    )
     broken_log = spark.createDataFrame([], log_schema)
-    bonds = bonds.select("src", "dst", "rest").localCheckpoint(eager=False)
+    bonds = bonds.select("src", "dst", "rest", "strength").localCheckpoint(
+        eager=False
+    )
 
     i = 0
     while i < n_steps:
@@ -507,7 +644,7 @@ def run_solver_blocked_breaking(
                 (F.col("sbx") == F.col("dbx")) & (F.col("sby") == F.col("dby"))
             )
             .select(
-                "src", "dst", "rest",
+                "src", "dst", "rest", "strength",
                 F.col("sbx").alias("bx"),
                 F.col("sby").alias("by"),
             )
@@ -522,13 +659,13 @@ def run_solver_blocked_breaking(
             "id", "x", "y", "vx", "vy", "m"
         )
         bond_rows = out.filter("kind = 1").select(
-            "src", "dst", "rest", "break_step"
+            "src", "dst", "rest", "strength", "break_step"
         )
         # One-row-per-input-bond contract, loudly: a bond whose length
         # exceeds the halo at round start co-blocks with no replica of
         # its src (eb misses it) and would otherwise vanish from both
         # the alive set and the log. Such a bond is necessarily broken
-        # already — dist > halo ≥ reach ≥ 1.05·(1+strain_limit)·rest —
+        # already — dist > halo ≥ reach ≥ 1.05·(1+max strength)·rest —
         # so emit it as broken at this round's first sub-step rather
         # than dropping it silently (round-4 ADVICE).
         dropped = bonds.join(
@@ -536,15 +673,19 @@ def run_solver_blocked_breaking(
         ).withColumn("break_step", F.lit(step0 + i + 1).cast("long"))
         broken_log = (
             broken_log.union(bond_rows.filter("break_step >= 0"))
-            .union(dropped.select("src", "dst", "rest", "break_step"))
+            .union(
+                dropped.select("src", "dst", "rest", "strength", "break_step")
+            )
             .localCheckpoint(eager=False)
         )
         bonds = bond_rows.filter("break_step < 0").select(
-            "src", "dst", "rest"
+            "src", "dst", "rest", "strength"
         ).localCheckpoint(eager=False)
         i += burst
 
     bond_log = bonds.withColumn("break_step", F.lit(-1).cast("long")).union(
-        broken_log.select("src", "dst", "rest", "break_step")
+        broken_log.select("src", "dst", "rest", "strength", "break_step")
     )
+    if not has_strength:
+        bond_log = bond_log.select("src", "dst", "rest", "break_step")
     return state, bond_log

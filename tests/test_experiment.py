@@ -60,3 +60,49 @@ def test_uniaxial_experiment_end_to_end(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(step" in plan
     assert pruned.count() == 200
+
+
+def test_load_curve_ramp_drives_platen(spark, tmp_path):
+    """E3 load-curve BCs (MLSLD00.dat value rows + Load_Data curve):
+    a two-segment ramp-then-hold curve on the top platen prescribes its
+    velocity each sub-step, so the platen trajectory must equal the
+    closed-form integral of the curve — independent of spring forces —
+    while the clamped bottom row stays exactly put."""
+    import numpy as np
+
+    nx, ny = 20, 10
+    dt, n_steps = 0.005, 40
+    t_half = 20 * dt  # ramp ends at step 20
+    cfg = ExperimentConfig(
+        d_gap=1.5,
+        k=1.0,
+        dt=dt,
+        n_steps=n_steps,
+        n_out=20,
+        fuse=20,
+        platen_vy=-0.5,
+        load_curve=((0.0, 0.0), (t_half, 1.0), (2 * t_half, 1.0)),
+    )
+    res = run_experiment(spark, _lattice(spark, nx, ny), cfg, str(tmp_path / "s"))
+    final = {r["id"]: r for r in res["final"].collect()}
+
+    # closed form: y(N) = y0 + platen_vy * dt * sum_i scale(i*dt)
+    ct = [p[0] for p in cfg.load_curve]
+    cv = [p[1] for p in cfg.load_curve]
+    y_top = float(ny - 1)
+    for i in range(1, n_steps + 1):
+        y_top += cfg.platen_vy * float(np.interp(i * dt, ct, cv)) * dt
+    for i in range(nx):  # top row: ids (ny-1)*nx .. (ny-1)*nx+nx-1
+        pid = (ny - 1) * nx + i
+        assert abs(final[pid]["y"] - y_top) < 1e-9
+        assert abs(final[pid]["vy"] - cfg.platen_vy) < 1e-12  # hold seg
+    for i in range(nx):  # bottom row clamped at zero exactly
+        assert final[i]["y"] == 0.0
+        assert final[i]["vy"] == 0.0
+
+    # E series: top platen sum_vy = 20 particles x prescribed velocity
+    # (scale hits 1.0 exactly at both cadence points)
+    e = {(r["step"], r["platen"]): r for r in res["e_series"].collect()}
+    assert abs(e[(20, "top")]["sum_vy"] - nx * cfg.platen_vy) < 1e-6
+    assert abs(e[(40, "top")]["sum_vy"] - nx * cfg.platen_vy) < 1e-6
+    assert e[(40, "top")]["mean_y"] < e[(20, "top")]["mean_y"]

@@ -4,6 +4,7 @@ as-of join edge cases, 3-D proximity, bucketed co-located joins
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from columnarmodeling_spark.operators.asof import asof_join
@@ -216,3 +217,34 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interpolate_curves_matches_numpy(spark):
+    """operators/load_curves vs np.interp (the in-kernel BC path): same
+    piecewise-linear values, same endpoint clamping, exact hit on
+    control points, and inner semantics for keys with no curve."""
+    import numpy as np
+
+    from columnarmodeling_spark.operators.load_curves import (
+        interpolate_curves,
+    )
+
+    ct = [0.0, 1.0, 3.0, 7.0]
+    cv = [2.0, -4.0, 5.0, 5.5]
+    curves = spark.createDataFrame(
+        [("a", t, v) for t, v in zip(ct, cv)],
+        "curve_id string, t double, v double",
+    )
+    probe_ts = [-2.0, 0.0, 0.5, 1.0, 2.9, 3.0, 6.999, 7.0, 11.0]
+    probes = spark.createDataFrame(
+        [("a", t) for t in probe_ts] + [("orphan", 1.0)],
+        "curve_id string, t double",
+    )
+    got = {
+        (r["curve_id"], r["t"]): r["value"]
+        for r in interpolate_curves(curves, probes).collect()
+    }
+    assert set(k for k, _ in got) == {"a"}  # orphan key dropped (inner)
+    for t in probe_ts:
+        expect = round(float(np.interp(t, ct, cv)), 6)
+        assert got[("a", t)] == pytest.approx(expect, abs=1e-9), t
