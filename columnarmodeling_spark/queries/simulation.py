@@ -478,6 +478,159 @@ def _breaking_oracle(n_steps: int, k: str, dt: str, eps: str, limit: str) -> str
     return head + "".join(steps) + "\n" + series
 
 
+def _weibull_oracle(
+    n_steps: int, k: str, dt: str, eps: str, m: float, sigma0: str, salt: str
+) -> str:
+    """Unroll n_steps Euler steps with PER-BOND Weibull strengths as a
+    DuckDB CTE chain (the _breaking_oracle pattern with the scalar limit
+    replaced by a strength column carried through every bond CTE). The
+    strength draw replays the engine's exact arithmetic: md5-prefix
+    uniform of (src, dst, salt) — the minhash tier's 60-bit idiom —
+    through the Weibull inverse CDF, rounded to 4dp so libm noise can't
+    flip a break. Output is the bond-level break log (src, dst,
+    strength, break_step), i.e., the full fracture sequence."""
+    inv_m = repr(1.0 / float(m))
+    strength = (
+        f"round({sigma0} * pow(-ln(1.0 - "
+        f"CAST(CAST(('0x' || substr(md5(CAST(a.id AS VARCHAR) || '#' || "
+        f"CAST(b.id AS VARCHAR) || '#{salt}'), 1, 15)) AS BIGINT) "
+        f"% 2147483647 AS DOUBLE) / 2147483647.0), {inv_m}), 4)"
+    )
+    head = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id, c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y
+      FROM customer),
+    b0 AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             (0.85 + 0.1 * CAST((a.id + b.id) % 4 AS DOUBLE))
+               * sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) AS rest,
+             {strength} AS strength
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE sqrt((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) < {eps}),
+    s0 AS MATERIALIZED (
+      SELECT id, x, y,
+             CAST(id % 3 - 1 AS DOUBLE) * 8.0 AS vx,
+             CAST(id % 5 - 2 AS DOUBLE) * 4.0 AS vy,
+             1.0 AS m
+      FROM pts)"""
+    steps = []
+    for i in range(1, n_steps + 1):
+        p = i - 1
+        steps.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT b.src, b.dst, b.rest, b.strength,
+             pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS by,
+             sqrt((pb.x - pa.x) * (pb.x - pa.x)
+                  + (pb.y - pa.y) * (pb.y - pa.y)) AS dist
+      FROM b{p} b
+      JOIN s{p} pa ON b.src = pa.id
+      JOIN s{p} pb ON b.dst = pb.id),
+    br{i} AS MATERIALIZED (
+      SELECT src, dst, rest, strength FROM d{i}
+      WHERE dist - rest > strength * rest),
+    b{i} AS MATERIALIZED (
+      SELECT src, dst, rest, strength FROM d{i}
+      WHERE NOT (dist - rest > strength * rest)),
+    f{i} AS MATERIALIZED (
+      SELECT id, sum(fx) AS fx, sum(fy) AS fy FROM (
+        SELECT src AS id,
+               CASE WHEN dist > 0
+                    THEN {k} * (dist - rest) / dist * (bx - ax)
+                    ELSE 0.0 END AS fx,
+               CASE WHEN dist > 0
+                    THEN {k} * (dist - rest) / dist * (by - ay)
+                    ELSE 0.0 END AS fy
+        FROM d{i} WHERE NOT (dist - rest > strength * rest)
+        UNION ALL
+        SELECT dst AS id,
+               CASE WHEN dist > 0
+                    THEN -({k} * (dist - rest) / dist * (bx - ax))
+                    ELSE 0.0 END,
+               CASE WHEN dist > 0
+                    THEN -({k} * (dist - rest) / dist * (by - ay))
+                    ELSE 0.0 END
+        FROM d{i} WHERE NOT (dist - rest > strength * rest))
+      GROUP BY id),
+    s{i} AS MATERIALIZED (
+      SELECT s.id,
+             s.x + (s.vx + coalesce(f.fx, 0.0) / s.m * {dt}) * {dt} AS x,
+             s.y + (s.vy + coalesce(f.fy, 0.0) / s.m * {dt}) * {dt} AS y,
+             s.vx + coalesce(f.fx, 0.0) / s.m * {dt} AS vx,
+             s.vy + coalesce(f.fy, 0.0) / s.m * {dt} AS vy,
+             s.m
+      FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
+    log = "\n    UNION ALL\n".join(
+        f"    SELECT src, dst, strength, CAST({i} AS BIGINT) AS break_step"
+        f" FROM br{i}"
+        for i in range(1, n_steps + 1)
+    )
+    tail = f"""
+{log}
+    UNION ALL
+    SELECT src, dst, strength, CAST(-1 AS BIGINT) AS break_step FROM b{n_steps}
+    """
+    return head + "".join(steps) + "\n" + tail
+
+
+@register(
+    "q112_weibull_breaks",
+    oracle=_weibull_oracle(8, "1.0", "0.05", "30.0", 3.0, "0.12", "q112"),
+    doc="Weibull per-bond strength fracture (Webull.dat:1 — the "
+    "reference parameterizes per-bond strength; a homogeneous limit "
+    "changes fracture localization qualitatively): the q107 particle "
+    "system, but every bond draws its own strain limit from "
+    "Weibull(m=3, sigma0=0.12) via solver.weibull_strengths — an "
+    "md5-prefix uniform of (src, dst, salt) through the inverse CDF, "
+    "deterministic across engines and task retries. The breaking block "
+    "solver consumes the strength column in place of the scalar limit "
+    "and logs the full fracture sequence; the oracle replays all 8 "
+    "steps in DuckDB with the identical strength arithmetic, so the "
+    "bond-level break log (who broke, at which step, at what strength) "
+    "is hash-checked end-to-end. Weibull-vs-homogeneous divergence and "
+    "determinism are additionally pinned in tests/test_solver.py.",
+    tags=("simulation", "E3", "A8", "iterative", "scale"),
+)
+def q112_weibull_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+    from columnarmodeling_spark.simulation.solver import (
+        run_solver_blocked_breaking,
+        weibull_strengths,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+    )
+    bonds = grid_proximity_join(pts, eps=30.0, id_col="id").select(
+        "src",
+        "dst",
+        (
+            (0.85 + 0.1 * ((F.col("src") + F.col("dst")) % 4).cast("double"))
+            * F.col("dist")
+        ).alias("rest"),
+    )
+    bonds = weibull_strengths(bonds, m=3.0, sigma0=0.12, salt="q112")
+    state0 = pts.select(
+        "id",
+        "x",
+        "y",
+        ((F.col("id") % 3 - 1).cast("double") * 8.0).alias("vx"),
+        ((F.col("id") % 5 - 2).cast("double") * 4.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    )
+    n_steps = 8
+    _, bond_log = run_solver_blocked_breaking(
+        state0, bonds, n_steps=n_steps, strain_limit=None, k=1.0, dt=0.05,
+        fuse=n_steps,
+    )
+    return bond_log.select("src", "dst", "strength", "break_step")
+
+
 @register(
     "q111_load_curves",
     oracle="""

@@ -37,6 +37,7 @@ from columnarmodeling_spark.simulation.solver import (
     BoundaryCondition,
     run_solver_blocked,
     run_solver_blocked_breaking,
+    weibull_strengths,
 )
 
 
@@ -53,9 +54,13 @@ class ExperimentConfig:
     n_out: int = 20  # output cadence (nOutLoops)
     fuse: int = 20
     platen_frac: float = 0.08  # top/bottom band thickness for E probes
-    # strain threshold for bond failure (Webull.dat strength semantics);
-    # None = unbreakable network (the pre-round-4 behavior)
+    # strain threshold for bond failure; None = unbreakable network
+    # (the pre-round-4 behavior) unless weibull is set
     strain_limit: float | None = None
+    # per-bond Weibull strength heterogeneity (Webull.dat:1 — shape m,
+    # scale sigma0): when set, every bond draws its own strength via
+    # solver.weibull_strengths and strain_limit is ignored
+    weibull: tuple[float, float] | None = None
     # time-varying loading program (MLSLD00.dat value rows + Load_Data
     # curve, SysFile.ini:72-186): when platen_vy is set, the top platen
     # band is DRIVEN — its velocity is prescribed each sub-step as
@@ -141,13 +146,20 @@ def run_experiment(
             F.lit(1.0).alias("m"),
         )
 
+    breaking = cfg.strain_limit is not None or cfg.weibull is not None
+    if cfg.weibull is not None:
+        # Webull.dat heterogeneity: every bond draws its own strength
+        m_shape, sigma0 = cfg.weibull
+        bonds = weibull_strengths(bonds, m_shape, sigma0).localCheckpoint()
+    bond_cols = bonds.columns
+
     n_bonds_total = bonds.count()
     e_rows: list[DataFrame] = []
     b_rows: list[DataFrame] = []
     step = 0
     while step < cfg.n_steps:
         burst = min(cfg.n_out, cfg.n_steps - step)
-        if cfg.strain_limit is None:
+        if not breaking:
             state = run_solver_blocked(
                 state, bonds, burst, k=cfg.k, dt=cfg.dt, fuse=cfg.fuse,
                 bcs=bcs, step0=step,
@@ -169,7 +181,7 @@ def run_experiment(
             )
             bonds = (
                 bond_log.filter("break_step < 0")
-                .select("src", "dst", "rest")
+                .select(*bond_cols)
                 .localCheckpoint()
             )
             n_alive = bonds.count()

@@ -74,6 +74,41 @@ class BoundaryCondition:
         )
 
 
+def weibull_strengths(
+    bonds: DataFrame,
+    m: float,
+    sigma0: float,
+    salt: str = "wb0",
+) -> DataFrame:
+    """Attach a per-bond Weibull strength column (the reference's
+    ``Webull.dat:1`` — per-bond strength heterogeneity, shape *m* and
+    scale *sigma0*; homogeneous strength changes fracture localization
+    qualitatively, so the breaking solver consumes this column in place
+    of its scalar strain limit).
+
+    The draw is deterministic and engine-portable: ``u`` is the
+    md5-prefix uniform of ``(src, dst, salt)`` (same 60-bit integer
+    arithmetic as the minhash tier, ``functions/text.hex_hash`` —
+    identical in DuckDB, stable across task retries), pushed through
+    the Weibull inverse CDF ``sigma0 · (−ln(1−u))^(1/m)``. The result
+    is rounded to 4 decimals so sub-ulp libm differences between
+    engines cannot flip a break decision.
+    """
+    from columnarmodeling_spark.functions.text import MERSENNE_P, hex_hash
+
+    u_int = (
+        hex_hash(F.concat_ws("#", F.col("src"), F.col("dst"), F.lit(salt)))
+        % MERSENNE_P
+    )
+    u = u_int.cast("double") / F.lit(float(MERSENNE_P))
+    strength = F.round(
+        F.lit(float(sigma0))
+        * F.pow(-F.log(F.lit(1.0) - u), F.lit(1.0 / float(m))),
+        4,
+    )
+    return bonds.withColumn("strength", strength)
+
+
 def spring_forces(state: DataFrame, bonds: DataFrame, k: float) -> DataFrame:
     """Per-particle net spring force from the bond edge list.
 
