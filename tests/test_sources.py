@@ -312,3 +312,55 @@ def test_decode_media_malformed_sniff_falls_back(spark):
     sized = {r["doc_id"]: r for r in resize_media(df, 8, 8).collect()}
     for i, p in enumerate(payloads):
         assert sized[i]["out_bytes"] == min(len(p), 8 * 8 // 8)  # stub path
+
+
+def test_bitmap_codec_roundtrip_two_bitmaps(spark):
+    """S9 PosItem parameterization: the same encode layout decodes under
+    two DIFFERENT bitmaps — the shipped uniaxial one (4 fields → vy, vz,
+    epsx, item21) and a 3-field one (ux, uz, epsz) — with field count
+    and column names driven by the bitmap; a payload whose length
+    disagrees with the bitmap's field count raises instead of
+    mis-decoding."""
+    import pytest
+
+    from columnarmodeling_spark.sources.binary_snapshots import (
+        UNIAXIAL_POSITEM,
+        bitmap_fields,
+        parse_positem,
+    )
+
+    assert bitmap_fields(UNIAXIAL_POSITEM) == ["vy", "vz", "epsx", "item21"]
+    assert parse_positem(UNIAXIAL_POSITEM).count(1) == 4
+
+    df4 = spark.createDataFrame(
+        [(0, float(i), i * 0.5, i * 0.25, i * 2.0) for i in range(8)],
+        "g LONG, a DOUBLE, b DOUBLE, c DOUBLE, d DOUBLE",
+    )
+    blobs4 = encode_groups(df4, "g", ["a", "b", "c", "d"])
+    back4 = decode_blobs(blobs4, bitmap=UNIAXIAL_POSITEM).orderBy("idx")
+    assert back4.columns == ["group", "idx", "vy", "vz", "epsx", "item21"]
+    rows4 = back4.collect()
+    assert rows4[3]["vy"] == 3.0 and rows4[3]["item21"] == 6.0
+
+    bm3 = "1 0 1 0 0 0 0 0 1 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0"
+    assert bitmap_fields(bm3) == ["ux", "uz", "epsz"]
+    df3 = spark.createDataFrame(
+        [(7, float(i), -float(i), i * 4.0) for i in range(5)],
+        "g LONG, a DOUBLE, b DOUBLE, c DOUBLE",
+    )
+    blobs3 = encode_groups(df3, "g", ["a", "b", "c"])
+    back3 = decode_blobs(blobs3, bitmap=bm3).orderBy("idx")
+    assert back3.columns == ["group", "idx", "ux", "uz", "epsz"]
+    rows3 = back3.collect()
+    assert len(rows3) == 5
+    assert rows3[2]["uz"] == -2.0 and rows3[2]["epsz"] == 8.0
+
+    # wrong-bitmap guard: a 3-field payload under the 4-field bitmap
+    with pytest.raises(Exception, match="PosItem bitmap"):
+        decode_blobs(blobs3, bitmap=UNIAXIAL_POSITEM).collect()
+
+    # malformed bitmaps rejected at the API edge
+    with pytest.raises(ValueError):
+        parse_positem("1 0 1")
+    with pytest.raises(ValueError):
+        parse_positem(UNIAXIAL_POSITEM.replace("1", "2", 1))
