@@ -568,6 +568,14 @@ _SQL_QUANT_MAT = """
     tags=("similarity", "llm", "ann", "ivf", "topk", "scale", "adaptive"),
 )
 def q96_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_adaptive_topk(spark, sf_dir, nprobe=_IVF_NPROBE)
+
+
+def _ivf_adaptive_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """q96's adaptive-k IVF search with a caller-chosen probe width
+    (q113 sweeps nprobe to pin the recall-vs-cost curve)."""
     import math
 
     import numpy as np
@@ -606,17 +614,17 @@ def q96_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             a_mat = np.array(list(pdf["qv"]), dtype=np.int64)
             a_n2 = pdf["n2"].to_numpy(dtype=np.int64)
             d2 = a_n2[:, None] - 2 * (a_mat @ smat.T) + s_n2[None, :]
-            sel = np.argsort(d2, axis=1, kind="stable")[:, :_IVF_NPROBE]
+            sel = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             reps = len(pdf)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), _IVF_NPROBE),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), nprobe),
                     "cell": sids[sel].reshape(-1),
                     "crk": np.tile(
-                        np.arange(1, _IVF_NPROBE + 1, dtype=np.int32), reps
+                        np.arange(1, nprobe + 1, dtype=np.int32), reps
                     ),
-                    "qv": [q for q in pdf["qv"] for _ in range(_IVF_NPROBE)],
-                    "n2": np.repeat(a_n2, _IVF_NPROBE),
+                    "qv": [q for q in pdf["qv"] for _ in range(nprobe)],
+                    "n2": np.repeat(a_n2, nprobe),
                 }
             )
 
@@ -625,7 +633,7 @@ def q96_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = (
         n.select("vec_id", "qv", "n2")
         .mapInPandas(route, schema=routed_schema)
-        .filter(F.col("crk") <= _IVF_NPROBE)
+        .filter(F.col("crk") <= nprobe)
         .select("vec_id", F.col("cell").alias("pcell"), "qv", "n2")
     )
     # fresh scan for the index side: cogroup needs distinct attribute ids
@@ -825,3 +833,144 @@ def q110_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nh", F.lit(0)) / float(_IVF_TOPK), 6
         ).alias("recall_at_k"),
     )
+
+
+_RECALL_SWEEP_NPROBES = (1, 2, 4)
+
+
+def _recall_curve_oracle() -> str:
+    """One WITH chain sharing the quantize/seed/route/exact CTEs, then a
+    per-nprobe (ivf → hits → integer aggregate) block, unioned. All
+    aggregates are integer counts; the mean is ONE double division of
+    two integers, so no cross-engine float-summation noise exists."""
+    per_np = []
+    rows = []
+    for np_ in _RECALL_SWEEP_NPROBES:
+        per_np.append(f""",
+    ivf_pairs_{np_} AS (
+      SELECT p.vec_id, b.vec_id AS neighbor,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> a.qv[i] * b.qv[i]))
+                   / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)),
+                   9) AS cos9
+      FROM (SELECT vec_id, sid FROM ranked WHERE crk <= {np_}) p
+      JOIN (SELECT vec_id, sid FROM ranked WHERE crk = 1) asn
+        ON asn.sid = p.sid AND asn.vec_id <> p.vec_id
+      JOIN n a ON a.vec_id = p.vec_id
+      JOIN n b ON b.vec_id = asn.vec_id),
+    ivf_{np_} AS (
+      SELECT vec_id, neighbor FROM (
+        SELECT vec_id, neighbor,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos9 DESC, neighbor) AS rk
+        FROM ivf_pairs_{np_})
+      WHERE rk <= {_IVF_TOPK}),
+    hits_{np_} AS (
+      SELECT i.vec_id, count(*) AS nh
+      FROM ivf_{np_} i JOIN exact e
+        ON e.vec_id = i.vec_id AND e.neighbor = i.neighbor
+      GROUP BY i.vec_id),
+    row_{np_} AS (
+      SELECT CAST({np_} AS BIGINT) AS nprobe,
+             count(*) AS n_queries,
+             CAST(sum(coalesce(h.nh, 0)) AS BIGINT) AS total_hits,
+             CAST(sum(CASE WHEN coalesce(h.nh, 0) = {_IVF_TOPK}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+      FROM n LEFT JOIN hits_{np_} h ON h.vec_id = n.vec_id)""")
+        rows.append(f"SELECT * FROM row_{np_}")
+    union = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH {_SQL_QUANT_MAT},
+    seeds AS MATERIALIZED (
+      SELECT vec_id AS sid, qv AS sqv
+      FROM n
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              <= CAST(ceil(sqrt((SELECT count(*) FROM n))) AS BIGINT)),
+    dist AS MATERIALIZED (
+      SELECT v.vec_id, s.sid,
+             list_sum(list_transform(range(1, 65),
+                      i -> (v.qv[i] - s.sqv[i]) * (v.qv[i] - s.sqv[i]))) AS d2
+      FROM n v CROSS JOIN seeds s),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, sid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS crk
+      FROM dist),
+    ex_pairs AS MATERIALIZED (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> a.qv[i] * b.qv[i]))
+                   / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)),
+                   9) AS cos9
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+    exact AS MATERIALIZED (
+      SELECT vec_id, neighbor FROM (
+        SELECT vec_id, neighbor,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos9 DESC, neighbor) AS rk
+        FROM ex_pairs)
+      WHERE rk <= {_IVF_TOPK}){"".join(per_np)}
+    SELECT nprobe, n_queries, total_hits,
+           round(CAST(total_hits AS DOUBLE) / (n_queries * {_IVF_TOPK}), 6)
+             AS mean_recall_at_k,
+           n_perfect
+    FROM ({union})
+    """
+
+
+@register(
+    "q113_ivf_recall_curve",
+    oracle=_recall_curve_oracle(),
+    doc="ANN recall-vs-cost curve — q110's recall@k eval swept over "
+    "nprobe ∈ {1, 2, 4} (the knob a 100 TB user tunes: probing more "
+    "cells costs proportionally more per-cell kernel work and buys "
+    "recall). One row per nprobe: query count, total exact-neighbor "
+    "hits, mean recall@3 and perfect-recall count — all integer "
+    "aggregates except the final two-integer division, so the compare "
+    "is immune to float-summation order. The IVF side re-runs "
+    "q96's adaptive search (_ivf_adaptive_topk) per probe width; the "
+    "exact baseline and quantized base are localCheckpointed once and "
+    "reused across the sweep. Monotone-recall-in-nprobe is asserted in "
+    "tests/test_llm_pipeline.py.",
+    tags=("similarity", "llm", "ann", "ivf", "eval", "recall", "scale"),
+)
+def q113_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        q46_cosine_topk(spark, sf_dir)
+        .select("vec_id", "neighbor")
+        .localCheckpoint()
+    )
+    base = _quantized(spark, sf_dir).select("vec_id").localCheckpoint()
+    out = None
+    for np_ in _RECALL_SWEEP_NPROBES:
+        ivf = _ivf_adaptive_topk(spark, sf_dir, nprobe=np_).select(
+            "vec_id", "neighbor"
+        )
+        hits = (
+            ivf.join(exact, ["vec_id", "neighbor"], "left_semi")
+            .groupBy("vec_id")
+            .agg(F.count("*").alias("nh"))
+        )
+        nh = F.coalesce("nh", F.lit(0))
+        agg = (
+            base.join(hits, "vec_id", "left")
+            .agg(
+                F.count("*").alias("n_queries"),
+                F.sum(nh).cast("long").alias("total_hits"),
+                F.sum(F.when(nh == _IVF_TOPK, 1).otherwise(0))
+                .cast("long")
+                .alias("n_perfect"),
+            )
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_queries",
+                "total_hits",
+                F.round(
+                    F.col("total_hits").cast("double")
+                    / (F.col("n_queries") * _IVF_TOPK),
+                    6,
+                ).alias("mean_recall_at_k"),
+                "n_perfect",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -66,3 +66,26 @@ def test_contamination_join_fanout_bounded(spark, sf_dir):
     n_probe = ev.count()
     n_joined = ev.join(tr, "s").count()
     assert n_joined <= n_probe
+
+
+def test_recall_curve_monotone_in_nprobe(spark, sf_dir):
+    """q113: probing more IVF cells can only add candidates, so total
+    exact-neighbor hits (and mean recall) must be non-decreasing in
+    nprobe, and every row shares the same query count."""
+    rows = {
+        r["nprobe"]: r
+        for r in REGISTRY["q113_ivf_recall_curve"].fn(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    nq = {r["n_queries"] for r in rows.values()}
+    assert len(nq) == 1 and nq.pop() > 0
+    assert rows[1]["total_hits"] <= rows[2]["total_hits"] <= rows[4]["total_hits"]
+    assert (
+        rows[1]["mean_recall_at_k"]
+        <= rows[2]["mean_recall_at_k"]
+        <= rows[4]["mean_recall_at_k"]
+    )
+    assert rows[4]["total_hits"] > 0  # the sweep actually finds neighbors
+    for r in rows.values():
+        assert 0.0 <= r["mean_recall_at_k"] <= 1.0
+        assert 0 <= r["n_perfect"] <= r["n_queries"]
