@@ -67,6 +67,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported BMP (hdr={hdr_size} bpp={bpp} comp={compression})"
         )
+    if offset < _BMP_HEADER:
+        # a pixel offset inside the 54-byte header would read header
+        # bytes as pixels; the bound check below can't catch it alone
+        raise ValueError(f"BMP pixel offset {offset} overlaps the header")
     row_size = (w * 3 + 3) // 4 * 4
     if offset + h * row_size > len(payload):
         # also bounds the (h, w, 3) allocation against hostile headers

@@ -255,6 +255,12 @@ def voronoi_cells_verified(
     a pathological all-suspect scatter degrades to the exact
     computation it needs anyway, tile ring by tile ring.
     """
+    # Pin the seed scatter once: this function re-reads the seeds plan
+    # in three subtrees (build, suspect lookup, repair ring join), and a
+    # non-deterministic plan (e.g. unseeded rand() jitter) would hand
+    # the repair different positions than the build saw, silently
+    # producing an inconsistent tessellation (round-5 ADVICE).
+    seeds = seeds.localCheckpoint()
     if tile_size is None:
         tile_size = adaptive_tile(width, height, seeds.count())
     cells = voronoi_cells(

@@ -82,82 +82,83 @@ def register(
 # Union-of-rounds coverage after this window: all 104+new queries
 # driver-checked at least once, zero `no_oracle` rows.
 #
-# Round-5 rotation (executes the round-4 VERDICT's "Next round" item 5):
-# the window leads with everything round 5 *changed* — the geometry tier
-# (density-adaptive tiling + re-pinned sf-keyed oracles), the media
-# decode paths (malformed-payload fallbacks), and the breaking solver
-# (drop guard + global step0) — plus the five standing tier canaries.
-# q109/q110 (new this round) get their first driver rows directly
-# behind the anchor (q43 yields its slot - r1/r3-green, unchanged, and
-# its minhash machinery is covered by the in-window q44 canary). The middle re-verifies the r2-green rows that have had exactly one
-# driver row ever (the tier that just demonstrated it can rot
-# silently includes its batch cousins q60–q75 etc.), then r1/r3 stale
-# relational rows. The full streaming tier closes the window, directly
-# behind the timestamp-unit fix: q80–q86 + q58, their first driver rows
-# since r2. Everything in last round's window was all-green there and
-# unchanged since (except the round-5-changed queries, which stay in).
+# Round-6 rotation (executes the round-5 VERDICT's "Next round" item 5:
+# rotate to the oldest-verified queries — the driver row is the record,
+# and ~60 entries last got one in r2/r3/r4 on since-regenerated
+# testdata). Window composition, in order: the anchor; the four
+# round-6 additions (q111 load curves, q112 Weibull breaks, q113
+# recall curve, q114 bitmap codec — first driver rows); the five
+# standing tier canaries; q109/q110 (kept per the verdict); q107/q70,
+# whose code paths round 6 materially changed (per-bond strength in
+# the breaking kernel, bitmap parameterization in the codec); then the
+# stalest-first backlog — the 6 rows last verified in r1, the 18 last
+# verified in r3 (the whole llm_text/similarity r3 block), the 11 rows
+# with exactly ONE driver row ever (q94-q95, q97-q105 ex q96), and
+# q02 (oldest twice-verified, also a bench headline). Everything in
+# last round's window was all-green there and is code-unchanged since
+# except the queries retained above. No streaming this round: the full
+# streaming tier got fresh rows in r5 behind the timestamp fix and is
+# untouched by round-6 changes.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
-    # round-5 additions - first driver rows for the new queries
-    "q109_span_dedup",
-    "q110_ivf_recall",
+    # round-6 additions — first driver rows
+    "q111_load_curves",
+    "q112_weibull_breaks",
+    "q113_ivf_recall_curve",
+    "q114_bitmap_codec",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
     "q56_dup_clusters",
     "q96_ivf_adaptive",
-    # geometry — round-5 adaptive tiling + sf-keyed re-pins
-    "q90_voronoi_grains",
-    "q91_mesh_facets",
-    "q92_clipped_facets",
-    "q106_geometry_invariants",
-    # media + breaking solver — round-5 hardening
-    "q72_multimodal_features",
-    "q78_media_resize",
-    "q108_media_decode",
-    "q107_bond_breaks",
-    # r2-green rows with exactly one driver row ever (verdict item 5's
-    # "can rot silently" class), oldest verification first
-    "q07_rounded_dedup_dense_id",
-    "q08_flag_quota",
-    "q18_array_hof",
-    "q19_mirror_union",
-    "q40_exact_dedup",
-    "q60_stress_strain",
-    "q61_bbox_damage",
-    "q63_greedy_selection",
-    "q65_ranking_family",
-    "q70_snapshot_codec",
-    "q71_fixed_format_lines",
-    "q73_frame_sample",
-    "q75_chunk_udtf",
-    "q88_grouped_agg_udaf",
-    "q89_whitespace_roundtrip",
-    "q93_vertex_line_roundtrip",
-    # r1/r3-stale relational & LLM rows not re-checked in r4
-    "q26_sessionization",
-    "q33_affine_projection",
-    "q34_reject_filters",
-    "q35_rollup",
-    "q36_map_funcs",
-    "q37_percentiles",
-    "q38_salted_agg",
-    "q39_scalar_subquery",
-    "q41_epsilon_dedup",
-    "q42_ngram_jaccard_pairs",
-    # solver canary, then the full streaming tier behind the ts-unit fix
-    # (fixed micro-batch overhead → end of window)
     "q64_solver_steps",
-    "q80_stream_tumbling",
-    "q81_stream_sliding",
-    "q82_session_window",
-    "q83_stream_static_join",
-    "q84_stateful_running",
-    "q85_stream_stream_join",
-    "q86_foreachbatch_upsert",
-    "q58_stream_dedup",
+    # kept per round-5 verdict; round-6-changed code paths
+    "q109_span_dedup",
+    "q110_ivf_recall",
+    "q107_bond_breaks",
+    "q70_snapshot_codec",
+    # stalest: last driver row in r1
+    "q57_exists_subquery",
+    "q66_conditional_aggs",
+    "q68_stats_aggs",
+    "q74_sketch_aggs",
+    "q77_consistency_checks",
+    "q79_unpivot",
+    # stalest: last driver row in r3
+    "q43_minhash_signatures",
+    "q45_simhash",
+    "q46_cosine_topk",
+    "q47_ivf_centroids",
+    "q48_hyperplane_lsh",
+    "q49_embedding_neardup",
+    "q50_token_stats",
+    "q51_quality_score",
+    "q52_lang_id",
+    "q53_fingerprint",
+    "q54_repetition_ratio",
+    "q55_pii_redaction",
+    "q59_length_histogram",
+    "q62_lloyd_iteration",
+    "q67_array_set_funcs",
+    "q69_ivf_search",
+    "q76_bpe_pretokenize",
+    "q87_hash_sample",
+    # exactly one driver row ever (r4)
+    "q94_contamination",
+    "q95_training_mix",
+    "q97_bm25_topterms",
+    "q98_semantic_dedup",
+    "q99_rollup_cascade",
+    "q100_bigram_logprob",
+    "q101_bpe_merge_topk",
+    "q102_full_outer_recon",
+    "q103_range_frame",
+    "q104_minhash_estimate_error",
+    "q105_config_scan",
+    # oldest twice-verified row, bench headline
+    "q02_regional_revenue",
 )
 
 

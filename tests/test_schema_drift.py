@@ -18,7 +18,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from columnarmodeling_spark.catalog import table
+from columnarmodeling_spark.catalog import TABLES, table
 from columnarmodeling_spark.streaming.sources import drain_to_memory, events_stream
 
 
@@ -56,11 +56,7 @@ def test_stream_events_ts_matches_duckdb(spark, sf_dir):
     assert _utc_naive(row["hi"]) == hi, "stream max(ts) drifted from DuckDB"
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["region", "nation", "customer", "supplier", "part", "orders",
-     "lineitem", "events", "documents", "embeddings"],
-)
+@pytest.mark.parametrize("name", TABLES)
 def test_row_counts_match_duckdb(spark, sf_dir, name):
     """Cheap whole-catalog canary: every table's row count agrees."""
     want = duckdb.sql(
@@ -94,11 +90,7 @@ _DUCK_TO_SPARK = {
 }
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["region", "nation", "customer", "supplier", "part", "orders",
-     "lineitem", "events", "documents", "embeddings"],
-)
+@pytest.mark.parametrize("name", TABLES)
 def test_column_types_match_duckdb(spark, sf_dir, name):
     duck = duckdb.sql(
         f"DESCRIBE SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
