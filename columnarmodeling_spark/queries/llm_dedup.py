@@ -602,10 +602,26 @@ def q104_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "span", "window"),
 )
 def q109_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_dedup_stats(t(spark, sf_dir, "documents"))
+
+
+def span_dedup_stats(
+    docs: DataFrame, n: int = 4, df_min: int = 3
+) -> DataFrame:
+    """Exact repeated-span removal stats over (doc_id, text) — the q109
+    core, factored so the forced-skew harness (tools/skew_test.py) can
+    drive it on adversarial corpora. ``df_min`` is the boilerplate
+    threshold: grams occurring in >= df_min distinct docs flag spans.
+
+    Skew note: a gram present in EVERY document (boilerplate header) is
+    harmless by construction — df counting is a two-phase agg (dedup by
+    (gram, doc_id) distributes on doc_id, then map-side partial counts),
+    and the spans join fans out <= 1 per gram occurrence because the hot
+    side is distinct grams. Measured in SCALE.md (forced-skew section).
+    """
     from pyspark.sql import Window
 
-    N, DF_MIN = 4, 3
-    docs = t(spark, sf_dir, "documents")
+    N, DF_MIN = n, df_min
     toks = docs.select(
         "doc_id",
         F.split("text", " ").alias("arr"),

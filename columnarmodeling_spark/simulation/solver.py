@@ -55,9 +55,17 @@ class BoundaryCondition:
     x1: float = math.inf
     y0: float = -math.inf
     y1: float = math.inf
-    kind: str = "velocity"  # 'velocity' | 'force'
+    # the reference's five SysFile.ini BC families (Displacement is
+    # velocity-with-curve in the shipped cases — the uniaxial platen's
+    # -20-valued ramp; the explicit kinds here are the other four):
+    # 'velocity'      prescribes v in the range box
+    # 'force'         adds a constant force
+    # 'acceleration'  adds v += a·dt each sub-step
+    # 'nonreflection' Lysmer-Kuhlemeyer viscous absorber: f -= c·v
+    kind: str = "velocity"
     vx: float = 0.0
     vy: float = 0.0
+    c: float = 0.0  # nonreflection damper coefficient
     curve: tuple[tuple[float, float], ...] | None = None
 
     def scale_at(self, t: float) -> float:
@@ -72,6 +80,46 @@ class BoundaryCondition:
                 [p[1] for p in self.curve],
             )
         )
+
+
+def _apply_force_bcs(bcs, x, y, vx, vy, fx, fy, t_now):
+    """Force-stage BCs, shared by both block kernels so the arithmetic
+    stays identical: 'force' adds the (curve-scaled) value, and
+    'nonreflection' subtracts c·v (the absorbing-boundary damper).
+    Masks use start-of-step positions — bit-exact in every halo
+    replica."""
+    for bc in bcs:
+        if bc.kind not in ("force", "nonreflection"):
+            continue
+        msk = (x >= bc.x0) & (x <= bc.x1) & (y >= bc.y0) & (y <= bc.y1)
+        s = bc.scale_at(t_now)
+        if bc.kind == "force":
+            fx[msk] += bc.vx * s
+            fy[msk] += bc.vy * s
+        else:
+            fx[msk] -= bc.c * s * vx[msk]
+            fy[msk] -= bc.c * s * vy[msk]
+
+
+def _apply_velocity_bcs(bcs, x, y, vx, vy, t_now, dt):
+    """Velocity-stage BCs (after force integration): 'acceleration'
+    adds a·dt, then 'velocity' prescribes — prescription wins when both
+    target the same particle, matching the reference's block order
+    (MLSLD00.dat blocks apply in file order, velocity platens last)."""
+    for bc in bcs:
+        if bc.kind != "acceleration":
+            continue
+        msk = (x >= bc.x0) & (x <= bc.x1) & (y >= bc.y0) & (y <= bc.y1)
+        s = bc.scale_at(t_now)
+        vx[msk] += bc.vx * s * dt
+        vy[msk] += bc.vy * s * dt
+    for bc in bcs:
+        if bc.kind != "velocity":
+            continue
+        msk = (x >= bc.x0) & (x <= bc.x1) & (y >= bc.y0) & (y <= bc.y1)
+        s = bc.scale_at(t_now)
+        vx[msk] = bc.vx * s
+        vy[msk] = bc.vy * s
 
 
 def weibull_strengths(
@@ -205,6 +253,8 @@ def run_solver_blocked(
     reach: float | None = None,
     bcs: tuple[BoundaryCondition, ...] | None = None,
     step0: int = 0,
+    gravity: tuple[float, float] = (0.0, 0.0),
+    damping: float = 0.0,
 ) -> DataFrame:
     """Halo-exchange block solver — the 100 TB shape of the time loop.
 
@@ -266,6 +316,8 @@ def blocked_round(
     halo: float,
     bcs: tuple[BoundaryCondition, ...] | None = None,
     step0: int = 0,
+    gravity: tuple[float, float] = (0.0, 0.0),
+    damping: float = 0.0,
 ) -> DataFrame:
     """One halo-exchange round (the loop body of the block solver),
     lazily built: block assignment + 3×3 halo replication, local bond
@@ -273,9 +325,20 @@ def blocked_round(
     kernel. Exposed separately so the captured plan (PLANS.md q64)
     shows the per-round shape: ONE FlatMapCoGroupsInPandas whose two
     inputs hash-partition on the block key — `burst` whole physics
-    steps per shuffle round."""
+    steps per shuffle round.
+
+    Per-sub-step force order (mirrored exactly by the DuckDB oracles):
+    spring forces (per-bond ``k`` column if present, else scalar *k*) →
+    gravity ``g·m`` (MLS00con.dat Gx/Gy) → force/nonreflection BCs →
+    local damping ``f -= Dp·|f|·sign(v)`` per component (MLS00con.dat
+    Dp — the shipped uniaxial case runs Dp=0.6) → integrate → \
+    acceleration/velocity BCs → advance positions. Gravity, damping and
+    the BC masks are all per-particle-local, so the halo invariant is
+    untouched."""
     import pandas as pd
 
+    gx, gy = float(gravity[0]), float(gravity[1])
+    has_k = "k" in bonds.columns
     out_schema = (
         "id long, x double, y double, vx double, vy double, m double"
     )
@@ -298,6 +361,7 @@ def blocked_round(
             if local_bonds.empty:
                 src = dst = np.empty(0, dtype=np.int64)
                 rest = np.empty(0, dtype=np.float64)
+                kk: object = k
             else:
                 src = np.fromiter(
                     (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
@@ -306,46 +370,40 @@ def blocked_round(
                     (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
                 )
                 rest = local_bonds["rest"].to_numpy(dtype=np.float64)
+                kk = (
+                    local_bonds["k"].to_numpy(dtype=np.float64)
+                    if has_k
+                    else k
+                )
             for s_i in range(burst):
                 dx = x[dst] - x[src]
                 dy = y[dst] - y[src]
                 dist = np.sqrt(dx * dx + dy * dy)
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    mag = np.where(dist > 0, k * (dist - rest) / dist, 0.0)
+                    mag = np.where(dist > 0, kk * (dist - rest) / dist, 0.0)
                 fx = np.zeros_like(x)
                 fy = np.zeros_like(y)
                 np.add.at(fx, src, mag * dx)
                 np.add.at(fy, src, mag * dy)
                 np.add.at(fx, dst, -mag * dx)
                 np.add.at(fy, dst, -mag * dy)
+                if gx != 0.0 or gy != 0.0:
+                    fx += gx * m
+                    fy += gy * m
                 # MLSLD00.dat boundary conditions, per sub-step: masks
                 # use start-of-step positions (pre-integration), curve
                 # scale uses the global end-of-step time — identical in
                 # every halo replica
+                t_now = (step0 + s_i + 1) * dt
                 if bcs:
-                    t_now = (step0 + s_i + 1) * dt
-                    for bc in bcs:
-                        msk = (
-                            (x >= bc.x0) & (x <= bc.x1)
-                            & (y >= bc.y0) & (y <= bc.y1)
-                        )
-                        s = bc.scale_at(t_now)
-                        if bc.kind == "force":
-                            fx[msk] += bc.vx * s
-                            fy[msk] += bc.vy * s
+                    _apply_force_bcs(bcs, x, y, vx, vy, fx, fy, t_now)
+                if damping != 0.0:
+                    fx -= damping * np.abs(fx) * np.sign(vx)
+                    fy -= damping * np.abs(fy) * np.sign(vy)
                 vx += fx / m * dt
                 vy += fy / m * dt
                 if bcs:
-                    for bc in bcs:
-                        if bc.kind != "velocity":
-                            continue
-                        msk = (
-                            (x >= bc.x0) & (x <= bc.x1)
-                            & (y >= bc.y0) & (y <= bc.y1)
-                        )
-                        s = bc.scale_at((step0 + s_i + 1) * dt)
-                        vx[msk] = bc.vx * s
-                        vy[msk] = bc.vy * s
+                    _apply_velocity_bcs(bcs, x, y, vx, vy, t_now, dt)
                 x += vx * dt
                 y += vy * dt
             return pd.DataFrame(
@@ -415,6 +473,7 @@ def blocked_round(
             "src",
             "dst",
             "rest",
+            *(["k"] if has_k else []),
             F.col("sbx").alias("bx"),
             F.col("sby").alias("by"),
         )

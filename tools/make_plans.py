@@ -65,6 +65,22 @@ CASES = {
     "whose output is small enough that AQE broadcasts it back onto the "
     "gram stream; islands merge inside ONE window exchange keyed by "
     "doc_id. No pairwise doc x doc space exists anywhere in the plan.",
+    "q111_load_curves": "Time-varying load-curve BC evaluation "
+    "(operators/load_curves.interpolate_curves). What to check: control "
+    "points and probes meet in a plain UNION (no range join, no "
+    "per-probe binary search) and the interpolation resolves inside ONE "
+    "window exchange keyed by curve_id — last_value/first_value "
+    "IGNORE NULLS pull the bracketing control points, so cost is "
+    "O((points+probes) log) per curve regardless of probe count; the "
+    "endpoint-clamp branches are CASE expressions in the same "
+    "projection, not extra joins.",
+    "q113_ivf_recall_curve": "ANN recall-vs-cost sweep (nprobe 1/2/4). "
+    "What to check: the exact baseline and quantized base enter as "
+    "localCheckpoint scans (computed ONCE, reused by all three sweep "
+    "arms); each arm's IVF candidates meet the exact top-k in a "
+    "left_semi hash join on (vec_id, neighbor) followed by partial/"
+    "final count aggs; the three one-row arm results meet in a Union — "
+    "no sweep-wide shuffle, each arm is independently parallel.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
@@ -182,7 +198,36 @@ def _q107_round(spark, sf):
     return log
 
 
+def _q112_bonds(spark, sf):
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+    from columnarmodeling_spark.simulation.solver import weibull_strengths
+
+    pts = spark.range(10_000).select(
+        "id",
+        (F.col("id") % 100).cast("double").alias("x"),
+        F.floor(F.col("id") / 100).cast("double").alias("y"),
+    )
+    bonds = grid_proximity_join(pts, eps=1.5, id_col="id").select(
+        "src", "dst", F.col("dist").alias("rest")
+    )
+    return weibull_strengths(bonds, m=3.0, sigma0=0.12, salt="plans")
+
+
 ROUND_CASES = {
+    "q112_weibull_breaks (bond-strength derivation feeding the breaking solver)": (
+        "Weibull per-bond strength heterogeneity (simulation/solver.py "
+        "weibull_strengths; reference Webull.dat:1). The solver round "
+        "itself is the q107 plan — what is NEW here is the strength "
+        "column. What to check: the draw is a pure projection on top of "
+        "the binned proximity join (md5-prefix uniform of (src, dst, "
+        "salt) through the Weibull inverse CDF, all JVM expressions "
+        "inside whole-stage codegen) — NO extra shuffle, NO Python, no "
+        "rand() (task-retry-unstable) anywhere; determinism is what "
+        "lets the DuckDB oracle replay the identical arithmetic.",
+        _q112_bonds,
+    ),
     "q85_stream_stream_join (pre-drain streaming plan)": (
         "Watermark-bounded stream-stream interval self-join (SURVEY §2.8). "
         "What to check: the join keys carry the user equi-condition (state "

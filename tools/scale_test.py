@@ -39,6 +39,8 @@ _MEASURE = [
     "q97_bm25_topterms",
     "q99_rollup_cascade",
     "q103_range_frame",
+    "q107_bond_breaks",
+    "q109_span_dedup",
 ]
 
 # events is nanos-typed at the driver-provided source; the replica is
@@ -107,6 +109,10 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     scratch = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/scale{k}"
+    # optional 4th arg: comma-separated query subset (default: all)
+    global _MEASURE
+    if len(sys.argv) > 4:
+        _MEASURE = [q for q in sys.argv[4].split(",") if q]
     spark = get_spark("scale-test")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1,10 +1,16 @@
-"""Measure the two documented skew escapes.
+"""Measure the documented skew escapes.
 
 1. Hot-cell proximity join: every point lands in ONE grid cell, so the
    unsalted equi-join computes the whole O(n²) candidate space in a
    single task; ``salt`` shards it into `salt` parallel tasks.
 2. Hot-shingle Jaccard join: one stopword shingle in every document
    links all C(n,2) pairs; ``max_df`` drops it before the join.
+3. Forced-hot-4-gram span dedup (q109): a boilerplate sentence in EVERY
+   document makes its 4-grams maximally hot (df = n_docs). Unlike the
+   Jaccard pair join there is no pair space to explode — the hot side is
+   DISTINCT grams, so the spans join fans out <= 1 per gram occurrence,
+   and df counting is a two-phase agg. Expected: boilerplate-everywhere
+   costs about the same as a clean corpus at equal token count.
 
 Usage: python tools/skew_test.py [n_points] [n_docs]
 Prints one timing line per variant (steady-state: untimed warm pass
@@ -65,6 +71,32 @@ def main() -> None:
             f"jaccard hot-shingle docs={n_docs} max_df={max_df}: "
             f"{time.time() - t0:.2f}s pairs={n}"
         )
+
+    # --- forced-hot-4-gram span dedup (q109 core) -----------------------
+    from columnarmodeling_spark.queries.llm_dedup import span_dedup_stats
+
+    boiler = "terms of service apply to all content herein"  # 8 tokens
+    for variant in ("clean", "boilerplate"):
+        rows = []
+        for i in range(n_docs):
+            uniq = " ".join(f"u{i}x{j}" for j in range(40))
+            text = uniq if variant == "clean" else f"{boiler} {uniq}"
+            rows.append((i, text))
+        docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+        docs.count()
+        # warm pass then timed (steady-state, same discipline as above)
+        for timed in (False, True):
+            t0 = time.time()
+            agg = span_dedup_stats(docs).agg(
+                F.sum("n_spans"), F.sum("n_removed")
+            ).collect()[0]
+            if timed:
+                print(
+                    f"span-dedup {variant} docs={n_docs}: "
+                    f"{time.time() - t0:.2f}s spans={agg[0]} "
+                    f"removed={agg[1]}"
+                )
+        docs.unpersist()
 
 
 if __name__ == "__main__":
