@@ -108,6 +108,9 @@ PRIORITY: tuple[str, ...] = (
     "q112_weibull_breaks",
     "q113_ivf_recall_curve",
     "q114_bitmap_codec",
+    "q115_measure_series",
+    "q116_gravity_damping",
+    "q117_material_stiffness",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -155,10 +158,8 @@ PRIORITY: tuple[str, ...] = (
     "q101_bpe_merge_topk",
     "q102_full_outer_recon",
     "q103_range_frame",
-    "q104_minhash_estimate_error",
-    "q105_config_scan",
-    # oldest twice-verified row, bench headline
-    "q02_regional_revenue",
+    # (q104/q105/q02 rotated out to make room for q115-q117: q104/q105
+    # have fresh r4 rows and q02 is exercised by every bench run)
 )
 
 

@@ -271,7 +271,17 @@ def q63_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _solver_oracle(n_steps: int, k: str, dt: str, eps: str) -> str:
+def _solver_oracle(
+    n_steps: int,
+    k: str,
+    dt: str,
+    eps: str,
+    gx: str = "0.0",
+    gy: str = "0.0",
+    dp: str = "0.0",
+    bond_k: str | None = None,
+    measure: tuple[int, tuple[int, ...]] | None = None,
+) -> str:
     """Unroll n_steps explicit-Euler steps as a DuckDB CTE chain.
 
     The bond set and every arithmetic expression mirror the Spark side
@@ -279,7 +289,22 @@ def _solver_oracle(n_steps: int, k: str, dt: str, eps: str) -> str:
     the two engines agree to summation-order noise (~1e-12 relative),
     absorbed by the 6dp output rounding — the same unrolled-iteration
     oracle pattern as q62's Lloyd loop.
+
+    Optional physics (emitted only when non-default, so q64's SQL is
+    byte-identical to the pre-round-6 text): *gx*/*gy* gravity
+    (MLS00con.dat Gx/Gy — force += g·m), *dp* local damping
+    (MLS00con.dat Dp — f -= Dp·|f|·sign(v), the kernel's exact order:
+    springs → gravity → damping → integrate), *bond_k* a SQL
+    expression over bond endpoints ``a``/``b`` giving per-bond
+    stiffness (MLSMat00.dat materials; replaces the scalar *k*).
+    *measure* = (cadence, particle ids): instead of the final state,
+    emit the M-series — per-output-step rows for the measured ids with
+    displacement from the initial position (MeasurePar.dat semantics).
     """
+    k_sel = ",\n             " + bond_k + " AS k" if bond_k else ""
+    # inside f{i} the force subquery reads d{i}, where the per-bond
+    # stiffness is the plain column `k`
+    k_use = "k" if bond_k else k
     head = f"""
     WITH pts AS MATERIALIZED (
       SELECT c_custkey AS id, c_acctbal AS x,
@@ -288,17 +313,28 @@ def _solver_oracle(n_steps: int, k: str, dt: str, eps: str) -> str:
     bonds AS MATERIALIZED (
       SELECT a.id AS src, b.id AS dst,
              0.9 * sqrt((a.x - b.x) * (a.x - b.x)
-                        + (a.y - b.y) * (a.y - b.y)) AS rest
+                        + (a.y - b.y) * (a.y - b.y)) AS rest{k_sel}
       FROM pts a JOIN pts b ON a.id < b.id
       WHERE sqrt((a.x - b.x) * (a.x - b.x)
                  + (a.y - b.y) * (a.y - b.y)) < {eps}),
     s0 AS MATERIALIZED (SELECT id, x, y, 0.0 AS vx, 0.0 AS vy, 1.0 AS m FROM pts)"""
+    # total force with optional gravity, then optional local damping —
+    # association mirrors the NumPy kernel exactly
+    fx_t = "coalesce(f.fx, 0.0)"
+    fy_t = "coalesce(f.fy, 0.0)"
+    if gx != "0.0" or gy != "0.0":
+        fx_t = f"({fx_t} + {gx} * s.m)"
+        fy_t = f"({fy_t} + {gy} * s.m)"
+    if dp != "0.0":
+        fx_t = f"({fx_t} - {dp} * abs({fx_t}) * sign(s.vx))"
+        fy_t = f"({fy_t} - {dp} * abs({fy_t}) * sign(s.vy))"
     steps = []
     for i in range(1, n_steps + 1):
         p = i - 1
+        bk = "b.k," if bond_k else ""
         steps.append(f""",
     d{i} AS MATERIALIZED (
-      SELECT b.src, b.dst, b.rest,
+      SELECT b.src, b.dst, b.rest, {bk}
              pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS by,
              sqrt((pb.x - pa.x) * (pb.x - pa.x)
                   + (pb.y - pa.y) * (pb.y - pa.y)) AS dist
@@ -309,35 +345,50 @@ def _solver_oracle(n_steps: int, k: str, dt: str, eps: str) -> str:
       SELECT id, sum(fx) AS fx, sum(fy) AS fy FROM (
         SELECT src AS id,
                CASE WHEN dist > 0
-                    THEN {k} * (dist - rest) / dist * (bx - ax)
+                    THEN {k_use} * (dist - rest) / dist * (bx - ax)
                     ELSE 0.0 END AS fx,
                CASE WHEN dist > 0
-                    THEN {k} * (dist - rest) / dist * (by - ay)
+                    THEN {k_use} * (dist - rest) / dist * (by - ay)
                     ELSE 0.0 END AS fy
         FROM d{i}
         UNION ALL
         SELECT dst AS id,
                CASE WHEN dist > 0
-                    THEN -({k} * (dist - rest) / dist * (bx - ax))
+                    THEN -({k_use} * (dist - rest) / dist * (bx - ax))
                     ELSE 0.0 END,
                CASE WHEN dist > 0
-                    THEN -({k} * (dist - rest) / dist * (by - ay))
+                    THEN -({k_use} * (dist - rest) / dist * (by - ay))
                     ELSE 0.0 END
         FROM d{i})
       GROUP BY id),
     s{i} AS MATERIALIZED (
       SELECT s.id,
-             s.x + (s.vx + coalesce(f.fx, 0.0) / s.m * {dt}) * {dt} AS x,
-             s.y + (s.vy + coalesce(f.fy, 0.0) / s.m * {dt}) * {dt} AS y,
-             s.vx + coalesce(f.fx, 0.0) / s.m * {dt} AS vx,
-             s.vy + coalesce(f.fy, 0.0) / s.m * {dt} AS vy,
+             s.x + (s.vx + {fx_t} / s.m * {dt}) * {dt} AS x,
+             s.y + (s.vy + {fy_t} / s.m * {dt}) * {dt} AS y,
+             s.vx + {fx_t} / s.m * {dt} AS vx,
+             s.vy + {fy_t} / s.m * {dt} AS vy,
              s.m
       FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
-    tail = f"""
+    if measure is None:
+        tail = f"""
     SELECT id, round(x, 6) AS x, round(y, 6) AS y,
            round(vx, 6) AS vx, round(vy, 6) AS vy
     FROM s{n_steps}
     """
+    else:
+        cadence, m_ids = measure
+        id_list = ", ".join(str(i) for i in m_ids)
+        rows = [
+            f"""
+      SELECT CAST({i} AS BIGINT) AS step, s.id,
+             round(s.x, 6) AS x, round(s.y, 6) AS y,
+             round(s.vx, 6) AS vx, round(s.vy, 6) AS vy,
+             round(s.x - p.x, 6) AS ux, round(s.y - p.y, 6) AS uy
+      FROM s{i} s JOIN pts p ON s.id = p.id
+      WHERE s.id IN ({id_list})"""
+            for i in range(cadence, n_steps + 1, cadence)
+        ]
+        tail = "\n      UNION ALL".join(rows) + "\n"
     return head + "".join(steps) + tail
 
 
@@ -382,6 +433,184 @@ def q64_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = run_solver_blocked(
         state0, bonds, n_steps=5, k=1.0, dt=0.01, fuse=5
+    )
+    return final.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
+    )
+
+
+def _q64_system(spark: SparkSession, sf_dir: str):
+    """The shared customer-derived particle system (pts, bonds, state0)
+    used by the solver query family (q64/q115/q116/q117)."""
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+    )
+    bonds = grid_proximity_join(pts, eps=30.0, id_col="id").select(
+        "src", "dst", (F.col("dist") * 0.9).alias("rest")
+    )
+    state0 = pts.select(
+        "id",
+        "x",
+        "y",
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    )
+    return pts, bonds, state0
+
+
+_MEASURE_IDS = (7, 58, 103)  # present at every testdata SF
+
+
+@register(
+    "q115_measure_series",
+    oracle=_solver_oracle(6, "1.0", "0.01", "30.0", measure=(2, _MEASURE_IDS)),
+    doc="M-series measure points (the reference's MeasurePar.dat — "
+    "SysFile.ini:14-15 'Measure_Points'; per-case files name 2 probe "
+    "particle ids whose state items UX/UY/VX/VY append to "
+    "Output/MLSOut00M.dat at the output cadence): the q64 particle "
+    "system advanced 6 steps by the block solver, sampled every 2 "
+    "steps; each sampled row is (step, id, position, velocity, "
+    "displacement-from-initial). The probe filter is an isin over a "
+    "handful of ids pushed to the state scan; the initial-position "
+    "join for UX/UY broadcasts 3 rows. The oracle replays all 6 steps "
+    "as a DuckDB CTE chain and unions the sampled selects, so every "
+    "emitted M row is hash-checked.",
+    tags=("simulation", "E3", "iterative", "measure"),
+)
+def q115_measure_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.simulation.solver import run_solver_blocked
+
+    pts, bonds, state = _q64_system(spark, sf_dir)
+    p0 = pts.filter(F.col("id").isin(*_MEASURE_IDS)).select(
+        "id", F.col("x").alias("x0"), F.col("y").alias("y0")
+    )
+    cadence, n_steps = 2, 6
+    rows = []
+    step_now = 0
+    while step_now < n_steps:
+        state = run_solver_blocked(
+            state, bonds, cadence, k=1.0, dt=0.01, fuse=cadence,
+            step0=step_now,
+        )
+        step_now += cadence
+        rows.append(
+            state.filter(F.col("id").isin(*_MEASURE_IDS))
+            .join(F.broadcast(p0), "id")
+            .select(
+                F.lit(step_now).cast("long").alias("step"),
+                "id",
+                F.round("x", 6).alias("x"),
+                F.round("y", 6).alias("y"),
+                F.round("vx", 6).alias("vx"),
+                F.round("vy", 6).alias("vy"),
+                F.round(F.col("x") - F.col("x0"), 6).alias("ux"),
+                F.round(F.col("y") - F.col("y0"), 6).alias("uy"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "q116_gravity_damping",
+    oracle=_solver_oracle(
+        5, "1.0", "0.01", "30.0", gx="0.05", gy="-0.2", dp="0.6"
+    ),
+    doc="Gravity + local damping (MLS00con.dat fields Gx/Gy/Gz and Dp "
+    "— the shipped uniaxial case runs Dp=0.6, which the solver applies "
+    "as the standard DEM local damping f -= Dp·|f|·sign(v) per "
+    "component after gravity g·m is added to the spring sum): the q64 "
+    "system advanced 5 steps under (gx, gy) = (0.05, -0.2), Dp = 0.6. "
+    "Both terms are per-particle-local NumPy ops inside the same "
+    "cogrouped kernel — no extra shuffle, halo invariant untouched. "
+    "The oracle replays the identical force order (springs → gravity "
+    "→ damping → integrate) in DuckDB; per-step-vs-blocked "
+    "equivalence under gravity+damping is property-tested in "
+    "tests/test_solver.py.",
+    tags=("simulation", "E3", "iterative"),
+)
+def q116_gravity_damping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.simulation.solver import run_solver_blocked
+
+    _, bonds, state0 = _q64_system(spark, sf_dir)
+    final = run_solver_blocked(
+        state0, bonds, n_steps=5, k=1.0, dt=0.01, fuse=5,
+        gravity=(0.05, -0.2), damping=0.6,
+    )
+    return final.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
+    )
+
+
+_MAT_E_SQL = (
+    "CASE WHEN {alias}.id % 3 = 0 THEN 1.2 "
+    "WHEN {alias}.id % 3 = 1 THEN 0.6 ELSE 2.4 END"
+)
+
+
+@register(
+    "q117_material_stiffness",
+    oracle=_solver_oracle(
+        5,
+        "1.0",
+        "0.01",
+        "30.0",
+        bond_k=(
+            "round(2.0 * ("
+            + _MAT_E_SQL.format(alias="a")
+            + ") * ("
+            + _MAT_E_SQL.format(alias="b")
+            + ") / (("
+            + _MAT_E_SQL.format(alias="a")
+            + ") + ("
+            + _MAT_E_SQL.format(alias="b")
+            + ")), 6)"
+        ),
+    ),
+    doc="Per-material bond stiffness (MLSMat00.dat Material_List — "
+    "SysFile.ini Block_Material 'E Elastic_Modulus' per material "
+    "block; every case ships a materials file): particles carry a "
+    "material id (id % 3 → three blocks with E = 1.2/0.6/2.4), and "
+    "each bond's stiffness is the series-spring harmonic mean "
+    "2·Ea·Eb/(Ea+Eb) via solver.bond_stiffness_from_materials — a "
+    "broadcast dim join for the E lookup, ordinary equi-joins on the "
+    "bond endpoints, rounded to 6dp so DuckDB replays identical "
+    "arithmetic. The block solver consumes the per-bond k column in "
+    "place of the scalar (both kernels; the breaking variant logs it). "
+    "The oracle builds the same per-bond k expression inline and "
+    "replays all 5 steps.",
+    tags=("simulation", "E3", "iterative", "J6"),
+)
+def q117_material_stiffness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.simulation.solver import (
+        bond_stiffness_from_materials,
+        run_solver_blocked,
+    )
+
+    pts, bonds, state0 = _q64_system(spark, sf_dir)
+    pmat = pts.select("id", (F.col("id") % 3).alias("mat"))
+    mats = pts.sparkSession.createDataFrame(
+        [(0, 1.2), (1, 0.6), (2, 2.4)], "mat long, e_mod double"
+    )
+    kbonds = bond_stiffness_from_materials(bonds, pmat, mats)
+    final = run_solver_blocked(
+        state0, kbonds, n_steps=5, k=1.0, dt=0.01, fuse=5
     )
     return final.select(
         "id",

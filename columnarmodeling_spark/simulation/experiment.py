@@ -71,6 +71,14 @@ class ExperimentConfig:
     # squeeze-and-relax initial condition (pre-round-6 behavior).
     platen_vy: float | None = None
     load_curve: tuple[tuple[float, float], ...] | None = None
+    # MLS00con.dat fields 10-13: gravity vector + local damping Dp
+    # (the shipped uniaxial case runs Dp=0.6)
+    gravity: tuple[float, float] = (0.0, 0.0)
+    damping: float = 0.0
+    # MeasurePar.dat probe particles: when set, run_experiment also
+    # returns an m_series (per-output-step state + displacement rows
+    # for these ids — the Output/MLSOut00M.dat analog)
+    measure_ids: tuple[int, ...] | None = None
 
 
 def build_bonds(particles: DataFrame, cfg: ExperimentConfig) -> DataFrame:
@@ -94,9 +102,11 @@ def run_experiment(
     out_path: str,
 ) -> dict[str, DataFrame]:
     """Run the full case: returns dict with ``final`` state, ``e_series``
-    (per-platen reactions per output step) and ``b_series`` (bbox +
-    displacement scalar per output step); snapshots land under
-    *out_path* partitioned by ``step``.
+    (per-platen reactions per output step), ``b_series`` (bbox +
+    displacement scalar per output step) and — when
+    ``cfg.measure_ids`` is set (MeasurePar.dat probes) — ``m_series``
+    (per-probe state + displacement rows, the MLSOut00M.dat analog);
+    snapshots land under *out_path* partitioned by ``step``.
 
     The initial state is squeezed 2% in y (uniaxial compression analog:
     the platen displacement of ``MLSLD00.dat``'s -20-valued BC rows),
@@ -154,15 +164,22 @@ def run_experiment(
     bond_cols = bonds.columns
 
     n_bonds_total = bonds.count()
+    if cfg.measure_ids:
+        # MeasurePar.dat probes: displacement baseline = the t=0 state
+        m_base = state.filter(F.col("id").isin(*cfg.measure_ids)).select(
+            "id", F.col("x").alias("x0"), F.col("y").alias("y0")
+        ).localCheckpoint()
     e_rows: list[DataFrame] = []
     b_rows: list[DataFrame] = []
+    m_rows: list[DataFrame] = []
     step = 0
     while step < cfg.n_steps:
         burst = min(cfg.n_out, cfg.n_steps - step)
         if not breaking:
             state = run_solver_blocked(
                 state, bonds, burst, k=cfg.k, dt=cfg.dt, fuse=cfg.fuse,
-                bcs=bcs, step0=step,
+                bcs=bcs, step0=step, gravity=cfg.gravity,
+                damping=cfg.damping,
             )
             n_alive = n_bonds_total
         else:
@@ -178,6 +195,8 @@ def run_experiment(
                 fuse=cfg.fuse,
                 step0=step,  # keep logged break steps global across bursts
                 bcs=bcs,
+                gravity=cfg.gravity,
+                damping=cfg.damping,
             )
             bonds = (
                 bond_log.filter("break_step < 0")
@@ -232,6 +251,23 @@ def run_experiment(
                 ),
             )
         )
+        # M-series: per-probe state + displacement at the output cadence
+        # (MeasurePar.dat ids → Output/MLSOut00M.dat rows)
+        if cfg.measure_ids:
+            m_rows.append(
+                state.filter(F.col("id").isin(*cfg.measure_ids))
+                .join(F.broadcast(m_base), "id")
+                .select(
+                    F.lit(step).cast("long").alias("step"),
+                    "id",
+                    F.round("x", 6).alias("x"),
+                    F.round("y", 6).alias("y"),
+                    F.round("vx", 6).alias("vx"),
+                    F.round("vy", 6).alias("vy"),
+                    F.round(F.col("x") - F.col("x0"), 6).alias("ux"),
+                    F.round(F.col("y") - F.col("y0"), 6).alias("uy"),
+                )
+            )
 
     e_series = e_rows[0]
     for df in e_rows[1:]:
@@ -239,4 +275,10 @@ def run_experiment(
     b_series = b_rows[0]
     for df in b_rows[1:]:
         b_series = b_series.unionByName(df)
-    return {"final": state, "e_series": e_series, "b_series": b_series}
+    out = {"final": state, "e_series": e_series, "b_series": b_series}
+    if cfg.measure_ids:
+        m_series = m_rows[0]
+        for df in m_rows[1:]:
+            m_series = m_series.unionByName(df)
+        out["m_series"] = m_series
+    return out

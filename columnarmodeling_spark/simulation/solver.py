@@ -157,15 +157,60 @@ def weibull_strengths(
     return bonds.withColumn("strength", strength)
 
 
+def bond_stiffness_from_materials(
+    bonds: DataFrame,
+    particle_materials: DataFrame,
+    materials: DataFrame,
+) -> DataFrame:
+    """Attach a per-bond ``k`` stiffness column from material properties
+    (the reference's ``MLSMat00.dat`` Material_List — ``SysFile.ini``
+    Block_Material fields ``E`` elastic modulus per material block; a
+    particle's material id selects its block).
+
+    A bond is two half-springs in series, so the bond stiffness is the
+    harmonic mean of the endpoint moduli: ``k = 2·Ea·Eb / (Ea + Eb)``,
+    rounded to 6 decimals so a DuckDB oracle replays the identical
+    arithmetic. *particle_materials* is ``(id, mat)``;
+    *materials* is ``(mat, e_mod)`` — a handful of rows, broadcast into
+    the per-particle lookup; the endpoint joins are ordinary equi-joins
+    on the bond keys (per-particle sized — Catalyst/AQE picks broadcast
+    only when the particle table is actually small).
+    """
+    pm = particle_materials.join(F.broadcast(materials), "mat").select(
+        "id", "e_mod"
+    )
+    ea = pm.select(F.col("id").alias("src"), F.col("e_mod").alias("ea"))
+    eb_ = pm.select(F.col("id").alias("dst"), F.col("e_mod").alias("eb"))
+    return (
+        bonds.join(ea, "src")
+        .join(eb_, "dst")
+        .withColumn(
+            "k",
+            F.round(
+                2.0 * F.col("ea") * F.col("eb") / (F.col("ea") + F.col("eb")),
+                6,
+            ),
+        )
+        .drop("ea", "eb")
+    )
+
+
 def spring_forces(state: DataFrame, bonds: DataFrame, k: float) -> DataFrame:
     """Per-particle net spring force from the bond edge list.
 
     *state*: ``id, x, y, vx, vy, m``; *bonds*: ``src, dst, rest`` (one
-    row per undirected bond). Returns ``id, fx, fy``.
+    row per undirected bond; an optional ``k`` column gives per-bond
+    stiffness — MLSMat00.dat material heterogeneity — and overrides the
+    scalar *k*). Returns ``id, fx, fy``.
     """
-    both = bonds.select("src", "dst", "rest").union(
+    has_k = "k" in bonds.columns
+    bcols = ["src", "dst", "rest"] + (["k"] if has_k else [])
+    both = bonds.select(*bcols).union(
         bonds.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "rest"
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "rest",
+            *(["k"] if has_k else []),
         )
     )
     a = state.select(
@@ -180,7 +225,7 @@ def spring_forces(state: DataFrame, bonds: DataFrame, k: float) -> DataFrame:
     # force on src toward dst when stretched (dist > rest); coincident
     # particles (dist = 0) have no defined bond axis and exert no force —
     # the guard also keeps ANSI mode from raising DIVIDE_BY_ZERO
-    mag = F.lit(k) * (dist - F.col("rest"))
+    mag = (F.col("k") if has_k else F.lit(k)) * (dist - F.col("rest"))
     ux = F.when(dist > 0, dx / dist).otherwise(F.lit(0.0))
     uy = F.when(dist > 0, dy / dist).otherwise(F.lit(0.0))
     fx, fy = mag * ux, mag * uy
@@ -191,12 +236,29 @@ def spring_forces(state: DataFrame, bonds: DataFrame, k: float) -> DataFrame:
     )
 
 
-def step(state: DataFrame, bonds: DataFrame, k: float, dt: float) -> DataFrame:
-    """One explicit-Euler step; returns the next state DataFrame."""
+def step(
+    state: DataFrame,
+    bonds: DataFrame,
+    k: float,
+    dt: float,
+    gravity: tuple[float, float] = (0.0, 0.0),
+    damping: float = 0.0,
+) -> DataFrame:
+    """One explicit-Euler step; returns the next state DataFrame.
+
+    Force order matches the block kernels exactly: springs → gravity
+    ``g·m`` → local damping ``f -= Dp·|f|·sign(v)`` (MLS00con.dat Dp)
+    → integrate."""
     f = spring_forces(state, bonds, k)
     s = state.join(f, "id", "left").fillna(0.0, ["fx", "fy"])
-    vx = F.col("vx") + F.col("fx") / F.col("m") * dt
-    vy = F.col("vy") + F.col("fy") / F.col("m") * dt
+    gx, gy = float(gravity[0]), float(gravity[1])
+    fx = F.col("fx") + F.lit(gx) * F.col("m")
+    fy = F.col("fy") + F.lit(gy) * F.col("m")
+    if damping != 0.0:
+        fx = fx - F.lit(damping) * F.abs(fx) * F.signum("vx")
+        fy = fy - F.lit(damping) * F.abs(fy) * F.signum("vy")
+    vx = F.col("vx") + fx / F.col("m") * dt
+    vy = F.col("vy") + fy / F.col("m") * dt
     return s.select(
         "id",
         (F.col("x") + vx * dt).alias("x"),
@@ -216,6 +278,8 @@ def run_solver(
     n_out: int = 0,
     out_path: str | None = None,
     fuse: int = 1,
+    gravity: tuple[float, float] = (0.0, 0.0),
+    damping: float = 0.0,
 ) -> DataFrame:
     """Advance *n_steps*; optionally append every *n_out*-th state to a
     step-partitioned Parquet snapshot store (the MLSOut cadence).
@@ -232,7 +296,7 @@ def run_solver(
     while i < n_steps:
         burst = min(fuse, n_steps - i)
         for _ in range(burst):
-            state = step(state, bonds, k, dt)
+            state = step(state, bonds, k, dt, gravity=gravity, damping=damping)
         i += burst
         state = state.localCheckpoint()
         if n_out and out_path and i % n_out == 0:
@@ -300,7 +364,7 @@ def run_solver_blocked(
         burst = min(fuse, n_steps - i)
         state = blocked_round(
             state, bonds, k, dt, burst, block, halo,
-            bcs=bcs, step0=step0 + i,
+            bcs=bcs, step0=step0 + i, gravity=gravity, damping=damping,
         ).localCheckpoint()
         i += burst
     return state
@@ -501,6 +565,8 @@ def run_solver_blocked_breaking(
     reach: float | None = None,
     step0: int = 0,
     bcs: tuple[BoundaryCondition, ...] | None = None,
+    gravity: tuple[float, float] = (0.0, 0.0),
+    damping: float = 0.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Block solver with strain-threshold bond removal (E3 damage: the
     reference's broken-bond series ``Output/MLSOut00B.dat``, SURVEY
@@ -537,13 +603,20 @@ def run_solver_blocked_breaking(
     import numpy as np
     import pandas as pd
 
+    gx, gy = float(gravity[0]), float(gravity[1])
     has_strength = "strength" in bonds.columns
+    has_k = "k" in bonds.columns
     if not has_strength:
         if strain_limit is None:
             raise ValueError(
                 "strain_limit is required when bonds has no strength column"
             )
         bonds = bonds.withColumn("strength", F.lit(float(strain_limit)))
+    # normalize stiffness to a column (per-bond k = material
+    # heterogeneity, MLSMat00.dat — see bond_stiffness_from_materials);
+    # the scalar case just carries a constant column through the kernel
+    if not has_k:
+        bonds = bonds.withColumn("k", F.lit(float(k)))
     if reach is None:
         agg = bonds.agg(
             F.max("rest").alias("mr"), F.max("strength").alias("ms")
@@ -558,14 +631,14 @@ def run_solver_blocked_breaking(
     out_schema = (
         "kind int, id long, x double, y double, vx double, vy double, "
         "m double, owned boolean, src long, dst long, rest double, "
-        "strength double, break_step long"
+        "strength double, k double, break_step long"
     )
 
     def make_kernel(burst: int, step0: int):
         def kernel(parts: pd.DataFrame, local_bonds: pd.DataFrame):
             cols = [
                 "kind", "id", "x", "y", "vx", "vy", "m", "owned",
-                "src", "dst", "rest", "strength", "break_step",
+                "src", "dst", "rest", "strength", "k", "break_step",
             ]
             if parts.empty:
                 return pd.DataFrame(columns=cols)
@@ -581,6 +654,7 @@ def run_solver_blocked_breaking(
                 src = dst = np.empty(0, dtype=np.int64)
                 rest = np.empty(0, dtype=np.float64)
                 limit = np.empty(0, dtype=np.float64)
+                kb = np.empty(0, dtype=np.float64)
             else:
                 src = np.fromiter(
                     (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
@@ -590,6 +664,7 @@ def run_solver_blocked_breaking(
                 )
                 rest = local_bonds["rest"].to_numpy(dtype=np.float64)
                 limit = local_bonds["strength"].to_numpy(dtype=np.float64)
+                kb = local_bonds["k"].to_numpy(dtype=np.float64)
             alive = np.ones(len(src), dtype=bool)
             break_step = np.full(len(src), -1, dtype=np.int64)
             for s_i in range(burst):
@@ -601,7 +676,7 @@ def run_solver_blocked_breaking(
                 alive &= ~just_broke
                 with np.errstate(invalid="ignore", divide="ignore"):
                     mag = np.where(
-                        alive & (dist > 0), k * (dist - rest) / dist, 0.0
+                        alive & (dist > 0), kb * (dist - rest) / dist, 0.0
                     )
                 fx = np.zeros_like(x)
                 fy = np.zeros_like(y)
@@ -609,33 +684,21 @@ def run_solver_blocked_breaking(
                 np.add.at(fy, src, mag * dy)
                 np.add.at(fx, dst, -mag * dx)
                 np.add.at(fy, dst, -mag * dy)
+                if gx != 0.0 or gy != 0.0:
+                    fx += gx * m
+                    fy += gy * m
                 # load-curve BCs, same discipline as blocked_round:
                 # position-only masks, global end-of-step curve time
+                t_now = (step0 + s_i + 1) * dt
                 if bcs:
-                    t_now = (step0 + s_i + 1) * dt
-                    for bc in bcs:
-                        msk = (
-                            (x >= bc.x0) & (x <= bc.x1)
-                            & (y >= bc.y0) & (y <= bc.y1)
-                        )
-                        if bc.kind == "force":
-                            s = bc.scale_at(t_now)
-                            fx[msk] += bc.vx * s
-                            fy[msk] += bc.vy * s
+                    _apply_force_bcs(bcs, x, y, vx, vy, fx, fy, t_now)
+                if damping != 0.0:
+                    fx -= damping * np.abs(fx) * np.sign(vx)
+                    fy -= damping * np.abs(fy) * np.sign(vy)
                 vx += fx / m * dt
                 vy += fy / m * dt
                 if bcs:
-                    t_now = (step0 + s_i + 1) * dt
-                    for bc in bcs:
-                        if bc.kind != "velocity":
-                            continue
-                        msk = (
-                            (x >= bc.x0) & (x <= bc.x1)
-                            & (y >= bc.y0) & (y <= bc.y1)
-                        )
-                        s = bc.scale_at(t_now)
-                        vx[msk] = bc.vx * s
-                        vy[msk] = bc.vy * s
+                    _apply_velocity_bcs(bcs, x, y, vx, vy, t_now, dt)
                 x += vx * dt
                 y += vy * dt
             p_out = pd.DataFrame(
@@ -645,6 +708,7 @@ def run_solver_blocked_breaking(
                     "x": x, "y": y, "vx": vx, "vy": vy, "m": m,
                     "owned": owned_p,
                     "src": -1, "dst": -1, "rest": 0.0, "strength": 0.0,
+                    "k": 0.0,
                     "break_step": -1,
                 }
             )
@@ -670,6 +734,7 @@ def run_solver_blocked_breaking(
                     ),
                     "rest": rest[emit] if len(src) else np.empty(0),
                     "strength": limit[emit] if len(src) else np.empty(0),
+                    "k": kb[emit] if len(src) else np.empty(0),
                     "break_step": (
                         break_step[emit] if len(src)
                         else np.empty(0, dtype=np.int64)
@@ -682,12 +747,13 @@ def run_solver_blocked_breaking(
 
     spark = state.sparkSession
     log_schema = (
-        "src long, dst long, rest double, strength double, break_step long"
+        "src long, dst long, rest double, strength double, k double, "
+        "break_step long"
     )
     broken_log = spark.createDataFrame([], log_schema)
-    bonds = bonds.select("src", "dst", "rest", "strength").localCheckpoint(
-        eager=False
-    )
+    bonds = bonds.select(
+        "src", "dst", "rest", "strength", "k"
+    ).localCheckpoint(eager=False)
 
     i = 0
     while i < n_steps:
@@ -738,7 +804,7 @@ def run_solver_blocked_breaking(
                 (F.col("sbx") == F.col("dbx")) & (F.col("sby") == F.col("dby"))
             )
             .select(
-                "src", "dst", "rest", "strength",
+                "src", "dst", "rest", "strength", "k",
                 F.col("sbx").alias("bx"),
                 F.col("sby").alias("by"),
             )
@@ -753,7 +819,7 @@ def run_solver_blocked_breaking(
             "id", "x", "y", "vx", "vy", "m"
         )
         bond_rows = out.filter("kind = 1").select(
-            "src", "dst", "rest", "strength", "break_step"
+            "src", "dst", "rest", "strength", "k", "break_step"
         )
         # One-row-per-input-bond contract, loudly: a bond whose length
         # exceeds the halo at round start co-blocks with no replica of
@@ -768,18 +834,26 @@ def run_solver_blocked_breaking(
         broken_log = (
             broken_log.union(bond_rows.filter("break_step >= 0"))
             .union(
-                dropped.select("src", "dst", "rest", "strength", "break_step")
+                dropped.select(
+                    "src", "dst", "rest", "strength", "k", "break_step"
+                )
             )
             .localCheckpoint(eager=False)
         )
         bonds = bond_rows.filter("break_step < 0").select(
-            "src", "dst", "rest", "strength"
+            "src", "dst", "rest", "strength", "k"
         ).localCheckpoint(eager=False)
         i += burst
 
     bond_log = bonds.withColumn("break_step", F.lit(-1).cast("long")).union(
-        broken_log.select("src", "dst", "rest", "strength", "break_step")
+        broken_log.select(
+            "src", "dst", "rest", "strength", "k", "break_step"
+        )
     )
-    if not has_strength:
-        bond_log = bond_log.select("src", "dst", "rest", "break_step")
+    keep = ["src", "dst", "rest"]
+    if has_strength:
+        keep.append("strength")
+    if has_k:
+        keep.append("k")
+    bond_log = bond_log.select(*keep, "break_step")
     return state, bond_log

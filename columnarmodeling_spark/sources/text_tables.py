@@ -212,3 +212,45 @@ def read_config_scalars(
             f"{path}: expected >= {len(field_names)} values, got {len(tokens)}"
         )
     return {name: float(v) for name, v in zip(field_names, tokens)}
+
+
+MLS_CON_FIELDS = [
+    "Lx", "Ly", "Lz", "CellSize", "dGap", "dT", "T", "dURatio",
+    "nOutLoops", "Gx", "Gy", "Gz", "Dp",
+]
+
+
+def read_solver_config(spark: SparkSession, path: str) -> dict[str, float]:
+    """The full 13-field ``MLS00con.dat`` block in SysFile.ini order
+    (``SysFile.ini:45-71``): search box, cell size, bond gap, time
+    step/horizon, output cadence, gravity vector and the local damping
+    coefficient Dp (the shipped uniaxial case runs Dp=0.6)."""
+    return read_config_scalars(spark, path, MLS_CON_FIELDS)
+
+
+def read_measure_points(spark: SparkSession, path: str) -> dict:
+    """``MeasurePar.dat`` (SysFile.ini:14-15 'Measure_Points'): the
+    probe-particle list whose per-step state items append to the
+    M-series output (``Output/MLSOut00M.dat``).
+
+    Observed layout in every shipped case (e.g.
+    ``UniaxialCompressionTest/MeasurePar.dat:1-5`` = ``0 2 2 71756
+    102380``): a mode flag, the measure-point count n, an item-group
+    count, then n particle ids. Returns ``{"mode": int, "n_items":
+    int, "ids": tuple[int, ...]}``; driver-side like the other O(10)
+    scalar configs (the ids become a broadcast isin filter, never a
+    joined table).
+    """
+    tokens: list[str] = []
+    with open(path) as fh:
+        for line in fh:
+            tokens.extend(line.split())
+    if len(tokens) < 3:
+        raise ValueError(f"{path}: expected >= 3 values, got {len(tokens)}")
+    mode, n, n_items = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    ids = tuple(int(v) for v in tokens[3 : 3 + n])
+    if len(ids) != n:
+        raise ValueError(
+            f"{path}: declared {n} measure points, found {len(ids)} ids"
+        )
+    return {"mode": mode, "n_items": n_items, "ids": ids}

@@ -106,3 +106,51 @@ def test_load_curve_ramp_drives_platen(spark, tmp_path):
     assert abs(e[(20, "top")]["sum_vy"] - nx * cfg.platen_vy) < 1e-6
     assert abs(e[(40, "top")]["sum_vy"] - nx * cfg.platen_vy) < 1e-6
     assert e[(40, "top")]["mean_y"] < e[(20, "top")]["mean_y"]
+
+
+def test_measure_series_and_solver_config(spark, tmp_path):
+    """MeasurePar.dat probes + MLS00con.dat gravity/damping fields: the
+    experiment emits an M-series with one row per probe per cadence
+    point, displacement consistent with the snapshot positions, and the
+    config parsers round-trip the reference file layouts."""
+    from columnarmodeling_spark.sources.text_tables import (
+        read_measure_points,
+        read_solver_config,
+    )
+
+    # parser: the shipped MeasurePar layout (mode, n, items, ids...)
+    mp = tmp_path / "MeasurePar.dat"
+    mp.write_text("0\n2\n2\n71756\n102380\n")
+    got = read_measure_points(spark, str(mp))
+    assert got == {"mode": 0, "n_items": 2, "ids": (71756, 102380)}
+
+    # parser: the 13-field MLS00con block (gravity fields 10-12, Dp 13)
+    con = tmp_path / "MLS00con.dat"
+    con.write_text("50 50 50\n2\n0.5\n1e-007\n0.05\n0.0001\n250\n0\n0\n0\n0.6\n")
+    # note: the shipped file packs Lx Ly Lz on one line — 13 tokens total
+    cfgd = read_solver_config(spark, str(con))
+    assert cfgd["dGap"] == 0.5 and cfgd["Dp"] == 0.6 and cfgd["Gx"] == 0.0
+
+    cfg = ExperimentConfig(
+        d_gap=1.5, k=1.0, dt=0.005, n_steps=40, n_out=20, fuse=20,
+        gravity=(0.0, -0.1), damping=0.3, measure_ids=(0, 105, 199),
+    )
+    res = run_experiment(spark, _lattice(spark), cfg, str(tmp_path / "s"))
+    m = {(r["step"], r["id"]): r for r in res["m_series"].collect()}
+    assert set(m) == {
+        (s, i) for s in (20, 40) for i in (0, 105, 199)
+    }
+    # displacement = position - initial (squeezed) position; probe rows
+    # agree with the snapshot store at the same step
+    snaps = spark.read.parquet(str(tmp_path / "s"))
+    s40 = {
+        r["id"]: r
+        for r in snaps.filter("step = 40 AND id IN (0, 105, 199)").collect()
+    }
+    for pid in (0, 105, 199):
+        assert abs(m[(40, pid)]["x"] - round(s40[pid]["x"], 6)) < 1e-9
+        assert abs(m[(40, pid)]["ux"] - (m[(40, pid)]["x"] - m[(20, pid)]["x"]
+                   + m[(20, pid)]["ux"])) < 1e-5
+    # gravity pulls the specimen down: mean displacement uy < 0 at end
+    mean_uy = sum(m[(40, i)]["uy"] for i in (0, 105, 199)) / 3
+    assert mean_uy < 0.0

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from columnarmodeling_spark.simulation.solver import (
+    BoundaryCondition,
     run_solver,
     run_solver_blocked,
     spring_forces,
@@ -433,3 +434,135 @@ def test_weibull_strengths_change_break_sequence(spark):
         )[1].collect()
     }
     assert seq_w == seq_w2
+
+
+# --- round-6 physics: gravity, local damping, BC family, materials --------
+
+
+def test_blocked_matches_per_step_with_gravity_damping_and_bond_k(spark):
+    """The full round-6 physics (gravity g·m, local damping
+    f -= Dp·|f|·sign(v), per-bond k column) must leave the halo
+    invariant intact: blocked == per-step to 1e-9."""
+    state, bonds = _lattice(spark)
+    kb = bonds.withColumn(
+        "k", 0.5 + ((F.col("src") + F.col("dst")) % 3).cast("double") * 0.4
+    )
+    kw = dict(k=1.0, dt=0.02, gravity=(0.07, -0.25), damping=0.45)
+    ref = {
+        r["id"]: r for r in run_solver(state, kb, 8, **kw).collect()
+    }
+    got = {
+        r["id"]: r
+        for r in run_solver_blocked(
+            state, kb, 8, fuse=4, block=6.0, reach=1.2, **kw
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for i in ref:
+        for c in ("x", "y", "vx", "vy"):
+            assert abs(got[i][c] - ref[i][c]) < 1e-9, (i, c)
+
+
+def test_free_fall_closed_form(spark):
+    """No bonds, gravity only: explicit Euler gives v_n = n·g·dt and
+    x_n = g·dt²·n(n+1)/2 exactly (MLS00con.dat Gx/Gy semantics)."""
+    state = spark.createDataFrame(
+        [(0, 0.0, 100.0, 0.0, 0.0, 2.0)],
+        "id long, x double, y double, vx double, vy double, m double",
+    )
+    bonds = spark.createDataFrame([], "src long, dst long, rest double")
+    g, dt, n = -9.8, 0.01, 12
+    r = run_solver_blocked(
+        state, bonds, n, k=1.0, dt=dt, fuse=4, block=50.0, reach=1.0,
+        gravity=(0.0, g),
+    ).collect()[0]
+    assert r["vy"] == pytest.approx(n * g * dt, rel=1e-12)
+    assert r["y"] == pytest.approx(
+        100.0 + g * dt * dt * n * (n + 1) / 2, rel=1e-12
+    )
+    # mass cancels: gravity is an acceleration, not a per-unit force
+    assert r["vx"] == 0.0
+
+
+def test_local_damping_dissipates_energy(spark):
+    """Dp-damped run must end with strictly less kinetic energy than
+    the undamped run (the point of MLS00con.dat Dp=0.6 for statics)."""
+    state, bonds = _lattice(spark)
+    def ke(df):
+        return df.select(
+            F.sum(
+                0.5 * F.col("m") * (F.col("vx") ** 2 + F.col("vy") ** 2)
+            ).alias("e")
+        ).collect()[0]["e"]
+
+    free = run_solver_blocked(
+        state, bonds, 20, k=1.0, dt=0.02, fuse=10, block=6.0, reach=1.2
+    )
+    damped = run_solver_blocked(
+        state, bonds, 20, k=1.0, dt=0.02, fuse=10, block=6.0, reach=1.2,
+        damping=0.5,
+    )
+    assert ke(damped) < ke(free) * 0.8
+
+
+def test_acceleration_bc_integrates_velocity(spark):
+    """'acceleration' BC adds a·dt per sub-step inside its range box."""
+    state = spark.createDataFrame(
+        [(0, 0.0, 0.0, 0.0, 0.0, 1.0), (1, 30.0, 0.0, 0.0, 0.0, 1.0)],
+        "id long, x double, y double, vx double, vy double, m double",
+    )
+    bonds = spark.createDataFrame([], "src long, dst long, rest double")
+    bc = BoundaryCondition(x1=10.0, kind="acceleration", vx=3.0, vy=0.0)
+    out = {
+        r["id"]: r
+        for r in run_solver_blocked(
+            state, bonds, 5, k=1.0, dt=0.1, fuse=5, block=100.0, reach=1.0,
+            bcs=(bc,),
+        ).collect()
+    }
+    assert out[0]["vx"] == pytest.approx(5 * 3.0 * 0.1, rel=1e-12)
+    assert out[1]["vx"] == 0.0  # outside the range box
+
+
+def test_nonreflection_bc_absorbs_momentum(spark):
+    """Lysmer viscous absorber: a particle coasting inside the band
+    loses speed monotonically; one outside keeps it."""
+    state = spark.createDataFrame(
+        [(0, 0.0, 0.0, 4.0, 0.0, 1.0), (1, 50.0, 0.0, 4.0, 0.0, 1.0)],
+        "id long, x double, y double, vx double, vy double, m double",
+    )
+    bonds = spark.createDataFrame([], "src long, dst long, rest double")
+    bc = BoundaryCondition(x1=20.0, kind="nonreflection", c=1.5)
+    out = {
+        r["id"]: r
+        for r in run_solver_blocked(
+            state, bonds, 10, k=1.0, dt=0.05, fuse=5, block=100.0,
+            reach=1.0, bcs=(bc,),
+        ).collect()
+    }
+    assert 0.0 < out[0]["vx"] < 4.0
+    assert out[1]["vx"] == pytest.approx(4.0)
+    # explicit Euler of dv/dt = -c·v: v_n = v0·(1 - c·dt)^n
+    assert out[0]["vx"] == pytest.approx(4.0 * (1 - 1.5 * 0.05) ** 10, rel=1e-12)
+
+
+def test_bond_stiffness_from_materials_harmonic_mean(spark):
+    from columnarmodeling_spark.simulation.solver import (
+        bond_stiffness_from_materials,
+    )
+
+    bonds = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, rest double"
+    )
+    pmat = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0)], "id long, mat long"
+    )
+    mats = spark.createDataFrame(
+        [(0, 2.0), (1, 6.0)], "mat long, e_mod double"
+    )
+    got = {
+        (r["src"], r["dst"]): r["k"]
+        for r in bond_stiffness_from_materials(bonds, pmat, mats).collect()
+    }
+    assert got[(0, 1)] == pytest.approx(2 * 2.0 * 6.0 / 8.0)  # 3.0
+    assert got[(1, 2)] == pytest.approx(3.0)  # symmetric in endpoints
