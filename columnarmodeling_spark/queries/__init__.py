@@ -111,6 +111,8 @@ PRIORITY: tuple[str, ...] = (
     "q115_measure_series",
     "q116_gravity_damping",
     "q117_material_stiffness",
+    "q118_joint_weakening",
+    "q119_centrifuge_ramp",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -118,8 +120,9 @@ PRIORITY: tuple[str, ...] = (
     "q96_ivf_adaptive",
     "q64_solver_steps",
     # kept per round-5 verdict; round-6-changed code paths
+    # (q110 rotated out late in r6: fresh r5 row, and q113 — in-window —
+    # supersedes its recall eval with the nprobe sweep)
     "q109_span_dedup",
-    "q110_ivf_recall",
     "q107_bond_breaks",
     "q70_snapshot_codec",
     # stalest: last driver row in r1
@@ -143,7 +146,8 @@ PRIORITY: tuple[str, ...] = (
     "q54_repetition_ratio",
     "q55_pii_redaction",
     "q59_length_histogram",
-    "q62_lloyd_iteration",
+    # (q62/q67 were judge-replica-checked on current testdata in r5's
+    # review — q119 takes the slot)
     "q67_array_set_funcs",
     "q69_ivf_search",
     "q76_bpe_pretokenize",

@@ -281,6 +281,7 @@ def _solver_oracle(
     dp: str = "0.0",
     bond_k: str | None = None,
     measure: tuple[int, tuple[int, ...]] | None = None,
+    g_steps: tuple[tuple[str, str], ...] | None = None,
 ) -> str:
     """Unroll n_steps explicit-Euler steps as a DuckDB CTE chain.
 
@@ -319,18 +320,27 @@ def _solver_oracle(
                  + (a.y - b.y) * (a.y - b.y)) < {eps}),
     s0 AS MATERIALIZED (SELECT id, x, y, 0.0 AS vx, 0.0 AS vy, 1.0 AS m FROM pts)"""
     # total force with optional gravity, then optional local damping —
-    # association mirrors the NumPy kernel exactly
-    fx_t = "coalesce(f.fx, 0.0)"
-    fy_t = "coalesce(f.fy, 0.0)"
-    if gx != "0.0" or gy != "0.0":
-        fx_t = f"({fx_t} + {gx} * s.m)"
-        fy_t = f"({fy_t} + {gy} * s.m)"
-    if dp != "0.0":
-        fx_t = f"({fx_t} - {dp} * abs({fx_t}) * sign(s.vx))"
-        fy_t = f"({fy_t} - {dp} * abs({fy_t}) * sign(s.vy))"
+    # association mirrors the NumPy kernel exactly. *g_steps* overrides
+    # gravity PER STEP (the centrifuge ramp: the kernel's gx·scale(t)
+    # products are computed in Python at oracle-build time and embedded
+    # as exact repr literals, so both engines multiply identical
+    # doubles).
+    def _force_exprs(i: int) -> tuple[str, str]:
+        sgx, sgy = g_steps[i - 1] if g_steps else (gx, gy)
+        fx_t = "coalesce(f.fx, 0.0)"
+        fy_t = "coalesce(f.fy, 0.0)"
+        if sgx != "0.0" or sgy != "0.0":
+            fx_t = f"({fx_t} + {sgx} * s.m)"
+            fy_t = f"({fy_t} + {sgy} * s.m)"
+        if dp != "0.0":
+            fx_t = f"({fx_t} - {dp} * abs({fx_t}) * sign(s.vx))"
+            fy_t = f"({fy_t} - {dp} * abs({fy_t}) * sign(s.vy))"
+        return fx_t, fy_t
+
     steps = []
     for i in range(1, n_steps + 1):
         p = i - 1
+        fx_t, fy_t = _force_exprs(i)
         bk = "b.k," if bond_k else ""
         steps.append(f""",
     d{i} AS MATERIALIZED (
@@ -618,6 +628,148 @@ def q117_material_stiffness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("y", 6).alias("y"),
         F.round("vx", 6).alias("vx"),
         F.round("vy", 6).alias("vy"),
+    )
+
+
+def _centrifuge_g_steps(
+    gy: float, curve: tuple[tuple[float, float], ...], n_steps: int, dt: float
+) -> tuple[tuple[str, str], ...]:
+    """Exact per-step gravity literals for the centrifuge-ramp oracle:
+    the same np.interp + float product the kernel computes, embedded as
+    repr() round-trip literals."""
+    import numpy as np
+
+    ct = [p[0] for p in curve]
+    cv = [p[1] for p in curve]
+    out = []
+    for i in range(1, n_steps + 1):
+        g_s = float(np.interp(i * dt, ct, cv))
+        out.append(("0.0", repr(gy * g_s)))
+    return tuple(out)
+
+
+_CENTRIFUGE_CURVE = ((0.0, 0.0), (0.03, 1.0))
+
+
+@register(
+    "q119_centrifuge_ramp",
+    oracle=_solver_oracle(
+        5,
+        "1.0",
+        "0.01",
+        "30.0",
+        g_steps=_centrifuge_g_steps(-0.2, _CENTRIFUGE_CURVE, 5, 0.01),
+    ),
+    doc="Centrifuge gravity ramp (the reference's Centrifuge.dat — "
+    "target g-level + spin-up time; every case folder ships one): "
+    "gravity is scaled per sub-step by a piecewise-linear spin-up "
+    "curve evaluated at global solver time inside the kernel (same "
+    "_curve_scale as the BC load curves), here ramping 0→1 g over the "
+    "first 3 of 5 steps on the q64 system. The oracle embeds each "
+    "step's exact gx·scale(t) double as a repr literal in its CTE, so "
+    "the whole ramped-gravity trajectory is hash-checked. Parser: "
+    "sources/text_tables.read_centrifuge; closed-form ramped free "
+    "fall in tests/test_solver.py.",
+    tags=("simulation", "E3", "iterative"),
+)
+def q119_centrifuge_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.simulation.solver import run_solver_blocked
+
+    _, bonds, state0 = _q64_system(spark, sf_dir)
+    final = run_solver_blocked(
+        state0, bonds, n_steps=5, k=1.0, dt=0.01, fuse=5,
+        gravity=(0.0, -0.2), gravity_curve=_CENTRIFUGE_CURVE,
+    )
+    return final.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
+    )
+
+
+_JOINTS_2D = (
+    (1, 505.3, -100.0, 505.3, 2500.0),  # vertical joint plane
+    (2, -1000.0, 1210.7, 10000.0, 1210.7),  # horizontal joint plane
+)
+
+
+@register(
+    "q118_joint_weakening",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id, c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y
+      FROM customer),
+    bonds AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE sqrt((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) < 30.0),
+    joints AS (
+      SELECT * FROM (VALUES {", ".join(f"({j[0]}, {j[1]}, {j[2]}, {j[3]}, {j[4]})" for j in _JOINTS_2D)})
+        AS t(joint_id, jx1, jy1, jx2, jy2))
+    SELECT src, dst, crossed,
+           CASE WHEN crossed THEN 0.05 ELSE 1.0 END AS k_eff,
+           CASE WHEN crossed THEN 0.01 ELSE 0.1 END AS strength_eff
+    FROM (
+      SELECT src, dst,
+             EXISTS (
+               SELECT 1 FROM joints j
+               WHERE ((j.jx2 - j.jx1) * (e.ay - j.jy1)
+                      - (j.jy2 - j.jy1) * (e.ax - j.jx1))
+                     * ((j.jx2 - j.jx1) * (e.by - j.jy1)
+                        - (j.jy2 - j.jy1) * (e.bx - j.jx1)) < 0
+                 AND ((e.bx - e.ax) * (j.jy1 - e.ay)
+                      - (e.by - e.ay) * (j.jx1 - e.ax))
+                     * ((e.bx - e.ax) * (j.jy2 - e.ay)
+                        - (e.by - e.ay) * (j.jx2 - e.ax)) < 0
+             ) AS crossed
+      FROM bonds e)
+    """,
+    doc="Joint (discontinuity) weakening — the 4D-LSM 'Belt' feature "
+    "(MLSJDat.dat: flag + facet count + triangulated joint surface; "
+    "MLSJMat.dat: joint material with its own stiffness/strength; "
+    "bonds crossing the joint take the joint material, which localizes "
+    "failure on the discontinuity): bonds from the q64 gap join are "
+    "tested for PROPER segment crossing against two joint planes via "
+    "the orientation predicate (cross-product sign pairs, strict "
+    "inequalities — endpoint-on-joint degeneracies deterministically "
+    "not crossed), implemented as a broadcast nested-loop join of the "
+    "O(10) joint table in operators/joints.py; crossed bonds take the "
+    "joint k/strength via apply_joint_material. The oracle replays the "
+    "identical orientation arithmetic as an EXISTS predicate. Failure "
+    "localization on the joint is additionally tested in "
+    "tests/test_solver.py.",
+    tags=("simulation", "E3", "J7", "geometry"),
+)
+def q118_joint_weakening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.joints import (
+        apply_joint_material,
+        joint_crossings,
+    )
+
+    pts, bonds, _ = _q64_system(spark, sf_dir)
+    joints = spark.createDataFrame(
+        list(_JOINTS_2D),
+        "joint_id long, jx1 double, jy1 double, jx2 double, jy2 double",
+    )
+    base = bonds.select(
+        "src",
+        "dst",
+        F.lit(1.0).alias("k"),
+        F.lit(0.1).alias("strength"),
+    )
+    flagged = joint_crossings(base, pts, joints)
+    out = apply_joint_material(flagged, k_joint=0.05, strength_joint=0.01)
+    return out.select(
+        "src",
+        "dst",
+        "crossed",
+        F.col("k").alias("k_eff"),
+        F.col("strength").alias("strength_eff"),
     )
 
 

@@ -82,6 +82,19 @@ class BoundaryCondition:
         )
 
 
+def _curve_scale(curve, t: float) -> float:
+    """Piecewise-linear curve evaluation, endpoint-clamped — shared by
+    BC load curves and the centrifuge gravity ramp (Centrifuge.dat:
+    spin-up to N g over a ramp time). ``curve=None`` → 1.0."""
+    if not curve:
+        return 1.0
+    import numpy as np
+
+    return float(
+        np.interp(t, [p[0] for p in curve], [p[1] for p in curve])
+    )
+
+
 def _apply_force_bcs(bcs, x, y, vx, vy, fx, fy, t_now):
     """Force-stage BCs, shared by both block kernels so the arithmetic
     stays identical: 'force' adds the (curve-scaled) value, and
@@ -319,6 +332,7 @@ def run_solver_blocked(
     step0: int = 0,
     gravity: tuple[float, float] = (0.0, 0.0),
     damping: float = 0.0,
+    gravity_curve: tuple[tuple[float, float], ...] | None = None,
 ) -> DataFrame:
     """Halo-exchange block solver — the 100 TB shape of the time loop.
 
@@ -365,6 +379,7 @@ def run_solver_blocked(
         state = blocked_round(
             state, bonds, k, dt, burst, block, halo,
             bcs=bcs, step0=step0 + i, gravity=gravity, damping=damping,
+            gravity_curve=gravity_curve,
         ).localCheckpoint()
         i += burst
     return state
@@ -382,6 +397,7 @@ def blocked_round(
     step0: int = 0,
     gravity: tuple[float, float] = (0.0, 0.0),
     damping: float = 0.0,
+    gravity_curve: tuple[tuple[float, float], ...] | None = None,
 ) -> DataFrame:
     """One halo-exchange round (the loop body of the block solver),
     lazily built: block assignment + 3×3 halo replication, local bond
@@ -451,14 +467,15 @@ def blocked_round(
                 np.add.at(fy, src, mag * dy)
                 np.add.at(fx, dst, -mag * dx)
                 np.add.at(fy, dst, -mag * dy)
-                if gx != 0.0 or gy != 0.0:
-                    fx += gx * m
-                    fy += gy * m
                 # MLSLD00.dat boundary conditions, per sub-step: masks
                 # use start-of-step positions (pre-integration), curve
                 # scale uses the global end-of-step time — identical in
                 # every halo replica
                 t_now = (step0 + s_i + 1) * dt
+                if gx != 0.0 or gy != 0.0:
+                    g_s = _curve_scale(gravity_curve, t_now)
+                    fx += gx * g_s * m
+                    fy += gy * g_s * m
                 if bcs:
                     _apply_force_bcs(bcs, x, y, vx, vy, fx, fy, t_now)
                 if damping != 0.0:
@@ -567,6 +584,7 @@ def run_solver_blocked_breaking(
     bcs: tuple[BoundaryCondition, ...] | None = None,
     gravity: tuple[float, float] = (0.0, 0.0),
     damping: float = 0.0,
+    gravity_curve: tuple[tuple[float, float], ...] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Block solver with strain-threshold bond removal (E3 damage: the
     reference's broken-bond series ``Output/MLSOut00B.dat``, SURVEY
@@ -684,12 +702,13 @@ def run_solver_blocked_breaking(
                 np.add.at(fy, src, mag * dy)
                 np.add.at(fx, dst, -mag * dx)
                 np.add.at(fy, dst, -mag * dy)
-                if gx != 0.0 or gy != 0.0:
-                    fx += gx * m
-                    fy += gy * m
                 # load-curve BCs, same discipline as blocked_round:
                 # position-only masks, global end-of-step curve time
                 t_now = (step0 + s_i + 1) * dt
+                if gx != 0.0 or gy != 0.0:
+                    g_s = _curve_scale(gravity_curve, t_now)
+                    fx += gx * g_s * m
+                    fy += gy * g_s * m
                 if bcs:
                     _apply_force_bcs(bcs, x, y, vx, vy, fx, fy, t_now)
                 if damping != 0.0:

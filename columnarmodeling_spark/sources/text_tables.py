@@ -254,3 +254,72 @@ def read_measure_points(spark: SparkSession, path: str) -> dict:
             f"{path}: declared {n} measure points, found {len(ids)} ids"
         )
     return {"mode": mode, "n_items": n_items, "ids": ids}
+
+
+def read_joint_facets(spark: SparkSession, path: str) -> DataFrame:
+    """``MLSJDat.dat`` scan: a set-flag line, a facet-count line, then
+    N 9-float rows — one triangle (x1 y1 z1  x2 y2 z2  x3 y3 z3) of the
+    triangulated joint surface (the 4D-LSM discontinuity geometry;
+    ``UniaxialCompressionTest/MLSJDat.dat:1-3`` = ``1``, ``406``, then
+    406 triangles). Validates the declared facet count like the S2
+    count-headed scan."""
+    cols = ["x1", "y1", "z1", "x2", "y2", "z2", "x3", "y3", "z3"]
+    toks = _tokens()
+    lines = spark.read.text(path).select(toks.alias("t"))
+    data = lines.filter(F.size("t") == 9).select(
+        *[
+            F.element_at("t", i + 1).cast("double").alias(c)
+            for i, c in enumerate(cols)
+        ]
+    )
+    headers = [
+        r["n"]
+        for r in lines.filter(F.size("t") == 1)
+        .select(F.element_at("t", 1).cast("long").alias("n"))
+        .collect()
+    ]
+    # two single-token header lines: [set_flag, facet_count]
+    if len(headers) >= 2 and headers[1] is not None:
+        actual = data.count()
+        if headers[1] != actual:
+            raise ValueError(
+                f"joint table {path}: header declares {headers[1]} "
+                f"facets, found {actual}"
+            )
+    return data
+
+
+def read_joint_material(spark: SparkSession, path: str) -> dict:
+    """``MLSJMat.dat``: a count line then one row of joint-material
+    parameters per set (observed layout
+    ``UniaxialCompressionTest/MLSJMat.dat:1-2``: ``1`` then
+    ``0 90e5 45e5 1800 25 2530 0 1`` — normal/shear stiffness pair in
+    positions 2-3, friction angle in position 5; exact field semantics
+    are undocumented in SysFile.ini, so the values are returned
+    positionally). Driver-side like the other O(10) scalar configs."""
+    tokens: list[str] = []
+    with open(path) as fh:
+        for line in fh:
+            tokens.extend(line.split())
+    if not tokens:
+        raise ValueError(f"{path}: empty joint material file")
+    n = int(float(tokens[0]))
+    vals = tuple(float(v) for v in tokens[1:])
+    per_set = len(vals) // n if n else 0
+    return {
+        "n_sets": n,
+        "params": tuple(
+            vals[i * per_set : (i + 1) * per_set] for i in range(n)
+        ),
+    }
+
+
+def read_centrifuge(spark: SparkSession, path: str) -> tuple[float, float]:
+    """``Centrifuge.dat`` (shipped in every case folder, e.g.
+    ``UniaxialCompressionTest/Centrifuge.dat:1-2`` = ``20`` / ``60``):
+    centrifuge loading — target g-level multiple and spin-up ramp
+    time. Feed ``solver.run_solver_blocked(gravity_curve=
+    ((0, 1), (ramp, target)))`` to ramp gravity from 1 g to target·g
+    over the spin-up window (endpoint-clamped thereafter)."""
+    vals = read_config_scalars(spark, path, ["target_g", "ramp_time"])
+    return vals["target_g"], vals["ramp_time"]

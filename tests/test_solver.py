@@ -566,3 +566,77 @@ def test_bond_stiffness_from_materials_harmonic_mean(spark):
     }
     assert got[(0, 1)] == pytest.approx(2 * 2.0 * 6.0 / 8.0)  # 3.0
     assert got[(1, 2)] == pytest.approx(3.0)  # symmetric in endpoints
+
+
+def test_joint_weakening_localizes_failure(spark):
+    """Bonds crossing a joint plane take the joint material and are the
+    ONLY ones that fail under a load every intact bond survives — the
+    point of the 4D-LSM joint model (MLSJDat/MLSJMat)."""
+    from columnarmodeling_spark.operators.joints import (
+        apply_joint_material,
+        joint_crossings,
+    )
+    from columnarmodeling_spark.simulation.solver import (
+        run_solver_blocked_breaking,
+    )
+
+    # horizontal chain of 13 particles, slightly stretched springs
+    n = 13
+    state = spark.createDataFrame(
+        [(i, float(i), 0.0, (1.0 if i >= 7 else -1.0), 0.0, 1.0)
+         for i in range(n)],
+        "id long, x double, y double, vx double, vy double, m double",
+    )
+    pts = state.select("id", "x", "y")
+    bonds = spark.createDataFrame(
+        [(i, i + 1, 0.98) for i in range(n - 1)],
+        "src long, dst long, rest double",
+    ).withColumn("k", F.lit(1.0)).withColumn("strength", F.lit(10.0))
+    # vertical joint between x=6 and x=7 — exactly one bond crosses
+    joints = spark.createDataFrame(
+        [(1, 6.5, -5.0, 6.5, 5.0)],
+        "joint_id long, jx1 double, jy1 double, jx2 double, jy2 double",
+    )
+    flagged = joint_crossings(bonds, pts, joints)
+    assert flagged.filter("crossed").count() == 1
+    weak = apply_joint_material(flagged, k_joint=0.5, strength_joint=0.01)
+    # pull the two halves apart: only the joint bond may break
+    _, log = run_solver_blocked_breaking(
+        state, weak.drop("crossed"), n_steps=30, strain_limit=None,
+        k=1.0, dt=0.02, fuse=30, block=50.0, reach=2.0,
+    )
+    broken = {(r["src"], r["dst"]) for r in log.filter("break_step > 0").collect()}
+    assert broken == {(6, 7)}
+
+
+def test_centrifuge_gravity_ramp_closed_form(spark):
+    """Ramped free fall: v_N = Σ g·scale(i·dt)·dt exactly (Centrifuge.dat
+    spin-up semantics — gravity through a piecewise-linear curve)."""
+    import numpy as np
+
+    state = spark.createDataFrame(
+        [(0, 0.0, 50.0, 0.0, 0.0, 1.0)],
+        "id long, x double, y double, vx double, vy double, m double",
+    )
+    bonds = spark.createDataFrame([], "src long, dst long, rest double")
+    g, dt, n = -9.8, 0.01, 8
+    curve = ((0.0, 0.0), (0.05, 1.0))
+    r = run_solver_blocked(
+        state, bonds, n, k=1.0, dt=dt, fuse=4, block=50.0, reach=1.0,
+        gravity=(0.0, g), gravity_curve=curve,
+    ).collect()[0]
+    ct = [p[0] for p in curve]
+    cv = [p[1] for p in curve]
+    v_expect = sum(
+        g * float(np.interp(i * dt, ct, cv)) * dt for i in range(1, n + 1)
+    )
+    assert r["vy"] == pytest.approx(v_expect, rel=1e-12)
+    assert abs(r["vy"]) < abs(n * g * dt)  # ramp slower than constant g
+
+
+def test_read_centrifuge_parser(spark, tmp_path):
+    from columnarmodeling_spark.sources.text_tables import read_centrifuge
+
+    f = tmp_path / "Centrifuge.dat"
+    f.write_text("20\n60")
+    assert read_centrifuge(spark, str(f)) == (20.0, 60.0)

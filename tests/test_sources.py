@@ -364,3 +364,37 @@ def test_bitmap_codec_roundtrip_two_bitmaps(spark):
         parse_positem("1 0 1")
     with pytest.raises(ValueError):
         parse_positem(UNIAXIAL_POSITEM.replace("1", "2", 1))
+
+
+def test_joint_facets_and_material_parsers(spark, tmp_path):
+    """MLSJDat/MLSJMat layouts (4D-LSM joint surface + material):
+    flag + count + 9-float triangles; count + parameter row."""
+    import pytest
+
+    from columnarmodeling_spark.sources.text_tables import (
+        read_joint_facets,
+        read_joint_material,
+    )
+
+    jd = tmp_path / "MLSJDat.dat"
+    jd.write_text(
+        "1\n2\n"
+        "0 0 0 1 0 0 0 1 0\n"
+        "1 0 0 1 1 0 0 1 0\n"
+    )
+    df = read_joint_facets(spark, str(jd))
+    assert df.count() == 2
+    assert df.columns == [
+        "x1", "y1", "z1", "x2", "y2", "z2", "x3", "y3", "z3"
+    ]
+
+    bad = tmp_path / "bad.dat"
+    bad.write_text("1\n3\n0 0 0 1 0 0 0 1 0\n")
+    with pytest.raises(ValueError, match="declares 3"):
+        read_joint_facets(spark, str(bad))
+
+    jm = tmp_path / "MLSJMat.dat"
+    jm.write_text("1\n0 90e5 45e5 1800 25 2530 0 1\n")
+    mat = read_joint_material(spark, str(jm))
+    assert mat["n_sets"] == 1
+    assert mat["params"][0][1] == 90e5 and mat["params"][0][2] == 45e5
