@@ -74,6 +74,14 @@ CASES = {
     "O((points+probes) log) per curve regardless of probe count; the "
     "endpoint-clamp branches are CASE expressions in the same "
     "projection, not extra joins.",
+    "q118_joint_weakening": "Joint/discontinuity re-materialization "
+    "(operators/joints.py). What to check: the joint table enters via "
+    "BroadcastExchange into a BroadcastNestedLoopJoin whose condition "
+    "is the full orientation predicate (sign-product crossing test) — "
+    "correct and linear-in-bonds because the broadcast side is the "
+    "O(10) joint set; the crossed flag comes back to the bond stream "
+    "through a left join on (src, dst); no shuffle of the bond stream "
+    "beyond that single hash join.",
     "q113_ivf_recall_curve": "ANN recall-vs-cost sweep (nprobe 1/2/4). "
     "What to check: the exact baseline and quantized base enter as "
     "localCheckpoint scans (computed ONCE, reused by all three sweep "
