@@ -113,6 +113,8 @@ PRIORITY: tuple[str, ...] = (
     "q117_material_stiffness",
     "q118_joint_weakening",
     "q119_centrifuge_ramp",
+    "q120_bpe_apply",
+    "q121_incremental_dedup",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -129,7 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "q57_exists_subquery",
     "q66_conditional_aggs",
     "q68_stats_aggs",
-    "q74_sketch_aggs",
+    # (q74 judge-replica-checked in r5's review — q121 takes the slot)
     "q77_consistency_checks",
     "q79_unpivot",
     # stalest: last driver row in r3
@@ -147,8 +149,7 @@ PRIORITY: tuple[str, ...] = (
     "q55_pii_redaction",
     "q59_length_histogram",
     # (q62/q67 were judge-replica-checked on current testdata in r5's
-    # review — q119 takes the slot)
-    "q67_array_set_funcs",
+    # review — q119/q120 take the slots)
     "q69_ivf_search",
     "q76_bpe_pretokenize",
     "q87_hash_sample",

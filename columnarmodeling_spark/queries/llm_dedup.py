@@ -687,3 +687,62 @@ def span_dedup_stats(
             .alias("n_kept"),
         )
     )
+
+
+@register(
+    "q121_incremental_dedup",
+    oracle="""
+    WITH hist AS MATERIALIZED (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 <> 0),
+    inc AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0),
+    flagged AS (
+      SELECT i.doc_id, i.h,
+             (s.h IS NOT NULL) AS in_history,
+             row_number() OVER (PARTITION BY i.h ORDER BY i.doc_id) AS rn
+      FROM inc i LEFT JOIN hist s ON i.h = s.h)
+    SELECT doc_id, h AS content_hash,
+           in_history,
+           (rn > 1) AS dup_in_batch,
+           (in_history OR rn > 1) AS is_dup
+    FROM flagged
+    """,
+    doc="Incremental (cross-snapshot) exact dedup — the operation every "
+    "recurring 100 TB ingest runs: an incoming batch (doc_id % 4 = 0 "
+    "here) is deduped against the already-ingested corpus AND within "
+    "itself. History collapses to DISTINCT content hashes first (the "
+    "'seen' store a real pipeline keeps as a compact parquet/Delta "
+    "table — hashes only, never text), the batch left-joins it for the "
+    "in_history flag, and a row_number window per hash inside the "
+    "batch flags later batch-internal copies; survivors are the "
+    "is_dup = false rows. One shuffle on the hash for the join + the "
+    "same key for the window — co-partitioned, no second exchange of "
+    "the batch. Deterministic: first-by-doc_id survives, same rule as "
+    "q40's min-canonical.",
+    tags=("dedup", "llm", "incremental", "A3"),
+)
+def q121_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % 4 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    inc = d.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        inc.join(hist.withColumn("seen", F.lit(True)), "h", "left")
+        .withColumn("in_history", F.coalesce("seen", F.lit(False)))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return flagged.select(
+        "doc_id",
+        F.col("h").alias("content_hash"),
+        "in_history",
+        (F.col("rn") > 1).alias("dup_in_batch"),
+        (F.col("in_history") | (F.col("rn") > 1)).alias("is_dup"),
+    )

@@ -706,3 +706,93 @@ def q101_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair")),
     )
+
+
+# --- BPE merge application (tokenizer inference half; q101 is training) ----
+
+# a fixed learned merge table, priority order — later merges may
+# reference earlier merge products (th+e), exactly like a real BPE
+# tokenizer file
+_BPE_MERGES = (
+    ("t", "h"), ("h", "e"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("r", "e"), ("o", "n"), ("th", "e"),
+)
+# fixed replace passes per merge: replace() consumes the shared '|'
+# delimiter, so a run of identical pairs needs ceil(log2(run)) passes;
+# 3 passes cover runs up to 8 — beyond any natural-language token —
+# and, being fixed, both engines compute the identical fixpoint
+_BPE_PASSES = 3
+
+
+def _bpe_merge_chain(expr: str) -> str:
+    """Engine-shared SQL: apply the merge table to a '|'-delimited
+    symbol sequence via literal replace() chains (identical semantics
+    in Spark SQL and DuckDB — left-to-right, non-overlapping)."""
+    for a, b in _BPE_MERGES:
+        for _ in range(_BPE_PASSES):
+            expr = f"replace({expr}, '|{a}|{b}|', '|{a}{b}|')"
+    return expr
+
+
+def _bpe_nsym(expr: str) -> str:
+    """Symbols in a delimited sequence = pipes - 1."""
+    return f"(length({expr}) - length(replace({expr}, '|', ''))) - 1"
+
+
+@register(
+    "q120_bpe_apply",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    words AS (
+      SELECT doc_id, unnest(tk) AS w FROM toks),
+    seqs AS (
+      SELECT doc_id, w,
+             '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS seq
+      FROM words),
+    applied AS (
+      SELECT doc_id, w,
+             {_bpe_merge_chain("seq")} AS seq2
+      FROM seqs)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum({_bpe_nsym("seq2")}) AS BIGINT) AS n_symbols,
+           round(sum({_bpe_nsym("seq2")}) * 1.0 / count(*), 6) AS fertility
+    FROM applied
+    GROUP BY doc_id
+    """,
+    doc="BPE merge application — the inference half of the tokenizer "
+    "story (q101 trains the merge ranking; this applies a learned "
+    "merge table to the corpus and measures fertility, the "
+    "tokens-per-word number a 100 TB pipeline budget hangs on). Each "
+    "word becomes a '|'-delimited symbol sequence; the 8-merge table "
+    "applies in priority order as literal replace() chains (3 fixed "
+    "passes per merge — replace() consumes the shared delimiter, so a "
+    "fixed pass count makes the fixpoint engine-exact; merges may "
+    "reference earlier merge products, e.g. th+e). Pure JVM string "
+    "expressions inside whole-stage codegen — no UDF; one hash agg "
+    "per doc. The oracle runs the IDENTICAL generated replace chain "
+    "in DuckDB.",
+    tags=("text", "llm", "bpe", "tokenizer"),
+)
+def q120_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    words = d.select("doc_id", F.explode("tk").alias("w"))
+    seqs = words.withColumn(
+        "seq",
+        F.concat(F.lit("|"), F.regexp_replace("w", "(.)", "$1|")),
+    )
+    applied = seqs.withColumn("seq2", F.expr(_bpe_merge_chain("seq")))
+    nsym = F.expr(_bpe_nsym("seq2"))
+    return applied.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+        F.sum(nsym).cast("long").alias("n_symbols"),
+        F.round(F.sum(nsym) / F.count("*"), 6).alias("fertility"),
+    )

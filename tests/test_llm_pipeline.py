@@ -89,3 +89,56 @@ def test_recall_curve_monotone_in_nprobe(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r["mean_recall_at_k"] <= 1.0
         assert 0 <= r["n_perfect"] <= r["n_queries"]
+
+
+def test_bpe_apply_merges_known_word(spark):
+    """'there' under the fixed merge table: t+h merges first; e+r
+    outranks th+e, so the final th+e merge finds no adjacent pair —
+    real greedy-priority BPE behavior (merged symbols may participate
+    in later merges, but only in priority order)."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.queries.llm_text import (
+        _bpe_merge_chain,
+        _bpe_nsym,
+    )
+
+    df = spark.createDataFrame(
+        [("there",), ("inner",), ("zzz",)], "w string"
+    ).withColumn(
+        "seq", F.concat(F.lit("|"), F.regexp_replace("w", "(.)", "$1|"))
+    ).withColumn("seq2", F.expr(_bpe_merge_chain("seq"))).withColumn(
+        "n", F.expr(_bpe_nsym("seq2"))
+    )
+    got = {r["w"]: (r["seq2"], r["n"]) for r in df.collect()}
+    # t h e r e -> th e r e -> th e re -> (th+e) the re
+    assert got["there"] == ("|th|er|e|", 3)
+    # i n n e r -> in n e r -> in n er
+    assert got["inner"] == ("|in|n|er|", 3)
+    # no merges apply: one symbol per char
+    assert got["zzz"] == ("|z|z|z|", 3)
+
+
+def test_incremental_dedup_invariants(spark):
+    """Survivors are unique vs history AND within the batch; exactly
+    one survivor per new content hash (first by doc_id)."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    out = REGISTRY["q121_incremental_dedup"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    kept = [r for r in rows if not r["is_dup"]]
+    # kept hashes are unique within the batch
+    assert len({r["content_hash"] for r in kept}) == len(kept)
+    # every kept row is the min doc_id among batch rows with its hash
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["content_hash"], []).append(r)
+    for r in kept:
+        assert not r["in_history"]
+        assert r["doc_id"] == min(x["doc_id"] for x in by_hash[r["content_hash"]])
+    # flags compose
+    for r in rows:
+        assert r["is_dup"] == (r["in_history"] or r["dup_in_batch"])
