@@ -115,6 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "q119_centrifuge_ramp",
     "q120_bpe_apply",
     "q121_incremental_dedup",
+    "q122_solver3d_steps",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -128,7 +129,8 @@ PRIORITY: tuple[str, ...] = (
     "q107_bond_breaks",
     "q70_snapshot_codec",
     # stalest: last driver row in r1
-    "q57_exists_subquery",
+    # (q57 rotated for q122: its EXISTS shape is also exercised by the
+    # new q118 oracle and the r1 row was green)
     "q66_conditional_aggs",
     "q68_stats_aggs",
     # (q74 judge-replica-checked in r5's review — q121 takes the slot)

@@ -631,6 +631,176 @@ def q117_material_stiffness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _solver3d_oracle(
+    n_steps: int, k: str, dt: str, eps: str, gz: str = "0.0", dp: str = "0.0"
+) -> str:
+    """3D variant of _solver_oracle (z axis in bonds, forces and
+    integration; gravity on z, local damping on all three components).
+    Same unrolled-CTE discipline: identical IEEE expressions in the
+    same association as the 3D NumPy kernel."""
+    head = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id, c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y,
+             CAST(c_custkey % 53 AS DOUBLE) * 10.0 AS z
+      FROM customer),
+    bonds AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             0.9 * sqrt((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y)
+                        + (a.z - b.z) * (a.z - b.z)) AS rest
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE sqrt((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)
+                 + (a.z - b.z) * (a.z - b.z)) < {eps}),
+    s0 AS MATERIALIZED (
+      SELECT id, x, y, z, 0.0 AS vx, 0.0 AS vy, 0.0 AS vz, 1.0 AS m
+      FROM pts)"""
+    ft = {}
+    for c, v, g in (("fx", "vx", "0.0"), ("fy", "vy", "0.0"), ("fz", "vz", gz)):
+        e = f"coalesce(f.{c}, 0.0)"
+        if g != "0.0":
+            e = f"({e} + {g} * s.m)"
+        if dp != "0.0":
+            e = f"({e} - {dp} * abs({e}) * sign(s.{v}))"
+        ft[c] = e
+    steps = []
+    for i in range(1, n_steps + 1):
+        p = i - 1
+        comp = []
+        for sign_, who in (("", "src"), ("-", "dst")):
+            comp.append(
+                ",\n               ".join(
+                    f"""CASE WHEN dist > 0
+                    THEN {sign_}({k} * (dist - rest) / dist * ({b} - {a}))
+                    ELSE 0.0 END AS f{c}"""
+                    for c, a, b in (
+                        ("x", "ax", "bx"), ("y", "ay", "by"), ("z", "az", "bz")
+                    )
+                )
+            )
+        steps.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT b.src, b.dst, b.rest,
+             pa.x AS ax, pa.y AS ay, pa.z AS az,
+             pb.x AS bx, pb.y AS by, pb.z AS bz,
+             sqrt((pb.x - pa.x) * (pb.x - pa.x)
+                  + (pb.y - pa.y) * (pb.y - pa.y)
+                  + (pb.z - pa.z) * (pb.z - pa.z)) AS dist
+      FROM bonds b
+      JOIN s{p} pa ON b.src = pa.id
+      JOIN s{p} pb ON b.dst = pb.id),
+    f{i} AS MATERIALIZED (
+      SELECT id, sum(fx) AS fx, sum(fy) AS fy, sum(fz) AS fz FROM (
+        SELECT src AS id,
+               {comp[0]}
+        FROM d{i}
+        UNION ALL
+        SELECT dst AS id,
+               {comp[1]}
+        FROM d{i})
+      GROUP BY id),
+    s{i} AS MATERIALIZED (
+      SELECT s.id,
+             s.x + (s.vx + {ft["fx"]} / s.m * {dt}) * {dt} AS x,
+             s.y + (s.vy + {ft["fy"]} / s.m * {dt}) * {dt} AS y,
+             s.z + (s.vz + {ft["fz"]} / s.m * {dt}) * {dt} AS z,
+             s.vx + {ft["fx"]} / s.m * {dt} AS vx,
+             s.vy + {ft["fy"]} / s.m * {dt} AS vy,
+             s.vz + {ft["fz"]} / s.m * {dt} AS vz,
+             s.m
+      FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
+    tail = f"""
+    SELECT id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z,
+           round(vx, 6) AS vx, round(vy, 6) AS vy, round(vz, 6) AS vz
+    FROM s{n_steps}
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q122_solver3d_steps",
+    oracle=_solver3d_oracle(5, "1.0", "0.01", "30.0", gz="-0.1", dp="0.4"),
+    doc="3D block solver — the reference's native dimensionality "
+    "(BALL3D_PSLICE.dat particles, 3-axis MLSLD00.dat range boxes, uz "
+    "platen ramps; the 2D tier is the plane-strain analog): a 3D bond "
+    "network (grid join on (x, y) then exact 3D distance filter — the "
+    "2D cells are a superset of the 3D ball, so candidates stay "
+    "bounded) advanced 5 steps by simulation/solver3d.py's "
+    "run_solver3d_blocked with z-gravity and local damping. Blocks key "
+    "on (bx, by, bz) with a 3x3x3 halo; burst steps run in ONE "
+    "cogrouped NumPy kernel per round, exactly the 2D scale argument "
+    "one dimension up. The oracle unrolls all 5 steps with the full "
+    "3-component arithmetic; blocked-vs-per-step 3D equivalence and "
+    "z free fall are property-tested in tests/test_solver3d.py.",
+    tags=("simulation", "E3", "iterative", "scale", "3d"),
+)
+def q122_solver3d_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+    from columnarmodeling_spark.simulation.solver3d import run_solver3d_blocked
+
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+        ((F.col("c_custkey") % 53).cast("double") * 10.0).alias("z"),
+    )
+    cand = grid_proximity_join(
+        pts.select("id", "x", "y"), eps=30.0, id_col="id"
+    ).select("src", "dst")
+    pa = pts.select(
+        F.col("id").alias("src"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("z").alias("za"),
+    )
+    pb = pts.select(
+        F.col("id").alias("dst"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("z").alias("zb"),
+    )
+    # exact 3D distance from raw deltas — the same IEEE expression as
+    # the oracle's bond CTE (sqrt of the re-squared 2D dist differs by
+    # ulps and could flip the eps boundary)
+    d3 = F.sqrt(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+        + (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+    )
+    bonds = (
+        cand.join(pa, "src")
+        .join(pb, "dst")
+        .withColumn("d3", d3)
+        .filter(F.col("d3") < 30.0)
+        .select("src", "dst", (F.lit(0.9) * F.col("d3")).alias("rest"))
+    )
+    state0 = pts.select(
+        "id",
+        "x",
+        "y",
+        "z",
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+        F.lit(0.0).alias("vz"),
+        F.lit(1.0).alias("m"),
+    )
+    final = run_solver3d_blocked(
+        state0, bonds, n_steps=5, k=1.0, dt=0.01, fuse=5,
+        gravity=(0.0, 0.0, -0.1), damping=0.4,
+    )
+    return final.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
+        F.round("vz", 6).alias("vz"),
+    )
+
+
 def _centrifuge_g_steps(
     gy: float, curve: tuple[tuple[float, float], ...], n_steps: int, dt: float
 ) -> tuple[tuple[str, str], ...]:

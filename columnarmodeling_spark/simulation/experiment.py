@@ -100,6 +100,7 @@ def run_experiment(
     particles: DataFrame,
     cfg: ExperimentConfig,
     out_path: str,
+    bonds: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full case: returns dict with ``final`` state, ``e_series``
     (per-platen reactions per output step), ``b_series`` (bbox +
@@ -119,7 +120,37 @@ def run_experiment(
     y0, y1 = float(bounds["y0"]), float(bounds["y1"])
     band = (y1 - y0) * cfg.platen_frac
 
-    bonds = build_bonds(particles, cfg).localCheckpoint()
+    if bonds is None:
+        # dGap bond build (the solver's own linking pass)
+        bonds = build_bonds(particles, cfg).localCheckpoint()
+    else:
+        # explicit MLSBond.dat-style edge list (src, dst[, type]):
+        # rest length = initial center distance, same equilibrium
+        # convention as build_bonds
+        pa = particles.select(
+            F.col("id").alias("src"),
+            F.col("x").alias("__ax"),
+            F.col("y").alias("__ay"),
+        )
+        pb = particles.select(
+            F.col("id").alias("dst"),
+            F.col("x").alias("__bx"),
+            F.col("y").alias("__by"),
+        )
+        if "rest" not in bonds.columns:
+            bonds = (
+                bonds.join(pa, "src")
+                .join(pb, "dst")
+                .withColumn(
+                    "rest",
+                    F.sqrt(
+                        (F.col("__bx") - F.col("__ax")) ** 2
+                        + (F.col("__by") - F.col("__ay")) ** 2
+                    ),
+                )
+                .drop("__ax", "__ay", "__bx", "__by")
+            )
+        bonds = bonds.drop("type").localCheckpoint()
 
     if cfg.platen_vy is not None:
         # load-driven run: the two MLSLD00.dat BC blocks — bottom slab

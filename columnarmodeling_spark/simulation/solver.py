@@ -55,6 +55,10 @@ class BoundaryCondition:
     x1: float = math.inf
     y0: float = -math.inf
     y1: float = math.inf
+    # z range + z value: used by the 3D solver (solver3d.py); the 2D
+    # kernels ignore them, so 2D call sites are unchanged
+    z0: float = -math.inf
+    z1: float = math.inf
     # the reference's five SysFile.ini BC families (Displacement is
     # velocity-with-curve in the shipped cases — the uniaxial platen's
     # -20-valued ramp; the explicit kinds here are the other four):
@@ -65,6 +69,7 @@ class BoundaryCondition:
     kind: str = "velocity"
     vx: float = 0.0
     vy: float = 0.0
+    vz: float = 0.0
     c: float = 0.0  # nonreflection damper coefficient
     curve: tuple[tuple[float, float], ...] | None = None
 

@@ -1,0 +1,397 @@
+"""3D halo-exchange block solver — the reference's native dimensionality
+(``BALL3D_PSLICE.dat`` particles, 3-axis range boxes in every
+``MLSLD00.dat`` BC block, ``uz`` platen ramps; the 2D module
+``solver.py`` is the plane-strain analog the relational tier uses).
+
+Same design as the 2D block solver, one dimension up: particles
+partition into cubic blocks keyed by ``(bx, by, bz)``, each block
+replicates a halo of width ``fuse × reach`` from its 26 neighbors
+(3×3×3 offsets), and ``fuse`` whole explicit-Euler steps run inside ONE
+cogrouped NumPy kernel per shuffle round — force influence travels at
+most one bond-hop per step, so owned particles are bit-exact while the
+halo covers ``fuse`` hops. The 27-replica explosion is the 3D price of
+the halo (2D pays 9); the halo filter trims replicas to the band that
+can actually influence the block, so the steady-state blow-up stays far
+below 27× for blocks ≫ halo.
+
+Physics parity with the 2D kernels: per-bond ``k`` column, per-bond
+``strength`` (via the breaking variant's caller applying it to the 2D
+module) is NOT duplicated here — the 3D module covers the elastic tier
+(gravity vector, local damping Dp, gravity spin-up curve, full BC
+family with 3-axis range boxes). Shares ``BoundaryCondition`` (its
+``z0/z1/vz`` fields are ignored by the 2D kernels) and ``_curve_scale``
+with ``solver.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.simulation.solver import (
+    BoundaryCondition,
+    _curve_scale,
+)
+
+
+def _bc_mask(bc, x, y, z):
+    return (
+        (x >= bc.x0) & (x <= bc.x1)
+        & (y >= bc.y0) & (y <= bc.y1)
+        & (z >= bc.z0) & (z <= bc.z1)
+    )
+
+
+def spring_forces3d(state: DataFrame, bonds: DataFrame, k: float) -> DataFrame:
+    """Per-particle net spring force (3D) — the per-step reference used
+    by the equivalence tests; optional per-bond ``k`` column."""
+    has_k = "k" in bonds.columns
+    bcols = ["src", "dst", "rest"] + (["k"] if has_k else [])
+    both = bonds.select(*bcols).union(
+        bonds.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "rest",
+            *(["k"] if has_k else []),
+        )
+    )
+    a = state.select(
+        F.col("id").alias("src"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("z").alias("az"),
+    )
+    b = state.select(
+        F.col("id").alias("dst"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("z").alias("bz"),
+    )
+    e = both.join(a, "src").join(b, "dst")
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    dz = F.col("bz") - F.col("az")
+    dist = F.sqrt(dx * dx + dy * dy + dz * dz)
+    mag = (F.col("k") if has_k else F.lit(k)) * (dist - F.col("rest"))
+    u = lambda d: F.when(dist > 0, d / dist).otherwise(F.lit(0.0))  # noqa: E731
+    return (
+        e.select(
+            F.col("src").alias("id"),
+            (mag * u(dx)).alias("fx"),
+            (mag * u(dy)).alias("fy"),
+            (mag * u(dz)).alias("fz"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("fx").alias("fx"),
+            F.sum("fy").alias("fy"),
+            F.sum("fz").alias("fz"),
+        )
+    )
+
+
+def run_solver3d(
+    state: DataFrame,
+    bonds: DataFrame,
+    n_steps: int,
+    k: float = 1.0,
+    dt: float = 0.01,
+    fuse: int = 1,
+    gravity: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    damping: float = 0.0,
+) -> DataFrame:
+    """Per-step relational 3D loop (exactness reference; the block
+    solver below is the throughput shape)."""
+    gx, gy, gz = (float(g) for g in gravity)
+    bonds = bonds.localCheckpoint(eager=False)
+    i = 0
+    while i < n_steps:
+        burst = min(fuse, n_steps - i)
+        for _ in range(burst):
+            f = spring_forces3d(state, bonds, k)
+            s = state.join(f, "id", "left").fillna(0.0, ["fx", "fy", "fz"])
+            fx = F.col("fx") + F.lit(gx) * F.col("m")
+            fy = F.col("fy") + F.lit(gy) * F.col("m")
+            fz = F.col("fz") + F.lit(gz) * F.col("m")
+            if damping != 0.0:
+                fx = fx - F.lit(damping) * F.abs(fx) * F.signum("vx")
+                fy = fy - F.lit(damping) * F.abs(fy) * F.signum("vy")
+                fz = fz - F.lit(damping) * F.abs(fz) * F.signum("vz")
+            vx = F.col("vx") + fx / F.col("m") * dt
+            vy = F.col("vy") + fy / F.col("m") * dt
+            vz = F.col("vz") + fz / F.col("m") * dt
+            state = s.select(
+                "id",
+                (F.col("x") + vx * dt).alias("x"),
+                (F.col("y") + vy * dt).alias("y"),
+                (F.col("z") + vz * dt).alias("z"),
+                vx.alias("vx"),
+                vy.alias("vy"),
+                vz.alias("vz"),
+                "m",
+            )
+        i += burst
+        state = state.localCheckpoint()
+    return state
+
+
+def run_solver3d_blocked(
+    state: DataFrame,
+    bonds: DataFrame,
+    n_steps: int,
+    k: float = 1.0,
+    dt: float = 0.01,
+    fuse: int = 25,
+    block: float | None = None,
+    reach: float | None = None,
+    bcs: tuple[BoundaryCondition, ...] | None = None,
+    step0: int = 0,
+    gravity: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    damping: float = 0.0,
+    gravity_curve: tuple[tuple[float, float], ...] | None = None,
+) -> DataFrame:
+    """3D halo-exchange block solver (see module docstring). Parameter
+    semantics match ``run_solver_blocked``; BC range boxes use all
+    three axes and velocity/force/acceleration values are
+    ``(vx, vy, vz)``."""
+    if reach is None:
+        max_rest = bonds.agg(F.max("rest")).collect()[0][0] or 1.0
+        reach = 1.5 * float(max_rest)
+    halo = fuse * reach
+    if block is None:
+        block = 4.0 * halo
+
+    bonds = bonds.localCheckpoint(eager=False)
+    i = 0
+    while i < n_steps:
+        burst = min(fuse, n_steps - i)
+        state = blocked_round3d(
+            state, bonds, k, dt, burst, block, halo,
+            bcs=bcs, step0=step0 + i, gravity=gravity, damping=damping,
+            gravity_curve=gravity_curve,
+        ).localCheckpoint()
+        i += burst
+    return state
+
+
+def blocked_round3d(
+    state: DataFrame,
+    bonds: DataFrame,
+    k: float,
+    dt: float,
+    burst: int,
+    block: float,
+    halo: float,
+    bcs: tuple[BoundaryCondition, ...] | None = None,
+    step0: int = 0,
+    gravity: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    damping: float = 0.0,
+    gravity_curve: tuple[tuple[float, float], ...] | None = None,
+) -> DataFrame:
+    """One 3D halo-exchange round: 3×3×3 replication, same-block bond
+    extraction, ``burst`` Euler sub-steps in one cogrouped NumPy
+    kernel. Force order mirrors the 2D kernel exactly (springs →
+    gravity·scale(t) → force/nonreflection BCs → local damping →
+    integrate → acceleration/velocity BCs → advance)."""
+    import pandas as pd
+
+    gx, gy, gz = (float(g) for g in gravity)
+    has_k = "k" in bonds.columns
+    out_schema = (
+        "id long, x double, y double, z double, "
+        "vx double, vy double, vz double, m double"
+    )
+
+    def make_kernel(burst: int):
+        def kernel(parts: pd.DataFrame, local_bonds: pd.DataFrame):
+            cols = [
+                "id", "x", "y", "z", "vx", "vy", "vz", "m", "owned"
+            ]
+            if parts.empty:
+                return pd.DataFrame(columns=cols)
+            import numpy as np
+
+            ids = parts["id"].to_numpy()
+            idx = {int(i): j for j, i in enumerate(ids)}
+            x = parts["x"].to_numpy(dtype=np.float64).copy()
+            y = parts["y"].to_numpy(dtype=np.float64).copy()
+            z = parts["z"].to_numpy(dtype=np.float64).copy()
+            vx = parts["vx"].to_numpy(dtype=np.float64).copy()
+            vy = parts["vy"].to_numpy(dtype=np.float64).copy()
+            vz = parts["vz"].to_numpy(dtype=np.float64).copy()
+            m = parts["m"].to_numpy(dtype=np.float64)
+            if local_bonds.empty:
+                src = dst = np.empty(0, dtype=np.int64)
+                rest = np.empty(0, dtype=np.float64)
+                kk: object = k
+            else:
+                src = np.fromiter(
+                    (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
+                )
+                dst = np.fromiter(
+                    (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
+                )
+                rest = local_bonds["rest"].to_numpy(dtype=np.float64)
+                kk = (
+                    local_bonds["k"].to_numpy(dtype=np.float64)
+                    if has_k
+                    else k
+                )
+            for s_i in range(burst):
+                dx = x[dst] - x[src]
+                dy = y[dst] - y[src]
+                dz = z[dst] - z[src]
+                dist = np.sqrt(dx * dx + dy * dy + dz * dz)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    mag = np.where(dist > 0, kk * (dist - rest) / dist, 0.0)
+                fx = np.zeros_like(x)
+                fy = np.zeros_like(y)
+                fz = np.zeros_like(z)
+                np.add.at(fx, src, mag * dx)
+                np.add.at(fy, src, mag * dy)
+                np.add.at(fz, src, mag * dz)
+                np.add.at(fx, dst, -mag * dx)
+                np.add.at(fy, dst, -mag * dy)
+                np.add.at(fz, dst, -mag * dz)
+                t_now = (step0 + s_i + 1) * dt
+                if gx != 0.0 or gy != 0.0 or gz != 0.0:
+                    g_s = _curve_scale(gravity_curve, t_now)
+                    fx += gx * g_s * m
+                    fy += gy * g_s * m
+                    fz += gz * g_s * m
+                if bcs:
+                    for bc in bcs:
+                        if bc.kind not in ("force", "nonreflection"):
+                            continue
+                        msk = _bc_mask(bc, x, y, z)
+                        s = bc.scale_at(t_now)
+                        if bc.kind == "force":
+                            fx[msk] += bc.vx * s
+                            fy[msk] += bc.vy * s
+                            fz[msk] += bc.vz * s
+                        else:
+                            fx[msk] -= bc.c * s * vx[msk]
+                            fy[msk] -= bc.c * s * vy[msk]
+                            fz[msk] -= bc.c * s * vz[msk]
+                if damping != 0.0:
+                    fx -= damping * np.abs(fx) * np.sign(vx)
+                    fy -= damping * np.abs(fy) * np.sign(vy)
+                    fz -= damping * np.abs(fz) * np.sign(vz)
+                vx += fx / m * dt
+                vy += fy / m * dt
+                vz += fz / m * dt
+                if bcs:
+                    for bc in bcs:
+                        if bc.kind != "acceleration":
+                            continue
+                        msk = _bc_mask(bc, x, y, z)
+                        s = bc.scale_at(t_now)
+                        vx[msk] += bc.vx * s * dt
+                        vy[msk] += bc.vy * s * dt
+                        vz[msk] += bc.vz * s * dt
+                    for bc in bcs:
+                        if bc.kind != "velocity":
+                            continue
+                        msk = _bc_mask(bc, x, y, z)
+                        s = bc.scale_at(t_now)
+                        vx[msk] = bc.vx * s
+                        vy[msk] = bc.vy * s
+                        vz[msk] = bc.vz * s
+                x += vx * dt
+                y += vy * dt
+                z += vz * dt
+            return pd.DataFrame(
+                {
+                    "id": ids,
+                    "x": x, "y": y, "z": z,
+                    "vx": vx, "vy": vy, "vz": vz,
+                    "m": m,
+                    "owned": parts["owned"].to_numpy(),
+                }
+            )
+
+        return kernel
+
+    bxc = F.floor(F.col("x") / F.lit(block))
+    byc = F.floor(F.col("y") / F.lit(block))
+    bzc = F.floor(F.col("z") / F.lit(block))
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dz).alias("dz"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+    )
+    in_halo = (
+        (F.col("x") >= F.col("bx") * block - halo)
+        & (F.col("x") < (F.col("bx") + 1) * block + halo)
+        & (F.col("y") >= F.col("by") * block - halo)
+        & (F.col("y") < (F.col("by") + 1) * block + halo)
+        & (F.col("z") >= F.col("bz") * block - halo)
+        & (F.col("z") < (F.col("bz") + 1) * block + halo)
+    )
+    rep = (
+        state.withColumn("__bx", bxc)
+        .withColumn("__by", byc)
+        .withColumn("__bz", bzc)
+        .withColumn("__o", F.explode(offs))
+        .withColumn("bx", F.col("__bx") + F.col("__o.dx"))
+        .withColumn("by", F.col("__by") + F.col("__o.dy"))
+        .withColumn("bz", F.col("__bz") + F.col("__o.dz"))
+        .withColumn(
+            "owned",
+            (F.col("__o.dx") == 0)
+            & (F.col("__o.dy") == 0)
+            & (F.col("__o.dz") == 0),
+        )
+        .filter(F.col("owned") | in_halo)
+        .select(
+            "id", "x", "y", "z", "vx", "vy", "vz", "m",
+            "bx", "by", "bz", "owned",
+        )
+    )
+    mem_src = rep.select(
+        F.col("id").alias("src"),
+        F.col("bx").alias("sbx"),
+        F.col("by").alias("sby"),
+        F.col("bz").alias("sbz"),
+    )
+    mem_dst = rep.select(
+        F.col("id").alias("dst"),
+        F.col("bx").alias("dbx"),
+        F.col("by").alias("dby"),
+        F.col("bz").alias("dbz"),
+    )
+    eb = (
+        bonds.join(mem_src, "src")
+        .join(mem_dst, "dst")
+        .filter(
+            (F.col("sbx") == F.col("dbx"))
+            & (F.col("sby") == F.col("dby"))
+            & (F.col("sbz") == F.col("dbz"))
+        )
+        .select(
+            "src",
+            "dst",
+            "rest",
+            *(["k"] if has_k else []),
+            F.col("sbx").alias("bx"),
+            F.col("sby").alias("by"),
+            F.col("sbz").alias("bz"),
+        )
+    )
+    stepped = (
+        rep.groupBy("bx", "by", "bz")
+        .cogroup(eb.groupBy("bx", "by", "bz"))
+        .applyInPandas(
+            make_kernel(burst), schema=out_schema + ", owned boolean"
+        )
+    )
+    return stepped.filter("owned").select(
+        "id", "x", "y", "z", "vx", "vy", "vz", "m"
+    )

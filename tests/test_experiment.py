@@ -154,3 +154,36 @@ def test_measure_series_and_solver_config(spark, tmp_path):
     # gravity pulls the specimen down: mean displacement uy < 0 at end
     mean_uy = sum(m[(40, i)]["uy"] for i in (0, 105, 199)) / 3
     assert mean_uy < 0.0
+
+
+def test_explicit_bond_list_input(spark, tmp_path):
+    """MLSBond.dat path: an explicit edge list (flag line + 'src dst
+    type' rows, read by the S3 scan) replaces the dGap bond build; rest
+    lengths fill from initial center distances, so a run over the
+    gap-join's own edge set is identical to the built-in path."""
+    from columnarmodeling_spark.simulation.experiment import build_bonds
+    from columnarmodeling_spark.sources.text_tables import read_edge_list
+
+    pts = _lattice(spark)
+    cfg = ExperimentConfig(
+        d_gap=1.5, k=1.0, dt=0.005, n_steps=20, n_out=20, fuse=20
+    )
+    built = build_bonds(pts, cfg)
+
+    # write the built edge set in MLSBond.dat layout, read it back
+    f = tmp_path / "MLSBond.dat"
+    lines = ["0"] + [
+        f"{r['src']} {r['dst']} 10" for r in built.collect()
+    ]
+    f.write_text("\n".join(lines) + "\n")
+    edges = read_edge_list(spark, str(f))
+    assert edges.count() == built.count()
+
+    a = run_experiment(spark, pts, cfg, str(tmp_path / "a"))
+    b = run_experiment(spark, pts, cfg, str(tmp_path / "b"), bonds=edges)
+    fa = {r["id"]: r for r in a["final"].collect()}
+    fb = {r["id"]: r for r in b["final"].collect()}
+    assert set(fa) == set(fb)
+    for i in fa:
+        for c in ("x", "y", "vx", "vy"):
+            assert abs(fa[i][c] - fb[i][c]) < 1e-9, (i, c)
