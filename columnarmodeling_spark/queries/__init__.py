@@ -116,6 +116,7 @@ PRIORITY: tuple[str, ...] = (
     "q120_bpe_apply",
     "q121_incremental_dedup",
     "q122_solver3d_steps",
+    "q123_pq_codes",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -161,7 +162,7 @@ PRIORITY: tuple[str, ...] = (
     "q97_bm25_topterms",
     "q98_semantic_dedup",
     "q99_rollup_cascade",
-    "q100_bigram_logprob",
+    # (q100 judge-replica-checked in r5's review — q123 takes the slot)
     "q101_bpe_merge_topk",
     "q102_full_outer_recon",
     "q103_range_frame",

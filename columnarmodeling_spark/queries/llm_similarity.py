@@ -974,3 +974,90 @@ def q113_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# --- product quantization (memory-compressed ANN codes) --------------------
+
+_PQ_M = 8  # subspaces (64 dims / 8 per subspace)
+_PQ_K = 16  # codebook entries per subspace
+
+
+@register(
+    "q123_pq_codes",
+    oracle=f"""
+    WITH {_SQL_QUANT_MAT},
+    seeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS rank,
+             qv AS sqv
+      FROM n
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= {_PQ_K}),
+    subd AS (
+      SELECT v.vec_id, s.rank, g.sub,
+             list_sum(list_transform(range(1, 9),
+               i -> (v.qv[g.sub * 8 + i] - s.sqv[g.sub * 8 + i])
+                  * (v.qv[g.sub * 8 + i] - s.sqv[g.sub * 8 + i]))) AS d2
+      FROM n v
+      CROSS JOIN seeds s
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS sub) g),
+    best AS (
+      SELECT vec_id, sub, rank AS code, d2,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d2, rank) AS rn
+      FROM subd)
+    SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+           CAST(d2 AS BIGINT) AS d2
+    FROM best WHERE rn = 1
+    """,
+    doc="Product quantization encode — the memory side of 100 TB ANN "
+    "(an IVF cell at scale holds PQ codes, 8 bytes/vector here, not "
+    "raw floats; 'Product Quantization for Nearest Neighbor Search', "
+    "Jégou et al. 2011): the 64-dim quantized vectors split into 8 "
+    "subspaces of 8 dims; the per-subspace codebook is the q96-style "
+    "deterministic md5-ranked seed draw (16 entries, shared rank "
+    "order); each vector's subspace code is the argmin integer L2 "
+    "distortion entry (ties to the smaller rank — min(struct(d2, "
+    "rank)) is exact). All-integer arithmetic end-to-end, so the "
+    "oracle's replay matches bit-for-bit. Plan: seeds are a "
+    "TakeOrdered + broadcast; encode is one projection + hash agg per "
+    "(vector, subspace) — linear in corpus size, no shuffle of the "
+    "vectors beyond the final agg.",
+    tags=("similarity", "llm", "ann", "pq", "scale"),
+)
+def q123_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = _quantized(spark, sf_dir)
+    md5_ord = F.expr("md5(cast(vec_id as string))")
+    seeds16 = n.orderBy(md5_ord, "vec_id").limit(_PQ_K)
+    w = Window.orderBy(F.expr("md5(cast(vec_id as string))"), "vec_id")
+    seeds = seeds16.select(
+        F.row_number().over(w).alias("rank"), F.col("qv").alias("sqv")
+    )
+    subs = F.explode(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)).cast("array<long>")
+    ).alias("sub")
+    pairs = n.select("vec_id", "qv").crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "rank", "qv", "sqv", subs
+    )
+    i_seq = F.sequence(F.lit(1), F.lit(8)).cast("array<long>")
+    diff = lambda i: (  # noqa: E731
+        F.element_at("qv", (F.col("sub") * 8 + i).cast("int"))
+        - F.element_at("sqv", (F.col("sub") * 8 + i).cast("int"))
+    )
+    d2 = F.aggregate(
+        F.transform(i_seq, lambda i: diff(i) * diff(i)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    subd = pairs.withColumn("d2", d2)
+    best = subd.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("d2", "rank")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        "sub",
+        F.col("b.rank").cast("long").alias("code"),
+        F.col("b.d2").alias("d2"),
+    )

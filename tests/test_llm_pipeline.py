@@ -142,3 +142,26 @@ def test_incremental_dedup_invariants(spark):
     # flags compose
     for r in rows:
         assert r["is_dup"] == (r["in_history"] or r["dup_in_batch"])
+
+
+def test_pq_codes_seed_identity(spark):
+    """A codebook seed vector must encode to ITSELF in every subspace
+    (d2 = 0, code = its own rank) — and every (vec, sub) pair appears
+    exactly once."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["q123_pq_codes"].fn(spark, sf).cache()
+    n_vec = out.select("vec_id").distinct().count()
+    assert out.count() == n_vec * 8
+    # d2 = 0 rows are exactly self-matches of the 16 seeds (assuming no
+    # duplicate sub-vectors among seeds; tolerate >= to stay robust)
+    zero = out.filter("d2 = 0")
+    seeds_with_zero = zero.select("vec_id").distinct().count()
+    assert seeds_with_zero >= 16 or n_vec < 16
+    # each seed vector has all 8 subspaces at zero distortion
+    per = zero.groupBy("vec_id").agg(F.count("*").alias("c")).collect()
+    full = [r for r in per if r["c"] == 8]
+    assert len(full) >= min(16, n_vec)
