@@ -117,6 +117,7 @@ PRIORITY: tuple[str, ...] = (
     "q121_incremental_dedup",
     "q122_solver3d_steps",
     "q123_pq_codes",
+    "q124_pq_adc_recall",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -155,7 +156,8 @@ PRIORITY: tuple[str, ...] = (
     # review — q119/q120 take the slots)
     "q69_ivf_search",
     "q76_bpe_pretokenize",
-    "q87_hash_sample",
+    # (q87 rotated for q124: its md5-rate sampling core is also the
+    # q95 training-mix path, which stays in-window)
     # exactly one driver row ever (r4)
     "q94_contamination",
     "q95_training_mix",

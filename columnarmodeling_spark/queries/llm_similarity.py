@@ -982,10 +982,10 @@ _PQ_M = 8  # subspaces (64 dims / 8 per subspace)
 _PQ_K = 16  # codebook entries per subspace
 
 
-@register(
-    "q123_pq_codes",
-    oracle=f"""
-    WITH {_SQL_QUANT_MAT},
+# shared CTE block: quantized base -> deterministic codebook seeds ->
+# per-(vector, subspace, codebook-entry) integer distortions -> argmin
+# codes. Used by both PQ oracles (q123 encode, q124 ADC search).
+_SQL_PQ = f"""{_SQL_QUANT_MAT},
     seeds AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                 vec_id) AS rank,
@@ -993,7 +993,7 @@ _PQ_K = 16  # codebook entries per subspace
       FROM n
       QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                  vec_id) <= {_PQ_K}),
-    subd AS (
+    subd AS MATERIALIZED (
       SELECT v.vec_id, s.rank, g.sub,
              list_sum(list_transform(range(1, 9),
                i -> (v.qv[g.sub * 8 + i] - s.sqv[g.sub * 8 + i])
@@ -1001,11 +1001,17 @@ _PQ_K = 16  # codebook entries per subspace
       FROM n v
       CROSS JOIN seeds s
       CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS sub) g),
-    best AS (
+    best AS MATERIALIZED (
       SELECT vec_id, sub, rank AS code, d2,
              row_number() OVER (PARTITION BY vec_id, sub
                                 ORDER BY d2, rank) AS rn
-      FROM subd)
+      FROM subd)"""
+
+
+@register(
+    "q123_pq_codes",
+    oracle=f"""
+    WITH {_SQL_PQ}
     SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
            CAST(d2 AS BIGINT) AS d2
     FROM best WHERE rn = 1
@@ -1026,6 +1032,14 @@ _PQ_K = 16  # codebook entries per subspace
     tags=("similarity", "llm", "ann", "pq", "scale"),
 )
 def q123_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    subd = _pq_subd(spark, sf_dir)
+    return _pq_codes_from_subd(subd)
+
+
+def _pq_subd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, rank, sub, d2): integer distortion of every vector's
+    every subspace against every codebook entry — the ADC lookup table
+    AND the encode input."""
     from pyspark.sql import Window
 
     n = _quantized(spark, sf_dir)
@@ -1051,7 +1065,10 @@ def q123_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    subd = pairs.withColumn("d2", d2)
+    return pairs.withColumn("d2", d2).select("vec_id", "rank", "sub", "d2")
+
+
+def _pq_codes_from_subd(subd: DataFrame) -> DataFrame:
     best = subd.groupBy("vec_id", "sub").agg(
         F.min(F.struct("d2", "rank")).alias("b")
     )
@@ -1060,4 +1077,124 @@ def q123_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub",
         F.col("b.rank").cast("long").alias("code"),
         F.col("b.d2").alias("d2"),
+    )
+
+
+_PQ_TOPK = 3
+
+
+@register(
+    "q124_pq_adc_recall",
+    oracle=f"""
+    WITH {_SQL_PQ},
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM best WHERE rn = 1),
+    adc AS MATERIALIZED (
+      SELECT l.vec_id AS q, c.vec_id AS w, sum(l.d2) AS adc
+      FROM codes c JOIN subd l
+        ON l.sub = c.sub AND l.rank = c.code AND l.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    approx AS (
+      SELECT q, w FROM (
+        SELECT q, w,
+               row_number() OVER (PARTITION BY q ORDER BY adc, w) AS rk
+        FROM adc)
+      WHERE rk <= {_PQ_TOPK}),
+    ex_pairs AS MATERIALIZED (
+      SELECT a.vec_id AS q, b.vec_id AS w,
+             list_sum(list_transform(range(1, 65),
+               i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS d2
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+    exact AS (
+      SELECT q, w FROM (
+        SELECT q, w,
+               row_number() OVER (PARTITION BY q ORDER BY d2, w) AS rk
+        FROM ex_pairs)
+      WHERE rk <= {_PQ_TOPK}),
+    hits AS (
+      SELECT a.q, count(*) AS nh
+      FROM approx a JOIN exact e ON e.q = a.q AND e.w = a.w
+      GROUP BY a.q),
+    base AS (SELECT DISTINCT vec_id AS q FROM n)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(coalesce(h.nh, 0)) AS BIGINT) AS total_hits,
+           round(sum(coalesce(h.nh, 0)) * 1.0
+                 / (count(*) * {_PQ_TOPK}), 6) AS mean_recall_at_k,
+           CAST(sum(CASE WHEN coalesce(h.nh, 0) = {_PQ_TOPK}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+    FROM base LEFT JOIN hits h ON h.q = base.q
+    """,
+    doc="PQ asymmetric-distance (ADC) search + recall@3 — the search "
+    "half of the q123 memory layout (Jégou et al. 2011): a query's "
+    "lookup table is its per-(subspace, codebook-entry) integer "
+    "distortion row set (the same subd relation the encoder minimizes "
+    "over), and the approximate distance to a database vector is the "
+    "SUM of the table entries its 8 stored codes select — one "
+    "equi-join on (sub, code) + a hash agg, never touching raw "
+    "database vectors. Approximate top-3 per query is then scored "
+    "against the exact integer-L2 top-3 (q110's recall shape). "
+    "All-integer until the final division, so the oracle is exact. At "
+    "100 TB the join fans out 8 rows per (query, candidate) within an "
+    "IVF cell — linear in candidates, constant per-pair work.",
+    tags=("similarity", "llm", "ann", "pq", "eval", "recall", "scale"),
+)
+def q124_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    subd = _pq_subd(spark, sf_dir).localCheckpoint()
+    codes = _pq_codes_from_subd(subd).select("vec_id", "sub", "code")
+    adc = (
+        codes.alias("c")
+        .join(
+            subd.alias("l"),
+            (F.col("l.sub") == F.col("c.sub"))
+            & (F.col("l.rank") == F.col("c.code"))
+            & (F.col("l.vec_id") != F.col("c.vec_id")),
+        )
+        .groupBy(
+            F.col("l.vec_id").alias("q"), F.col("c.vec_id").alias("w")
+        )
+        .agg(F.sum("l.d2").alias("adc"))
+    )
+    w_adc = Window.partitionBy("q").orderBy("adc", "w")
+    approx = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("q", "w")
+    )
+    n = _quantized(spark, sf_dir).select("vec_id", "qv").localCheckpoint()
+    a = n.select(F.col("vec_id").alias("q"), F.col("qv").alias("qa"))
+    b = n.select(F.col("vec_id").alias("w"), F.col("qv").alias("qb"))
+    d2 = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ex = (
+        a.crossJoin(b)
+        .filter(F.col("q") != F.col("w"))
+        .withColumn("d2", d2)
+    )
+    w_ex = Window.partitionBy("q").orderBy("d2", "w")
+    exact = (
+        ex.withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("q", "w")
+    )
+    hits = (
+        approx.join(exact, ["q", "w"], "left_semi")
+        .groupBy("q")
+        .agg(F.count("*").alias("nh"))
+    )
+    base = n.select(F.col("vec_id").alias("q")).distinct()
+    nh = F.coalesce("nh", F.lit(0))
+    return base.join(hits, "q", "left").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(nh).cast("long").alias("total_hits"),
+        F.round(
+            F.sum(nh) / (F.count("*") * _PQ_TOPK), 6
+        ).alias("mean_recall_at_k"),
+        F.sum(F.when(nh == _PQ_TOPK, 1).otherwise(0))
+        .cast("long")
+        .alias("n_perfect"),
     )

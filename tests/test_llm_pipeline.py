@@ -165,3 +165,18 @@ def test_pq_codes_seed_identity(spark):
     per = zero.groupBy("vec_id").agg(F.count("*").alias("c")).collect()
     full = [r for r in per if r["c"] == 8]
     assert len(full) >= min(16, n_vec)
+
+
+def test_pq_adc_beats_chance(spark):
+    """ADC recall@3 must beat random guessing by a wide margin (PQ with
+    16-entry codebooks keeps signal) while staying below exact recall."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q124_pq_adc_recall"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    n = r["n_queries"]
+    chance = 3.0 / max(n - 1, 1)
+    assert 0.0 < r["mean_recall_at_k"] < 1.0
+    assert r["mean_recall_at_k"] > 3 * chance
+    assert r["total_hits"] <= n * 3
