@@ -85,20 +85,23 @@ def register(
 # Round-6 rotation (executes the round-5 VERDICT's "Next round" item 5:
 # rotate to the oldest-verified queries — the driver row is the record,
 # and ~60 entries last got one in r2/r3/r4 on since-regenerated
-# testdata). Window composition, in order: the anchor; the four
-# round-6 additions (q111 load curves, q112 Weibull breaks, q113
-# recall curve, q114 bitmap codec — first driver rows); the five
-# standing tier canaries; q109/q110 (kept per the verdict); q107/q70,
-# whose code paths round 6 materially changed (per-bond strength in
-# the breaking kernel, bitmap parameterization in the codec); then the
-# stalest-first backlog — the 6 rows last verified in r1, the 18 last
-# verified in r3 (the whole llm_text/similarity r3 block), the 11 rows
-# with exactly ONE driver row ever (q94-q95, q97-q105 ex q96), and
-# q02 (oldest twice-verified, also a bench headline). Everything in
-# last round's window was all-green there and is code-unchanged since
-# except the queries retained above. No streaming this round: the full
-# streaming tier got fresh rows in r5 behind the timestamp fix and is
-# untouched by round-6 changes.
+# testdata). Window composition, in order: the anchor; the FIFTEEN
+# round-6 additions (q111-q125: load curves, Weibull, recall curve,
+# bitmap codec, measure series, gravity+damping, materials, joints,
+# centrifuge, BPE apply, incremental exact/near dedup, 3D solver, PQ
+# encode/ADC — all first driver rows); the five standing tier
+# canaries; q109 (kept per the verdict) and q107/q70, whose code paths
+# round 6 materially changed (per-bond strength/k in the breaking
+# kernel, bitmap parameterization in the codec); then the
+# stalest-first backlog — r1 rows, the r3 llm_text/similarity block,
+# and the once-ever r4 rows. Slots for the new queries came from
+# entries whose risk is covered elsewhere (inline comments below):
+# judge-replica-checked in the r5 review on current testdata (q62,
+# q67, q74, q100), superseded by an in-window superset (q110→q113,
+# q48→q49/q98, q87→q95, q57→q118's EXISTS oracle), or exercised every
+# round by bench (q02). No streaming this round: the full streaming
+# tier got fresh rows in r5 behind the timestamp fix and is untouched
+# by round-6 changes.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
@@ -118,6 +121,7 @@ PRIORITY: tuple[str, ...] = (
     "q122_solver3d_steps",
     "q123_pq_codes",
     "q124_pq_adc_recall",
+    "q125_incremental_neardup",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -143,7 +147,8 @@ PRIORITY: tuple[str, ...] = (
     "q45_simhash",
     "q46_cosine_topk",
     "q47_ivf_centroids",
-    "q48_hyperplane_lsh",
+    # (q48 rotated for q125: its hyperplane-band core is inside q49 and
+    # q98, both in-window)
     "q49_embedding_neardup",
     "q50_token_stats",
     "q51_quality_score",

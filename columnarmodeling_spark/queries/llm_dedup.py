@@ -746,3 +746,125 @@ def q121_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn") > 1).alias("dup_in_batch"),
         (F.col("in_history") | (F.col("rn") > 1)).alias("is_dup"),
     )
+
+
+@register(
+    "q125_incremental_neardup",
+    oracle=f"""
+    WITH {_sql_minhash_signatures()},
+    hist AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 4 <> 0),
+    inc AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 4 = 0),
+    hb AS (
+      SELECT doc_id, 0 AS band, mh0 * {MERSENNE_P} + mh1 AS bv FROM hist
+      UNION ALL
+      SELECT doc_id, 1, mh2 * {MERSENNE_P} + mh3 FROM hist
+      UNION ALL
+      SELECT doc_id, 2, mh4 * {MERSENNE_P} + mh5 FROM hist
+      UNION ALL
+      SELECT doc_id, 3, mh6 * {MERSENNE_P} + mh7 FROM hist),
+    ib AS (
+      SELECT doc_id, 0 AS band, mh0 * {MERSENNE_P} + mh1 AS bv FROM inc
+      UNION ALL
+      SELECT doc_id, 1, mh2 * {MERSENNE_P} + mh3 FROM inc
+      UNION ALL
+      SELECT doc_id, 2, mh4 * {MERSENNE_P} + mh5 FROM inc
+      UNION ALL
+      SELECT doc_id, 3, mh6 * {MERSENNE_P} + mh7 FROM inc),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
+      FROM ib i JOIN hb h ON i.band = h.band AND i.bv = h.bv),
+    scored AS (
+      SELECT c.inc_id, c.hist_id,
+             ((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) +
+              (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
+              (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) +
+              (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
+              (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) +
+              (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
+              (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) +
+              (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END)) AS agree
+      FROM cand c
+      JOIN inc a ON c.inc_id = a.doc_id
+      JOIN hist b ON c.hist_id = b.doc_id),
+    per AS (
+      SELECT inc_id, count(*) AS n_candidates, max(agree) AS best_agree
+      FROM scored GROUP BY inc_id)
+    SELECT i.doc_id,
+           CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+           round(coalesce(p.best_agree, 0) / 8.0, 6) AS best_est_jaccard,
+           (p.inc_id IS NOT NULL) AS is_neardup
+    FROM inc i LEFT JOIN per p ON p.inc_id = i.doc_id
+    """,
+    doc="Incremental NEAR-dup screening — q121's recurring-ingest shape "
+    "for the fuzzy tier: the history corpus keeps only its 8-minhash "
+    "signatures (the compact store a 100 TB pipeline persists between "
+    "snapshots — fixed bytes per doc, never text or shingles), and an "
+    "incoming batch band-joins against it (4 bands x 2 hashes, the "
+    "q44 construction): any agreeing band flags a candidate, and the "
+    "per-candidate minhash agreement fraction scores it. Per incoming "
+    "doc: candidate count, best estimated Jaccard, near-dup flag. The "
+    "band equi-join bounds the pair space exactly as q44 does "
+    "in-batch; the history side shuffles once on (band, bv).",
+    tags=("dedup", "llm", "minhash", "lsh", "incremental", "join"),
+)
+def q125_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir).localCheckpoint()
+    hist = sig.filter(F.col("doc_id") % 4 != 0)
+    inc = sig.filter(F.col("doc_id") % 4 == 0)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                (
+                    F.col(f"mh{2 * k}") * MERSENNE_P + F.col(f"mh{2 * k + 1}")
+                ).alias("bv"),
+            )
+            for k in range(4)
+        ]
+    )
+
+    def bands(df, name):
+        return df.select("doc_id", F.explode(band_structs).alias("b")).select(
+            F.col("doc_id").alias(name),
+            F.col("b.band").alias("band"),
+            F.col("b.bv").alias("bv"),
+        )
+
+    cand = (
+        bands(inc, "inc_id")
+        .join(bands(hist, "hist_id"), ["band", "bv"])
+        .select("inc_id", "hist_id")
+        .distinct()
+    )
+    a = inc.select(
+        F.col("doc_id").alias("inc_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    b = hist.select(
+        F.col("doc_id").alias("hist_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    scored = cand.join(a, "inc_id").join(b, "hist_id").select(
+        "inc_id", agree.alias("agree")
+    )
+    per = scored.groupBy("inc_id").agg(
+        F.count("*").alias("n_candidates"), F.max("agree").alias("best_agree")
+    )
+    return (
+        inc.select("doc_id")
+        .join(per.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.round(
+                F.coalesce("best_agree", F.lit(0)) / 8.0, 6
+            ).alias("best_est_jaccard"),
+            F.col("n_candidates").isNotNull().alias("is_neardup"),
+        )
+    )

@@ -180,3 +180,20 @@ def test_pq_adc_beats_chance(spark):
     assert 0.0 < r["mean_recall_at_k"] < 1.0
     assert r["mean_recall_at_k"] > 3 * chance
     assert r["total_hits"] <= n * 3
+
+
+def test_incremental_neardup_flags_compose(spark):
+    """Every incoming doc appears exactly once; the flag equals
+    n_candidates > 0 and best_est_jaccard is 0 for clean docs."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q125_incremental_neardup"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows}) > 0
+    for r in rows:
+        assert r["is_neardup"] == (r["n_candidates"] > 0)
+        if not r["is_neardup"]:
+            assert r["best_est_jaccard"] == 0.0
+        else:
+            assert 0.0 < r["best_est_jaccard"] <= 1.0
