@@ -868,3 +868,158 @@ def q125_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_candidates").isNotNull().alias("is_neardup"),
         )
     )
+
+
+# --- Bloom-filter n-gram membership prefilter ------------------------------
+
+_BLOOM_M_BITS = 65536  # filter size in bits (2048 x 32-bit words)
+_BLOOM_W = 32  # bits per stored word (32 keeps every mask positive)
+_BLOOM_K = 4  # hash functions = first 4 members of the minhash family
+
+
+def _bloom_ab_sql() -> str:
+    rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_AB[:_BLOOM_K])
+    )
+    return f"(VALUES {rows}) AS ab(j, a, b)"
+
+
+@register(
+    "q127_bloom_prefilter",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    h AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+               % {MERSENNE_P} AS u
+      FROM sh),
+    train_u AS MATERIALIZED (
+      SELECT DISTINCT u FROM h WHERE doc_id % 4 <> 0),
+    words AS MATERIALIZED (
+      SELECT pos // {_BLOOM_W} AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_W} AS INT)) AS bits
+      FROM (
+        SELECT ((ab.a * t.u + ab.b) % {MERSENNE_P}) % {_BLOOM_M_BITS} AS pos
+        FROM train_u t CROSS JOIN {_bloom_ab_sql()})
+      GROUP BY 1),
+    probe_pos AS (
+      SELECT p.doc_id, p.u, ab.j,
+             ((ab.a * p.u + ab.b) % {MERSENNE_P}) % {_BLOOM_M_BITS} AS pos
+      FROM h p CROSS JOIN {_bloom_ab_sql()}
+      WHERE p.doc_id % 4 = 0),
+    checked AS (
+      SELECT p.doc_id, p.u,
+             CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & (CAST(1 AS BIGINT) << CAST(p.pos % {_BLOOM_W} AS INT))) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM probe_pos p
+      LEFT JOIN words w ON w.word = p.pos // {_BLOOM_W}),
+    per_shingle AS (
+      SELECT c.doc_id, c.u,
+             CASE WHEN sum(c.hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_hit
+      FROM checked c GROUP BY c.doc_id, c.u),
+    flagged AS (
+      SELECT ps.doc_id, ps.bloom_hit,
+             CASE WHEN t.u IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+      FROM per_shingle ps LEFT JOIN train_u t ON t.u = ps.u)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(exact_hit) AS BIGINT) AS n_exact_hits,
+           CAST(sum(bloom_hit) - sum(exact_hit) AS BIGINT) AS n_false_pos,
+           CASE WHEN count(*) - sum(exact_hit) = 0 THEN 0.0
+                ELSE round((sum(bloom_hit) - sum(exact_hit)) * 1.0
+                           / (count(*) - sum(exact_hit)), 6)
+           END AS fp_rate
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="Bloom-filter n-gram membership prefilter — decontamination at "
+    "100 TB: before the expensive shingle equi-join (q94), probe-side "
+    "shingles are screened against a 64 Kbit Bloom filter of the "
+    "train side's shingle hashes (k=4 functions from the q43 minhash "
+    "family, 32-bit words so every mask stays positive on both "
+    "engines). The BUILD is a distributed bit_or hash aggregate over "
+    "(word, mask) rows — partials OR map-side, the finished filter is "
+    "2048 rows REGARDLESS of corpus size and broadcasts to the probe "
+    "side, so screening never shuffles train data. Per probe doc: "
+    "shingle count, Bloom hits, exact hits, false positives, and the "
+    "false-positive rate among truly-clean shingles. The Bloom "
+    "guarantee (no false negatives: every exact hit is a Bloom hit) "
+    "is property-tested; all counting is integer-exact.",
+    tags=("dedup", "llm", "bloom", "contamination", "scale"),
+)
+def q127_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ab = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(MINHASH_AB[:_BLOOM_K])],
+        "j INT, a LONG, b LONG",
+    )
+    h = (
+        _shingle_rows(spark, sf_dir)
+        .select("doc_id", (hex_hash("s") % MERSENNE_P).alias("u"))
+        .distinct()
+    )
+    train_u = (
+        h.filter(F.col("doc_id") % 4 != 0).select("u").distinct()
+        .localCheckpoint()
+    )
+    pos = ((F.col("a") * F.col("u") + F.col("b")) % MERSENNE_P) % F.lit(
+        _BLOOM_M_BITS
+    )
+    words = (
+        train_u.crossJoin(F.broadcast(ab))
+        .select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / _BLOOM_W).cast("long").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_W} as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probe_pos = (
+        h.filter(F.col("doc_id") % 4 == 0)
+        .crossJoin(F.broadcast(ab))
+        .select("doc_id", "u", "j", pos.alias("pos"))
+        .withColumn("word", (F.col("pos") / _BLOOM_W).cast("long"))
+    )
+    # the finished filter is tiny (<= 2048 rows) -> broadcast the lookup
+    checked = probe_pos.join(F.broadcast(words), "word", "left").select(
+        "doc_id",
+        "u",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.col("bits").bitwiseAND(
+                    F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_W} as int))")
+                )
+                != 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    per_shingle = checked.groupBy("doc_id", "u").agg(
+        F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_hit")
+    )
+    flagged = per_shingle.join(
+        train_u.withColumnRenamed("u", "tu"),
+        F.col("u") == F.col("tu"),
+        "left",
+    ).select(
+        "doc_id",
+        "bloom_hit",
+        F.when(F.col("tu").isNotNull(), 1).otherwise(0).alias("exact_hit"),
+    )
+    clean = F.count("*") - F.sum("exact_hit")
+    fps = F.sum("bloom_hit") - F.sum("exact_hit")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+        F.sum("exact_hit").cast("long").alias("n_exact_hits"),
+        fps.cast("long").alias("n_false_pos"),
+        F.when(clean == 0, F.lit(0.0))
+        .otherwise(F.round(fps / clean, 6))
+        .alias("fp_rate"),
+    )

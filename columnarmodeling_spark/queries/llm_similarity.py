@@ -1198,3 +1198,131 @@ def q124_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_perfect"),
     )
+
+
+_IVFPQ_NPROBE = 2
+
+
+@register(
+    "q126_ivfpq_search",
+    oracle=f"""
+    WITH {_SQL_PQ},
+    codes AS MATERIALIZED (
+      SELECT b.vec_id, b.sub, b.code, v.label
+      FROM best b JOIN n v USING (vec_id) WHERE b.rn = 1),
+    comp AS (
+      SELECT label, i, CAST(round(avg(qv[i])) AS BIGINT) AS cv
+      FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY label, i),
+    cent AS (
+      SELECT label, list(cv ORDER BY i) AS cent
+      FROM comp GROUP BY label),
+    cdist AS (
+      SELECT v.vec_id, c.label AS plabel,
+             list_sum(list_transform(range(1, 65),
+                      i -> (v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i]))) AS d2
+      FROM n v CROSS JOIN cent c),
+    probe AS (
+      SELECT vec_id, plabel FROM (
+        SELECT vec_id, plabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, plabel) AS crk
+        FROM cdist) WHERE crk <= {_IVFPQ_NPROBE}),
+    adc AS (
+      SELECT p.vec_id AS q, c.vec_id AS w, sum(l.d2) AS adc
+      FROM probe p
+      JOIN codes c ON c.label = p.plabel AND c.vec_id <> p.vec_id
+      JOIN subd l ON l.vec_id = p.vec_id AND l.sub = c.sub
+                 AND l.rank = c.code
+      GROUP BY 1, 2),
+    r AS (
+      SELECT q AS vec_id, w AS neighbor, CAST(adc AS BIGINT) AS adc,
+             row_number() OVER (PARTITION BY q ORDER BY adc, w) AS rk
+      FROM adc)
+    SELECT vec_id, neighbor, adc, rk FROM r WHERE rk <= {_PQ_TOPK}
+    """,
+    doc="IVF-PQ search — the two scale halves COMPOSED, which is the "
+    "actual 100 TB ANN layout (IVFADC, Jégou et al. 2011 §IV): the "
+    "coarse quantizer (q69's integer per-cell centroids) routes each "
+    "query to its nprobe=2 nearest cells, and inside the probed cells "
+    "candidates exist ONLY as 8-byte PQ codes (q123's layout) scored "
+    "by asymmetric distance — the query's 128-row (sub, rank) lookup "
+    "table joined on the codes, one hash agg, raw vectors never "
+    "touched after encode. Top-3 per query by (adc, neighbor) is "
+    "all-integer, so the oracle replays it bit-for-bit. Plan: "
+    "centroid table broadcast (10 rows); code store is an equi-join "
+    "on cell id; the ADC join is equi on (query, sub, code) — at "
+    "100 TB the per-query LUT is 128 rows regardless of corpus size, "
+    "cells hold codes only (32x smaller than raw f32), and cost is "
+    "linear in probed-cell occupancy.",
+    tags=("similarity", "llm", "ann", "ivf", "pq", "topk", "scale"),
+)
+def q126_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    n = _quantized(spark, sf_dir)
+    # coarse quantizer: integer centroid per label-cell (q69's build)
+    comp = n.select("label", F.posexplode("qv").alias("pos", "v"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 0).cast("long").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cent")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cdist = (
+        n.select("vec_id", "qv")
+        .join(F.broadcast(cent.select(F.col("label").alias("plabel"), "cent")))
+        .withColumn("d2", d2)
+    )
+    probe = (
+        cdist.withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "plabel")
+            ),
+        )
+        .filter(F.col("crk") <= _IVFPQ_NPROBE)
+        .select("vec_id", "plabel")
+    )
+    # PQ side: per-query LUT (subd) + the cell code store
+    subd = _pq_subd(spark, sf_dir).localCheckpoint()
+    labels = _quantized(spark, sf_dir).select("vec_id", "label")
+    codes = (
+        _pq_codes_from_subd(subd)
+        .select("vec_id", "sub", "code")
+        .join(labels, "vec_id")
+    )
+    pairs = probe.alias("p").join(
+        codes.alias("c"),
+        (F.col("c.label") == F.col("p.plabel"))
+        & (F.col("c.vec_id") != F.col("p.vec_id")),
+    )
+    adc = (
+        pairs.join(
+            subd.alias("l"),
+            (F.col("l.vec_id") == F.col("p.vec_id"))
+            & (F.col("l.sub") == F.col("c.sub"))
+            & (F.col("l.rank") == F.col("c.code")),
+        )
+        .groupBy(
+            F.col("p.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor"),
+        )
+        .agg(F.sum("l.d2").alias("adc"))
+    )
+    w_adc = Window.partitionBy("vec_id").orderBy("adc", "neighbor")
+    return (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("vec_id", "neighbor", "adc", "rk")
+    )

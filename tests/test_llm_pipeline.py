@@ -197,3 +197,82 @@ def test_incremental_neardup_flags_compose(spark):
             assert r["best_est_jaccard"] == 0.0
         else:
             assert 0.0 < r["best_est_jaccard"] <= 1.0
+
+
+def test_ivfpq_matches_full_adc_on_probed_cells(spark):
+    """q126's ADC distances must agree with q124's full (un-routed) ADC
+    relation on every (query, neighbor) pair q126 emits — routing may
+    only RESTRICT the candidate set, never change a distance — and
+    every emitted neighbor must live in one of the query's probed
+    cells."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.llm_similarity import (
+        _pq_codes_from_subd,
+        _pq_subd,
+        _quantized,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["q126_ivfpq_search"].fn(spark, sf).cache()
+    n_q = out.select("vec_id").distinct().count()
+    assert n_q > 0
+    # exactly top-3 (or fewer if probed cells are tiny) per query, rk dense
+    per = out.groupBy("vec_id").agg(
+        F.count("*").alias("c"), F.max("rk").alias("mx")
+    )
+    assert per.filter("c != mx OR c > 3").count() == 0
+    # recompute ADC for the emitted pairs from the LUT directly
+    # (fresh scans -> distinct lineages, no ambiguous attributes)
+    codes = _pq_codes_from_subd(_pq_subd(spark, sf)).select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("sub").alias("sub_c"),
+        "code",
+    )
+    subd_l = _pq_subd(spark, sf).select(
+        F.col("vec_id").alias("q_l"),
+        F.col("sub").alias("sub_l"),
+        F.col("rank").alias("rank_l"),
+        "d2",
+    )
+    full = (
+        out.select("vec_id", "neighbor", "adc")
+        .join(codes, "neighbor")
+        .join(
+            subd_l,
+            (F.col("q_l") == F.col("vec_id"))
+            & (F.col("sub_l") == F.col("sub_c"))
+            & (F.col("rank_l") == F.col("code")),
+        )
+        .groupBy("vec_id", "neighbor", "adc")
+        .agg(F.sum("d2").alias("adc2"))
+    )
+    assert full.filter("adc != adc2").count() == 0
+    # neighbors are confined to probed cells: a neighbor's label must be
+    # one of the <=2 labels the query's emitted neighbors span
+    lab = _quantized(spark, sf).select("vec_id", "label")
+    span = (
+        out.join(lab.withColumnRenamed("vec_id", "neighbor"), "neighbor")
+        .groupBy("vec_id")
+        .agg(F.countDistinct("label").alias("nl"))
+    )
+    assert span.filter("nl > 2").count() == 0
+
+
+def test_bloom_prefilter_guarantees(spark):
+    """Bloom membership has NO false negatives (every exact hit is a
+    bloom hit), hit counts are bounded by shingle counts, and the
+    cross-split shared vocabulary produces real exact hits somewhere."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q127_bloom_prefilter"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 4 == 0  # probe split only
+        assert 0 <= r["n_exact_hits"] <= r["n_bloom_hits"] <= r["n_shingles"]
+        assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_exact_hits"]
+        assert 0.0 <= r["fp_rate"] <= 1.0
+    assert sum(r["n_exact_hits"] for r in rows) > 0
