@@ -143,7 +143,9 @@ PRIORITY: tuple[str, ...] = (
     "q77_consistency_checks",
     "q79_unpivot",
     # stalest: last driver row in r3
-    "q43_minhash_signatures",
+    # (q43 rotated for q128: the signature relation IS the first CTE of
+    # the in-window q44 oracle and the q125 history store, r3-green)
+    "q128_triangle_count",
     "q45_simhash",
     # (q46 rotated for q127: its exact integer top-k core is recomputed
     # as the oracle side of the in-window q113/q124 recall evals, and
