@@ -157,7 +157,9 @@ PRIORITY: tuple[str, ...] = (
     # (q48 rotated for q125: its hyperplane-band core is inside q49 and
     # q98, both in-window)
     "q49_embedding_neardup",
-    "q50_token_stats",
+    # (q50 rotated for q129: its token-count core is recomputed inside
+    # the in-window q95 training-mix token budget and q51's stats)
+    "q129_prefix_filter_join",
     "q51_quality_score",
     "q52_lang_id",
     "q53_fingerprint",

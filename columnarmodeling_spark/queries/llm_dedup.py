@@ -1023,3 +1023,117 @@ def q127_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(fps / clean, 6))
         .alias("fp_rate"),
     )
+
+
+# --- exact set-similarity join via prefix filtering ------------------------
+
+# tau = 3/5 kept rational: all pruning and the final threshold are
+# integer arithmetic (5*inter >= 3*union), immune to float-ceil drift
+_PREFIX_TAU_NUM = 3
+_PREFIX_TAU_DEN = 5
+
+
+@register(
+    "q129_prefix_filter_join",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sz AS MATERIALIZED (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+           round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE {_PREFIX_TAU_DEN} * i.inter
+          >= {_PREFIX_TAU_NUM} * (sa.n + sb.n - i.inter)
+    """,
+    doc="EXACT set-similarity join (Jaccard >= 3/5 over 3-gram shingle "
+    "sets) via PREFIX FILTERING (AllPairs/PPJoin, Bayardo et al. "
+    "2007) — the no-false-negative alternative to the LSH tier: "
+    "shingles are globally ordered rarest-first (df asc, shingle); a "
+    "doc's candidate-generating prefix is its first "
+    "n - ceil(tau*n) + 1 shingles, computed in INTEGER arithmetic "
+    "(n - (3n+4) div 5 + 1) so both engines agree exactly; any pair "
+    "with J >= tau provably shares a prefix shingle, so the "
+    "prefix-prefix equi-join loses nothing, and candidates are then "
+    "verified by exact intersection counting (5*inter >= 3*union, "
+    "all-integer). THE skew story inverts q42's: hot shingles sort "
+    "LAST and never generate candidates — no max_df cutoff needed, "
+    "no semantic change — while the oracle pays the full "
+    "every-shared-shingle join. jaccard is the one rounded column.",
+    tags=("dedup", "llm", "jaccard", "prefix-filter", "join", "scale"),
+)
+def q129_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint()
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    sized = sh.withColumn(
+        "n", F.count("*").over(W.partitionBy("doc_id"))
+    )
+    ordered = (
+        sized.join(dfreq, "s")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+    )
+    # prefix length = n - ceil(tau*n) + 1, integer form
+    ceil_tau_n = F.expr(
+        f"div({_PREFIX_TAU_NUM} * n + {_PREFIX_TAU_DEN - 1},"
+        f" {_PREFIX_TAU_DEN})"
+    )
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("n") - ceil_tau_n + 1
+    ).select("doc_id", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact verification: full intersection count for candidates only
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb")
+    )
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("s") == F.col("sb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            _PREFIX_TAU_DEN * F.col("inter") >= _PREFIX_TAU_NUM * union
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.round(F.col("inter") / union, 6).alias("jaccard"),
+        )
+    )

@@ -276,3 +276,49 @@ def test_bloom_prefilter_guarantees(spark):
         assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_exact_hits"]
         assert 0.0 <= r["fp_rate"] <= 1.0
     assert sum(r["n_exact_hits"] for r in rows) > 0
+
+
+def test_prefix_filter_join_is_exact_and_prunes(spark):
+    """q129 must return EXACTLY the pairs with shingle-Jaccard >= 3/5
+    (no false negatives — the prefix-filter guarantee — and none
+    below threshold), and its candidate space must be smaller than
+    the every-shared-shingle join's pair space."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.llm_dedup import _shingle_rows
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+        for r in REGISTRY["q129_prefix_filter_join"].fn(spark, sf).collect()
+    }
+    # brute force: every pair sharing any shingle, exact Jaccard
+    sh = _shingle_rows(spark, sf).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("sb")) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    full = (
+        inter.join(sizes.select(F.col("doc_id").alias("da"),
+                                F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("n").alias("nb")), "db")
+        .collect()
+    )
+    want = {}
+    for r in full:
+        union = r["na"] + r["nb"] - r["i"]
+        if 5 * r["i"] >= 3 * union:
+            want[(r["da"], r["db"])] = r["i"]
+    assert set(got) == set(want)
+    for k, (i, j) in got.items():
+        assert i == want[k]
+        assert j >= 0.6 - 1e-9
+    # pruning: candidates strictly fewer than all shingle-sharing pairs
+    n_sharing = len(full)
+    assert n_sharing == 0 or len(got) <= n_sharing
