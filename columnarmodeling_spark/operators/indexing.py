@@ -60,3 +60,48 @@ def with_global_index(
         .withColumn(index_col, F.row_number().over(w) + F.col("__off"))
         .drop("__pid", "__off")
     )
+
+
+def with_global_running_sum(
+    df: DataFrame,
+    sort_cols: list[str],
+    val_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add the INCLUSIVE global running sum of ``val_col`` in (unique)
+    sort-key order — same two-pass shape as :func:`with_global_index`
+    (range partition → per-partition sums → driver prefix over
+    #partitions values → broadcast offsets + in-partition window), so
+    no single-partition global window exists anywhere. The exclusive
+    prefix is ``out_col - val_col``."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.localCheckpoint(eager=False)
+
+    sums = part.groupBy("__pid").agg(F.sum(val_col).alias("s")).collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["s"] or 0
+
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "__pid INT, __off LONG",
+        )
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        part.join(off_df, "__pid")
+        .withColumn(out_col, F.sum(val_col).over(w) + F.col("__off"))
+        .drop("__pid", "__off")
+    )

@@ -165,7 +165,10 @@ PRIORITY: tuple[str, ...] = (
     "q53_fingerprint",
     "q54_repetition_ratio",
     "q55_pii_redaction",
-    "q59_length_histogram",
+    # (q59 rotated for q130: its fixed-width floor(x/w) binning is the
+    # exact arithmetic q130's chunk assignment exercises in-window,
+    # and the r3 row was green)
+    "q130_sequence_packing",
     # (q62/q67 were judge-replica-checked on current testdata in r5's
     # review — q119/q120 take the slots)
     "q69_ivf_search",

@@ -167,3 +167,88 @@ def q95_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "mean_tokens",
     )
+
+
+# --- sequence packing (concat-and-chunk) -----------------------------------
+
+_PACK_C = 512  # tokens per training sequence
+
+
+@register(
+    "q130_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '')) AS nt
+      FROM documents),
+    nz AS (SELECT doc_id, nt FROM toks WHERE nt > 0),
+    cum AS (
+      SELECT doc_id, nt,
+             sum(nt) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - nt AS off
+      FROM nz),
+    spans AS (
+      SELECT doc_id, nt, off,
+             unnest(range(CAST(off // {_PACK_C} AS BIGINT),
+                          CAST((off + nt - 1) // {_PACK_C} + 1 AS BIGINT))) AS chunk
+      FROM cum)
+    SELECT chunk,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(off + nt, (chunk + 1) * {_PACK_C})
+                    - greatest(off, chunk * {_PACK_C})) AS BIGINT)
+               AS n_tokens,
+           CAST(sum(CASE WHEN off < chunk * {_PACK_C} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spanning
+    FROM spans GROUP BY chunk
+    """,
+    doc="Sequence packing (concat-and-chunk) — how pretraining actually "
+    "batches documents: the corpus is concatenated in doc_id order "
+    "and cut into fixed 512-token sequences; a document whose token "
+    "span crosses a cut belongs to both chunks. Needs each doc's "
+    "GLOBAL token offset — the scale-safe exclusive prefix sum via "
+    "operators/indexing.with_global_running_sum (range partition -> "
+    "per-partition sums -> driver prefix over #partitions values -> "
+    "broadcast offsets), never a single-partition global window. "
+    "Chunk membership is a sequence() explode bounded by each doc's "
+    "own span; per-chunk doc counts, exact token occupancy (= 512 "
+    "everywhere but the tail) and boundary-spanning counts are "
+    "all-integer. The oracle's plain cumulative window is the "
+    "sf-small equivalent of the two-pass prefix.",
+    tags=("llm", "packing", "window", "prefix-sum", "scale"),
+)
+def q130_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import (
+        with_global_running_sum,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("nt")
+    )
+    nz = d.filter(F.col("nt") > 0)
+    cum = with_global_running_sum(
+        nz, ["doc_id"], "nt", out_col="cum"
+    ).withColumn("off", F.col("cum") - F.col("nt"))
+    c = F.lit(_PACK_C)
+    spans = cum.select(
+        "doc_id",
+        "nt",
+        "off",
+        F.explode(
+            F.sequence(
+                (F.col("off") / c).cast("long"),
+                ((F.col("off") + F.col("nt") - 1) / c).cast("long"),
+            )
+        ).alias("chunk"),
+    )
+    occ = F.least(
+        F.col("off") + F.col("nt"), (F.col("chunk") + 1) * c
+    ) - F.greatest(F.col("off"), F.col("chunk") * c)
+    return spans.groupBy("chunk").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(occ).cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("off") < F.col("chunk") * c, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_spanning"),
+    )

@@ -322,3 +322,38 @@ def test_prefix_filter_join_is_exact_and_prunes(spark):
     # pruning: candidates strictly fewer than all shingle-sharing pairs
     n_sharing = len(full)
     assert n_sharing == 0 or len(got) <= n_sharing
+
+
+def test_sequence_packing_conservation(spark):
+    """Every chunk except the last holds exactly 512 tokens; token
+    occupancy sums to the corpus total; chunk ids are dense from 0;
+    spanning counts match docs whose offset precedes the chunk."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.functions.text import tokens
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        REGISTRY["q130_sequence_packing"].fn(spark, sf).collect(),
+        key=lambda r: r["chunk"],
+    )
+    assert rows
+    chunks = [r["chunk"] for r in rows]
+    assert chunks == list(range(len(rows)))  # dense from 0
+    total = (
+        t(spark, sf, "documents")
+        .select(F.size(tokens("text")).alias("nt"))
+        .agg(F.sum("nt"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
+    for r in rows[:-1]:
+        assert r["n_tokens"] == 512
+    assert 0 < rows[-1]["n_tokens"] <= 512
+    for r in rows:
+        assert 0 <= r["n_spanning"] <= 1 or r["n_spanning"] <= r["n_docs"]
+        assert r["n_docs"] >= 1
+    # chunk 0 can have no spanning doc
+    assert rows[0]["n_spanning"] == 0
