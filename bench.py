@@ -44,6 +44,13 @@ HEADLINE = [
     "q64_solver_steps",
     "q70_snapshot_codec",
     "q85_stream_stream_join",
+    # round-6 operators with sf0.1-tractable shapes (q126 IVF-PQ stays
+    # out: its every-probe ADC fan-out is the documented sf-small
+    # exactness form; the bench ANN slots remain q69/q96)
+    "q127_bloom_prefilter",
+    "q128_triangle_count",
+    "q129_prefix_filter_join",
+    "q130_sequence_packing",
 ]
 
 

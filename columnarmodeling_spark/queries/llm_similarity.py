@@ -571,19 +571,13 @@ def q96_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_adaptive_topk(spark, sf_dir, nprobe=_IVF_NPROBE)
 
 
-def _ivf_adaptive_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int
-) -> DataFrame:
-    """q96's adaptive-k IVF search with a caller-chosen probe width
-    (q113 sweeps nprobe to pin the recall-vs-cost curve)."""
+def _adaptive_seed_broadcast(spark: SparkSession, n: DataFrame):
+    """Broadcast the k = ceil(sqrt(n)) md5-ranked seed vectors (the
+    adaptive IVF coarse quantizer shared by q96/q113/q126)."""
     import math
 
     import numpy as np
-    import pandas as pd
 
-    from pyspark.sql.window import Window
-
-    n = _quantized(spark, sf_dir)
     k = int(math.ceil(math.sqrt(n.count())))
     # The k ~ sqrt(n) seed table is the only thing that ever reaches the
     # driver (at n = 1e9 vectors that is ~32k rows * 64 int64 = 16 MB);
@@ -599,7 +593,14 @@ def _ivf_adaptive_topk(
     seed_rows.sort(key=lambda r: r["sid"])
     s_ids = np.array([r["sid"] for r in seed_rows], dtype=np.int64)
     s_mat = np.array([r["sqv"] for r in seed_rows], dtype=np.int64)
-    bc = spark.sparkContext.broadcast((s_ids, s_mat))
+    return spark.sparkContext.broadcast((s_ids, s_mat))
+
+
+def _make_route_fn(bc, nprobe: int):
+    """mapInPandas generator: assign each vector to its nprobe nearest
+    adaptive seeds (exact int64 L2, ties to the smallest seed id)."""
+    import numpy as np
+    import pandas as pd
 
     def route(batches):
         # Vectorized coarse quantizer: one int64 matmul per Arrow batch
@@ -628,7 +629,23 @@ def _ivf_adaptive_topk(
                 }
             )
 
-    routed_schema = "vec_id long, cell long, crk int, qv array<long>, n2 long"
+    return route
+
+
+_ROUTED_SCHEMA = "vec_id long, cell long, crk int, qv array<long>, n2 long"
+
+
+def _ivf_adaptive_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """q96's adaptive-k IVF search with a caller-chosen probe width
+    (q113 sweeps nprobe to pin the recall-vs-cost curve)."""
+    from pyspark.sql.window import Window
+
+    n = _quantized(spark, sf_dir)
+    bc = _adaptive_seed_broadcast(spark, n)
+    route = _make_route_fn(bc, nprobe)
+    routed_schema = _ROUTED_SCHEMA
 
     probe = (
         n.select("vec_id", "qv", "n2")
@@ -1203,35 +1220,71 @@ def q124_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_NPROBE = 2
 
 
+def _adc_cell_kernel(topk: int):
+    """Cogrouped per-cell ADC kernel: probes carry their 128-entry
+    (sub x codebook-rank) lookup tables, index vectors exist only as
+    8-code arrays; adc[q, w] = sum_s lut[q, s*16 + codes[w, s] - 1]
+    via 8 vectorized gathers (never a Q x W x 8 intermediate). Ties
+    resolve to the smaller neighbor id (stable argsort over
+    id-sorted candidates)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["vec_id", "neighbor", "adc"]
+
+    def kernel(probes: pd.DataFrame, idx: pd.DataFrame) -> pd.DataFrame:
+        if probes.empty or idx.empty:
+            return pd.DataFrame(columns=cols)
+        q_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+        lut = np.array(list(probes["lut"]), dtype=np.int64)  # Q x 128
+        order = np.argsort(idx["vec_id"].to_numpy(np.int64), kind="stable")
+        w_ids = idx["vec_id"].to_numpy(dtype=np.int64)[order]
+        codes = np.array(list(idx["codes"]), dtype=np.int64)[order]  # W x 8
+        adc = np.zeros((len(q_ids), len(w_ids)), dtype=np.int64)
+        for s in range(_PQ_M):
+            adc += lut[:, s * _PQ_K + codes[:, s] - 1]
+        self_mask = q_ids[:, None] == w_ids[None, :]
+        out = []
+        big = np.iinfo(np.int64).max
+        adc_m = np.where(self_mask, big, adc)
+        for i in range(len(q_ids)):
+            sel = np.argsort(adc_m[i], kind="stable")[:topk]
+            for j in sel:
+                if adc_m[i, j] != big:
+                    out.append((int(q_ids[i]), int(w_ids[j]), int(adc[i, j])))
+        return pd.DataFrame(out, columns=cols)
+
+    return kernel
+
+
 @register(
     "q126_ivfpq_search",
     oracle=f"""
     WITH {_SQL_PQ},
     codes AS MATERIALIZED (
-      SELECT b.vec_id, b.sub, b.code, v.label
-      FROM best b JOIN n v USING (vec_id) WHERE b.rn = 1),
-    comp AS (
-      SELECT label, i, CAST(round(avg(qv[i])) AS BIGINT) AS cv
-      FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
-      GROUP BY label, i),
-    cent AS (
-      SELECT label, list(cv ORDER BY i) AS cent
-      FROM comp GROUP BY label),
-    cdist AS (
-      SELECT v.vec_id, c.label AS plabel,
+      SELECT vec_id, sub, code FROM best WHERE rn = 1),
+    cseeds AS MATERIALIZED (
+      SELECT vec_id AS sid, qv AS sqv
+      FROM n
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id)
+              <= CAST(ceil(sqrt((SELECT count(*) FROM n))) AS BIGINT)),
+    cdist AS MATERIALIZED (
+      SELECT v.vec_id, s.sid,
              list_sum(list_transform(range(1, 65),
-                      i -> (v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i]))) AS d2
-      FROM n v CROSS JOIN cent c),
-    probe AS (
-      SELECT vec_id, plabel FROM (
-        SELECT vec_id, plabel,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY d2, plabel) AS crk
-        FROM cdist) WHERE crk <= {_IVFPQ_NPROBE}),
+                      i -> (v.qv[i] - s.sqv[i]) * (v.qv[i] - s.sqv[i]))) AS d2
+      FROM n v CROSS JOIN cseeds s),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, sid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, sid) AS crk
+      FROM cdist),
     adc AS (
-      SELECT p.vec_id AS q, c.vec_id AS w, sum(l.d2) AS adc
-      FROM probe p
-      JOIN codes c ON c.label = p.plabel AND c.vec_id <> p.vec_id
+      SELECT p.vec_id AS q, asn.vec_id AS w, sum(l.d2) AS adc
+      FROM (SELECT vec_id, sid FROM ranked WHERE crk <= {_IVFPQ_NPROBE}) p
+      JOIN (SELECT vec_id, sid FROM ranked WHERE crk = 1) asn
+        ON asn.sid = p.sid AND asn.vec_id <> p.vec_id
+      JOIN codes c ON c.vec_id = asn.vec_id
       JOIN subd l ON l.vec_id = p.vec_id AND l.sub = c.sub
                  AND l.rank = c.code
       GROUP BY 1, 2),
@@ -1243,86 +1296,72 @@ _IVFPQ_NPROBE = 2
     """,
     doc="IVF-PQ search — the two scale halves COMPOSED, which is the "
     "actual 100 TB ANN layout (IVFADC, Jégou et al. 2011 §IV): the "
-    "coarse quantizer (q69's integer per-cell centroids) routes each "
-    "query to its nprobe=2 nearest cells, and inside the probed cells "
-    "candidates exist ONLY as 8-byte PQ codes (q123's layout) scored "
-    "by asymmetric distance — the query's 128-row (sub, rank) lookup "
-    "table joined on the codes, one hash agg, raw vectors never "
-    "touched after encode. Top-3 per query by (adc, neighbor) is "
-    "all-integer, so the oracle replays it bit-for-bit. Plan: "
-    "centroid table broadcast (10 rows); code store is an equi-join "
-    "on cell id; the ADC join is equi on (query, sub, code) — at "
-    "100 TB the per-query LUT is 128 rows regardless of corpus size, "
-    "cells hold codes only (32x smaller than raw f32), and cost is "
-    "linear in probed-cell occupancy.",
+    "ADAPTIVE coarse quantizer (q96's k = ceil(sqrt(n)) md5-ranked "
+    "seeds, so cell occupancy ~sqrt(n) stops growing relative to the "
+    "corpus) routes each query to its nprobe=2 nearest cells, and "
+    "inside the probed cells candidates exist ONLY as 8-byte PQ "
+    "codes (q123's layout) scored by asymmetric distance: probes and "
+    "code arrays co-shuffle on cell id into a cogrouped kernel that "
+    "gathers each query's 128-entry LUT at the candidates' codes — "
+    "8 vectorized gathers per cell, raw vectors never touched after "
+    "encode, no per-(sub,code) join rows. Top-3 per query by (adc, "
+    "neighbor) is all-integer, so the oracle replays it bit-for-bit. "
+    "The first cut of this query used FIXED label cells + an 8-rows-"
+    "per-pair ADC equi-join and measured 178x at 16x corpus "
+    "(SCALE.md); this form is the redesign.",
     tags=("similarity", "llm", "ann", "ivf", "pq", "topk", "scale"),
 )
 def q126_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     n = _quantized(spark, sf_dir)
-    # coarse quantizer: integer centroid per label-cell (q69's build)
-    comp = n.select("label", F.posexplode("qv").alias("pos", "v"))
-    cent = (
-        comp.groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 0).cast("long").alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s["cv"],
-            ).alias("cent")
-        )
-    )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cent", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cdist = (
-        n.select("vec_id", "qv")
-        .join(F.broadcast(cent.select(F.col("label").alias("plabel"), "cent")))
-        .withColumn("d2", d2)
-    )
-    probe = (
-        cdist.withColumn(
-            "crk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2", "plabel")
-            ),
-        )
-        .filter(F.col("crk") <= _IVFPQ_NPROBE)
-        .select("vec_id", "plabel")
-    )
-    # PQ side: per-query LUT (subd) + the cell code store
+    bc = _adaptive_seed_broadcast(spark, n)
+    route = _make_route_fn(bc, _IVFPQ_NPROBE)
+
+    # per-query LUT: the (sub, rank) distortion table as one ordered
+    # 128-entry array (index = sub*16 + rank-1)
     subd = _pq_subd(spark, sf_dir).localCheckpoint()
-    labels = _quantized(spark, sf_dir).select("vec_id", "label")
-    codes = (
-        _pq_codes_from_subd(subd)
-        .select("vec_id", "sub", "code")
-        .join(labels, "vec_id")
+    lut = subd.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "rank", "d2"))),
+            lambda s: s["d2"],
+        ).alias("lut")
     )
-    pairs = probe.alias("p").join(
-        codes.alias("c"),
-        (F.col("c.label") == F.col("p.plabel"))
-        & (F.col("c.vec_id") != F.col("p.vec_id")),
+    # per-index-vector code array (index = sub)
+    code_arr = _pq_codes_from_subd(subd).groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
     )
-    adc = (
-        pairs.join(
-            subd.alias("l"),
-            (F.col("l.vec_id") == F.col("p.vec_id"))
-            & (F.col("l.sub") == F.col("c.sub"))
-            & (F.col("l.rank") == F.col("c.code")),
+
+    probe = (
+        n.select("vec_id", "qv", "n2")
+        .mapInPandas(route, schema=_ROUTED_SCHEMA)
+        .filter(F.col("crk") <= _IVFPQ_NPROBE)
+        .select("vec_id", F.col("cell").alias("pcell"))
+        .join(lut, "vec_id")
+    )
+    # fresh scan for the index side: cogroup needs distinct attribute ids
+    index = (
+        _quantized(spark, sf_dir)
+        .select("vec_id", "qv", "n2")
+        .mapInPandas(route, schema=_ROUTED_SCHEMA)
+        .filter(F.col("crk") == 1)
+        .select("cell", "vec_id")
+        .join(code_arr, "vec_id")
+    )
+    local = (
+        probe.groupby("pcell")
+        .cogroup(index.groupby("cell"))
+        .applyInPandas(
+            _adc_cell_kernel(_PQ_TOPK),
+            schema="vec_id long, neighbor long, adc long",
         )
-        .groupBy(
-            F.col("p.vec_id").alias("vec_id"),
-            F.col("c.vec_id").alias("neighbor"),
-        )
-        .agg(F.sum("l.d2").alias("adc"))
     )
     w_adc = Window.partitionBy("vec_id").orderBy("adc", "neighbor")
     return (
-        adc.withColumn("rk", F.row_number().over(w_adc))
+        local.withColumn("rk", F.row_number().over(w_adc))
         .filter(F.col("rk") <= _PQ_TOPK)
         .select("vec_id", "neighbor", "adc", "rk")
     )

@@ -249,15 +249,41 @@ def test_ivfpq_matches_full_adc_on_probed_cells(spark):
         .agg(F.sum("d2").alias("adc2"))
     )
     assert full.filter("adc != adc2").count() == 0
-    # neighbors are confined to probed cells: a neighbor's label must be
-    # one of the <=2 labels the query's emitted neighbors span
-    lab = _quantized(spark, sf).select("vec_id", "label")
-    span = (
-        out.join(lab.withColumnRenamed("vec_id", "neighbor"), "neighbor")
-        .groupBy("vec_id")
-        .agg(F.countDistinct("label").alias("nl"))
+    # neighbors are confined to probed cells: every emitted neighbor's
+    # home cell (adaptive crk=1 route) must be one of the query's
+    # nprobe=2 probed cells
+    from columnarmodeling_spark.queries.llm_similarity import (
+        _ROUTED_SCHEMA,
+        _adaptive_seed_broadcast,
+        _make_route_fn,
     )
-    assert span.filter("nl > 2").count() == 0
+
+    n = _quantized(spark, sf)
+    route = _make_route_fn(_adaptive_seed_broadcast(spark, n), 2)
+    routed = (
+        n.select("vec_id", "qv", "n2")
+        .mapInPandas(route, schema=_ROUTED_SCHEMA)
+        .select("vec_id", "cell", "crk")
+        .cache()
+    )
+    probes = routed.filter("crk <= 2").select("vec_id", "cell")
+    homes = routed.filter("crk = 1").select(
+        F.col("vec_id").alias("neighbor"), F.col("cell").alias("home")
+    )
+    bad = (
+        out.join(homes, "neighbor")
+        .join(
+            probes.withColumnRenamed("cell", "pcell"), "vec_id", "left"
+        )
+        .groupBy("vec_id", "neighbor", "home")
+        .agg(
+            F.max(
+                F.when(F.col("pcell") == F.col("home"), 1).otherwise(0)
+            ).alias("in_probed")
+        )
+        .filter("in_probed = 0")
+    )
+    assert bad.count() == 0
 
 
 def test_bloom_prefilter_guarantees(spark):
