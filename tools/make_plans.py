@@ -89,6 +89,39 @@ CASES = {
     "left_semi hash join on (vec_id, neighbor) followed by partial/"
     "final count aggs; the three one-row arm results meet in a Union — "
     "no sweep-wide shuffle, each arm is independently parallel.",
+    "q126_ivfpq_search": "IVFADC search (adaptive cells + PQ codes). "
+    "What to check: routing is the q96 MapInPandas (broadcast seed "
+    "matrix, no join); the ONLY exchanges hash-partition on the cell "
+    "id into a FlatMapCoGroupsInPandas whose probe side carries "
+    "128-entry LUT arrays and whose index side carries 8-code arrays "
+    "— no per-(sub, code) join rows anywhere (the 178x-at-16x "
+    "first-cut plan had an 8-rows-per-pair SortMergeJoin here; "
+    "SCALE.md records the redesign).",
+    "q127_bloom_prefilter": "Bloom n-gram membership prefilter. What "
+    "to check: the finished filter is a <=2048-row aggregate behind a "
+    "BroadcastExchange — the probe side's bit checks are map-side "
+    "after a broadcast hash join on the word index; the only "
+    "all-to-all shuffles are the shingle hash agg and the per-doc "
+    "accounting agg, both linear in corpus size.",
+    "q128_triangle_count": "Degree-oriented triangle counting. What "
+    "to check: the wedge join and the closing-edge join are both "
+    "shuffle hash joins keyed on vertex ids — no broadcast of the "
+    "edge set, no cartesian anywhere; the orientation filter "
+    "(struct(deg, id) comparison) runs map-side BEFORE the wedge "
+    "join, so hub vertices never fan out as wedge centers.",
+    "q129_prefix_filter_join": "Exact prefix-filter similarity join. "
+    "What to check: candidate generation joins ONLY the prefix "
+    "relation with itself (equi on the shingle string); the df "
+    "ordering rides one hash agg + one per-doc window; verification "
+    "re-joins the full shingle relation strictly on candidate pairs. "
+    "Hot shingles appear in NO prefix (rarest-first order), so the "
+    "candidate join has no skewed build key.",
+    "q130_sequence_packing": "Concat-and-chunk sequence packing. What "
+    "to check: the global prefix sum is the two-pass pattern — a "
+    "RangePartitioning exchange, a per-partition window (partitionBy "
+    "__pid, never empty-partition global), and a broadcast of the "
+    "#partitions offset rows; chunk membership is a generator "
+    "explode bounded by each doc's own span.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
