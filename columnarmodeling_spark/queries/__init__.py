@@ -181,8 +181,9 @@ PRIORITY: tuple[str, ...] = (
     "q97_bm25_topterms",
     "q98_semantic_dedup",
     "q99_rollup_cascade",
-    # (q100 judge-replica-checked in r5's review — q123 takes the slot)
-    "q101_bpe_merge_topk",
+    # (q100 judge-replica-checked in r5's review — q123 takes the slot;
+    # q101 rotated for q131, whose round 1 IS q101's counting shape)
+    "q131_bpe_train",
     "q102_full_outer_recon",
     "q103_range_frame",
     # (q104/q105/q02 rotated out to make room for q115-q117: q104/q105

@@ -796,3 +796,124 @@ def q120_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nsym).cast("long").alias("n_symbols"),
         F.round(F.sum(nsym) / F.count("*"), 6).alias("fertility"),
     )
+
+
+# --- BPE TRAINING loop (q101 = one counting round; this iterates) ----------
+
+_BPE_TRAIN_ROUNDS = 4
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unroll the BPE training loop as chained CTEs: round r counts
+    adjacent symbol pairs of seq{r-1}, picks the (count desc, a, b)
+    argmax merge, and applies it via the same fixed replace passes the
+    engine uses (scalar subqueries carry the learned pair)."""
+    ctes = [
+        """toks AS MATERIALIZED (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    seq0 AS MATERIALIZED (
+      SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS seq
+      FROM (SELECT unnest(tk) AS w FROM toks))"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"seq{r - 1}"
+        a_sub = f"(SELECT a FROM m{r})"
+        b_sub = f"(SELECT b FROM m{r})"
+        pat = f"'|' || {a_sub} || '|' || {b_sub} || '|'"
+        rep = f"'|' || {a_sub} || {b_sub} || '|'"
+        apply_expr = "seq"
+        for _ in range(_BPE_PASSES):
+            apply_expr = f"replace({apply_expr}, {pat}, {rep})"
+        ctes.append(
+            f"""sym{r} AS (
+      SELECT list_filter(regexp_split_to_array(seq, '\\|'),
+                         x -> x <> '') AS sy
+      FROM {prev}),
+    pc{r} AS (
+      SELECT sy[i] AS a, sy[i + 1] AS b, count(*) AS cnt
+      FROM sym{r} CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(sy))) AS i) ix
+      GROUP BY 1, 2),
+    m{r} AS MATERIALIZED (
+      SELECT a, b, cnt FROM pc{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    seq{r} AS MATERIALIZED (
+      SELECT {apply_expr} AS seq FROM {prev})"""
+        )
+        prev = f"seq{r}"
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, a AS lhs, b AS rhs,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@register(
+    "q131_bpe_train",
+    oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS),
+    doc="BPE TRAINING loop — the full tokenizer-training iteration "
+    "q101's docstring promises: 4 rounds of [count adjacent symbol "
+    "pairs across all word occurrences -> argmax merge (count desc, "
+    "then lexicographic — deterministic) -> apply the merge to every "
+    "sequence via the q120 fixed replace passes]. Learned merges "
+    "COMPOUND: later rounds count pairs over merged symbols. The "
+    "Spark side is a driver loop whose per-round shuffle is one hash "
+    "agg over the pair alphabet (constant-size state) + a 1-row "
+    "TakeOrdered argmax — the ONLY thing ever collected; sequences "
+    "stay distributed and localCheckpoint truncates the replace-chain "
+    "lineage each round (the Lloyd/solver iteration pattern, SURVEY "
+    "§4). The oracle unrolls the identical 4 rounds as chained CTEs "
+    "with scalar-subquery merges. All-integer counts, string-exact "
+    "merges.",
+    tags=("text", "llm", "bpe", "tokenizer", "iterative", "scale"),
+)
+def q131_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(tokens("text").alias("tk"))
+    seq = (
+        d.select(F.explode("tk").alias("w"))
+        .select(
+            F.concat(
+                F.lit("|"), F.regexp_replace("w", "(.)", "$1|")
+            ).alias("seq")
+        )
+        .localCheckpoint()
+    )
+    learned = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = seq.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(filter(split(seq, '\\\\|'),"
+                    " x -> x <> '')) - 1), i -> struct("
+                    "get(filter(split(seq, '\\\\|'), x -> x <> ''), i - 1)"
+                    " AS a,"
+                    " get(filter(split(seq, '\\\\|'), x -> x <> ''), i)"
+                    " AS b))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        # single-symbol sequences: Spark's sequence(1, 0) DESCENDS and
+        # fabricates null-padded index pairs — drop them (the oracle's
+        # range(1, 1) is empty, so it never sees such rows)
+        pairs = pairs.filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+        )
+        win = (
+            pairs.groupBy("a", "b")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        learned.append((r, win["a"], win["b"], win["cnt"]))
+        pat, rep = f"|{win['a']}|{win['b']}|", f"|{win['a']}{win['b']}|"
+        for _ in range(_BPE_PASSES):
+            seq = seq.withColumn(
+                "seq", F.expr(f"replace(seq, '{pat}', '{rep}')")
+            )
+        seq = seq.localCheckpoint()
+    return spark.createDataFrame(
+        learned, "merge_round int, lhs string, rhs string, cnt long"
+    )

@@ -383,3 +383,32 @@ def test_sequence_packing_conservation(spark):
         assert r["n_docs"] >= 1
     # chunk 0 can have no spanning doc
     assert rows[0]["n_spanning"] == 0
+
+
+def test_bpe_train_known_corpus(spark, tmp_path):
+    """Hand-traced 4-round BPE on {aaab, aab, ab}: round 1 ties
+    (a,a)=3 vs (a,b)=3 -> lexicographic winner (a,a); merges then
+    compound exactly as greedy BPE dictates."""
+    import pyspark.sql.functions as F
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "aaab aab ab", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "bpe")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = [
+        (r["merge_round"], r["lhs"], r["rhs"], r["cnt"])
+        for r in sorted(
+            REGISTRY["q131_bpe_train"].fn(spark, d).collect(),
+            key=lambda r: r["merge_round"],
+        )
+    ]
+    assert got == [
+        (1, "a", "a", 3),
+        (2, "a", "b", 2),
+        (3, "aa", "ab", 1),
+        (4, "aa", "b", 1),
+    ]
