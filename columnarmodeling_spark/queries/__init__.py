@@ -136,17 +136,21 @@ PRIORITY: tuple[str, ...] = (
     "q70_snapshot_codec",
     # stalest: last driver row in r1
     # (q57 rotated for q122: its EXISTS shape is also exercised by the
-    # new q118 oracle and the r1 row was green)
-    "q66_conditional_aggs",
+    # new q118 oracle and the r1 row was green; q66 rotated for q133:
+    # its count(when) conditional-agg shape is the accounting agg of
+    # in-window q113/q124/q127, r1-green)
+    "q133_pagerank",
     "q68_stats_aggs",
     # (q74 judge-replica-checked in r5's review — q121 takes the slot)
     "q77_consistency_checks",
     "q79_unpivot",
     # stalest: last driver row in r3
     # (q43 rotated for q128: the signature relation IS the first CTE of
-    # the in-window q44 oracle and the q125 history store, r3-green)
+    # the in-window q44 oracle and the q125 history store, r3-green;
+    # q45 rotated for q132: its sign-bit signature core is the same
+    # hyperplane family inside in-window q49/q98, r3-green)
     "q128_triangle_count",
-    "q45_simhash",
+    "q132_countmin_sketch",
     # (q46 rotated for q127: its exact integer top-k core is recomputed
     # as the oracle side of the in-window q113/q124 recall evals, and
     # the r3 row was green; q47 rotated for q126: its centroid build

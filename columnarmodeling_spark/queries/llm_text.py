@@ -917,3 +917,130 @@ def q131_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         learned, "merge_round int, lhs string, rhs string, cnt long"
     )
+
+
+# --- Count-Min sketch heavy hitters ----------------------------------------
+
+_CMS_D = 4  # hash rows (first 4 members of the minhash family)
+_CMS_W = 1024  # counters per row
+_CMS_TOPK = 20
+
+
+def _cms_ab_sql() -> str:
+    from columnarmodeling_spark.functions.text import MINHASH_AB
+
+    rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_AB[:_CMS_D])
+    )
+    return f"(VALUES {rows}) AS ab(j, a, b)"
+
+
+@register(
+    "q132_countmin_sketch",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '')) AS tk
+      FROM documents),
+    h AS MATERIALIZED (
+      SELECT tk,
+             CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
+               % {MERSENNE_P} AS u
+      FROM toks),
+    cms AS MATERIALIZED (
+      SELECT ab.j, ((ab.a * h.u + ab.b) % {MERSENNE_P}) % {_CMS_W} AS col,
+             count(*) AS cnt
+      FROM h CROSS JOIN {_cms_ab_sql()}
+      GROUP BY 1, 2),
+    exact AS MATERIALIZED (
+      SELECT tk, any_value(u) AS u, count(*) AS exact_cnt
+      FROM h GROUP BY tk),
+    top AS MATERIALIZED (
+      SELECT tk, u, exact_cnt
+      FROM exact
+      QUALIFY row_number() OVER (ORDER BY exact_cnt DESC, tk)
+              <= {_CMS_TOPK}),
+    est AS (
+      SELECT t.tk, t.exact_cnt, min(c.cnt) AS cms_est
+      FROM top t
+      CROSS JOIN {_cms_ab_sql()}
+      JOIN cms c ON c.j = ab.j
+               AND c.col = ((ab.a * t.u + ab.b) % {MERSENNE_P}) % {_CMS_W}
+      GROUP BY 1, 2)
+    SELECT tk, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+    doc="Count-Min sketch heavy hitters — the space-bounded frequency "
+    "primitive a 100 TB token-statistics job keeps instead of a "
+    "vocabulary-sized hash table (Cormode & Muthukrishnan 2005): a "
+    "4 x 1024 counter matrix built as ONE hash aggregate over "
+    "(row, LCG-hashed column) pairs — 4096 rows of state REGARDLESS "
+    "of vocabulary size, map-side combinable and mergeable across "
+    "corpus shards by simple addition. The eval joins the exact "
+    "top-20 tokens (TakeOrdered) against the sketch: est = min over "
+    "the 4 rows, always >= the true count (one-sided error — "
+    "property-tested), with the overcount column pinning collision "
+    "noise. Same md5-prefix + minhash-family hashing as the "
+    "Bloom/minhash tier; all-integer end-to-end.",
+    tags=("text", "llm", "sketch", "countmin", "scale"),
+)
+def q132_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from columnarmodeling_spark.functions.text import (
+        MERSENNE_P,
+        MINHASH_AB,
+        hex_hash,
+    )
+
+    ab = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(MINHASH_AB[:_CMS_D])],
+        "j INT, a LONG, b LONG",
+    )
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tk"))
+    )
+    h = toks.select(
+        "tk", (hex_hash("tk") % MERSENNE_P).alias("u")
+    ).localCheckpoint()
+    col = ((F.col("a") * F.col("u") + F.col("b")) % MERSENNE_P) % F.lit(
+        _CMS_W
+    )
+    cms = (
+        h.crossJoin(F.broadcast(ab))
+        .select("j", col.alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = h.groupBy("tk").agg(
+        F.first("u").alias("u"), F.count("*").alias("exact_cnt")
+    )
+    top = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), "tk")
+            ),
+        )
+        .filter(F.col("rk") <= _CMS_TOPK)
+        .select("tk", "u", "exact_cnt")
+    )
+    probe = top.crossJoin(F.broadcast(ab)).select(
+        "tk", "exact_cnt", "j", col.alias("col")
+    )
+    est = (
+        probe.join(F.broadcast(cms), ["j", "col"])
+        .groupBy("tk", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "tk",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt"))
+        .cast("long")
+        .alias("overcount"),
+    )

@@ -237,3 +237,106 @@ def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("clustering"),
     )
+
+
+_PR_ITERS = 3
+_PR_UNIT = 1_000_000  # micro-units: all PageRank arithmetic is integer
+
+
+def _pr_oracle() -> str:
+    """Unroll the integer PageRank iterations as CTEs: share(u) =
+    pr(u) // deg(u); pr'(v) = 0.15 + 0.85 * inflow, all in micro-units
+    with integer division — deterministic and summation-order-free on
+    both engines."""
+    ctes = [
+        f"""pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_EPS}),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS MATERIALIZED (
+      SELECT src AS id, count(*) AS degree FROM und GROUP BY 1),
+    pr0 AS (SELECT id, CAST({_PR_UNIT} AS BIGINT) AS pr FROM deg)"""
+    ]
+    for r in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""sh{r} AS (
+      SELECT u.dst AS id, p.pr // d.degree AS share
+      FROM und u
+      JOIN pr{r - 1} p ON p.id = u.src
+      JOIN deg d ON d.id = u.src),
+    pr{r} AS MATERIALIZED (
+      SELECT id,
+             150000 + (850000 * sum(share)) // {_PR_UNIT} AS pr
+      FROM sh{r} GROUP BY id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+           CAST(p.pr AS BIGINT) AS pr_micro
+    FROM deg d JOIN pr{_PR_ITERS} p USING (id)"""
+    )
+
+
+@register(
+    "q133_pagerank",
+    oracle=_pr_oracle(),
+    doc="Integer PageRank on the bond graph (3 iterations, damping "
+    "0.85) — the iterative link-analysis member of the graph tier "
+    "(q56 components, q128 triangles): per round, each node ships "
+    "pr // degree to its neighbors (integer division in micro-units, "
+    "so the sum is order-independent and both engines replay it "
+    "bit-for-bit — the same cross-engine-exactness discipline as the "
+    "solver's quantized replays) and collects 0.15 + 0.85 * inflow. "
+    "Spark side is a driver loop: one equi-join (edges x ranks, "
+    "co-partitioned on src across rounds) + one hash agg per "
+    "iteration, localCheckpoint truncating lineage each round — the "
+    "Lloyd/solver/q131 iteration pattern; rounds are data-independent "
+    "in count (fixed 3), so the plan never grows with the graph. The "
+    "oracle unrolls the identical rounds as CTEs.",
+    tags=("graph", "pagerank", "iterative", "scale"),
+)
+def q133_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
+        .select("src", "dst")
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree")
+    ).localCheckpoint()
+    pr = deg.select("id", F.lit(_PR_UNIT).cast("long").alias("pr"))
+    src_deg = deg.select(
+        F.col("id").alias("src"), F.col("degree").alias("src_deg")
+    )
+    for _ in range(_PR_ITERS):
+        shares = (
+            und.join(pr.withColumnRenamed("id", "src"), "src")
+            .join(src_deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("div(pr, src_deg)").alias("share"),
+            )
+        )
+        pr = (
+            shares.groupBy("id")
+            .agg(
+                (
+                    F.lit(150000)
+                    + F.expr(f"div(850000 * sum(share), {_PR_UNIT})")
+                ).alias("pr")
+            )
+            .localCheckpoint()
+        )
+    return deg.join(pr, "id").select(
+        "id",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("pr").cast("long").alias("pr_micro"),
+    )

@@ -158,3 +158,42 @@ def test_triangle_count_known_graph(spark, tmp_path):
         assert 0.0 <= r["clustering"] <= 1.0
         max_tri = r["degree"] * (r["degree"] - 1) // 2
         assert r["n_triangles"] <= max_tri
+
+
+def test_pagerank_known_path_graph(spark, tmp_path):
+    """Integer PageRank on a hand-traced 3-node path (a-b-c): ids are
+    multiples of 97 so y=0 and acctbal spaces them 20 apart — edges
+    (a,b), (b,c) only. Three rounds of share = pr // deg;
+    pr' = 150000 + 850000*inflow // 1e6 give ends 629187, middle
+    1741625 (worked by hand)."""
+    import pyspark.sql.functions as F
+
+    from columnarmodeling_spark.queries.proximity import q133_pagerank
+
+    rows = [(97, 0.0, 0), (194, 20.0, 0), (291, 40.0, 0)]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_acctbal double, c_nationkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r["id"]: (r["degree"], r["pr_micro"])
+        for r in q133_pagerank(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        97: (1, 629187),
+        194: (2, 1741625),
+        291: (1, 629187),
+    }
+
+
+def test_countmin_is_one_sided(spark):
+    """CMS estimates can only overcount: est >= exact for every probed
+    token, and exactly the top-20 tokens are probed."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q132_countmin_sketch"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"] > 0
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
