@@ -62,6 +62,56 @@ def with_global_index(
     )
 
 
+def with_global_running_max(
+    df: DataFrame,
+    sort_cols: list[str],
+    val_col: str,
+    out_col: str = "cummax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add the EXCLUSIVE global running max of ``val_col`` in (unique)
+    sort-key order — the max over all strictly-preceding rows, NULL for
+    the global first row. Same two-pass shape as
+    :func:`with_global_index` (range partition → per-partition maxes →
+    driver prefix over #partitions values → broadcast offsets +
+    in-partition window), so no single-partition global window exists
+    anywhere. The skyline operator keys on this: "best value among all
+    strictly-cheaper rows" at any scale."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.localCheckpoint(eager=False)
+
+    maxes = part.groupBy("__pid").agg(F.max(val_col).alias("m")).collect()
+    offsets = {}
+    acc = None
+    for row in sorted(maxes, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        if row["m"] is not None and (acc is None or row["m"] > acc):
+            acc = row["m"]
+
+    spark = df.sparkSession
+    val_type = dict(df.dtypes)[val_col]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            f"__pid INT, __off {val_type}",
+        )
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # greatest() skips nulls: NULL only when no preceding row exists at all
+    return (
+        part.join(off_df, "__pid")
+        .withColumn(out_col, F.greatest(F.max(val_col).over(w), F.col("__off")))
+        .drop("__pid", "__off")
+    )
+
+
 def with_global_running_sum(
     df: DataFrame,
     sort_cols: list[str],

@@ -122,6 +122,12 @@ PRIORITY: tuple[str, ...] = (
     "q123_pq_codes",
     "q124_pq_adc_recall",
     "q125_incremental_neardup",
+    # late round-6 additions — first driver rows (slots from q49/q69/
+    # q52/q54, see inline notes below)
+    "q134_hll_distinct",
+    "q135_funnel",
+    "q136_skyline",
+    "q137_bfs_hops",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
@@ -159,23 +165,28 @@ PRIORITY: tuple[str, ...] = (
     "q126_ivfpq_search",
     "q127_bloom_prefilter",
     # (q48 rotated for q125: its hyperplane-band core is inside q49 and
-    # q98, both in-window)
-    "q49_embedding_neardup",
+    # q98; q49 then rotated for q134 — the same hyperplane-band
+    # machinery runs inside in-window q98_semantic_dedup, and its exact
+    # cosine verify is recomputed as the oracle side of in-window
+    # q113/q124)
     # (q50 rotated for q129: its token-count core is recomputed inside
     # the in-window q95 training-mix token budget and q51's stats)
     "q129_prefix_filter_join",
     "q51_quality_score",
-    "q52_lang_id",
+    # (q52 rotated for q136: its char-class scoring is the same
+    # map-side expression family as in-window q51, r2-green; q54
+    # rotated for q137: its shingle-df ratio core is the df machinery
+    # of in-window q109_span_dedup, r3-green)
     "q53_fingerprint",
-    "q54_repetition_ratio",
     "q55_pii_redaction",
     # (q59 rotated for q130: its fixed-width floor(x/w) binning is the
     # exact arithmetic q130's chunk assignment exercises in-window,
     # and the r3 row was green)
     "q130_sequence_packing",
     # (q62/q67 were judge-replica-checked on current testdata in r5's
-    # review — q119/q120 take the slots)
-    "q69_ivf_search",
+    # review — q119/q120 take the slots; q69 rotated for q135: its
+    # routing + cogrouped cell kernel run verbatim inside in-window
+    # q96/q113/q126, r3-green)
     "q76_bpe_pretokenize",
     # (q87 rotated for q124: its md5-rate sampling core is also the
     # q95 training-mix path, which stays in-window)
@@ -212,6 +223,7 @@ def _load_all() -> None:
         windows,
         setops,
         proximity,
+        analytics,
         llm_dedup,
         llm_similarity,
         llm_text,

@@ -1044,3 +1044,114 @@ def q132_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overcount"),
     )
+
+
+# --- HyperLogLog distinct-count sketch --------------------------------------
+
+_HLL_M = 512  # registers (p = 9)
+# alpha_m * m^2 * 2^52: every factor is a power of two except the alpha
+# double, so the product is ONE deterministic double literal shared with
+# the oracle (multiplying a double by 2^k is exact — no rounding).
+_HLL_ALPHA_NUM = repr(0.7213 / (1.0 + 1.079 / 512.0) * 512 * 512 * 2.0**52)
+
+
+@register(
+    "q134_hll_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(tk)-1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tk
+      FROM toks),
+    h AS MATERIALIZED (
+      SELECT lang, tk,
+             CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS u
+      FROM sh),
+    reg AS (
+      SELECT lang, u % {_HLL_M} AS bucket,
+             max(CASE WHEN u // {_HLL_M} = 0 THEN 52
+                      ELSE 52 - length(bin(u // {_HLL_M})) END) AS r
+      FROM h GROUP BY 1, 2),
+    sk AS (
+      SELECT lang, count(*) AS occupied,
+             sum(CAST(1 AS BIGINT) << (52 - r)) AS z_occ
+      FROM reg GROUP BY 1),
+    ex AS (
+      SELECT lang, count(DISTINCT tk) AS exact_distinct FROM h GROUP BY 1),
+    est AS (
+      SELECT lang, occupied,
+             {_HLL_ALPHA_NUM} / (z_occ + ({_HLL_M} - occupied)
+                                 * (CAST(1 AS BIGINT) << 52)) AS e
+      FROM sk)
+    SELECT x.lang,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(s.occupied AS BIGINT) AS occupied,
+           round(s.e, 3) AS hll_est,
+           round((s.e - x.exact_distinct) / x.exact_distinct, 4) AS rel_err
+    FROM ex x JOIN est s USING (lang)
+    """,
+    doc="HyperLogLog distinct-count sketch (Flajolet et al. 2007) — "
+    "completes the mergeable-sketch family (Bloom membership q127, "
+    "Count-Min frequency q132, MinHash similarity q43): per-lang "
+    "3-shingle vocabulary cardinality (3k-9k true — comfortably "
+    "above the 2.5m small-range bound where the raw estimator is "
+    "valid) from 512 registers instead of a vocabulary-sized "
+    "distinct agg. One hash agg builds the "
+    "registers (bucket = low 9 hash bits, rho = leading-zero rank "
+    "of the remaining 51 via length(bin()) — pure JVM expressions); "
+    "registers merge across corpus shards by max, the property that "
+    "lets a 100 TB scan keep 4 KB of state per group. The harmonic "
+    "denominator is summed in EXACT integer arithmetic (sum of "
+    "1<<(52-rho), zeros counted at 1<<52), and the alpha*m^2/Z "
+    "estimate performs exactly ONE float division against a shared "
+    "double literal, so Spark and DuckDB replay it bit-for-bit; the "
+    "raw (uncorrected) estimator is emitted with exact distinct and "
+    "relative error alongside. approx_count_distinct (Spark's "
+    "HLL++) covers the built-in path in q74; this is the engine's "
+    "own portable, mergeable register layout.",
+    tags=("text", "llm", "sketch", "hll", "scale"),
+)
+def q134_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _HLL_M
+    toks = (
+        t(spark, sf_dir, "documents")
+        .withColumn("tk", tokens("text"))
+        .select("lang", F.explode(word_shingles("tk", 3)).alias("tk"))
+    )
+    h = toks.select("lang", "tk", hex_hash("tk").alias("u")).localCheckpoint()
+    w = F.expr(f"div(u, {m})")
+    rho = F.when(w == F.lit(0), F.lit(52)).otherwise(
+        F.lit(52) - F.length(F.bin(w))
+    )
+    reg = (
+        h.select("lang", (F.col("u") % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    sk = reg.groupBy("lang").agg(
+        F.count("*").alias("occupied"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - r)")).alias("z_occ"),
+    )
+    ex = h.groupBy("lang").agg(F.countDistinct("tk").alias("exact_distinct"))
+    e = F.lit(float(_HLL_ALPHA_NUM)) / (
+        F.col("z_occ") + (m - F.col("occupied")) * F.lit(1 << 52)
+    )
+    return (
+        ex.join(sk, "lang")
+        .withColumn("e", e)
+        .select(
+            "lang",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.col("occupied").cast("long").alias("occupied"),
+            F.round("e", 3).alias("hll_est"),
+            F.round(
+                (F.col("e") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -340,3 +340,96 @@ def q133_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("degree").cast("long").alias("degree"),
         F.col("pr").cast("long").alias("pr_micro"),
     )
+
+
+_BFS_ROUNDS = 3
+_BFS_INF = 999_999  # integer infinity: exact on both engines
+
+
+def _bfs_oracle() -> str:
+    """Unroll the min-plus BFS relaxations as CTEs — one LEFT JOIN +
+    min-agg per round, identical to the Spark loop body."""
+    ctes = [
+        f"""pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_EPS}),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),
+    d0 AS (
+      SELECT id, CASE WHEN id % 50 = 0 THEN 0 ELSE {_BFS_INF} END AS d
+      FROM nodes)"""
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT a.id, least(a.d, coalesce(min(p.d + 1), {_BFS_INF})) AS d
+      FROM d{r - 1} a
+      LEFT JOIN und u ON u.dst = a.id
+      LEFT JOIN d{r - 1} p ON p.id = u.src
+      GROUP BY a.id, a.d)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id, CAST(d AS BIGINT) AS hops FROM d{_BFS_ROUNDS}"""
+    )
+
+
+@register(
+    "q137_bfs_hops",
+    oracle=_bfs_oracle(),
+    doc="Multi-source BFS hop distance on the bond graph (3 min-plus "
+    "relaxation rounds from the id%50==0 seed set) — completes the "
+    "graph tier's traversal family (q56 components, q128 triangles, "
+    "q133 PageRank): per round every node takes the min of its own "
+    "distance and neighbor distance + 1, all-integer with an "
+    "explicit 999999 infinity so both engines replay it exactly. "
+    "Spark side is a driver loop: ONE edge-ranks equi-join (keyed "
+    "on src, co-partitioned across rounds) + one min hash-agg per "
+    "round, localCheckpoint truncating lineage — the q133 iteration "
+    "shape; rounds are a fixed hop budget, so the plan never grows "
+    "with the graph, and unreached nodes stay at the integer "
+    "infinity instead of NULL-propagating.",
+    tags=("graph", "bfs", "iterative", "scale"),
+)
+def q137_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = grid_proximity_join(
+        _points(spark, sf_dir), eps=_EPS, id_col="id"
+    ).select("src", "dst")
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    dist = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select(
+            "id",
+            F.when(F.col("id") % 50 == 0, F.lit(0))
+            .otherwise(F.lit(_BFS_INF))
+            .cast("long")
+            .alias("d"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_BFS_ROUNDS):
+        relaxed = (
+            und.join(dist.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("d") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(relaxed, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("d"), F.coalesce(F.col("nd"), F.lit(_BFS_INF))
+                ).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    return dist.select("id", F.col("d").cast("long").alias("hops"))

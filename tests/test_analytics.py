@@ -1,0 +1,195 @@
+"""Unit/property tests for the analytics tier: HLL mergeability,
+skyline exactness vs a naive dominance scan, funnel ordering semantics,
+and BFS distances on a known graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.operators.indexing import with_global_running_max
+
+
+def _hll_registers(spark, values, m=512):
+    """Build (bucket, r) HLL registers over a string column the same way
+    q134 does."""
+    from columnarmodeling_spark.functions.text import hex_hash
+
+    df = spark.createDataFrame([(v,) for v in values], "tk STRING")
+    h = df.select(hex_hash("tk").alias("u"))
+    w = F.expr(f"div(u, {m})")
+    rho = F.when(w == F.lit(0), F.lit(52)).otherwise(
+        F.lit(52) - F.length(F.bin(w))
+    )
+    return (
+        h.select((F.col("u") % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def test_hll_registers_merge(spark):
+    """The sketch property the 100 TB design hangs on: registers built
+    per shard and merged by max equal registers built on the union."""
+    shard_a = [f"tok{i}" for i in range(400)]
+    shard_b = [f"tok{i}" for i in range(200, 700)]  # overlaps a
+
+    union_regs = {
+        (r["bucket"], r["r"])
+        for r in _hll_registers(spark, shard_a + shard_b).collect()
+    }
+    a = _hll_registers(spark, shard_a)
+    b = _hll_registers(spark, shard_b)
+    merged = {
+        (r["bucket"], r["r"])
+        for r in (
+            a.unionByName(b)
+            .groupBy("bucket")
+            .agg(F.max("r").alias("r"))
+            .collect()
+        )
+    }
+    assert merged == union_regs
+
+
+def test_hll_estimate_within_expected_error(spark, sf_dir):
+    """Raw HLL with m=512 has ~1.04/sqrt(512) = 4.6% std error; every
+    per-lang estimate should land well within 4 sigma."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q134_hll_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        assert abs(r["rel_err"]) < 4 * 0.046, (r["lang"], r["rel_err"])
+
+
+def test_skyline_matches_naive(spark):
+    """Two-pass prefix-max skyline == naive NOT EXISTS dominance on a
+    synthetic set with duplicate points and price ties, across an
+    adversarial (tiny) partition count."""
+    pts = [
+        (1, 10.0, 5),
+        (2, 10.0, 5),   # exact duplicate: both kept
+        (3, 10.0, 4),   # dominated within the same price level
+        (4, 9.0, 3),    # cheaper, smaller: kept
+        (5, 11.0, 6),   # pricier but bigger: kept
+        (6, 12.0, 6),   # pricier, no bigger: dominated by 5
+        (7, 8.0, 1),
+        (8, 8.0, 1),    # duplicate at the cheap end
+        (9, 13.0, 2),   # dominated by nearly everything
+    ]
+    df = spark.createDataFrame(
+        pts, "p_partkey LONG, p_retailprice DOUBLE, p_size LONG"
+    ).repartition(3)
+
+    levels = df.groupBy("p_retailprice").agg(F.max("p_size").alias("smax"))
+    pref = with_global_running_max(
+        levels, ["p_retailprice"], "smax", out_col="best_lt",
+        num_partitions=3,
+    )
+    sky_levels = pref.filter(
+        F.col("best_lt").isNull() | (F.col("smax") > F.col("best_lt"))
+    ).select("p_retailprice", F.col("smax").alias("p_size"))
+    got = {
+        r["p_partkey"]
+        for r in df.join(
+            sky_levels, ["p_retailprice", "p_size"], "left_semi"
+        ).collect()
+    }
+
+    naive = {
+        pk
+        for pk, pr, sz in pts
+        if not any(
+            p2 <= pr and s2 >= sz and (p2 < pr or s2 > sz)
+            for _, p2, s2 in pts
+        )
+    }
+    assert got == naive == {1, 2, 4, 5, 7, 8}
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """A click at/before the first view must not count; a purchase
+    before the click must not count."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, "view", ts(0)), (1, "click", ts(10)), (1, "purchase", ts(20)),
+        # user 2: click exactly AT the view instant -> no click stage
+        (2, "view", ts(0)), (2, "click", ts(0)), (2, "purchase", ts(5)),
+        # user 3: purchase before the click -> view+click only
+        (3, "view", ts(0)), (3, "purchase", ts(1)), (3, "click", ts(2)),
+        # user 4: no view at all -> nothing counts
+        (4, "click", ts(0)), (4, "purchase", ts(1)),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id LONG, event_type STRING, ts TIMESTAMP_NTZ"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t1"))
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("us", us)
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("us", us)
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    assert {r["user_id"] for r in v.collect()} == {1, 2, 3}
+    assert {r["user_id"] for r in c.collect()} == {1, 3}
+    assert {r["user_id"] for r in p.collect()} == {1}
+
+
+def test_bfs_known_path_graph(spark):
+    """Hand-checked hop distances: a 0-1-2-...-9 path seeded at node 0
+    reaches exactly hop<=3 within 3 rounds; the rest stay at infinity."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src LONG, dst LONG"
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    dist = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select(
+            "id",
+            F.when(F.col("id") == 0, F.lit(0))
+            .otherwise(F.lit(999_999))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    for _ in range(3):
+        relaxed = (
+            und.join(dist.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("d") + 1).alias("nd"))
+        )
+        dist = dist.join(relaxed, "id", "left").select(
+            "id",
+            F.least(
+                F.col("d"), F.coalesce(F.col("nd"), F.lit(999_999))
+            ).alias("d"),
+        ).localCheckpoint()
+    got = {r["id"]: r["d"] for r in dist.collect()}
+    want = {i: (i if i <= 3 else 999_999) for i in range(10)}
+    assert got == want

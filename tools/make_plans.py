@@ -122,6 +122,33 @@ CASES = {
     "__pid, never empty-partition global), and a broadcast of the "
     "#partitions offset rows; chunk membership is a generator "
     "explode bounded by each doc's own span.",
+    "q134_hll_distinct": "HyperLogLog distinct-count sketch. What to "
+    "check: the register build is ONE partial/final hash agg on "
+    "(lang, bucket) — 512 rows of state per group, merged by max, so "
+    "the map-side combine absorbs the shingle stream; rho is pure "
+    "JVM expressions (length(bin())) inside whole-stage codegen; the "
+    "exact-distinct eval side is the only vocabulary-sized agg.",
+    "q135_funnel": "Ordered funnel conversion (view→click→purchase). "
+    "What to check: every join and agg keys on user_id — one hash "
+    "partitioning reused down the chain (AQE may broadcast the "
+    "shrinking stage frames at this sf; at scale they stay "
+    "shuffle-hash on the same key); no window, no sort, no per-user "
+    "event ordering anywhere in the plan.",
+    "q136_skyline": "Skyline / Pareto frontier via global prefix-max. "
+    "What to check: the per-price level agg is partial/final; the "
+    "prefix max is the two-pass pattern — ONE RangePartitioning "
+    "exchange, a per-partition window (partitionBy __pid), and a "
+    "BroadcastExchange of the #partitions offset rows — never a "
+    "single-partition global window; survivors re-attach by a "
+    "left_semi hash join on (price, size).",
+    "q132_countmin_sketch": "Count-Min sketch heavy hitters. What to "
+    "check: the sketch build is ONE partial/final hash agg over "
+    "(j, col) — state is bounded at 4x1024 counters regardless of "
+    "vocabulary, so the map-side combine absorbs the token stream; "
+    "the 4-row hash-family table and the finished 4096-row sketch "
+    "both enter the probe via BroadcastExchange (the eval costs the "
+    "top-20 side nothing but map work); the only all-to-all "
+    "exchanges are the two token aggs, both linear in corpus size.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
@@ -256,7 +283,139 @@ def _q112_bonds(spark, sf):
     return weibull_strengths(bonds, m=3.0, sigma0=0.12, salt="plans")
 
 
+def _q131_round(spark, sf):
+    """One BPE-training round body: the pair-count + argmax the loop
+    repeats (the registered fn collect()s each round's winner, so the
+    interesting plan is this lazy per-round shape)."""
+    from pyspark.sql import functions as F
+
+    seq = spark.range(10_000).select(
+        F.concat(
+            F.lit("|"),
+            F.regexp_replace(
+                F.conv((F.col("id") % 997).cast("string"), 10, 36), "(.)", "$1|"
+            ),
+        ).alias("seq")
+    )
+    pairs = seq.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(filter(split(seq, '\\\\|'),"
+                " x -> x <> '')) - 1), i -> struct("
+                "get(filter(split(seq, '\\\\|'), x -> x <> ''), i - 1) AS a,"
+                " get(filter(split(seq, '\\\\|'), x -> x <> ''), i) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(1)
+    )
+
+
+def _q133_round(spark, sf):
+    """One integer-PageRank iteration body (the registered fn
+    localCheckpoints each round, so the repeated shape is what scales)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(10_000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7) % 10_000).alias("dst")
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree")
+    )
+    pr = deg.select("id", F.lit(1_000_000).cast("long").alias("pr"))
+    src_deg = deg.select(
+        F.col("id").alias("src"), F.col("degree").alias("src_deg")
+    )
+    shares = (
+        und.join(pr.withColumnRenamed("id", "src"), "src")
+        .join(src_deg, "src")
+        .select(
+            F.col("dst").alias("id"),
+            F.expr("div(pr, src_deg)").alias("share"),
+        )
+    )
+    return shares.groupBy("id").agg(
+        (F.lit(150000) + F.expr("div(850000 * sum(share), 1000000)")).alias(
+            "pr"
+        )
+    )
+
+
+def _q137_round(spark, sf):
+    """One BFS min-plus relaxation round (the registered fn
+    localCheckpoints each round, so the repeated shape is what scales)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(10_000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7) % 10_000).alias("dst")
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    dist = und.select(F.col("src").alias("id")).distinct().select(
+        "id",
+        F.when(F.col("id") % 50 == 0, F.lit(0))
+        .otherwise(F.lit(999_999))
+        .cast("long")
+        .alias("d"),
+    )
+    relaxed = (
+        und.join(dist.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min(F.col("d") + 1).alias("nd"))
+    )
+    return dist.join(relaxed, "id", "left").select(
+        "id",
+        F.least(F.col("d"), F.coalesce(F.col("nd"), F.lit(999_999))).alias(
+            "d"
+        ),
+    )
+
+
 ROUND_CASES = {
+    "q137_bfs_hops (one min-plus relaxation round)": (
+        "Multi-source BFS loop body (queries/proximity.py "
+        "q137_bfs_hops). What to check: per round, ONE edge×distance "
+        "equi-join on src + ONE partial/final min hash agg on dst; "
+        "the distance update is a left join back on the id key; "
+        "integer arithmetic end-to-end in whole-stage codegen, and "
+        "localCheckpoint keeps this plan identical across the fixed "
+        "3-round hop budget.",
+        _q137_round,
+    ),
+    "q131_bpe_train (one pair-count + argmax round)": (
+        "Distributed BPE training loop body (queries/llm_text.py "
+        "q131_bpe_train). What to check: the pair count is a "
+        "partial/final hash agg whose state is the pair alphabet "
+        "(bounded by vocabulary², tiny vs the corpus), and the argmax "
+        "is a TakeOrderedAndProject — per-partition top-1, never a "
+        "global Sort; the merge application between rounds is a pure "
+        "map-side replace() projection (no shuffle), and "
+        "localCheckpoint truncates the replace chain so round R's "
+        "plan never contains rounds 1..R-1.",
+        _q131_round,
+    ),
+    "q133_pagerank (one integer-PageRank iteration)": (
+        "Iterative link-analysis loop body (queries/proximity.py "
+        "q133_pagerank). What to check: one equi-join of the "
+        "undirected edge list against the rank + degree relations "
+        "(both keyed on src — AQE may broadcast the rank side at "
+        "small graphs; at scale it's a shuffle hash join "
+        "co-partitioned across rounds) feeding ONE partial/final "
+        "hash agg on dst; all arithmetic is integer micro-units "
+        "inside whole-stage codegen, and localCheckpoint keeps the "
+        "per-round plan constant — rounds are a fixed 3, so the "
+        "driver loop never grows with the graph.",
+        _q133_round,
+    ),
     "q112_weibull_breaks (bond-strength derivation feeding the breaking solver)": (
         "Weibull per-bond strength heterogeneity (simulation/solver.py "
         "weibull_strengths; reference Webull.dat:1). The solver round "
