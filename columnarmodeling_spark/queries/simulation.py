@@ -282,6 +282,9 @@ def _solver_oracle(
     bond_k: str | None = None,
     measure: tuple[int, tuple[int, ...]] | None = None,
     g_steps: tuple[tuple[str, str], ...] | None = None,
+    vel_bcs: tuple[tuple[float, float, float, float, float, float], ...]
+    | None = None,
+    pts_where: str | None = None,
 ) -> str:
     """Unroll n_steps explicit-Euler steps as a DuckDB CTE chain.
 
@@ -306,11 +309,12 @@ def _solver_oracle(
     # inside f{i} the force subquery reads d{i}, where the per-bond
     # stiffness is the plain column `k`
     k_use = "k" if bond_k else k
+    where = f"\n      WHERE {pts_where}" if pts_where else ""
     head = f"""
     WITH pts AS MATERIALIZED (
       SELECT c_custkey AS id, c_acctbal AS x,
              CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y
-      FROM customer),
+      FROM customer{where}),
     bonds AS MATERIALIZED (
       SELECT a.id AS src, b.id AS dst,
              0.9 * sqrt((a.x - b.x) * (a.x - b.x)
@@ -342,6 +346,21 @@ def _solver_oracle(
         p = i - 1
         fx_t, fy_t = _force_exprs(i)
         bk = "b.k," if bond_k else ""
+        # velocity-BC prescription overrides the integrated velocity
+        # inside the band masks (start-of-step positions, matching the
+        # kernel); kernel blocks apply in order with later writes
+        # winning, so each later block wraps the chain OUTSIDE the
+        # earlier ones (outermost CASE = last block = checked first)
+        vx_e = f"s.vx + {fx_t} / s.m * {dt}"
+        vy_e = f"s.vy + {fy_t} / s.m * {dt}"
+        if vel_bcs:
+            for x0, x1, y0, y1, bvx, bvy in vel_bcs:
+                mask = (
+                    f"s.x >= {x0!r} AND s.x <= {x1!r}"
+                    f" AND s.y >= {y0!r} AND s.y <= {y1!r}"
+                )
+                vx_e = f"CASE WHEN {mask} THEN {bvx!r} ELSE {vx_e} END"
+                vy_e = f"CASE WHEN {mask} THEN {bvy!r} ELSE {vy_e} END"
         steps.append(f""",
     d{i} AS MATERIALIZED (
       SELECT b.src, b.dst, b.rest, {bk}
@@ -373,10 +392,10 @@ def _solver_oracle(
       GROUP BY id),
     s{i} AS MATERIALIZED (
       SELECT s.id,
-             s.x + (s.vx + {fx_t} / s.m * {dt}) * {dt} AS x,
-             s.y + (s.vy + {fy_t} / s.m * {dt}) * {dt} AS y,
-             s.vx + {fx_t} / s.m * {dt} AS vx,
-             s.vy + {fy_t} / s.m * {dt} AS vy,
+             s.x + ({vx_e}) * {dt} AS x,
+             s.y + ({vy_e}) * {dt} AS y,
+             {vx_e} AS vx,
+             {vy_e} AS vy,
              s.m
       FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
     if measure is None:
@@ -632,10 +651,22 @@ def q117_material_stiffness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _solver3d_oracle(
-    n_steps: int, k: str, dt: str, eps: str, gz: str = "0.0", dp: str = "0.0"
+    n_steps: int,
+    k: str,
+    dt: str,
+    eps: str,
+    gz: str = "0.0",
+    dp: str = "0.0",
+    vel_bcs: tuple[
+        tuple[float, float, float, float, float, float, float, float, float],
+        ...,
+    ]
+    | None = None,
 ) -> str:
     """3D variant of _solver_oracle (z axis in bonds, forces and
-    integration; gravity on z, local damping on all three components).
+    integration; gravity on z, local damping on all three components;
+    *vel_bcs* = 9-tuples (x0,x1,y0,y1,z0,z1,vx,vy,vz) of velocity
+    prescription boxes, last-block-outermost CASE like the 2D variant).
     Same unrolled-CTE discipline: identical IEEE expressions in the
     same association as the 3D NumPy kernel."""
     head = f"""
@@ -679,6 +710,21 @@ def _solver3d_oracle(
                     )
                 )
             )
+        v_e = {
+            v: f"s.{v} + {ft[c]} / s.m * {dt}"
+            for c, v in (("fx", "vx"), ("fy", "vy"), ("fz", "vz"))
+        }
+        if vel_bcs:
+            for x0, x1, y0, y1, z0, z1, bvx, bvy, bvz in vel_bcs:
+                mask = (
+                    f"s.x >= {x0!r} AND s.x <= {x1!r}"
+                    f" AND s.y >= {y0!r} AND s.y <= {y1!r}"
+                    f" AND s.z >= {z0!r} AND s.z <= {z1!r}"
+                )
+                for v, bv in (("vx", bvx), ("vy", bvy), ("vz", bvz)):
+                    v_e[v] = (
+                        f"CASE WHEN {mask} THEN {bv!r} ELSE {v_e[v]} END"
+                    )
         steps.append(f""",
     d{i} AS MATERIALIZED (
       SELECT b.src, b.dst, b.rest,
@@ -702,12 +748,12 @@ def _solver3d_oracle(
       GROUP BY id),
     s{i} AS MATERIALIZED (
       SELECT s.id,
-             s.x + (s.vx + {ft["fx"]} / s.m * {dt}) * {dt} AS x,
-             s.y + (s.vy + {ft["fy"]} / s.m * {dt}) * {dt} AS y,
-             s.z + (s.vz + {ft["fz"]} / s.m * {dt}) * {dt} AS z,
-             s.vx + {ft["fx"]} / s.m * {dt} AS vx,
-             s.vy + {ft["fy"]} / s.m * {dt} AS vy,
-             s.vz + {ft["fz"]} / s.m * {dt} AS vz,
+             s.x + ({v_e["vx"]}) * {dt} AS x,
+             s.y + ({v_e["vy"]}) * {dt} AS y,
+             s.z + ({v_e["vz"]}) * {dt} AS z,
+             {v_e["vx"]} AS vx,
+             {v_e["vy"]} AS vy,
+             {v_e["vz"]} AS vz,
              s.m
       FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
     tail = f"""
@@ -718,26 +764,10 @@ def _solver3d_oracle(
     return head + "".join(steps) + tail
 
 
-@register(
-    "q122_solver3d_steps",
-    oracle=_solver3d_oracle(5, "1.0", "0.01", "30.0", gz="-0.1", dp="0.4"),
-    doc="3D block solver — the reference's native dimensionality "
-    "(BALL3D_PSLICE.dat particles, 3-axis MLSLD00.dat range boxes, uz "
-    "platen ramps; the 2D tier is the plane-strain analog): a 3D bond "
-    "network (grid join on (x, y) then exact 3D distance filter — the "
-    "2D cells are a superset of the 3D ball, so candidates stay "
-    "bounded) advanced 5 steps by simulation/solver3d.py's "
-    "run_solver3d_blocked with z-gravity and local damping. Blocks key "
-    "on (bx, by, bz) with a 3x3x3 halo; burst steps run in ONE "
-    "cogrouped NumPy kernel per round, exactly the 2D scale argument "
-    "one dimension up. The oracle unrolls all 5 steps with the full "
-    "3-component arithmetic; blocked-vs-per-step 3D equivalence and "
-    "z free fall are property-tested in tests/test_solver3d.py.",
-    tags=("simulation", "E3", "iterative", "scale", "3d"),
-)
-def q122_solver3d_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q122_system(spark: SparkSession, sf_dir: str):
+    """The customer-derived 3D particle system (state0, bonds) shared
+    by the 3D solver query family (q122/q139)."""
     from columnarmodeling_spark.operators.proximity import grid_proximity_join
-    from columnarmodeling_spark.simulation.solver3d import run_solver3d_blocked
 
     c = t(spark, sf_dir, "customer")
     pts = c.select(
@@ -786,6 +816,31 @@ def q122_solver3d_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("vz"),
         F.lit(1.0).alias("m"),
     )
+    return state0, bonds
+
+
+
+@register(
+    "q122_solver3d_steps",
+    oracle=_solver3d_oracle(5, "1.0", "0.01", "30.0", gz="-0.1", dp="0.4"),
+    doc="3D block solver — the reference's native dimensionality "
+    "(BALL3D_PSLICE.dat particles, 3-axis MLSLD00.dat range boxes, uz "
+    "platen ramps; the 2D tier is the plane-strain analog): a 3D bond "
+    "network (grid join on (x, y) then exact 3D distance filter — the "
+    "2D cells are a superset of the 3D ball, so candidates stay "
+    "bounded) advanced 5 steps by simulation/solver3d.py's "
+    "run_solver3d_blocked with z-gravity and local damping. Blocks key "
+    "on (bx, by, bz) with a 3x3x3 halo; burst steps run in ONE "
+    "cogrouped NumPy kernel per round, exactly the 2D scale argument "
+    "one dimension up. The oracle unrolls all 5 steps with the full "
+    "3-component arithmetic; blocked-vs-per-step 3D equivalence and "
+    "z free fall are property-tested in tests/test_solver3d.py.",
+    tags=("simulation", "E3", "iterative", "scale", "3d"),
+)
+def q122_solver3d_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.simulation.solver3d import run_solver3d_blocked
+
+    state0, bonds = _q122_system(spark, sf_dir)
     final = run_solver3d_blocked(
         state0, bonds, n_steps=5, k=1.0, dt=0.01, fuse=5,
         gravity=(0.0, 0.0, -0.1), damping=0.4,
@@ -1337,4 +1392,187 @@ def q107_bond_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "broken_ratio"
             ),
         )
+    )
+
+
+# --- the remaining shipped experiment configurations -----------------------
+#
+# The reference ships four canonical cases (README.md:16-22):
+# UniaxialCompressionTest (2 BCs: bottom clamp + driven top platen —
+# modeled by the experiment/E-series tier and q111's ramp), Biaxial
+# (4 BCs), TrueTriaxial (6 BCs, 3D) and BrazilSplit (disc specimen,
+# diametral platens). q138-q140 replay those BC programs through the
+# same block kernels, each hash-checked by an unrolled oracle with the
+# velocity-prescription CASE chain.
+
+_BIG = 1.0e18  # finite "unbounded" box edge, identical on both engines
+
+# MLSLD00.dat-shaped blocks (x0, x1, y0, y1, vx, vy), applied in file
+# order — later blocks overwrite earlier ones where bands overlap,
+# exactly the kernel's write order (the oracle nests its CASEs reversed)
+_BIAXIAL_BCS = (
+    (-_BIG, _BIG, -_BIG, 100.0, 0.0, 0.0),     # bottom clamp
+    (-_BIG, _BIG, 2300.0, _BIG, 0.0, -5.0),    # driven top platen
+    (-_BIG, -900.0, -_BIG, _BIG, 4.0, 0.0),    # left confinement
+    (9900.0, _BIG, -_BIG, _BIG, -4.0, 0.0),    # right confinement
+)
+
+
+@register(
+    "q138_biaxial_bcs",
+    oracle=_solver_oracle(5, "1.0", "0.01", "30.0", vel_bcs=_BIAXIAL_BCS),
+    doc="Biaxial compression BC program (BiaxialCompressionTest/"
+    "MLSLD00.dat: FOUR velocity blocks — bottom clamp, driven top "
+    "platen, and two lateral confinement bands; the uniaxial case has "
+    "only the first two): the q64 system advanced 5 steps with the "
+    "4-block program prescribed in the kernel's velocity-BC stage "
+    "(simulation/solver.py _apply_velocity_bcs — masks on "
+    "start-of-step positions, blocks applied in file order with "
+    "later writes winning at band overlaps). Per-particle prescription "
+    "is local NumPy masking inside the same cogrouped kernel: no "
+    "extra shuffle, halo invariant untouched. The oracle replays the "
+    "identical program as a last-block-outermost CASE chain over the same "
+    "band literals, so the full 4-band dynamics are hash-checked.",
+    tags=("simulation", "E3", "P2", "iterative"),
+)
+def q138_biaxial_bcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.simulation.solver import (
+        BoundaryCondition,
+        run_solver_blocked,
+    )
+
+    _, bonds, state0 = _q64_system(spark, sf_dir)
+    bcs = tuple(
+        BoundaryCondition(x0=x0, x1=x1, y0=y0, y1=y1, vx=vx, vy=vy)
+        for x0, x1, y0, y1, vx, vy in _BIAXIAL_BCS
+    )
+    final = run_solver_blocked(
+        state0, bonds, n_steps=5, k=1.0, dt=0.01, fuse=5, bcs=bcs
+    )
+    return final.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
+    )
+
+
+# (x0, x1, y0, y1, z0, z1, vx, vy, vz): the TrueTriaxial 6-face program
+_TRIAXIAL_BCS = (
+    (-_BIG, _BIG, -_BIG, _BIG, -_BIG, 20.0, 0.0, 0.0, 0.0),   # z clamp
+    (-_BIG, _BIG, -_BIG, _BIG, 500.0, _BIG, 0.0, 0.0, -4.0),  # z platen
+    (-_BIG, -900.0, -_BIG, _BIG, -_BIG, _BIG, 3.0, 0.0, 0.0),  # x left
+    (9900.0, _BIG, -_BIG, _BIG, -_BIG, _BIG, -3.0, 0.0, 0.0),  # x right
+    (-_BIG, _BIG, -_BIG, 100.0, -_BIG, _BIG, 0.0, 2.0, 0.0),   # y front
+    (-_BIG, _BIG, 2300.0, _BIG, -_BIG, _BIG, 0.0, -2.0, 0.0),  # y back
+)
+
+
+@register(
+    "q139_triaxial_bcs",
+    oracle=_solver3d_oracle(5, "1.0", "0.01", "30.0", vel_bcs=_TRIAXIAL_BCS),
+    doc="True-triaxial BC program (TrueTriaxialCompressionTest/"
+    "MLSLD00.dat: SIX velocity blocks — independent loading on all "
+    "three axes, the reference's most general case): the q122 3D "
+    "system advanced 5 steps with a z clamp, a driven z platen, and "
+    "four lateral faces each prescribing its own axis, through "
+    "solver3d's velocity-BC stage (full 3-axis range boxes, "
+    "_bc_mask). The oracle unrolls the 3-component arithmetic with "
+    "the six bands as a last-block-outermost CASE chain — all face programs "
+    "hash-checked in one query.",
+    tags=("simulation", "E3", "P2", "iterative", "3d"),
+)
+def q139_triaxial_bcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.simulation.solver import BoundaryCondition
+    from columnarmodeling_spark.simulation.solver3d import (
+        run_solver3d_blocked,
+    )
+
+    state0, bonds = _q122_system(spark, sf_dir)
+    bcs = tuple(
+        BoundaryCondition(
+            x0=x0, x1=x1, y0=y0, y1=y1, z0=z0, z1=z1, vx=vx, vy=vy, vz=vz
+        )
+        for x0, x1, y0, y1, z0, z1, vx, vy, vz in _TRIAXIAL_BCS
+    )
+    final = run_solver3d_blocked(
+        state0, bonds, n_steps=5, k=1.0, dt=0.01, fuse=5, bcs=bcs
+    )
+    return final.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
+        F.round("vz", 6).alias("vz"),
+    )
+
+
+_DISC_SQL = (
+    "(x - 4500.0) * (x - 4500.0) + (y - 1200.0) * (y - 1200.0)"
+    " <= 1440000.0"
+)
+_BRAZIL_BCS = (
+    (-_BIG, _BIG, -_BIG, 100.0, 0.0, 0.0),    # bottom line support
+    (-_BIG, _BIG, 2300.0, _BIG, 0.0, -5.0),   # diametral loading strip
+)
+
+
+@register(
+    "q140_brazil_disc",
+    oracle=_solver_oracle(
+        5, "1.0", "0.01", "30.0", vel_bcs=_BRAZIL_BCS, pts_where=_DISC_SQL
+    ),
+    doc="Brazil-split configuration (BrazilSplitTest: a disc specimen "
+    "loaded across a diameter — the shipped case's cylindrical "
+    "specimen in the 2D cross-section the 2D tier models): the "
+    "customer point cloud is first cut to a radius-1200 disc (the "
+    "specimen-shape boolean cut of SURVEY §2.3 J7, here a closed-form "
+    "circle predicate pushed to the scan on BOTH engines), the bond "
+    "network is rebuilt inside the disc, and 5 steps run with the "
+    "two-block diametral program (bottom line support + driven "
+    "loading strip). Specimen geometry changes which bonds EXIST — "
+    "the indirect-tension stress path — so the disc cut participates "
+    "in the replay, not just the BC program.",
+    tags=("simulation", "E3", "J7", "P2", "iterative"),
+)
+def q140_brazil_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+    from columnarmodeling_spark.simulation.solver import (
+        BoundaryCondition,
+        run_solver_blocked,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+    ).filter(F.expr(_DISC_SQL))
+    bonds = grid_proximity_join(pts, eps=30.0, id_col="id").select(
+        "src", "dst", (F.col("dist") * 0.9).alias("rest")
+    )
+    state0 = pts.select(
+        "id",
+        "x",
+        "y",
+        F.lit(0.0).alias("vx"),
+        F.lit(0.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    )
+    bcs = tuple(
+        BoundaryCondition(x0=x0, x1=x1, y0=y0, y1=y1, vx=vx, vy=vy)
+        for x0, x1, y0, y1, vx, vy in _BRAZIL_BCS
+    )
+    final = run_solver_blocked(
+        state0, bonds, n_steps=5, k=1.0, dt=0.01, fuse=5, bcs=bcs
+    )
+    return final.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
     )

@@ -640,3 +640,37 @@ def test_read_centrifuge_parser(spark, tmp_path):
     f = tmp_path / "Centrifuge.dat"
     f.write_text("20\n60")
     assert read_centrifuge(spark, str(f)) == (20.0, 60.0)
+
+
+def test_velocity_bc_overlap_last_block_wins(spark):
+    """MLSLD00.dat blocks apply in file order — where two velocity
+    bands overlap, the LAST block's prescription must win (regression:
+    the oracle's CASE chain once nested in the wrong order and gave
+    overlap corners the FIRST block's velocity)."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.simulation.solver import (
+        BoundaryCondition,
+        run_solver_blocked,
+    )
+
+    state = spark.createDataFrame(
+        [(0, 0.0, 0.0, 0.0, 0.0, 1.0), (1, 5.0, 0.0, 0.0, 0.0, 1.0)],
+        "id LONG, x DOUBLE, y DOUBLE, vx DOUBLE, vy DOUBLE, m DOUBLE",
+    )
+    bonds = spark.createDataFrame([(0, 1, 5.0)], "src LONG, dst LONG, rest DOUBLE")
+    big = 1.0e18
+    bcs = (
+        # block 1 covers everything with vy = -2
+        BoundaryCondition(x0=-big, x1=big, y0=-big, y1=big, vx=0.0, vy=-2.0),
+        # block 2 covers x >= 4 with vx = +3 — particle 1 is in BOTH
+        BoundaryCondition(x0=4.0, x1=big, y0=-big, y1=big, vx=3.0, vy=0.0),
+    )
+    out = {
+        r["id"]: (r["vx"], r["vy"])
+        for r in run_solver_blocked(
+            state, bonds, n_steps=1, k=1.0, dt=0.01, fuse=1, bcs=bcs
+        ).collect()
+    }
+    assert out[0] == (0.0, -2.0)   # only block 1
+    assert out[1] == (3.0, 0.0)    # overlap: LAST block wins
