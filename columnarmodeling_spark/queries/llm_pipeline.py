@@ -252,3 +252,92 @@ def q130_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_spanning"),
     )
+
+
+# --- weighted (Poisson) sampling with Horvitz-Thompson accounting -----------
+
+_WS_SCALE = 1_048_576  # 2^20 fixed-point probability resolution
+_WS_REF = 512  # tokens at/above which a doc is kept with certainty
+
+
+@register(
+    "q142_weighted_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), t -> t <> '')) AS nt
+      FROM documents),
+    nz AS (SELECT doc_id, source, nt FROM toks WHERE nt > 0),
+    pr AS (
+      SELECT doc_id, source, nt,
+             least({_WS_SCALE}, nt * {_WS_SCALE // _WS_REF}) AS p_scaled,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))
+                  AS BIGINT) AS hk
+      FROM nz),
+    kept AS (
+      SELECT source, nt,
+             (nt * {_WS_SCALE}) // p_scaled AS ht
+      FROM pr WHERE hk < p_scaled)
+    SELECT t.source,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(coalesce(k.ht_tokens_est, 0) AS BIGINT) AS ht_tokens_est,
+           CAST(t.true_tokens AS BIGINT) AS true_tokens
+    FROM (SELECT source, sum(nt) AS true_tokens FROM nz GROUP BY 1) t
+    LEFT JOIN (
+      SELECT source, count(*) AS n_kept, sum(nt) AS kept_tokens,
+             sum(ht) AS ht_tokens_est
+      FROM kept GROUP BY 1) k USING (source)
+    """,
+    doc="Weight-proportional Poisson sampling with Horvitz-Thompson "
+    "accounting — the length-aware corpus downsampler (short docs are "
+    "cheap to keep; long docs are kept with certainty): each doc's "
+    "inclusion probability is min(1, tokens/512) in 2^20 fixed-point, "
+    "the inclusion decision is the q87/q95 deterministic md5 rule "
+    "(5 hex chars = an exact 20-bit uniform, reproducible across "
+    "engines, runs, partitionings — re-running at a lower weight "
+    "yields a subset), and the HT estimate sum(nt/p) of each source's "
+    "TRUE token total is computed in integer micro-units (floor "
+    "division — documented bias well under the sampling noise) so "
+    "both engines replay it exactly, alongside the true total for "
+    "comparison. Everything is map-side expressions + one per-source "
+    "hash agg: no shuffle sees the full corpus.",
+    tags=("llm", "sampling", "pipeline", "scale"),
+)
+def q142_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).alias("nt")
+    )
+    nz = d.filter(F.col("nt") > 0)
+    p_scaled = F.least(
+        F.lit(_WS_SCALE), F.col("nt") * (_WS_SCALE // _WS_REF)
+    )
+    hk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10
+    ).cast("long")
+    pr = nz.select(
+        "source", "nt", p_scaled.alias("p_scaled"), hk.alias("hk")
+    )
+    kept = pr.filter(F.col("hk") < F.col("p_scaled")).select(
+        "source",
+        "nt",
+        F.expr(f"div(nt * {_WS_SCALE}, p_scaled)").alias("ht"),
+    )
+    totals = nz.groupBy("source").agg(F.sum("nt").alias("true_tokens"))
+    kstats = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("nt").alias("kept_tokens"),
+        F.sum("ht").alias("ht_tokens_est"),
+    )
+    return totals.join(kstats, "source", "left").select(
+        "source",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.coalesce("ht_tokens_est", F.lit(0))
+        .cast("long")
+        .alias("ht_tokens_est"),
+        F.col("true_tokens").cast("long").alias("true_tokens"),
+    )

@@ -1365,3 +1365,132 @@ def q126_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PQ_TOPK)
         .select("vec_id", "neighbor", "adc", "rk")
     )
+
+
+# --- integer Lloyd k-means --------------------------------------------------
+
+_KM_K = 8
+_KM_ROUNDS = 2
+
+
+def _kmeans_oracle() -> str:
+    """Unroll the Lloyd rounds: assign (argmin integer L2, ties to the
+    lower cluster rank) then recompute centroids as element-wise
+    integer means (floor division — components are shifted +1000 so
+    everything stays non-negative and // agrees with Spark's div)."""
+    head = f"""
+    WITH qs AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1000) AS BIGINT) + 1000)
+                 AS qv,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hk
+      FROM embeddings),
+    sd AS MATERIALIZED (
+      SELECT vec_id, qv, row_number() OVER (ORDER BY hk, vec_id) AS cl
+      FROM qs QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= {_KM_K}),
+    lv AS MATERIALIZED (
+      SELECT vec_id, pos, qv[pos] AS v
+      FROM qs, (SELECT unnest(range(1, 65)) AS pos) p),
+    c0 AS MATERIALIZED (
+      SELECT cl, pos, qv[pos] AS cv
+      FROM sd, (SELECT unnest(range(1, 65)) AS pos) p)"""
+    rounds = []
+    for r in range(1, _KM_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f""",
+    a{r} AS MATERIALIZED (
+      SELECT l.vec_id, c.cl,
+             sum((l.v - c.cv) * (l.v - c.cv)) AS d2
+      FROM lv l JOIN c{p} c ON c.pos = l.pos
+      GROUP BY 1, 2),
+    b{r} AS MATERIALIZED (
+      SELECT vec_id, cl, d2 FROM a{r}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cl) = 1),
+    c{r} AS MATERIALIZED (
+      SELECT b.cl, l.pos, sum(l.v) // count(*) AS cv
+      FROM b{r} b JOIN lv l ON l.vec_id = b.vec_id
+      GROUP BY 1, 2)""")
+    tail = f"""
+    SELECT vec_id, CAST(cl AS BIGINT) AS cluster,
+           CAST(d2 AS BIGINT) AS distortion
+    FROM b{_KM_ROUNDS}
+    """
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "q143_kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    doc="Integer Lloyd k-means on the embeddings (k=8, 2 assignment "
+    "rounds) — the clustering trainer of the ANN tier, composing its "
+    "existing primitives into the iterative loop the way q131 does "
+    "for BPE: seeds are the q96-style deterministic md5-ranked draw; "
+    "per round, assignment is an argmin over integer L2 distances "
+    "(components quantized AND shifted +1000 so sums stay "
+    "non-negative — floor division for the centroid means then "
+    "agrees between engines; the shift cancels in every distance) "
+    "and new centroids are element-wise integer means. Spark side: "
+    "the vector and centroid relations live in LONG (vec_id, pos, v) "
+    "form, so each round is one broadcast join on pos + two hash "
+    "aggs — per-round cost is corpus × k, never corpus², and the "
+    "relation shape is exactly what a 100 TB corpus shards; "
+    "localCheckpoint truncates lineage per round. The oracle unrolls "
+    "both rounds; ties break to the lower cluster rank via "
+    "min(struct)/row_number on both sides.",
+    tags=("similarity", "llm", "kmeans", "iterative", "scale"),
+)
+def q143_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.functions.text import hex_hash
+
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
+        + F.lit(1000),
+    )
+    qs = e.select(
+        "vec_id",
+        qv.alias("qv"),
+        hex_hash(F.col("vec_id").cast("string")).alias("hk"),
+    )
+    sd = qs.orderBy("hk", "vec_id").limit(_KM_K)
+    from pyspark.sql import Window as W
+
+    sd = sd.withColumn(
+        "cl", F.row_number().over(W.orderBy("hk", "vec_id"))
+    )
+    lv = qs.select(
+        "vec_id", F.posexplode("qv").alias("pos", "v")
+    ).localCheckpoint()
+    cent = sd.select("cl", F.posexplode("qv").alias("pos", "cv"))
+    b = None
+    for _ in range(_KM_ROUNDS):
+        a = (
+            lv.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cl")
+            .agg(
+                F.sum(
+                    (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+                ).alias("d2")
+            )
+        )
+        b = (
+            a.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cl")).alias("m"))
+            .select("vec_id", F.col("m.cl").alias("cl"), F.col("m.d2").alias("d2"))
+            .localCheckpoint()
+        )
+        cent = (
+            b.join(lv, "vec_id")
+            .groupBy("cl", "pos")
+            .agg(F.expr("div(sum(v), count(*))").alias("cv"))
+            .localCheckpoint()
+        )
+    return b.select(
+        "vec_id",
+        F.col("cl").cast("long").alias("cluster"),
+        F.col("d2").cast("long").alias("distortion"),
+    )

@@ -433,3 +433,86 @@ def q137_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select("id", F.col("d").cast("long").alias("hops"))
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+# denser graph than the q30/_EPS band: at _EPS=30 the bond graph's max
+# degree is 3 (sf0.01), so any k >= 2 core is near-empty — the peel
+# needs a regime where the cascade actually runs
+_KCORE_EPS = 80.0
+
+
+def _kcore_oracle() -> str:
+    """Unroll the bounded k-core peel: per round, drop nodes with
+    degree < k and keep only edges between survivors."""
+    ctes = [
+        f"""pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_KCORE_EPS}),
+    e0 AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+      SELECT src AS id FROM e{p} GROUP BY 1
+      HAVING count(*) >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst
+      FROM e{p} e JOIN k{r} a ON a.id = e.src JOIN k{r} b ON b.id = e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY 1"""
+    )
+
+
+@register(
+    "q141_kcore_peel",
+    oracle=_kcore_oracle(),
+    doc="Bounded k-core peel on the bond graph (3 rounds at k=3, on "
+    "the eps=80 densified band — the default band's max degree is 3, "
+    "so no interesting core exists there) — the "
+    "degeneracy-ordering member of the graph tier (q56 components, "
+    "q128 triangles, q133 PageRank, q137 BFS): per round, nodes with "
+    "degree < k are removed and only survivor-survivor edges remain; "
+    "peeling cascades (removing a node lowers its neighbors' degree), "
+    "which is why the loop repeats — a fixed round budget like the "
+    "BFS hop budget, documented as bounded rather than run to "
+    "convergence. Spark side is a driver loop: one degree hash-agg + "
+    "two left_semi joins per round (all keyed on the endpoint ids, "
+    "co-partitioned across rounds), localCheckpoint truncating "
+    "lineage. All-integer; the oracle unrolls the identical rounds.",
+    tags=("graph", "kcore", "iterative", "scale"),
+)
+def q141_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = grid_proximity_join(
+        _points(spark, sf_dir), eps=_KCORE_EPS, id_col="id"
+    ).select("src", "dst")
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    e = und
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("id"))
+        )
+        e = (
+            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("degree")
+    )

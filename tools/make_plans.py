@@ -141,6 +141,12 @@ CASES = {
     "BroadcastExchange of the #partitions offset rows — never a "
     "single-partition global window; survivors re-attach by a "
     "left_semi hash join on (price, size).",
+    "q142_weighted_sample": "Weighted Poisson sampling + HT totals. "
+    "What to check: the inclusion decision and the HT term are pure "
+    "projections inside whole-stage codegen over the scan (no "
+    "pre-shuffle); the only exchanges are the two per-source "
+    "partial/final hash aggs and their left join — nothing sees the "
+    "full corpus twice.",
     "q132_countmin_sketch": "Count-Min sketch heavy hitters. What to "
     "check: the sketch build is ONE partial/final hash agg over "
     "(j, col) — state is bounded at 4x1024 counters regardless of "
@@ -380,7 +386,81 @@ def _q137_round(spark, sf):
     )
 
 
+def _q141_round(spark, sf):
+    """One k-core peel round (degree filter + survivor-survivor edge
+    retention — the repeated shape)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(10_000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7) % 10_000).alias("dst")
+    )
+    e = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    keep = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= 3)
+        .select(F.col("src").alias("id"))
+    )
+    return e.join(
+        keep.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+
+
+def _q143_round(spark, sf):
+    """One Lloyd round: broadcast-join assignment + centroid means on
+    the LONG (vec_id, pos, v) relations."""
+    from pyspark.sql import functions as F
+
+    lv = spark.range(64_000).select(
+        (F.col("id") % 1000).alias("vec_id"),
+        (F.col("id") / 1000).cast("int").alias("pos"),
+        ((F.col("id") * 37) % 2000).alias("v"),
+    )
+    cent = spark.range(512).select(
+        (F.col("id") % 8 + 1).alias("cl"),
+        (F.col("id") / 8).cast("int").alias("pos"),
+        ((F.col("id") * 91) % 2000).alias("cv"),
+    )
+    a = (
+        lv.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cl")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+            ).alias("d2")
+        )
+    )
+    b = (
+        a.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cl")).alias("m"))
+        .select("vec_id", F.col("m.cl").alias("cl"))
+    )
+    return b.join(lv, "vec_id").groupBy("cl", "pos").agg(
+        F.expr("div(sum(v), count(*))").alias("cv")
+    )
+
+
 ROUND_CASES = {
+    "q141_kcore_peel (one peel round)": (
+        "Bounded k-core peel loop body (queries/proximity.py "
+        "q141_kcore_peel). What to check: one partial/final degree "
+        "hash agg, then two left_semi hash joins keyed on the "
+        "endpoint ids — the same key across rounds, so the exchange "
+        "is reusable; no broadcast of the edge set, all-integer.",
+        _q141_round,
+    ),
+    "q143_kmeans_lloyd (one assign + centroid round)": (
+        "Integer Lloyd k-means loop body (queries/llm_similarity.py "
+        "q143_kmeans_lloyd). What to check: the centroid relation "
+        "(k x 64 rows) enters via BroadcastExchange into the "
+        "assignment join on pos; both aggs are partial/final hash "
+        "aggs; per-round cost is corpus x k with no corpus² term "
+        "anywhere, and the min(struct) argmin avoids a per-vector "
+        "window sort.",
+        _q143_round,
+    ),
     "q137_bfs_hops (one min-plus relaxation round)": (
         "Multi-source BFS loop body (queries/proximity.py "
         "q137_bfs_hops). What to check: per round, ONE edge×distance "
