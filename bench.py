@@ -51,6 +51,12 @@ HEADLINE = [
     "q128_triangle_count",
     "q129_prefix_filter_join",
     "q130_sequence_packing",
+    # late round-6 additions: the HLL register build (sketch family),
+    # the funnel's chained user-keyed aggs, and the k-means loop (the
+    # iterative-trainer shape under time)
+    "q134_hll_distinct",
+    "q135_funnel",
+    "q143_kmeans_lloyd",
 ]
 
 

@@ -593,3 +593,83 @@ def q108_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         F.round("mean_amp", 6).alias("mean_amp"),
     )
+
+
+_AW_FRAME = 16  # samples per analysis window
+
+
+@register(
+    "q144_audio_windows",
+    oracle=f"""
+    WITH wav AS (
+      SELECT doc_id, 50 + doc_id % 100 AS n
+      FROM documents WHERE doc_id % 2 = 1),
+    s AS MATERIALIZED (
+      SELECT w.doc_id, i.i, i.i // {_AW_FRAME} AS win,
+             (w.doc_id * 7 + i.i * 13) % 2003 - 1001 AS v
+      FROM wav w, LATERAL (SELECT unnest(range(w.n)) AS i) i),
+    sl AS (
+      SELECT doc_id, i, win, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s)
+    SELECT doc_id, CAST(win AS BIGINT) AS win,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN i % {_AW_FRAME} <> 0 AND v * pv < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM sl GROUP BY 1, 2
+    """,
+    doc="Windowed audio feature extraction (frame-level energy, "
+    "zero-crossing count and peak over 16-sample tumbling windows) — "
+    "the per-frame primitive an audio training pipeline runs after "
+    "decode (VAD, silence trim, loudness filters all hang off these): "
+    "REAL 16-bit PCM WAV payloads are synthesized per doc "
+    "(media_codec.py encoder), decoded by the independent RIFF chunk "
+    "walker, and windowed inside ONE Arrow-batched mapInPandas — "
+    "decode and all frame features per payload stay in a single "
+    "pass, no shuffle, embarrassingly parallel (the q108 pattern "
+    "extended from whole-file stats to frame rows). Every feature is "
+    "an integer (energy = sum of squares, crossings = strict "
+    "sign-product flips within the window), so the closed-form "
+    "oracle over the seeding formula matches bit-for-bit; any "
+    "decode-offset or window-boundary bug breaks the hash.",
+    tags=("multimodal", "llm", "codec", "pandas-udf", "window"),
+)
+def q144_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.functions.media_codec import decode_wav
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    payloads = _synth_media(d)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "win": [], "n_samples": [],
+                "energy": [], "zero_crossings": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, samples = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                for w in range((len(s) + _AW_FRAME - 1) // _AW_FRAME):
+                    seg = s[w * _AW_FRAME : (w + 1) * _AW_FRAME]
+                    out["doc_id"].append(int(doc_id))
+                    out["win"].append(w)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int(np.sum(seg * seg)))
+                    out["zero_crossings"].append(
+                        int(np.sum(seg[1:] * seg[:-1] < 0))
+                    )
+                    out["peak"].append(int(np.max(np.abs(seg))))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        run,
+        schema="doc_id long, win long, n_samples long, energy long,"
+        " zero_crossings long, peak long",
+    )

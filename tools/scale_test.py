@@ -46,7 +46,10 @@ _MEASURE = [
 # events is nanos-typed at the driver-provided source; the replica is
 # read through the catalog (ns -> µs truncation) and re-written as µs,
 # which the catalog passes through unchanged — same instants either way.
-_TABLES = ["lineitem", "customer", "documents", "embeddings", "orders", "events"]
+_TABLES = [
+    "lineitem", "customer", "documents", "embeddings", "orders", "events",
+    "part",
+]
 
 
 def build(spark, src: str, out: str, k: int) -> None:
@@ -54,6 +57,8 @@ def build(spark, src: str, out: str, k: int) -> None:
     from columnarmodeling_spark.catalog import table
 
     for name in _TABLES:
+        if os.path.exists(os.path.join(out, f"{name}.parquet")):
+            continue  # per-table idempotent: late-added tables backfill
         df = (
             table(spark, src, name)
             if name == "events"
@@ -86,6 +91,10 @@ def build(spark, src: str, out: str, k: int) -> None:
         elif name == "events":
             r = r.withColumn("event_id", F.col("event_id") + shift)
             r = r.withColumn("user_id", F.col("user_id") + shift)
+        elif name == "part":
+            # prices/sizes stay identical across replicas: the skyline's
+            # per-price agg must absorb 16 duplicates per level
+            r = r.withColumn("p_partkey", F.col("p_partkey") + shift)
         r.drop("rep").write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
         )
@@ -116,8 +125,7 @@ def main() -> None:
     spark = get_spark("scale-test")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(scratch, "lineitem.parquet")):
-        build(spark, src, scratch, k)
+    build(spark, src, scratch, k)  # per-table idempotent
 
     base = run(spark, src, _MEASURE)
     scaled = run(spark, scratch, _MEASURE)
