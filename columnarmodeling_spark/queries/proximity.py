@@ -516,3 +516,84 @@ def q141_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("degree")
     )
+
+
+_IV_BUCKET = 32  # days per bucket; max interval length is 29 days, so
+#                  every interval spans at most 2 buckets
+
+
+@register(
+    "q145_interval_join",
+    oracle=f"""
+    WITH iv AS (
+      SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS sd,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+               + 1 + (l_orderkey + l_linenumber) % 28 AS ed,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc
+      FROM lineitem),
+    pts AS (
+      SELECT o_orderkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d
+      FROM orders),
+    j AS (
+      SELECT p.o_orderkey, i.qc
+      FROM pts p JOIN iv i ON p.d BETWEEN i.sd AND i.ed)
+    SELECT p.o_orderkey,
+           CAST(coalesce(a.n_cover, 0) AS BIGINT) AS n_cover,
+           CAST(coalesce(a.qty_cents, 0) AS BIGINT) AS qty_cents
+    FROM pts p LEFT JOIN (
+      SELECT o_orderkey, count(*) AS n_cover, sum(qc) AS qty_cents
+      FROM j GROUP BY 1) a USING (o_orderkey)
+    """,
+    doc="Big-big INTERVAL JOIN executed as a binned equi-join — the "
+    "1-D temporal sibling of the J1 grid join (SURVEY §4: Catalyst "
+    "would happily BroadcastNestedLoopJoin a naive BETWEEN predicate "
+    "between two large relations; the engine must bin): shipment "
+    "validity windows [shipdate, shipdate + 1..28 days] against order "
+    "dates, per order counting covering shipments and their quantity "
+    "total (integer cents). Intervals explode to the <= 2 fixed "
+    "32-day buckets they overlap (bucket width >= max duration "
+    "bounds the fan-out), points map to exactly ONE bucket — so each "
+    "qualifying pair meets exactly once, no post-dedup — and the "
+    "BETWEEN becomes a residual filter behind a shuffle hash join on "
+    "the bucket key (AQE splits hot buckets). Day arithmetic is "
+    "integer epoch-days on both engines; the oracle is the naive "
+    "theta join DuckDB's IEJoin can afford at sf0.01.",
+    tags=("join", "interval", "temporal", "J1", "scale"),
+)
+def q145_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    sd = F.expr("div(CAST(floor(unix_timestamp(l_shipdate)) AS BIGINT), 86400)")
+    iv = li.select(
+        sd.alias("sd"),
+        (
+            sd + 1 + (F.col("l_orderkey") + F.col("l_linenumber")) % 28
+        ).alias("ed"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qc"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"div(sd, {_IV_BUCKET})"),
+                F.expr(f"div(ed, {_IV_BUCKET})"),
+            )
+        ),
+    )
+    pts = o.select(
+        "o_orderkey",
+        F.expr(
+            "div(CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT), 86400)"
+        ).alias("d"),
+    ).withColumn("bucket", F.expr(f"div(d, {_IV_BUCKET})"))
+    j = pts.join(iv, "bucket").filter(
+        F.col("d").between(F.col("sd"), F.col("ed"))
+    )
+    agg = j.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_cover"), F.sum("qc").alias("qty_cents")
+    )
+    return pts.select("o_orderkey").join(agg, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("n_cover", F.lit(0)).cast("long").alias("n_cover"),
+        F.coalesce("qty_cents", F.lit(0)).cast("long").alias("qty_cents"),
+    )

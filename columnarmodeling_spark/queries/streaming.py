@@ -364,3 +364,161 @@ def q86_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.round("value", 2).alias("last_value"),
     )
+
+
+# --- streaming HLL sketch maintenance ---------------------------------------
+
+_SH_M = 64  # registers (p = 6): daily entity cardinality is ~300 at
+#             sf0.01, above the 2.5m small-range bound for m=64
+# alpha_m * m^2 * 2^55 as ONE shared double literal (exact power-of-two
+# scaling, same discipline as q134)
+_SH_ALPHA_NUM = repr(0.7213 / (1.0 + 1.079 / 64.0) * 64 * 64 * 2.0**55)
+
+
+@register(
+    "q146_stream_hll",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(user_id AS VARCHAR) || ':' || event_type AS ent
+      FROM events),
+    h AS MATERIALIZED (
+      SELECT day, ent,
+             CAST(('0x' || substr(md5(ent), 1, 15)) AS BIGINT) AS u
+      FROM e),
+    reg AS (
+      SELECT day, u % {_SH_M} AS bucket,
+             max(CASE WHEN u // {_SH_M} = 0 THEN 55
+                      ELSE 55 - length(bin(u // {_SH_M})) END) AS r
+      FROM h GROUP BY 1, 2),
+    sk AS (
+      SELECT day, count(*) AS occupied,
+             sum(CAST(1 AS BIGINT) << (55 - r)) AS z_occ
+      FROM reg GROUP BY 1),
+    ex AS (SELECT day, count(DISTINCT ent) AS exact_distinct FROM h
+           GROUP BY 1),
+    est AS (
+      SELECT day, occupied,
+             {_SH_ALPHA_NUM} / (z_occ + ({_SH_M} - occupied)
+                                * (CAST(1 AS BIGINT) << 55)) AS e
+      FROM sk)
+    SELECT x.day,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(s.occupied AS BIGINT) AS occupied,
+           round(s.e, 3) AS hll_est,
+           round((s.e - x.exact_distinct) / x.exact_distinct, 4) AS rel_err
+    FROM ex x JOIN est s USING (day)
+    """,
+    doc="STREAMING sketch maintenance — HLL registers as merge state "
+    "(the way a 100 TB/day ingest actually keeps per-day distinct "
+    "counts: registers, not user sets): each micro-batch reduces its "
+    "events to partial (day, bucket, rho-max) registers and "
+    "max-merges them into an atomically-swapped state store (the q86 "
+    "foreachBatch publish discipline) — per day the state is 64 "
+    "rows, bounded forever, and max-merge makes re-delivered batches "
+    "idempotent BY ALGEBRA (the mergeability property "
+    "test_hll_registers_merge pins). Because max-merge across "
+    "batches equals the registers of the union, the streamed sketch "
+    "matches the batch-built oracle BIT-FOR-BIT — the q134 integer "
+    "estimate discipline (exact harmonic sum, one shared-literal "
+    "division) carried into streaming. Entities are user:event_type "
+    "pairs per event-time day.",
+    tags=("streaming", "sketch", "hll", "foreachBatch", "scale"),
+)
+def q146_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from columnarmodeling_spark.functions.text import hex_hash
+
+    ev = events_stream(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="cm_shll_")
+    state_dir = os.path.join(scratch, "state")
+    m = _SH_M
+
+    def registers(df: DataFrame) -> DataFrame:
+        ent = F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+        )
+        day = F.expr(
+            "div(CAST(floor(unix_timestamp(CAST(ts AS TIMESTAMP)))"
+            " AS BIGINT), 86400)"
+        )
+        h = df.select(day.alias("day"), hex_hash(ent).alias("u"))
+        w = F.expr(f"div(u, {m})")
+        rho = F.when(w == F.lit(0), F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(w))
+        )
+        return (
+            h.select("day", (F.col("u") % m).alias("bucket"), rho.alias("rho"))
+            .groupBy("day", "bucket")
+            .agg(F.max("rho").alias("r"))
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = registers(batch_df)
+        if os.path.exists(state_dir):
+            merged = (
+                s.read.parquet(state_dir)
+                .unionByName(partial)
+                .groupBy("day", "bucket")
+                .agg(F.max("r").alias("r"))
+            )
+        else:
+            merged = partial
+        tmp = os.path.join(scratch, f"state_b{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(scratch, "old")
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    reg = spark.read.parquet(state_dir)
+    sk = reg.groupBy("day").agg(
+        F.count("*").alias("occupied"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - r)")).alias("z_occ"),
+    )
+    # exact side of the eval (batch recompute over the same table)
+    ev_b = t(spark, sf_dir, "events")
+    ent_b = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+    )
+    day_b = F.expr(
+        "div(CAST(floor(unix_timestamp(CAST(ts AS TIMESTAMP)))"
+        " AS BIGINT), 86400)"
+    )
+    ex = (
+        ev_b.select(day_b.alias("day"), ent_b.alias("ent"))
+        .groupBy("day")
+        .agg(F.countDistinct("ent").alias("exact_distinct"))
+    )
+    e = F.lit(float(_SH_ALPHA_NUM)) / (
+        F.col("z_occ") + (m - F.col("occupied")) * F.lit(1 << 55)
+    )
+    return (
+        ex.join(sk, "day")
+        .withColumn("e", e)
+        .select(
+            "day",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.col("occupied").cast("long").alias("occupied"),
+            F.round("e", 3).alias("hll_est"),
+            F.round(
+                (F.col("e") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -141,6 +141,15 @@ CASES = {
     "BroadcastExchange of the #partitions offset rows — never a "
     "single-partition global window; survivors re-attach by a "
     "left_semi hash join on (price, size).",
+    "q145_interval_join": "Big-big interval join as a binned equi-join. "
+    "What to check: the join key is the 32-day bucket (shuffle hash "
+    "join, AQE-splittable) — the BETWEEN appears only as a residual "
+    "predicate (a Filter above the join or the join's non-equi extra "
+    "condition), never as the SOLE join condition, which would force "
+    "BroadcastNestedLoop; the interval side's bucket "
+    "explode is a generator bounded at 2 rows per interval; both "
+    "date→epoch-day projections run in whole-stage codegen over the "
+    "scans.",
     "q142_weighted_sample": "Weighted Poisson sampling + HT totals. "
     "What to check: the inclusion decision and the HT term are pure "
     "projections inside whole-stage codegen over the scan (no "
