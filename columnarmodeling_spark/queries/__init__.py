@@ -101,10 +101,11 @@ def register(
 # q48→q49/q98, q87→q95, q57→q118's EXISTS oracle), or exercised every
 # round by bench (q02). No streaming this round: the full streaming
 # tier got fresh rows in r5 behind the timestamp fix and is untouched
-# by round-6 changes. The last round-6 additions (q138-q140 experiment
-# BC programs) did NOT displace further stale entries — they carry
-# sf0.01 strict-replica evidence from this session and queue for first
-# driver rows in the r7 window.
+# by round-6 changes. The late round-6 additions (q138-q146: the
+# experiment BC programs, k-core, weighted sampling, k-means, audio
+# windows, interval join, streaming HLL) did NOT displace further
+# stale entries — each carries sf0.01 strict-replica evidence from
+# this round and queues for a first driver row in the r7 window.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
