@@ -144,3 +144,138 @@ def q136_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.join(
         F.broadcast(sky_levels), ["p_retailprice", "p_size"], "left_semi"
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+_QUANTS = (0.25, 0.5, 0.75, 0.9)
+
+
+@register(
+    "q147_global_quantiles",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_extendedprice AS x,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS rn,
+             count(*) OVER () AS n
+      FROM lineitem),
+    qs AS (SELECT CAST(unnest(ARRAY{list(_QUANTS)}) AS DOUBLE) AS q)
+    SELECT qs.q, v.x AS value
+    FROM qs JOIN v
+      ON v.rn = CAST(floor(qs.q * (v.n - 1)) AS BIGINT) + 1
+    """,
+    doc="EXACT global order statistics without a global sort — the "
+    "scale-path complement of q37's per-group percentile() (which "
+    "buffers each group's values): the k-th value of 100 TB of rows "
+    "via operators/indexing.with_global_index — range partition on "
+    "the (unique) sort key, per-partition row_number + driver prefix "
+    "over #partitions counts — then a broadcast join of the 4 target "
+    "ranks (floor(q·(n-1))+1, lower discrete quantile) against the "
+    "dense rank column. No single-partition window, no sort of the "
+    "full relation beyond the range exchange. Ordering is made "
+    "unique by the (price, orderkey, linenumber) tiebreak, so the "
+    "selected rows are deterministic on both engines.",
+    tags=("analytics", "percentile", "order-statistics", "scale"),
+)
+def q147_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"), "l_orderkey", "l_linenumber"
+    )
+    idx = with_global_index(li, ["x", "l_orderkey", "l_linenumber"])
+    n = li.agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in _QUANTS], "q DOUBLE")
+    ranks = qs.crossJoin(F.broadcast(n)).select(
+        "q",
+        (
+            F.floor(F.col("q") * (F.col("n") - 1)).cast("long") + 1
+        ).alias("rn"),
+    )
+    return idx.join(F.broadcast(ranks), "rn").select(
+        "q", F.col("x").alias("value")
+    )
+
+
+@register(
+    "q148_scd2_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS us
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    runs AS (
+      SELECT user_id, event_type, us,
+             sum(is_chg) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM chg),
+    grp AS (
+      SELECT user_id, run_id, min(event_type) AS event_type,
+             min(us) AS valid_from_us, count(*) AS n_events
+      FROM runs GROUP BY 1, 2)
+    SELECT user_id, event_type,
+           CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(coalesce(lead(valid_from_us)
+                  OVER (PARTITION BY user_id ORDER BY run_id), -1)
+                AS BIGINT) AS valid_to_us,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM grp
+    """,
+    doc="SCD type-2 history build (slowly-changing-dimension "
+    "versioning — the warehouse pattern for 'what was this entity's "
+    "state at time t'): per user, consecutive runs of the same "
+    "event_type collapse into validity intervals "
+    "[valid_from, valid_to) via gaps-and-islands (change flag -> "
+    "running sum -> run group), with the current row open-ended "
+    "(valid_to = -1). ALL windows partition by user_id — one hash "
+    "partitioning serves the change detection, the run numbering and "
+    "the interval chaining, so nothing ever funnels through a single "
+    "partition; timestamps are integer epoch-micros with an event_id "
+    "tiebreak, so both engines build identical histories.",
+    tags=("analytics", "scd2", "window", "gaps-islands", "scale"),
+)
+def q148_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    chg = e.withColumn(
+        "is_chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = chg.withColumn(
+        "run_id",
+        F.sum("is_chg").over(
+            W.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    grp = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wr = W.partitionBy("user_id").orderBy("run_id")
+    return grp.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from_us").cast("long").alias("valid_from_us"),
+        F.coalesce(F.lead("valid_from_us").over(wr), F.lit(-1))
+        .cast("long")
+        .alias("valid_to_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
