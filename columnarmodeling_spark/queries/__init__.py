@@ -236,6 +236,7 @@ def _load_all() -> None:
         io_codec,
         streaming,
         geometry,
+        timeseries,
     )
 
 

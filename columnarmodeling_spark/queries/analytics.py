@@ -279,3 +279,93 @@ def q148_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("valid_to_us"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+def _morton_spread(v: str) -> list[tuple[str, str]]:
+    """Staged 16→32-bit Morton spread as (col, expr) pairs.
+
+    Shifts are written as multiplications by powers of two so the SAME
+    expression text is valid Spark SQL and DuckDB SQL (DuckDB has no
+    shiftleft(), Spark's << operator is newer than its function form);
+    masks are the classic interleave constants in decimal.
+    """
+    return [
+        (f"{v}1", f"(({v}0 | ({v}0 * 256)) & 16711935)"),
+        (f"{v}2", f"(({v}1 | ({v}1 * 16)) & 252645135)"),
+        (f"{v}3", f"(({v}2 | ({v}2 * 4)) & 858993459)"),
+        (f"{v}4", f"(({v}3 | ({v}3 * 2)) & 1431655765)"),
+    ]
+
+
+_MORTON_STAGES = _morton_spread("x") + _morton_spread("y")
+_MORTON_BUCKET = 4_194_304  # 2^22: top 10 interleaved bits form the bucket
+
+
+def _zorder_oracle() -> str:
+    stages = ",\n    ".join(
+        f"s{i + 1} AS (SELECT *, {expr} AS {col} FROM s{i})"
+        for i, (col, expr) in enumerate(_MORTON_STAGES)
+    )
+    return f"""
+    WITH s0 AS (
+      SELECT c_custkey,
+             least(65535, greatest(0,
+               CAST(floor((c_acctbal + 1000.0) * 5.9) AS BIGINT))) AS x0,
+             (c_custkey % 97) * 675 AS y0
+      FROM customer),
+    {stages},
+    m AS (SELECT c_custkey, x0, y0,
+                 (x4 | (y4 * 2)) AS morton FROM s{len(_MORTON_STAGES)})
+    SELECT morton // {_MORTON_BUCKET} AS bucket,
+           count(*) AS n,
+           CAST(min(x0) AS BIGINT) AS xmin, CAST(max(x0) AS BIGINT) AS xmax,
+           CAST(min(y0) AS BIGINT) AS ymin, CAST(max(y0) AS BIGINT) AS ymax
+    FROM m GROUP BY 1
+    """
+
+
+@register(
+    "q155_zorder_layout",
+    oracle=_zorder_oracle(),
+    doc="Morton (Z-order) curve layout key — the data-layout operator "
+    "behind multi-dimensional file skipping (Delta/Iceberg OPTIMIZE "
+    "ZORDER BY): quantize two columns to 16-bit grids, interleave "
+    "their bits (four mask-and-spread rounds written as "
+    "multiply-by-power-of-two so the arithmetic is engine-portable), "
+    "and bucket rows by the top 10 interleaved bits. Writing 100 TB "
+    "clustered by this key makes BOTH per-column min/max ranges tight "
+    "within every file, so a 2-D range predicate prunes ~√ of the "
+    "files a 1-D sort would scan — the per-bucket xmin/xmax/ymin/ymax "
+    "this query emits are exactly the footer stats a scan would prune "
+    "on, making the locality measurable and oracle-checkable. "
+    "All-integer end to end (the only float op, the quantization "
+    "multiply, runs the same IEEE expression on both engines); one "
+    "hash agg after a pure projection — no shuffle beyond it.",
+    tags=("analytics", "zorder", "layout", "clustering", "scale"),
+)
+def q155_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "least(65535, greatest(0, "
+            "CAST(floor((c_acctbal + 1000.0) * 5.9) AS BIGINT)))"
+        ).alias("x0"),
+        ((F.col("c_custkey") % 97) * 675).alias("y0"),
+    )
+    for col, expr in _MORTON_STAGES:
+        df = df.withColumn(col, F.expr(expr))
+    m = df.select(
+        "c_custkey", "x0", "y0", F.expr("x4 | (y4 * 2)").alias("morton")
+    )
+    return (
+        m.groupBy(
+            F.expr(f"div(morton, {_MORTON_BUCKET})").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x0").cast("long").alias("xmin"),
+            F.max("x0").cast("long").alias("xmax"),
+            F.min("y0").cast("long").alias("ymin"),
+            F.max("y0").cast("long").alias("ymax"),
+        )
+    )

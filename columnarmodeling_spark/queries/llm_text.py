@@ -1155,3 +1155,177 @@ def q134_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "q151_pmi_collocations",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(tk))) AS i) idx
+      WHERE len(tk) >= 2),
+    c2 AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+      HAVING count(*) >= {_PMI_MIN_COUNT}),
+    cw AS MATERIALIZED (
+      SELECT w, count(*) AS cw
+      FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+    tot AS (
+      SELECT (SELECT count(*) FROM pairs) AS np,
+             (SELECT CAST(sum(len(tk)) AS BIGINT) FROM toks) AS nt)
+    SELECT c2.w1, c2.w2, CAST(c2.c2 AS BIGINT) AS c2,
+           CAST(round(ln((CAST(c2.c2 AS DOUBLE) * CAST(t.nt AS DOUBLE)
+                          * CAST(t.nt AS DOUBLE))
+                         / (CAST(t.np AS DOUBLE) * CAST(a.cw AS DOUBLE)
+                            * CAST(b.cw AS DOUBLE)))
+                      * 1000000.0) AS BIGINT) AS pmi_micro
+    FROM c2
+    JOIN cw a ON a.w = c2.w1
+    JOIN cw b ON b.w = c2.w2
+    CROSS JOIN tot t
+    """,
+    doc="PMI collocation mining (phrase discovery for tokenizer/vocab "
+    "construction — the classic pointwise-mutual-information filter "
+    "over corpus bigrams): PMI(w1,w2) = ln(P(w1,w2)/(P(w1)P(w2))) "
+    "with P from exact corpus counts, reported for every bigram seen "
+    "at least 5 times. Float discipline follows q100: all counts stay "
+    "int64, exactly one ln per surviving bigram runs on an "
+    "identically-computed double ratio, and the score is quantized to "
+    "integer micro-nats — no float aggregation anywhere. Scale: the "
+    "min-count HAVING prunes the bigram relation BEFORE the unigram "
+    "joins (the Zipf tail — most of the pair space — never shuffles "
+    "again); both joins are equi-joins keyed on a word, fan-out 1 per "
+    "surviving bigram since counts are pre-aggregated; the two corpus "
+    "totals ride a one-row broadcast.",
+    tags=("text", "llm", "pmi", "collocation", "scale"),
+)
+def q151_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    pairs = (
+        d.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> struct(tk[i] as w1, tk[i + 1] as w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= _PMI_MIN_COUNT)
+    )
+    cw = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    tot = pairs.agg(F.count("*").alias("np")).crossJoin(
+        d.select(F.explode("tk").alias("w")).agg(
+            F.count("*").cast("long").alias("nt")
+        )
+    )
+    ratio = (
+        F.col("c2").cast("double")
+        * F.col("nt").cast("double")
+        * F.col("nt").cast("double")
+    ) / (
+        F.col("np").cast("double")
+        * F.col("cw1").cast("double")
+        * F.col("cw2").cast("double")
+    )
+    return (
+        c2.join(cw.select(F.col("w").alias("w1"), F.col("cw").alias("cw1")), "w1")
+        .join(cw.select(F.col("w").alias("w2"), F.col("cw").alias("cw2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("long").alias("c2"),
+            F.round(F.log(ratio) * 1000000.0, 0)
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+
+
+@register(
+    "q154_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    freq AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+      GROUP BY doc_id, w),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             count(*) AS n_distinct,
+             CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0)
+                               AS BIGINT)) AS BIGINT) AS sq
+      FROM freq GROUP BY doc_id)
+    SELECT doc_id, n AS n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(round(CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                      - CAST(sq AS DOUBLE) / n) AS BIGINT) AS entropy_micro
+    FROM agg
+    """,
+    doc="Per-document token-distribution Shannon entropy (quality "
+    "signal: low entropy flags boilerplate and keyword-stuffed spam, "
+    "complementing q54's repetition ratio): H = ln(n) − Σ c·ln(c)/n "
+    "over the document's token frequency table, in nats. Float "
+    "discipline follows q100: each ln(c) is quantized to integer "
+    "micro-nats BEFORE the weighted per-doc sum, so the aggregation "
+    "is exact int64 arithmetic immune to summation order; the only "
+    "remaining float ops (one division by n, one subtraction) run on "
+    "identical int64-derived doubles on both engines. Scale: two "
+    "map-side-combinable hash aggs, both keyed on doc_id — the "
+    "per-document frequency table never leaves the document's "
+    "shuffle partition, no corpus-global state at all.",
+    tags=("text", "llm", "entropy", "quality", "scale"),
+)
+def q154_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    freq = (
+        d.select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    lnq = F.round(F.log(F.col("c").cast("double")) * 1000000.0, 0).cast(
+        "long"
+    )
+    agg = freq.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * lnq).cast("long").alias("sq"),
+    )
+    lnn = F.round(F.log(F.col("n").cast("double")) * 1000000.0, 0).cast(
+        "long"
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(lnn - F.col("sq").cast("double") / F.col("n"), 0)
+        .cast("long")
+        .alias("entropy_micro"),
+    )

@@ -597,3 +597,107 @@ def q145_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cover", F.lit(0)).cast("long").alias("n_cover"),
         F.coalesce("qty_cents", F.lit(0)).cast("long").alias("qty_cents"),
     )
+
+
+_SSSP_ROUNDS = 3
+_SSSP_INF = 999_999  # integer infinity, as in q137
+
+
+def _sssp_oracle() -> str:
+    """Unroll the weighted min-plus relaxations (Bellman–Ford rounds) as
+    CTEs — identical join/agg shape to the Spark loop body."""
+    ctes = [
+        f"""pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             1 + (a.id + b.id) % 7 AS w
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_EPS}),
+    und AS MATERIALIZED (
+      SELECT src, dst, w FROM e
+      UNION ALL SELECT dst AS src, src AS dst, w FROM e),
+    d0 AS (
+      SELECT id, CASE WHEN id % 50 = 0 THEN 0 ELSE {_SSSP_INF} END AS d
+      FROM (SELECT DISTINCT src AS id FROM und))"""
+    ]
+    for r in range(1, _SSSP_ROUNDS + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT a.id, least(a.d, coalesce(min(p.d + u.w), {_SSSP_INF})) AS d
+      FROM d{r - 1} a
+      LEFT JOIN und u ON u.dst = a.id
+      LEFT JOIN d{r - 1} p ON p.id = u.src
+      GROUP BY a.id, a.d)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id, CAST(least(d, {_SSSP_INF}) AS BIGINT) AS dist
+    FROM d{_SSSP_ROUNDS}"""
+    )
+
+
+@register(
+    "q150_sssp_weighted",
+    oracle=_sssp_oracle(),
+    doc="Weighted single-source(-set) shortest paths on the bond graph "
+    "— the weighted generalization of q137's BFS (Bellman–Ford "
+    "min-plus relaxation, 3 rounds from the id%50==0 seed set, "
+    "deterministic integer edge weights 1 + (src+dst)%7): per round "
+    "every node takes min(own, neighbor + edge weight). All-integer "
+    "with the explicit 999999 infinity clamped after the last round, "
+    "so both engines replay the rounds exactly — no float distances. "
+    "Spark side is the q133/q137 driver-loop shape: ONE edge×dist "
+    "equi-join (keyed on src, co-partitioned across rounds) + one "
+    "min hash-agg per round, localCheckpoint truncating lineage; "
+    "the fixed round budget means the physical plan never grows "
+    "with the graph, and each round's shuffle moves one (id, dist) "
+    "row per node plus one message per edge — the textbook "
+    "Pregel-on-DataFrames layout.",
+    tags=("graph", "sssp", "iterative", "scale"),
+)
+def q150_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = grid_proximity_join(
+        _points(spark, sf_dir), eps=_EPS, id_col="id"
+    ).select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 7).alias("w")
+    )
+    und = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).localCheckpoint()
+    dist = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select(
+            "id",
+            F.when(F.col("id") % 50 == 0, F.lit(0))
+            .otherwise(F.lit(_SSSP_INF))
+            .cast("long")
+            .alias("d"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            und.join(dist.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
+        )
+        dist = (
+            dist.join(relaxed, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("d"), F.coalesce(F.col("nd"), F.lit(_SSSP_INF))
+                ).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    return dist.select(
+        "id",
+        F.least(F.col("d"), F.lit(_SSSP_INF)).cast("long").alias("dist"),
+    )

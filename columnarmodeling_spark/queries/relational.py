@@ -1373,3 +1373,53 @@ def q102_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@register(
+    "q152_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS f_cents,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS o_cents,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (o_orderstatus = 'P'), 0) AS BIGINT) AS p_cents
+    FROM orders GROUP BY 1
+    """,
+    doc="Pivot (long→wide reshape, the inverse of q79's unpivot): "
+    "order count and integer-cents revenue per priority × status "
+    "cell, statuses spread into columns. The Spark side uses "
+    "DataFrame.pivot WITH THE VALUE LIST PINNED — the load-bearing "
+    "scale detail: an unpinned pivot first runs a distinct-values "
+    "job over 100 TB and then builds a schema the planner can't "
+    "predict, while a pinned pivot compiles directly to the same "
+    "single-shuffle conditional aggregation the oracle spells out "
+    "(one hash agg, map-side combined, 3×2 when-branches per row). "
+    "Money stays in round(×100) int64 cents end to end, so the "
+    "pivoted sums are exact on both engines.",
+    tags=("relational", "pivot", "agg", "reshape", "scale"),
+)
+def q152_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("pc"),
+    )
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pc").alias("cents"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).cast("long").alias("f_n"),
+        F.coalesce("F_cents", F.lit(0)).cast("long").alias("f_cents"),
+        F.coalesce("O_n", F.lit(0)).cast("long").alias("o_n"),
+        F.coalesce("O_cents", F.lit(0)).cast("long").alias("o_cents"),
+        F.coalesce("P_n", F.lit(0)).cast("long").alias("p_n"),
+        F.coalesce("P_cents", F.lit(0)).cast("long").alias("p_cents"),
+    )

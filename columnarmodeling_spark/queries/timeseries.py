@@ -1,0 +1,260 @@
+"""Time-series preparation operators: grid gap-fill with last-observation
+carry-forward, per-group OLS trend fit, and rolling-window anomaly flags.
+
+These complete the engine's series post-processing tier (SURVEY §1.1
+probe time-series ``Output/MLSOut00E.dat``; §2.5 W3 deltas): a real
+monitoring pipeline over the solver's E/B series — or any 100 TB event
+stream — needs (a) a regular time grid even when output steps are
+missing (the reference's ``nOutLoops`` cadence guarantees regularity;
+ingest gaps break it), (b) a linear trend per series (the stress–strain
+elastic-modulus fit, ``README.md:24``), and (c) outlier flags computed
+from a bounded trailing window.
+
+Cross-engine float discipline (see ``queries/__init__`` docstring):
+every value is quantized to integer centi-units with the repo-standard
+``CAST(round(x * 100) AS BIGINT)`` before any aggregation, so sums are
+order-independent int64 arithmetic on both engines; the few final
+divisions run on identical int64-derived doubles, which IEEE 754 makes
+bit-identical across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.queries import register
+from columnarmodeling_spark.queries._util import t
+
+# one hour in epoch-micros: the gap-fill grid resolution
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "q149_gap_fill",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id,
+             epoch_us(ts) // {_HOUR_US} AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS hr FROM b),
+    j AS (
+      SELECT g.user_id, g.hr,
+             CASE WHEN o.cnt IS NULL THEN NULL
+                  ELSE round((CAST(o.sc AS DOUBLE) / o.cnt) / 100.0, 6)
+             END AS v_obs
+      FROM grid g LEFT JOIN obs o USING (user_id, hr))
+    SELECT user_id, hr,
+           last_value(v_obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+           CAST(v_obs IS NULL AS BIGINT) AS is_gap
+    FROM j
+    """,
+    doc="Regular-grid gap fill with last-observation carry-forward "
+    "(LOCF): per user, hourly buckets spanning [first, last] observed "
+    "hour via sequence()/generate_series, a left join against the "
+    "observed hourly means, and a per-key IGNORE NULLS running last() "
+    "to fill the holes — the canonical resample step before any "
+    "rolling statistic on an irregular stream (the reference's E/B "
+    "series are regular by construction, MLS00con.dat:7; ingest gaps "
+    "at 100 TB are not). Every stage — the bucket agg, the grid "
+    "explode, the join, the fill window — keys on user_id, so one "
+    "hash partitioning serves the whole plan and nothing funnels "
+    "through a single partition; the grid explode fans out to "
+    "hours-per-user rows, bounded by the observed span, never a "
+    "cross join. Hourly means go through the repo-standard integer "
+    "centi-quantization so both engines fill identical doubles.",
+    tags=("timeseries", "gap-fill", "window", "resample", "scale"),
+)
+def q149_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"div(unix_micros(cast(ts AS timestamp)), {_HOUR_US})").alias(
+            "hr"
+        ),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    obs = e.groupBy("user_id", "hr").agg(
+        F.sum("vc").alias("sc"), F.count("*").alias("cnt")
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id", F.explode(F.sequence("lo", "hi")).alias("hr")
+        )
+    )
+    j = grid.join(obs, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        F.when(
+            F.col("cnt").isNotNull(),
+            F.round(
+                (F.col("sc").cast("double") / F.col("cnt")) / 100.0, 6
+            ),
+        ).alias("v_obs"),
+    )
+    fill = W.partitionBy("user_id").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.last("v_obs", ignorenulls=True).over(fill).alias("v_fill"),
+        F.col("v_obs").isNull().cast("long").alias("is_gap"),
+    )
+
+
+@register(
+    "q153_ols_trend",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT)      AS xq,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yq
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag,
+             count(*)                    AS n,
+             CAST(sum(xq) AS BIGINT)      AS sx,
+             CAST(sum(yq) AS BIGINT)      AS sy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy
+      FROM q GROUP BY 1)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / (CAST(n AS DOUBLE) * 100.0), 6) AS intercept_c
+    FROM s
+    """,
+    doc="Per-group closed-form OLS line fit (price-vs-quantity per "
+    "return flag — the relational analog of the stress–strain "
+    "elastic-modulus fit the reference's E-series exists to produce, "
+    "README.md:24): slope and intercept from the five classic sums "
+    "(n, Σx, Σy, Σx², Σxy) in ONE map-side-combinable hash "
+    "aggregation — the single-pass shape that beats two-pass "
+    "mean-centering at 100 TB because no second scan and no "
+    "broadcast of per-group means is needed. Inputs are quantized to "
+    "integer centi-units so the sums are exact int64 on both "
+    "engines; the final slope/intercept arithmetic runs the same "
+    "IEEE double expression on identical int64-derived operands, so "
+    "both engines emit bit-identical doubles before the final "
+    "round(…, 6).",
+    tags=("timeseries", "regression", "agg", "A7", "scale"),
+)
+def q153_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("xq"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("yq"),
+    )
+    s = q.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / (nd * 100.0),
+            6,
+        ).alias("intercept_c"),
+    )
+
+
+# rolling anomaly window: the 10 rows strictly before the current one
+_ANOM_LOOKBACK = 10
+_ANOM_MIN_N = 5
+
+
+@register(
+    "q156_rolling_anomaly",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, xc,
+             count(xc)  OVER lb              AS n,
+             CAST(coalesce(sum(xc)      OVER lb, 0) AS BIGINT) AS s,
+             CAST(coalesce(sum(xc * xc) OVER lb, 0) AS BIGINT) AS s2
+      FROM q
+      WINDOW lb AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN {_ANOM_LOOKBACK} PRECEDING
+                             AND 1 PRECEDING))
+    SELECT user_id, event_id, xc, CAST(n AS BIGINT) AS n_window,
+           CAST(n >= {_ANOM_MIN_N}
+                AND (n * xc - s) * (n * xc - s) > 4 * (n * s2 - s * s)
+                AS BIGINT) AS is_anom
+    FROM w
+    """,
+    doc="Trailing-window anomaly flag (monitoring staple over the "
+    "solver's probe series or any event stream): each reading is "
+    "compared against the mean/variance of the 10 readings strictly "
+    "before it in its own series; flagged when at least 5 priors "
+    "exist and |x − μ| > 2σ. The test is algebraically cleared of "
+    "divisions — (n·x − s)² > 4·(n·s2 − s²) — over centi-quantized "
+    "int64 sums, so the whole query is EXACT integer arithmetic on "
+    "both engines (bounded by 10 values ≤ 49 002 centi-units, no "
+    "overflow); no float variance ever materializes, sidestepping "
+    "the sliding-window-recurrence rounding that differs between "
+    "engines. One window pass, partitioned by user_id with a "
+    "(us, event_id) tiebreak — per-key bounded frames, no global "
+    "sort, scale-indifferent.",
+    tags=("timeseries", "anomaly", "window", "W3", "scale"),
+)
+def q156_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("xc"),
+    )
+    lb = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-_ANOM_LOOKBACK, -1)
+    )
+    w = q.select(
+        "user_id",
+        "event_id",
+        "xc",
+        F.count("xc").over(lb).alias("n"),
+        F.coalesce(F.sum("xc").over(lb), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("xc") * F.col("xc")).over(lb), F.lit(0)).alias(
+            "s2"
+        ),
+    )
+    dev = F.col("n") * F.col("xc") - F.col("s")
+    var4 = 4 * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    return w.select(
+        "user_id",
+        "event_id",
+        "xc",
+        F.col("n").cast("long").alias("n_window"),
+        ((F.col("n") >= _ANOM_MIN_N) & (dev * dev > var4))
+        .cast("long")
+        .alias("is_anom"),
+    )
