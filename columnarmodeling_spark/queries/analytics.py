@@ -369,3 +369,211 @@ def q155_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y0").cast("long").alias("ymax"),
         )
     )
+
+
+_HIST_BUCKETS = 16
+
+
+@register(
+    "q157_equidepth_hist",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS rn,
+             count(*) OVER () AS n
+      FROM lineitem)
+    SELECT (rn - 1) * {_HIST_BUCKETS} // n AS bucket,
+           count(*) AS n_rows,
+           CAST(min(pc) AS BIGINT) AS lo_cents,
+           CAST(max(pc) AS BIGINT) AS hi_cents
+    FROM v GROUP BY 1
+    """,
+    doc="Equi-depth (equal-height) histogram of l_extendedprice in 16 "
+    "buckets — the statistic a cost-based optimizer keeps per column, "
+    "and the partition-boundary computation behind range "
+    "repartitioning: bucket k holds ranks [k·n/B, (k+1)·n/B), so "
+    "every bucket carries n/B ± 1 rows no matter how skewed the "
+    "values. The rank comes from operators/indexing.with_global_index "
+    "(range partition → per-partition row_number → driver prefix over "
+    "#partitions counts → broadcast), NOT a single-partition global "
+    "window — at 100 TB the oracle's row_number() OVER (ORDER BY …) "
+    "simply does not execute, which is why the operator exists. "
+    "Bucket arithmetic is pure int64 ((rn−1)·B div n) on identical "
+    "ranks, and the unique (price, orderkey, linenumber) tiebreak "
+    "makes the rank assignment deterministic on both engines.",
+    tags=("analytics", "histogram", "order-statistics", "scale"),
+)
+def q157_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+    )
+    idx = with_global_index(li, ["x", "l_orderkey", "l_linenumber"])
+    n = li.agg(F.count("*").alias("n"))
+    return (
+        idx.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr(f"div((rn - 1) * {_HIST_BUCKETS}, n)").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pc").cast("long").alias("lo_cents"),
+            F.max("pc").cast("long").alias("hi_cents"),
+        )
+    )
+
+
+@register(
+    "q158_cube_aggregate",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(2 * grouping(l_returnflag) + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE aggregation (all 2^2 grouping sets of return flag × line "
+    "status, completing the multi-granularity family next to q35's "
+    "ROLLUP): every subtotal level in ONE pass — Spark expands the "
+    "cube map-side and aggregates all four grouping sets through a "
+    "single shuffle, which at 100 TB replaces four separate scans "
+    "with one. The grouping() bit-vector is computed explicitly as "
+    "2·g(rf)+g(ls) on both engines (bit order of the built-in "
+    "grouping_id() is engine-specific — the explicit form is "
+    "portable), and NULL-vs-subtotal ambiguity is resolved the "
+    "standard way (coalesce to 'ALL' + the gid column, exercising "
+    "grouping() as the disambiguator since the source columns are "
+    "non-null). Quantities stay integer cents.",
+    tags=("analytics", "cube", "grouping-sets", "agg", "scale"),
+)
+def q158_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qc"),
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                2 * F.grouping("l_returnflag") + F.grouping("l_linestatus")
+            )
+            .cast("long")
+            .alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("qc").cast("long").alias("qty_cents"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid",
+            "n",
+            "qty_cents",
+        )
+    )
+
+
+@register(
+    "q161_column_profile",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus, o_orderpriority,
+             epoch_us(o_orderdate) // 86400000000 AS order_day
+      FROM orders)
+    SELECT 'o_orderkey' AS col, count(o_orderkey) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM o
+    UNION ALL
+    SELECT 'o_custkey', count(o_custkey),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM o
+    UNION ALL
+    SELECT 'price_cents', count(price_cents),
+           CAST(count(DISTINCT price_cents) AS BIGINT),
+           CAST(min(price_cents) AS VARCHAR),
+           CAST(max(price_cents) AS VARCHAR)
+    FROM o
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM o
+    UNION ALL
+    SELECT 'o_orderpriority', count(o_orderpriority),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM o
+    UNION ALL
+    SELECT 'order_day', count(order_day),
+           CAST(count(DISTINCT order_day) AS BIGINT),
+           CAST(min(order_day) AS VARCHAR), CAST(max(order_day) AS VARCHAR)
+    FROM o
+    """,
+    doc="Dataset column profiler (the data-quality sweep every "
+    "warehouse runs on landing: non-null count, exact distinct "
+    "count, min/max per column, normalized to strings so one "
+    "relation carries all columns): six profile rows over orders, "
+    "money in integer cents and dates as epoch-days so the "
+    "stringified extrema agree byte-for-byte across engines. The "
+    "Spark side computes ALL six columns' profiles in a single "
+    "job — one pass over the table with six independent agg "
+    "branches unioned; the exact distincts are per-branch hash "
+    "aggs (Spark plans count(DISTINCT) as expand+two-phase agg, "
+    "map-side partialed; at 100 TB swap in approx_count_distinct "
+    "per q10's sketch variants if exactness is negotiable).",
+    tags=("analytics", "profiling", "data-quality", "agg", "scale"),
+)
+def q161_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr(
+            "div(CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT), 86400)"
+        ).alias("order_day"),
+    )
+
+    def prof(col: str) -> DataFrame:
+        return o.agg(
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        ).select(
+            F.lit(col).alias("col"),
+            "n_nonnull",
+            "n_distinct",
+            "min_val",
+            "max_val",
+        )
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "price_cents",
+        "o_orderstatus",
+        "o_orderpriority",
+        "order_day",
+    ]
+    out = prof(cols[0])
+    for c in cols[1:]:
+        out = out.unionByName(prof(c))
+    return out

@@ -1494,3 +1494,123 @@ def q143_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cl").cast("long").alias("cluster"),
         F.col("d2").cast("long").alias("distortion"),
     )
+
+
+_JL_K = 8  # projected dimensionality
+_JL_PAIR_OFFSET = 250  # deterministic evaluation pairs (vec_id, vec_id+250)
+# portable sign hash: top bit of a 16-bit Weyl-style mix of (dim, proj)
+# indices — parity of any odd-coefficient linear form would collapse to
+# (i+j) parity, so the bit must come from a HIGH position, not bit 0
+_JL_SIGN = (
+    "(1 - 2 * ((({i} * 2654435761 + {j} * 40503) % 65536) {div} 32768))"
+)
+
+
+@register(
+    "q160_jl_distortion",
+    oracle=f"""
+    WITH {_SQL_QUANT},
+    ex AS (
+      SELECT vec_id, i, qv[i] AS q
+      FROM n, LATERAL (
+        SELECT unnest(generate_series(1, len(qv))) AS i) ix),
+    proj AS (
+      SELECT vec_id, j,
+             CAST(sum({_JL_SIGN.format(i="i", j="j", div="//")} * q)
+                  AS BIGINT) AS y
+      FROM ex, LATERAL (
+        SELECT unnest(generate_series(1, {_JL_K})) AS j) jx
+      GROUP BY vec_id, j),
+    dorig AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+      FROM ex a JOIN ex b
+        ON b.vec_id = a.vec_id + {_JL_PAIR_OFFSET} AND b.i = a.i
+      GROUP BY 1, 2),
+    dproj AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS p2
+      FROM proj a JOIN proj b
+        ON b.vec_id = a.vec_id + {_JL_PAIR_OFFSET} AND b.j = a.j
+      GROUP BY 1, 2)
+    SELECT o.va, o.vb, o.d2, p.p2,
+           CASE WHEN o.d2 = 0 THEN NULL
+                ELSE round(CAST(p.p2 AS DOUBLE)
+                           / ({_JL_K}.0 * CAST(o.d2 AS DOUBLE)), 6)
+           END AS ratio
+    FROM dorig o JOIN dproj p ON p.va = o.va AND p.vb = o.vb
+    """,
+    doc="Johnson–Lindenstrauss random-projection distortion eval: "
+    "project the 64-dim embeddings onto 8 deterministic ±1 "
+    "directions (sign = high bit of a Weyl-mix hash of (dim, "
+    "direction) — bit 0 of any odd linear form degenerates to "
+    "(i+j) parity, a classic portable-PRNG trap) and report, for "
+    "250 deterministic vector pairs, ‖proj(a)−proj(b)‖²/(k·‖a−b‖²) "
+    "— the per-pair distortion that JL bounds near 1, the number "
+    "that justifies replacing 64-dim distance with 8-dim distance "
+    "in a first-pass 100 TB candidate filter (8× less shuffle "
+    "bytes than q46's exact pass, refined exactly afterwards like "
+    "the q49 LSH verify). Projections of milli-quantized int64 "
+    "coordinates by ±1 signs stay EXACT int64 end to end — sums, "
+    "differences, squares — so both engines agree bit-for-bit; the "
+    "single final division is one IEEE op on identical operands. "
+    "Scale: the projection is a per-row explode bounded by d·k, "
+    "aggregated per (vec, direction) — embarrassingly parallel, no "
+    "pair space beyond the evaluation pairs themselves.",
+    tags=("llm", "similarity", "jl", "projection", "scale"),
+)
+def q160_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        _quantized(spark, sf_dir)
+        .select("vec_id", F.posexplode("qv").alias("pos", "q"))
+        .select("vec_id", (F.col("pos") + 1).alias("i"), "q")
+    )
+    js = spark.range(1, _JL_K + 1).select(F.col("id").alias("j"))
+    sign = F.expr(_JL_SIGN.format(i="i", j="j", div="div"))
+    proj = (
+        ex.crossJoin(F.broadcast(js))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(sign * F.col("q")).cast("long").alias("y"))
+    )
+    b_ex = ex.select(
+        (F.col("vec_id") - _JL_PAIR_OFFSET).alias("vec_id"),
+        "i",
+        F.col("q").alias("qb"),
+    )
+    dorig = (
+        ex.join(b_ex, ["vec_id", "i"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("q") - F.col("qb")) * (F.col("q") - F.col("qb")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    b_proj = proj.select(
+        (F.col("vec_id") - _JL_PAIR_OFFSET).alias("vec_id"),
+        "j",
+        F.col("y").alias("yb"),
+    )
+    dproj = (
+        proj.join(b_proj, ["vec_id", "j"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("y") - F.col("yb")) * (F.col("y") - F.col("yb")))
+            .cast("long")
+            .alias("p2")
+        )
+    )
+    return dorig.join(dproj, "vec_id").select(
+        F.col("vec_id").alias("va"),
+        (F.col("vec_id") + _JL_PAIR_OFFSET).alias("vb"),
+        "d2",
+        "p2",
+        F.when(
+            F.col("d2") != 0,
+            F.round(
+                F.col("p2").cast("double")
+                / (float(_JL_K) * F.col("d2").cast("double")),
+                6,
+            ),
+        ).alias("ratio"),
+    )

@@ -701,3 +701,89 @@ def q150_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.least(F.col("d"), F.lit(_SSSP_INF)).cast("long").alias("dist"),
     )
+
+
+_DBSCAN_MINPTS = 4  # core = at least minPts points in the eps-ball, self included
+
+
+@register(
+    "q159_dbscan_cores",
+    oracle=f"""
+    WITH pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_EPS}),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src AS id, count(*) AS dg FROM und GROUP BY 1),
+    lab AS (
+      SELECT p.id, coalesce(d.dg, 0) AS degree,
+             coalesce(d.dg, 0) + 1 >= {_DBSCAN_MINPTS} AS is_core
+      FROM pts p LEFT JOIN deg d ON d.id = p.id)
+    SELECT l.id, CAST(l.degree AS BIGINT) AS degree,
+           CASE WHEN l.is_core THEN 'core'
+                WHEN EXISTS (SELECT 1 FROM und u JOIN lab c ON c.id = u.src
+                             WHERE u.dst = l.id AND c.is_core)
+                  THEN 'border'
+                ELSE 'noise' END AS role
+    FROM lab l
+    """,
+    doc="DBSCAN point classification (core / border / noise at eps=30, "
+    "minPts=4) — the density-clustering complement to q143's k-means "
+    "(which assumes convex, similar-size clusters; density handles "
+    "the elongated grain-boundary shapes the reference's "
+    "tessellations produce): a point is core when its eps-ball holds "
+    "at least minPts points (itself included), border when non-core "
+    "but inside some core's ball, noise otherwise. The eps-ball "
+    "membership comes from the SAME grid-binned proximity join as "
+    "q30 (operators/proximity.py — bounded 9-cell explode, "
+    "equi-join on cell, exact distance post-filter), so no pair "
+    "space beyond the physical neighbor pairs ever exists; degree "
+    "count and the border probe are one hash agg + one semi-join "
+    "against the broadcast-size core set. All-integer degrees, "
+    "label strings — exact on both engines.",
+    tags=("proximity", "clustering", "dbscan", "J1", "scale"),
+)
+def q159_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    edges = grid_proximity_join(pts, eps=_EPS, id_col="id").select(
+        "src", "dst"
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("dg")
+    )
+    lab = (
+        pts.select("id")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("dg", F.lit(0)).alias("degree"),
+            (F.coalesce("dg", F.lit(0)) + 1 >= _DBSCAN_MINPTS).alias(
+                "is_core"
+            ),
+        )
+        .localCheckpoint()
+    )
+    core_ids = lab.filter("is_core").select(F.col("id").alias("src"))
+    bordered = (
+        und.join(core_ids, "src", "left_semi")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .withColumn("near_core", F.lit(True))
+    )
+    return (
+        lab.join(bordered, "id", "left")
+        .select(
+            "id",
+            F.col("degree").cast("long").alias("degree"),
+            F.when(F.col("is_core"), "core")
+            .when(F.col("near_core").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+    )

@@ -94,3 +94,46 @@ def test_sssp_dominated_by_bfs_hops_times_max_weight(spark, sf_dir):
         (F.col("dist") > F.col("hops") * 7) | (F.col("dist") < F.col("hops"))
     )
     assert bad.count() == 0
+
+
+def test_equidepth_buckets_are_balanced(spark, sf_dir):
+    out = REGISTRY["q157_equidepth_hist"].fn(spark, sf_dir).collect()
+    assert len(out) == 16
+    counts = [r["n_rows"] for r in out]
+    assert max(counts) - min(counts) <= 1
+    # buckets tile the value range without overlap
+    rows = sorted(out, key=lambda r: r["bucket"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] <= b["lo_cents"]
+
+
+def test_cube_subtotals_reconcile(spark, sf_dir):
+    out = REGISTRY["q158_cube_aggregate"].fn(spark, sf_dir).collect()
+    grand = [r for r in out if r["gid"] == 3]
+    assert len(grand) == 1
+    for gid in (0, 1, 2):
+        part = sum(r["n"] for r in out if r["gid"] == gid)
+        assert part == grand[0]["n"]
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    rows = REGISTRY["q160_jl_distortion"].fn(spark, sf_dir).collect()
+    ratios = [r["ratio"] for r in rows if r["ratio"] is not None]
+    assert ratios, "no evaluable pairs"
+    # JL with k=8: mean distortion within 25% of 1; per-pair ratios are
+    # chi-square_8/8 distributed, so with 250 pairs the observed tail
+    # reaches ~0.05/~4 — bound at the distribution's practical support
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25
+    assert all(0.02 < r < 8.0 for r in ratios)
+
+
+def test_dbscan_roles_are_consistent(spark, sf_dir):
+    out = REGISTRY["q159_dbscan_cores"].fn(spark, sf_dir)
+    bad_core = out.filter(
+        (F.col("role") == "core") & (F.col("degree") + 1 < 4)
+    ).count()
+    bad_noise = out.filter(
+        (F.col("role") == "noise") & (F.col("degree") + 1 >= 4)
+    ).count()
+    assert bad_core == 0 and bad_noise == 0
