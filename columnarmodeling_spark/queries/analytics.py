@@ -577,3 +577,61 @@ def q161_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols[1:]:
         out = out.unionByName(prof(c))
     return out
+
+
+_BUCKETS_N = 8
+_BUCKET_PATH = "/tmp/spark_graft_bucketed"
+
+
+@register(
+    "q162_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    doc="Bucket-pruned co-located join: both sides are first written as "
+    "bucketed tables (8 buckets, hashed and sorted on the order key — "
+    "Spark's native-datasource bucketing, no Hive needed), then "
+    "joined bucket-to-bucket. THE 100 TB technique for a join both "
+    "of whose sides are too big to broadcast and which runs "
+    "repeatedly (the fact-to-fact case): the bucketed layout "
+    "pre-pays the shuffle ONCE at write time, and every subsequent "
+    "join/aggregation on the bucket key runs with ZERO exchange on "
+    "either side (tests/test_timeseries.py asserts the joined plan "
+    "is exchange-free under a disabled broadcast threshold). The "
+    "registered query does write+join in one call so the oracle "
+    "checks end-to-end semantics; in production the write "
+    "amortizes across every downstream consumer. Result is the "
+    "plain per-priority revenue roll-up in integer cents.",
+    tags=("analytics", "bucketing", "join", "layout", "scale"),
+)
+def q162_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key in (
+        ("bk_lineitem", li, "l_orderkey"),
+        ("bk_orders", o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(_BUCKETS_N, key)
+            .sortBy(key)
+            .option("path", f"{_BUCKET_PATH}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    j = spark.table("bk_lineitem").join(
+        spark.table("bk_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("pc").cast("long").alias("rev_cents"),
+    )

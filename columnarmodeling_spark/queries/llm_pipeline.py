@@ -341,3 +341,77 @@ def q142_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ht_tokens_est"),
         F.col("true_tokens").cast("long").alias("true_tokens"),
     )
+
+
+_MIX_ALPHA = 0.7  # sampling temperature: rate ∝ tokens^alpha
+_MIX_BUDGET = 1_000_000  # token budget the rates are applied to
+
+
+@register(
+    "q163_mix_temperature",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), t -> t <> '')) AS n_tok
+      FROM documents),
+    per_src AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS n,
+             count(*) AS n_docs
+      FROM toks GROUP BY source),
+    wt AS (
+      SELECT source, n, n_docs,
+             CAST(round(pow(CAST(n AS DOUBLE), {_MIX_ALPHA}) * 1000000.0)
+                  AS BIGINT) AS w
+      FROM per_src),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt)
+    SELECT wt.source, wt.n AS src_tokens, CAST(wt.n_docs AS BIGINT) AS n_docs,
+           round(CAST(wt.w AS DOUBLE) / CAST(t.tw AS DOUBLE), 6) AS rate,
+           {_MIX_BUDGET} * wt.w // t.tw AS budget_tokens
+    FROM wt CROSS JOIN tot t
+    """,
+    doc="Temperature-scaled data-mixing rates (the multinomial "
+    "source-sampling rule every multi-corpus training run uses, "
+    "rate_s ∝ tokens_s^α with α=0.7 — upweights small sources "
+    "relative to proportional sampling so one giant crawl doesn't "
+    "drown the curated corpora): per source, exact token counts, "
+    "the normalized sampling rate, and the integer token budget at "
+    "1M. Complements q95 (which applies FIXED per-source rates "
+    "end-to-end) by computing the rates themselves. Float "
+    "discipline: the single pow() per source is quantized to "
+    "integer micro-units before the normalizing sum (the q100 "
+    "micro-nat pattern), the rate is one IEEE division on identical "
+    "int64-derived operands, and the budget allocation is exact "
+    "integer floor division. One token-count hash agg (doc-keyed, "
+    "map-side combined), a per-source roll-up bounded by the number "
+    "of sources, and a one-row broadcast total.",
+    tags=("llm", "pipeline", "mixing", "sampling", "scale"),
+)
+def q163_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    per_src = d.groupBy("source").agg(
+        F.sum("n_tok").alias("n"), F.count("*").alias("n_docs")
+    )
+    wt = per_src.select(
+        "source",
+        "n",
+        "n_docs",
+        F.round(
+            F.pow(F.col("n").cast("double"), float(_MIX_ALPHA)) * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    tot = wt.agg(F.sum("w").cast("long").alias("tw"))
+    return wt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").alias("src_tokens"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("w").cast("double") / F.col("tw").cast("double"), 6
+        ).alias("rate"),
+        F.expr(f"div({_MIX_BUDGET} * w, tw)").alias("budget_tokens"),
+    )

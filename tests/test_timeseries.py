@@ -137,3 +137,39 @@ def test_dbscan_roles_are_consistent(spark, sf_dir):
         (F.col("role") == "noise") & (F.col("degree") + 1 >= 4)
     ).count()
     assert bad_core == 0 and bad_noise == 0
+
+
+def test_bucketed_join_plan_has_no_exchange(spark, sf_dir):
+    """The whole point of q162: once both sides are bucketed on the join
+    key, the join + aggregation runs with ZERO shuffle on either side.
+    Broadcast is disabled so the planner can't hide the property."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        REGISTRY["q162_bucketed_join"].fn(spark, sf_dir).count()
+        j = spark.table("bk_lineitem").join(
+            spark.table("bk_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_mix_temperature_budget_conserves(spark, sf_dir):
+    rows = REGISTRY["q163_mix_temperature"].fn(spark, sf_dir).collect()
+    rates = sum(r["rate"] for r in rows)
+    assert abs(rates - 1.0) < 1e-4
+    # floor-division allocation never exceeds the budget, and the
+    # shortfall is bounded by one token per source
+    total = sum(r["budget_tokens"] for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+    # temperature upweights small sources: budget share > raw share for
+    # the smallest source, < for the largest
+    by_n = sorted(rows, key=lambda r: r["src_tokens"])
+    raw_total = sum(r["src_tokens"] for r in rows)
+    small, big = by_n[0], by_n[-1]
+    assert small["budget_tokens"] / 1e6 > small["src_tokens"] / raw_total
+    assert big["budget_tokens"] / 1e6 < big["src_tokens"] / raw_total

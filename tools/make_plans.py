@@ -164,6 +164,39 @@ CASES = {
     "both enter the probe via BroadcastExchange (the eval costs the "
     "top-20 side nothing but map work); the only all-to-all "
     "exchanges are the two token aggs, both linear in corpus size.",
+    "q149_gap_fill": "Regular-grid LOCF gap fill. What to check: the "
+    "bucket agg, the per-user bounds agg, the grid generator "
+    "(explode of sequence(lo, hi) — bounded by span, not a cross "
+    "join), the left join and the IGNORE-NULLS fill window ALL key "
+    "on user_id — one hash partitioning reused end to end, no "
+    "global sort, no single-partition window.",
+    "q151_pmi_collocations": "PMI collocation mining. What to check: "
+    "the min-count Filter sits directly on the bigram partial/final "
+    "agg OUTPUT — i.e. the Zipf tail is pruned BEFORE the two "
+    "unigram equi-joins; the two corpus totals enter via "
+    "BroadcastExchange (one-row each); the unigram joins are plain "
+    "shuffle/broadcast hash joins keyed on a word with fan-out 1 "
+    "per surviving bigram (both sides pre-aggregated).",
+    "q155_zorder_layout": "Morton z-order layout key. What to check: "
+    "the whole interleave (8 mask-and-spread stages) collapses into "
+    "ONE whole-stage-codegen Project over the scan — no exchange "
+    "until the single per-bucket partial/final hash agg; ReadSchema "
+    "carries only c_custkey and c_acctbal.",
+    "q157_equidepth_hist": "Equi-depth histogram over the global "
+    "index. What to check: the rank comes from the two-pass pattern "
+    "— one RangePartitioning exchange, a per-partition window "
+    "(partitionBy __pid), BroadcastExchange of the #partitions "
+    "offsets — never a single-partition global window; the count "
+    "enters via a one-row broadcast and the bucket arithmetic is a "
+    "codegen projection feeding one partial/final agg.",
+    "q160_jl_distortion": "JL ±1 projection distortion. What to "
+    "check: the d×k sign expansion is a posexplode generator plus a "
+    "BroadcastExchange of the 8-row direction table (the sign is "
+    "computed inline in codegen — no sign matrix is ever "
+    "materialized or shuffled); the projection is one (vec, "
+    "direction)-keyed partial/final agg; the pair joins key on "
+    "vec_id with the +250 offset applied as a projection, so both "
+    "distance aggs are plain equi-joins + hash aggs.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
