@@ -635,3 +635,99 @@ def q162_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("pc").cast("long").alias("rev_cents"),
     )
+
+
+@register(
+    "q165_mad_robust",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    r1 AS (
+      SELECT l_returnflag, xc,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY xc, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM q),
+    med AS (
+      SELECT l_returnflag, n, xc AS median_c
+      FROM r1 WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT q.l_returnflag, abs(q.xc - m.median_c) AS dc,
+             q.l_orderkey, q.l_linenumber, m.n, m.median_c
+      FROM q JOIN med m USING (l_returnflag)),
+    r2 AS (
+      SELECT l_returnflag, n, median_c, dc,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY dc, l_orderkey, l_linenumber) AS rn
+      FROM d)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           median_c, dc AS mad_c
+    FROM r2 WHERE rn = (n + 1) // 2
+    """,
+    doc="Robust location/scale per group: exact lower median and median "
+    "absolute deviation (MAD — the outlier-resistant alternative to "
+    "mean/stddev that q156's anomaly rule would use under heavy "
+    "tails), both in integer centi-units so every comparison is "
+    "engine-exact. The oracle's per-group row_number() is the "
+    "few-giant-groups trap: PARTITION BY a 3-value column sorts a "
+    "third of 100 TB in each of 3 tasks. The Spark side instead "
+    "runs the q147/q157 two-pass global index over the COMPOSITE "
+    "key (flag, value, tiebreak) — range partition, per-partition "
+    "row_number, driver prefix over #partitions counts — then "
+    "derives each group's local rank as rn − min(rn) + 1 from a "
+    "broadcast per-group offset join; the median row is a broadcast "
+    "rank probe. Two such passes (values, then absolute "
+    "deviations); no per-group sort task ever exists.",
+    tags=("analytics", "robust", "median", "order-statistics", "scale"),
+)
+def q165_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    def group_median(df: DataFrame, val: str) -> DataFrame:
+        """Exact per-group lower median via ONE global composite-key
+        index: group rank = global rn − group's min rn + 1."""
+        idx = with_global_index(
+            df, ["l_returnflag", val, "l_orderkey", "l_linenumber"]
+        )
+        g = idx.groupBy("l_returnflag").agg(
+            F.min("rn").alias("r0"), F.count("*").alias("n")
+        )
+        target = g.select(
+            "l_returnflag",
+            "n",
+            (
+                F.col("r0") + F.expr("div(n + 1, 2)") - F.lit(1)
+            ).alias("rn"),
+        )
+        return idx.join(F.broadcast(target), ["l_returnflag", "rn"]).select(
+            "l_returnflag", "n", F.col(val).alias(f"med_{val}")
+        )
+
+    q = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("xc"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    med = group_median(q, "xc")
+    d = q.join(
+        F.broadcast(med.select("l_returnflag", "med_xc")), "l_returnflag"
+    ).select(
+        "l_returnflag",
+        F.abs(F.col("xc") - F.col("med_xc")).alias("dc"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    mad = group_median(d, "dc")
+    return (
+        med.join(mad.select("l_returnflag", "med_dc"), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n"),
+            F.col("med_xc").alias("median_c"),
+            F.col("med_dc").alias("mad_c"),
+        )
+    )

@@ -258,3 +258,66 @@ def q156_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_anom"),
     )
+
+
+@register(
+    "q164_event_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS c
+      FROM e WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
+      FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.c AS BIGINT) AS c,
+           1000000 * c.c // t.row_total AS p_micro
+    FROM c JOIN tot t USING (from_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the clickstream/session-modeling staple — next-step "
+    "probabilities feed recommendation priors and bot detection): "
+    "consecutive event pairs from ONE lead() pass per user (ordered "
+    "by integer epoch-micros with an event_id tiebreak), corpus "
+    "counts per (from, to), and the row-conditional probability in "
+    "exact integer floor-division micro-units — no float anywhere. "
+    "Scale: the lead window keys on user_id (per-key frames, no "
+    "global sort), the transition agg is map-side combinable and "
+    "its state is bounded by |event types|² regardless of event "
+    "volume, and the row-total join touches a relation of that same "
+    "tiny size.",
+    tags=("timeseries", "markov", "window", "sequence", "scale"),
+)
+def q164_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+    )
+    c = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("c"))
+    tot = c.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("row_total")
+    )
+    return c.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("c").cast("long").alias("c"),
+        F.expr("div(1000000 * c, row_total)").alias("p_micro"),
+    )
