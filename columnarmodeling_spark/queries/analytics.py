@@ -731,3 +731,51 @@ def q165_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("med_dc").alias("mad_c"),
         )
     )
+
+
+@register(
+    "q167_cdf_features",
+    oracle="""
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS rn,
+             count(*) OVER () AS n
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, pc,
+           1000000 * (rn - 1) // (n - 1) AS cdf_micro
+    FROM v
+    """,
+    doc="Empirical-CDF (percentile-rank) feature transform — the "
+    "distribution-free normalization a training pipeline applies to "
+    "heavy-tailed numerics before they reach a model (maps any "
+    "distribution to uniform [0,1], immune to outliers that wreck "
+    "min-max or z-score scaling): every row gains its exact rank "
+    "position 10⁶·(rn−1)/(n−1) in integer micro-units. Rank comes "
+    "from the q147/q157 two-pass global index (range exchange, "
+    "per-partition row_number, broadcast partition offsets) — the "
+    "oracle's global row_number() OVER (ORDER BY …) is exactly the "
+    "single-partition sort this operator exists to avoid; the "
+    "unique (price, orderkey, linenumber) tiebreak keeps the rank "
+    "assignment engine-deterministic and the floor division keeps "
+    "the output exact int64.",
+    tags=("analytics", "normalization", "order-statistics", "scale"),
+)
+def q167_cdf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+    )
+    idx = with_global_index(li, ["x", "l_orderkey", "l_linenumber"])
+    n = li.agg(F.count("*").alias("n"))
+    return idx.crossJoin(F.broadcast(n)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "pc",
+        F.expr("div(1000000 * (rn - 1), n - 1)").alias("cdf_micro"),
+    )

@@ -1137,3 +1137,77 @@ def q129_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter") / union, 6).alias("jaccard"),
         )
     )
+
+
+_EDIT_BLOCK_CHARS = 16  # blocking key: exact first-16-char prefix
+_EDIT_VERIFY_CHARS = 64  # edit distance computed on this prefix
+
+
+@register(
+    "q168_edit_distance_verify",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             lower(text) AS lt,
+             substr(lower(text), 1, {_EDIT_BLOCK_CHARS}) AS blk
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst,
+             substr(a.lt, 1, {_EDIT_VERIFY_CHARS}) AS sa,
+             substr(b.lt, 1, {_EDIT_VERIFY_CHARS}) AS sb
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+    m AS (
+      SELECT src, dst,
+             CAST(levenshtein(sa, sb) AS BIGINT) AS lev,
+             CAST(greatest(len(sa), len(sb)) AS BIGINT) AS maxlen
+      FROM pairs)
+    SELECT src, dst, lev,
+           1000000 * (maxlen - lev) // maxlen AS sim_micro
+    FROM m
+    """,
+    doc="Edit-distance near-dup verification behind prefix blocking — "
+    "the character-level verifier the dedup tier was missing (q40 "
+    "exact hash, q42/q44 token shingles, q49 embeddings; OCR noise and "
+    "single-character corruptions defeat all three but not "
+    "Levenshtein): candidate pairs come from an exact 16-char-prefix "
+    "equi-join block (the same bounded-key discipline as every other "
+    "pair space in this repo — no all-pairs O(n²) exists; prefix "
+    "blocks are how production fuzzy linkage bounds the quadratic "
+    "verifier), then each pair is scored by levenshtein() on the "
+    "64-char prefix, JVM-side in whole-stage codegen on the Spark "
+    "side, with similarity as exact integer floor-division "
+    "micro-units. Both engines implement classic unit-cost "
+    "Levenshtein, so every cell of the output is integer-identical.",
+    tags=("llm", "dedup", "edit-distance", "blocking", "scale"),
+)
+def q168_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower("text").alias("lt"),
+        F.substring(F.lower("text"), 1, _EDIT_BLOCK_CHARS).alias("blk"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("src"),
+        "blk",
+        F.substring("lt", 1, _EDIT_VERIFY_CHARS).alias("sa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("dst"),
+        "blk",
+        F.substring("lt", 1, _EDIT_VERIFY_CHARS).alias("sb"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("src") < F.col("dst"))
+    m = pairs.select(
+        "src",
+        "dst",
+        F.levenshtein("sa", "sb").cast("long").alias("lev"),
+        F.greatest(F.length("sa"), F.length("sb"))
+        .cast("long")
+        .alias("maxlen"),
+    )
+    return m.select(
+        "src",
+        "dst",
+        "lev",
+        F.expr("div(1000000 * (maxlen - lev), maxlen)").alias("sim_micro"),
+    )

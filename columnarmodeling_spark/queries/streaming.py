@@ -522,3 +522,103 @@ def q146_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+@register(
+    "q166_stream_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS c
+      FROM e WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
+      FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.c AS BIGINT) AS c,
+           1000000 * c.c // t.row_total AS p_micro
+    FROM c JOIN tot t USING (from_type)
+    """,
+    doc="STREAMING Markov transition counts with cross-batch "
+    "continuity — the stateful-operator property q84's running "
+    "totals can't show: a transition spans two events, so when a "
+    "micro-batch boundary falls between them only carried state "
+    "recovers the pair. Per user, GroupState holds the LAST event "
+    "(epoch-micros, type); each batch sorts its own events, prefixes "
+    "the carried one, emits per-(from,to) increment counts, and "
+    "stores the new tail. Increments are associative, so the "
+    "post-drain sum equals the batch q164 matrix EXACTLY regardless "
+    "of how the source splits into batches — the oracle IS q164's. "
+    "At 100 TB the state is one (long, string) per user (keyed "
+    "state store, partitioned on user_id) and emissions are bounded "
+    "by |types|² per user per batch.",
+    tags=("streaming", "stateful", "markov", "scale"),
+)
+def q166_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+
+    def transitions(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["us", "event_id"], kind="mergesort")
+        types = batch["event_type"].tolist()
+        if state.exists:
+            _, last_type = state.get
+            seq = [last_type] + types
+        else:
+            seq = types
+        state.update(
+            (int(batch["us"].iloc[-1]), str(types[-1]))
+        )
+        counts: dict[tuple[str, str], int] = {}
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            return
+        yield pd.DataFrame(
+            {
+                "from_type": [k[0] for k in counts],
+                "to_type": [k[1] for k in counts],
+                "c": list(counts.values()),
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        transitions,
+        outputStructType="from_type string, to_type string, c long",
+        stateStructType="us long, tp string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = drain_to_memory(out, mode="update")
+    # localCheckpoint: the memory-sink view can't be self-joined (its
+    # plan carries conflicting attribute refs on both join sides)
+    c = (
+        drained.groupBy("from_type", "to_type")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    tot = c.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("row_total")
+    )
+    return c.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "c",
+        F.expr("div(1000000 * c, row_total)").alias("p_micro"),
+    )
