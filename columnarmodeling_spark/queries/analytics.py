@@ -779,3 +779,132 @@ def q167_cdf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pc",
         F.expr("div(1000000 * (rn - 1), n - 1)").alias("cdf_micro"),
     )
+
+
+_SKETCH_B = 1024  # fixed histogram width: the sketch's constant state size
+_SKETCH_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+@register(
+    "q170_hist_quantiles",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    mm AS (SELECT min(pc) AS mn, max(pc) AS mx, count(*) AS n FROM v),
+    h AS (
+      SELECT (v.pc - m.mn) * {_SKETCH_B} // (m.mx - m.mn + 1) AS b,
+             count(*) AS cnt
+      FROM v CROSS JOIN mm m GROUP BY 1),
+    hc AS (
+      SELECT b, cnt,
+             CAST(sum(cnt) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM h),
+    qs AS (SELECT CAST(unnest(ARRAY{list(_SKETCH_QS)}) AS DOUBLE) AS q),
+    tg AS (
+      SELECT qs.q,
+             CAST(floor(qs.q * (m.n - 1)) AS BIGINT) + 1 AS rk,
+             m.mn, m.mx
+      FROM qs CROSS JOIN mm m),
+    ap AS (
+      SELECT t.q, t.rk,
+             min(t.mn + hc.b * (t.mx - t.mn + 1) // {_SKETCH_B})
+               AS approx_c
+      FROM tg t JOIN hc ON hc.cum >= t.rk AND hc.cum - hc.cnt < t.rk
+      GROUP BY 1, 2),
+    ex AS (
+      SELECT t.q, w.pc AS exact_c
+      FROM tg t JOIN (
+        SELECT pc, row_number() OVER (ORDER BY pc, l_orderkey,
+                                      l_linenumber) AS rn
+        FROM v) w ON w.rn = t.rk)
+    SELECT a.q, a.rk, a.approx_c, e.exact_c,
+           abs(a.approx_c - e.exact_c) AS err_c,
+           (SELECT (mx - mn + 1) // {_SKETCH_B} + 1 FROM mm) AS bound_c
+    FROM ap a JOIN ex e USING (q)
+    """,
+    doc="Mergeable histogram quantile sketch vs exact — the "
+    "bounded-state pattern that replaces exact order statistics "
+    "when 100 TB won't pay for a range exchange: ONE "
+    "map-side-combinable hash agg builds a fixed 1024-bucket "
+    "equi-width histogram (state size is the sketch width, "
+    "REGARDLESS of row count — shard-mergeable by addition like "
+    "q132's Count-Min), the cumulative pass runs over ≤1024 rows "
+    "via the two-pass running sum, and each quantile reads the "
+    "bucket whose cumulative count crosses its target rank. The "
+    "query emits approx AND exact (q147 machinery) side by side "
+    "with the error and its a-priori bound (one bucket width) — "
+    "all integer, so the accuracy claim is oracle-checkable, the "
+    "same eval discipline as q104/q110/q134. Deterministic "
+    "min/max come from one broadcast agg; every division is int64 "
+    "floor division.",
+    tags=("analytics", "sketch", "quantile", "histogram", "scale"),
+)
+def q170_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import (
+        with_global_index,
+        with_global_running_sum,
+    )
+
+    v = t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    mm = v.agg(
+        F.min("pc").alias("mn"), F.max("pc").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    h = (
+        v.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr(f"div((pc - mn) * {_SKETCH_B}, mx - mn + 1)").alias("b")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    hc = with_global_running_sum(h, ["b"], "cnt", out_col="cum")
+    qs = spark.createDataFrame([(q,) for q in _SKETCH_QS], "q DOUBLE")
+    tg = qs.crossJoin(F.broadcast(mm)).select(
+        "q",
+        (F.floor(F.col("q") * (F.col("n") - 1)).cast("long") + 1).alias(
+            "rk"
+        ),
+        "mn",
+        "mx",
+    )
+    ap = (
+        tg.join(
+            F.broadcast(hc),
+            (F.col("cum") >= F.col("rk"))
+            & (F.col("cum") - F.col("cnt") < F.col("rk")),
+        )
+        .groupBy("q", "rk")
+        .agg(
+            F.min(
+                F.col("mn")
+                + F.expr(f"div(b * (mx - mn + 1), {_SKETCH_B})")
+            ).alias("approx_c")
+        )
+    )
+    idx = with_global_index(v, ["pc", "l_orderkey", "l_linenumber"])
+    ex = idx.join(
+        F.broadcast(tg.select("q", F.col("rk").alias("rn"))), "rn"
+    ).select("q", F.col("pc").alias("exact_c"))
+    bound = mm.select(
+        (F.expr(f"div(mx - mn + 1, {_SKETCH_B})") + 1).alias("bound_c")
+    )
+    return (
+        ap.join(ex, "q")
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "q",
+            "rk",
+            "approx_c",
+            "exact_c",
+            F.abs(F.col("approx_c") - F.col("exact_c")).alias("err_c"),
+            "bound_c",
+        )
+    )

@@ -1211,3 +1211,122 @@ def q168_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lev",
         F.expr("div(1000000 * (maxlen - lev), maxlen)").alias("sim_micro"),
     )
+
+
+_TFIDF_MAX_DF = 50   # inverted-index hot-term cutoff (the q42 escape)
+_TFIDF_MIN_COS = 0.5  # report threshold
+
+
+@register(
+    "q169_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    tf AS MATERIALIZED (
+      SELECT doc_id, w, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+      GROUP BY doc_id, w),
+    df AS MATERIALIZED (
+      SELECT w, count(*) AS df FROM tf GROUP BY w),
+    nn AS (SELECT count(*) AS n FROM toks),
+    wt AS MATERIALIZED (
+      SELECT tf.doc_id, tf.w,
+             tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / df.df) * 1000.0)
+                          AS BIGINT) AS wgt,
+             df.df
+      FROM tf JOIN df USING (w) CROSS JOIN nn n),
+    nrm AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(wgt * wgt) AS BIGINT) AS n2
+      FROM wt GROUP BY doc_id),
+    dot AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst,
+             CAST(sum(a.wgt * b.wgt) AS BIGINT) AS dp
+      FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+      WHERE a.df <= {_TFIDF_MAX_DF}
+      GROUP BY 1, 2)
+    SELECT d.src, d.dst, d.dp,
+           round(CAST(d.dp AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+             AS cos6
+    FROM dot d
+    JOIN nrm na ON na.doc_id = d.src
+    JOIN nrm nb ON nb.doc_id = d.dst
+    WHERE CAST(d.dp AS DOUBLE)
+          / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+          >= {_TFIDF_MIN_COS}
+    """,
+    doc="TF-IDF-weighted cosine similarity join over an inverted index "
+    "— the sparse-vector sibling of q42's Jaccard (weights terms by "
+    "informativeness instead of counting them) and the lexical "
+    "complement of q49's dense-embedding cosine: per-term posting "
+    "lists join documents that share a term, partial dot products "
+    "accumulate per pair, norms attach at the end. The pair space "
+    "is bounded by the SAME discipline as every other join in this "
+    "repo: the df <= 20 cutoff drops hot-term postings (a stop word "
+    "would otherwise quadratically join half the corpus — the q42 "
+    "max_df escape), so candidates only arise through discriminative "
+    "terms (df <= 50 here: the synthetic corpus has a compact "
+    "vocabulary, so no term is rarer). Exactness: idf is quantized "
+    "to integer milli-nats, "
+    "weights and dot products are then pure int64; the cosine's "
+    "sqrt IS correctly rounded under IEEE 754 (unlike ln/pow), so "
+    "the single float expression is bit-identical on both engines.",
+    tags=("llm", "dedup", "tfidf", "similarity", "inverted-index", "scale"),
+)
+def q169_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    tf = (
+        d.select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    nn = d.agg(F.count("*").alias("n"))
+    wt = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "w",
+            "df",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n").cast("double") / F.col("df"))
+                    * 1000.0,
+                    0,
+                ).cast("long")
+            ).alias("wgt"),
+        )
+        .localCheckpoint()
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sum(F.col("wgt") * F.col("wgt")).cast("long").alias("n2")
+    )
+    rare = wt.filter(F.col("df") <= _TFIDF_MAX_DF)
+    a = rare.select(
+        F.col("doc_id").alias("src"), "w", F.col("wgt").alias("wa")
+    )
+    b = wt.select(
+        F.col("doc_id").alias("dst"), "w", F.col("wgt").alias("wb")
+    )
+    dot = (
+        a.join(b, "w")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dp"))
+    )
+    cos = F.col("dp").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        dot.join(nrm.select(F.col("doc_id").alias("src"), F.col("n2").alias("na")), "src")
+        .join(nrm.select(F.col("doc_id").alias("dst"), F.col("n2").alias("nb")), "dst")
+        .filter(cos >= _TFIDF_MIN_COS)
+        .select("src", "dst", "dp", F.round(cos, 6).alias("cos6"))
+    )

@@ -173,3 +173,17 @@ def test_mix_temperature_budget_conserves(spark, sf_dir):
     small, big = by_n[0], by_n[-1]
     assert small["budget_tokens"] / 1e6 > small["src_tokens"] / raw_total
     assert big["budget_tokens"] / 1e6 < big["src_tokens"] / raw_total
+
+
+def test_hist_quantile_error_within_bound(spark, sf_dir):
+    rows = REGISTRY["q170_hist_quantiles"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["err_c"] <= r["bound_c"], r
+
+
+def test_tfidf_cosine_bounded_and_thresholded(spark, sf_dir):
+    rows = REGISTRY["q169_tfidf_cosine_pairs"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.5 <= r["cos6"] <= 1.0 + 1e-9, r
+        assert r["src"] < r["dst"]
