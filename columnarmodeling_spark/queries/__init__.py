@@ -101,11 +101,18 @@ def register(
 # q48→q49/q98, q87→q95, q57→q118's EXISTS oracle), or exercised every
 # round by bench (q02). No streaming this round: the full streaming
 # tier got fresh rows in r5 behind the timestamp fix and is untouched
-# by round-6 changes. The late round-6 additions (q138-q146: the
+# by round-6 changes. The late round-6 additions (q138-q148: the
 # experiment BC programs, k-core, weighted sampling, k-means, audio
-# windows, interval join, streaming HLL) did NOT displace further
-# stale entries — each carries sf0.01 strict-replica evidence from
-# this round and queues for a first driver row in the r7 window.
+# windows, interval join, streaming HLL, global quantiles, SCD2; and
+# the q149-q173 block: gap fill, weighted SSSP, PMI, pivot, OLS,
+# entropy, z-order, rolling anomaly, equi-depth histogram, cube,
+# DBSCAN, JL distortion, column profiler, bucketed join, temperature
+# mix, Markov transitions batch+streaming, per-group median/MAD,
+# CDF features, edit-distance verify, TF-IDF cosine, histogram
+# quantile sketch, TWAP, retention cohorts, rolling DAU/WAU) did NOT
+# displace further stale entries — each carries sf0.01
+# strict-replica AND hostile-timezone driver-flow evidence from this
+# round and queues for a first driver row in the r7 window.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor

@@ -321,3 +321,191 @@ def q164_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("c"),
         F.expr("div(1000000 * c, row_total)").alias("p_micro"),
     )
+
+
+@register(
+    "q171_twap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) AS us,
+             event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events),
+    seg AS (
+      SELECT user_id, vc,
+             lead(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) - us AS dt
+      FROM e),
+    agg AS (
+      SELECT user_id,
+             count(*) AS n_held,
+             CAST(sum(dt) AS BIGINT) AS span_us,
+             CAST(sum(vc * dt) AS BIGINT) AS wsum
+      FROM seg WHERE dt IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id, CAST(n_held AS BIGINT) AS n_held, span_us,
+           round((CAST(wsum AS DOUBLE) / span_us) / 100.0, 6) AS twap
+    FROM agg
+    """,
+    doc="Time-weighted average value per series (TWAP — the "
+    "irregular-sampling-correct mean: each reading is weighted by "
+    "how long it was the latest one, so burst periods don't "
+    "dominate the way they do in a plain avg; the standard "
+    "aggregate for sensor/price series like the solver's E-curve "
+    "under uneven output cadence): one lead() pass per user gives "
+    "each reading's holding interval, then one hash agg forms "
+    "Σ value·dt / Σ dt. Exactness: centi-value × micro-duration "
+    "products and both sums are pure int64 (bounded: max value "
+    "49 002 centi × 30-day span ≈ 1.3e17 < 2^63); the single final "
+    "division runs on identical int64-derived doubles. Scale: the "
+    "window and the agg share one user_id partitioning; no global "
+    "state, no sort beyond per-key frames.",
+    tags=("timeseries", "twap", "window", "agg", "scale"),
+)
+def q171_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seg = e.select(
+        "user_id", "vc", (F.lead("us").over(w) - F.col("us")).alias("dt")
+    ).filter(F.col("dt").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_held"),
+            F.sum("dt").cast("long").alias("span_us"),
+            F.sum(F.col("vc") * F.col("dt")).cast("long").alias("wsum"),
+        )
+        .select(
+            "user_id",
+            "n_held",
+            "span_us",
+            F.round(
+                (F.col("wsum").cast("double") / F.col("span_us")) / 100.0,
+                6,
+            ).alias("twap"),
+        )
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "q172_retention_cohorts",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day
+      FROM events),
+    cohort AS (
+      SELECT user_id, min(day) AS c_day FROM e GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, day FROM e)
+    SELECT c.c_day AS cohort_day,
+           a.day - c.c_day AS age_days,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix (the growth-analytics triangle: users "
+    "grouped by first-seen day, activity counted per days-since-"
+    "signup — the table every DAU/retention dashboard renders): a "
+    "per-user min-agg forms the cohort assignment, a distinct "
+    "(user, day) relation forms activity, and one join + count "
+    "builds the matrix. All epoch-day integer arithmetic. Scale: "
+    "cohort assignment and the activity dedup both key on user_id "
+    "(one partitioning, map-side combinable), the join fans out "
+    "1 per active day, and the output is bounded by days² "
+    "regardless of event volume.",
+    tags=("timeseries", "retention", "cohort", "agg", "scale"),
+)
+def q172_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"div(unix_micros(cast(ts AS timestamp)), {_DAY_US})"
+        ).alias("day"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("c_day"))
+    act = e.distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.col("c_day").alias("cohort_day"),
+            (F.col("day") - F.col("c_day")).alias("age_days"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+_WAU_WINDOW = 7  # rolling window, days
+
+
+@register(
+    "q173_rolling_active",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day
+      FROM events),
+    days AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM e GROUP BY day),
+    spread AS (
+      SELECT e.user_id, e.day + ofs.o AS day
+      FROM e CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, {_WAU_WINDOW - 1})) AS o) ofs),
+    wau AS (
+      SELECT s.day, CAST(count(DISTINCT s.user_id) AS BIGINT) AS wau
+      FROM spread s CROSS JOIN days d
+      WHERE s.day BETWEEN d.lo AND d.hi
+      GROUP BY s.day)
+    SELECT w.day, coalesce(u.dau, 0) AS dau, w.wau
+    FROM wau w LEFT JOIN dau u USING (day)
+    """,
+    doc="Rolling 7-day active users (DAU/WAU — the canonical sliding "
+    "DISTINCT aggregation, which no window frame can express because "
+    "distinct doesn't decompose): each (user, day) activity row is "
+    "exploded to the 7 future days it keeps the user 'active' for "
+    "(a BOUNDED generator — 7 rows per active day, the same "
+    "bounded-explode discipline as the q145 interval buckets), then "
+    "one distinct count per day. At 100 TB the explode factor is "
+    "the window length, constant — versus the naive per-day "
+    "self-join over a 7-day BETWEEN, whose pair space is "
+    "events × window. All epoch-day integers; DAU rides the same "
+    "deduped relation.",
+    tags=("timeseries", "dau-wau", "sliding-distinct", "agg", "scale"),
+)
+def q173_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                f"div(unix_micros(cast(ts AS timestamp)), {_DAY_US})"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    days = e.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dau = e.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    spread = e.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (_WAU_WINDOW - 1))
+        ).alias("day"),
+    )
+    wau = (
+        spread.crossJoin(F.broadcast(days))
+        .filter(F.col("day").between(F.col("lo"), F.col("hi")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return wau.join(dau, "day", "left").select(
+        "day",
+        F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+        "wau",
+    )
