@@ -509,3 +509,257 @@ def q173_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
         "wau",
     )
+
+
+@register(
+    "q174_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, event_type, us,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN us END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_us
+      FROM e)
+    SELECT coalesce(touch_type, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS purchases,
+           CAST(coalesce(sum(us - touch_us), 0) AS BIGINT)
+             AS total_lag_micros
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch conversion attribution (which interaction gets "
+    "credit for each purchase — the marketing-analytics sibling of "
+    "q135's funnel, but per-conversion rather than per-user): for "
+    "every purchase, the most recent PRECEDING non-purchase event "
+    "in the same user's stream supplies the credited touch type and "
+    "the conversion lag; purchases with no prior touch land in "
+    "'none'. ONE IGNORE-NULLS last_value window pass per user "
+    "(frame ends at 1 PRECEDING so a purchase never credits "
+    "itself), then a tiny per-type roll-up — the same single-"
+    "partitioning discipline as q148/q164; integer epoch-micros "
+    "with the event_id tiebreak keep both engines' credit "
+    "assignments identical.",
+    tags=("timeseries", "attribution", "window", "scale"),
+)
+def q174_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    prior = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    not_p = F.col("event_type") != "purchase"
+    marked = e.select(
+        "event_type",
+        "us",
+        F.last(F.when(not_p, F.col("event_type")), ignorenulls=True)
+        .over(prior)
+        .alias("touch_type"),
+        F.last(F.when(not_p, F.col("us")), ignorenulls=True)
+        .over(prior)
+        .alias("touch_us"),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("touch_type", F.lit("none")).alias("touch_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("purchases"),
+            F.coalesce(F.sum(F.col("us") - F.col("touch_us")), F.lit(0))
+            .cast("long")
+            .alias("total_lag_micros"),
+        )
+    )
+
+
+@register(
+    "q175_cusum_changepoint",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) AS us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    stats AS (
+      SELECT user_id, count(*) AS n, CAST(sum(xc) AS BIGINT) AS tot
+      FROM e GROUP BY user_id),
+    pre AS (
+      SELECT e.user_id, s.n, s.tot,
+             row_number() OVER w AS k,
+             CAST(sum(e.xc) OVER (PARTITION BY e.user_id
+               ORDER BY e.us, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pk
+      FROM e JOIN stats s USING (user_id)
+      WINDOW w AS (PARTITION BY e.user_id ORDER BY e.us, e.event_id)),
+    dev AS (
+      SELECT user_id, n, k,
+             abs(n * pk - k * tot) AS d
+      FROM pre WHERE k < n),
+    mx AS (
+      SELECT user_id, max(n) AS n, max(d) AS dmax FROM dev GROUP BY user_id)
+    SELECT m.user_id, CAST(m.n AS BIGINT) AS n,
+           CAST(min(v.k) AS BIGINT) AS cp_index,
+           CAST(m.dmax AS BIGINT) AS cusum_n
+    FROM mx m JOIN dev v ON v.user_id = m.user_id AND v.d = m.dmax
+    GROUP BY m.user_id, m.n, m.dmax
+    """,
+    doc="CUSUM changepoint detection per series (where did the level "
+    "shift? — the classic offline single-changepoint statistic: "
+    "split at the k maximizing |mean-left − mean-right|, "
+    "equivalently |n·prefix_k − k·total|, the division-free CUSUM "
+    "form): per user, one prefix-sum window pass over "
+    "centi-quantized values, then an argmax with a deterministic "
+    "smallest-k tie-break. All int64 (n ≤ events-per-user, prefix "
+    "≤ n·max-centi — no overflow at any realistic series length); "
+    "the argmax is made engine-portable as max-deviation first, "
+    "then min-k among the ties (two user-keyed aggs + one "
+    "equi-join — no order-sensitive aggregate). The prefix window "
+    "and every agg share ONE user_id partitioning.",
+    tags=("timeseries", "changepoint", "cusum", "window", "scale"),
+)
+def q175_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("xc"),
+    )
+    stats = e.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("xc").cast("long").alias("tot")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    pre = (
+        e.join(stats, "user_id")
+        .select(
+            "user_id",
+            "n",
+            "tot",
+            F.row_number().over(w).alias("k"),
+            F.sum("xc")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long")
+            .alias("pk"),
+        )
+        .filter(F.col("k") < F.col("n"))
+    )
+    dev = pre.select(
+        "user_id",
+        "n",
+        "k",
+        F.abs(F.col("n") * F.col("pk") - F.col("k") * F.col("tot")).alias(
+            "d"
+        ),
+    )
+    # portable argmax: max deviation per user, then smallest k at it
+    dev = dev.localCheckpoint()
+    mx = dev.groupBy("user_id").agg(
+        F.max("n").alias("n_mx"), F.max("d").alias("dmax")
+    )
+    return (
+        dev.select("user_id", "k", "d")
+        .join(mx, "user_id")
+        .filter(F.col("d") == F.col("dmax"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n_mx").cast("long").alias("n"),
+            F.min("k").cast("long").alias("cp_index"),
+            F.max("dmax").cast("long").alias("cusum_n"),
+        )
+    )
+
+
+_COOC_MIN_USERS = 3
+
+
+@register(
+    "q176_cooccurrence",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT user_id,
+             CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)
+               AS item
+      FROM events),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             count(*) AS users_both
+      FROM items a JOIN items b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= {_COOC_MIN_USERS}),
+    pop AS (SELECT item, count(*) AS users FROM items GROUP BY item)
+    SELECT p.item_a, p.item_b, CAST(p.users_both AS BIGINT) AS users_both,
+           1000000 * p.users_both // least(pa.users, pb.users)
+             AS overlap_micro
+    FROM pairs p
+    JOIN pop pa ON pa.item = p.item_a
+    JOIN pop pb ON pb.item = p.item_b
+    """,
+    doc="Item co-occurrence graph (market-basket / 'users who touched "
+    "X also touched Y' — the bipartite user-item projection behind "
+    "co-view recommenders), items taken from the props payload's k "
+    "field: distinct (user, item) pairs self-join WITHIN each user "
+    "(the per-key bounded quadratic every basket analysis pays — "
+    "fan-out is items-per-user², bounded by the item vocabulary, "
+    "NEVER users²), pair support counts with a min-support HAVING, "
+    "and the overlap coefficient |A∩B|/min(|A|,|B|) in exact "
+    "integer micro-units. The popularity joins key on single items "
+    "against a relation bounded by |items|. At 100 TB a hot user "
+    "(bot) caps at vocabulary², and the support filter prunes "
+    "before the popularity joins.",
+    tags=("analytics", "cooccurrence", "market-basket", "graph", "scale"),
+)
+def q176_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .distinct()
+    )
+    a = items.select("user_id", F.col("item").alias("item_a"))
+    b = items.select("user_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("users_both"))
+        .filter(F.col("users_both") >= _COOC_MIN_USERS)
+    )
+    pop = items.groupBy("item").agg(F.count("*").alias("users"))
+    return (
+        pairs.join(
+            pop.select(F.col("item").alias("item_a"), F.col("users").alias("ua")),
+            "item_a",
+        )
+        .join(
+            pop.select(F.col("item").alias("item_b"), F.col("users").alias("ub")),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.col("users_both").cast("long").alias("users_both"),
+            F.expr(
+                "div(1000000 * users_both, least(ua, ub))"
+            ).alias("overlap_micro"),
+        )
+    )

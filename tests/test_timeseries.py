@@ -187,3 +187,41 @@ def test_tfidf_cosine_bounded_and_thresholded(spark, sf_dir):
     for r in rows:
         assert 0.5 <= r["cos6"] <= 1.0 + 1e-9, r
         assert r["src"] < r["dst"]
+
+
+def test_attribution_accounts_every_purchase(spark, sf_dir):
+    out = REGISTRY["q174_attribution"].fn(spark, sf_dir)
+    got = out.agg(F.sum("purchases")).collect()[0][0]
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert got == want
+    # lag is credited strictly backwards in time
+    assert (
+        out.filter(
+            (F.col("touch_type") != "none")
+            & (F.col("total_lag_micros") < 0)
+        ).count()
+        == 0
+    )
+
+
+def test_cusum_changepoint_bounds(spark, sf_dir):
+    rows = REGISTRY["q175_cusum_changepoint"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert len(rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert 1 <= r["cp_index"] <= r["n"] - 1
+
+
+def test_cooccurrence_overlap_bounded(spark, sf_dir):
+    out = REGISTRY["q176_cooccurrence"].fn(spark, sf_dir)
+    assert (
+        out.filter(
+            (F.col("overlap_micro") < 0) | (F.col("overlap_micro") > 1_000_000)
+        ).count()
+        == 0
+    )
+    assert out.filter(F.col("item_a") >= F.col("item_b")).count() == 0

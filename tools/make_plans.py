@@ -189,6 +189,38 @@ CASES = {
     "offsets — never a single-partition global window; the count "
     "enters via a one-row broadcast and the bucket arithmetic is a "
     "codegen projection feeding one partial/final agg.",
+    "q162_bucketed_join": "Bucket-pruned co-located join. What to "
+    "check: both scans show `Bucketed: true` / SelectedBucketsCount "
+    "8 of 8, and NO shuffle exchange exists on the fact side — at "
+    "this sf the planner (correctly) still broadcasts the small "
+    "orders side, so the co-location property itself is asserted by "
+    "tests/test_timeseries.py::test_bucketed_join_plan_has_no_"
+    "exchange, which disables broadcast and verifies the "
+    "SortMergeJoin consumes both bucketed scans with ZERO Exchange; "
+    "only the final aggregate exchanges, keyed on the group column.",
+    "q165_mad_robust": "Per-group median via composite-key global "
+    "index. What to check: NO per-group sort task exists — the only "
+    "sort is the RangePartitioning exchange over (flag, value, "
+    "tiebreak); group ranks derive from a broadcast (flag, min-rank) "
+    "join; the median probe is a broadcast hash join on (flag, rn).",
+    "q169_tfidf_cosine_pairs": "Inverted-index TF-IDF cosine join. "
+    "What to check: the pair space exists ONLY downstream of the "
+    "posting-list self-equi-join on the term, with the df cutoff "
+    "filter BELOW the join on the probe side; tf/df/norm "
+    "aggregations are partial/final hash aggs; the corpus-size "
+    "relation enters via a one-row BroadcastExchange.",
+    "q170_hist_quantiles": "Histogram quantile sketch vs exact. What "
+    "to check: the histogram build is ONE partial/final hash agg "
+    "whose state is 1024 buckets regardless of rows; the cumulative "
+    "pass and the exact side both ride the two-pass operators "
+    "(RangePartitioning + per-partition window + broadcast offsets); "
+    "the 4 quantile probes are broadcast joins against bounded "
+    "relations.",
+    "q171_twap": "Time-weighted average per series. What to check: "
+    "one user-keyed window (lead) feeding one user-keyed "
+    "partial/final hash agg — the exchange for the window is REUSED "
+    "by the aggregation (same hash partitioning), and the weighted "
+    "sums are codegen integer expressions.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
