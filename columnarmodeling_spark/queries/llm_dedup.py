@@ -1330,3 +1330,87 @@ def q169_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _TFIDF_MIN_COS)
         .select("src", "dst", "dp", F.round(cos, 6).alias("cos6"))
     )
+
+
+@register(
+    "q179_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_SHINGLES},
+    cnt2 AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter2 AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT da, db
+      FROM inter2
+      JOIN cnt2 ca ON da = ca.doc_id
+      JOIN cnt2 cb ON db = cb.doc_id
+      WHERE i * 1.0 / (ca.n + cb.n - i) >= {_JACCARD_TAU}),
+    ed AS (SELECT da AS u, db AS v FROM pairs
+           UNION SELECT db, da FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT ed.v, reach.r FROM reach JOIN ed ON reach.id = ed.u),
+    cl AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    m AS (
+      SELECT cl.cluster_id, cl.doc_id, d.n_chars
+      FROM cl JOIN documents d USING (doc_id)),
+    best AS (
+      SELECT cluster_id, max(n_chars) AS best_chars FROM m GROUP BY 1)
+    SELECT m.cluster_id,
+           CAST(min(m.doc_id) FILTER (m.n_chars = b.best_chars) AS BIGINT)
+             AS kept_doc,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(b.best_chars AS BIGINT) AS kept_chars
+    FROM m JOIN best b USING (cluster_id)
+    GROUP BY m.cluster_id, b.best_chars
+    """,
+    doc="Quality-aware canonical selection per duplicate cluster — the "
+    "policy step after q56's component assignment: production dedup "
+    "keeps the BEST representative (here: longest document, "
+    "n_chars, with a min-doc_id tie-break), not the arbitrary "
+    "min-id one. Composition of the shipped operators: q42's "
+    "Jaccard pairs → operators/graph.connected_components "
+    "(min-label propagation) → one per-cluster max-then-argmax "
+    "(two hash aggs + an equi-join, the q175 portable-argmax "
+    "shape). The oracle replays the full transitive closure with a "
+    "recursive CTE plus the same selection. Scale inherits the "
+    "cluster machinery's bounds (shingle equi-join pair space, "
+    "rounds = component diameter); the selection adds only "
+    "cluster-keyed aggs.",
+    tags=("llm", "dedup", "clusters", "canonical", "scale"),
+)
+def q179_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = q42_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    m = cc.join(d, "doc_id")
+    best = m.groupBy("cluster_id").agg(
+        F.max("n_chars").alias("best_chars")
+    )
+    return (
+        m.join(best, "cluster_id")
+        .groupBy("cluster_id", "best_chars")
+        .agg(
+            F.min(
+                F.when(F.col("n_chars") == F.col("best_chars"),
+                       F.col("doc_id"))
+            ).cast("long").alias("kept_doc"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .select(
+            "cluster_id",
+            "kept_doc",
+            "n_docs",
+            F.col("best_chars").cast("long").alias("kept_chars"),
+        )
+    )

@@ -415,3 +415,44 @@ def q163_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rate"),
         F.expr(f"div({_MIX_BUDGET} * w, tw)").alias("budget_tokens"),
     )
+
+
+_STRAT_K = 10  # exact per-stratum sample size
+
+
+@register(
+    "q178_stratified_exact_k",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_STRAT_K}
+    """,
+    doc="Exact k-per-stratum sampling (eval/holdout-set construction: "
+    "exactly 10 documents per source, reproducibly — q87's md5-rate "
+    "sampling gives an EXPECTED fraction, this gives an exact count "
+    "per stratum): rank within each source by the md5 hex string of "
+    "the doc id (lexicographic order of the hash IS the uniform "
+    "order, identical on both engines — no integer conversion "
+    "needed) with a doc_id tie-break, keep rank ≤ k. One window "
+    "partitioned by the stratum — per-key frames, and Spark plans "
+    "the rank ≤ k filter as WindowGroupLimit, so each partition "
+    "retains only k rows before the shuffle at 100 TB.",
+    tags=("llm", "pipeline", "sampling", "stratified", "scale"),
+)
+def q178_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _STRAT_K)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )

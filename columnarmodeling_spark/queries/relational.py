@@ -1423,3 +1423,40 @@ def q152_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P_n", F.lit(0)).cast("long").alias("p_n"),
         F.coalesce("P_cents", F.lit(0)).cast("long").alias("p_cents"),
     )
+
+
+@register(
+    "q177_ordered_export",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey)
+             AS keys_csv
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Deterministic ordered string aggregation (the export/report "
+    "shape behind S7/S8's fixed-format sinks: a keyed CSV line per "
+    "group, element order pinned): DuckDB's ORDER BY inside "
+    "string_agg vs Spark's collect_list → sort_array → cast → "
+    "concat_ws — byte-identical because the element order is fully "
+    "specified, the classic trap being unordered collect_list "
+    "(partition-order-dependent, non-deterministic across runs). "
+    "Scale note: per-group line width grows with group size — this "
+    "is the one aggregate whose OUTPUT row can become the memory "
+    "unit; for 100 TB exports, pre-split groups (q25's "
+    "every-N-rows grouping) before the string agg.",
+    tags=("relational", "string-agg", "export", "S7"),
+)
+def q177_ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(sort_array(collect_list(c_custkey)), "
+                "x -> cast(x AS string))"
+            ),
+        ).alias("keys_csv"),
+    )
