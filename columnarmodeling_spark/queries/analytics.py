@@ -908,3 +908,115 @@ def q170_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bound_c",
         )
     )
+
+
+_PIT_OFFSET_US = 3_600_000_000  # probe each sampled event 1h after it fired
+
+
+@register(
+    "q180_point_in_time_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    runs AS (
+      SELECT user_id, event_type, us,
+             sum(is_chg) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM chg),
+    grp AS (
+      SELECT user_id, run_id, min(event_type) AS event_type,
+             min(us) AS valid_from_us
+      FROM runs GROUP BY 1, 2),
+    hist AS (
+      SELECT user_id, event_type, valid_from_us,
+             coalesce(lead(valid_from_us)
+               OVER (PARTITION BY user_id ORDER BY run_id),
+               9223372036854775807) AS valid_to_us
+      FROM grp),
+    probes AS (
+      SELECT event_id, user_id, us + {_PIT_OFFSET_US} AS t
+      FROM e WHERE event_id % 7 = 0)
+    SELECT p.event_id, p.user_id, CAST(p.t AS BIGINT) AS t_us,
+           h.event_type AS state_at_t,
+           CAST(h.valid_from_us AS BIGINT) AS valid_from_us
+    FROM probes p JOIN hist h
+      ON h.user_id = p.user_id
+     AND p.t >= h.valid_from_us AND p.t < h.valid_to_us
+    """,
+    doc="Point-in-time dimension join against the SCD2 history — the "
+    "feature-store correctness primitive ('what was this entity's "
+    "state when the training label fired?' — get it wrong and the "
+    "model trains on leaked future state): q148's gaps-and-islands "
+    "history rebuilt inline with an open-ended MAX_LONG current "
+    "version, probed by every 7th event one hour after it fired; "
+    "interval containment picks exactly one version per probe "
+    "(validity intervals tile each user's timeline by "
+    "construction). The join is an equi-join on user_id with the "
+    "BETWEEN as a residual — per-user version chains bound the "
+    "fan-out, and both sides ride ONE user_id partitioning end to "
+    "end (history windows, probe filter, join). All integer "
+    "epoch-micros.",
+    tags=("analytics", "scd2", "point-in-time", "join", "scale"),
+)
+def q180_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    chg = e.withColumn(
+        "is_chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = chg.withColumn(
+        "run_id",
+        F.sum("is_chg").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    grp = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").alias("valid_from_us"),
+    )
+    wr = W.partitionBy("user_id").orderBy("run_id")
+    hist = grp.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(wr),
+            F.lit(9223372036854775807),
+        ).alias("valid_to_us"),
+    )
+    probes = e.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        "user_id",
+        (F.col("us") + _PIT_OFFSET_US).alias("t"),
+    )
+    return (
+        probes.join(hist, "user_id")
+        .filter(
+            (F.col("t") >= F.col("valid_from_us"))
+            & (F.col("t") < F.col("valid_to_us"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").cast("long").alias("t_us"),
+            F.col("event_type").alias("state_at_t"),
+            F.col("valid_from_us").cast("long").alias("valid_from_us"),
+        )
+    )
