@@ -98,6 +98,49 @@ def main() -> None:
                 )
         docs.unpersist()
 
+    # --- hot-term TF-IDF cosine join (q169 core) ------------------------
+    # One stopword term in EVERY document: without the df cutoff the
+    # posting self-join on that term alone produces C(n_docs, 2) pairs in
+    # one task; with the cutoff its postings are dropped BEFORE the join
+    # (the exact max_df escape as the Jaccard case, on the weighted
+    # join). Docs also share per-cluster rare terms so real pairs exist.
+    wt_rows = []
+    for i in range(n_docs):
+        wt_rows.append((i, "hot", 100))          # df = n_docs
+        for j in range(6):
+            wt_rows.append((i, f"c{i // 4}t{j}", 500))  # df = 4 cluster terms
+    wt = spark.createDataFrame(
+        wt_rows, "doc_id long, w string, wgt long"
+    ).cache()
+    wt.count()
+    dfreq = wt.groupBy("w").agg(F.count("*").alias("df")).cache()
+    dfreq.count()
+
+    for cutoff in (None, 50):
+        posts = wt.join(dfreq, "w")
+        if cutoff is not None:
+            posts = posts.filter(F.col("df") <= cutoff)
+        a = posts.select(
+            F.col("doc_id").alias("src"), "w", F.col("wgt").alias("wa")
+        )
+        b = wt.select(
+            F.col("doc_id").alias("dst"), "w", F.col("wgt").alias("wb")
+        )
+        for timed in (False, True):
+            t0 = time.time()
+            n = (
+                a.join(b, "w")
+                .filter(F.col("src") < F.col("dst"))
+                .groupBy("src", "dst")
+                .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+                .count()
+            )
+            if timed:
+                print(
+                    f"tfidf hot-term docs={n_docs} max_df={cutoff}: "
+                    f"{time.time() - t0:.2f}s pairs={n}"
+                )
+
 
 if __name__ == "__main__":
     main()
