@@ -155,3 +155,43 @@ def with_global_running_sum(
         .withColumn(out_col, F.sum(val_col).over(w) + F.col("__off"))
         .drop("__pid", "__off")
     )
+
+
+def with_group_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "grk",
+    count_col: str | None = "gn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense 1-based PER-GROUP rank (and optionally the group
+    size) without ever sorting a whole group in one task.
+
+    ``row_number() OVER (PARTITION BY group ORDER BY ...)`` puts each
+    group's entire data through a single task — fatal when a few giant
+    groups hold most of 100 TB (the q165 trap). This instead runs ONE
+    :func:`with_global_index` over the composite key
+    ``group_cols + order_cols`` (range partition → per-partition
+    window → broadcast offsets), then derives the group rank as
+    ``global_rn − min(global_rn per group) + 1`` via a broadcast-size
+    per-group offset join. The composite ordering must be unique
+    (same contract as ``with_global_index``); the offset relation has
+    one row per group.
+    """
+    idx = with_global_index(
+        df, [*group_cols, *order_cols], index_col="__grn",
+        num_partitions=num_partitions,
+    )
+    aggs = [F.min("__grn").alias("__g0")]
+    if count_col:
+        aggs.append(F.count("*").alias(count_col))
+    g = idx.groupBy(*group_cols).agg(*aggs)
+    out = (
+        idx.join(F.broadcast(g), group_cols)
+        .withColumn(
+            rank_col, F.col("__grn") - F.col("__g0") + F.lit(1)
+        )
+        .drop("__grn", "__g0")
+    )
+    return out

@@ -684,26 +684,22 @@ def q162_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "robust", "median", "order-statistics", "scale"),
 )
 def q165_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from columnarmodeling_spark.operators.indexing import with_global_index
+    from columnarmodeling_spark.operators.indexing import with_group_rank
 
     def group_median(df: DataFrame, val: str) -> DataFrame:
-        """Exact per-group lower median via ONE global composite-key
-        index: group rank = global rn − group's min rn + 1."""
-        idx = with_global_index(
-            df, ["l_returnflag", val, "l_orderkey", "l_linenumber"]
+        """Exact per-group lower median via operators/indexing.
+        with_group_rank (one composite-key global index; no per-group
+        sort task)."""
+        rk = with_group_rank(
+            df, ["l_returnflag"], [val, "l_orderkey", "l_linenumber"],
+            rank_col="grk", count_col="gn",
         )
-        g = idx.groupBy("l_returnflag").agg(
-            F.min("rn").alias("r0"), F.count("*").alias("n")
-        )
-        target = g.select(
+        return rk.filter(
+            F.col("grk") == F.expr("div(gn + 1, 2)")
+        ).select(
             "l_returnflag",
-            "n",
-            (
-                F.col("r0") + F.expr("div(n + 1, 2)") - F.lit(1)
-            ).alias("rn"),
-        )
-        return idx.join(F.broadcast(target), ["l_returnflag", "rn"]).select(
-            "l_returnflag", "n", F.col(val).alias(f"med_{val}")
+            F.col("gn").alias("n"),
+            F.col(val).alias(f"med_{val}"),
         )
 
     q = t(spark, sf_dir, "lineitem").select(

@@ -1614,3 +1614,55 @@ def q160_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("ratio"),
     )
+
+
+@register(
+    "q181_quantile_normalize",
+    oracle=f"""
+    WITH {_SQL_QUANT},
+    ex AS (
+      SELECT vec_id, i, qv[i] AS x
+      FROM q, LATERAL (
+        SELECT unnest(generate_series(1, len(qv))) AS i) ix),
+    r AS (
+      SELECT vec_id, i, x,
+             row_number() OVER (PARTITION BY i ORDER BY x, vec_id) AS rk,
+             count(*) OVER (PARTITION BY i) AS n
+      FROM ex)
+    SELECT vec_id, i, x,
+           1000000 * (rk - 1) // (n - 1) AS qn_micro
+    FROM r
+    """,
+    doc="Per-dimension quantile normalization of the embedding matrix "
+    "(feature prep: each of the 64 coordinates is rank-normalized to "
+    "uniform [0,1] — kills per-dimension scale/outlier pathologies "
+    "before clustering or LSH, the matrix-wide sibling of q167's "
+    "single-column CDF transform): every (vector, dimension) cell "
+    "gains its within-dimension percentile rank in exact integer "
+    "micro-units. The oracle's PARTITION BY dimension window is the "
+    "64-giant-groups trap at 100 TB (each group = the whole corpus); "
+    "the Spark side instead uses operators/indexing.with_group_rank "
+    "— ONE composite-key (dim, value, vec_id) global index, group "
+    "ranks by broadcast per-group offsets — the operator q165's "
+    "median extraction shares. All int64; unique tie-break via "
+    "vec_id.",
+    tags=("llm", "similarity", "normalization", "order-statistics",
+          "scale"),
+)
+def q181_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_group_rank
+
+    ex = (
+        _quantized(spark, sf_dir)
+        .select("vec_id", F.posexplode("qv").alias("pos", "x"))
+        .select("vec_id", (F.col("pos") + 1).alias("i"), "x")
+    )
+    rk = with_group_rank(
+        ex, ["i"], ["x", "vec_id"], rank_col="rk", count_col="n"
+    )
+    return rk.select(
+        "vec_id",
+        "i",
+        "x",
+        F.expr("div(1000000 * (rk - 1), n - 1)").alias("qn_micro"),
+    )

@@ -248,3 +248,28 @@ def test_interpolate_curves_matches_numpy(spark):
     for t in probe_ts:
         expect = round(float(np.interp(t, ct, cv)), 6)
         assert got[("a", t)] == pytest.approx(expect, abs=1e-9), t
+
+
+def test_with_group_rank_matches_window(spark):
+    """with_group_rank == row_number() OVER (PARTITION BY g ORDER BY ...)
+    on data small enough for the naive window to be trusted."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.operators.indexing import with_group_rank
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") * 37) % 101).alias("v"),
+        F.col("id"),
+    )
+    got = with_group_rank(df, ["g"], ["v", "id"], rank_col="grk",
+                          count_col="gn")
+    w = W.partitionBy("g").orderBy("v", "id")
+    want = df.withColumn("grk", F.row_number().over(w)).withColumn(
+        "gn", F.count("*").over(W.partitionBy("g"))
+    )
+    assert (
+        got.join(want, ["g", "v", "id", "grk", "gn"], "inner").count()
+        == df.count()
+    )
