@@ -1016,3 +1016,145 @@ def q180_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from_us").cast("long").alias("valid_from_us"),
         )
     )
+
+
+_WF_WINDOW_US = 3_600_000_000  # funnel must complete within 1 hour
+
+
+@register(
+    "q183_window_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(v.t1) AS t1, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+        AND epoch_us(e.ts) <= v.t1 + {_WF_WINDOW_US}
+      GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(c.t1) AS t1
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+        AND epoch_us(e.ts) <= c.t1 + {_WF_WINDOW_US}
+      GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS step1_users,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS step2_users,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS step3_users
+    """,
+    doc="Time-bounded window funnel (ClickHouse windowFunnel / Amplitude "
+    "semantics: the whole view→click→purchase chain must complete "
+    "within 1 hour of the FIRST view — q135's unbounded funnel "
+    "over-counts eventually-converted users; product analytics wants "
+    "conversion within a session-scale deadline): the same chain of "
+    "user-keyed min-aggregations with the deadline carried forward "
+    "as an integer epoch-micros bound on each stage (anchored at "
+    "the stage-1 time, per the standard semantics). One hash "
+    "partitioning serves the whole chain; the final counts are "
+    "three scalar aggs — no window, no sort, no per-user event "
+    "buffering.",
+    tags=("analytics", "funnel", "window-funnel", "agg", "scale"),
+)
+def q183_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + _WF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t1") + _WF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("step1_users"))
+        .crossJoin(
+            F.broadcast(
+                c.agg(F.count("*").cast("long").alias("step2_users"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(F.count("*").cast("long").alias("step3_users"))
+            )
+        )
+    )
+
+
+@register(
+    "q184_period_over_period",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, rev_c,
+             lag(rev_c, 7) OVER (ORDER BY day) AS rev_c_prev
+      FROM d)
+    SELECT day, rev_c, rev_c_prev,
+           CASE WHEN rev_c_prev IS NULL OR rev_c_prev = 0 THEN NULL
+                ELSE 1000000 * (rev_c - rev_c_prev) // rev_c_prev
+           END AS wow_micro
+    FROM w
+    """,
+    doc="Week-over-week change (the BI dashboard staple: each day's "
+    "value beside the same weekday last week, with the percent "
+    "change): per-day centi-quantized sums, lag(7) over the day "
+    "axis, delta ratio in integer floor-division micro-units (NULL "
+    "when no prior week exists). The day-axis window is bounded by "
+    "the calendar (30 rows here, 36 500 rows for a century) — the "
+    "ONE place a single-partition window is legitimately "
+    "scale-safe, because the relation is the time axis itself, not "
+    "the data volume; the heavy lifting (the per-day sum over 100 "
+    "TB of events) happens in the map-side-combinable hash agg "
+    "below it.",
+    tags=("analytics", "period-over-period", "window", "agg", "scale"),
+)
+def q184_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "div(unix_micros(cast(ts AS timestamp)), 86400000000)"
+            ).alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+        .groupBy("day")
+        .agg(F.sum("vc").cast("long").alias("rev_c"))
+    )
+    w = W.orderBy("day")
+    out = d.withColumn("rev_c_prev", F.lag("rev_c", 7).over(w))
+    return out.select(
+        "day",
+        "rev_c",
+        "rev_c_prev",
+        F.when(
+            F.col("rev_c_prev").isNotNull() & (F.col("rev_c_prev") != 0),
+            F.expr("div(1000000 * (rev_c - rev_c_prev), rev_c_prev)"),
+        ).alias("wow_micro"),
+    )
