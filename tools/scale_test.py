@@ -48,7 +48,7 @@ _MEASURE = [
 # which the catalog passes through unchanged — same instants either way.
 _TABLES = [
     "lineitem", "customer", "documents", "embeddings", "orders", "events",
-    "part",
+    "part", "nation",
 ]
 
 
@@ -95,6 +95,10 @@ def build(spark, src: str, out: str, k: int) -> None:
             # prices/sizes stay identical across replicas: the skyline's
             # per-price agg must absorb 16 duplicates per level
             r = r.withColumn("p_partkey", F.col("p_partkey") + shift)
+        elif name == "nation":
+            # 16x more polygons for q182, at fresh deterministic centers
+            # (the center arithmetic mods the shifted key back into range)
+            r = r.withColumn("n_nationkey", F.col("n_nationkey") + shift)
         r.drop("rep").write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
         )
