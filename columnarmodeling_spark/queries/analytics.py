@@ -1158,3 +1158,85 @@ def q184_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(1000000 * (rev_c - rev_c_prev), rev_c_prev)"),
         ).alias("wow_micro"),
     )
+
+
+@register(
+    "q187_table_fingerprint",
+    oracle="""
+    WITH o AS (
+      SELECT bit_xor(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               || '|' || o_orderstatus || '|' || o_orderpriority || '|' ||
+               CAST(epoch_us(o_orderdate) // 86400000000 AS VARCHAR)
+             ), 1, 15)) AS BIGINT)) AS sig,
+             count(*) AS n
+      FROM orders),
+    l AS (
+      SELECT bit_xor(CAST(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+               || '|' || l_returnflag
+             ), 1, 15)) AS BIGINT)) AS sig,
+             count(*) AS n
+      FROM lineitem)
+    SELECT 'orders' AS tbl, CAST(o.n AS BIGINT) AS n_rows, o.sig FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(l.n AS BIGINT), l.sig FROM l
+    """,
+    doc="Order-insensitive table fingerprint (replication/migration "
+    "audit: did 100 TB arrive intact? — the check this engine's own "
+    "round driver performs on every query result, exposed as an "
+    "operator): each row is canonicalized to an integer-quantized "
+    "string, hashed to a 60-bit md5 prefix, and the per-table "
+    "signature is the XOR of all row hashes — commutative and "
+    "associative, so it is ONE map-side-combinable agg with 8 bytes "
+    "of state, immune to row order, partitioning, and shard "
+    "boundaries (sum would overflow int64 and need modular "
+    "arithmetic; XOR needs nothing). Two tables fingerprinted in "
+    "one pass each; a single changed/missing/duplicated row flips "
+    "the signature (a pair of identical duplicate rows cancels — "
+    "the documented XOR blind spot; pair it with the count column, "
+    "which catches cardinality changes).",
+    tags=("analytics", "fingerprint", "audit", "agg", "scale"),
+)
+def q187_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.functions.text import hex_hash
+
+    o = t(spark, sf_dir, "orders").select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            "o_orderstatus",
+            "o_orderpriority",
+            F.expr(
+                "div(unix_micros(cast(o_orderdate AS timestamp)), "
+                "86400000000)"
+            ).cast("string"),
+        ).alias("row_str")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            "l_returnflag",
+        ).alias("row_str")
+    )
+
+    def fp(df: DataFrame, name: str) -> DataFrame:
+        return df.select(hex_hash("row_str").alias("u")).agg(
+            F.expr("bit_xor(u)").alias("sig"),
+            F.count("*").cast("long").alias("n_rows"),
+        ).select(F.lit(name).alias("tbl"), "n_rows", "sig")
+
+    return fp(o, "orders").unionByName(fp(li, "lineitem"))

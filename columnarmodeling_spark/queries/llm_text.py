@@ -1329,3 +1329,140 @@ def q154_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("entropy_micro"),
     )
+
+
+_HSA_LANGS = ("en", "es")
+
+
+@register(
+    "q185_hll_set_algebra",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents WHERE lang IN ('en', 'es')),
+    sh AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(tk)-1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tk
+      FROM toks),
+    h AS MATERIALIZED (
+      SELECT lang, tk,
+             CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS u
+      FROM sh),
+    reg AS (
+      SELECT lang, u % {_HLL_M} AS bucket,
+             max(CASE WHEN u // {_HLL_M} = 0 THEN 52
+                      ELSE 52 - length(bin(u // {_HLL_M})) END) AS r
+      FROM h GROUP BY 1, 2),
+    ureg AS (
+      SELECT bucket, max(r) AS r FROM reg GROUP BY bucket),
+    est1 AS (
+      SELECT lang,
+             {_HLL_ALPHA_NUM} / (sum(CAST(1 AS BIGINT) << (52 - r))
+               + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 52)) AS e
+      FROM reg GROUP BY lang),
+    estu AS (
+      SELECT {_HLL_ALPHA_NUM} / (sum(CAST(1 AS BIGINT) << (52 - r))
+               + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 52)) AS eu
+      FROM ureg),
+    exact AS (
+      SELECT
+        (SELECT count(DISTINCT tk) FROM h WHERE lang = 'en') AS xa,
+        (SELECT count(DISTINCT tk) FROM h WHERE lang = 'es') AS xb,
+        (SELECT count(*) FROM
+          (SELECT tk FROM h WHERE lang = 'en'
+           INTERSECT SELECT tk FROM h WHERE lang = 'es')) AS xi)
+    SELECT round(a.e, 3) AS est_a, round(b.e, 3) AS est_b,
+           round(u.eu, 3) AS est_union,
+           round(a.e + b.e - u.eu, 3) AS est_inter,
+           CAST(x.xa AS BIGINT) AS exact_a, CAST(x.xb AS BIGINT) AS exact_b,
+           CAST(x.xi AS BIGINT) AS exact_inter
+    FROM est1 a, est1 b, estu u, exact x
+    WHERE a.lang = 'en' AND b.lang = 'es'
+    """,
+    doc="HLL set algebra — the sketch-union/intersection trick that "
+    "answers cross-shard overlap questions ('how much does corpus A's "
+    "vocabulary overlap corpus B's?') from 4 KB of state per corpus "
+    "instead of a distinct-join: the union sketch is the per-bucket "
+    "MAX of the two register sets (exactly the map-side merge a 100 "
+    "TB scan already does — union costs nothing), and the "
+    "intersection falls out of inclusion-exclusion est(A)+est(B)−"
+    "est(A∪B) (noisier, as the emitted exact columns show — the "
+    "documented trade-off vs the exact q42-style join). Exactness "
+    "discipline is q134's: integer registers, exact integer harmonic "
+    "denominators, one float division per estimate against the "
+    "shared alpha literal, inclusion-exclusion as two IEEE adds on "
+    "identical doubles.",
+    tags=("text", "llm", "sketch", "hll", "set-algebra", "scale"),
+)
+def q185_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _HLL_M
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin(*_HSA_LANGS))
+        .withColumn("tk", tokens("text"))
+        .select("lang", F.explode(word_shingles("tk", 3)).alias("tk"))
+    )
+    h = toks.select("lang", "tk", hex_hash("tk").alias("u")).localCheckpoint()
+    w = F.expr(f"div(u, {m})")
+    rho = F.when(w == F.lit(0), F.lit(52)).otherwise(
+        F.lit(52) - F.length(F.bin(w))
+    )
+    reg = (
+        h.select("lang", (F.col("u") % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .localCheckpoint()
+    )
+    ureg = reg.groupBy("bucket").agg(F.max("r").alias("r"))
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        return regs.agg(
+            (
+                F.lit(float(_HLL_ALPHA_NUM))
+                / (
+                    F.sum(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), 52 - r)")
+                    )
+                    + (m - F.count("*")) * F.lit(1 << 52)
+                )
+            ).alias(out)
+        )
+
+    ea = estimate(reg.filter(F.col("lang") == _HSA_LANGS[0]), "ea")
+    eb = estimate(reg.filter(F.col("lang") == _HSA_LANGS[1]), "eb")
+    eu = estimate(ureg, "eu")
+    a_set = h.filter(F.col("lang") == _HSA_LANGS[0]).select("tk").distinct()
+    b_set = h.filter(F.col("lang") == _HSA_LANGS[1]).select("tk").distinct()
+    exact = (
+        a_set.agg(F.count("*").cast("long").alias("exact_a"))
+        .crossJoin(
+            F.broadcast(
+                b_set.agg(F.count("*").cast("long").alias("exact_b"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a_set.intersect(b_set).agg(
+                    F.count("*").cast("long").alias("exact_inter")
+                )
+            )
+        )
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.round("ea", 3).alias("est_a"),
+            F.round("eb", 3).alias("est_b"),
+            F.round("eu", 3).alias("est_union"),
+            F.round(F.col("ea") + F.col("eb") - F.col("eu"), 3).alias(
+                "est_inter"
+            ),
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+        )
+    )

@@ -787,3 +787,79 @@ def q159_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("role"),
         )
     )
+
+
+@register(
+    "q186_degree_powerlaw",
+    oracle=f"""
+    WITH pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_KCORE_EPS}),
+    und AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY 1),
+    hist AS (SELECT d, count(*) AS c FROM deg GROUP BY d),
+    pt AS (
+      SELECT CAST(round(ln(CAST(d AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly
+      FROM hist),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(lx * lx) AS BIGINT) AS sxx,
+             CAST(sum(lx * ly) AS BIGINT) AS sxy
+      FROM pt)
+    SELECT CAST(n AS BIGINT) AS n_degree_levels,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS alpha
+    FROM s
+    """,
+    doc="Degree-distribution power-law exponent (the scale-free-ness "
+    "diagnostic that tells a graph engine whether hub-skew defenses "
+    "like q128's degree orientation will matter): histogram the bond "
+    "graph's degrees, fit ln(count) against ln(degree) by the q153 "
+    "closed-form OLS. Composes three shipped disciplines — the "
+    "binned proximity join for edges, micro-nat ln quantization "
+    "(q100) so the regression inputs are exact int64, and the "
+    "single-pass five-sum OLS (q153) whose final arithmetic is "
+    "IEEE-identical on both engines. The regression relation is "
+    "degree LEVELS (≤ max degree, tiny at any corpus scale); the "
+    "heavy work is the one degree hash agg.",
+    tags=("graph", "powerlaw", "regression", "agg", "scale"),
+)
+def q186_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = grid_proximity_join(
+        _points(spark, sf_dir), eps=_KCORE_EPS, id_col="id"
+    ).select("src", "dst")
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    hist = deg.groupBy("d").agg(F.count("*").alias("c"))
+    lq = lambda col: F.round(  # noqa: E731
+        F.log(F.col(col).cast("double")) * 1000000.0, 0
+    ).cast("long")
+    pt = hist.select(lq("d").alias("lx"), lq("c").alias("ly"))
+    s = pt.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_degree_levels"),
+        F.round(
+            (nd * F.col("sxy") - sxd * F.col("sy"))
+            / (nd * F.col("sxx") - sxd * F.col("sx")),
+            6,
+        ).alias("alpha"),
+    )
