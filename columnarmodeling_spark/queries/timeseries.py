@@ -763,3 +763,172 @@ def q176_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_micro"),
         )
     )
+
+
+_PATH_TOPK = 20
+
+
+@register(
+    "q188_path_trigrams",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    tri AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             count(*) AS c
+      FROM e WHERE t3 IS NOT NULL
+      GROUP BY 1),
+    rk AS (
+      SELECT path, c,
+             row_number() OVER (ORDER BY c DESC, path) AS rk
+      FROM tri)
+    SELECT path, CAST(c AS BIGINT) AS c, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= {_PATH_TOPK}
+    """,
+    doc="Top user-journey trigrams (path analysis: the most common "
+    "3-step event sequences — what product flows actually look "
+    "like, the n-gram generalization of q164's transition matrix): "
+    "two lead() offsets in ONE user-keyed window pass build each "
+    "3-step path, a map-side-combinable count aggregates them "
+    "(state bounded by |types|³ = 125 regardless of volume), and "
+    "the top-20 ranks deterministically with a path tie-break over "
+    "that tiny relation — the final window sees ≤125 rows, the "
+    "q184 calendar-axis exemption. All ordering in integer "
+    "epoch-micros with event_id tiebreaks.",
+    tags=("timeseries", "path-analysis", "sequence", "window", "scale"),
+)
+def q188_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    tri = (
+        e.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = W.orderBy(F.col("c").desc(), "path")
+    return (
+        tri.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _PATH_TOPK)
+        .select(
+            "path",
+            F.col("c").cast("long").alias("c"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_JK_BUCKETS = 10
+
+
+@register(
+    "q189_jackknife_ci",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                  AS BIGINT) % {_JK_BUCKETS} AS b
+      FROM orders),
+    per AS (
+      SELECT b, CAST(sum(pc) AS BIGINT) AS s, count(*) AS n
+      FROM q GROUP BY b),
+    tot AS (
+      SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt
+      FROM per),
+    loo AS (
+      SELECT p.b,
+             (CAST(t.st - p.s AS DOUBLE) / (t.nt - p.n)) AS mu_i
+      FROM per p CROSS JOIN tot t),
+    jk AS (
+      SELECT CAST(sum(CAST(round(mu_i) AS BIGINT)) AS BIGINT) AS smu,
+             CAST(sum(CAST(round(mu_i) AS BIGINT)
+                      * CAST(round(mu_i) AS BIGINT)) AS BIGINT) AS smu2,
+             count(*) AS g
+      FROM loo)
+    SELECT CAST(t.nt AS BIGINT) AS n_rows,
+           round(CAST(t.st AS DOUBLE) / t.nt / 100.0, 6) AS mean_value,
+           round((CAST(j.g - 1 AS DOUBLE) / j.g)
+                 * (j.smu2 - CAST(j.smu AS DOUBLE) * j.smu / j.g)
+                 / 10000.0, 6) AS jk_var
+    FROM tot t CROSS JOIN jk j
+    """,
+    doc="Delete-one-group jackknife variance of the mean — DETERMINISTIC "
+    "uncertainty quantification (a bootstrap needs RNG, which no "
+    "cross-engine oracle can replay; the grouped jackknife gets a "
+    "principled standard error from md5-assigned buckets instead): "
+    "orders hash into 10 groups, each leave-one-group-out mean is "
+    "computed from the complement's EXACT integer sums, the "
+    "pseudo-value variance ((g-1)/g)·Σ(μ_i − μ̄)² is assembled from "
+    "centi-quantized μ_i in exact int64 (immune to summation "
+    "order; micro units would overflow the squares), and only the "
+    "final scaling runs in shared-literal "
+    "float ops. One hash agg over the data, then arithmetic over "
+    "10 rows — at 100 TB the jackknife costs one aggregation.",
+    tags=("timeseries", "jackknife", "uncertainty", "agg", "scale"),
+)
+def q189_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.functions.text import hex_hash  # noqa: F401
+
+    q = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("pc"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % _JK_BUCKETS
+        ).alias("b"),
+    )
+    per = q.groupBy("b").agg(
+        F.sum("pc").cast("long").alias("s"), F.count("*").alias("n")
+    )
+    tot = per.agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("nt") - F.col("n"))
+        ).alias("mu_i")
+    )
+    # quantize each leave-one-out mean to 1 centi-unit: exact int64
+    # (micro units would square past 2^63 — means are ~1.5e7 centi)
+    muq = F.round(F.col("mu_i"), 0).cast("long")
+    jk = loo.select(muq.alias("mq")).agg(
+        F.sum("mq").cast("long").alias("smu"),
+        F.sum(F.col("mq") * F.col("mq")).cast("long").alias("smu2"),
+        F.count("*").alias("g"),
+    )
+    return tot.crossJoin(F.broadcast(jk)).select(
+        F.col("nt").cast("long").alias("n_rows"),
+        F.round(
+            F.col("st").cast("double") / F.col("nt") / 100.0, 6
+        ).alias("mean_value"),
+        F.round(
+            ((F.col("g") - 1).cast("double") / F.col("g"))
+            * (
+                F.col("smu2")
+                - F.col("smu").cast("double") * F.col("smu") / F.col("g")
+            )
+            / 10000.0,
+            6,
+        ).alias("jk_var"),
+    )
