@@ -1240,3 +1240,107 @@ def q187_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("tbl"), "n_rows", "sig")
 
     return fp(o, "orders").unionByName(fp(li, "lineitem"))
+
+
+@register(
+    "q191_ab_test",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT
+        CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+        CAST(coalesce(sum(converted) FILTER (arm = 0), 0) AS BIGINT) AS c_a,
+        CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+        CAST(coalesce(sum(converted) FILTER (arm = 1), 0) AS BIGINT) AS c_b
+      FROM arms)
+    SELECT n_a, c_a, n_b, c_b,
+           1000000 * c_a // n_a - 1000000 * c_b // n_b AS rate_diff_micro,
+           round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+    FROM s
+    """,
+    doc="Two-proportion A/B test (experimentation analytics: did arm A "
+    "convert better than arm B, and is the difference more than "
+    "noise?): users hash-split into two arms by a 16-bit md5 bucket "
+    "(the same composable assignment rule as q87/q178 — "
+    "deterministic, so both engines and any re-run agree on every "
+    "user's arm), per-user conversion = any purchase event, pooled "
+    "two-proportion z-statistic in closed form. Counts are exact "
+    "int64 from two user-keyed aggs; the z arithmetic is one shared "
+    "expression over int64-derived doubles whose only libm call is "
+    "the IEEE-correctly-rounded sqrt — bit-identical across "
+    "engines. At 100 TB this is one agg over the assignment "
+    "projection; the statistic itself costs a 2-row reduction.",
+    tags=("analytics", "ab-test", "experiment", "agg", "scale"),
+)
+def q191_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arms = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+            "converted",
+        )
+    )
+    s = arms.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("converted"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("c_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("converted"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a")
+    pb = F.col("c_b").cast("double") / F.col("n_b")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return s.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        (
+            F.expr("div(1000000 * c_a, n_a)")
+            - F.expr("div(1000000 * c_b, n_b)")
+        ).alias("rate_diff_micro"),
+        F.round(
+            (pa - pb)
+            / F.sqrt(
+                pp * (F.lit(1.0) - pp)
+                * (
+                    F.lit(1.0) / F.col("n_a")
+                    + F.lit(1.0) / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("z_stat"),
+    )

@@ -1466,3 +1466,117 @@ def q185_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
+
+
+@register(
+    "q190_cms_join_size",
+    oracle=f"""
+    WITH ta AS MATERIALIZED (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '')) AS tk
+      FROM documents WHERE lang = 'en'),
+    tb AS MATERIALIZED (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '')) AS tk
+      FROM documents WHERE lang = 'es'),
+    ha AS MATERIALIZED (
+      SELECT tk, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
+             % {MERSENNE_P} AS u FROM ta),
+    hb AS MATERIALIZED (
+      SELECT tk, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
+             % {MERSENNE_P} AS u FROM tb),
+    ca AS MATERIALIZED (
+      SELECT ab.j, ((ab.a * u + ab.b) % {MERSENNE_P}) % {_CMS_W} AS col,
+             count(*) AS cnt
+      FROM ha CROSS JOIN {_cms_ab_sql()} GROUP BY 1, 2),
+    cb AS MATERIALIZED (
+      SELECT ab.j, ((ab.a * u + ab.b) % {MERSENNE_P}) % {_CMS_W} AS col,
+             count(*) AS cnt
+      FROM hb CROSS JOIN {_cms_ab_sql()} GROUP BY 1, 2),
+    est AS (
+      SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS e
+      FROM ca JOIN cb ON cb.j = ca.j AND cb.col = ca.col
+      GROUP BY ca.j),
+    exact AS (
+      SELECT CAST(sum(a.c * b.c) AS BIGINT) AS x
+      FROM (SELECT tk, count(*) AS c FROM ta GROUP BY tk) a
+      JOIN (SELECT tk, count(*) AS c FROM tb GROUP BY tk) b
+        ON a.tk = b.tk)
+    SELECT x.x AS exact_join_size,
+           CAST(min(e.e) AS BIGINT) AS cms_est,
+           CAST(min(e.e) - x.x AS BIGINT) AS overcount
+    FROM est e CROSS JOIN exact x GROUP BY x.x
+    """,
+    doc="Join-size estimation from Count-Min sketch inner products "
+    "(AGMS/CMS classic — the cardinality estimate a 100 TB planner "
+    "needs BEFORE paying for an equi-join: |A ⋈ B| = Σ_k cA(k)·cB(k) "
+    "is exactly the inner product of the two frequency vectors, and "
+    "the sketch inner product Σ_col cmsA[d]·cmsB[d], minimized over "
+    "hash rows, upper-bounds it with ε·‖A‖₁‖B‖₁ error): the en and "
+    "es token streams each build the q132 4×1024 sketch (one "
+    "map-side-combinable agg, constant state), the estimate touches "
+    "only 4×1024 counter pairs, and the exact inner product is "
+    "emitted beside it — the q170/q104 eval discipline. All "
+    "integer: counters, products, the min over rows; the estimate "
+    "is provably ≥ exact (one-sided), which the test pins.",
+    tags=("text", "llm", "sketch", "cms", "join-size", "scale"),
+)
+def q190_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.functions.text import (
+        MERSENNE_P as P,
+        MINHASH_AB,
+        hex_hash,
+    )
+
+    ab = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(MINHASH_AB[:_CMS_D])],
+        "j INT, a LONG, b LONG",
+    )
+
+    def side(lang: str):
+        toks = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("lang") == lang)
+            .select(F.explode(tokens("text")).alias("tk"))
+        )
+        h = toks.select("tk", (hex_hash("tk") % P).alias("u"))
+        cms = (
+            h.crossJoin(F.broadcast(ab))
+            .groupBy(
+                "j",
+                (
+                    ((F.col("a") * F.col("u") + F.col("b")) % P)
+                    % _CMS_W
+                ).alias("col"),
+            )
+            .agg(F.count("*").alias("cnt"))
+        )
+        freq = h.groupBy("tk").agg(F.count("*").alias("c"))
+        return cms, freq
+
+    ca, fa = side("en")
+    cb, fb = side("es")
+    est = (
+        ca.join(
+            cb.select("j", "col", F.col("cnt").alias("cnt_b")),
+            ["j", "col"],
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("e"))
+        .agg(F.min("e").cast("long").alias("cms_est"))
+    )
+    exact = (
+        fa.join(fb.select("tk", F.col("c").alias("cb")), "tk")
+        .agg(
+            F.sum(F.col("c") * F.col("cb"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_join_size"))
+        .cast("long")
+        .alias("overcount"),
+    )
