@@ -82,138 +82,84 @@ def register(
 # Union-of-rounds coverage after this window: all 104+new queries
 # driver-checked at least once, zero `no_oracle` rows.
 #
-# Round-6 rotation (executes the round-5 VERDICT's "Next round" item 5:
-# rotate to the oldest-verified queries — the driver row is the record,
-# and ~60 entries last got one in r2/r3/r4 on since-regenerated
-# testdata). Window composition, in order: the anchor; the FIFTEEN
-# round-6 additions (q111-q125: load curves, Weibull, recall curve,
-# bitmap codec, measure series, gravity+damping, materials, joints,
-# centrifuge, BPE apply, incremental exact/near dedup, 3D solver, PQ
-# encode/ADC — all first driver rows); the five standing tier
-# canaries; q109 (kept per the verdict) and q107/q70, whose code paths
-# round 6 materially changed (per-bond strength/k in the breaking
-# kernel, bitmap parameterization in the codec); then the
-# stalest-first backlog — r1 rows, the r3 llm_text/similarity block,
-# and the once-ever r4 rows. Slots for the new queries came from
-# entries whose risk is covered elsewhere (inline comments below):
-# judge-replica-checked in the r5 review on current testdata (q62,
-# q67, q74, q100), superseded by an in-window superset (q110→q113,
-# q48→q49/q98, q87→q95, q57→q118's EXISTS oracle), or exercised every
-# round by bench (q02). No streaming this round: the full streaming
-# tier got fresh rows in r5 behind the timestamp fix and is untouched
-# by round-6 changes. The late round-6 additions (q138-q148: the
-# experiment BC programs, k-core, weighted sampling, k-means, audio
-# windows, interval join, streaming HLL, global quantiles, SCD2; and
-# the q149-q173 block: gap fill, weighted SSSP, PMI, pivot, OLS,
-# entropy, z-order, rolling anomaly, equi-depth histogram, cube,
-# DBSCAN, JL distortion, column profiler, bucketed join, temperature
-# mix, Markov transitions batch+streaming, per-group median/MAD,
-# CDF features, edit-distance verify, TF-IDF cosine, histogram
-# quantile sketch, TWAP, retention cohorts, rolling DAU/WAU) did NOT
-# displace further stale entries — each carries sf0.01
-# strict-replica AND hostile-timezone driver-flow evidence from this
-# round and queues for a first driver row in the r7 window.
+# Round-6 rotation history: the r6 window gave first driver rows to
+# q111-q137 plus canaries (CORRECTNESS_r06: 50/50 green); see git
+# history for the full slot-by-slot rationale.
+#
+# Round-7 rotation (executes the round-6 VERDICT's "Next round" item 2:
+# 54 queries q138-q191 were registered in round 6 but have never had a
+# driver CORRECTNESS row — builder strict-replica + hostile-TZ evidence
+# only, judge spot-check 11/12). Window composition, in order: the q01
+# anchor; the five standing tier canaries (proximity, LSH dedup, graph
+# dup-clusters, adaptive IVF, solver) as regression guards for the
+# tiers leaving the window; then the never-driver-checked backlog
+# stalest-first — q138-q181 fills the remaining 44 slots. The two
+# streaming entries in that range (q146_stream_hll,
+# q166_stream_transitions) go at the end of the window so their fixed
+# micro-batch drain overhead cannot starve batch rows if the driver's
+# cap is time-based. q182-q191 (10 queries) do not fit; they queue
+# first for the r8 window and meanwhile carry this round's re-run
+# strict-replica evidence plus the q191 fix (divide-by-zero guard +
+# non-degenerate conversion definition, replica MATCH at sf0.01).
+# Every query rotated OUT of the window was green at its latest driver
+# check in CORRECTNESS_r06 or earlier.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
-    # round-6 additions — first driver rows
-    "q111_load_curves",
-    "q112_weibull_breaks",
-    "q113_ivf_recall_curve",
-    "q114_bitmap_codec",
-    "q115_measure_series",
-    "q116_gravity_damping",
-    "q117_material_stiffness",
-    "q118_joint_weakening",
-    "q119_centrifuge_ramp",
-    "q120_bpe_apply",
-    "q121_incremental_dedup",
-    "q122_solver3d_steps",
-    "q123_pq_codes",
-    "q124_pq_adc_recall",
-    "q125_incremental_neardup",
-    # late round-6 additions — first driver rows (slots from q49/q69/
-    # q52/q54, see inline notes below)
-    "q134_hll_distinct",
-    "q135_funnel",
-    "q136_skyline",
-    "q137_bfs_hops",
     # tier canaries (kept in-window as regression guards)
     "q30_proximity_pairs",
     "q44_lsh_candidates",
     "q56_dup_clusters",
     "q96_ivf_adaptive",
     "q64_solver_steps",
-    # kept per round-5 verdict; round-6-changed code paths
-    # (q110 rotated out late in r6: fresh r5 row, and q113 — in-window —
-    # supersedes its recall eval with the nprobe sweep)
-    "q109_span_dedup",
-    "q107_bond_breaks",
-    "q70_snapshot_codec",
-    # stalest: last driver row in r1
-    # (q57 rotated for q122: its EXISTS shape is also exercised by the
-    # new q118 oracle and the r1 row was green; q66 rotated for q133:
-    # its count(when) conditional-agg shape is the accounting agg of
-    # in-window q113/q124/q127, r1-green)
-    "q133_pagerank",
-    "q68_stats_aggs",
-    # (q74 judge-replica-checked in r5's review — q121 takes the slot)
-    "q77_consistency_checks",
-    "q79_unpivot",
-    # stalest: last driver row in r3
-    # (q43 rotated for q128: the signature relation IS the first CTE of
-    # the in-window q44 oracle and the q125 history store, r3-green;
-    # q45 rotated for q132: its sign-bit signature core is the same
-    # hyperplane family inside in-window q49/q98, r3-green)
-    "q128_triangle_count",
-    "q132_countmin_sketch",
-    # (q46 rotated for q127: its exact integer top-k core is recomputed
-    # as the oracle side of the in-window q113/q124 recall evals, and
-    # the r3 row was green; q47 rotated for q126: its centroid build
-    # runs verbatim inside the in-window q69/q96/q113/q126 routing
-    # stages, likewise r3-green)
-    "q126_ivfpq_search",
-    "q127_bloom_prefilter",
-    # (q48 rotated for q125: its hyperplane-band core is inside q49 and
-    # q98; q49 then rotated for q134 — the same hyperplane-band
-    # machinery runs inside in-window q98_semantic_dedup, and its exact
-    # cosine verify is recomputed as the oracle side of in-window
-    # q113/q124)
-    # (q50 rotated for q129: its token-count core is recomputed inside
-    # the in-window q95 training-mix token budget and q51's stats)
-    "q129_prefix_filter_join",
-    "q51_quality_score",
-    # (q52 rotated for q136: its char-class scoring is the same
-    # map-side expression family as in-window q51, r2-green; q54
-    # rotated for q137: its shingle-df ratio core is the df machinery
-    # of in-window q109_span_dedup, r3-green)
-    "q53_fingerprint",
-    "q55_pii_redaction",
-    # (q59 rotated for q130: its fixed-width floor(x/w) binning is the
-    # exact arithmetic q130's chunk assignment exercises in-window,
-    # and the r3 row was green)
-    "q130_sequence_packing",
-    # (q62/q67 were judge-replica-checked on current testdata in r5's
-    # review — q119/q120 take the slots; q69 rotated for q135: its
-    # routing + cogrouped cell kernel run verbatim inside in-window
-    # q96/q113/q126, r3-green)
-    "q76_bpe_pretokenize",
-    # (q87 rotated for q124: its md5-rate sampling core is also the
-    # q95 training-mix path, which stays in-window)
-    # exactly one driver row ever (r4)
-    "q94_contamination",
-    "q95_training_mix",
-    "q97_bm25_topterms",
-    "q98_semantic_dedup",
-    "q99_rollup_cascade",
-    # (q100 judge-replica-checked in r5's review — q123 takes the slot;
-    # q101 rotated for q131, whose round 1 IS q101's counting shape)
-    "q131_bpe_train",
-    "q102_full_outer_recon",
-    "q103_range_frame",
-    # (q104/q105/q02 rotated out to make room for q115-q117: q104/q105
-    # have fresh r4 rows and q02 is exercised by every bench run)
+    # never-driver-checked round-6 additions, stalest first
+    # (q138-q181; q146/q166 streaming deferred to the window tail)
+    "q138_biaxial_bcs",
+    "q139_triaxial_bcs",
+    "q140_brazil_disc",
+    "q141_kcore_peel",
+    "q142_weighted_sample",
+    "q143_kmeans_lloyd",
+    "q144_audio_windows",
+    "q145_interval_join",
+    "q147_global_quantiles",
+    "q148_scd2_history",
+    "q149_gap_fill",
+    "q150_sssp_weighted",
+    "q151_pmi_collocations",
+    "q152_status_pivot",
+    "q153_ols_trend",
+    "q154_token_entropy",
+    "q155_zorder_layout",
+    "q156_rolling_anomaly",
+    "q157_equidepth_hist",
+    "q158_cube_aggregate",
+    "q159_dbscan_cores",
+    "q160_jl_distortion",
+    "q161_column_profile",
+    "q162_bucketed_join",
+    "q163_mix_temperature",
+    "q164_event_transitions",
+    "q165_mad_robust",
+    "q167_cdf_features",
+    "q168_edit_distance_verify",
+    "q169_tfidf_cosine_pairs",
+    "q170_hist_quantiles",
+    "q171_twap",
+    "q172_retention_cohorts",
+    "q173_rolling_active",
+    "q174_attribution",
+    "q175_cusum_changepoint",
+    "q176_cooccurrence",
+    "q177_ordered_export",
+    "q178_stratified_exact_k",
+    "q179_cluster_keep_best",
+    "q180_point_in_time_join",
+    "q181_quantile_normalize",
+    # streaming tail: fixed micro-batch drain cost, so last in-window
+    "q146_stream_hll",
+    "q166_stream_transitions",
 )
 
 

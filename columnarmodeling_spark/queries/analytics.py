@@ -1249,8 +1249,9 @@ def q187_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
                   AS BIGINT) % 2 AS arm,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS converted
+             CASE WHEN count(*) FILTER (event_type = 'purchase')
+                       > count(*) FILTER (event_type = 'click')
+                  THEN 1 ELSE 0 END AS converted
       FROM events GROUP BY user_id),
     s AS (
       SELECT
@@ -1260,11 +1261,17 @@ def q187_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(coalesce(sum(converted) FILTER (arm = 1), 0) AS BIGINT) AS c_b
       FROM arms)
     SELECT n_a, c_a, n_b, c_b,
-           1000000 * c_a // n_a - 1000000 * c_b // n_b AS rate_diff_micro,
-           round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
-                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN 1000000 * c_a // n_a - 1000000 * c_b // n_b
+                ELSE NULL END AS rate_diff_micro,
+           CASE WHEN n_a > 0 AND n_b > 0
+                     AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+                THEN CAST(round(
+                  (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                  / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b)) * 1000000) AS BIGINT)
+                ELSE NULL END AS z_micro
     FROM s
     """,
     doc="Two-proportion A/B test (experimentation analytics: did arm A "
@@ -1272,13 +1279,19 @@ def q187_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "noise?): users hash-split into two arms by a 16-bit md5 bucket "
     "(the same composable assignment rule as q87/q178 — "
     "deterministic, so both engines and any re-run agree on every "
-    "user's arm), per-user conversion = any purchase event, pooled "
-    "two-proportion z-statistic in closed form. Counts are exact "
-    "int64 from two user-keyed aggs; the z arithmetic is one shared "
-    "expression over int64-derived doubles whose only libm call is "
-    "the IEEE-correctly-rounded sqrt — bit-identical across "
-    "engines. At 100 TB this is one agg over the assignment "
-    "projection; the statistic itself costs a 2-row reduction.",
+    "user's arm), per-user conversion = strictly more purchases than "
+    "clicks (a relative definition that stays non-degenerate at any "
+    "scale factor, unlike 'any purchase' which saturates to 100% "
+    "once users have enough events), pooled two-proportion "
+    "z-statistic in closed form. Counts are exact int64 from two "
+    "user-keyed aggs; the z arithmetic is one shared expression over "
+    "int64-derived doubles whose only libm call is the "
+    "IEEE-correctly-rounded sqrt, quantized to integer micro-units "
+    "per the repo's exactness discipline. Degenerate pools (an empty "
+    "arm, 0% or 100% pooled conversion) yield NULL statistics via "
+    "explicit CASE guards instead of a DIVIDE_BY_ZERO under ANSI "
+    "mode. At 100 TB this is one agg over the assignment projection; "
+    "the statistic itself costs a 2-row reduction.",
     tags=("analytics", "ab-test", "experiment", "agg", "scale"),
 )
 def q191_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,9 +1299,12 @@ def q191_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("converted")
+            (
+                F.count(F.when(F.col("event_type") == "purchase", 1))
+                > F.count(F.when(F.col("event_type") == "click", 1))
+            )
+            .cast("int")
+            .alias("converted")
         )
         .select(
             (
@@ -1323,24 +1339,33 @@ def q191_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
+    both_arms = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    pooled_ok = both_arms & (
+        (F.col("c_a") + F.col("c_b") > 0)
+        & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b"))
+    )
     return s.select(
         "n_a",
         "c_a",
         "n_b",
         "c_b",
-        (
+        F.when(
+            both_arms,
             F.expr("div(1000000 * c_a, n_a)")
-            - F.expr("div(1000000 * c_b, n_b)")
+            - F.expr("div(1000000 * c_b, n_b)"),
         ).alias("rate_diff_micro"),
-        F.round(
-            (pa - pb)
-            / F.sqrt(
-                pp * (F.lit(1.0) - pp)
-                * (
-                    F.lit(1.0) / F.col("n_a")
-                    + F.lit(1.0) / F.col("n_b")
+        F.when(
+            pooled_ok,
+            F.round(
+                (pa - pb)
+                / F.sqrt(
+                    pp * (F.lit(1.0) - pp)
+                    * (
+                        F.lit(1.0) / F.col("n_a")
+                        + F.lit(1.0) / F.col("n_b")
+                    )
                 )
-            ),
-            6,
-        ).alias("z_stat"),
+                * 1000000
+            ).cast("long"),
+        ).alias("z_micro"),
     )
