@@ -178,6 +178,16 @@ def with_group_rank(
     per-group offset join. The composite ordering must be unique
     (same contract as ``with_global_index``); the offset relation has
     one row per group.
+
+    The offset relation is UNCONDITIONALLY broadcast, so the GROUP
+    COUNT must be broadcast-sized (roughly ≤ a few million one-row
+    groups / the 8 GB broadcast ceiling) — the inverse of the window
+    trap this helper exists to avoid: it trades per-group task size
+    for a per-group driver-side relation. Callers here have 3–64
+    groups. For high-cardinality grouping keys, drop the
+    ``F.broadcast`` hint (a shuffle hash join on group_cols is then
+    the right plan) or use a plain window, which is safe when every
+    group is small.
     """
     idx = with_global_index(
         df, [*group_cols, *order_cols], index_col="__grn",

@@ -1265,11 +1265,17 @@ _TFIDF_MIN_COS = 0.5  # report threshold
     "lists join documents that share a term, partial dot products "
     "accumulate per pair, norms attach at the end. The pair space "
     "is bounded by the SAME discipline as every other join in this "
-    "repo: the df <= 20 cutoff drops hot-term postings (a stop word "
+    "repo: the df <= 50 cutoff (_TFIDF_MAX_DF) drops hot-term "
+    "postings (a stop word "
     "would otherwise quadratically join half the corpus — the q42 "
     "max_df escape), so candidates only arise through discriminative "
-    "terms (df <= 50 here: the synthetic corpus has a compact "
-    "vocabulary, so no term is rarer). Exactness: idf is quantized "
+    "terms. Note the cutoff shapes the REPORTED similarity, not just "
+    "candidate generation: hot-term (df > 50) weight contributions "
+    "are deliberately excluded from the dot product, so cos6 is a "
+    "truncated cosine over the discriminative vocabulary — the "
+    "production trade (stop-word weight carries no dedup signal) and "
+    "the oracle computes the identical truncation. Exactness: idf is "
+    "quantized "
     "to integer milli-nats, "
     "weights and dot products are then pure int64; the cosine's "
     "sqrt IS correctly rounded under IEEE 754 (unlike ln/pow), so "

@@ -85,6 +85,12 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "ann", "topk"),
 )
 def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bruteforce_cosine_topk(spark, sf_dir)
+
+
+def _bruteforce_cosine_topk(
+    spark: SparkSession, sf_dir: str, probe: DataFrame | None = None
+) -> DataFrame:
     """Broadcast the (small) index side as a NumPy matrix and compute all
     dot products per Arrow batch with one int64 matmul — the classic
     brute-force-ANN build-side-broadcast pattern. The probe side streams
@@ -94,6 +100,11 @@ def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplies runs in Catalyst's interpreted HOF path). At 100 TB the
     index side no longer fits one executor — q47's IVF cells bound the
     candidate set instead; this operator stays the per-cell kernel.
+
+    ``probe`` (optional, columns vec_id/qv/n2) restricts the query side:
+    the recall evals (q110/q113) pass the md5-sampled probe subset so
+    their exact baseline costs |probes| * n instead of n^2 — the sampled
+    side the round-6 verdict asked every registered eval plan to use.
     """
     import numpy as np
     import pandas as pd
@@ -152,7 +163,8 @@ def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["vec_id", "neighbor", "neighbor_label", "cosine", "rk"]
             )
 
-    return n.select("vec_id", "qv", "n2").mapInPandas(
+    src = n if probe is None else probe
+    return src.select("vec_id", "qv", "n2").mapInPandas(
         topk,
         schema="vec_id long, neighbor long, neighbor_label int, cosine double, rk int",
     )
@@ -246,6 +258,34 @@ def q48_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 2
 _IVF_TOPK = 3
+
+# Recall evals (q110/q113/q124) measure quality on a deterministic
+# md5-ranked probe subset instead of every vector: the exact baseline
+# then costs |probes| * n, linear in the corpus, instead of the n^2
+# all-pairs the round-6 verdict flagged as a scale-killer. 32 probes is
+# a constant at any corpus size; the draw is the q87/q178 assignment
+# discipline (order by md5 hex, tie-break on id) so both engines and
+# any re-run pick the same set.
+_EVAL_PROBES = 32
+
+_SQL_PROBES = f"""
+    probes AS MATERIALIZED (
+      SELECT vec_id FROM n
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= {_EVAL_PROBES})
+"""
+
+
+def _probe_ids(n: DataFrame) -> DataFrame:
+    """The _EVAL_PROBES md5-ranked probe vec_ids. orderBy().limit() is a
+    distributed TakeOrdered (per-partition top-k + a k-row driver
+    merge), never a single-partition global sort — same draw as the
+    adaptive IVF seeds."""
+    return (
+        n.select("vec_id")
+        .orderBy(F.expr("md5(cast(vec_id as string))"), "vec_id")
+        .limit(_EVAL_PROBES)
+    )
 
 
 def _cell_topk_fn(topk: int):
@@ -762,6 +802,7 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q110_ivf_recall",
     oracle=f"""
     WITH {_SQL_QUANT_MAT},
+    {_SQL_PROBES.strip()},
     seeds AS MATERIALIZED (
       SELECT vec_id AS sid, qv AS sqv
       FROM n
@@ -800,7 +841,9 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             i -> a.qv[i] * b.qv[i]))
                    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)),
                    9) AS cos9
-      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      FROM n a
+      JOIN probes pr ON pr.vec_id = a.vec_id
+      JOIN n b ON a.vec_id <> b.vec_id),
     exact AS (
       SELECT vec_id, neighbor FROM (
         SELECT vec_id, neighbor,
@@ -813,10 +856,10 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ivf i JOIN exact e
         ON e.vec_id = i.vec_id AND e.neighbor = i.neighbor
       GROUP BY i.vec_id)
-    SELECT n.vec_id,
+    SELECT pb.vec_id,
            CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
            round(coalesce(h.nh, 0) / {_IVF_TOPK}.0, 6) AS recall_at_k
-    FROM n LEFT JOIN hits h ON h.vec_id = n.vec_id
+    FROM probes pb LEFT JOIN hits h ON h.vec_id = pb.vec_id
     """,
     doc="ANN quality eval — recall@k of the adaptive IVF search (q96) "
     "against the exact brute-force top-k (q46), per query vector. The "
@@ -827,23 +870,31 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nprobe=2 over ~sqrt(n) cells, sf0.01) is the honest floor; real "
     "embedding corpora cluster and the same plan recalls far higher, "
     "and this query is the instrument for tuning nprobe against it. "
-    "Composes the two existing operators; the exact side is the guarded "
-    "sf-small "
-    "baseline kernel (at 100 TB you evaluate recall on a sampled probe "
-    "set, which is exactly this plan with a hash-sampled base — the "
-    "IVF side needs no change).",
+    "Recall is measured on the deterministic 32-probe md5 sample "
+    "(_EVAL_PROBES), so the exact baseline costs |probes| * n — linear "
+    "in the corpus — instead of an all-pairs n^2; the IVF side under "
+    "eval is the unchanged production search. The kernel keeps q46's "
+    "1M-vector index-side guard.",
     tags=("similarity", "llm", "ann", "ivf", "eval", "recall"),
 )
 def q110_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ivf = q96_ivf_adaptive(spark, sf_dir).select("vec_id", "neighbor")
-    exact = q46_cosine_topk(spark, sf_dir).select("vec_id", "neighbor")
+    n = _quantized(spark, sf_dir)
+    probes = _probe_ids(n).localCheckpoint()
+    probe_vecs = n.join(F.broadcast(probes), "vec_id")
+    ivf = (
+        q96_ivf_adaptive(spark, sf_dir)
+        .select("vec_id", "neighbor")
+        .join(F.broadcast(probes), "vec_id", "left_semi")
+    )
+    exact = _bruteforce_cosine_topk(
+        spark, sf_dir, probe=probe_vecs
+    ).select("vec_id", "neighbor")
     hits = (
         ivf.join(exact, ["vec_id", "neighbor"], "left_semi")
         .groupBy("vec_id")
         .agg(F.count("*").alias("nh"))
     )
-    base = _quantized(spark, sf_dir).select("vec_id")
-    return base.join(hits, "vec_id", "left").select(
+    return probes.join(hits, "vec_id", "left").select(
         "vec_id",
         F.coalesce("nh", F.lit(0)).cast("long").alias("n_hits"),
         F.round(
@@ -893,11 +944,12 @@ def _recall_curve_oracle() -> str:
              CAST(sum(coalesce(h.nh, 0)) AS BIGINT) AS total_hits,
              CAST(sum(CASE WHEN coalesce(h.nh, 0) = {_IVF_TOPK}
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
-      FROM n LEFT JOIN hits_{np_} h ON h.vec_id = n.vec_id)""")
+      FROM probes pb LEFT JOIN hits_{np_} h ON h.vec_id = pb.vec_id)""")
         rows.append(f"SELECT * FROM row_{np_}")
     union = "\n      UNION ALL\n      ".join(rows)
     return f"""
     WITH {_SQL_QUANT_MAT},
+    {_SQL_PROBES.strip()},
     seeds AS MATERIALIZED (
       SELECT vec_id AS sid, qv AS sqv
       FROM n
@@ -918,7 +970,9 @@ def _recall_curve_oracle() -> str:
                             i -> a.qv[i] * b.qv[i]))
                    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)),
                    9) AS cos9
-      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      FROM n a
+      JOIN probes pr ON pr.vec_id = a.vec_id
+      JOIN n b ON a.vec_id <> b.vec_id),
     exact AS MATERIALIZED (
       SELECT vec_id, neighbor FROM (
         SELECT vec_id, neighbor,
@@ -944,19 +998,24 @@ def _recall_curve_oracle() -> str:
     "hits, mean recall@3 and perfect-recall count — all integer "
     "aggregates except the final two-integer division, so the compare "
     "is immune to float-summation order. The IVF side re-runs "
-    "q96's adaptive search (_ivf_adaptive_topk) per probe width; the "
-    "exact baseline and quantized base are localCheckpointed once and "
-    "reused across the sweep. Monotone-recall-in-nprobe is asserted in "
+    "q96's adaptive search (_ivf_adaptive_topk) per probe width; "
+    "recall is scored on the deterministic 32-probe md5 sample "
+    "(_EVAL_PROBES) whose exact baseline is linear in the corpus, "
+    "localCheckpointed once and reused across the sweep. "
+    "Monotone-recall-in-nprobe is asserted in "
     "tests/test_llm_pipeline.py.",
     tags=("similarity", "llm", "ann", "ivf", "eval", "recall", "scale"),
 )
 def q113_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    base = _probe_ids(n).localCheckpoint()
     exact = (
-        q46_cosine_topk(spark, sf_dir)
+        _bruteforce_cosine_topk(
+            spark, sf_dir, probe=n.join(F.broadcast(base), "vec_id")
+        )
         .select("vec_id", "neighbor")
         .localCheckpoint()
     )
-    base = _quantized(spark, sf_dir).select("vec_id").localCheckpoint()
     out = None
     for np_ in _RECALL_SWEEP_NPROBES:
         ivf = _ivf_adaptive_topk(spark, sf_dir, nprobe=np_).select(
@@ -1104,12 +1163,15 @@ _PQ_TOPK = 3
     "q124_pq_adc_recall",
     oracle=f"""
     WITH {_SQL_PQ},
+    {_SQL_PROBES.strip()},
     codes AS MATERIALIZED (
       SELECT vec_id, sub, code FROM best WHERE rn = 1),
     adc AS MATERIALIZED (
       SELECT l.vec_id AS q, c.vec_id AS w, sum(l.d2) AS adc
-      FROM codes c JOIN subd l
+      FROM codes c
+      JOIN subd l
         ON l.sub = c.sub AND l.rank = c.code AND l.vec_id <> c.vec_id
+      JOIN probes pr ON pr.vec_id = l.vec_id
       GROUP BY 1, 2),
     approx AS (
       SELECT q, w FROM (
@@ -1121,7 +1183,9 @@ _PQ_TOPK = 3
       SELECT a.vec_id AS q, b.vec_id AS w,
              list_sum(list_transform(range(1, 65),
                i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS d2
-      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      FROM n a
+      JOIN probes pr ON pr.vec_id = a.vec_id
+      JOIN n b ON a.vec_id <> b.vec_id),
     exact AS (
       SELECT q, w FROM (
         SELECT q, w,
@@ -1132,7 +1196,7 @@ _PQ_TOPK = 3
       SELECT a.q, count(*) AS nh
       FROM approx a JOIN exact e ON e.q = a.q AND e.w = a.w
       GROUP BY a.q),
-    base AS (SELECT DISTINCT vec_id AS q FROM n)
+    base AS (SELECT vec_id AS q FROM probes)
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            CAST(sum(coalesce(h.nh, 0)) AS BIGINT) AS total_hits,
            round(sum(coalesce(h.nh, 0)) * 1.0
@@ -1149,21 +1213,40 @@ _PQ_TOPK = 3
     "SUM of the table entries its 8 stored codes select — one "
     "equi-join on (sub, code) + a hash agg, never touching raw "
     "database vectors. Approximate top-3 per query is then scored "
-    "against the exact integer-L2 top-3 (q110's recall shape). "
-    "All-integer until the final division, so the oracle is exact. At "
-    "100 TB the join fans out 8 rows per (query, candidate) within an "
-    "IVF cell — linear in candidates, constant per-pair work.",
+    "against the exact integer-L2 top-3 (q110's recall shape), scored "
+    "on the deterministic 32-probe md5 sample (_EVAL_PROBES) so both "
+    "the ADC fan-out and the exact baseline are |probes| * n — linear "
+    "in the corpus, never all-pairs — with a q46-style 1M index-side "
+    "guard on the exact kernel. All-integer until the final division, "
+    "so the oracle is exact. At 100 TB the production join (q126) fans "
+    "out 8 rows per (query, candidate) within an IVF cell — linear in "
+    "candidates, constant per-pair work.",
     tags=("similarity", "llm", "ann", "pq", "eval", "recall", "scale"),
 )
 def q124_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    n = _quantized(spark, sf_dir).select("vec_id", "qv").localCheckpoint()
+    # q46-style guard: the exact L2 baseline below is |probes| x n; the
+    # per-probe ranking window holds n rows, so bound the index side the
+    # same way the brute-force kernel does.
+    n_index = n.count()
+    if n_index > 1_000_000:
+        raise ValueError(
+            f"q124 recall eval: index side has {n_index} vectors; above "
+            "the 1M bound. Evaluate on a sampled candidate subset or "
+            "use the production IVF-PQ search (q126) at this scale."
+        )
+    probes = _probe_ids(n).localCheckpoint()
     subd = _pq_subd(spark, sf_dir).localCheckpoint()
     codes = _pq_codes_from_subd(subd).select("vec_id", "sub", "code")
+    # LUT side restricted to the probe sample: the (sub, code) equi-join
+    # then fans out 8 rows per (probe, candidate) — linear in n.
+    subd_p = subd.join(F.broadcast(probes), "vec_id")
     adc = (
         codes.alias("c")
         .join(
-            subd.alias("l"),
+            subd_p.alias("l"),
             (F.col("l.sub") == F.col("c.sub"))
             & (F.col("l.rank") == F.col("c.code"))
             & (F.col("l.vec_id") != F.col("c.vec_id")),
@@ -1179,8 +1262,10 @@ def q124_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PQ_TOPK)
         .select("q", "w")
     )
-    n = _quantized(spark, sf_dir).select("vec_id", "qv").localCheckpoint()
-    a = n.select(F.col("vec_id").alias("q"), F.col("qv").alias("qa"))
+    a = (
+        n.join(F.broadcast(probes), "vec_id")
+        .select(F.col("vec_id").alias("q"), F.col("qv").alias("qa"))
+    )
     b = n.select(F.col("vec_id").alias("w"), F.col("qv").alias("qb"))
     d2 = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
@@ -1188,7 +1273,8 @@ def q124_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     ex = (
-        a.crossJoin(b)
+        F.broadcast(a)
+        .crossJoin(b)
         .filter(F.col("q") != F.col("w"))
         .withColumn("d2", d2)
     )
@@ -1203,7 +1289,7 @@ def q124_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.count("*").alias("nh"))
     )
-    base = n.select(F.col("vec_id").alias("q")).distinct()
+    base = probes.select(F.col("vec_id").alias("q"))
     nh = F.coalesce("nh", F.lit(0))
     return base.join(hits, "q", "left").agg(
         F.count("*").cast("long").alias("n_queries"),

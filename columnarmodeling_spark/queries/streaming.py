@@ -552,9 +552,15 @@ def q146_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recovers the pair. Per user, GroupState holds the LAST event "
     "(epoch-micros, type); each batch sorts its own events, prefixes "
     "the carried one, emits per-(from,to) increment counts, and "
-    "stores the new tail. Increments are associative, so the "
-    "post-drain sum equals the batch q164 matrix EXACTLY regardless "
-    "of how the source splits into batches — the oracle IS q164's. "
+    "stores the new tail. Increments are associative, so for any "
+    "batch split that respects per-user time order — as the "
+    "file-replay source guarantees (one timestamp-ordered file per "
+    "micro-batch) — the post-drain sum equals the batch q164 matrix "
+    "EXACTLY; a source that delivered a user's events out of "
+    "timestamp order across batches would instead count "
+    "arrival-order transitions, since the carried tail is the last "
+    "event of the previous batch, not a global max-timestamp "
+    "watermark. The oracle IS q164's. "
     "At 100 TB the state is one (long, string) per user (keyed "
     "state store, partitioned on user_id) and emissions are bounded "
     "by |types|² per user per batch.",

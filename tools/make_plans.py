@@ -83,12 +83,23 @@ CASES = {
     "through a left join on (src, dst); no shuffle of the bond stream "
     "beyond that single hash join.",
     "q113_ivf_recall_curve": "ANN recall-vs-cost sweep (nprobe 1/2/4). "
-    "What to check: the exact baseline and quantized base enter as "
-    "localCheckpoint scans (computed ONCE, reused by all three sweep "
-    "arms); each arm's IVF candidates meet the exact top-k in a "
-    "left_semi hash join on (vec_id, neighbor) followed by partial/"
-    "final count aggs; the three one-row arm results meet in a Union — "
-    "no sweep-wide shuffle, each arm is independently parallel.",
+    "What to check: the exact baseline and the 32-row md5 probe sample "
+    "enter as localCheckpoint scans (computed ONCE, reused by all "
+    "three sweep arms; the baseline is |probes| x n, linear in the "
+    "corpus — no all-pairs join anywhere); each arm's IVF candidates "
+    "meet the exact top-k in a left_semi hash join on (vec_id, "
+    "neighbor) followed by partial/final count aggs; the three one-row "
+    "arm results meet in a Union — no sweep-wide shuffle, each arm is "
+    "independently parallel.",
+    "q124_pq_adc_recall": "PQ-ADC recall eval on the sampled probe set. "
+    "What to check: the LUT side is the localCheckpointed subd "
+    "relation semi-joined (BroadcastHashJoin) to the 32-row probe "
+    "sample BEFORE the (sub, code) equi-join, so ADC fan-out is "
+    "8 rows per (probe, candidate) — linear in the corpus; the exact "
+    "L2 baseline is a BroadcastNestedLoopJoin whose BROADCAST side is "
+    "the 32 probe vectors (|probes| x n pairs, never n^2); both "
+    "rankings are per-probe windows over bounded partitions, and the "
+    "final recall row is a two-integer aggregate.",
     "q126_ivfpq_search": "IVFADC search (adaptive cells + PQ codes). "
     "What to check: routing is the q96 MapInPandas (broadcast seed "
     "matrix, no join); the ONLY exchanges hash-partition on the cell "
