@@ -97,8 +97,9 @@ def register(
 # streaming entries in that range (q146_stream_hll,
 # q166_stream_transitions) go at the end of the window so their fixed
 # micro-batch drain overhead cannot starve batch rows if the driver's
-# cap is time-based. q182-q191 (10 queries) do not fit; they queue
-# first for the r8 window and meanwhile carry this round's re-run
+# cap is time-based. q182-q192 (11 queries; q192_softening_bonds is
+# the round-7 UDM-analog addition) do not fit; they queue first for
+# the r8 window and meanwhile carry this round's re-run
 # strict-replica evidence plus the q191 fix (divide-by-zero guard +
 # non-degenerate conversion definition, replica MATCH at sf0.01).
 # Every query rotated OUT of the window was green at its latest driver

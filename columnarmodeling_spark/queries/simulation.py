@@ -1576,3 +1576,211 @@ def q140_brazil_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vx", 6).alias("vx"),
         F.round("vy", 6).alias("vy"),
     )
+
+
+# --- q192: pluggable constitutive bond model (the UDM.dll analog) ---------
+
+_SOFT_EPS_Y = 0.12  # yield strain (eps_u = 2 * eps_y by the law's shape)
+
+
+def _softening_oracle(
+    n_steps: int, k: str, dt: str, eps: str, eps_y: float
+) -> str:
+    """Unroll n_steps Euler steps with the BILINEAR SOFTENING law
+    (simulation/solver.bilinear_softening_law) as a DuckDB CTE chain —
+    the _breaking_oracle pattern extended with the per-bond damage
+    state ``u`` (max historical strain) carried through every bond CTE.
+    Per step: strain -> new_max = greatest(u, strain); a bond with
+    new_max >= eps_u breaks now (br{i}, u frozen at its break value);
+    survivors (b{i}) carry u = new_max; live forces scale by the
+    damaged-secant factor ``eff`` (1 inside yield, the decaying
+    capacity secant in the softening band, 1 in compression) — every
+    expression in the exact association the NumPy law uses, so the
+    engines agree to summation-order noise absorbed by the integer
+    micro-unit output quantization. eps_u - eps_y == eps_y exactly in
+    IEEE (2s - s is Sterbenz-exact), so the embedded literals match the
+    kernel's runtime arithmetic bit-for-bit."""
+    eps_u = repr(2.0 * eps_y)
+    ey = repr(eps_y)
+    head = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id, c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y
+      FROM customer),
+    b0 AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             (0.85 + 0.1 * CAST((a.id + b.id) % 4 AS DOUBLE))
+               * sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) AS rest,
+             0.0 AS u
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE sqrt((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) < {eps}),
+    s0 AS MATERIALIZED (
+      SELECT id, x, y,
+             CAST(id % 3 - 1 AS DOUBLE) * 8.0 AS vx,
+             CAST(id % 5 - 2 AS DOUBLE) * 4.0 AS vy,
+             1.0 AS m
+      FROM pts)"""
+    steps = []
+    for i in range(1, n_steps + 1):
+        p = i - 1
+        steps.append(f""",
+    e{i} AS MATERIALIZED (
+      SELECT src, dst, rest, ax, ay, bx, by, dist,
+             (dist - rest) / rest AS strain,
+             greatest(u, (dist - rest) / rest) AS new_max
+      FROM (
+        SELECT b.src, b.dst, b.rest, b.u,
+               pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS by,
+               sqrt((pb.x - pa.x) * (pb.x - pa.x)
+                    + (pb.y - pa.y) * (pb.y - pa.y)) AS dist
+        FROM b{p} b
+        JOIN s{p} pa ON b.src = pa.id
+        JOIN s{p} pb ON b.dst = pb.id)),
+    br{i} AS MATERIALIZED (
+      SELECT src, dst, rest, new_max AS u FROM e{i}
+      WHERE new_max >= {eps_u}),
+    b{i} AS MATERIALIZED (
+      SELECT src, dst, rest, new_max AS u FROM e{i}
+      WHERE NOT (new_max >= {eps_u})),
+    f{i} AS MATERIALIZED (
+      SELECT id, sum(fx) AS fx, sum(fy) AS fy FROM (
+        SELECT src AS id,
+               CASE WHEN dist > 0
+                    THEN eff * {k} * (dist - rest) / dist * (bx - ax)
+                    ELSE 0.0 END AS fx,
+               CASE WHEN dist > 0
+                    THEN eff * {k} * (dist - rest) / dist * (by - ay)
+                    ELSE 0.0 END AS fy
+        FROM (
+          SELECT *,
+                 CASE WHEN strain > 0 THEN
+                   CASE WHEN new_max <= {ey} THEN 1.0
+                        WHEN new_max < {eps_u}
+                        THEN ({eps_u} - new_max) / {ey} * {ey}
+                             / greatest(new_max, 1e-300)
+                        ELSE 0.0 END
+                 ELSE 1.0 END AS eff
+          FROM e{i} WHERE NOT (new_max >= {eps_u}))
+        UNION ALL
+        SELECT dst AS id,
+               CASE WHEN dist > 0
+                    THEN -(eff * {k} * (dist - rest) / dist * (bx - ax))
+                    ELSE 0.0 END,
+               CASE WHEN dist > 0
+                    THEN -(eff * {k} * (dist - rest) / dist * (by - ay))
+                    ELSE 0.0 END
+        FROM (
+          SELECT *,
+                 CASE WHEN strain > 0 THEN
+                   CASE WHEN new_max <= {ey} THEN 1.0
+                        WHEN new_max < {eps_u}
+                        THEN ({eps_u} - new_max) / {ey} * {ey}
+                             / greatest(new_max, 1e-300)
+                        ELSE 0.0 END
+                 ELSE 1.0 END AS eff
+          FROM e{i} WHERE NOT (new_max >= {eps_u})))
+      GROUP BY id),
+    s{i} AS MATERIALIZED (
+      SELECT s.id,
+             s.x + (s.vx + coalesce(f.fx, 0.0) / s.m * {dt}) * {dt} AS x,
+             s.y + (s.vy + coalesce(f.fy, 0.0) / s.m * {dt}) * {dt} AS y,
+             s.vx + coalesce(f.fx, 0.0) / s.m * {dt} AS vx,
+             s.vy + coalesce(f.fy, 0.0) / s.m * {dt} AS vy,
+             s.m
+      FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
+    broken = "\n    UNION ALL\n".join(
+        f"""    SELECT src, dst, CAST({i} AS BIGINT) AS break_step,
+           CAST(round(u * 1000000) AS BIGINT) AS damage_micro
+    FROM br{i}"""
+        for i in range(1, n_steps + 1)
+    )
+    tail = f"""
+    SELECT src, dst, CAST(-1 AS BIGINT) AS break_step,
+           CAST(round(u * 1000000) AS BIGINT) AS damage_micro
+    FROM b{n_steps}
+    UNION ALL
+{broken}
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q192_softening_bonds",
+    oracle=_softening_oracle(8, "1.0", "0.05", "30.0", _SOFT_EPS_Y),
+    doc="Pluggable constitutive bond model — the engine analog of the "
+    "reference's ONE extension point, UDM.dll ('User Defined Model', "
+    "UniaxialCompressionTest/UDM.dll, loaded beside the exe; SURVEY "
+    "§2.9): run_solver_blocked_breaking accepts a vectorized per-bond "
+    "law `law(dist, rest, k, strength, ustate, alive) -> (mag, "
+    "just_broke, new_ustate)` in place of the built-in spring update, "
+    "with a persistent per-bond scalar state column (`ustate`) carried "
+    "across sub-steps AND halo-exchange shuffle rounds. This query "
+    "replays the q107 damage scenario under the shipped example UDM — "
+    "a bilinear cohesive softening law with IRREVERSIBLE damage "
+    "memory (ustate = max historical strain; elastic to eps_y, linear "
+    "capacity decay to eps_u = 2*eps_y, unloading along the damaged "
+    "secant, break at eps_u) — over TWO fuse=4 bursts, so the state "
+    "column provably survives the shuffle-round boundary. Output is "
+    "the per-bond terminal record (break step + damage in integer "
+    "micro-strain), hash-checked against a DuckDB oracle that unrolls "
+    "all 8 steps with the damage state threaded through every bond "
+    "CTE in the kernel's exact IEEE association. The default laws "
+    "(linear_spring[_breaking]_law) reproduce the pre-pluggable "
+    "kernels bit-identically — regression-pinned in "
+    "tests/test_solver.py.",
+    tags=("simulation", "E3", "udm", "constitutive", "iterative", "scale"),
+)
+def q192_softening_bonds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+    from columnarmodeling_spark.simulation.solver import (
+        bilinear_softening_law,
+        run_solver_blocked_breaking,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+    )
+    bonds = grid_proximity_join(pts, eps=30.0, id_col="id").select(
+        "src",
+        "dst",
+        (
+            (0.85 + 0.1 * ((F.col("src") + F.col("dst")) % 4).cast("double"))
+            * F.col("dist")
+        ).alias("rest"),
+    )
+    state0 = pts.select(
+        "id",
+        "x",
+        "y",
+        ((F.col("id") % 3 - 1).cast("double") * 8.0).alias("vx"),
+        ((F.col("id") % 5 - 2).cast("double") * 4.0).alias("vy"),
+        F.lit(1.0).alias("m"),
+    )
+    # reach covers the law's maximum live bond length: a bond survives
+    # to strain < eps_u = 2*eps_y, so dist < (1 + 2*eps_y) * max rest
+    # (rest <= 1.15 * eps = 34.5), with the usual 1.05 margin
+    reach = 1.05 * (1.0 + 2.0 * _SOFT_EPS_Y) * 34.5
+    _, bond_log = run_solver_blocked_breaking(
+        state0,
+        bonds,
+        n_steps=8,
+        strain_limit=_SOFT_EPS_Y,
+        k=1.0,
+        dt=0.05,
+        fuse=4,
+        reach=reach,
+        bond_law=bilinear_softening_law,
+    )
+    return bond_log.select(
+        "src",
+        "dst",
+        "break_step",
+        F.round(F.col("ustate") * 1000000.0)
+        .cast("long")
+        .alias("damage_micro"),
+    )

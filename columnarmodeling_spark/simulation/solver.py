@@ -33,6 +33,113 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# --- pluggable constitutive bond model (the UDM.dll analog) ---------------
+#
+# The reference's one extension point is ``UDM.dll`` ("User Defined
+# Model", ``UniaxialCompressionTest/UDM.dll``, loaded beside the exe;
+# SURVEY §2.9): a user-supplied constitutive law replaces the built-in
+# spring update without touching the solver. The engine analog is a
+# vectorized per-bond callable plugged into the blocked kernels:
+#
+#   law(dist, rest, k, strength, ustate, alive)
+#       -> (mag, just_broke, new_ustate)
+#
+# All inputs are aligned NumPy float64/bool arrays, one element per
+# local bond replica; the law must be PURE and element-wise (the same
+# bond is evaluated in up to 9 halo replicas, which stay bit-identical
+# only if the law depends on nothing but its arguments):
+#
+#   dist     current endpoint distance
+#   rest     rest length
+#   k        per-bond stiffness
+#   strength per-bond break threshold (strain units; breaking solver
+#            only — the non-breaking solver passes None)
+#   ustate   persistent per-bond scalar state (damage memory etc.),
+#            carried across sub-steps AND shuffle rounds; 0.0 initially
+#   alive    live mask (False once broken)
+#
+#   mag        force scalar: force vector on src = mag * (dst - src);
+#              MUST already be 0 for dead (not alive or just-broken)
+#              bonds and for dist == 0
+#   just_broke bonds breaking THIS sub-step (subset of alive), or None
+#              if the law never breaks bonds
+#   new_ustate updated state array (may be ustate unchanged)
+#
+# ``linear_spring_law`` / ``linear_spring_breaking_law`` are the
+# defaults and reproduce the pre-pluggable hard-coded kernels
+# bit-identically (regression-pinned in tests/test_solver.py);
+# ``bilinear_softening_law`` is the shipped example UDM — a
+# damage-retaining bilinear cohesive law (q192).
+
+
+def linear_spring_law(dist, rest, k, strength, ustate, alive):
+    """Default Hookean law: f = k·(dist − rest) along the bond; never
+    breaks. Bit-identical to the original blocked_round kernel."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mag = np.where(alive & (dist > 0), k * (dist - rest) / dist, 0.0)
+    return mag, None, ustate
+
+
+def linear_spring_breaking_law(dist, rest, k, strength, ustate, alive):
+    """Default breaking law: Hookean force; a live bond stretched past
+    ``strain > strength`` breaks now and exerts no force from this
+    sub-step on. Bit-identical to the original breaking kernel."""
+    import numpy as np
+
+    just_broke = alive & (dist - rest > strength * rest)
+    live = alive & ~just_broke
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mag = np.where(live & (dist > 0), k * (dist - rest) / dist, 0.0)
+    return mag, just_broke, ustate
+
+
+def bilinear_softening_law(dist, rest, k, strength, ustate, alive):
+    """Example UDM: bilinear cohesive softening with damage memory.
+
+    Elastic up to the yield strain ``ε_y = strength``; past yield the
+    tensile capacity decays linearly to zero at the ultimate strain
+    ``ε_u = 2·strength`` (softening modulus = −k, the classic bilinear
+    cohesive-zone shape); at ``ε ≥ ε_u`` the bond breaks. Damage is
+    IRREVERSIBLE: ``ustate`` carries the maximum historical strain, and
+    a bond that has softened to capacity ``f_cap(ε_max)`` unloads along
+    the damaged secant ``f = f_cap(ε_max)/ε_max · ε`` instead of
+    re-stiffening (a state-free bilinear would heal on unloading —
+    damage memory is exactly what the persistent ``ustate`` column
+    exists for). Compression stays linear-elastic (no crush model),
+    matching the tension-cut reference behavior.
+    """
+    import numpy as np
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        strain = np.where(rest > 0, (dist - rest) / rest, 0.0)
+    eps_y = strength
+    eps_u = 2.0 * strength
+    new_max = np.maximum(ustate, strain)
+    just_broke = alive & (new_max >= eps_u)
+    live = alive & ~just_broke
+    # capacity at the historical max strain (per unit strain -> force
+    # via k·rest); secant stiffness ratio in [0, 1]
+    cap = np.where(
+        new_max <= eps_y,
+        1.0,
+        np.where(
+            new_max < eps_u,
+            (eps_u - new_max) / (eps_u - eps_y) * eps_y
+            / np.maximum(new_max, 1e-300),
+            0.0,
+        ),
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tension = strain > 0
+        eff = np.where(tension, cap, 1.0)  # compression: undamaged
+        mag = np.where(
+            live & (dist > 0), eff * k * (dist - rest) / dist, 0.0
+        )
+    return mag, just_broke, np.where(alive, new_max, ustate)
+
+
 @dataclass(frozen=True)
 class BoundaryCondition:
     """One boundary-condition block of the reference's ``MLSLD00.dat``
@@ -338,6 +445,7 @@ def run_solver_blocked(
     gravity: tuple[float, float] = (0.0, 0.0),
     damping: float = 0.0,
     gravity_curve: tuple[tuple[float, float], ...] | None = None,
+    force_law=None,
 ) -> DataFrame:
     """Halo-exchange block solver — the 100 TB shape of the time loop.
 
@@ -384,7 +492,7 @@ def run_solver_blocked(
         state = blocked_round(
             state, bonds, k, dt, burst, block, halo,
             bcs=bcs, step0=step0 + i, gravity=gravity, damping=damping,
-            gravity_curve=gravity_curve,
+            gravity_curve=gravity_curve, force_law=force_law,
         ).localCheckpoint()
         i += burst
     return state
@@ -403,6 +511,7 @@ def blocked_round(
     gravity: tuple[float, float] = (0.0, 0.0),
     damping: float = 0.0,
     gravity_curve: tuple[tuple[float, float], ...] | None = None,
+    force_law=None,
 ) -> DataFrame:
     """One halo-exchange round (the loop body of the block solver),
     lazily built: block assignment + 3×3 halo replication, local bond
@@ -460,12 +569,18 @@ def blocked_round(
                     if has_k
                     else k
                 )
+            law = force_law if force_law is not None else linear_spring_law
+            alive = np.ones(len(src), dtype=bool)
+            ustate = np.zeros(len(src), dtype=np.float64)
             for s_i in range(burst):
                 dx = x[dst] - x[src]
                 dy = y[dst] - y[src]
                 dist = np.sqrt(dx * dx + dy * dy)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    mag = np.where(dist > 0, kk * (dist - rest) / dist, 0.0)
+                # pluggable constitutive law (UDM analog); the
+                # non-breaking solver ignores any break verdict and does
+                # not persist ustate past the burst — laws with damage
+                # memory belong in run_solver_blocked_breaking
+                mag, _jb, ustate = law(dist, rest, kk, None, ustate, alive)
                 fx = np.zeros_like(x)
                 fy = np.zeros_like(y)
                 np.add.at(fx, src, mag * dx)
@@ -590,6 +705,7 @@ def run_solver_blocked_breaking(
     gravity: tuple[float, float] = (0.0, 0.0),
     damping: float = 0.0,
     gravity_curve: tuple[tuple[float, float], ...] | None = None,
+    bond_law=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Block solver with strain-threshold bond removal (E3 damage: the
     reference's broken-bond series ``Output/MLSOut00B.dat``, SURVEY
@@ -640,7 +756,20 @@ def run_solver_blocked_breaking(
     # the scalar case just carries a constant column through the kernel
     if not has_k:
         bonds = bonds.withColumn("k", F.lit(float(k)))
+    # persistent per-bond constitutive state (the UDM ustate slot):
+    # callers may seed it; otherwise it starts at 0.0. Carried across
+    # shuffle rounds exactly like alive/break_step.
+    has_ustate = "ustate" in bonds.columns
+    if not has_ustate:
+        bonds = bonds.withColumn("ustate", F.lit(0.0))
+    law = bond_law if bond_law is not None else linear_spring_breaking_law
     if reach is None:
+        if bond_law is not None:
+            raise ValueError(
+                "a custom bond_law changes when bonds can break; pass an "
+                "explicit `reach` covering the law's maximum live bond "
+                "length (e.g. (1 + eps_u) * max rest * margin)"
+            )
         agg = bonds.agg(
             F.max("rest").alias("mr"), F.max("strength").alias("ms")
         ).collect()[0]
@@ -654,7 +783,7 @@ def run_solver_blocked_breaking(
     out_schema = (
         "kind int, id long, x double, y double, vx double, vy double, "
         "m double, owned boolean, src long, dst long, rest double, "
-        "strength double, k double, break_step long"
+        "strength double, k double, break_step long, ustate double"
     )
 
     def make_kernel(burst: int, step0: int):
@@ -662,6 +791,7 @@ def run_solver_blocked_breaking(
             cols = [
                 "kind", "id", "x", "y", "vx", "vy", "m", "owned",
                 "src", "dst", "rest", "strength", "k", "break_step",
+                "ustate",
             ]
             if parts.empty:
                 return pd.DataFrame(columns=cols)
@@ -678,6 +808,7 @@ def run_solver_blocked_breaking(
                 rest = np.empty(0, dtype=np.float64)
                 limit = np.empty(0, dtype=np.float64)
                 kb = np.empty(0, dtype=np.float64)
+                ustate = np.empty(0, dtype=np.float64)
             else:
                 src = np.fromiter(
                     (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
@@ -688,19 +819,25 @@ def run_solver_blocked_breaking(
                 rest = local_bonds["rest"].to_numpy(dtype=np.float64)
                 limit = local_bonds["strength"].to_numpy(dtype=np.float64)
                 kb = local_bonds["k"].to_numpy(dtype=np.float64)
+                ustate = local_bonds["ustate"].to_numpy(
+                    dtype=np.float64
+                ).copy()
             alive = np.ones(len(src), dtype=bool)
             break_step = np.full(len(src), -1, dtype=np.int64)
             for s_i in range(burst):
                 dx = x[dst] - x[src]
                 dy = y[dst] - y[src]
                 dist = np.sqrt(dx * dx + dy * dy)
-                just_broke = alive & (dist - rest > limit * rest)
+                # pluggable constitutive law (UDM analog): verdicts and
+                # state updates depend only on bit-exact halo inputs, so
+                # every replica of a bond stays in lockstep
+                mag, just_broke, ustate = law(
+                    dist, rest, kb, limit, ustate, alive
+                )
+                if just_broke is None:
+                    just_broke = np.zeros(len(src), dtype=bool)
                 break_step[just_broke] = step0 + s_i + 1
                 alive &= ~just_broke
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    mag = np.where(
-                        alive & (dist > 0), kb * (dist - rest) / dist, 0.0
-                    )
                 fx = np.zeros_like(x)
                 fy = np.zeros_like(y)
                 np.add.at(fx, src, mag * dx)
@@ -734,6 +871,7 @@ def run_solver_blocked_breaking(
                     "src": -1, "dst": -1, "rest": 0.0, "strength": 0.0,
                     "k": 0.0,
                     "break_step": -1,
+                    "ustate": 0.0,
                 }
             )
             # exactly-once bond emission: the replica owning `src` reports
@@ -763,6 +901,7 @@ def run_solver_blocked_breaking(
                         break_step[emit] if len(src)
                         else np.empty(0, dtype=np.int64)
                     ),
+                    "ustate": ustate[emit] if len(src) else np.empty(0),
                 }
             )
             return pd.concat([p_out, b_out], ignore_index=True)[cols]
@@ -772,11 +911,11 @@ def run_solver_blocked_breaking(
     spark = state.sparkSession
     log_schema = (
         "src long, dst long, rest double, strength double, k double, "
-        "break_step long"
+        "break_step long, ustate double"
     )
     broken_log = spark.createDataFrame([], log_schema)
     bonds = bonds.select(
-        "src", "dst", "rest", "strength", "k"
+        "src", "dst", "rest", "strength", "k", "ustate"
     ).localCheckpoint(eager=False)
 
     i = 0
@@ -828,7 +967,7 @@ def run_solver_blocked_breaking(
                 (F.col("sbx") == F.col("dbx")) & (F.col("sby") == F.col("dby"))
             )
             .select(
-                "src", "dst", "rest", "strength", "k",
+                "src", "dst", "rest", "strength", "k", "ustate",
                 F.col("sbx").alias("bx"),
                 F.col("sby").alias("by"),
             )
@@ -843,7 +982,7 @@ def run_solver_blocked_breaking(
             "id", "x", "y", "vx", "vy", "m"
         )
         bond_rows = out.filter("kind = 1").select(
-            "src", "dst", "rest", "strength", "k", "break_step"
+            "src", "dst", "rest", "strength", "k", "break_step", "ustate"
         )
         # One-row-per-input-bond contract, loudly: a bond whose length
         # exceeds the halo at round start co-blocks with no replica of
@@ -856,22 +995,32 @@ def run_solver_blocked_breaking(
             bond_rows.select("src", "dst"), ["src", "dst"], "left_anti"
         ).withColumn("break_step", F.lit(step0 + i + 1).cast("long"))
         broken_log = (
-            broken_log.union(bond_rows.filter("break_step >= 0"))
+            broken_log.union(
+                bond_rows.filter("break_step >= 0").select(
+                    "src", "dst", "rest", "strength", "k", "break_step",
+                    "ustate",
+                )
+            )
             .union(
                 dropped.select(
-                    "src", "dst", "rest", "strength", "k", "break_step"
+                    "src", "dst", "rest", "strength", "k", "break_step",
+                    "ustate",
                 )
             )
             .localCheckpoint(eager=False)
         )
         bonds = bond_rows.filter("break_step < 0").select(
-            "src", "dst", "rest", "strength", "k"
+            "src", "dst", "rest", "strength", "k", "ustate"
         ).localCheckpoint(eager=False)
         i += burst
 
-    bond_log = bonds.withColumn("break_step", F.lit(-1).cast("long")).union(
+    bond_log = bonds.withColumn(
+        "break_step", F.lit(-1).cast("long")
+    ).select(
+        "src", "dst", "rest", "strength", "k", "break_step", "ustate"
+    ).union(
         broken_log.select(
-            "src", "dst", "rest", "strength", "k", "break_step"
+            "src", "dst", "rest", "strength", "k", "break_step", "ustate"
         )
     )
     keep = ["src", "dst", "rest"]
@@ -879,5 +1028,7 @@ def run_solver_blocked_breaking(
         keep.append("strength")
     if has_k:
         keep.append("k")
+    if has_ustate or bond_law is not None:
+        keep.append("ustate")
     bond_log = bond_log.select(*keep, "break_step")
     return state, bond_log

@@ -318,3 +318,26 @@ def test_verified_cells_heal_skewed_scatter(spark):
         # scatter happened not to violate at this K: the verified path
         # must then be the same single-pass result
         assert abs(raw - good) <= 1e-9 * W_ * H_
+
+
+def test_reference_default_scale_matches_pins(spark):
+    """End-to-end E1 run at the REFERENCE'S OWN default scale — 150
+    grains, 50 Lloyd iterations, 200x200 (GenerateColumnar.py:400-407;
+    round-6 verdict "What's missing" #3): grain table and facet stats
+    must reproduce the generated reference-default pins exactly
+    (cross-session determinism of the full pipeline at the scale the
+    reference actually ships), and conserve domain area."""
+    from columnarmodeling_spark.queries._geometry_known import (
+        Q90_REF150,
+        Q91_REF150,
+    )
+    from columnarmodeling_spark.queries.geometry import ref_default_mesh
+
+    grains, fstats = ref_default_mesh(spark)
+    got_g = sorted(map(tuple, grains.collect()))
+    got_f = sorted(map(tuple, fstats.collect()))
+    assert got_g == sorted(Q90_REF150)
+    assert got_f == sorted(Q91_REF150)
+    assert len(got_g) == 150
+    area = sum(r[3] for r in got_g)
+    assert abs(area - 200.0 * 200.0) < 1e-6 * 200.0 * 200.0

@@ -674,3 +674,134 @@ def test_velocity_bc_overlap_last_block_wins(spark):
     }
     assert out[0] == (0.0, -2.0)   # only block 1
     assert out[1] == (3.0, 0.0)    # overlap: LAST block wins
+
+
+# --- pluggable constitutive law (the UDM.dll analog, round 7) -------------
+
+
+def test_default_laws_are_bit_identical_to_implicit(spark):
+    """Passing the default laws explicitly must reproduce the implicit
+    (law=None) path bit-for-bit — the plumb itself adds no arithmetic."""
+    from columnarmodeling_spark.simulation.solver import (
+        linear_spring_breaking_law,
+        linear_spring_law,
+        run_solver_blocked,
+        run_solver_blocked_breaking,
+    )
+
+    state, bonds = _chain(spark)
+    a = sorted(
+        map(tuple, run_solver_blocked(state, bonds, 10, 1.0, 0.1, fuse=5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            run_solver_blocked(
+                state, bonds, 10, 1.0, 0.1, fuse=5,
+                force_law=linear_spring_law,
+            ).collect(),
+        )
+    )
+    assert a == b
+    f1, l1 = run_solver_blocked_breaking(
+        state, bonds, 10, strain_limit=0.05, k=1.0, dt=0.1, fuse=5
+    )
+    f2, l2 = run_solver_blocked_breaking(
+        state, bonds, 10, strain_limit=0.05, k=1.0, dt=0.1, fuse=5,
+        reach=1.05 * 1.05 * 1.0,
+        bond_law=linear_spring_breaking_law,
+    )
+    assert sorted(map(tuple, f1.collect())) == sorted(map(tuple, f2.collect()))
+    g1 = sorted(
+        (r["src"], r["dst"], r["break_step"]) for r in l1.collect()
+    )
+    g2 = sorted(
+        (r["src"], r["dst"], r["break_step"]) for r in l2.collect()
+    )
+    assert g1 == g2
+
+
+def test_softening_ustate_survives_round_boundary(spark):
+    """Damage memory (ustate) must carry across halo-exchange shuffle
+    rounds: fuse=2 chaining equals one fuse=10 round under the bilinear
+    softening law, including the terminal damage state."""
+    from columnarmodeling_spark.simulation.solver import (
+        bilinear_softening_law,
+        run_solver_blocked_breaking,
+    )
+
+    state, bonds = _chain(spark)
+    # eps_y = 0.02 -> eps_u = 0.04: the chain's stretch drives bonds
+    # through softening INTO breakage (0.05 would only soften them)
+    reach = 1.05 * (1.0 + 2.0 * 0.02) * 1.0
+    outs = []
+    for fuse in (10, 2):
+        f, log = run_solver_blocked_breaking(
+            state, bonds, 10, strain_limit=0.02, k=1.0, dt=0.1,
+            fuse=fuse, reach=reach, bond_law=bilinear_softening_law,
+        )
+        outs.append(
+            (
+                sorted(map(tuple, f.collect())),
+                sorted(
+                    (
+                        r["src"], r["dst"], r["break_step"],
+                        round(r["ustate"], 12),
+                    )
+                    for r in log.collect()
+                ),
+            )
+        )
+    assert outs[0] == outs[1]
+    # the scenario must actually soften and break for this to mean much
+    assert any(b > 0 for _, _, b, _ in outs[0][1])
+    # a broken bond's damage is frozen at its break value >= eps_u
+    # (survivor-side softening-band coverage lives in q192's sf-data
+    # scenario, which has 38 softened survivors at sf0.01)
+    assert all(u >= 0.04 for _, _, b, u in outs[0][1] if b > 0)
+    assert any(b == -1 for _, _, b, _ in outs[0][1])
+
+
+def test_bilinear_law_softens_and_never_heals():
+    """Pure-NumPy law contract: capacity decays past yield, unloading
+    follows the damaged secant (no healing), break at eps_u."""
+    import numpy as np
+
+    from columnarmodeling_spark.simulation.solver import (
+        bilinear_softening_law,
+    )
+
+    rest = np.array([1.0])
+    k = np.array([2.0])
+    s = np.array([0.1])  # eps_y = 0.1, eps_u = 0.2
+    alive = np.ones(1, dtype=bool)
+    u = np.zeros(1)
+    # elastic: strain 0.05 < eps_y -> full stiffness
+    mag, jb, u = bilinear_softening_law(
+        np.array([1.05]), rest, k, s, u, alive
+    )
+    assert jb is not None and not jb[0]
+    assert abs(mag[0] - 2.0 * 0.05 / 1.05) < 1e-12
+    # load into the softening band: strain 0.15 -> capacity halved
+    mag_soft, jb, u = bilinear_softening_law(
+        np.array([1.15]), rest, k, s, u, alive
+    )
+    assert not jb[0] and abs(u[0] - 0.15) < 1e-12
+    full = 2.0 * 0.15 / 1.15
+    assert 0.0 < mag_soft[0] < full
+    # unload to strain 0.05: damaged secant, NOT the virgin stiffness
+    mag_unload, jb, u = bilinear_softening_law(
+        np.array([1.05]), rest, k, s, u, alive
+    )
+    assert not jb[0] and abs(u[0] - 0.15) < 1e-12  # damage never decreases
+    assert 0.0 < mag_unload[0] < 2.0 * 0.05 / 1.05
+    # compression stays undamaged-linear
+    mag_comp, _, u = bilinear_softening_law(
+        np.array([0.9]), rest, k, s, u, alive
+    )
+    assert abs(mag_comp[0] - 2.0 * (-0.1) / 0.9) < 1e-12
+    # ultimate strain: breaks, force zero
+    mag_b, jb, u = bilinear_softening_law(
+        np.array([1.25]), rest, k, s, u, alive
+    )
+    assert jb[0] and mag_b[0] == 0.0
