@@ -100,6 +100,33 @@ CASES = {
     "the 32 probe vectors (|probes| x n pairs, never n^2); both "
     "rankings are per-probe windows over bounded partitions, and the "
     "final recall row is a two-integer aggregate.",
+    "q185_hll_set_algebra": "HLL set algebra (union/intersection from "
+    "two 4 KB sketches). What to check: each corpus side collapses to "
+    "ONE 2048-row (bucket, max-rho) hash agg before anything joins — "
+    "the estimate arithmetic then runs on a full-outer join of two "
+    "constant-size relations, so the only data-sized work is the two "
+    "agg scans; the exact-overlap check beside it is a separate "
+    "semi-join branch that shares the token scans.",
+    "q187_table_fingerprint": "Order-insensitive table fingerprint "
+    "(XOR of 60-bit row hashes). What to check: ONE partial/final "
+    "bit_xor aggregate pair per table — 8 bytes of agg state through "
+    "the exchange, no sort, no window; the plan must be a pure "
+    "scan→project→two-stage agg with nothing else.",
+    "q190_cms_join_size": "Count-Min join-size estimation. What to "
+    "check: each corpus folds to a d x w (5 x 256) counter relation "
+    "via hash aggs BEFORE the sketch-sketch equi-join on (row, col) — "
+    "the join input is constant-size regardless of corpus, and the "
+    "exact join size computed beside it shares the token scans "
+    "(per-token-count aggs then a product join on the token key, "
+    "linear in distinct tokens).",
+    "q192_softening_bonds": "Pluggable constitutive law (UDM analog) "
+    "through the breaking block solver. What to check: per round, ONE "
+    "FlatMapCoGroupsInPandas on the (bx, by) block key carrying both "
+    "particles and bonds (the ustate damage column rides the bond "
+    "relation); two rounds appear because fuse=4 < n_steps=8, each "
+    "behind a localCheckpoint barrier; the per-bond law runs inside "
+    "the kernel, invisible to the plan — exactly the point: swapping "
+    "the constitutive model changes NO exchange.",
     "q126_ivfpq_search": "IVFADC search (adaptive cells + PQ codes). "
     "What to check: routing is the q96 MapInPandas (broadcast seed "
     "matrix, no join); the ONLY exchanges hash-partition on the cell "
