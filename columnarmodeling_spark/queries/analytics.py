@@ -1369,3 +1369,87 @@ def q191_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("z_micro"),
     )
+
+
+@register(
+    "q197_rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             max(epoch_us(o_orderdate)) AS r_us,
+             CAST(count(*) AS BIGINT) AS f_cnt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM orders GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM m),
+    r AS (
+      SELECT custkey, r_us, f_cnt, m_cents,
+             row_number() OVER (ORDER BY r_us, custkey) AS rr,
+             row_number() OVER (ORDER BY f_cnt, custkey) AS fr,
+             row_number() OVER (ORDER BY m_cents, custkey) AS mr
+      FROM m)
+    SELECT custkey, r_us, f_cnt, m_cents,
+           (rr - 1) * 5 // (SELECT n FROM n) + 1 AS r_score,
+           (fr - 1) * 5 // (SELECT n FROM n) + 1 AS f_score,
+           (mr - 1) * 5 // (SELECT n FROM n) + 1 AS m_score,
+           ((rr - 1) * 5 // (SELECT n FROM n) + 1) * 100
+           + ((fr - 1) * 5 // (SELECT n FROM n) + 1) * 10
+           + ((mr - 1) * 5 // (SELECT n FROM n) + 1) AS segment
+    FROM r
+    """,
+    doc="RFM customer segmentation (the marketing-analytics staple: "
+    "recency / frequency / monetary quintile scores, 111-555 segment "
+    "codes): per-customer metrics from one orders agg — recency as "
+    "epoch-micros of the last order, monetary as exact integer cents "
+    "— then each metric's quintile from a GLOBAL rank with custkey "
+    "tie-break (score = (rank-1)*5 div n + 1: pure positive-int "
+    "arithmetic, identical div semantics on both engines; ntile() "
+    "would shuffle remainder rows differently and is avoided). The "
+    "oracle's three global row_number()s are exactly what a naive "
+    "Spark build would do in ONE task each; the engine instead runs "
+    "operators/indexing.with_global_index per metric — range "
+    "partition, per-partition window, broadcast offsets — the "
+    "documented scale-safe global-order shape (q177/q181). Output is "
+    "all-integer, hash-exact.",
+    tags=("analytics", "rfm", "segmentation", "ranking", "scale"),
+)
+def q197_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("r_us"),
+            F.count("*").cast("long").alias("f_cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("m_cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranked = m
+    for col, rank_col in (
+        ("r_us", "rr"), ("f_cnt", "fr"), ("m_cents", "mr")
+    ):
+        ranked = with_global_index(
+            ranked, [col, "custkey"], index_col=rank_col
+        )
+    nn = m.agg(F.count("*").alias("n"))
+    score = lambda rk: (  # noqa: E731
+        F.expr(f"div(({rk} - 1) * 5, n)") + 1
+    )
+    return ranked.crossJoin(F.broadcast(nn)).select(
+        "custkey",
+        "r_us",
+        "f_cnt",
+        "m_cents",
+        score("rr").alias("r_score"),
+        score("fr").alias("f_score"),
+        score("mr").alias("m_score"),
+        (
+            score("rr") * 100 + score("fr") * 10 + score("mr")
+        ).alias("segment"),
+    )

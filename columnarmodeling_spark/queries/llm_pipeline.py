@@ -456,3 +456,102 @@ def q178_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _STRAT_K)
         .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+_NEG_K = 2  # deterministic negatives drawn per positive pair
+
+
+@register(
+    "q196_negative_sampling",
+    oracle=f"""
+    WITH pos AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    mx AS (SELECT max(p_partkey) AS mp FROM part),
+    draw AS (
+      SELECT p.custkey, p.partkey, j.j,
+             CAST(('0x' || substr(md5(CAST(p.custkey AS VARCHAR) || '#'
+                   || CAST(p.partkey AS VARCHAR) || '#'
+                   || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT)
+               % (SELECT mp FROM mx) + 1 AS neg_partkey
+      FROM pos p
+      CROSS JOIN (SELECT unnest(range(1, {_NEG_K} + 1)) AS j) j)
+    SELECT d.custkey, d.partkey, CAST(d.j AS BIGINT) AS neg_rank,
+           d.neg_partkey,
+           (c.custkey IS NOT NULL) AS is_collision
+    FROM draw d
+    LEFT JOIN pos c
+      ON c.custkey = d.custkey AND c.partkey = d.neg_partkey
+    """,
+    doc="Deterministic negative sampling for contrastive training pairs "
+    "(the data-side half of every two-tower / matrix-factorization "
+    "recommender and of embedding-model hard-negative mining): for "
+    "each observed (customer, part) purchase pair, draw k=2 "
+    "pseudo-random candidate parts via the repo's 60-bit md5 idiom "
+    "keyed on (custkey, partkey, draw-index) — deterministic, so both "
+    "engines and any re-run produce the SAME negatives (RNG-based "
+    "samplers are unverifiable and non-resumable; the md5 draw is the "
+    "q87/q178 assignment discipline applied to sampling). Collisions "
+    "with true positives are FLAGGED, not silently resampled "
+    "(resample-until-clean is an unbounded loop; training pipelines "
+    "downweight or drop flagged rows instead) via a left join back to "
+    "the positive set on the (custkey, candidate) key. At 100 TB: one "
+    "distinct agg, a constant k-way fan-out, and one equi-join "
+    "co-partitioned on custkey — no RNG state, no driver loop.",
+    tags=("llm", "sampling", "negatives", "join", "scale"),
+)
+def q196_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mx = t(spark, sf_dir, "part").agg(F.max("p_partkey").alias("mp"))
+    js = spark.range(1, _NEG_K + 1).select(F.col("id").alias("j"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("custkey").cast("string"),
+                    F.col("partkey").cast("string"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draw = (
+        pos.crossJoin(F.broadcast(js))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            "partkey",
+            F.col("j").cast("long").alias("neg_rank"),
+            (u % F.col("mp") + 1).alias("neg_partkey"),
+        )
+    )
+    chk = pos.select(
+        F.col("custkey").alias("c2"), F.col("partkey").alias("neg2")
+    )
+    return draw.join(
+        chk,
+        (F.col("custkey") == F.col("c2"))
+        & (F.col("neg_partkey") == F.col("neg2")),
+        "left",
+    ).select(
+        "custkey",
+        "partkey",
+        "neg_rank",
+        "neg_partkey",
+        F.col("c2").isNotNull().alias("is_collision"),
+    )

@@ -1580,3 +1580,59 @@ def q190_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overcount"),
     )
+
+
+_FH_DIM = 64  # hashed feature dimensionality (2^6)
+
+
+@register(
+    "q195_feature_hashing",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS tk
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS u
+      FROM tk)
+    SELECT doc_id,
+           u % {_FH_DIM} AS bucket,
+           CAST(sum(CASE WHEN (u // {_FH_DIM}) % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS weight
+    FROM h
+    GROUP BY 1, 2
+    HAVING sum(CASE WHEN (u // {_FH_DIM}) % 2 = 0
+                    THEN 1 ELSE -1 END) <> 0
+    """,
+    doc="Feature hashing (the 'hashing trick', Weinberger et al. 2009 — "
+    "the fixed-width featurizer that turns unbounded vocabularies "
+    "into trainable vectors with NO vocabulary build, dictionary "
+    "broadcast, or second pass): every token occurrence hashes to one "
+    "of 64 buckets via the repo's 60-bit md5 idiom, with a SIGN bit "
+    "drawn from the next hash bit so collisions cancel in expectation "
+    "(the signed-sum variance fix from the paper). Output is the "
+    "sparse (doc, bucket, weight) triple relation, zero-weight cells "
+    "dropped on BOTH engines (HAVING vs post-agg filter). One "
+    "explode + one hash agg — map-side combinable, no joins, no "
+    "driver state; the 100 TB featurization pass is embarrassingly "
+    "parallel and the model dimension is a constant.",
+    tags=("llm", "text", "features", "hashing", "agg", "scale"),
+)
+def q195_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tk")
+    )
+    u = F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10).cast("long")
+    h = d.select("doc_id", u.alias("u"))
+    sign = F.when(
+        F.expr(f"div(u, {_FH_DIM})") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        h.groupBy(
+            "doc_id", (F.col("u") % _FH_DIM).alias("bucket")
+        )
+        .agg(F.sum(sign).cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

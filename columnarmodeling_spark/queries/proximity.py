@@ -863,3 +863,112 @@ def q186_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+# --- q193: label-propagation communities (round 7) ------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unroll synchronous label propagation as a DuckDB CTE chain: per
+    round every node adopts the most frequent label among its
+    neighbors (ties to the SMALLEST label — the determinism rule that
+    makes sync LPA replayable), isolated nodes keep their own. All
+    integer, so the compare is exact."""
+    head = f"""
+    WITH pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_EPS}),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    l0 AS (SELECT id, id AS lbl FROM pts)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f""",
+    c{i} AS (
+      SELECT u.src AS id, l.lbl, count(*) AS cnt
+      FROM und u JOIN l{p} l ON l.id = u.dst
+      GROUP BY 1, 2),
+    w{i} AS (
+      SELECT id, lbl FROM (
+        SELECT id, lbl,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM c{i})
+      WHERE rn = 1),
+    l{i} AS (
+      SELECT l.id, coalesce(w.lbl, l.lbl) AS lbl
+      FROM l{p} l LEFT JOIN w{i} w ON w.id = l.id)""")
+    tail = f"""
+    SELECT l.id, l.lbl AS community,
+           CAST(s.n AS BIGINT) AS community_size
+    FROM l{rounds} l
+    JOIN (SELECT lbl, count(*) AS n FROM l{rounds} GROUP BY 1) s
+      ON s.lbl = l.lbl
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q193_label_propagation",
+    oracle=_lpa_oracle(_LPA_ROUNDS),
+    doc="Synchronous label-propagation community detection on the bond "
+    "network (the near-linear community pass of Raghavan et al. 2007, "
+    "and the standard first cut for grouping a contact/bond graph "
+    "into grains/clusters): 4 fixed rounds, every node adopts the "
+    "most frequent neighbor label with ties to the SMALLEST label — "
+    "the determinism rule that makes sync LPA exactly replayable on "
+    "both engines (classic async LPA is run-order-dependent and "
+    "unverifiable). Per round: one join of the undirected edge "
+    "relation against current labels, one (node, label) count agg, "
+    "one per-node top-1 window whose partition is bounded by the "
+    "node's DEGREE (never corpus-sized), then a left join that lets "
+    "isolated nodes keep their own label; localCheckpoint truncates "
+    "lineage per round, the q56/q133 iteration discipline. Fixed "
+    "round count = fixed shuffle count at any scale; all-integer so "
+    "the oracle's unrolled replay is hash-exact.",
+    tags=("graph", "community", "lpa", "iterative", "scale"),
+)
+def q193_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir).select("id")
+    edges = grid_proximity_join(
+        _points(spark, sf_dir), eps=_EPS, id_col="id"
+    ).select("src", "dst")
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    lbl = pts.select("id", F.col("id").alias("lbl"))
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), "lbl")
+    for _ in range(_LPA_ROUNDS):
+        c = (
+            und.join(
+                lbl.select(F.col("id").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        pick = (
+            c.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("id", F.col("lbl").alias("new_lbl"))
+        )
+        lbl = (
+            lbl.join(pick, "id", "left")
+            .select(
+                "id", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    sizes = lbl.groupBy("lbl").agg(F.count("*").alias("n"))
+    return lbl.join(sizes, "lbl").select(
+        "id",
+        F.col("lbl").alias("community"),
+        F.col("n").cast("long").alias("community_size"),
+    )

@@ -932,3 +932,56 @@ def q189_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jk_var"),
     )
+
+
+@register(
+    "q194_ewma_smoothing",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(
+             list(value ORDER BY epoch_us(ts), event_id),
+             (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Per-user exponentially-weighted moving average of the event "
+    "value stream (alpha = 0.25 — exactly representable, so the "
+    "recurrence s = 0.25*x + 0.75*s is two exact-operand IEEE "
+    "multiplies and one add per element): the classic smoothing "
+    "primitive behind rate limiting, engagement scores and anomaly "
+    "baselines. An EWMA is a sequential fold, which SQL windows can't "
+    "express without numerically-explosive a^(-i) weight tricks — "
+    "instead BOTH engines fold the identical (ts, event_id)-ordered "
+    "per-user list left-to-right with the first element as seed "
+    "(Spark: array_sort(collect_list(struct)) + aggregate() over the "
+    "tail; DuckDB: list(... ORDER BY) + list_reduce) — the same IEEE "
+    "op sequence on the same operands, hence bit-identical before the "
+    "6dp rounding. Per-user lists are bounded by per-user activity "
+    "(the q164/q166 state argument); at 100 TB the groupBy "
+    "distributes on user_id and the fold is map-side within each "
+    "group — one shuffle total.",
+    tags=("timeseries", "ewma", "fold", "agg", "scale"),
+)
+def q194_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_id", "value"))
+        ).alias("s"),
+    )
+    vals = F.transform("s", lambda e: e["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return g.select(
+        "user_id", "n_events", F.round(ewma, 6).alias("ewma")
+    )

@@ -193,3 +193,78 @@ def test_bfs_known_path_graph(spark):
     got = {r["id"]: r["d"] for r in dist.collect()}
     want = {i: (i if i <= 3 else 999_999) for i in range(10)}
     assert got == want
+
+
+def test_rfm_quintiles_balanced(spark, sf_dir):
+    """q197: every score is in 1..5 and each quintile holds floor or
+    ceil of n/5 customers (the (rank-1)*5 div n + 1 arithmetic)."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q197_rfm_segments"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    import collections
+
+    for metric in ("r_score", "f_score", "m_score"):
+        counts = collections.Counter(r[metric] for r in rows)
+        assert set(counts) <= {1, 2, 3, 4, 5}
+        lo, hi = n // 5, -(-n // 5)
+        assert all(lo <= c <= hi for c in counts.values())
+    for r in rows:
+        assert r["segment"] == (
+            r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        )
+
+
+def test_ewma_bounded_by_value_range(spark, sf_dir):
+    """q194: a convex-combination fold can never leave the per-user
+    value range."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries._util import t
+
+    ew = REGISTRY["q194_ewma_smoothing"].fn(spark, sf_dir)
+    rng = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bad = ew.join(rng, "user_id").filter(
+        (F.col("ewma") < F.col("lo") - 1e-6)
+        | (F.col("ewma") > F.col("hi") + 1e-6)
+    )
+    assert ew.count() > 0 and bad.count() == 0
+
+
+def test_negative_sampling_shape_and_flags(spark, sf_dir):
+    """q196: exactly k=2 draws per positive pair, candidates inside the
+    part-key range, and the collision flag agrees with membership in
+    the positive set."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries._util import t
+
+    out = REGISTRY["q196_negative_sampling"].fn(spark, sf_dir).cache()
+    per = out.groupBy("custkey", "partkey").agg(F.count("*").alias("c"))
+    assert per.filter("c != 2").count() == 0
+    mp = t(spark, sf_dir, "part").agg(F.max("p_partkey")).collect()[0][0]
+    assert out.filter(
+        (F.col("neg_partkey") < 1) | (F.col("neg_partkey") > mp)
+    ).count() == 0
+    pos = (
+        out.select(
+            F.col("custkey").alias("pc"), F.col("partkey").alias("pp")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    flagged = out.filter("is_collision").join(
+        pos,
+        (F.col("custkey") == F.col("pc"))
+        & (F.col("neg_partkey") == F.col("pp")),
+        "left_anti",
+    )
+    assert flagged.count() == 0
+    out.unpersist()

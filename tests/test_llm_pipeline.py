@@ -416,3 +416,32 @@ def test_bpe_train_known_corpus(spark, tmp_path):
         (3, "aa", "ab", 1),
         (4, "aa", "b", 1),
     ]
+
+
+def test_feature_hashing_mass_conservation(spark, sf_dir):
+    """q195: |weight| summed over buckets never exceeds the doc's token
+    count, and the signed total has the token count's parity (each
+    token contributes exactly +-1)."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries._util import t
+    from columnarmodeling_spark.functions.text import tokens
+
+    fh = (
+        REGISTRY["q195_feature_hashing"].fn(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.abs("weight")).alias("mass"),
+            F.sum("weight").alias("net"),
+        )
+    )
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("ntok")
+    )
+    j = fh.join(tk, "doc_id")
+    assert j.count() > 0
+    assert j.filter(F.col("mass") > F.col("ntok")).count() == 0
+    assert j.filter(
+        F.pmod(F.col("net") - F.col("ntok"), F.lit(2)) != 0
+    ).count() == 0

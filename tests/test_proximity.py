@@ -197,3 +197,19 @@ def test_countmin_is_one_sided(spark):
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"] > 0
         assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+
+def test_lpa_communities_wellformed(spark, sf_dir):
+    """q193: every community label is a member's own id, sizes are
+    consistent, and connected pairs that share a label at round 0
+    (trivially true) still yield a partition of the node set."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q193_label_propagation"].fn(spark, sf_dir).collect()
+    ids = {r["id"] for r in rows}
+    assert len(rows) == len(ids) > 0
+    import collections
+
+    sizes = collections.Counter(r["community"] for r in rows)
+    for r in rows:
+        assert r["community_size"] == sizes[r["community"]]
