@@ -127,6 +127,21 @@ CASES = {
     "behind a localCheckpoint barrier; the per-bond law runs inside "
     "the kernel, invisible to the plan — exactly the point: swapping "
     "the constitutive model changes NO exchange.",
+    "q193_label_propagation": "Synchronous LPA communities, 4 unrolled "
+    "rounds. What to check: each round is exactly one shuffled "
+    "edge-label hash join + one (node, label) partial/final count agg "
+    "+ one per-node window whose partition key is the node id (size "
+    "bounded by degree, never corpus-sized); rounds are separated by "
+    "localCheckpoint scans (Scan ExistingRDD), so the captured plan "
+    "shows only the LAST round + the size join — fixed shuffle count "
+    "per round at any scale.",
+    "q197_rfm_segments": "RFM quintiles from global ranks. What to "
+    "check: three with_global_index passes appear as "
+    "repartitionByRange Exchanges each followed by a per-partition "
+    "window and a BroadcastHashJoin against the #partitions-row "
+    "offset relation — no single-partition window anywhere; the "
+    "scores are map-side integer arithmetic over the broadcast "
+    "customer-count row.",
     "q126_ivfpq_search": "IVFADC search (adaptive cells + PQ codes). "
     "What to check: routing is the q96 MapInPandas (broadcast seed "
     "matrix, no join); the ONLY exchanges hash-partition on the cell "
