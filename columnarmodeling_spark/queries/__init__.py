@@ -97,13 +97,16 @@ def register(
 # streaming entries in that range (q146_stream_hll,
 # q166_stream_transitions) go at the end of the window so their fixed
 # micro-batch drain overhead cannot starve batch rows if the driver's
-# cap is time-based. q182-q197 (16 queries; q192_softening_bonds is
-# the round-7 UDM-analog addition, q193-q197 the round-7 batch: LPA
-# communities, EWMA fold, feature hashing, negative sampling, RFM)
-# do not fit; they queue first for the r8 window and meanwhile carry
-# this round's strict-replica AND hostile-TZ driver-flow evidence,
-# plus the q191 fix (divide-by-zero guard + non-degenerate
-# conversion definition, replica MATCH at sf0.01).
+# cap is time-based. q182-q200 (19 queries; q192_softening_bonds is
+# the round-7 UDM-analog addition, q193-q200 the round-7 batch: LPA
+# communities, EWMA fold, feature hashing, negative sampling, RFM,
+# residual VQ, Poisson bootstrap, calibration curve) do not fit;
+# they queue first for the r8 window and meanwhile carry this
+# round's strict-replica AND hostile-TZ driver-flow evidence, plus
+# the q191 fix (divide-by-zero guard + non-degenerate conversion
+# definition, replica MATCH at sf0.01). A round-7 full-registry
+# sweep (tools/driver_replica.py --all) was 197/197 strict-match;
+# q198-q200 were added after and individually replica + TZ checked.
 # Every query rotated OUT of the window was green at its latest driver
 # check in CORRECTNESS_r06 or earlier.
 # ---------------------------------------------------------------------------

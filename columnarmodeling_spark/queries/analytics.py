@@ -1453,3 +1453,183 @@ def q197_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             score("rr") * 100 + score("fr") * 10 + score("mr")
         ).alias("segment"),
     )
+
+
+_BOOT_B = 8  # bootstrap replicas
+# Poisson(1) CDF thresholds (exact repr round-trip doubles — both
+# engines compare the SAME literals against the same md5 uniform, so
+# every (row, replica) weight is identical); weights capped at 9
+# (remaining mass ~1.1e-6, a documented truncation both sides share).
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402",
+)
+_POIS_DEN = 1 << 60  # md5 60-bit prefix -> uniform in [0, 1)
+
+
+def _pois_weight_sql(u: str) -> str:
+    """weight = #CDF thresholds <= u (branchless sum — identical
+    integer result in both dialects)."""
+    terms = " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _POIS_CDF
+    )
+    return f"({terms})"
+
+
+@register(
+    "q199_poisson_bootstrap",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    d AS (
+      SELECT x.k, x.cents, b.b,
+             {_pois_weight_sql(
+                 "(CAST(('0x' || substr(md5(CAST(x.k AS VARCHAR) || '#' || "
+                 "CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT)"
+                 f" / CAST({_POIS_DEN} AS DOUBLE))"
+             )} AS w
+      FROM x CROSS JOIN (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) b)
+    SELECT CAST(b AS BIGINT) AS replica,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+           round(CAST(sum(w * cents) AS DOUBLE) / sum(w), 6) AS mean_cents
+    FROM d GROUP BY 1
+    """,
+    doc="Deterministic Poisson bootstrap of the mean order value — THE "
+    "distributed bootstrap (Chamandy et al. 2012, 'Estimating "
+    "uncertainty for massive data streams'): classical resampling "
+    "needs n draws WITH replacement from n rows (a global shuffle per "
+    "replica), while the Poisson approximation gives every row an "
+    "independent Poisson(1) weight per replica — one map-side "
+    "expression, no resampling shuffle, exact at the 1/n level. The "
+    "per-(row, replica) weight is the inverse-CDF of a 60-bit md5 "
+    "uniform against exact repr-round-trip Poisson(1) thresholds "
+    "(capped at 9, mass ~1e-6 — both engines share the truncation), "
+    "so the draw is DETERMINISTIC: re-runs, retries and both engines "
+    "agree on every weight — the q87/q178/q196 discipline applied to "
+    "uncertainty quantification, vs q189's jackknife which covers the "
+    "small-B regime. Sums are exact int64; the per-replica mean is "
+    "one two-integer division. At 100 TB: a constant B-way fan-out "
+    "and one hash agg — the bootstrap costs B scans' worth of map "
+    "work and nothing else.",
+    tags=("analytics", "bootstrap", "uncertainty", "agg", "scale"),
+)
+def q199_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    bs = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("k").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(_POIS_DEN))
+    )
+    w = None
+    for thr in _POIS_CDF:
+        term = F.when(u >= float(thr), 1).otherwise(0)
+        w = term if w is None else w + term
+    d = x.crossJoin(F.broadcast(bs)).select(
+        "b", "cents", w.alias("w")
+    )
+    return d.groupBy(F.col("b").cast("long").alias("replica")).agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("sum_cents"),
+        F.round(
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w"),
+            6,
+        ).alias("mean_cents"),
+    )
+
+
+@register(
+    "q200_calibration_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+               AS n_clicks,
+             CASE WHEN count(*) FILTER (event_type = 'purchase')
+                       > count(*) FILTER (event_type = 'click')
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM u),
+    r AS (
+      SELECT user_id, n_clicks, converted,
+             row_number() OVER (ORDER BY n_clicks, user_id) AS rk
+      FROM u)
+    SELECT (rk - 1) * 10 // (SELECT n FROM n) + 1 AS score_decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CASE WHEN count(*) > 0
+                THEN 1000000 * CAST(sum(converted) AS BIGINT) // count(*)
+                ELSE NULL END AS conv_rate_micro
+    FROM r GROUP BY 1
+    """,
+    doc="Score calibration / reliability curve (the model-eval staple: "
+    "does the k-th score decile actually convert at a monotone rate?) "
+    "over q191's conversion definition, scored by per-user click "
+    "count: users rank globally on (score, user_id) — the engine uses "
+    "operators/indexing.with_global_index, never a single-task global "
+    "window — then decile = (rank-1)*10 div n + 1 (pure positive-int "
+    "arithmetic, identical div in both dialects; engine-divergent "
+    "ntile() avoided, the q197 rule), and each decile reports exact "
+    "integer user/conversion counts plus the rate in micro-units. 10 "
+    "output rows at any corpus size; the only data-sized work is one "
+    "user-keyed agg and the two-pass global rank.",
+    tags=("analytics", "calibration", "eval", "ranking", "scale"),
+)
+def q200_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("long")
+            .alias("n_clicks"),
+            (
+                F.count(F.when(F.col("event_type") == "purchase", 1))
+                > F.count(F.when(F.col("event_type") == "click", 1))
+            )
+            .cast("int")
+            .alias("converted"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranked = with_global_index(u, ["n_clicks", "user_id"], index_col="rk")
+    nn = u.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(nn))
+        .select(
+            (F.expr("div((rk - 1) * 10, n)") + 1).alias("score_decile"),
+            "converted",
+        )
+        .groupBy("score_decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.when(
+                F.count("*") > 0,
+                F.expr("div(1000000 * sum(converted), count(1))"),
+            ).alias("conv_rate_micro"),
+        )
+    )

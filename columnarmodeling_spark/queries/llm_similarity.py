@@ -1752,3 +1752,147 @@ def q181_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.expr("div(1000000 * (rk - 1), n - 1)").alias("qn_micro"),
     )
+
+
+# --- q198: residual (two-level) vector quantization -----------------------
+
+_RVQ_K = 16  # entries per codebook level
+
+
+@register(
+    "q198_residual_vq",
+    oracle=f"""
+    WITH {_SQL_QUANT_MAT},
+    ord AS MATERIALIZED (
+      SELECT vec_id, qv,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS ork
+      FROM n
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= 2 * {_RVQ_K}),
+    s1 AS MATERIALIZED (
+      SELECT ork AS rank, qv AS c FROM ord WHERE ork <= {_RVQ_K}),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, rank AS c1, d2 AS d1 FROM (
+        SELECT v.vec_id, s.rank,
+               list_sum(list_transform(range(1, 65),
+                 i -> (v.qv[i] - s.c[i]) * (v.qv[i] - s.c[i]))) AS d2
+        FROM n v CROSS JOIN s1 s)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, rank) = 1),
+    res AS MATERIALIZED (
+      SELECT v.vec_id, a.c1, a.d1,
+             list_transform(range(1, 65), i -> v.qv[i] - s.c[i]) AS r
+      FROM n v
+      JOIN a1 a ON a.vec_id = v.vec_id
+      JOIN s1 s ON s.rank = a.c1),
+    s2 AS MATERIALIZED (
+      SELECT 0 AS rank2,
+             list_transform(range(1, 65), i -> CAST(0 AS BIGINT)) AS c
+      UNION ALL
+      SELECT o.ork - {_RVQ_K} AS rank2, r.r AS c
+      FROM ord o JOIN res r ON r.vec_id = o.vec_id
+      WHERE o.ork > {_RVQ_K}),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, rank2 AS c2, d2 FROM (
+        SELECT v.vec_id, s.rank2,
+               list_sum(list_transform(range(1, 65),
+                 i -> (v.r[i] - s.c[i]) * (v.r[i] - s.c[i]))) AS d2
+        FROM res v CROSS JOIN s2 s)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, rank2) = 1)
+    SELECT r.vec_id, CAST(r.c1 AS BIGINT) AS c1,
+           CAST(a.c2 AS BIGINT) AS c2,
+           CAST(r.d1 AS BIGINT) AS d1, CAST(a.d2 AS BIGINT) AS d2
+    FROM res r JOIN a2 a ON a.vec_id = r.vec_id
+    """,
+    doc="Residual (two-level) vector quantization — the RVQ memory "
+    "layout that modern ANN engines use where PQ's subspace "
+    "independence hurts (Chen et al. 2010 residual VQ; the "
+    "coarse+residual structure is also exactly IVFADC's first level): "
+    "level 1 assigns each vector to its nearest of 16 md5-ranked "
+    "coarse centroids (exact integer L2, ties to the smallest rank); "
+    "the INTEGER residual — quantized vectors make residuals exact "
+    "int64, no float drift between levels — is then coded against a "
+    "second 17-entry codebook (the residuals of the next 16 md5-ranked "
+    "vectors, plus the explicit ZERO entry that guarantees the "
+    "refinement property d2 <= d1 per vector, asserted in "
+    "tests/test_llm_pipeline.py). Output is the per-vector code pair "
+    "and both distortion levels, all int64 — hash-exact. Both codebook "
+    "relations are constant-size broadcasts; assignment is a constant "
+    "16/17-way fan-out — linear in the corpus, the same cost shape as "
+    "q123's PQ encode.",
+    tags=("similarity", "llm", "ann", "rvq", "pq", "scale"),
+)
+def q198_residual_vq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = _quantized(spark, sf_dir).select("vec_id", "qv")
+    ordw = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    ordered = (
+        n.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(2 * _RVQ_K)
+        .withColumn("ork", F.row_number().over(ordw))
+        .localCheckpoint()
+    )
+    s1 = ordered.filter(F.col("ork") <= _RVQ_K).select(
+        F.col("ork").alias("rank"), F.col("qv").alias("c")
+    )
+    d2_expr = F.aggregate(
+        F.zip_with("qv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w1 = Window.partitionBy("vec_id").orderBy("d2", "rank")
+    a1 = (
+        n.crossJoin(F.broadcast(s1))
+        .withColumn("d2", d2_expr)
+        .withColumn("rn", F.row_number().over(w1))
+        .filter("rn = 1")
+        .select("vec_id", F.col("rank").alias("c1"), F.col("d2").alias("d1"))
+    )
+    res = (
+        n.join(a1, "vec_id")
+        .join(
+            F.broadcast(s1.select(F.col("rank").alias("c1"), "c")), "c1"
+        )
+        .select(
+            "vec_id",
+            "c1",
+            "d1",
+            F.zip_with("qv", "c", lambda a, b: a - b).alias("r"),
+        )
+        .localCheckpoint()
+    )
+    zero = spark.range(1).select(
+        F.lit(0).cast("long").alias("rank2"),
+        F.array_repeat(F.lit(0).cast("long"), 64).alias("c"),
+    )
+    donors = (
+        ordered.filter(F.col("ork") > _RVQ_K)
+        .select("vec_id", (F.col("ork") - _RVQ_K).alias("rank2"))
+        .join(res.select("vec_id", F.col("r").alias("c")), "vec_id")
+        .select("rank2", "c")
+    )
+    s2 = zero.unionByName(donors)
+    d2b = F.aggregate(
+        F.zip_with("r", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w2 = Window.partitionBy("vec_id").orderBy("d2", "rank2")
+    a2 = (
+        res.select("vec_id", "r")
+        .crossJoin(F.broadcast(s2))
+        .withColumn("d2", d2b)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter("rn = 1")
+        .select("vec_id", F.col("rank2").alias("c2"), "d2")
+    )
+    return res.select("vec_id", "c1", "d1").join(a2, "vec_id").select(
+        "vec_id",
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+    )

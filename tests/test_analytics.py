@@ -268,3 +268,36 @@ def test_negative_sampling_shape_and_flags(spark, sf_dir):
     )
     assert flagged.count() == 0
     out.unpersist()
+
+
+def test_poisson_bootstrap_replicas_sane(spark, sf_dir):
+    """q199: every replica's effective n is within a few sigma of the
+    row count (sum of n Poisson(1) ~ n +- sqrt(n)), means stay inside
+    the value range, and replicas differ (the draw is per-replica)."""
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries._util import t
+
+    rows = REGISTRY["q199_poisson_bootstrap"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    n = t(spark, sf_dir, "orders").count()
+    import math
+
+    for r in rows:
+        assert abs(r["n_eff"] - n) <= 6 * math.sqrt(n) + 1
+        assert r["sum_cents"] > 0
+    assert len({r["n_eff"] for r in rows}) > 1
+
+
+def test_calibration_deciles_partition_users(spark, sf_dir):
+    """q200: deciles 1..10 partition the user set with floor/ceil(n/10)
+    sizes and conversion counts bounded by bucket size."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q200_calibration_curve"].fn(spark, sf_dir).collect()
+    total = sum(r["n_users"] for r in rows)
+    assert {r["score_decile"] for r in rows} <= set(range(1, 11))
+    lo, hi = total // 10, -(-total // 10)
+    for r in rows:
+        assert lo <= r["n_users"] <= hi
+        assert 0 <= r["n_converted"] <= r["n_users"]
+        assert 0 <= r["conv_rate_micro"] <= 1000000

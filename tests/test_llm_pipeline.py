@@ -445,3 +445,21 @@ def test_feature_hashing_mass_conservation(spark, sf_dir):
     assert j.filter(
         F.pmod(F.col("net") - F.col("ntok"), F.lit(2)) != 0
     ).count() == 0
+
+
+def test_residual_vq_refines(spark, sf_dir):
+    """q198: the level-2 codebook contains the explicit zero entry, so
+    per-vector distortion can only improve: d2 <= d1 for EVERY vector,
+    and codes are in range."""
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["q198_residual_vq"].fn(spark, sf_dir).cache()
+    assert out.count() > 0
+    assert out.filter(F.col("d2") > F.col("d1")).count() == 0
+    assert out.filter(
+        (F.col("c1") < 1) | (F.col("c1") > 16)
+        | (F.col("c2") < 0) | (F.col("c2") > 16)
+    ).count() == 0
+    # refinement must actually do something on real data
+    assert out.filter(F.col("d2") < F.col("d1")).count() > 0
+    out.unpersist()
