@@ -57,6 +57,13 @@ HEADLINE = [
     "q134_hll_distinct",
     "q135_funnel",
     "q143_kmeans_lloyd",
+    # round-7 additions: the bbox-bin spatial join, the pluggable-law
+    # breaking solver (two fuse=4 rounds incl. the ustate carry), and
+    # the fixed-round LPA community pass (the per-round join+agg+
+    # degree-bounded-window iteration shape)
+    "q182_point_in_polygon",
+    "q192_softening_bonds",
+    "q193_label_propagation",
 ]
 
 

@@ -142,6 +142,19 @@ CASES = {
     "offset relation — no single-partition window anywhere; the "
     "scores are map-side integer arithmetic over the broadcast "
     "customer-count row.",
+    "q198_residual_vq": "Residual (two-level) VQ encode. What to "
+    "check: BOTH assignment stages are BroadcastNestedLoopJoins whose "
+    "broadcast side is a constant-size codebook (16 coarse / 17 "
+    "residual entries); per-vector top-1 windows partition on vec_id "
+    "with codebook-size partitions; the level-2 codebook is built from "
+    "a TakeOrdered 32-row seed draw + the zero row — nothing "
+    "data-sized is ever broadcast or sorted globally.",
+    "q199_poisson_bootstrap": "Deterministic Poisson bootstrap. What "
+    "to check: the B=8 replica fan-out is a broadcast crossJoin of an "
+    "8-row range followed by pure map-side weight arithmetic (md5 + "
+    "threshold CASEs) into ONE partial/final hash agg on the replica "
+    "id — the entire bootstrap is a single scan's map work, no "
+    "resampling exchange exists in the plan.",
     "q126_ivfpq_search": "IVFADC search (adaptive cells + PQ codes). "
     "What to check: routing is the q96 MapInPandas (broadcast seed "
     "matrix, no join); the ONLY exchanges hash-partition on the cell "
