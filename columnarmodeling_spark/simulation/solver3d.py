@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from columnarmodeling_spark.simulation.solver import (
     BoundaryCondition,
     _curve_scale,
+    linear_spring_law,
 )
 
 
@@ -149,9 +150,11 @@ def run_solver3d_blocked(
     gravity: tuple[float, float, float] = (0.0, 0.0, 0.0),
     damping: float = 0.0,
     gravity_curve: tuple[tuple[float, float], ...] | None = None,
+    force_law=None,
 ) -> DataFrame:
     """3D halo-exchange block solver (see module docstring). Parameter
-    semantics match ``run_solver_blocked``; BC range boxes use all
+    semantics match ``run_solver_blocked`` (including the pluggable
+    *force_law* constitutive hook); BC range boxes use all
     three axes and velocity/force/acceleration values are
     ``(vx, vy, vz)``."""
     if reach is None:
@@ -169,6 +172,7 @@ def run_solver3d_blocked(
             state, bonds, k, dt, burst, block, halo,
             bcs=bcs, step0=step0 + i, gravity=gravity, damping=damping,
             gravity_curve=gravity_curve,
+            force_law=force_law,
         ).localCheckpoint()
         i += burst
     return state
@@ -187,12 +191,17 @@ def blocked_round3d(
     gravity: tuple[float, float, float] = (0.0, 0.0, 0.0),
     damping: float = 0.0,
     gravity_curve: tuple[tuple[float, float], ...] | None = None,
+    force_law=None,
 ) -> DataFrame:
     """One 3D halo-exchange round: 3×3×3 replication, same-block bond
     extraction, ``burst`` Euler sub-steps in one cogrouped NumPy
     kernel. Force order mirrors the 2D kernel exactly (springs →
     gravity·scale(t) → force/nonreflection BCs → local damping →
-    integrate → acceleration/velocity BCs → advance)."""
+    integrate → acceleration/velocity BCs → advance). *force_law* is
+    the same pluggable constitutive hook as the 2D kernels (the
+    UDM.dll analog — see simulation/solver.py): the law signature is
+    dimension-agnostic (dist/rest/k/state arrays), default
+    linear_spring_law, bit-identical to the pre-hook kernel."""
     import pandas as pd
 
     gx, gy, gz = (float(g) for g in gravity)
@@ -237,13 +246,17 @@ def blocked_round3d(
                     if has_k
                     else k
                 )
+            law = (
+                force_law if force_law is not None else linear_spring_law
+            )
+            alive = np.ones(len(src), dtype=bool)
+            ustate = np.zeros(len(src), dtype=np.float64)
             for s_i in range(burst):
                 dx = x[dst] - x[src]
                 dy = y[dst] - y[src]
                 dz = z[dst] - z[src]
                 dist = np.sqrt(dx * dx + dy * dy + dz * dz)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    mag = np.where(dist > 0, kk * (dist - rest) / dist, 0.0)
+                mag, _jb, ustate = law(dist, rest, kk, None, ustate, alive)
                 fx = np.zeros_like(x)
                 fy = np.zeros_like(y)
                 fz = np.zeros_like(z)
