@@ -926,8 +926,10 @@ def _lpa_oracle(rounds: int) -> str:
     "both engines (classic async LPA is run-order-dependent and "
     "unverifiable). Per round: one join of the undirected edge "
     "relation against current labels, one (node, label) count agg, "
-    "one per-node top-1 window whose partition is bounded by the "
-    "node's DEGREE (never corpus-sized), then a left join that lets "
+    "one per-node top-1 via a lexicographic struct-max HASH AGG "
+    "(max(cnt, -lbl)) — partial/final combinable, so even a "
+    "10M-degree hub never funnels through a single window "
+    "partition — then a left join that lets "
     "isolated nodes keep their own label; localCheckpoint truncates "
     "lineage per round, the q56/q133 iteration discipline. Fixed "
     "round count = fixed shuffle count at any scale; all-integer so "
@@ -935,8 +937,6 @@ def _lpa_oracle(rounds: int) -> str:
     tags=("graph", "community", "lpa", "iterative", "scale"),
 )
 def q193_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     pts = _points(spark, sf_dir).select("id")
     edges = grid_proximity_join(
         _points(spark, sf_dir), eps=_EPS, id_col="id"
@@ -945,7 +945,6 @@ def q193_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     lbl = pts.select("id", F.col("id").alias("lbl"))
-    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), "lbl")
     for _ in range(_LPA_ROUNDS):
         c = (
             und.join(
@@ -954,10 +953,19 @@ def q193_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("id"), "lbl")
             .agg(F.count("*").alias("cnt"))
         )
+        # top-1 label with (cnt DESC, lbl ASC) tie-break as a pure hash
+        # agg: lexicographic max of (cnt, -lbl) — no per-node window, so
+        # a 10M-degree hub costs a partial/final agg instead of one
+        # 10M-row window partition (the oracle's row_number() picks the
+        # identical row; ids are positive, so -lbl orders ties)
         pick = (
-            c.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("id", F.col("lbl").alias("new_lbl"))
+            c.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select("id", (-F.col("m.nl")).alias("new_lbl"))
         )
         lbl = (
             lbl.join(pick, "id", "left")

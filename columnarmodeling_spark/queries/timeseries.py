@@ -960,7 +960,15 @@ def q189_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "6dp rounding. Per-user lists are bounded by per-user activity "
     "(the q164/q166 state argument); at 100 TB the groupBy "
     "distributes on user_id and the fold is map-side within each "
-    "group — one shuffle total.",
+    "group — one shuffle total. SKEW BOUND (the with_group_rank-style "
+    "stated requirement): collect_list materializes one user's full "
+    "history in one agg buffer, so a pathological user with ~10^8 "
+    "events needs the segmented form instead — an EWMA over a segment "
+    "is the affine map s_out = A*s_in + B with A = 0.75^len, and "
+    "affine maps compose ASSOCIATIVELY, so per-chunk (A, B) pairs "
+    "reduce in any order; that variant trades the bit-exact "
+    "cross-engine fold for re-association noise, which is why the "
+    "registered query keeps the plain fold.",
     tags=("timeseries", "ewma", "fold", "agg", "scale"),
 )
 def q194_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,11 +130,12 @@ CASES = {
     "q193_label_propagation": "Synchronous LPA communities, 4 unrolled "
     "rounds. What to check: each round is exactly one shuffled "
     "edge-label hash join + one (node, label) partial/final count agg "
-    "+ one per-node window whose partition key is the node id (size "
-    "bounded by degree, never corpus-sized); rounds are separated by "
-    "localCheckpoint scans (Scan ExistingRDD), so the captured plan "
-    "shows only the LAST round + the size join — fixed shuffle count "
-    "per round at any scale.",
+    "+ one per-node top-1 as ANOTHER partial/final hash agg "
+    "(lexicographic struct-max — NO window operator appears anywhere "
+    "in the plan, so hub degrees never serialize); rounds are "
+    "separated by localCheckpoint scans (Scan ExistingRDD), so the "
+    "captured plan shows only the LAST round + the size join — fixed "
+    "shuffle count per round at any scale.",
     "q197_rfm_segments": "RFM quintiles from global ranks. What to "
     "check: three with_global_index passes appear as "
     "repartitionByRange Exchanges each followed by a per-partition "
