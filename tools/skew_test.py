@@ -12,6 +12,16 @@
    and df counting is a two-phase agg. Expected: boilerplate-everywhere
    costs about the same as a clean corpus at equal token count.
 
+4. Hub-node LPA round (q193 core): a star graph puts one node at
+   degree n-1. The most-frequent-label pick is a lexicographic
+   struct-max HASH AGG (partial/final combinable), so the hub's label
+   counts combine map-side instead of serializing through one window
+   partition. Expected: star ~ ring at equal edge count.
+5. Hot-user EWMA fold (q194 core): all events on ONE user makes a
+   single collect_list buffer + one sequential fold task. Measured to
+   document the stated bound (linear single-task cost; the associative
+   affine (A, B) segmented form is the escape past ~1e8 events).
+
 Usage: python tools/skew_test.py [n_points] [n_docs]
 Prints one timing line per variant (steady-state: untimed warm pass
 first at small n to JIT/codegen, then the measured run).
@@ -140,6 +150,85 @@ def main() -> None:
                     f"tfidf hot-term docs={n_docs} max_df={cutoff}: "
                     f"{time.time() - t0:.2f}s pairs={n}"
                 )
+
+    _round7_scenarios(spark, n_nodes=max(n_pts, 6000))
+
+
+def _round7_scenarios(spark, n_nodes: int) -> None:
+    # --- hub-node LPA round (q193 core) ---------------------------------
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, n_nodes)], "src long, dst long"
+    )
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % n_nodes) for i in range(n_nodes)],
+        "src long, dst long",
+    )
+    for name, edges in (("star", star), ("ring", ring)):
+        und = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).cache()
+        und.count()
+        lbl = (
+            und.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("lbl"))
+            .cache()
+        )
+        lbl.count()
+        for timed in (False, True):
+            t0 = time.time()
+            n = (
+                und.join(
+                    lbl.select(F.col("id").alias("dst"), "lbl"), "dst"
+                )
+                .groupBy(F.col("src").alias("id"), "lbl")
+                .agg(F.count("*").alias("cnt"))
+                .groupBy("id")
+                .agg(
+                    F.max(
+                        F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))
+                    ).alias("m")
+                )
+                .count()
+            )
+            if timed:
+                print(
+                    f"lpa-round {name} nodes={n_nodes}: "
+                    f"{time.time() - t0:.2f}s picks={n}"
+                )
+        und.unpersist()
+        lbl.unpersist()
+
+    # --- hot-user EWMA fold (q194 core) ---------------------------------
+    n_ev = n_nodes * 4
+    for name, n_users in (("spread", 500), ("one-user", 1)):
+        ev = spark.range(n_ev).select(
+            (F.col("id") % n_users).alias("user_id"),
+            F.col("id").alias("us"),
+            F.col("id").alias("event_id"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        ).cache()
+        ev.count()
+        g = ev.groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "value"))
+            ).alias("s")
+        )
+        vals = F.transform("s", lambda e: e["value"])
+        ewma = F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+        )
+        for timed in (False, True):
+            t0 = time.time()
+            g.select("user_id", ewma.alias("e")).count()
+            if timed:
+                print(
+                    f"ewma {name} events={n_ev} users={n_users}: "
+                    f"{time.time() - t0:.2f}s"
+                )
+        ev.unpersist()
 
 
 if __name__ == "__main__":
