@@ -980,3 +980,116 @@ def q193_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         F.col("n").cast("long").alias("community_size"),
     )
+
+
+def _modularity_oracle(rounds: int) -> str:
+    """q193's unrolled LPA chain extended with the Newman modularity of
+    the final partition. Exactness: Q = (4m·intra − Σ_c d_c²) / (4m²)
+    — the numerator and denominator are EXACT int64 (no per-community
+    float summation), so the only float op is one shared division."""
+    base = _lpa_oracle(rounds)
+    # keep the CTE chain, replace the per-node SELECT tail
+    tail_start = base.index(f"\n    SELECT l.id, l.lbl AS community")
+    head = base[:tail_start]
+    return head + f""",
+    deg AS (
+      SELECT src AS id, count(*) AS deg FROM und GROUP BY 1),
+    lc AS (
+      SELECT CAST(count(*) AS BIGINT) AS intra
+      FROM e
+      JOIN l{rounds} la ON la.id = e.src
+      JOIN l{rounds} lb ON lb.id = e.dst
+      WHERE la.lbl = lb.lbl),
+    dc AS (
+      SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS dsum
+      FROM deg d JOIN l{rounds} l ON l.id = d.id
+      GROUP BY 1),
+    sq AS (
+      SELECT CAST(coalesce(sum(dsum * dsum), 0) AS BIGINT) AS sd2
+      FROM dc),
+    me AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    nc AS (
+      SELECT CAST(count(DISTINCT lbl) AS BIGINT) AS n
+      FROM l{rounds})
+    SELECT nc.n AS n_communities,
+           me.m AS m_edges,
+           lc.intra AS intra_edges,
+           sq.sd2 AS degree_sq_sum,
+           CAST(round(1000000.0
+                      * (4 * me.m * lc.intra - sq.sd2)
+                      / (4.0 * me.m * me.m)) AS BIGINT) AS q_micro
+    FROM nc, me, lc, sq
+    """
+
+
+@register(
+    "q202_graph_modularity",
+    oracle=_modularity_oracle(_LPA_ROUNDS),
+    doc="Newman modularity of the q193 label-propagation partition — "
+    "the quality number that tells you whether the communities mean "
+    "anything (Q ≈ 0: no better than random; Q ≳ 0.3: real "
+    "structure): Q = Σ_c [L_c/m − (d_c/2m)²], computed in the "
+    "float-summation-free form (4m·intra − Σ d_c²)/(4m²) so the "
+    "numerator and denominator are EXACT int64 from three hash aggs "
+    "(intra-community edge count via two label joins, per-community "
+    "degree sums, squared and summed) and the ONLY float op is one "
+    "shared division — hash-exact across engines, the q186 OLS "
+    "discipline applied to graph quality. Isolated nodes count as "
+    "singleton communities (distinct final labels), contribute zero "
+    "to both terms. One row out at any scale; cost is the LPA rounds "
+    "plus two edge-label joins.",
+    tags=("graph", "community", "modularity", "agg", "scale"),
+)
+def q202_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comm = (
+        q193_label_propagation(spark, sf_dir)
+        .select("id", F.col("community").alias("lbl"))
+        .localCheckpoint()
+    )
+    edges = grid_proximity_join(
+        _points(spark, sf_dir), eps=_EPS, id_col="id"
+    ).select("src", "dst").localCheckpoint(eager=False)
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    la = comm.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
+    lb = comm.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count("*").cast("long").alias("intra"))
+    )
+    sd2 = (
+        deg.join(comm, "id")
+        .groupBy("lbl")
+        .agg(F.sum("deg").cast("long").alias("dsum"))
+        .agg(
+            F.coalesce(F.sum(F.col("dsum") * F.col("dsum")), F.lit(0))
+            .cast("long")
+            .alias("sd2")
+        )
+    )
+    me = edges.agg(F.count("*").cast("long").alias("m"))
+    nc = comm.agg(F.countDistinct("lbl").cast("long").alias("n"))
+    return (
+        nc.crossJoin(me)
+        .crossJoin(intra)
+        .crossJoin(sd2)
+        .select(
+            F.col("n").alias("n_communities"),
+            F.col("m").alias("m_edges"),
+            F.col("intra").alias("intra_edges"),
+            F.col("sd2").alias("degree_sq_sum"),
+            F.round(
+                F.lit(1000000.0)
+                * (4 * F.col("m") * F.col("intra") - F.col("sd2"))
+                / (4.0 * F.col("m") * F.col("m"))
+            )
+            .cast("long")
+            .alias("q_micro"),
+        )
+    )

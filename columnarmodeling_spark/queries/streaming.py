@@ -628,3 +628,84 @@ def q166_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.expr("div(1000000 * c, row_total)").alias("p_micro"),
     )
+
+
+@register(
+    "q201_stream_ewma",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(
+             list(value ORDER BY epoch_us(ts), event_id),
+             (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="STREAMING per-user EWMA with cross-batch continuity — the "
+    "stateful twin of the batch fold (q194), paired exactly like "
+    "q166/q164: GroupState carries (running ewma, n) per user; each "
+    "micro-batch sorts its own rows on (ts, event_id), seeds from the "
+    "carried state (or the first value for a fresh user) and folds "
+    "s = 0.25*x + 0.75*s forward — Python float ops ARE IEEE doubles, "
+    "so for the in-order batch splits the file-replay source "
+    "guarantees, the post-drain final state is BIT-IDENTICAL to the "
+    "batch fold and the oracle IS q194's SQL. Update-mode emissions "
+    "are resolved to the final state by a per-user max(n) struct-agg "
+    "(n is cumulative, so the largest n is the last update). At "
+    "100 TB the state is two doubles per user in the keyed state "
+    "store — the EWMA never re-reads history, which is the whole "
+    "point of running it as a stream.",
+    tags=("streaming", "stateful", "ewma", "timeseries", "scale"),
+)
+def q201_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["us", "event_id"], kind="mergesort")
+        vals = batch["value"].tolist()
+        if state.exists:
+            s, n = state.get
+            start = 0
+        else:
+            s = float(vals[0])
+            n = 1
+            start = 1
+        for x in vals[start:]:
+            s = 0.25 * float(x) + 0.75 * s
+        n = int(n) + len(vals) - start
+        state.update((float(s), int(n)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [s]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, n_events long, ewma double",
+        stateStructType="s double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = drain_to_memory(out, mode="update").localCheckpoint()
+    # final state per user = the update with the largest cumulative n
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.max(F.struct("n_events", "ewma")).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.n_events").cast("long").alias("n_events"),
+            F.round(F.col("m.ewma"), 6).alias("ewma"),
+        )
+    )

@@ -213,3 +213,16 @@ def test_lpa_communities_wellformed(spark, sf_dir):
     sizes = collections.Counter(r["community"] for r in rows)
     for r in rows:
         assert r["community_size"] == sizes[r["community"]]
+
+
+def test_modularity_bounds_and_consistency(spark, sf_dir):
+    """q202: Q is in the theoretical [-0.5, 1] range, intra-community
+    edges cannot exceed m, and the community count matches q193's
+    distinct labels."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q202_graph_modularity"].fn(spark, sf_dir).collect()[0]
+    assert -500000 <= r["q_micro"] <= 1000000
+    assert 0 <= r["intra_edges"] <= r["m_edges"]
+    comm = REGISTRY["q193_label_propagation"].fn(spark, sf_dir).collect()
+    assert r["n_communities"] == len({x["community"] for x in comm})
