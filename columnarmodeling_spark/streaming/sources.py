@@ -52,12 +52,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nanos = isinstance(batch_ts, T.LongType)
     ddl = _EVENTS_NANOS_DDL if nanos else _EVENTS_MICROS_DDL
-    # file-source streams need a directory; glob-filter to the events file
-    raw = (
-        spark.readStream.schema(ddl)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(ev_path):
+        # Spark-written dataset: events.parquet is a DIRECTORY of part
+        # files — stream it directly (a pathGlobFilter on the parent
+        # would match no part file and silently yield an empty stream;
+        # found via the 16x scale replica, whose tables are re-written
+        # by Spark)
+        raw = spark.readStream.schema(ddl).parquet(ev_path)
+    else:
+        # driver-provided flat file: file-source streams need a
+        # directory, so glob-filter the parent to the single file
+        raw = (
+            spark.readStream.schema(ddl)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
