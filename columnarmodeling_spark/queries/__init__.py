@@ -97,11 +97,11 @@ def register(
 # streaming entries in that range (q146_stream_hll,
 # q166_stream_transitions) go at the end of the window so their fixed
 # micro-batch drain overhead cannot starve batch rows if the driver's
-# cap is time-based. q182-q202 (21 queries; q192_softening_bonds is
-# the round-7 UDM-analog addition, q193-q202 the round-7 batch: LPA
+# cap is time-based. q182-q204 (23 queries; q192_softening_bonds is
+# the round-7 UDM-analog addition, q193-q204 the round-7 batch: LPA
 # communities, EWMA fold, feature hashing, negative sampling, RFM,
 # residual VQ, Poisson bootstrap, calibration curve, streaming EWMA,
-# LPA modularity) do not fit;
+# LPA modularity, PSI drift, chi-square homogeneity) do not fit;
 # they queue first for the r8 window and meanwhile carry this
 # round's strict-replica AND hostile-TZ driver-flow evidence, plus
 # the q191 fix (divide-by-zero guard + non-degenerate conversion

@@ -1633,3 +1633,91 @@ def q200_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_rate_micro"),
         )
     )
+
+
+@register(
+    "q204_chisq_homogeneity",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk,
+             event_type,
+             CAST(count(*) AS BIGINT) AS o_cnt
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT wk, CAST(sum(o_cnt) AS BIGINT) AS r FROM o GROUP BY 1),
+    ct AS (SELECT event_type,
+                  CAST(sum(o_cnt) AS BIGINT) AS c FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(o_cnt) AS BIGINT) AS n FROM o),
+    terms AS (
+      SELECT o.wk, o.event_type, o.o_cnt,
+             CAST(round(
+               (CAST(n.n AS DOUBLE) * o.o_cnt - CAST(rt.r AS DOUBLE) * ct.c)
+               * (CAST(n.n AS DOUBLE) * o.o_cnt - CAST(rt.r AS DOUBLE) * ct.c)
+               / (CAST(n.n AS DOUBLE) * rt.r * ct.c)
+               * 1000000) AS BIGINT) AS t_micro
+      FROM o
+      JOIN rt ON rt.wk = o.wk
+      JOIN ct ON ct.event_type = o.event_type
+      CROSS JOIN n)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS dof,
+           CAST(sum(t_micro) AS BIGINT) AS chisq_micro
+    FROM terms
+    """,
+    doc="Chi-square homogeneity test: does the event-type mix differ "
+    "between weekends and weekdays? (The categorical drift test "
+    "beside q203's continuous PSI and q191's two-proportion z — "
+    "together the standard monitoring battery.) Observed counts per "
+    "(weekend-flag, type) cell; each cell's (O−E)²/E term is computed "
+    "in the cleared-denominator form (n·O − r·c)²/(n·r·c) whose "
+    "inputs are exact int64 converted once to double — identical "
+    "operand sequences on both engines — and quantized to integer "
+    "micro-units BEFORE the sum, so the statistic (χ² in 1e-6 units) "
+    "is an exact integer total; dof = (types−1)·(2−1). One hash agg "
+    "plus broadcast-size margins at any corpus scale. The weekend "
+    "flag derives from dayofweek under the UTC-pinned session, "
+    "mirrored exactly by DuckDB's dayofweek.",
+    tags=("analytics", "chisq", "drift", "monitoring", "agg", "scale"),
+)
+def q204_chisq_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark dayofweek: Sunday=1..Saturday=7; DuckDB dayofweek:
+    # Sunday=0..Saturday=6 — weekend = {Sun, Sat} either way
+    o = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.when(F.dayofweek("ts").isin(1, 7), 1)
+            .otherwise(0)
+            .alias("wk"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("o_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    rt = o.groupBy("wk").agg(F.sum("o_cnt").cast("long").alias("r"))
+    ct = o.groupBy("event_type").agg(
+        F.sum("o_cnt").cast("long").alias("c")
+    )
+    n = o.agg(F.sum("o_cnt").cast("long").alias("n"))
+    num = (
+        F.col("n").cast("double") * F.col("o_cnt")
+        - F.col("r").cast("double") * F.col("c")
+    )
+    terms = (
+        o.join(F.broadcast(rt), "wk")
+        .join(F.broadcast(ct), "event_type")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.round(
+                num * num
+                / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (F.countDistinct("event_type") - 1).cast("long").alias("dof"),
+        F.sum("t_micro").cast("long").alias("chisq_micro"),
+    )

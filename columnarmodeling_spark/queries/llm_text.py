@@ -1636,3 +1636,112 @@ def q195_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(sign).cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+@register(
+    "q203_psi_drift",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS tk
+      FROM documents WHERE lang IN ('en', 'es')),
+    h AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
+               % {_FH_DIM} AS bucket
+      FROM tk),
+    grid AS (
+      SELECT l.lang, b.bucket
+      FROM (SELECT unnest(['en', 'es']) AS lang) l
+      CROSS JOIN (SELECT unnest(range(0, {_FH_DIM})) AS bucket) b),
+    c AS (
+      SELECT g.lang, g.bucket,
+             CAST(count(h.bucket) + 1 AS BIGINT) AS c1
+      FROM grid g
+      LEFT JOIN h ON h.lang = g.lang AND h.bucket = g.bucket
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT lang, CAST(sum(c1) AS BIGINT) AS t FROM c GROUP BY 1),
+    p AS (
+      SELECT c.bucket,
+             CAST(c.c1 AS DOUBLE) / t.t AS p,
+             c.lang
+      FROM c JOIN tot t ON t.lang = c.lang),
+    w AS (
+      SELECT a.bucket,
+             CAST(round((a.p - b.p) * 1000000) AS BIGINT) AS d_micro,
+             CAST(round(ln(a.p / b.p) * 1000000) AS BIGINT) AS l_micro
+      FROM (SELECT bucket, p FROM p WHERE lang = 'en') a
+      JOIN (SELECT bucket, p FROM p WHERE lang = 'es') b
+        ON b.bucket = a.bucket)
+    SELECT CAST({_FH_DIM} AS BIGINT) AS n_buckets,
+           CAST(sum(d_micro * l_micro) AS BIGINT) AS psi_pico
+    FROM w
+    """,
+    doc="Population-stability-index drift detection between two corpus "
+    "slices (the production-ML monitoring staple: PSI < 0.1 stable, "
+    "> 0.25 drifted — run between yesterday's and today's training "
+    "shard before a model retrain): token distributions over the q195 "
+    "64-bucket hash space (add-one smoothed so no bucket is empty), "
+    "PSI = Σ (p−q)·ln(p/q). Exactness by the q186/q100 micro-nat "
+    "discipline, factor by factor: p and q are single divisions of "
+    "exact int64 (identical doubles), the difference and the ratio "
+    "are exact-operand IEEE ops, and BOTH factors are quantized to "
+    "integer micro-units BEFORE the product-sum — so the reported "
+    "PSI (in 1e-12 units) is an exact integer sum and the only "
+    "cross-engine exposure is a 1-ulp libm ln landing exactly on a "
+    "round() boundary (~1e-10/bucket). One hash agg per slice over a "
+    "constant 64-bucket grid — the comparison itself costs nothing "
+    "at any corpus size.",
+    tags=("llm", "text", "drift", "psi", "monitoring", "agg", "scale"),
+)
+def q203_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "es")
+    ).select("lang", F.explode(tokens("text")).alias("tk"))
+    h = d.select(
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10).cast("long")
+            % _FH_DIM
+        ).alias("bucket"),
+    )
+    grid = (
+        spark.createDataFrame([("en",), ("es",)], "lang string")
+        .crossJoin(
+            spark.range(_FH_DIM).select(F.col("id").alias("bucket"))
+        )
+    )
+    # add-one smoothing over the full (lang, bucket) grid so no bucket
+    # is empty and ln never sees 0
+    c = (
+        h.groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n"))
+        .join(grid, ["lang", "bucket"], "right")
+        .select(
+            "lang",
+            "bucket",
+            (F.coalesce("n", F.lit(0)) + 1).cast("long").alias("c1"),
+        )
+    )
+    tot = c.groupBy("lang").agg(F.sum("c1").cast("long").alias("t"))
+    p = c.join(tot, "lang").select(
+        "lang", "bucket", (F.col("c1").cast("double") / F.col("t")).alias("p")
+    )
+    a = p.filter("lang = 'en'").select("bucket", F.col("p").alias("pa"))
+    b = p.filter("lang = 'es'").select("bucket", F.col("p").alias("pb"))
+    w = a.join(b, "bucket").select(
+        F.round((F.col("pa") - F.col("pb")) * 1000000.0)
+        .cast("long")
+        .alias("d_micro"),
+        F.round(F.log(F.col("pa") / F.col("pb")) * 1000000.0)
+        .cast("long")
+        .alias("l_micro"),
+    )
+    return w.agg(
+        F.lit(_FH_DIM).cast("long").alias("n_buckets"),
+        F.sum(F.col("d_micro") * F.col("l_micro"))
+        .cast("long")
+        .alias("psi_pico"),
+    )

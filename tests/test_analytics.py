@@ -301,3 +301,29 @@ def test_calibration_deciles_partition_users(spark, sf_dir):
         assert lo <= r["n_users"] <= hi
         assert 0 <= r["n_converted"] <= r["n_users"]
         assert 0 <= r["conv_rate_micro"] <= 1000000
+
+
+def test_psi_nonnegative(spark, sf_dir):
+    """q203: each PSI term (p-q)*ln(p/q) is nonnegative (signs agree),
+    and quantization preserves sign — so the total must be >= 0."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q203_psi_drift"].fn(spark, sf_dir).collect()[0]
+    assert r["n_buckets"] == 64
+    assert r["psi_pico"] >= 0
+
+
+def test_chisq_nonnegative_dof(spark, sf_dir):
+    """q204: chi-square is a sum of squares (>= 0) and dof = types-1."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries._util import t
+
+    r = REGISTRY["q204_chisq_homogeneity"].fn(spark, sf_dir).collect()[0]
+    assert r["chisq_micro"] >= 0
+    n_types = (
+        t(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    assert r["dof"] == n_types - 1
+    assert r["n_cells"] <= 2 * n_types
