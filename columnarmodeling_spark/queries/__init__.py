@@ -86,30 +86,26 @@ def register(
 # q111-q137 plus canaries (CORRECTNESS_r06: 50/50 green); see git
 # history for the full slot-by-slot rationale.
 #
-# Round-7 rotation (executes the round-6 VERDICT's "Next round" item 2:
-# 54 queries q138-q191 were registered in round 6 but have never had a
-# driver CORRECTNESS row — builder strict-replica + hostile-TZ evidence
-# only, judge spot-check 11/12). Window composition, in order: the q01
-# anchor; the five standing tier canaries (proximity, LSH dedup, graph
-# dup-clusters, adaptive IVF, solver) as regression guards for the
-# tiers leaving the window; then the never-driver-checked backlog
-# stalest-first — q138-q181 fills the remaining 44 slots. The two
-# streaming entries in that range (q146_stream_hll,
-# q166_stream_transitions) go at the end of the window so their fixed
-# micro-batch drain overhead cannot starve batch rows if the driver's
-# cap is time-based. q182-q204 (23 queries; q192_softening_bonds is
-# the round-7 UDM-analog addition, q193-q204 the round-7 batch: LPA
-# communities, EWMA fold, feature hashing, negative sampling, RFM,
-# residual VQ, Poisson bootstrap, calibration curve, streaming EWMA,
-# LPA modularity, PSI drift, chi-square homogeneity) do not fit;
-# they queue first for the r8 window and meanwhile carry this
-# round's strict-replica AND hostile-TZ driver-flow evidence, plus
-# the q191 fix (divide-by-zero guard + non-degenerate conversion
-# definition, replica MATCH at sf0.01). A round-7 full-registry
-# sweep (tools/driver_replica.py --all) was 197/197 strict-match;
-# q198-q200 were added after and individually replica + TZ checked.
-# Every query rotated OUT of the window was green at its latest driver
-# check in CORRECTNESS_r06 or earlier.
+# Round-7 rotation history: the r7 window gave first driver rows to
+# q138-q181 plus canaries (CORRECTNESS_r07: 50/50 green); see git
+# history for the full slot-by-slot rationale.
+#
+# Round-8 rotation (executes the round-7 VERDICT's "Next round" items
+# 1 and 8). Window composition, in order: the q01 anchor; the five
+# standing tier canaries; then all 23 round-7 additions q182-q204 —
+# never driver-checked, but judge-replica-verified 23/23 strict-match
+# in VERDICT r7 — with the single streaming entry (q201_stream_ewma)
+# at the window tail so its fixed micro-batch drain overhead cannot
+# starve batch rows if the driver's cap is time-based. The remaining
+# 21 slots apply the STANDING STALENESS RULE adopted this round:
+# every future window reserves ~10+ slots for re-verifying queries
+# whose latest driver row is oldest, stalest-first. This round that
+# band is: latest row r1 (q57/q66/q74), latest row r3 (q43/q45-q50
+# sim tier, q52/q54/q59/q62/q67/q69/q87), and the four oldest r4
+# rows (q02-q05). Queries registered in round 8 (q205+) carry
+# strict-replica + hostile-TZ evidence and queue first for the r9
+# window. Every query rotated OUT of this window was green at its
+# latest driver check in CORRECTNESS_r07 or earlier.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
@@ -120,53 +116,56 @@ PRIORITY: tuple[str, ...] = (
     "q56_dup_clusters",
     "q96_ivf_adaptive",
     "q64_solver_steps",
-    # never-driver-checked round-6 additions, stalest first
-    # (q138-q181; q146/q166 streaming deferred to the window tail)
-    "q138_biaxial_bcs",
-    "q139_triaxial_bcs",
-    "q140_brazil_disc",
-    "q141_kcore_peel",
-    "q142_weighted_sample",
-    "q143_kmeans_lloyd",
-    "q144_audio_windows",
-    "q145_interval_join",
-    "q147_global_quantiles",
-    "q148_scd2_history",
-    "q149_gap_fill",
-    "q150_sssp_weighted",
-    "q151_pmi_collocations",
-    "q152_status_pivot",
-    "q153_ols_trend",
-    "q154_token_entropy",
-    "q155_zorder_layout",
-    "q156_rolling_anomaly",
-    "q157_equidepth_hist",
-    "q158_cube_aggregate",
-    "q159_dbscan_cores",
-    "q160_jl_distortion",
-    "q161_column_profile",
-    "q162_bucketed_join",
-    "q163_mix_temperature",
-    "q164_event_transitions",
-    "q165_mad_robust",
-    "q167_cdf_features",
-    "q168_edit_distance_verify",
-    "q169_tfidf_cosine_pairs",
-    "q170_hist_quantiles",
-    "q171_twap",
-    "q172_retention_cohorts",
-    "q173_rolling_active",
-    "q174_attribution",
-    "q175_cusum_changepoint",
-    "q176_cooccurrence",
-    "q177_ordered_export",
-    "q178_stratified_exact_k",
-    "q179_cluster_keep_best",
-    "q180_point_in_time_join",
-    "q181_quantile_normalize",
+    # round-7 additions awaiting their first driver row (q182-q204;
+    # judge replica 23/23 strict-match in VERDICT r7). q201 streaming
+    # goes at the window tail.
+    "q182_point_in_polygon",
+    "q183_window_funnel",
+    "q184_period_over_period",
+    "q185_hll_set_algebra",
+    "q186_degree_powerlaw",
+    "q187_table_fingerprint",
+    "q188_path_trigrams",
+    "q189_jackknife_ci",
+    "q190_cms_join_size",
+    "q191_ab_test",
+    "q192_softening_bonds",
+    "q193_label_propagation",
+    "q194_ewma_smoothing",
+    "q195_feature_hashing",
+    "q196_negative_sampling",
+    "q197_rfm_segments",
+    "q198_residual_vq",
+    "q199_poisson_bootstrap",
+    "q200_calibration_curve",
+    "q202_graph_modularity",
+    "q203_psi_drift",
+    "q204_chisq_homogeneity",
+    # staleness refresh (standing rule, see comment above): 21 slots,
+    # stalest-first — last driver rows r1 (3), r3 (14), oldest r4 (4)
+    "q57_exists_subquery",
+    "q66_conditional_aggs",
+    "q74_sketch_aggs",
+    "q43_minhash_signatures",
+    "q45_simhash",
+    "q46_cosine_topk",
+    "q47_ivf_centroids",
+    "q48_hyperplane_lsh",
+    "q49_embedding_neardup",
+    "q50_token_stats",
+    "q52_lang_id",
+    "q54_repetition_ratio",
+    "q59_length_histogram",
+    "q62_lloyd_iteration",
+    "q67_array_set_funcs",
+    "q69_ivf_search",
+    "q87_hash_sample",
+    "q02_regional_revenue",
+    "q03_semi_join_orders",
+    "q04_anti_join_customers",
+    "q05_positional_sections",
     # streaming tail: fixed micro-batch drain cost, so last in-window
-    "q146_stream_hll",
-    "q166_stream_transitions",
+    "q201_stream_ewma",
 )
 
 

@@ -1659,7 +1659,8 @@ def q200_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN ct ON ct.event_type = o.event_type
       CROSS JOIN n)
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS dof,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT wk) - 1) AS BIGINT) AS dof,
            CAST(sum(t_micro) AS BIGINT) AS chisq_micro
     FROM terms
     """,
@@ -1672,7 +1673,10 @@ def q200_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inputs are exact int64 converted once to double — identical "
     "operand sequences on both engines — and quantized to integer "
     "micro-units BEFORE the sum, so the statistic (χ² in 1e-6 units) "
-    "is an exact integer total; dof = (types−1)·(2−1). One hash agg "
+    "is an exact integer total; dof = (types−1)·(groups−1) with both "
+    "factors computed from the data, so a degenerate slice containing "
+    "only one of the weekend/weekday groups correctly reports dof=0 "
+    "(per-round ADVICE fix). One hash agg "
     "plus broadcast-size margins at any corpus scale. The weekend "
     "flag derives from dayofweek under the UTC-pinned session, "
     "mirrored exactly by DuckDB's dayofweek.",
@@ -1707,6 +1711,7 @@ def q204_chisq_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select(
             "event_type",
+            "wk",
             F.round(
                 num * num
                 / (F.col("n").cast("double") * F.col("r") * F.col("c"))
@@ -1718,6 +1723,11 @@ def q204_chisq_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.agg(
         F.count("*").cast("long").alias("n_cells"),
-        (F.countDistinct("event_type") - 1).cast("long").alias("dof"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("wk") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
         F.sum("t_micro").cast("long").alias("chisq_micro"),
     )

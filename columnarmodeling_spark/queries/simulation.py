@@ -1599,7 +1599,11 @@ def _softening_oracle(
     engines agree to summation-order noise absorbed by the integer
     micro-unit output quantization. eps_u - eps_y == eps_y exactly in
     IEEE (2s - s is Sterbenz-exact), so the embedded literals match the
-    kernel's runtime arithmetic bit-for-bit."""
+    kernel's runtime arithmetic bit-for-bit. Strain mirrors the
+    kernel's ``np.where(rest > 0, ...)`` guard (CASE WHEN rest > 0):
+    coincident points (rest = 0, possible via duplicate
+    (c_acctbal, c_custkey % 97) pairs at larger SFs) would otherwise
+    produce 0/0 = NaN here while the kernel reports 0 strain."""
     eps_u = repr(2.0 * eps_y)
     ey = repr(eps_y)
     head = f"""
@@ -1628,8 +1632,10 @@ def _softening_oracle(
         steps.append(f""",
     e{i} AS MATERIALIZED (
       SELECT src, dst, rest, ax, ay, bx, by, dist,
-             (dist - rest) / rest AS strain,
-             greatest(u, (dist - rest) / rest) AS new_max
+             CASE WHEN rest > 0 THEN (dist - rest) / rest
+                  ELSE 0.0 END AS strain,
+             greatest(u, CASE WHEN rest > 0 THEN (dist - rest) / rest
+                              ELSE 0.0 END) AS new_max
       FROM (
         SELECT b.src, b.dst, b.rest, b.u,
                pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS by,

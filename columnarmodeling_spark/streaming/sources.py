@@ -42,6 +42,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     LongType under ``nanosAsLong``) take the ns→µs truncation. Either
     way the stream sees the same instants as the batch path and the
     DuckDB oracle.
+
+    SINGLE-BATCH ASSUMPTION (the q166/q201 exactness contract): no
+    ``maxFilesPerTrigger`` is set, so with ``availableNow`` every
+    pending file lands in ONE micro-batch. That is what makes the
+    per-batch-tail state of q166/q201 bit-identical to the batch fold
+    even though a Spark-written events.parquet directory's part files
+    are neither internally time-contiguous nor enumerated in timestamp
+    order — a future trigger cap would split the parts into
+    out-of-order micro-batches and silently break those two queries'
+    batch↔stream equivalence. If a rate cap is ever needed, use the
+    late-data-robust q206/q207 variants, whose max-timestamp state
+    drops and counts out-of-order rows instead of folding them.
     """
     tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -314,7 +314,9 @@ def test_psi_nonnegative(spark, sf_dir):
 
 
 def test_chisq_nonnegative_dof(spark, sf_dir):
-    """q204: chi-square is a sum of squares (>= 0) and dof = types-1."""
+    """q204: chi-square is a sum of squares (>= 0) and dof =
+    (types-1)*(groups-1) with both factors data-derived, so a slice
+    holding only one weekend/weekday group reports dof = 0."""
     from pyspark.sql import functions as F
 
     from columnarmodeling_spark.queries import REGISTRY
@@ -322,8 +324,14 @@ def test_chisq_nonnegative_dof(spark, sf_dir):
 
     r = REGISTRY["q204_chisq_homogeneity"].fn(spark, sf_dir).collect()[0]
     assert r["chisq_micro"] >= 0
-    n_types = (
-        t(spark, sf_dir, "events").select("event_type").distinct().count()
+    ev = t(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    n_groups = (
+        ev.select(
+            F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk")
+        )
+        .distinct()
+        .count()
     )
-    assert r["dof"] == n_types - 1
+    assert r["dof"] == (n_types - 1) * (n_groups - 1)
     assert r["n_cells"] <= 2 * n_types
