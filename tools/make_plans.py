@@ -288,6 +288,52 @@ CASES = {
     "partial/final hash agg — the exchange for the window is REUSED "
     "by the aggregation (same hash partitioning), and the weighted "
     "sums are codegen integer expressions.",
+    "q194_ewma_smoothing": "Per-user EWMA fold (batch twin of the "
+    "q201 stream). What to check: ONE user-keyed partial/final "
+    "hash agg (collect_list with map-side partials) and the entire "
+    "fold — array_sort, slice, aggregate lambda — as codegen-free "
+    "array expressions in the SAME projection, no window, no second "
+    "exchange; per-user state bounded by that user's activity (the "
+    "documented skew bound, segmented escape in q208).",
+    "q195_feature_hashing": "Hashing-trick featurization. What to "
+    "check: explode(tokens) is a generator over the scan, the "
+    "hash/sign/bucket arithmetic is pure codegen projection, and the "
+    "ONLY exchange is the (doc_id, bucket) partial/final hash agg — "
+    "a single-scan, single-shuffle featurizer with no joins and no "
+    "vocabulary relation anywhere.",
+    "q196_negative_sampling": "Deterministic negative sampling with "
+    "collision flags. What to check: the positive-pair relation is "
+    "localCheckpointed and reused by both the draw and the collision "
+    "probe; the k=2 fan-out and the max-partkey row enter via "
+    "BroadcastExchange crossJoins (constant-size, not data-sized); "
+    "the collision check is a hash join keyed on (custkey, partkey) "
+    "— co-partitioned with the draw, never a cartesian.",
+    "q200_calibration_curve": "Decile calibration curve. What to "
+    "check: the per-user agg is partial/final; the global rank is "
+    "the two-pass with_global_index pattern (RangePartitioning "
+    "exchange, per-partition window, broadcast #partitions offsets) "
+    "— never a single-partition window; the user count enters as a "
+    "one-row broadcast and the decile agg is 10 output rows.",
+    "q202_graph_modularity": "Newman modularity of the LPA "
+    "communities. What to check: the community relation is computed "
+    "ONCE (localCheckpoint Scan ExistingRDD) and feeds both the "
+    "intra-edge join and the degree-sum branch; every join keys on a "
+    "vertex id (shuffle/broadcast hash joins — no cartesian except "
+    "the final crossJoins of four ONE-ROW aggregates); degree and "
+    "per-community sums are partial/final hash aggs.",
+    "q203_psi_drift": "PSI drift between two language slices. What "
+    "to check: the token stream collapses to a (lang, bucket) "
+    "partial/final hash agg with at most 2x64 rows of state — the "
+    "smoothing grid is a 128-row crossJoin of constants, the "
+    "right-join against it and everything downstream (totals, "
+    "probability ratios, the PSI sum) runs on constant-size "
+    "relations; the only data-sized work is the one token agg.",
+    "q204_chisq_homogeneity": "Chi-square homogeneity margin test. "
+    "What to check: the observed-count agg is the only data-sized "
+    "exchange; row/column margins and the grand total are aggs OVER "
+    "THAT 2xK cell relation (constant-size) entering the term "
+    "computation via BroadcastExchange; the statistic is one final "
+    "one-row agg — scan, one hash agg, broadcast margins, done.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
@@ -583,7 +629,48 @@ def _q143_round(spark, sf):
     )
 
 
+def _q201_stream(spark, sf):
+    """The pre-drain stateful plan of q201 (the registered fn drains
+    to memory and post-aggregates; the interesting plan is the
+    applyInPandasWithState stage it starts)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from columnarmodeling_spark.streaming.sources import events_stream
+
+    ev = events_stream(spark, sf).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [0], "ewma": [0.0]})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, n_events long, ewma double",
+        stateStructType="s double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 ROUND_CASES = {
+    "q201_stream_ewma (pre-drain stateful plan)": (
+        "Cross-batch stateful streaming EWMA (queries/streaming.py "
+        "q201_stream_ewma). What to check: ONE exchange hash-partitions "
+        "on user_id into FlatMapGroupsWithStateInPandas — state is two "
+        "scalars per user in the keyed state store, no history re-read, "
+        "no second shuffle; the post-drain final-state resolution "
+        "(max-n struct agg) is a batch plan over the tiny memory sink. "
+        "Exactness contract: bit-identical to q194's batch fold only "
+        "under the single-micro-batch drain (see "
+        "streaming/sources.events_stream docstring).",
+        _q201_stream,
+    ),
     "q141_kcore_peel (one peel round)": (
         "Bounded k-core peel loop body (queries/proximity.py "
         "q141_kcore_peel). What to check: one partial/final degree "
