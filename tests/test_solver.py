@@ -805,3 +805,98 @@ def test_bilinear_law_softens_and_never_heals():
         np.array([1.25]), rest, k, s, u, alive
     )
     assert jb[0] and mag_b[0] == 0.0
+
+
+def test_kelvin_voigt_state_survives_round_boundary(spark):
+    """q205's previous-length state (finite-difference rate memory)
+    must carry across halo-exchange shuffle rounds exactly like q192's
+    damage memory: fuse=2 chaining equals one fuse=10 round, including
+    break steps and the terminal length state."""
+    from columnarmodeling_spark.queries.simulation import _kelvin_voigt_law
+    from columnarmodeling_spark.simulation.solver import (
+        run_solver_blocked_breaking,
+    )
+
+    state, bonds = _chain(spark)
+    law = _kelvin_voigt_law(0.1, 0.5)
+    reach = 1.05 * (1.0 + 0.05) * 1.0
+    outs = []
+    for fuse in (10, 2):
+        f, log = run_solver_blocked_breaking(
+            state, bonds, 10, strain_limit=0.05, k=1.0, dt=0.1,
+            fuse=fuse, reach=reach, bond_law=law,
+        )
+        outs.append(
+            (
+                sorted(map(tuple, f.collect())),
+                sorted(
+                    (
+                        r["src"], r["dst"], r["break_step"],
+                        round(r["ustate"], 12),
+                    )
+                    for r in log.collect()
+                ),
+            )
+        )
+    assert outs[0] == outs[1]
+    # the scenario must break some bonds and keep others for this to
+    # exercise both the frozen and the live state paths
+    assert any(b > 0 for _, _, b, _ in outs[0][1])
+    assert any(b == -1 for _, _, b, _ in outs[0][1])
+
+
+def test_kelvin_voigt_eta_zero_is_plain_breaking_law():
+    """With η = 0 the viscoelastic law's force and verdicts are
+    bit-identical to the default breaking law on arbitrary inputs (the
+    dashpot is the ONLY addition); ustate semantics differ by design
+    (previous length vs untouched)."""
+    import numpy as np
+
+    from columnarmodeling_spark.queries.simulation import _kelvin_voigt_law
+    from columnarmodeling_spark.simulation.solver import (
+        linear_spring_breaking_law,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 256
+    dist = rng.uniform(0.5, 1.6, n)
+    rest = rng.uniform(0.8, 1.2, n)
+    k = rng.uniform(0.5, 2.0, n)
+    s = np.full(n, 0.2)
+    u = rng.uniform(0.0, 1.5, n)
+    alive = rng.random(n) < 0.9
+    kv = _kelvin_voigt_law(0.05, 0.0)
+    mag_a, jb_a, _ = kv(dist, rest, k, s, u.copy(), alive)
+    mag_b, jb_b, _ = linear_spring_breaking_law(
+        dist, rest, k, s, u.copy(), alive
+    )
+    # eta=0 leaves a (+ 0.0·rate)/dist vs (·1/dist) association gap:
+    # k*(d-r) + 0.0*rate == k*(d-r) exactly in IEEE (x + 0.0 == x for
+    # finite x), so the magnitudes are bit-identical, not just close
+    assert np.array_equal(mag_a, mag_b)
+    assert np.array_equal(jb_a, jb_b)
+
+
+def test_kelvin_voigt_dashpot_opposes_rate():
+    """The viscous term must oppose the stretch rate: a bond lengthening
+    faster transmits MORE tensile force, a recoiling bond less, and the
+    no-history sentinel (ustate=0) yields the pure spring force."""
+    import numpy as np
+
+    from columnarmodeling_spark.queries.simulation import _kelvin_voigt_law
+
+    law = _kelvin_voigt_law(0.1, 0.5)
+    rest = np.array([1.0, 1.0, 1.0])
+    k = np.array([1.0, 1.0, 1.0])
+    s = np.array([9.0, 9.0, 9.0])  # never break
+    alive = np.ones(3, dtype=bool)
+    dist = np.array([1.1, 1.1, 1.1])
+    # prev lengths: stretching (1.0 -> 1.1), recoiling (1.2 -> 1.1),
+    # no history (sentinel 0)
+    u = np.array([1.0, 1.2, 0.0])
+    mag, _, u2 = law(dist, rest, k, s, u, alive)
+    spring = 0.1 / 1.1
+    assert mag[0] > spring  # stretching: dashpot adds tension
+    assert mag[1] < spring  # recoiling: dashpot subtracts
+    assert abs(mag[2] - spring) < 1e-15  # sentinel: pure spring
+    assert np.allclose(u2, dist)  # state advances to current length
