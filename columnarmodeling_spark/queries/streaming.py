@@ -709,3 +709,249 @@ def q201_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("m.ewma"), 6).alias("ewma"),
         )
     )
+
+
+# --- q206/q207: late-data-robust variants of q166/q201 ---------------------
+#
+# q166/q201 carry the LAST event of the previous batch as state, which
+# is exact only for batch splits that respect per-user time order (the
+# single-micro-batch drain events_stream guarantees — see its
+# docstring). These variants keep a per-user MAX-(timestamp, event_id)
+# high-water mark instead: a row at or below the mark arrived out of
+# order across a batch boundary and is DROPPED AND COUNTED, never
+# folded — so a rate-capped or out-of-order source degrades loudly
+# (late counter > 0) instead of silently corrupting the fold. Under
+# the in-order drain no row is ever late, which is exactly what the
+# DuckDB oracle asserts (late row/column pinned to 0). The folds are
+# module-level so tests can drive them with a deliberately
+# out-of-order two-file stream (maxFilesPerTrigger=1) and assert the
+# late counter — the path the registered query cannot reach.
+
+
+def _transitions_late_fold(key, pdfs, state):
+    import pandas as pd
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"], kind="mergesort")
+    if state.exists:
+        max_us, max_eid, last_type, n_late = state.get
+        keep = batch[
+            (batch["us"] > max_us)
+            | ((batch["us"] == max_us) & (batch["event_id"] > max_eid))
+        ]
+    else:
+        max_us, max_eid, last_type, n_late = -1, -1, None, 0
+        keep = batch
+    late_now = len(batch) - len(keep)
+    n_late = int(n_late) + late_now
+    types = keep["event_type"].tolist()
+    seq = ([last_type] + types) if last_type is not None else types
+    if len(keep):
+        max_us = int(keep["us"].iloc[-1])
+        max_eid = int(keep["event_id"].iloc[-1])
+        last_type = str(types[-1])
+    state.update((int(max_us), int(max_eid), last_type, n_late))
+    counts: dict[tuple[str, str], int] = {}
+    for a, b in zip(seq, seq[1:]):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    rows = {
+        "from_type": [k[0] for k in counts],
+        "to_type": [k[1] for k in counts],
+        "c": list(counts.values()),
+    }
+    if late_now:
+        rows["from_type"].append("__late__")
+        rows["to_type"].append("__late__")
+        rows["c"].append(late_now)
+    if rows["c"]:
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "q206_stream_transitions_late",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS c
+      FROM e WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
+      FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.c AS BIGINT) AS c,
+           1000000 * c.c // t.row_total AS p_micro
+    FROM c JOIN tot t USING (from_type)
+    UNION ALL
+    SELECT '__late__', '__late__', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+    doc="LATE-DATA-ROBUST streaming Markov transitions — the q166 "
+    "variant the round-7 verdict asked for: per-user GroupState keeps "
+    "a max-(epoch-micros, event_id) HIGH-WATER MARK plus the last "
+    "in-order event type; batch rows at or below the mark are dropped "
+    "and counted as late instead of being folded as arrival-order "
+    "transitions, so the batch-equivalence contract survives ANY "
+    "batch split — in-order splits reproduce q164's matrix exactly "
+    "(late = 0, which the oracle's pinned '__late__' row asserts "
+    "under the single-batch drain), out-of-order splits degrade "
+    "loudly via the counter (tests drive a maxFilesPerTrigger=1 "
+    "two-file stream with reversed mtimes). State stays one (long, "
+    "long, string, long) per user at any scale.",
+    tags=("streaming", "stateful", "markov", "late-data", "scale"),
+)
+def q206_stream_transitions_late(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _transitions_late_fold,
+        outputStructType="from_type string, to_type string, c long",
+        stateStructType="us long, eid long, tp string, late long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = drain_to_memory(out, mode="update")
+    agg = (
+        drained.groupBy("from_type", "to_type")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    mat = agg.filter(F.col("from_type") != "__late__")
+    tot = mat.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("row_total")
+    )
+    late = agg.filter(F.col("from_type") == "__late__").agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n")
+    )
+    return (
+        mat.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "c",
+            F.expr("div(1000000 * c, row_total)").alias("p_micro"),
+        )
+        .unionByName(
+            late.select(
+                F.lit("__late__").alias("from_type"),
+                F.lit("__late__").alias("to_type"),
+                F.col("n").alias("c"),
+                F.lit(0).cast("long").alias("p_micro"),
+            )
+        )
+    )
+
+
+def _ewma_late_fold(key, pdfs, state):
+    import pandas as pd
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"], kind="mergesort")
+    if state.exists:
+        s, n, max_us, max_eid, n_late = state.get
+        keep = batch[
+            (batch["us"] > max_us)
+            | ((batch["us"] == max_us) & (batch["event_id"] > max_eid))
+        ]
+        start = 0
+    else:
+        keep = batch
+        s = float(keep["value"].iloc[0])
+        n = 1
+        max_us = max_eid = -1
+        n_late = 0
+        start = 1
+    late_now = len(batch) - len(keep)
+    n_late = int(n_late) + late_now
+    vals = keep["value"].tolist()
+    for x in vals[start:]:
+        s = 0.25 * float(x) + 0.75 * s
+    n = int(n) + len(vals) - start
+    if len(keep):
+        max_us = int(keep["us"].iloc[-1])
+        max_eid = int(keep["event_id"].iloc[-1])
+    state.update(
+        (float(s), int(n), int(max_us), int(max_eid), int(n_late))
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "ewma": [s],
+            "n_late": [n_late],
+        }
+    )
+
+
+@register(
+    "q207_stream_ewma_late",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(
+             list(value ORDER BY epoch_us(ts), event_id),
+             (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma,
+           CAST(0 AS BIGINT) AS n_late
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="LATE-DATA-ROBUST streaming EWMA — the q201 variant of the "
+    "q206 discipline: state adds a max-(epoch-micros, event_id) "
+    "high-water mark and a cumulative late counter to the (ewma, n) "
+    "fold; rows at or below the mark are dropped-and-counted instead "
+    "of folded, so an out-of-order batch split can never silently "
+    "corrupt the running smooth. In-order drains reproduce q194's "
+    "fold bit-identically with n_late = 0 (the oracle pins the "
+    "column); the out-of-order path is exercised by the "
+    "two-file reversed-mtime stream test. Final state per user "
+    "resolves by the max (n_events, n_late) update — both are "
+    "cumulative, so the pair is monotone over a user's updates.",
+    tags=("streaming", "stateful", "ewma", "late-data", "scale"),
+)
+def q207_stream_ewma_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _ewma_late_fold,
+        outputStructType=(
+            "user_id long, n_events long, ewma double, n_late long"
+        ),
+        stateStructType=(
+            "s double, n long, us long, eid long, late long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = drain_to_memory(out, mode="update").localCheckpoint()
+    return (
+        drained.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_late", "ewma")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").cast("long").alias("n_events"),
+            F.round(F.col("m.ewma"), 6).alias("ewma"),
+            F.col("m.n_late").cast("long").alias("n_late"),
+        )
+    )

@@ -93,3 +93,97 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the first window closed with batch-1 rows only: the late 99.0 row
     # was dropped by the watermark
     assert rows[base] == (2, 2.0)
+
+
+def test_late_robust_folds_count_out_of_order_split(spark, tmp_path):
+    """q206/q207: a maxFilesPerTrigger=1 stream whose SECOND micro-batch
+    delivers rows below the first batch's per-user high-water mark must
+    drop-and-count them (the path the registered queries' in-order
+    single-batch drain can never reach), while in-order users fold
+    across the same boundary untouched."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from columnarmodeling_spark.queries.streaming import (
+        _ewma_late_fold,
+        _transitions_late_fold,
+    )
+    from columnarmodeling_spark.streaming.sources import drain_to_memory
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ddl = (
+        "user_id long, event_type string, us long, event_id long, "
+        "value double"
+    )
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, ddl)
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = str(src / f"{name}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = time.time()
+    # batch 1: user 1 at us 300/400; user 2 at us 100
+    write_file(
+        "a",
+        [(1, "x", 300, 3, 30.0), (1, "y", 400, 4, 40.0),
+         (2, "a", 100, 1, 5.0)],
+        now - 100,
+    )
+    # batch 2: user 1 rows BELOW the (400, 4) mark -> both late;
+    # user 2 row above its (100, 1) mark -> folds normally
+    write_file(
+        "b",
+        [(1, "p", 100, 1, 10.0), (1, "q", 200, 2, 20.0),
+         (2, "b", 200, 2, 7.0)],
+        now - 50,
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    # q206 fold: user 1 contributes only the in-batch (x->y) pair plus
+    # 2 late rows; user 2's carried tail bridges the batch boundary
+    out = stream().groupBy("user_id").applyInPandasWithState(
+        _transitions_late_fold,
+        outputStructType="from_type string, to_type string, c long",
+        stateStructType="us long, eid long, tp string, late long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    counts: dict[tuple[str, str], int] = {}
+    for r in drain_to_memory(out, mode="update").collect():
+        k = (r["from_type"], r["to_type"])
+        counts[k] = counts.get(k, 0) + int(r["c"])
+    assert counts == {
+        ("x", "y"): 1,
+        ("a", "b"): 1,
+        ("__late__", "__late__"): 2,
+    }
+
+    # q207 fold: user 1's smooth is untouched by the late rows
+    out2 = stream().groupBy("user_id").applyInPandasWithState(
+        _ewma_late_fold,
+        outputStructType=(
+            "user_id long, n_events long, ewma double, n_late long"
+        ),
+        stateStructType="s double, n long, us long, eid long, late long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = drain_to_memory(out2, mode="update").localCheckpoint()
+    final = {
+        r["user_id"]: (r["m"]["n_events"], r["m"]["ewma"], r["m"]["n_late"])
+        for r in drained.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_late", "ewma")).alias("m"))
+        .collect()
+    }
+    assert final[1] == (2, 0.25 * 40.0 + 0.75 * 30.0, 2)
+    assert final[2] == (2, 0.25 * 7.0 + 0.75 * 5.0, 0)
