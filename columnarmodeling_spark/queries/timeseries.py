@@ -968,7 +968,9 @@ def q189_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "affine maps compose ASSOCIATIVELY, so per-chunk (A, B) pairs "
     "reduce in any order; that variant trades the bit-exact "
     "cross-engine fold for re-association noise, which is why the "
-    "registered query keeps the plain fold.",
+    "registered query keeps the plain fold; the segmented variant "
+    "is registered separately as q208 with its own chunk-association "
+    "oracle.",
     tags=("timeseries", "ewma", "fold", "agg", "scale"),
 )
 def q194_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,4 +994,122 @@ def q194_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.select(
         "user_id", "n_events", F.round(ewma, 6).alias("ewma")
+    )
+
+
+# --- q208: the segmented associative EWMA (q194's stated skew escape) ------
+
+_SEG_W = 172_800_000_000  # 2-day chunk width in epoch-micros
+
+
+@register(
+    "q208_ewma_segmented",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, value,
+             epoch_us(ts) // {_SEG_W} AS chunk
+      FROM events),
+    ck AS (
+      SELECT user_id, chunk, count(*) AS cn,
+             list_reduce(
+               list_prepend(struct_pack(a := 1.0::DOUBLE, b := 0.0::DOUBLE),
+                 list(struct_pack(a := 0.75::DOUBLE, b := 0.25 * value)
+                      ORDER BY us, event_id)),
+               (acc, m) -> struct_pack(a := m.a * acc.a,
+                                       b := m.a * acc.b + m.b)) AS m
+      FROM ev GROUP BY 1, 2),
+    u AS (
+      SELECT user_id,
+             CAST(sum(cn) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             list_reduce(
+               list_prepend(struct_pack(a := 1.0::DOUBLE, b := 0.0::DOUBLE),
+                 list(struct_pack(a := m.a, b := m.b) ORDER BY chunk)),
+               (acc, c) -> struct_pack(a := c.a * acc.a,
+                                       b := c.a * acc.b + c.b)) AS t
+      FROM ck GROUP BY 1),
+    s0 AS (
+      SELECT user_id, first(value ORDER BY us, event_id) AS v0
+      FROM ev GROUP BY 1)
+    SELECT u.user_id, u.n_events, u.n_chunks,
+           round(u.t.a * s0.v0 + u.t.b, 6) AS ewma
+    FROM u JOIN s0 USING (user_id)
+    """,
+    doc="SEGMENTED associative EWMA — the registered form of the skew "
+    "escape q194's docstring states (round-7 verdict #3): an EWMA "
+    "over a segment is the affine map s_out = A·s_in + B with "
+    "A = 0.75^len, and affine maps COMPOSE ASSOCIATIVELY, so no agg "
+    "buffer ever holds more than one time-chunk of one user's "
+    "history. Events chunk into fixed 2-day windows; each "
+    "(user, chunk) folds its own sorted values to an (A, B) pair "
+    "[per-event map (0.75, 0.25·x), identity-seeded]; per user the "
+    "bounded chunk-map list composes in window order and applies to "
+    "s0 = the first value — algebraically identical to q194's fold "
+    "(uniform maps with s0 = x1 reproduce the seed exactly: "
+    "0.75·x1 + 0.25·x1 = x1), differing only by FP re-association, "
+    "which is why this is a SEPARATE query with an oracle replaying "
+    "the exact chunked association rather than q194's plain fold. "
+    "A 10^8-event user now costs max(events-per-chunk) buffer, not "
+    "their whole history; the single-user skew probe is in SCALE.md.",
+    tags=("timeseries", "ewma", "segmented", "agg", "skew", "scale"),
+)
+def q208_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+    return segmented_ewma(ev, _SEG_W)
+
+
+def segmented_ewma(ev: DataFrame, chunk_width: int) -> DataFrame:
+    """The q208 plan on any (user_id, us, event_id, value) frame —
+    exposed so the skew probe (tools/skew_test.py single-user run) and
+    tests can drive it at chosen chunk widths."""
+    ev = ev.withColumn("chunk", F.expr(f"div(us, {chunk_width})"))
+    ident = F.struct(F.lit(1.0).alias("a"), F.lit(0.0).alias("b"))
+    per_chunk = (
+        ev.groupBy("user_id", "chunk")
+        .agg(
+            F.count("*").alias("cn"),
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "value"))
+            ).alias("s"),
+        )
+        .select(
+            "user_id",
+            "chunk",
+            "cn",
+            F.aggregate(
+                F.transform("s", lambda e: e["value"]),
+                ident,
+                lambda acc, x: F.struct(
+                    (F.lit(0.75) * acc["a"]).alias("a"),
+                    (F.lit(0.25) * x + F.lit(0.75) * acc["b"]).alias("b"),
+                ),
+            ).alias("m"),
+            F.element_at(F.col("s"), 1).alias("first_e"),
+        )
+    )
+    per_user = per_chunk.groupBy("user_id").agg(
+        F.sum("cn").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.array_sort(F.collect_list(F.struct("chunk", "m"))).alias("maps"),
+        F.min(F.struct("chunk", "first_e")).alias("f0"),
+    )
+    comp = F.aggregate(
+        F.col("maps"),
+        ident,
+        lambda acc, c: F.struct(
+            (c["m"]["a"] * acc["a"]).alias("a"),
+            (c["m"]["a"] * acc["b"] + c["m"]["b"]).alias("b"),
+        ),
+    )
+    s0 = F.col("f0")["first_e"]["value"]
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_chunks",
+        F.round(comp["a"] * s0 + comp["b"], 6).alias("ewma"),
     )

@@ -225,3 +225,45 @@ def test_cooccurrence_overlap_bounded(spark, sf_dir):
         == 0
     )
     assert out.filter(F.col("item_a") >= F.col("item_b")).count() == 0
+
+
+def test_segmented_ewma_matches_plain_fold(spark, sf_dir):
+    """q208's chunked affine composition is algebraically q194's fold
+    (uniform maps + s0 = first value reproduce the seed exactly), so
+    the two queries must agree to re-association noise on real data —
+    and stay chunk-width invariant."""
+    from columnarmodeling_spark.queries.timeseries import segmented_ewma
+
+    plain = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in REGISTRY["q194_ewma_smoothing"].fn(spark, sf_dir).collect()
+    }
+    seg = {
+        r["user_id"]: (r["n_events"], r["ewma"], r["n_chunks"])
+        for r in REGISTRY["q208_ewma_segmented"].fn(spark, sf_dir).collect()
+    }
+    assert set(plain) == set(seg)
+    multi = 0
+    for u, (n, e) in plain.items():
+        ns, es, nc = seg[u]
+        assert ns == n
+        assert abs(es - e) <= 2e-6  # 6dp rounding + re-association
+        multi += nc > 1
+    # the chunking must actually split histories for this to test the
+    # composition, not the degenerate one-chunk case
+    assert multi >= 10
+
+    # a different chunk width re-associates differently but must stay
+    # within fold noise of the plain result
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+    other = {
+        r["user_id"]: r["ewma"]
+        for r in segmented_ewma(ev, 21_600_000_000).collect()  # 6h chunks
+    }
+    for u, (_, e) in plain.items():
+        assert abs(other[u] - e) <= 2e-6

@@ -152,6 +152,7 @@ def main() -> None:
                 )
 
     _round7_scenarios(spark, n_nodes=max(n_pts, 6000))
+    _round8_scenarios(spark)
 
 
 def _round7_scenarios(spark, n_nodes: int) -> None:
@@ -229,6 +230,56 @@ def _round7_scenarios(spark, n_nodes: int) -> None:
                     f"{time.time() - t0:.2f}s"
                 )
         ev.unpersist()
+
+
+def _round8_scenarios(spark, n_ev: int = 1_000_000) -> None:
+    # --- single-user 1M-event EWMA: plain fold vs segmented (q208) ------
+    # The q194 docstring's stated bound: one user's whole history in one
+    # collect_list buffer + one sequential fold task. q208's registered
+    # escape chunks the history (here 64 chunks), so no buffer exceeds
+    # n_ev/64 and chunk folds run in parallel; results must agree to
+    # re-association noise.
+    from columnarmodeling_spark.queries.timeseries import segmented_ewma
+
+    ev = spark.range(n_ev).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.col("id").alias("us"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    ).cache()
+    ev.count()
+
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform("s", lambda e: e["value"])
+    plain = g.select(
+        "user_id",
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+        ).alias("ewma"),
+    )
+    seg = segmented_ewma(ev, max(1, n_ev // 64))
+    results = {}
+    for name, df in (("plain-fold", plain), ("segmented-64", seg)):
+        for timed in (False, True):
+            t0 = time.time()
+            row = df.collect()[0]
+            if timed:
+                results[name] = row["ewma"]
+                print(
+                    f"ewma one-user events={n_ev} {name}: "
+                    f"{time.time() - t0:.2f}s ewma={row['ewma']:.9f}"
+                )
+    print(
+        "ewma one-user plain-vs-segmented |diff| = "
+        f"{abs(results['plain-fold'] - results['segmented-64']):.3e}"
+    )
+    ev.unpersist()
 
 
 if __name__ == "__main__":
