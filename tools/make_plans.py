@@ -127,6 +127,15 @@ CASES = {
     "behind a localCheckpoint barrier; the per-bond law runs inside "
     "the kernel, invisible to the plan — exactly the point: swapping "
     "the constitutive model changes NO exchange.",
+    "q205_viscoelastic_bonds": "Second pluggable law (rate-dependent "
+    "Kelvin–Voigt, queries/simulation._kelvin_voigt_law) through the "
+    "q192 hook. What to check: the plan is IDENTICAL in shape to "
+    "q192's — two FlatMapCoGroupsInPandas rounds on the (bx, by) "
+    "block key (fuse=4 < n_steps=8), the ustate column (now the "
+    "PREVIOUS length, not damage) riding the bond relation through "
+    "the shuffle rounds — because the law runs inside the kernel: "
+    "swapping spring+dashpot for bilinear softening changes NO "
+    "exchange, which is the whole point of the hook.",
     "q193_label_propagation": "Synchronous LPA communities, 4 unrolled "
     "rounds. What to check: each round is exactly one shuffled "
     "edge-label hash join + one (node, label) partial/final count agg "
@@ -334,6 +343,13 @@ CASES = {
     "THAT 2xK cell relation (constant-size) entering the term "
     "computation via BroadcastExchange; the statistic is one final "
     "one-row agg — scan, one hash agg, broadcast margins, done.",
+    "q208_ewma_segmented": "Segmented associative EWMA (the q194 "
+    "hot-user escape, registered). What to check: TWO partial/final "
+    "hash aggs — (user, chunk) then user — with every fold (per-chunk "
+    "affine map, cross-chunk composition, final A·s0+B) as array "
+    "expressions inside the agg projections; no window, no sort "
+    "beyond array_sort of bounded per-chunk/per-user-chunk lists; no "
+    "buffer ever holds more than one chunk of one user's events.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
@@ -658,7 +674,43 @@ def _q201_stream(spark, sf):
     )
 
 
+def _q206_stream(spark, sf):
+    """The pre-drain stateful plan of q206 (late-robust transitions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from columnarmodeling_spark.queries.streaming import (
+        _transitions_late_fold,
+    )
+    from columnarmodeling_spark.streaming.sources import events_stream
+
+    ev = events_stream(spark, sf).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _transitions_late_fold,
+        outputStructType="from_type string, to_type string, c long",
+        stateStructType="us long, eid long, tp string, late long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 ROUND_CASES = {
+    "q206_stream_transitions_late (pre-drain stateful plan)": (
+        "Late-data-robust streaming transitions (queries/streaming.py "
+        "q206). What to check: same single user_id-keyed "
+        "FlatMapGroupsInPandasWithState exchange as q166 — the "
+        "high-water-mark state adds two longs per user, NO extra "
+        "operator; late handling is kernel logic, invisible to the "
+        "plan. q207's plan differs only in the fold schema; the "
+        "post-drain resolution aggs are batch plans over the tiny "
+        "memory sink.",
+        _q206_stream,
+    ),
     "q201_stream_ewma (pre-drain stateful plan)": (
         "Cross-batch stateful streaming EWMA (queries/streaming.py "
         "q201_stream_ewma). What to check: ONE exchange hash-partitions "
