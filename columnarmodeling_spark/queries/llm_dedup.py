@@ -1420,3 +1420,89 @@ def q179_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best_chars").cast("long").alias("kept_chars"),
         )
     )
+
+
+# --- q209: benchmark decontamination screen --------------------------------
+
+_DECON_N = 8  # 8-token grams: the standard contamination screen length
+
+_SQL_GRAM8 = (
+    "list_transform(range(1, len({tk}) - 6), i -> "
+    + " || ' ' || ".join(f"{{tk}}[i+{j}]" for j in range(8))
+    + ")"
+).replace("{tk}[i+0]", "{tk}[i]")
+
+
+@register(
+    "q209_decontamination",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest({_SQL_GRAM8.format(tk="tk")}) AS gr
+      FROM tk),
+    bench AS (SELECT DISTINCT gr FROM g WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, gr FROM g WHERE doc_id % 10 <> 0),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM train GROUP BY 1),
+    hits AS (
+      SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+      FROM train tr JOIN bench b ON tr.gr = b.gr GROUP BY 1)
+    SELECT tot.doc_id, tot.n_grams,
+           CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           CAST(coalesce(h.n_hit_grams, 0) > 0 AS BIGINT) AS contaminated
+    FROM tot LEFT JOIN hits h ON tot.doc_id = h.doc_id
+    """,
+    doc="Benchmark DECONTAMINATION screen — the inverse direction of "
+    "q94 (which scores each EVAL doc's 3-gram leakage fraction): "
+    "this produces the TRAINING-side drop list with the stricter "
+    "8-token grams real pipelines use for removal decisions (a "
+    "3-gram hit is noise; an 8-gram hit is a quote). Flag every training "
+    "document sharing at least one 8-token gram with the held-out "
+    "benchmark suite (here the deterministic doc_id %% 10 == 0 slice (a 10%% eval suite whose planted duplicate partners land in training — the screen flags 6 docs at sf0.01, so the positive path is driver-exercised) "
+    "stands in for the eval set; the Dolma/C4-style n-gram-overlap "
+    "rule). Candidate space: distinct (doc, gram) rows equi-join the "
+    "DISTINCT benchmark gram set, so fan-out is at most 1 per "
+    "training gram occurrence — linear in corpus token count, no "
+    "doc×doc pair space, and 8-token grams make hot keys "
+    "structurally rare (no max_df escape needed, unlike the 3-gram "
+    "Jaccard tier). Per-doc output: distinct-gram total, hit count, "
+    "and the 0/1 contamination verdict; docs under 8 tokens have no "
+    "grams and are vacuously clean (absent, both engines). At 100 TB "
+    "the benchmark side is the small relation — broadcast-sized for "
+    "real eval suites — while the corpus side stays one scan + one "
+    "distinct + one join.",
+    tags=("llm", "dedup", "decontamination", "join", "scale"),
+)
+def q209_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    g = d.select(
+        "doc_id", F.explode(word_shingles("tk", _DECON_N)).alias("gr")
+    ).distinct()
+    bench = (
+        g.filter(F.col("doc_id") % 10 == 0).select("gr").distinct()
+    )
+    train = g.filter(F.col("doc_id") % 10 != 0)
+    tot = train.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    hits = train.join(bench, "gr").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hit_grams")
+    )
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias(
+            "n_hit_grams"
+        ),
+        (F.coalesce("n_hit_grams", F.lit(0)) > 0)
+        .cast("long")
+        .alias("contaminated"),
+    )

@@ -463,3 +463,26 @@ def test_residual_vq_refines(spark, sf_dir):
     # refinement must actually do something on real data
     assert out.filter(F.col("d2") < F.col("d1")).count() > 0
     out.unpersist()
+
+
+def test_decontamination_flags_planted_duplicates(spark, sf_dir):
+    """q209: training docs that are planted near-duplicates of an
+    eval-split doc must be flagged; counts are consistent; eval docs
+    never appear in the output (they are the benchmark, not the
+    corpus being screened)."""
+    rows = REGISTRY["q209_decontamination"].fn(spark, sf_dir).collect()
+    assert all(r["doc_id"] % 10 != 0 for r in rows)
+    flagged = [r for r in rows if r["contaminated"] == 1]
+    # the testdata's planted duplicate clusters straddle the %10 split
+    # at every shipped sf (verified 7 docs at sf0.001, 6 at sf0.01) —
+    # the positive path must actually fire
+    assert len(flagged) >= 1
+    for r in rows:
+        assert 0 <= r["n_hit_grams"] <= r["n_grams"]
+        assert r["contaminated"] == (1 if r["n_hit_grams"] > 0 else 0)
+    # cross-check one flagged doc against q94's eval-side view: a
+    # training doc sharing 8-grams with an eval doc implies that eval
+    # doc shares 3-grams with the training split (8-grams contain
+    # 3-grams), so q94 must report nonzero contamination somewhere
+    q94 = REGISTRY["q94_contamination"].fn(spark, sf_dir).collect()
+    assert any(r["n_contaminated"] > 0 for r in q94)
