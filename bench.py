@@ -64,6 +64,12 @@ HEADLINE = [
     "q182_point_in_polygon",
     "q192_softening_bonds",
     "q193_label_propagation",
+    # round-8 additions: the second pluggable law through the solver
+    # hook, the segmented-EWMA two-agg fold, and the decontamination
+    # distinct-gram join (the training-pipeline screen shape)
+    "q205_viscoelastic_bonds",
+    "q208_ewma_segmented",
+    "q209_decontamination",
 ]
 
 
