@@ -1506,3 +1506,99 @@ def q209_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("contaminated"),
     )
+
+
+# --- q211: asymmetric containment screen -----------------------------------
+
+_CONT_MAXDF = 50   # gram document-frequency cap (both engines)
+_CONT_NUM, _CONT_DEN = 4, 5   # containment threshold 4/5, integer arithmetic
+
+_SQL_GRAM4 = """
+    g4 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 2),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' ||
+                         tk[i+2] || ' ' || tk[i+3])) AS gr
+      FROM toks)
+"""
+
+
+@register(
+    "q211_containment_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES.split('sh AS')[0].rstrip().rstrip(',')},
+    {_SQL_GRAM4},
+    df AS (SELECT gr, count(*) AS df FROM g4 GROUP BY 1),
+    gk AS MATERIALIZED (
+      SELECT g4.doc_id, g4.gr FROM g4 JOIN df USING (gr)
+      WHERE df.df <= {_CONT_MAXDF}),
+    sz AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM gk a JOIN gk b ON a.gr = b.gr AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(i.i AS BIGINT) AS inter,
+           round(i.i * 1.0 / sa.n, 6) AS containment
+    FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+    WHERE i.i * {_CONT_DEN} >= sa.n * {_CONT_NUM}
+    """,
+    doc="ASYMMETRIC CONTAINMENT screen (directed near-dup: is doc A's "
+    "content a subset of doc B's?) — the relation Jaccard misses: a "
+    "paragraph quoted whole inside a much longer page has tiny "
+    "Jaccard but containment ~1, and real pipelines (Lee et al. "
+    "2022 dedup; CCNet) drop the CONTAINED side. Over DISTINCT "
+    "4-token grams with document frequency <= 50 (the cap bounds "
+    "candidate fan-out and is part of the screen's definition, "
+    "mirrored exactly in the oracle): emit every ordered pair "
+    "(doc_a, doc_b) whose shared-gram count covers >= 4/5 of A's "
+    "gram set, verified in INTEGER arithmetic (5*inter >= 4*n_a) so "
+    "both engines agree exactly; containment is the one rounded "
+    "column. Candidate space: equi-join on capped grams — at most "
+    "df<=50 partners per gram occurrence, no doc x doc pair space; "
+    "skew is structurally bounded by the cap (q42's max_df story), "
+    "and at 100 TB the gram-df relation is the only extra pass. "
+    "Flags 50 directed pairs at sf0.01 (the planted duplicate "
+    "partners), so the positive path is driver-exercised.",
+    tags=("dedup", "llm", "containment", "join", "scale"),
+)
+def q211_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    g = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .withColumn("tk", tokens("text"))
+        .select("doc_id", F.explode(word_shingles("tk", 4)).alias("gr"))
+        .distinct()
+    )
+    dfreq = g.groupBy("gr").agg(F.count(F.lit(1)).alias("df"))
+    gk = (
+        g.join(dfreq, "gr")
+        .filter(F.col("df") <= _CONT_MAXDF)
+        .select("doc_id", "gr")
+        .localCheckpoint()
+    )
+    sz = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        gk.alias("a")
+        .join(gk.alias("b"), "gr")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(F.col("i") * _CONT_DEN >= F.col("n") * _CONT_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n").cast("long").alias("n_a"),
+            F.col("i").cast("long").alias("inter"),
+            F.round(F.col("i") / F.col("n"), 6).alias("containment"),
+        )
+    )

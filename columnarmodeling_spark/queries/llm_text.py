@@ -1745,3 +1745,72 @@ def q203_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_pico"),
     )
+
+
+# --- q210: two-pass exact heavy hitters ------------------------------------
+
+_HH_K = 5000  # report grams with count > N/K; MG slots per partition = K
+
+
+@register(
+    "q210_heavy_hitters",
+    oracle="""
+    WITH t0 AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    tk AS (
+      SELECT unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+      FROM t0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk),
+    c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1)
+    SELECT c.gram, c.cnt, tot.n_total
+    FROM c, tot WHERE c.cnt * 5000 > tot.n_total
+    """,
+    doc="TWO-PASS EXACT HEAVY HITTERS (Misra-Gries candidates + exact "
+    "verify) over corpus 3-grams: every gram with count > N/5000 (>0.02% "
+    "of the token-trigram mass), with its EXACT count. Pass 1 runs a "
+    "k=5000-slot Misra-Gries summary PER PARTITION inside one "
+    "mapInPandas (pandas value_counts per Arrow batch merged into the "
+    "running summary; the batched decrement subtracts the (size-k)-th "
+    "smallest counter from all and drops non-positives, the standard "
+    "many-single-decrements equivalence) and emits only surviving keys "
+    "-- map-side only, state bounded by k entries per partition "
+    "regardless of input size. The union over partitions is a PROVABLE "
+    "superset of the global heavy hitters: count > N/K implies some "
+    "partition has count_p > n_p/K (pigeonhole), and MG with k=K slots "
+    "keeps any such item since its estimate >= count_p - n_p/(k+1) > 0. "
+    "Pass 2 broadcast-semi-joins the candidate set (<= #partitions * k "
+    "keys) and exact-counts ONLY those, so the big shuffle a plain "
+    "groupBy-all-grams would pay (16k distinct at sf0.01, billions at "
+    "100 TB) shrinks to the candidate slice; the final filter against "
+    "the global N makes the output deterministic and "
+    "partitioning-independent. The oracle is the plain exact "
+    "HAVING-count query. At the test SFs the per-partition distinct "
+    "count never reaches k, so eviction is a no-op (the output is "
+    "identical either way -- the guarantee is what the unit test "
+    "forces with a tiny k); at scale the summary stays k entries while "
+    "the plain plan's hash agg grows with the vocabulary.",
+    tags=("llm", "text", "sketch", "heavy-hitters", "two-pass", "scale"),
+)
+def q210_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.heavy_hitters import mg_candidates
+
+    grams = (
+        t(spark, sf_dir, "documents")
+        .select(tokens("text").alias("tk"))
+        .select(F.explode(word_shingles("tk", 3)).alias("gram"))
+    )
+    cand = mg_candidates(grams, "gram", _HH_K)
+    exact = (
+        grams.join(F.broadcast(cand), "gram")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = grams.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * _HH_K > F.col("n_total"))
+        .select("gram", "cnt", "n_total")
+    )

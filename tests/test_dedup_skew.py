@@ -64,3 +64,27 @@ def test_max_df_keeps_real_duplicates(spark):
     }
     # After dropping "hot": docs 100/101 have identical {dupx,dupy,dupz}.
     assert got == {(100, 101, 1.0)}
+
+
+def test_q211_flags_planted_full_containment(spark):
+    """The planted duplicate partners must appear with containment 1.0
+    in BOTH directions (exact copies contain each other)."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    res = REGISTRY["q211_containment_pairs"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = res.collect()
+    assert len(rows) > 0
+    full = {(r.doc_a, r.doc_b) for r in rows if r.containment == 1.0}
+    assert full  # planted subset-duplicates exist
+    # the ASYMMETRY the screen exists for: at least one doc fully
+    # contained in a partner that is NOT fully contained back
+    # (the strict-subset case Jaccard under-scores)
+    assert any((b, a) not in full for a, b in full)
+    # every row satisfies the integer threshold it claims
+    assert all(r.inter * 5 >= r.n_a * 4 for r in rows)
+    # directed pair keys are unique
+    assert len({(r.doc_a, r.doc_b) for r in rows}) == len(rows)

@@ -273,3 +273,68 @@ def test_with_group_rank_matches_window(spark):
         got.join(want, ["g", "v", "id", "grk", "gn"], "inner").count()
         == df.count()
     )
+
+
+def test_mg_candidates_superset_under_forced_eviction(spark):
+    """k far below the distinct count forces the batched-decrement path;
+    every item with global count > N/k must survive (the MG guarantee
+    q210's exact second pass relies on)."""
+    import random
+
+    from columnarmodeling_spark.operators.heavy_hitters import mg_candidates
+
+    rng = random.Random(7)
+    # zipf-ish: a few hot keys + a long tail of singletons
+    items = (
+        ["hot_a"] * 400 + ["hot_b"] * 250 + ["hot_c"] * 120
+        + [f"tail_{i}" for i in range(2000)]
+    )
+    rng.shuffle(items)
+    df = spark.createDataFrame(
+        [(x,) for x in items], "gram string"
+    ).repartition(4)
+    k = 30  # distinct=2003 >> k: eviction must fire in every partition
+    cand = {r.gram for r in mg_candidates(df, "gram", k).collect()}
+    assert len(cand) <= 4 * k
+    n = len(items)
+    heavy = {"hot_a", "hot_b", "hot_c"}
+    assert all(items.count(h) * k > n for h in heavy)
+    assert heavy <= cand
+
+
+def test_mg_candidates_no_eviction_is_exact_distinct(spark):
+    from columnarmodeling_spark.operators.heavy_hitters import mg_candidates
+
+    df = spark.createDataFrame(
+        [(f"g{i % 5}",) for i in range(100)], "gram string"
+    ).repartition(3)
+    cand = {r.gram for r in mg_candidates(df, "gram", 1000).collect()}
+    assert cand == {f"g{i}" for i in range(5)}
+
+
+def test_q210_two_pass_equals_plain_groupby(spark):
+    """The MG-candidate + exact-verify pipeline must emit exactly the
+    plain full-groupBy heavy-hitter set (partitioning-independent)."""
+    from columnarmodeling_spark.functions.text import tokens, word_shingles
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.gram, r.cnt, r.n_total)
+        for r in REGISTRY["q210_heavy_hitters"].fn(spark, sf).collect()
+    }
+    grams = (
+        t(spark, sf, "documents")
+        .select(tokens("text").alias("tk"))
+        .select(F.explode(word_shingles("tk", 3)).alias("gram"))
+    )
+    n = grams.count()
+    plain = {
+        (r.gram, r.cnt, n)
+        for r in grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") * 5000 > n)
+        .collect()
+    }
+    assert got == plain and len(got) > 0
