@@ -350,6 +350,29 @@ CASES = {
     "expressions inside the agg projections; no window, no sort "
     "beyond array_sort of bounded per-chunk/per-user-chunk lists; no "
     "buffer ever holds more than one chunk of one user's events.",
+    "q209_decontamination": "Training-side decontamination screen. "
+    "What to check: one documents scan feeds tokenize→8-gram "
+    "explode→distinct; the benchmark side reduces to a DISTINCT gram "
+    "relation before the equi-join (no doc×doc space anywhere); at "
+    "real eval-suite sizes that side is broadcast-able — here both "
+    "sides hash-partition on the gram, and the per-doc totals/hits "
+    "are partial/final hash aggs with the left join resolving "
+    "clean docs to 0.",
+    "q210_heavy_hitters": "Two-pass exact heavy hitters. What to "
+    "check: pass 1 is ONE MapInPandas over the gram rows (the "
+    "Misra-Gries summary — no shuffle before it, state bounded at "
+    "k entries per partition) followed by a distinct on the tiny "
+    "candidate relation; pass 2's exact count joins the candidates "
+    "as a BroadcastHashJoin (the full-vocabulary shuffle a plain "
+    "groupBy would pay never appears); the global-N side is a "
+    "scalar agg crossJoin-broadcast back.",
+    "q211_containment_pairs": "Asymmetric containment screen. What "
+    "to check: the candidate pair space is produced ONLY by the "
+    "capped-gram equi-join (df<=50 filter sits between the df agg "
+    "and the self-join; localCheckpoint truncates the shared "
+    "lineage); intersection counts via partial/final hash agg on "
+    "the (doc_a, doc_b) pair; the integer threshold filter runs "
+    "before the single rounded division.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
