@@ -88,15 +88,17 @@ def _other_jvms() -> list[int]:
 
 
 def _preflight_idle(
-    max_wait_s: float = 180.0, thresh_frac: float = 0.25
+    max_wait_s: float = 600.0, thresh_frac: float = 0.05
 ) -> dict:
-    """Refuse to time on a loaded machine (round-5 verdict #4: BENCH_r05
-    published 2-4x inflated numbers for q56/q64/q70 because a concurrent
-    Spark session was running). Waits up to *max_wait_s* for the 1-min
-    load average to fall below thresh_frac x cores AND for foreign JVMs
-    to exit; if the machine never settles, proceeds but stamps
-    ``clean: false`` into the published JSON so a contaminated run can
-    never masquerade as a measurement."""
+    """Refuse to time on a loaded machine (round-5 verdict #4; round-8
+    verdict #1: the old 0.25 x ncpu = 8.0 threshold stamped a load1=6.62
+    machine as clean, inflating every BENCH_r08 number ~1.4x). The gate
+    is now 0.05 x ncpu (load1 <= 1.6 on 32 cores) with a 10-minute
+    settle window. If the machine never settles the bench REFUSES to
+    publish (exit 3, no JSON on stdout) — a contaminated run must never
+    enter the artifact series. Set SPARK_GRAFT_BENCH_FORCE=1 to run
+    anyway for local iteration; the JSON is then stamped
+    ``clean: false``."""
     ncpu = os.cpu_count() or 1
     thresh = thresh_frac * ncpu
     deadline = time.time() + max_wait_s
@@ -106,18 +108,118 @@ def _preflight_idle(
         if load1 <= thresh and not jvms:
             return {"load1": round(load1, 2), "other_jvms": 0, "clean": True}
         if time.time() >= deadline:
-            print(
-                f"WARNING: bench preflight not idle after {max_wait_s:.0f}s "
-                f"(load1={load1:.2f} thresh={thresh:.1f}, "
-                f"{len(jvms)} foreign JVMs) — timings may be contaminated",
-                file=sys.stderr,
+            msg = (
+                f"bench preflight not idle after {max_wait_s:.0f}s "
+                f"(load1={load1:.2f} thresh={thresh:.2f}, "
+                f"{len(jvms)} foreign JVMs)"
             )
-            return {
-                "load1": round(load1, 2),
-                "other_jvms": len(jvms),
-                "clean": False,
-            }
+            if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
+                print(f"WARNING: {msg} — forced dirty run", file=sys.stderr)
+                return {
+                    "load1": round(load1, 2),
+                    "other_jvms": len(jvms),
+                    "clean": False,
+                }
+            print(f"REFUSING TO PUBLISH: {msg}", file=sys.stderr)
+            sys.exit(3)
         time.sleep(5)
+
+
+def _proc_tree(root_pid: int) -> set[int]:
+    """All live pids whose parent chain reaches *root_pid* (incl. it)."""
+    ppid_of: dict[int, int] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as fh:
+                stat = fh.read()
+            # field 4 is ppid; comm (field 2) may contain spaces/parens,
+            # so split after the closing paren
+            ppid_of[int(entry)] = int(stat.rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+    tree = {root_pid}
+    # iterate to fixpoint (tree depth is small; 2 passes usually enough)
+    changed = True
+    while changed:
+        changed = False
+        for pid, ppid in ppid_of.items():
+            if ppid in tree and pid not in tree:
+                tree.add(pid)
+                changed = True
+    return tree
+
+
+def _foreign_cpu_jiffies(self_tree: set[int]) -> float:
+    """Total utime+stime jiffies of all processes OUTSIDE our tree."""
+    total = 0.0
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit() or int(entry) in self_tree:
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as fh:
+                fields = fh.read().rsplit(")", 1)[1].split()
+            total += float(fields[11]) + float(fields[12])  # utime, stime
+        except (OSError, ValueError, IndexError):
+            continue
+    return total
+
+
+class _RunMonitor:
+    """Background sampler for the timed region (round-8 verdict #1:
+    publish conditions DURING the run, not just at preflight). Our own
+    Spark JVM legitimately loads all 32 cores, so raw load1 is not a
+    contamination signal mid-run — the signal is CPU burned by processes
+    OUTSIDE our process tree. Publishes max load1 (for transparency) and
+    the max foreign-CPU core-equivalents observed across samples."""
+
+    def __init__(self, interval_s: float = 2.0):
+        import threading
+
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self._tree = _proc_tree(os.getpid())
+        self._clk = os.sysconf("SC_CLK_TCK")
+        self.load1_max = 0.0
+        self.foreign_cores_max = 0.0
+        self.foreign_jvms_max = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        prev = _foreign_cpu_jiffies(self._tree)
+        prev_t = time.time()
+        while not self._stop.wait(self._interval):
+            # refresh the tree (Spark forks python workers continuously)
+            self._tree = _proc_tree(os.getpid())
+            now_j = _foreign_cpu_jiffies(self._tree)
+            now_t = time.time()
+            dt = max(now_t - prev_t, 1e-6)
+            cores = (now_j - prev) / self._clk / dt
+            self.foreign_cores_max = max(self.foreign_cores_max, cores)
+            self.load1_max = max(self.load1_max, os.getloadavg()[0])
+            jvms = [p for p in _other_jvms() if p not in self._tree]
+            self.foreign_jvms_max = max(self.foreign_jvms_max, len(jvms))
+            prev, prev_t = now_j, now_t
+
+    def __enter__(self) -> "_RunMonitor":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    def summary(self) -> dict:
+        # < 0.5 foreign core-equivalents at every sample = nothing else
+        # was meaningfully computing during the timed region
+        return {
+            "load1_max_during_run": round(self.load1_max, 2),
+            "foreign_cpu_cores_max": round(self.foreign_cores_max, 2),
+            "foreign_jvms_max": self.foreign_jvms_max,
+            "run_clean": self.foreign_cores_max < 0.5
+            and self.foreign_jvms_max == 0,
+        }
 
 
 def main() -> None:
@@ -141,14 +243,20 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    with _RunMonitor() as mon:
+        timings: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+        total = round(sum(timings.values()), 3)
+        # best + median of 3 timed runs (round-7 verdict #5: best-only
+        # inflated the r6->r7 delta; both are now published so
+        # cross-round comparisons stay honest)
+        solver = _solver_throughput(spark)
+        breaking = _breaking_solver_throughput(spark)
     print(
         json.dumps(
             {
@@ -157,12 +265,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # best + median of 3 timed runs (round-7 verdict #5:
-                # best-only inflated the r6->r7 delta; both are now
-                # published so cross-round comparisons stay honest)
-                **_solver_throughput(spark),
-                **_breaking_solver_throughput(spark),
+                **solver,
+                **breaking,
                 "preflight": preflight,
+                "run_conditions": mon.summary(),
             }
         )
     )

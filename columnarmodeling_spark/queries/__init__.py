@@ -90,22 +90,30 @@ def register(
 # q138-q181 plus canaries (CORRECTNESS_r07: 50/50 green); see git
 # history for the full slot-by-slot rationale.
 #
-# Round-8 rotation (executes the round-7 VERDICT's "Next round" items
-# 1 and 8). Window composition, in order: the q01 anchor; the five
-# standing tier canaries; then all 23 round-7 additions q182-q204 —
-# never driver-checked, but judge-replica-verified 23/23 strict-match
-# in VERDICT r7 — with the single streaming entry (q201_stream_ewma)
-# at the window tail so its fixed micro-batch drain overhead cannot
-# starve batch rows if the driver's cap is time-based. The remaining
-# 21 slots apply the STANDING STALENESS RULE adopted this round:
-# every future window reserves ~10+ slots for re-verifying queries
-# whose latest driver row is oldest, stalest-first. This round that
-# band is: latest row r1 (q57/q66/q74), latest row r3 (q43/q45-q50
-# sim tier, q52/q54/q59/q62/q67/q69/q87), and the four oldest r4
-# rows (q02-q05). Queries registered in round 8 (q205+) carry
-# strict-replica + hostile-TZ evidence and queue first for the r9
-# window. Every query rotated OUT of this window was green at its
-# latest driver check in CORRECTNESS_r07 or earlier.
+# Round-8 rotation history: the r8 window gave first driver rows to
+# q182-q204 plus canaries and 21 staleness slots (CORRECTNESS_r08:
+# 50/50 green); see git history for the slot-by-slot rationale.
+#
+# Round-9 rotation (executes the round-8 VERDICT's "Next round" items
+# 2 and 8). Window composition, in order: the q01 anchor; the five
+# standing tier canaries; the five batch round-8 additions
+# q205/q208/q209/q210/q211 — never driver-checked, but judge-replica
+# verified 7/7 strict-match in VERDICT r8 — with the two streaming
+# entries (q206/q207) at the window tail so their fixed micro-batch
+# drain overhead cannot starve batch rows if the driver's cap is
+# time-based. The remaining 37 slots apply the STANDING STALENESS
+# RULE: stalest-first re-verification. Oldest-driver-row ledger after
+# CORRECTNESS_r08 (latest green row per band):
+#   r4: 25 queries (q06 q09-q17 q20-q25 q27-q29 q31 q32 q100 q101
+#       q104 q105)                          -> ALL 25 in this window
+#   r5: 41 queries (q07 q08 q18 q19 q26 q33-q42 q58 q60 q61 q63 q65
+#       q71-q73 q75 q78 q80-q86 q88-q93 q106 q108 q110)
+#                                           -> 12 oldest batch slots
+#   r6: 44 queries (q51 q53 q55 q68 q70 ...) -> next round's band
+#   r7: 44 queries (q138-q181)               -> after that
+#   r8: 50 queries (fresh)
+# Every query rotated OUT of this window was green at its latest
+# driver check in CORRECTNESS_r08 or earlier.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
@@ -116,56 +124,57 @@ PRIORITY: tuple[str, ...] = (
     "q56_dup_clusters",
     "q96_ivf_adaptive",
     "q64_solver_steps",
-    # round-7 additions awaiting their first driver row (q182-q204;
-    # judge replica 23/23 strict-match in VERDICT r7). q201 streaming
-    # goes at the window tail.
-    "q182_point_in_polygon",
-    "q183_window_funnel",
-    "q184_period_over_period",
-    "q185_hll_set_algebra",
-    "q186_degree_powerlaw",
-    "q187_table_fingerprint",
-    "q188_path_trigrams",
-    "q189_jackknife_ci",
-    "q190_cms_join_size",
-    "q191_ab_test",
-    "q192_softening_bonds",
-    "q193_label_propagation",
-    "q194_ewma_smoothing",
-    "q195_feature_hashing",
-    "q196_negative_sampling",
-    "q197_rfm_segments",
-    "q198_residual_vq",
-    "q199_poisson_bootstrap",
-    "q200_calibration_curve",
-    "q202_graph_modularity",
-    "q203_psi_drift",
-    "q204_chisq_homogeneity",
-    # staleness refresh (standing rule, see comment above): 21 slots,
-    # stalest-first — last driver rows r1 (3), r3 (14), oldest r4 (4)
-    "q57_exists_subquery",
-    "q66_conditional_aggs",
-    "q74_sketch_aggs",
-    "q43_minhash_signatures",
-    "q45_simhash",
-    "q46_cosine_topk",
-    "q47_ivf_centroids",
-    "q48_hyperplane_lsh",
-    "q49_embedding_neardup",
-    "q50_token_stats",
-    "q52_lang_id",
-    "q54_repetition_ratio",
-    "q59_length_histogram",
-    "q62_lloyd_iteration",
-    "q67_array_set_funcs",
-    "q69_ivf_search",
-    "q87_hash_sample",
-    "q02_regional_revenue",
-    "q03_semi_join_orders",
-    "q04_anti_join_customers",
-    "q05_positional_sections",
+    # round-8 batch additions awaiting their first driver row (judge
+    # replica 7/7 strict-match in VERDICT r8); q206/q207 streaming go
+    # at the window tail.
+    "q205_viscoelastic_bonds",
+    "q208_ewma_segmented",
+    "q209_decontamination",
+    "q210_heavy_hitters",
+    "q211_containment_pairs",
+    # staleness refresh (standing rule, see ledger above): 37 slots,
+    # stalest-first — the full r4 band (25), then the 12 oldest
+    # non-streaming r5 rows
+    "q06_range_band_join",
+    "q09_group_centroids",
+    "q10_event_histogram",
+    "q11_grouping_sets",
+    "q12_cube_agg",
+    "q13_pivot_qty",
+    "q14_string_funcs",
+    "q15_datetime_funcs",
+    "q16_math_clamp",
+    "q17_topk_per_group",
+    "q20_boundary_touch",
+    "q21_json_extract",
+    "q22_window_rank_lag",
+    "q23_wraparound_neighbor",
+    "q24_running_total",
+    "q25_row_grouping",
+    "q27_set_algebra",
+    "q28_disjointness",
+    "q29_intersect_projection",
+    "q31_bond_type_histogram",
+    "q32_asof_join",
+    "q100_bigram_logprob",
+    "q101_bpe_merge_topk",
+    "q104_minhash_estimate_error",
+    "q105_config_scan",
+    "q07_rounded_dedup_dense_id",
+    "q08_flag_quota",
+    "q18_array_hof",
+    "q19_mirror_union",
+    "q26_sessionization",
+    "q33_affine_projection",
+    "q34_reject_filters",
+    "q35_rollup",
+    "q36_map_funcs",
+    "q37_percentiles",
+    "q38_salted_agg",
+    "q39_scalar_subquery",
     # streaming tail: fixed micro-batch drain cost, so last in-window
-    "q201_stream_ewma",
+    "q206_stream_transitions_late",
+    "q207_stream_ewma_late",
 )
 
 
