@@ -56,11 +56,18 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SHINGLES = """
+# tokenizer CTE shared by the shingle queries and q211 (factored out so
+# composing oracles never splices another constant's SQL text — round-8
+# ADVICE)
+_SQL_TOKS = """
     toks AS (
       SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
              '[^a-z0-9]+'), t -> t <> '') AS tk
-      FROM documents),
+      FROM documents)
+"""
+
+_SQL_SHINGLES = f"""
+    {_SQL_TOKS.strip()},
     sh AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, len(tk)-1),
@@ -1464,19 +1471,22 @@ _SQL_GRAM8 = (
     "8-token grams real pipelines use for removal decisions (a "
     "3-gram hit is noise; an 8-gram hit is a quote). Flag every training "
     "document sharing at least one 8-token gram with the held-out "
-    "benchmark suite (here the deterministic doc_id %% 10 == 0 slice (a 10%% eval suite whose planted duplicate partners land in training — the screen flags 6 docs at sf0.01, so the positive path is driver-exercised) "
-    "stands in for the eval set; the Dolma/C4-style n-gram-overlap "
-    "rule). Candidate space: distinct (doc, gram) rows equi-join the "
-    "DISTINCT benchmark gram set, so fan-out is at most 1 per "
-    "training gram occurrence — linear in corpus token count, no "
+    "benchmark suite. Here the deterministic doc_id % 10 == 0 slice — a "
+    "10% eval suite whose planted duplicate partners land in training — "
+    "stands in for the eval set (the Dolma/C4-style n-gram-overlap "
+    "rule); the screen flags 6 docs at sf0.01, so the positive path is "
+    "driver-exercised. Candidate space: distinct (doc, gram) rows "
+    "equi-join the DISTINCT benchmark gram set, so fan-out is at most "
+    "1 per training gram occurrence — linear in corpus token count, no "
     "doc×doc pair space, and 8-token grams make hot keys "
     "structurally rare (no max_df escape needed, unlike the 3-gram "
     "Jaccard tier). Per-doc output: distinct-gram total, hit count, "
     "and the 0/1 contamination verdict; docs under 8 tokens have no "
     "grams and are vacuously clean (absent, both engines). At 100 TB "
-    "the benchmark side is the small relation — broadcast-sized for "
-    "real eval suites — while the corpus side stays one scan + one "
-    "distinct + one join.",
+    "the benchmark side is the small relation — a real eval suite is "
+    "fixed-size, so it is broadcast-PINNED (F.broadcast) rather than "
+    "left to the autobroadcast threshold — while the corpus side "
+    "stays one scan + one distinct + one join.",
     tags=("llm", "dedup", "decontamination", "join", "scale"),
 )
 def q209_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1493,7 +1503,11 @@ def q209_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = train.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams")
     )
-    hits = train.join(bench, "gr").groupBy("doc_id").agg(
+    # broadcast-pinned: a real eval suite is fixed-size (docstring), so
+    # the gram-hit join must be scan + broadcast-hash-join at any corpus
+    # scale, never a shuffle join whose build side merely happens to be
+    # small at test SF (round-8 verdict #6)
+    hits = train.join(F.broadcast(bench), "gr").groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_hit_grams")
     )
     return tot.join(hits, "doc_id", "left").select(
@@ -1526,7 +1540,7 @@ _SQL_GRAM4 = """
 @register(
     "q211_containment_pairs",
     oracle=f"""
-    WITH {_SQL_SHINGLES.split('sh AS')[0].rstrip().rstrip(',')},
+    WITH {_SQL_TOKS.strip()},
     {_SQL_GRAM4},
     df AS (SELECT gr, count(*) AS df FROM g4 GROUP BY 1),
     gk AS MATERIALIZED (

@@ -1776,8 +1776,9 @@ _HH_K = 5000  # report grams with count > N/K; MG slots per partition = K
     "running summary; the batched decrement subtracts the (size-k)-th "
     "smallest counter from all and drops non-positives, the standard "
     "many-single-decrements equivalence) and emits only surviving keys "
-    "-- map-side only, state bounded by k entries per partition "
-    "regardless of input size. The union over partitions is a PROVABLE "
+    "plus ONE totals row per partition carrying its row count -- "
+    "map-side only, state bounded by k entries between batches "
+    "(k + batch-distinct transiently). The union over partitions is a PROVABLE "
     "superset of the global heavy hitters: count > N/K implies some "
     "partition has count_p > n_p/K (pigeonhole), and MG with k=K slots "
     "keeps any such item since its estimate >= count_p - n_p/(k+1) > 0. "
@@ -1786,7 +1787,12 @@ _HH_K = 5000  # report grams with count > N/K; MG slots per partition = K
     "groupBy-all-grams would pay (16k distinct at sf0.01, billions at "
     "100 TB) shrinks to the candidate slice; the final filter against "
     "the global N makes the output deterministic and "
-    "partitioning-independent. The oracle is the plain exact "
+    "partitioning-independent. The global N is the SUM of the "
+    "per-partition totals rows the MG pass emits, and the tiny summary "
+    "relation (<= partitions*(k+1) rows) is eagerly localCheckpointed "
+    "so candidates and N are both read from it -- the corpus is "
+    "tokenized exactly TWICE (MG pass, exact-count join), not three "
+    "times (round-8 verdict #3). The oracle is the plain exact "
     "HAVING-count query. At the test SFs the per-partition distinct "
     "count never reaches k, so eviction is a no-op (the output is "
     "identical either way -- the guarantee is what the unit test "
@@ -1795,20 +1801,25 @@ _HH_K = 5000  # report grams with count > N/K; MG slots per partition = K
     tags=("llm", "text", "sketch", "heavy-hitters", "two-pass", "scale"),
 )
 def q210_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from columnarmodeling_spark.operators.heavy_hitters import mg_candidates
+    from columnarmodeling_spark.operators.heavy_hitters import mg_summary
 
     grams = (
         t(spark, sf_dir, "documents")
         .select(tokens("text").alias("tk"))
         .select(F.explode(word_shingles("tk", 3)).alias("gram"))
     )
-    cand = mg_candidates(grams, "gram", _HH_K)
+    # one corpus scan yields BOTH the candidate superset and the global
+    # N (per-partition totals rows); the summary is <= partitions*(k+1)
+    # rows, so the eager localCheckpoint that lets two consumers read it
+    # without recomputing the scan is O(candidates), not O(corpus)
+    summary = mg_summary(grams, "gram", _HH_K).localCheckpoint(eager=True)
+    cand = summary.filter(F.col("n_p").isNull()).select("gram").distinct()
+    tot = summary.agg(F.sum("n_p").cast("long").alias("n_total"))
     exact = (
         grams.join(F.broadcast(cand), "gram")
         .groupBy("gram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    tot = grams.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
         exact.crossJoin(F.broadcast(tot))
         .filter(F.col("cnt") * _HH_K > F.col("n_total"))

@@ -1067,6 +1067,12 @@ def segmented_ewma(ev: DataFrame, chunk_width: int) -> DataFrame:
     """The q208 plan on any (user_id, us, event_id, value) frame —
     exposed so the skew probe (tools/skew_test.py single-user run) and
     tests can drive it at chosen chunk widths."""
+    # cross-engine exactness on negative (pre-1970) epochs: Spark's
+    # div() truncates toward zero, and DuckDB's BIGINT // ALSO truncates
+    # toward zero (probed on v1.0.0: (-7)::BIGINT // 2 = -3, -1 // 3 =
+    # 0; only its FLOAT // floors), so the two sides agree on every
+    # input with no non-negativity assumption (round-8 ADVICE checked —
+    # its floor-division premise held only for DuckDB doubles).
     ev = ev.withColumn("chunk", F.expr(f"div(us, {chunk_width})"))
     ident = F.struct(F.lit(1.0).alias("a"), F.lit(0.0).alias("b"))
     per_chunk = (
