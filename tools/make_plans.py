@@ -353,19 +353,21 @@ CASES = {
     "q209_decontamination": "Training-side decontamination screen. "
     "What to check: one documents scan feeds tokenize→8-gram "
     "explode→distinct; the benchmark side reduces to a DISTINCT gram "
-    "relation before the equi-join (no doc×doc space anywhere); at "
-    "real eval-suite sizes that side is broadcast-able — here both "
-    "sides hash-partition on the gram, and the per-doc totals/hits "
-    "are partial/final hash aggs with the left join resolving "
-    "clean docs to 0.",
+    "relation before the equi-join (no doc×doc space anywhere) and "
+    "is broadcast-PINNED (a real eval suite is fixed-size), so the "
+    "gram-hit join is a BroadcastHashJoin at any corpus scale; the "
+    "per-doc totals/hits are partial/final hash aggs with the left "
+    "join resolving clean docs to 0.",
     "q210_heavy_hitters": "Two-pass exact heavy hitters. What to "
     "check: pass 1 is ONE MapInPandas over the gram rows (the "
-    "Misra-Gries summary — no shuffle before it, state bounded at "
-    "k entries per partition) followed by a distinct on the tiny "
-    "candidate relation; pass 2's exact count joins the candidates "
-    "as a BroadcastHashJoin (the full-vocabulary shuffle a plain "
-    "groupBy would pay never appears); the global-N side is a "
-    "scalar agg crossJoin-broadcast back.",
+    "Misra-Gries summary — no shuffle before it, k entries between "
+    "batches) emitting candidates PLUS per-partition totals rows, "
+    "eagerly localCheckpointed; the final plan then holds exactly "
+    "ONE documents scan (pass 2's exact count) — candidates enter "
+    "as BroadcastHashJoin over the checkpointed ExistingRDD and the "
+    "global N is sum(n_p) over the same ExistingRDD, so the corpus "
+    "is tokenized exactly twice across both jobs (round-8 verdict "
+    "#3: was three).",
     "q211_containment_pairs": "Asymmetric containment screen. What "
     "to check: the candidate pair space is produced ONLY by the "
     "capped-gram equi-join (df<=50 filter sits between the df agg "
@@ -722,7 +724,44 @@ def _q206_stream(spark, sf):
     )
 
 
+def _q207_stream(spark, sf):
+    """The pre-drain stateful plan of q207 (late-robust EWMA)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from columnarmodeling_spark.queries.streaming import _ewma_late_fold
+    from columnarmodeling_spark.streaming.sources import events_stream
+
+    ev = events_stream(spark, sf).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _ewma_late_fold,
+        outputStructType=(
+            "user_id long, n_events long, ewma double, n_late long"
+        ),
+        stateStructType="s double, n long, us long, eid long, late long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 ROUND_CASES = {
+    "q207_stream_ewma_late (pre-drain stateful plan)": (
+        "Late-data-robust streaming EWMA (queries/streaming.py q207). "
+        "What to check: the SAME single user_id-keyed "
+        "FlatMapGroupsInPandasWithState exchange as q201 — the "
+        "high-water-mark state widens the per-user state tuple from "
+        "(s, n) to (s, n, us, eid, late), which is three extra scalars "
+        "in the state store and ZERO extra operators or shuffles; late "
+        "handling is kernel logic, invisible to the plan. The "
+        "post-drain max-struct resolution agg is a batch plan over the "
+        "tiny memory sink.",
+        _q207_stream,
+    ),
     "q206_stream_transitions_late (pre-drain stateful plan)": (
         "Late-data-robust streaming transitions (queries/streaming.py "
         "q206). What to check: same single user_id-keyed "
