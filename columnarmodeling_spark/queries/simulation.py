@@ -2008,3 +2008,219 @@ def q205_viscoelastic_bonds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_len_micro"),
     )
+
+
+# --- q212: the Kelvin–Voigt law through the 3D hook -------------------------
+
+
+def _kelvin_voigt_oracle3d(
+    n_steps: int, k: str, dt: str, eps: str, eta: float, eps_b: float
+) -> str:
+    """3D variant of _kelvin_voigt_oracle: the same unrolled Euler CTE
+    chain with the rate state ``u`` (previous bond length) threaded
+    through every bond CTE, all three coordinates in the 3D kernel's
+    exact IEEE association (force component on src along axis c is
+    (k·(dist−rest) + η·rate)/dist · (b_c − a_c))."""
+    eta_l = repr(eta)
+    eb = repr(eps_b)
+    head = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id, c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y,
+             CAST(c_custkey % 53 AS DOUBLE) * 5.0 AS z
+      FROM customer),
+    b0 AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             (0.85 + 0.1 * CAST((a.id + b.id) % 4 AS DOUBLE))
+               * sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)
+                      + (a.z - b.z) * (a.z - b.z)) AS rest,
+             0.0 AS u
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE sqrt((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)
+                 + (a.z - b.z) * (a.z - b.z)) < {eps}),
+    s0 AS MATERIALIZED (
+      SELECT id, x, y, z,
+             CAST(id % 3 - 1 AS DOUBLE) * 8.0 AS vx,
+             CAST(id % 5 - 2 AS DOUBLE) * 4.0 AS vy,
+             CAST(id % 7 - 3 AS DOUBLE) * 2.0 AS vz,
+             1.0 AS m
+      FROM pts)"""
+    steps = []
+    for i in range(1, n_steps + 1):
+        p = i - 1
+        mag = f"({k} * (dist - rest) + {eta_l} * rate) / dist"
+        comp = []
+        for sign_ in ("", "-"):
+            comp.append(
+                ",\n               ".join(
+                    f"""CASE WHEN dist > 0
+                    THEN {sign_}({mag} * (b{c} - a{c}))
+                    ELSE 0.0 END AS f{c}"""
+                    for c in ("x", "y", "z")
+                )
+            )
+        steps.append(f""",
+    e{i} AS MATERIALIZED (
+      SELECT src, dst, rest, ax, ay, az, bx, by, bz, dist,
+             CASE WHEN u > 0 THEN (dist - u) / {dt}
+                  ELSE 0.0 END AS rate
+      FROM (
+        SELECT b.src, b.dst, b.rest, b.u,
+               pa.x AS ax, pa.y AS ay, pa.z AS az,
+               pb.x AS bx, pb.y AS by, pb.z AS bz,
+               sqrt((pb.x - pa.x) * (pb.x - pa.x)
+                    + (pb.y - pa.y) * (pb.y - pa.y)
+                    + (pb.z - pa.z) * (pb.z - pa.z)) AS dist
+        FROM b{p} b
+        JOIN s{p} pa ON b.src = pa.id
+        JOIN s{p} pb ON b.dst = pb.id)),
+    br{i} AS MATERIALIZED (
+      SELECT src, dst, rest, dist AS u FROM e{i}
+      WHERE dist - rest > {eb} * rest),
+    b{i} AS MATERIALIZED (
+      SELECT src, dst, rest, dist AS u FROM e{i}
+      WHERE NOT (dist - rest > {eb} * rest)),
+    f{i} AS MATERIALIZED (
+      SELECT id, sum(fx) AS fx, sum(fy) AS fy, sum(fz) AS fz FROM (
+        SELECT src AS id,
+               {comp[0]}
+        FROM e{i} WHERE NOT (dist - rest > {eb} * rest)
+        UNION ALL
+        SELECT dst AS id,
+               {comp[1]}
+        FROM e{i} WHERE NOT (dist - rest > {eb} * rest))
+      GROUP BY id),
+    s{i} AS MATERIALIZED (
+      SELECT s.id,
+             s.x + (s.vx + coalesce(f.fx, 0.0) / s.m * {dt}) * {dt} AS x,
+             s.y + (s.vy + coalesce(f.fy, 0.0) / s.m * {dt}) * {dt} AS y,
+             s.z + (s.vz + coalesce(f.fz, 0.0) / s.m * {dt}) * {dt} AS z,
+             s.vx + coalesce(f.fx, 0.0) / s.m * {dt} AS vx,
+             s.vy + coalesce(f.fy, 0.0) / s.m * {dt} AS vy,
+             s.vz + coalesce(f.fz, 0.0) / s.m * {dt} AS vz,
+             s.m
+      FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
+    broken = "\n    UNION ALL\n".join(
+        f"""    SELECT src, dst, CAST({i} AS BIGINT) AS break_step,
+           CAST(round(u * 1000000) AS BIGINT) AS last_len_micro
+    FROM br{i}"""
+        for i in range(1, n_steps + 1)
+    )
+    tail = f"""
+    SELECT src, dst, CAST(-1 AS BIGINT) AS break_step,
+           CAST(round(u * 1000000) AS BIGINT) AS last_len_micro
+    FROM b{n_steps}
+    UNION ALL
+{broken}
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q212_viscoelastic_bonds_3d",
+    oracle=_kelvin_voigt_oracle3d(
+        8, "1.0", repr(_KV_DT), "60.0", _KV_ETA, _KV_EPS_B
+    ),
+    doc="The Kelvin–Voigt viscoelastic law through the 3D solver hook "
+    "(round-8 verdict #7: the 3D path gained the force_law hook in r7 "
+    "but only the default law was registered): the SAME "
+    "_kelvin_voigt_law factory as q205 — the law is dimension-agnostic "
+    "by the hook's contract (dist/rest/k/state arrays) — driving "
+    "simulation/solver3d.py's run_solver3d_blocked_breaking over a 3D "
+    "customer-derived bond network for TWO fuse=4 bursts, so the "
+    "previous-length ustate provably survives the 3x3x3 halo-exchange "
+    "shuffle boundary in 3D (fuse-split bit-equality is also "
+    "property-tested in tests/test_solver3d.py). Scenario: the q122 "
+    "point cloud given q205's initial velocities plus a z component, "
+    "q205's per-bond rest heterogeneity, brittle break at 18% strain. "
+    "Output per input bond: break step (-1 = survived) and the last "
+    "observed length in integer micro-units, hash-checked against a "
+    "DuckDB oracle unrolling all 8 steps in 3 coordinates with the "
+    "rate state threaded through every bond CTE. Reference: "
+    "UniaxialCompressionTest/UDM.dll + BALL3D_PSLICE.dat (SURVEY "
+    "§2.9/§2.4).",
+    tags=("simulation", "E3", "udm", "constitutive", "iterative", "scale",
+          "3d"),
+)
+def q212_viscoelastic_bonds_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+    from columnarmodeling_spark.simulation.solver3d import (
+        run_solver3d_blocked_breaking,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+        ((F.col("c_custkey") % 53).cast("double") * 5.0).alias("z"),
+    )
+    # 2D grid candidates are a superset of the 3D eps-ball (q122's
+    # argument); the exact 3D distance filter uses the same raw-delta
+    # IEEE expression as the oracle's b0 CTE
+    cand = grid_proximity_join(
+        pts.select("id", "x", "y"), eps=60.0, id_col="id"
+    ).select("src", "dst")
+    pa = pts.select(
+        F.col("id").alias("src"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), F.col("z").alias("za"),
+    )
+    pb = pts.select(
+        F.col("id").alias("dst"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), F.col("z").alias("zb"),
+    )
+    d3 = F.sqrt(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+        + (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+    )
+    bonds = (
+        cand.join(pa, "src")
+        .join(pb, "dst")
+        .withColumn("d3", d3)
+        .filter(F.col("d3") < 60.0)
+        .select(
+            "src",
+            "dst",
+            (
+                (
+                    0.85
+                    + 0.1 * ((F.col("src") + F.col("dst")) % 4).cast("double")
+                )
+                * F.col("d3")
+            ).alias("rest"),
+        )
+    )
+    state0 = pts.select(
+        "id",
+        "x",
+        "y",
+        "z",
+        ((F.col("id") % 3 - 1).cast("double") * 8.0).alias("vx"),
+        ((F.col("id") % 5 - 2).cast("double") * 4.0).alias("vy"),
+        ((F.col("id") % 7 - 3).cast("double") * 2.0).alias("vz"),
+        F.lit(1.0).alias("m"),
+    )
+    # live bond <= (1 + eps_b) * rest; max rest <= 1.15 * 60 = 69.0
+    reach = 1.05 * (1.0 + _KV_EPS_B) * 69.0
+    _, bond_log = run_solver3d_blocked_breaking(
+        state0,
+        bonds,
+        n_steps=8,
+        strain_limit=_KV_EPS_B,
+        k=1.0,
+        dt=_KV_DT,
+        fuse=4,
+        reach=reach,
+        bond_law=_kelvin_voigt_law(_KV_DT, _KV_ETA),
+    )
+    return bond_log.select(
+        "src",
+        "dst",
+        "break_step",
+        F.round(F.col("ustate") * 1000000.0)
+        .cast("long")
+        .alias("last_len_micro"),
+    )

@@ -14,13 +14,14 @@ the halo (2D pays 9); the halo filter trims replicas to the band that
 can actually influence the block, so the steady-state blow-up stays far
 below 27× for blocks ≫ halo.
 
-Physics parity with the 2D kernels: per-bond ``k`` column, per-bond
-``strength`` (via the breaking variant's caller applying it to the 2D
-module) is NOT duplicated here — the 3D module covers the elastic tier
-(gravity vector, local damping Dp, gravity spin-up curve, full BC
-family with 3-axis range boxes). Shares ``BoundaryCondition`` (its
-``z0/z1/vz`` fields are ignored by the 2D kernels) and ``_curve_scale``
-with ``solver.py``.
+Physics parity with the 2D kernels: gravity vector, local damping Dp,
+gravity spin-up curve, full BC family with 3-axis range boxes, the
+pluggable ``force_law`` hook, and (``run_solver3d_blocked_breaking``)
+strain-threshold bond removal with per-bond ``strength``/``k``/
+``ustate`` columns — the persistent constitutive state rides the bond
+relation across halo-exchange rounds exactly like the 2D breaking
+solver's. Shares ``BoundaryCondition`` (its ``z0/z1/vz`` fields are
+ignored by the 2D kernels) and ``_curve_scale`` with ``solver.py``.
 """
 
 from __future__ import annotations
@@ -408,3 +409,380 @@ def blocked_round3d(
     return stepped.filter("owned").select(
         "id", "x", "y", "z", "vx", "vy", "vz", "m"
     )
+
+
+def run_solver3d_blocked_breaking(
+    state: DataFrame,
+    bonds: DataFrame,
+    n_steps: int,
+    strain_limit: float | None,
+    k: float = 1.0,
+    dt: float = 0.01,
+    fuse: int = 25,
+    block: float | None = None,
+    reach: float | None = None,
+    step0: int = 0,
+    bcs: tuple[BoundaryCondition, ...] | None = None,
+    gravity: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    damping: float = 0.0,
+    gravity_curve: tuple[tuple[float, float], ...] | None = None,
+    bond_law=None,
+) -> tuple[DataFrame, DataFrame]:
+    """3D block solver with strain-threshold bond removal — the
+    ``run_solver_blocked_breaking`` contract one dimension up (see
+    simulation/solver.py for the exactly-once emission, dropped-bond
+    and per-bond strength/k/ustate semantics; reference:
+    Output/MLSOut00B.dat broken-bond series, SURVEY §2.4 A8, in the
+    reference's native 3D).
+
+    Persistent per-bond constitutive state (the UDM ``ustate`` slot)
+    rides the bond relation across halo-exchange rounds exactly like
+    ``alive``/``break_step``: the kernel returns each surviving bond's
+    updated ``ustate`` (emitted once, by the replica owning ``src``)
+    and the next round re-reads it, so rate/damage laws observe one
+    unbroken history across shuffle boundaries. Returns
+    ``(final_state, bond_log)`` with one row per input bond
+    (``break_step`` -1 = survived; ``ustate`` = final state)."""
+    import numpy as np
+    import pandas as pd
+
+    gx, gy, gz = (float(g) for g in gravity)
+    has_strength = "strength" in bonds.columns
+    has_k = "k" in bonds.columns
+    if not has_strength:
+        if strain_limit is None:
+            raise ValueError(
+                "strain_limit is required when bonds has no strength column"
+            )
+        bonds = bonds.withColumn("strength", F.lit(float(strain_limit)))
+    if not has_k:
+        bonds = bonds.withColumn("k", F.lit(float(k)))
+    has_ustate = "ustate" in bonds.columns
+    if not has_ustate:
+        bonds = bonds.withColumn("ustate", F.lit(0.0))
+    law = bond_law if bond_law is not None else _default_breaking_law()
+    if reach is None:
+        if bond_law is not None:
+            raise ValueError(
+                "a custom bond_law changes when bonds can break; pass an "
+                "explicit `reach` covering the law's maximum live bond "
+                "length (e.g. (1 + eps_u) * max rest * margin)"
+            )
+        agg = bonds.agg(
+            F.max("rest").alias("mr"), F.max("strength").alias("ms")
+        ).collect()[0]
+        max_rest = agg["mr"] or 1.0
+        max_strength = (
+            agg["ms"] if agg["ms"] is not None else (strain_limit or 0.0)
+        )
+        reach = 1.05 * (1.0 + float(max_strength)) * float(max_rest)
+    halo = fuse * reach
+    if block is None:
+        block = 4.0 * halo
+
+    out_schema = (
+        "kind int, id long, x double, y double, z double, "
+        "vx double, vy double, vz double, m double, owned boolean, "
+        "src long, dst long, rest double, strength double, k double, "
+        "break_step long, ustate double"
+    )
+
+    def make_kernel(burst: int, step0: int):
+        def kernel(parts: pd.DataFrame, local_bonds: pd.DataFrame):
+            cols = [
+                "kind", "id", "x", "y", "z", "vx", "vy", "vz", "m",
+                "owned", "src", "dst", "rest", "strength", "k",
+                "break_step", "ustate",
+            ]
+            if parts.empty:
+                return pd.DataFrame(columns=cols)
+            ids = parts["id"].to_numpy()
+            idx = {int(i): j for j, i in enumerate(ids)}
+            x = parts["x"].to_numpy(dtype=np.float64).copy()
+            y = parts["y"].to_numpy(dtype=np.float64).copy()
+            z = parts["z"].to_numpy(dtype=np.float64).copy()
+            vx = parts["vx"].to_numpy(dtype=np.float64).copy()
+            vy = parts["vy"].to_numpy(dtype=np.float64).copy()
+            vz = parts["vz"].to_numpy(dtype=np.float64).copy()
+            m = parts["m"].to_numpy(dtype=np.float64)
+            owned_p = parts["owned"].to_numpy()
+            if local_bonds.empty:
+                src = dst = np.empty(0, dtype=np.int64)
+                rest = np.empty(0, dtype=np.float64)
+                limit = np.empty(0, dtype=np.float64)
+                kb = np.empty(0, dtype=np.float64)
+                ustate = np.empty(0, dtype=np.float64)
+            else:
+                src = np.fromiter(
+                    (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
+                )
+                dst = np.fromiter(
+                    (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
+                )
+                rest = local_bonds["rest"].to_numpy(dtype=np.float64)
+                limit = local_bonds["strength"].to_numpy(dtype=np.float64)
+                kb = local_bonds["k"].to_numpy(dtype=np.float64)
+                ustate = local_bonds["ustate"].to_numpy(
+                    dtype=np.float64
+                ).copy()
+            alive = np.ones(len(src), dtype=bool)
+            break_step = np.full(len(src), -1, dtype=np.int64)
+            for s_i in range(burst):
+                dx = x[dst] - x[src]
+                dy = y[dst] - y[src]
+                dz = z[dst] - z[src]
+                dist = np.sqrt(dx * dx + dy * dy + dz * dz)
+                mag, just_broke, ustate = law(
+                    dist, rest, kb, limit, ustate, alive
+                )
+                if just_broke is None:
+                    just_broke = np.zeros(len(src), dtype=bool)
+                break_step[just_broke] = step0 + s_i + 1
+                alive &= ~just_broke
+                fx = np.zeros_like(x)
+                fy = np.zeros_like(y)
+                fz = np.zeros_like(z)
+                np.add.at(fx, src, mag * dx)
+                np.add.at(fy, src, mag * dy)
+                np.add.at(fz, src, mag * dz)
+                np.add.at(fx, dst, -mag * dx)
+                np.add.at(fy, dst, -mag * dy)
+                np.add.at(fz, dst, -mag * dz)
+                t_now = (step0 + s_i + 1) * dt
+                if gx != 0.0 or gy != 0.0 or gz != 0.0:
+                    g_s = _curve_scale(gravity_curve, t_now)
+                    fx += gx * g_s * m
+                    fy += gy * g_s * m
+                    fz += gz * g_s * m
+                if bcs:
+                    for bc in bcs:
+                        if bc.kind not in ("force", "nonreflection"):
+                            continue
+                        msk = _bc_mask(bc, x, y, z)
+                        s = bc.scale_at(t_now)
+                        if bc.kind == "force":
+                            fx[msk] += bc.vx * s
+                            fy[msk] += bc.vy * s
+                            fz[msk] += bc.vz * s
+                        else:
+                            fx[msk] -= bc.c * s * vx[msk]
+                            fy[msk] -= bc.c * s * vy[msk]
+                            fz[msk] -= bc.c * s * vz[msk]
+                if damping != 0.0:
+                    fx -= damping * np.abs(fx) * np.sign(vx)
+                    fy -= damping * np.abs(fy) * np.sign(vy)
+                    fz -= damping * np.abs(fz) * np.sign(vz)
+                vx += fx / m * dt
+                vy += fy / m * dt
+                vz += fz / m * dt
+                if bcs:
+                    for bc in bcs:
+                        if bc.kind != "acceleration":
+                            continue
+                        msk = _bc_mask(bc, x, y, z)
+                        s = bc.scale_at(t_now)
+                        vx[msk] += bc.vx * s * dt
+                        vy[msk] += bc.vy * s * dt
+                        vz[msk] += bc.vz * s * dt
+                    for bc in bcs:
+                        if bc.kind != "velocity":
+                            continue
+                        msk = _bc_mask(bc, x, y, z)
+                        s = bc.scale_at(t_now)
+                        vx[msk] = bc.vx * s
+                        vy[msk] = bc.vy * s
+                        vz[msk] = bc.vz * s
+                x += vx * dt
+                y += vy * dt
+                z += vz * dt
+            p_out = pd.DataFrame(
+                {
+                    "kind": 0,
+                    "id": ids,
+                    "x": x, "y": y, "z": z,
+                    "vx": vx, "vy": vy, "vz": vz, "m": m,
+                    "owned": owned_p,
+                    "src": -1, "dst": -1, "rest": 0.0, "strength": 0.0,
+                    "k": 0.0,
+                    "break_step": -1,
+                    "ustate": 0.0,
+                }
+            )
+            emit = (
+                np.array([bool(owned_p[s]) for s in src])
+                if len(src)
+                else np.empty(0, dtype=bool)
+            )
+            b_out = pd.DataFrame(
+                {
+                    "kind": 1,
+                    "id": -1,
+                    "x": 0.0, "y": 0.0, "z": 0.0,
+                    "vx": 0.0, "vy": 0.0, "vz": 0.0, "m": 0.0,
+                    "owned": True,
+                    "src": (
+                        local_bonds["src"].to_numpy()[emit]
+                        if len(src) else np.empty(0, dtype=np.int64)
+                    ),
+                    "dst": (
+                        local_bonds["dst"].to_numpy()[emit]
+                        if len(src) else np.empty(0, dtype=np.int64)
+                    ),
+                    "rest": rest[emit] if len(src) else np.empty(0),
+                    "strength": limit[emit] if len(src) else np.empty(0),
+                    "k": kb[emit] if len(src) else np.empty(0),
+                    "break_step": (
+                        break_step[emit] if len(src)
+                        else np.empty(0, dtype=np.int64)
+                    ),
+                    "ustate": ustate[emit] if len(src) else np.empty(0),
+                }
+            )
+            return pd.concat([p_out, b_out], ignore_index=True)[cols]
+
+        return kernel
+
+    spark = state.sparkSession
+    log_schema = (
+        "src long, dst long, rest double, strength double, k double, "
+        "break_step long, ustate double"
+    )
+    broken_log = spark.createDataFrame([], log_schema)
+    bonds = bonds.select(
+        "src", "dst", "rest", "strength", "k", "ustate"
+    ).localCheckpoint(eager=False)
+
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dz).alias("dz"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+    )
+    i = 0
+    while i < n_steps:
+        burst = min(fuse, n_steps - i)
+        in_halo = (
+            (F.col("x") >= F.col("bx") * block - halo)
+            & (F.col("x") < (F.col("bx") + 1) * block + halo)
+            & (F.col("y") >= F.col("by") * block - halo)
+            & (F.col("y") < (F.col("by") + 1) * block + halo)
+            & (F.col("z") >= F.col("bz") * block - halo)
+            & (F.col("z") < (F.col("bz") + 1) * block + halo)
+        )
+        rep = (
+            state.withColumn("__bx", F.floor(F.col("x") / F.lit(block)))
+            .withColumn("__by", F.floor(F.col("y") / F.lit(block)))
+            .withColumn("__bz", F.floor(F.col("z") / F.lit(block)))
+            .withColumn("__o", F.explode(offs))
+            .withColumn("bx", F.col("__bx") + F.col("__o.dx"))
+            .withColumn("by", F.col("__by") + F.col("__o.dy"))
+            .withColumn("bz", F.col("__bz") + F.col("__o.dz"))
+            .withColumn(
+                "owned",
+                (F.col("__o.dx") == 0)
+                & (F.col("__o.dy") == 0)
+                & (F.col("__o.dz") == 0),
+            )
+            .filter(F.col("owned") | in_halo)
+            .select(
+                "id", "x", "y", "z", "vx", "vy", "vz", "m",
+                "bx", "by", "bz", "owned",
+            )
+        )
+        mem_src = rep.select(
+            F.col("id").alias("src"),
+            F.col("bx").alias("sbx"),
+            F.col("by").alias("sby"),
+            F.col("bz").alias("sbz"),
+        )
+        mem_dst = rep.select(
+            F.col("id").alias("dst"),
+            F.col("bx").alias("dbx"),
+            F.col("by").alias("dby"),
+            F.col("bz").alias("dbz"),
+        )
+        eb = (
+            bonds.join(mem_src, "src")
+            .join(mem_dst, "dst")
+            .filter(
+                (F.col("sbx") == F.col("dbx"))
+                & (F.col("sby") == F.col("dby"))
+                & (F.col("sbz") == F.col("dbz"))
+            )
+            .select(
+                "src", "dst", "rest", "strength", "k", "ustate",
+                F.col("sbx").alias("bx"),
+                F.col("sby").alias("by"),
+                F.col("sbz").alias("bz"),
+            )
+        )
+        out = (
+            rep.groupBy("bx", "by", "bz")
+            .cogroup(eb.groupBy("bx", "by", "bz"))
+            .applyInPandas(make_kernel(burst, step0 + i), schema=out_schema)
+            .localCheckpoint()
+        )
+        state = out.filter("kind = 0 AND owned").select(
+            "id", "x", "y", "z", "vx", "vy", "vz", "m"
+        )
+        bond_rows = out.filter("kind = 1").select(
+            "src", "dst", "rest", "strength", "k", "break_step", "ustate"
+        )
+        # same dropped-bond contract as 2D: a bond longer than the halo
+        # at round start co-blocks with no replica of its src and is
+        # necessarily broken already — emit it, never drop it silently
+        dropped = bonds.join(
+            bond_rows.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).withColumn("break_step", F.lit(step0 + i + 1).cast("long"))
+        broken_log = (
+            broken_log.union(
+                bond_rows.filter("break_step >= 0").select(
+                    "src", "dst", "rest", "strength", "k", "break_step",
+                    "ustate",
+                )
+            )
+            .union(
+                dropped.select(
+                    "src", "dst", "rest", "strength", "k", "break_step",
+                    "ustate",
+                )
+            )
+            .localCheckpoint(eager=False)
+        )
+        bonds = bond_rows.filter("break_step < 0").select(
+            "src", "dst", "rest", "strength", "k", "ustate"
+        ).localCheckpoint(eager=False)
+        i += burst
+
+    bond_log = bonds.withColumn(
+        "break_step", F.lit(-1).cast("long")
+    ).select(
+        "src", "dst", "rest", "strength", "k", "break_step", "ustate"
+    ).union(
+        broken_log.select(
+            "src", "dst", "rest", "strength", "k", "break_step", "ustate"
+        )
+    )
+    keep = ["src", "dst", "rest"]
+    if has_strength:
+        keep.append("strength")
+    if has_k:
+        keep.append("k")
+    if has_ustate or bond_law is not None:
+        keep.append("ustate")
+    bond_log = bond_log.select(*keep, "break_step")
+    return state, bond_log
+
+
+def _default_breaking_law():
+    from columnarmodeling_spark.simulation.solver import (
+        linear_spring_breaking_law,
+    )
+
+    return linear_spring_breaking_law

@@ -106,3 +106,58 @@ def test_3axis_bc_box(spark):
     assert len(top) == 16
     for r in top:
         assert r["vz"] == -2.0
+
+
+def test_breaking3d_state_survives_round_boundary(spark):
+    """The q212 guarantee: a stateful law (Kelvin-Voigt, ustate =
+    previous bond length) through run_solver3d_blocked_breaking gives
+    BIT-identical results whether 8 steps run as one burst (fuse=8,
+    state never leaves the kernel) or two bursts (fuse=4, state rides
+    the bond relation across the 3x3x3 halo-exchange shuffle). Any
+    per-round ustate reset would zero the dashpot rate at step 5 and
+    shift forces. Also pins the breaking path: the stretched lattice
+    must actually lose bonds."""
+    from columnarmodeling_spark.queries.simulation import _kelvin_voigt_law
+    from columnarmodeling_spark.simulation.solver3d import (
+        run_solver3d_blocked_breaking,
+    )
+
+    state, bonds = _lattice3d(spark)
+    # kick the lattice hard enough that some bonds pass 15% strain
+    state = state.select(
+        "id", "x", "y", "z",
+        ((F.col("id") % 3 - 1).cast("double") * 1.2).alias("vx"),
+        ((F.col("id") % 5 - 2).cast("double") * 0.8).alias("vy"),
+        ((F.col("id") % 7 - 3).cast("double") * 0.5).alias("vz"),
+        "m",
+    )
+    dt, eta, eps_b = 0.05, 0.3, 0.15
+    reach = 1.05 * (1.0 + eps_b) * 0.9
+    law = _kelvin_voigt_law(dt, eta)
+
+    def run(fuse):
+        fin, log = run_solver3d_blocked_breaking(
+            state, bonds, n_steps=8, strain_limit=eps_b, k=1.0, dt=dt,
+            fuse=fuse, block=2.5, reach=reach, bond_law=law,
+        )
+        f = {r["id"]: r for r in fin.collect()}
+        b = {(r["src"], r["dst"]): r for r in log.collect()}
+        return f, b
+
+    f1, b1 = run(8)   # one burst: state never crosses a shuffle
+    f2, b2 = run(4)   # two bursts: state must ride the bond column
+    assert set(b1) == set(b2) == {
+        (r["src"], r["dst"]) for r in bonds.collect()
+    }
+    n_broken = sum(1 for r in b1.values() if r["break_step"] > 0)
+    assert n_broken > 0, "scenario must exercise the break path"
+    assert any(
+        r["break_step"] > 4 for r in b1.values()
+    ), "a break after the fuse=4 boundary is what pins the state carry"
+    for key in b1:
+        assert b1[key]["break_step"] == b2[key]["break_step"], key
+        assert b1[key]["ustate"] == b2[key]["ustate"], key
+    assert set(f1) == set(f2)
+    for i in f1:
+        for c in ("x", "y", "z", "vx", "vy", "vz"):
+            assert f1[i][c] == f2[i][c], (i, c)
