@@ -1731,3 +1731,359 @@ def q204_chisq_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.sum("t_micro").cast("long").alias("chisq_micro"),
     )
+
+
+# --- q216: Mann-Whitney U (nonparametric two-sample test) ------------------
+
+
+@register(
+    "q216_mann_whitney",
+    oracle="""
+    WITH ev AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'view')),
+    grp AS (
+      SELECT value, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(g1) AS BIGINT) AS cnt1
+      FROM ev GROUP BY 1),
+    cum AS (
+      SELECT value, cnt, cnt1,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cnt_lt
+      FROM grp),
+    s AS (
+      SELECT CAST(sum(cnt1) AS BIGINT) AS n1,
+             CAST(sum(cnt) - sum(cnt1) AS BIGINT) AS n2,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt1 * (2 * cnt_lt + cnt + 1)) AS BIGINT) AS r1_x2,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+      FROM cum)
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           tie_term,
+           CAST(round(1000000.0
+             * (CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) / 2.0)
+             / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                    * ((n + 1.0) - CAST(tie_term AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1.0))))) AS BIGINT)
+             AS z_micro
+    FROM s
+    """,
+    doc="MANN-WHITNEY U — the nonparametric two-sample test every "
+    "eval battery reaches for when metric distributions are skewed "
+    "and a t/z test on means lies (complements q191's proportion "
+    "z-test and q204's chi-square): does 'click' event value "
+    "stochastically dominate 'view'? Rank machinery with NO per-row "
+    "global sort: group by exact value first (the q167 CDF shape), "
+    "then ONE running-sum window over the distinct-value histogram "
+    "gives every value's midrank as 2*cnt_lt + cnt + 1 (doubled to "
+    "stay integer); R1, U1 and the tie correction sum(t^3 - t) are "
+    "exact int64 from a single agg. The z arithmetic is one shared "
+    "expression over int64-derived doubles whose only libm call is "
+    "the IEEE-exact sqrt, quantized to micro-units (q191 "
+    "discipline). Scale: state is the value histogram, not the "
+    "event stream; the one global window runs over distinct values "
+    "(range-partitionable exactly like q147's distributed sort).",
+    tags=("analytics", "stats", "ab-test", "rank", "window", "scale"),
+)
+def q216_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("g1"),
+        )
+    )
+    grp = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("g1").cast("long").alias("cnt1"),
+    )
+    win = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grp.withColumn(
+        "cnt_lt",
+        F.coalesce(F.sum("cnt").over(win), F.lit(0)).cast("long"),
+    )
+    s = cum.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        (F.sum("cnt") - F.sum("cnt1")).cast("long").alias("n2"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt1")
+            * (2 * F.col("cnt_lt") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    num = (u1_x2 - F.col("n1") * F.col("n2")).cast("double") / F.lit(2.0)
+    var = (
+        F.col("n1").cast("double") * F.col("n2") / F.lit(12.0)
+    ) * (
+        (F.col("n") + F.lit(1.0))
+        - F.col("tie_term").cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - F.lit(1.0)))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1_x2.cast("long").alias("u1_x2"),
+        "tie_term",
+        F.round(F.lit(1000000.0) * num / F.sqrt(var))
+        .cast("long")
+        .alias("z_micro"),
+    )
+
+
+# --- q217: Kruskal-Wallis H (k-group rank test) ----------------------------
+
+
+@register(
+    "q217_kruskal_wallis",
+    oracle="""
+    WITH vh AS (
+      SELECT value, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT value, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cnt_lt
+      FROM vh),
+    gj AS (
+      SELECT value, event_type, CAST(count(*) AS BIGINT) AS cnt_g
+      FROM events GROUP BY 1, 2),
+    rj AS (
+      SELECT gj.event_type,
+             CAST(sum(gj.cnt_g) AS BIGINT) AS n_j,
+             CAST(sum(gj.cnt_g * (2 * c.cnt_lt + c.cnt + 1)) AS BIGINT)
+               AS r_j_x2
+      FROM gj JOIN cum c ON gj.value = c.value
+      GROUP BY 1),
+    terms AS (
+      SELECT event_type, n_j, r_j_x2,
+             CAST(round(1000000.0
+               * (CAST(r_j_x2 AS DOUBLE) * CAST(r_j_x2 AS DOUBLE))
+               / (4.0 * n_j)) AS BIGINT) AS term_micro
+      FROM rj),
+    s AS (
+      SELECT CAST(sum(n_j) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(term_micro) AS BIGINT) AS sum_term_micro
+      FROM terms),
+    ties AS (
+      SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+      FROM vh)
+    SELECT s.n, s.k, ties.tie_term,
+           CAST(round(1000000.0
+             * (12.0 / (CAST(s.n AS DOUBLE) * (s.n + 1.0))
+                * (CAST(s.sum_term_micro AS DOUBLE) / 1000000.0)
+                - 3.0 * (s.n + 1.0))) AS BIGINT) AS h_micro,
+           CAST(round(1000000.0
+             * (12.0 / (CAST(s.n AS DOUBLE) * (s.n + 1.0))
+                * (CAST(s.sum_term_micro AS DOUBLE) / 1000000.0)
+                - 3.0 * (s.n + 1.0))
+             / (1.0 - CAST(ties.tie_term AS DOUBLE)
+                / (CAST(s.n AS DOUBLE) * s.n * s.n - s.n))) AS BIGINT)
+             AS h_corr_micro
+    FROM s, ties
+    """,
+    doc="KRUSKAL-WALLIS H — the k-group generalization of q216's "
+    "Mann-Whitney (one-way ANOVA on midranks): do the five event "
+    "types draw value from the same distribution? Same "
+    "value-histogram midrank machinery (2*cnt_lt + cnt + 1, doubled "
+    "to stay integer; one running-sum window over DISTINCT values, "
+    "never a per-row global sort), per-group rank sums R_j as exact "
+    "int64, tie correction sum(t^3 - t) from the histogram. The "
+    "per-group R_j^2/(4 n_j) terms are quantized to integer "
+    "micro-units BEFORE the cross-group sum — a 5-double FP sum has "
+    "engine-dependent association, an int64 sum does not (the "
+    "repo's ln-quantization discipline applied to a sum of "
+    "squares); H and its tie-corrected form then use only "
+    "exact-operand ops. Scale: everything downstream of the event "
+    "scan is histogram-sized; the one global window "
+    "range-partitions like q147.",
+    tags=("analytics", "stats", "rank", "window", "agg", "scale"),
+)
+def q217_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    vh = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    win = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = vh.withColumn(
+        "cnt_lt",
+        F.coalesce(F.sum("cnt").over(win), F.lit(0)).cast("long"),
+    )
+    gj = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_g")
+    )
+    rj = (
+        gj.join(cum.select("value", "cnt", "cnt_lt"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_g").cast("long").alias("n_j"),
+            F.sum(
+                F.col("cnt_g")
+                * (2 * F.col("cnt_lt") + F.col("cnt") + 1)
+            )
+            .cast("long")
+            .alias("r_j_x2"),
+        )
+    )
+    terms = rj.withColumn(
+        "term_micro",
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.col("r_j_x2").cast("double")
+                * F.col("r_j_x2").cast("double")
+            )
+            / (F.lit(4.0) * F.col("n_j"))
+        ).cast("long"),
+    )
+    s = terms.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("term_micro").cast("long").alias("sum_term_micro"),
+    )
+    ties = vh.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie_term")
+    )
+    h = (
+        F.lit(12.0)
+        / (F.col("n").cast("double") * (F.col("n") + F.lit(1.0)))
+        * (F.col("sum_term_micro").cast("double") / F.lit(1000000.0))
+        - F.lit(3.0) * (F.col("n") + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie_term").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return s.crossJoin(ties).select(
+        "n",
+        "k",
+        "tie_term",
+        F.round(F.lit(1000000.0) * h).cast("long").alias("h_micro"),
+        F.round(F.lit(1000000.0) * h / corr)
+        .cast("long")
+        .alias("h_corr_micro"),
+    )
+
+
+# --- q218: reciprocal-rank fusion ------------------------------------------
+
+
+@register(
+    "q218_rrf_fusion",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s_cents,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT event_type, user_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY s_cents DESC, user_id) AS ra,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY n_ev DESC, user_id) AS rb
+      FROM agg),
+    fused AS (
+      SELECT event_type, user_id,
+             CAST(round(1000000.0 / (60 + ra))
+                  + round(1000000.0 / (60 + rb)) AS BIGINT)
+               AS fused_micro
+      FROM rk)
+    SELECT event_type, user_id, fused_micro,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT event_type, user_id, fused_micro,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY fused_micro DESC, user_id) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 20
+    """,
+    doc="RECIPROCAL-RANK FUSION (Cormack et al. 2009 — the standard "
+    "zero-tuning way to merge heterogeneous rankings; every hybrid "
+    "retrieval stack fuses lexical + vector lists exactly like "
+    "this): per event type, rank users by total value and, "
+    "independently, by event count, then fuse with "
+    "score = sum 1/(60 + rank) and report the top 20. Exactness: "
+    "value totals are quantized to integer cents BEFORE summation "
+    "(FP sums have engine-dependent association; int64 sums do "
+    "not), ranks tie-break on user_id so every row_number is "
+    "deterministic, and each 1/(60+r) term is rounded to integer "
+    "micro-units before the two-term add — the fused score is an "
+    "exact integer on both engines. Plan: one user-keyed partial/"
+    "final hash agg, three event_type-partitioned windows over the "
+    "per-user relation (users-per-type sized, not event sized); at "
+    "scale the final top-20 prunes with a per-partition top-k "
+    "(q17's shape) before the window.",
+    tags=("analytics", "ranking", "fusion", "window", "scale"),
+)
+def q218_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    agg = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("s_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+        )
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.col("s_cents").desc(), "user_id"
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("n_ev").desc(), "user_id"
+    )
+    fused = (
+        agg.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .select(
+            "event_type",
+            "user_id",
+            (
+                F.round(F.lit(1000000.0) / (F.lit(60) + F.col("ra")))
+                + F.round(F.lit(1000000.0) / (F.lit(60) + F.col("rb")))
+            )
+            .cast("long")
+            .alias("fused_micro"),
+        )
+    )
+    wf = Window.partitionBy("event_type").orderBy(
+        F.col("fused_micro").desc(), "user_id"
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 20)
+        .select(
+            "event_type",
+            "user_id",
+            "fused_micro",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )

@@ -1616,3 +1616,109 @@ def q211_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("i") / F.col("n"), 6).alias("containment"),
         )
     )
+
+
+# --- q214: contamination span extension ------------------------------------
+
+_SPAN_OCC_CAP = 20  # bench-side occurrence cap per gram (operator def)
+
+
+@register(
+    "q214_contamination_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             {" || ' ' || ".join(f"tk[i+{j}]" for j in range(8)).replace("tk[i+0]", "tk[i]")} AS gr
+      FROM toks,
+           LATERAL unnest(generate_series(1, greatest(0, len(tk) - 7)))
+             t(i)),
+    bench AS (
+      SELECT doc_id AS b_doc, pos AS b_pos, gr FROM g
+      WHERE doc_id % 10 = 0),
+    cap AS (
+      SELECT gr FROM bench GROUP BY gr
+      HAVING count(*) <= {_SPAN_OCC_CAP}),
+    bk AS (SELECT b.b_doc, b.b_pos, b.gr FROM bench b JOIN cap USING (gr)),
+    train AS (
+      SELECT doc_id, pos, gr FROM g WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT tr.doc_id, bk.b_doc, tr.pos - bk.b_pos AS diag, tr.pos
+      FROM train tr JOIN bk ON tr.gr = bk.gr),
+    isl AS (
+      SELECT doc_id, b_doc, diag, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id, b_doc, diag ORDER BY pos) AS grp
+      FROM hits),
+    runs AS (
+      SELECT doc_id, b_doc, diag, grp, count(*) AS run_len
+      FROM isl GROUP BY 1, 2, 3, 4)
+    SELECT doc_id,
+           CAST(max(run_len) + 7 AS BIGINT) AS max_span_tokens,
+           CAST(count(DISTINCT b_doc) AS BIGINT) AS n_partner_docs,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1
+    """,
+    doc="CONTAMINATION SPAN EXTENSION — q209 answers WHETHER a "
+    "training doc shares an 8-token gram with the benchmark suite; "
+    "this measures HOW MUCH: the longest contiguous shared token span "
+    "per contaminated doc, the statistic that separates an idiom hit "
+    "from a wholesale quote (real decontamination rules, e.g. "
+    "PaLM/GPT-4 style, threshold on span length, not hit existence). "
+    "Relational span assembly with NO iterative extension: seed-join "
+    "training 8-gram positions to benchmark 8-gram positions (same "
+    "doc_id % 10 split as q209; bench-side occurrences per gram "
+    "capped at 20, part of the operator definition and mirrored in "
+    "the oracle, so per-gram fan-out is structurally bounded), then "
+    "group matches by (train_doc, bench_doc, diagonal = pos_t - "
+    "pos_b): a run of c consecutive positions on one diagonal IS a "
+    "shared span of c+7 tokens, recovered by the gaps-and-islands "
+    "pos - row_number() trick in one window pass. Output per "
+    "contaminated training doc: max span length in tokens, distinct "
+    "benchmark partners, run count. Same candidate-space argument as "
+    "q209 (linear in corpus grams) plus the cap; the window state is "
+    "one diagonal's run, never a document.",
+    tags=("llm", "dedup", "decontamination", "window", "join", "scale"),
+)
+def q214_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    g = d.select(
+        "doc_id", F.posexplode(word_shingles("tk", _DECON_N))
+    ).withColumnRenamed("col", "gr")
+    bench = g.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("b_pos"),
+        "gr",
+    )
+    cap = (
+        bench.groupBy("gr")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= _SPAN_OCC_CAP)
+        .select("gr")
+    )
+    bk = bench.join(F.broadcast(cap), "gr")
+    train = g.filter(F.col("doc_id") % 10 != 0)
+    hits = train.join(F.broadcast(bk), "gr").select(
+        "doc_id",
+        "b_doc",
+        (F.col("pos") - F.col("b_pos")).alias("diag"),
+        "pos",
+    )
+    rn = Window.partitionBy("doc_id", "b_doc", "diag").orderBy("pos")
+    runs = (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(rn))
+        .groupBy("doc_id", "b_doc", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("doc_id").agg(
+        (F.max("run_len") + 7).cast("long").alias("max_span_tokens"),
+        F.countDistinct("b_doc").cast("long").alias("n_partner_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )

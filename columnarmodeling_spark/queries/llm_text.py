@@ -1825,3 +1825,195 @@ def q210_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * _HH_K > F.col("n_total"))
         .select("gram", "cnt", "n_total")
     )
+
+
+# --- q213: winnowing fingerprints (MOSS-style local fingerprinting) --------
+
+_WIN_K = 5   # tokens per gram
+_WIN_W = 4   # winnow window (grams per window)
+
+
+@register(
+    "q213_winnowing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' ||
+                   tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks,
+           LATERAL unnest(generate_series(1, greatest(0, len(tk) - {_WIN_K - 1})))
+             t(i)),
+    w AS (
+      SELECT doc_id, pos AS p, wmin FROM (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS wmin
+        FROM g)
+      WHERE pos >= {_WIN_W - 1}),
+    sel AS (
+      SELECT w.doc_id, w.p, w.wmin AS h, max(g.pos) AS sel_pos
+      FROM w JOIN g ON g.doc_id = w.doc_id AND g.h = w.wmin
+                    AND g.pos BETWEEN w.p - {_WIN_W - 1} AND w.p
+      GROUP BY 1, 2, 3),
+    fp AS (SELECT DISTINCT doc_id, sel_pos, h FROM sel),
+    nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM g GROUP BY 1)
+    SELECT nd.doc_id, nd.n_grams,
+           CAST(count(fp.sel_pos) AS BIGINT) AS n_fps,
+           CAST(coalesce(sum(fp.h % 1000003), 0) AS BIGINT) AS fp_checksum
+    FROM nd LEFT JOIN fp ON nd.doc_id = fp.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken "
+    "2003 — the MOSS algorithm; the local fingerprinting scheme real "
+    "plagiarism/near-dup pipelines use when positional evidence "
+    "matters): hash every 5-token gram, slide a window of 4 "
+    "consecutive gram hashes per document, and select each window's "
+    "minimum (rightmost occurrence on ties — the relational argmax "
+    "below), guaranteeing any shared run of >= w+k-1 tokens between "
+    "two documents shares at least one selected fingerprint while "
+    "keeping ~2/(w+1) of the grams. Plan shape: one scan -> "
+    "posexplode -> a doc-keyed trailing-window min (state = w hashes "
+    "per doc partition), then the rightmost-min resolution as an "
+    "equi-join on (doc, hash) with a +-w position band (fan-out "
+    "structurally <= w) and a distinct. Per-doc output: gram count, "
+    "selected-fingerprint count, and a mod-1000003 checksum so the "
+    "full selection is value-pinned without shipping every "
+    "fingerprint row. Docs shorter than k tokens have no grams and "
+    "are absent; docs with < w+k-1 tokens have no complete window "
+    "and report 0 fingerprints (both engines). At 100 TB the state "
+    "is the window, the join fan-out is <= w, and the fingerprint "
+    "relation is a ~1/(w+1) sample of gram volume — strictly "
+    "sub-linear downstream work, the same reason MOSS scales.",
+    tags=("llm", "text", "dedup", "fingerprint", "window", "scale"),
+)
+def q213_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from columnarmodeling_spark.functions.text import hex_hash
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    g = (
+        d.select("doc_id", F.posexplode(word_shingles("tk", _WIN_K)))
+        .withColumnRenamed("col", "gram")
+        .select("doc_id", "pos", hex_hash("gram").alias("h"))
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    w = (
+        g.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") >= _WIN_W - 1)
+        .select("doc_id", F.col("pos").alias("p"), "wmin")
+    )
+    sel = (
+        w.alias("w")
+        .join(
+            g.alias("g"),
+            (F.col("g.doc_id") == F.col("w.doc_id"))
+            & (F.col("g.h") == F.col("w.wmin"))
+            & (F.col("g.pos") >= F.col("w.p") - (_WIN_W - 1))
+            & (F.col("g.pos") <= F.col("w.p")),
+        )
+        .groupBy("w.doc_id", "w.p", "w.wmin")
+        .agg(F.max("g.pos").alias("sel_pos"))
+    )
+    fp = sel.select(
+        F.col("doc_id"), "sel_pos", F.col("wmin").alias("h")
+    ).distinct()
+    nd = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return (
+        nd.join(fp, "doc_id", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.count("sel_pos").cast("long").alias("n_fps"),
+            F.coalesce(F.sum(F.col("h") % 1000003), F.lit(0))
+            .cast("long")
+            .alias("fp_checksum"),
+        )
+    )
+
+
+# --- q215: tokenizer fertility / compression stats -------------------------
+
+
+@register(
+    "q215_tokenizer_fertility",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents),
+    a AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+      FROM d GROUP BY 1)
+    SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+           CAST(round(1000.0 * n_chars / n_tokens) AS BIGINT)
+             AS chars_per_tok_milli,
+           CAST(round(1000.0 * n_bytes / n_tokens) AS BIGINT)
+             AS bytes_per_tok_milli,
+           CAST(round(1000.0 * n_tokens / n_docs) AS BIGINT)
+             AS toks_per_doc_milli
+    FROM a
+    """,
+    doc="TOKENIZER FERTILITY stats per language — the byte/char/token "
+    "compression ratios every training-data pipeline tracks when "
+    "sizing a tokenizer and a data mix (fertility = units consumed "
+    "per token emitted; multi-byte scripts and tokenizer mismatch "
+    "show up here first). One scan, one hash agg keyed by lang: doc "
+    "count, total whitespace-regex tokens, total characters "
+    "(codepoints, Spark length == DuckDB length), total bytes (Spark "
+    "octet_length == DuckDB strlen — UTF-8 octets, verified on "
+    "multi-byte input), then milli-unit ratios computed as ONE "
+    "int64->double division each and rounded (exact-operand IEEE op, "
+    "bit-identical cross-engine per the repo's exactness discipline). "
+    "Constant agg state per lang; trivially scale-safe.",
+    tags=("llm", "text", "stats", "agg", "scale"),
+)
+def q215_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    a = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+    return a.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        F.round(F.lit(1000.0) * F.col("n_chars") / F.col("n_tokens"))
+        .cast("long")
+        .alias("chars_per_tok_milli"),
+        F.round(F.lit(1000.0) * F.col("n_bytes") / F.col("n_tokens"))
+        .cast("long")
+        .alias("bytes_per_tok_milli"),
+        F.round(F.lit(1000.0) * F.col("n_tokens") / F.col("n_docs"))
+        .cast("long")
+        .alias("toks_per_doc_milli"),
+    )
