@@ -70,6 +70,12 @@ HEADLINE = [
     "q205_viscoelastic_bonds",
     "q208_ewma_segmented",
     "q209_decontamination",
+    # round-9 additions: the winnowing fingerprint pass (window +
+    # banded join shape), the span-extension screen (diagonal islands
+    # shape), and the histogram-first rank test
+    "q213_winnowing",
+    "q214_contamination_spans",
+    "q216_mann_whitney",
 ]
 
 

@@ -1871,33 +1871,34 @@ def q216_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS r_j_x2
       FROM gj JOIN cum c ON gj.value = c.value
       GROUP BY 1),
+    nn AS (SELECT CAST(sum(n_j) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM rj),
     terms AS (
-      SELECT event_type, n_j, r_j_x2,
+      SELECT rj.event_type, rj.n_j,
              CAST(round(1000000.0
-               * (CAST(r_j_x2 AS DOUBLE) * CAST(r_j_x2 AS DOUBLE))
-               / (4.0 * n_j)) AS BIGINT) AS term_micro
-      FROM rj),
+               * ((CAST(rj.r_j_x2 AS DOUBLE) * CAST(rj.r_j_x2 AS DOUBLE))
+                  / (4.0 * rj.n_j))
+               / (CAST(nn.n AS DOUBLE) * (nn.n + 1.0))) AS BIGINT)
+               AS term_micro
+      FROM rj, nn),
     s AS (
-      SELECT CAST(sum(n_j) AS BIGINT) AS n,
-             CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(term_micro) AS BIGINT) AS sum_term_micro
+      SELECT CAST(sum(term_micro) AS BIGINT) AS sum_term_micro
       FROM terms),
     ties AS (
       SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
       FROM vh)
-    SELECT s.n, s.k, ties.tie_term,
+    SELECT nn.n, nn.k, ties.tie_term,
            CAST(round(1000000.0
-             * (12.0 / (CAST(s.n AS DOUBLE) * (s.n + 1.0))
-                * (CAST(s.sum_term_micro AS DOUBLE) / 1000000.0)
-                - 3.0 * (s.n + 1.0))) AS BIGINT) AS h_micro,
+             * (12.0 * (CAST(s.sum_term_micro AS DOUBLE) / 1000000.0)
+                - 3.0 * (nn.n + 1.0))) AS BIGINT) AS h_micro,
            CAST(round(1000000.0
-             * (12.0 / (CAST(s.n AS DOUBLE) * (s.n + 1.0))
-                * (CAST(s.sum_term_micro AS DOUBLE) / 1000000.0)
-                - 3.0 * (s.n + 1.0))
+             * (12.0 * (CAST(s.sum_term_micro AS DOUBLE) / 1000000.0)
+                - 3.0 * (nn.n + 1.0))
              / (1.0 - CAST(ties.tie_term AS DOUBLE)
-                / (CAST(s.n AS DOUBLE) * s.n * s.n - s.n))) AS BIGINT)
+                / (CAST(nn.n AS DOUBLE) * nn.n * nn.n - nn.n))) AS BIGINT)
              AS h_corr_micro
-    FROM s, ties
+    FROM s, ties, nn
     """,
     doc="KRUSKAL-WALLIS H — the k-group generalization of q216's "
     "Mann-Whitney (one-way ANOVA on midranks): do the five event "
@@ -1906,12 +1907,15 @@ def q216_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to stay integer; one running-sum window over DISTINCT values, "
     "never a per-row global sort), per-group rank sums R_j as exact "
     "int64, tie correction sum(t^3 - t) from the histogram. The "
-    "per-group R_j^2/(4 n_j) terms are quantized to integer "
-    "micro-units BEFORE the cross-group sum — a 5-double FP sum has "
-    "engine-dependent association, an int64 sum does not (the "
-    "repo's ln-quantization discipline applied to a sum of "
-    "squares); H and its tie-corrected form then use only "
-    "exact-operand ops. Scale: everything downstream of the event "
+    "per-group R_j^2/(4 n_j) terms are pre-scaled by 1/(N(N+1)) — "
+    "H's natural scale; raw-term micro-units overflow int64 past "
+    "~100k rows — and THEN quantized to integer micro-units BEFORE "
+    "the cross-group sum: a 5-double FP sum has engine-dependent "
+    "association, an int64 sum does not (the repo's ln-quantization "
+    "discipline applied to a sum of squares; the quantization is "
+    "part of the operator definition, |dH| <= 6k micro-units, and "
+    "the int64 bound now holds to N*n_j < 3.7e13); H and its "
+    "tie-corrected form then use only exact-operand ops. Scale: everything downstream of the event "
     "scan is histogram-sized; the one global window "
     "range-partitions like q147.",
     tags=("analytics", "stats", "rank", "window", "agg", "scale"),
@@ -1946,21 +1950,26 @@ def q217_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r_j_x2"),
         )
     )
-    terms = rj.withColumn(
+    nn = rj.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    terms = rj.crossJoin(F.broadcast(nn)).withColumn(
         "term_micro",
         F.round(
             F.lit(1000000.0)
             * (
-                F.col("r_j_x2").cast("double")
-                * F.col("r_j_x2").cast("double")
+                (
+                    F.col("r_j_x2").cast("double")
+                    * F.col("r_j_x2").cast("double")
+                )
+                / (F.lit(4.0) * F.col("n_j"))
             )
-            / (F.lit(4.0) * F.col("n_j"))
+            / (F.col("n").cast("double") * (F.col("n") + F.lit(1.0)))
         ).cast("long"),
     )
     s = terms.agg(
-        F.sum("n_j").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("term_micro").cast("long").alias("sum_term_micro"),
+        F.sum("term_micro").cast("long").alias("sum_term_micro")
     )
     ties = vh.agg(
         F.sum(
@@ -1969,16 +1978,13 @@ def q217_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tie_term")
     )
-    h = (
-        F.lit(12.0)
-        / (F.col("n").cast("double") * (F.col("n") + F.lit(1.0)))
-        * (F.col("sum_term_micro").cast("double") / F.lit(1000000.0))
-        - F.lit(3.0) * (F.col("n") + F.lit(1.0))
-    )
+    h = F.lit(12.0) * (
+        F.col("sum_term_micro").cast("double") / F.lit(1000000.0)
+    ) - F.lit(3.0) * (F.col("n") + F.lit(1.0))
     corr = F.lit(1.0) - F.col("tie_term").cast("double") / (
         F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
     )
-    return s.crossJoin(ties).select(
+    return s.crossJoin(ties).crossJoin(F.broadcast(nn)).select(
         "n",
         "k",
         "tie_term",

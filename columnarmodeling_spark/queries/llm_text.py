@@ -1893,9 +1893,10 @@ _WIN_W = 4   # winnow window (grams per window)
     tags=("llm", "text", "dedup", "fingerprint", "window", "scale"),
 )
 def q213_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from columnarmodeling_spark.functions.text import hex_hash
+    from columnarmodeling_spark.operators.fingerprints import (
+        winnow_selected,
+    )
 
     d = t(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("tk")
@@ -1905,31 +1906,7 @@ def q213_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("col", "gram")
         .select("doc_id", "pos", hex_hash("gram").alias("h"))
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_WIN_W - 1), 0)
-    )
-    w = (
-        g.withColumn("wmin", F.min("h").over(win))
-        .filter(F.col("pos") >= _WIN_W - 1)
-        .select("doc_id", F.col("pos").alias("p"), "wmin")
-    )
-    sel = (
-        w.alias("w")
-        .join(
-            g.alias("g"),
-            (F.col("g.doc_id") == F.col("w.doc_id"))
-            & (F.col("g.h") == F.col("w.wmin"))
-            & (F.col("g.pos") >= F.col("w.p") - (_WIN_W - 1))
-            & (F.col("g.pos") <= F.col("w.p")),
-        )
-        .groupBy("w.doc_id", "w.p", "w.wmin")
-        .agg(F.max("g.pos").alias("sel_pos"))
-    )
-    fp = sel.select(
-        F.col("doc_id"), "sel_pos", F.col("wmin").alias("h")
-    ).distinct()
+    fp = winnow_selected(g, _WIN_W)
     nd = g.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )

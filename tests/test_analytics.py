@@ -335,3 +335,130 @@ def test_chisq_nonnegative_dof(spark, sf_dir):
     )
     assert r["dof"] == (n_types - 1) * (n_groups - 1)
     assert r["n_cells"] <= 2 * n_types
+
+
+def test_winnowing_shared_span_shares_fingerprint(spark):
+    """The winnowing guarantee q213 is built on: two documents sharing
+    any run of >= w + k - 1 tokens (here w=4, k=1 grams over synthetic
+    integer 'hashes') share at least one selected fingerprint hash."""
+    from columnarmodeling_spark.operators.fingerprints import winnow_selected
+
+    # doc 1 and doc 2 share hashes 100..107 (8 >= w+k-1 for w=4, k=5
+    # is q213's config; with k folded into the hash a run of w+... the
+    # shared HASH run of length >= 2w-1 guarantees a shared full
+    # window) — use a shared run of 8 >= 2*4-1
+    shared = [101, 9, 105, 3, 107, 55, 104, 7]
+    d1 = [(1, i, h) for i, h in enumerate([91, 88] + shared + [77])]
+    d2 = [(2, i, h) for i, h in enumerate(shared + [66, 64])]
+    g = spark.createDataFrame(d1 + d2, "doc_id long, pos long, h long")
+    sel = winnow_selected(g, 4).collect()
+    f1 = {r.h for r in sel if r.doc_id == 1}
+    f2 = {r.h for r in sel if r.doc_id == 2}
+    assert f1 and f2
+    assert f1 & f2, "shared run must share a fingerprint"
+
+
+def test_winnowing_selects_every_window_min(spark):
+    """Every complete w-window's min hash appears among the selected
+    fingerprints, and density lands in (0, 1]."""
+    import random
+
+    from columnarmodeling_spark.operators.fingerprints import winnow_selected
+
+    rng = random.Random(11)
+    hs = [rng.randrange(10**9) for _ in range(200)]
+    g = spark.createDataFrame(
+        [(7, i, h) for i, h in enumerate(hs)],
+        "doc_id long, pos long, h long",
+    )
+    w = 4
+    sel = {(r.sel_pos, r.h) for r in winnow_selected(g, w).collect()}
+    for s in range(len(hs) - w + 1):
+        window = hs[s : s + w]
+        m = min(window)
+        rightmost = s + max(i for i, h in enumerate(window) if h == m)
+        assert (rightmost, m) in sel, (s, window)
+    assert 0 < len(sel) <= len(hs)
+
+
+def test_q214_spans_consistent_with_q209(spark):
+    """Every doc q214 reports a span for is q209-contaminated, spans
+    are >= the 8-token seed length, and run/partner counts cohere."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    spans = REGISTRY["q214_contamination_spans"].fn(spark, sf).collect()
+    assert spans, "sf0.001 must exercise the positive path"
+    flagged = {
+        r.doc_id
+        for r in REGISTRY["q209_decontamination"].fn(spark, sf).collect()
+        if r.contaminated == 1
+    }
+    for r in spans:
+        assert r.max_span_tokens >= 8
+        assert r.n_runs >= r.n_partner_docs >= 1
+        assert r.doc_id in flagged, r.doc_id
+
+
+def test_q215_fertility_invariants(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q215_tokenizer_fertility"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        # UTF-8 bytes >= codepoints; alnum-run tokens never outnumber
+        # chars; milli ratios are the exact rounded quotients
+        assert r.n_bytes >= r.n_chars >= r.n_tokens > 0
+        assert r.chars_per_tok_milli == round(
+            1000.0 * r.n_chars / r.n_tokens
+        )
+        assert r.bytes_per_tok_milli >= r.chars_per_tok_milli
+
+
+def test_q216_mann_whitney_bounds(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q216_mann_whitney"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n1 > 0 and r.n2 > 0
+    # 0 <= U1 <= n1*n2, doubled invariant
+    assert 0 <= r.u1_x2 <= 2 * r.n1 * r.n2
+    assert r.tie_term >= 0
+
+
+def test_q217_kruskal_wallis_nonnegative(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q217_kruskal_wallis"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.k == 5 and r.n > 0
+    # H is a weighted variance of group mean ranks: >= 0 up to the
+    # documented micro-quantization (|dH| <= 6k micro-units)
+    assert r.h_micro >= -6 * r.k
+    assert r.h_corr_micro >= r.h_micro  # ties correction divides by <= 1
+
+
+def test_q218_rrf_shape_and_monotonicity(spark):
+    from collections import defaultdict
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q218_rrf_fusion"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    assert len(by_type) == 5
+    for evs in by_type.values():
+        evs.sort(key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in evs] == list(
+            range(1, len(evs) + 1)
+        )
+        assert len(evs) <= 20
+        scores = [r.fused_micro for r in evs]
+        assert scores == sorted(scores, reverse=True)

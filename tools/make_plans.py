@@ -375,6 +375,46 @@ CASES = {
     "lineage); intersection counts via partial/final hash agg on "
     "the (doc_a, doc_b) pair; the integer threshold filter runs "
     "before the single rounded division.",
+    "q212_viscoelastic_bonds_3d": "Kelvin–Voigt law through the 3D "
+    "breaking solver. What to check: each round is ONE "
+    "FlatMapCoGroupsInPandas whose two inputs hash-partition on the "
+    "(bx, by, bz) block key — the 3×3×3 halo replication is a "
+    "Generate(explode) + filter, not a join; the bond relation "
+    "(with its ustate column) re-enters each round through the "
+    "checkpointed lineage, so state survival costs no extra "
+    "operator; the final plan unions the survivors' log with the "
+    "per-round broken logs.",
+    "q213_winnowing": "Winnowing fingerprints. What to check: ONE "
+    "documents scan feeds the gram explode; the trailing-window min "
+    "is a single doc_id-partitioned window (no global sort); the "
+    "rightmost-min resolution is an equi-join keyed (doc_id, hash) "
+    "with the ±w position band as a post-predicate — bounded "
+    "fan-out, no pair space; counts/checksum are partial/final "
+    "hash aggs.",
+    "q214_contamination_spans": "Contamination span extension. What "
+    "to check: the only pair-producing structure is the gram "
+    "equi-join (bench side df-capped then broadcast); the "
+    "islands pass is one (doc, bench, diagonal)-partitioned "
+    "row_number window — state is a run, never a document; span "
+    "stats are two stacked hash aggs.",
+    "q215_tokenizer_fertility": "Tokenizer fertility stats. What to "
+    "check: one scan, one partial/final hash agg keyed by lang, "
+    "ratio projections after the agg — nothing else; ReadSchema "
+    "holds only (lang, text).",
+    "q216_mann_whitney": "Mann-Whitney U. What to check: the event "
+    "scan collapses into a value-histogram hash agg BEFORE any "
+    "window; the single running-sum window runs over distinct "
+    "values; every statistic folds into one agg row — no per-event "
+    "window, no global per-row sort.",
+    "q217_kruskal_wallis": "Kruskal-Wallis H. What to check: same "
+    "histogram-first shape as q216 with a second (value, type) agg "
+    "joined back on value; the per-group term table is 5 rows "
+    "crossJoin-broadcast with the scalar totals.",
+    "q218_rrf_fusion": "Reciprocal-rank fusion. What to check: one "
+    "user-keyed partial/final agg absorbs the event scan; all "
+    "three row_number windows partition by event_type over the "
+    "per-user relation; the top-20 filter runs before the final "
+    "projection (WindowGroupLimit eligible).",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
