@@ -2093,3 +2093,197 @@ def q218_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
     )
+
+
+# --- q219: consistent-hash shard layout ------------------------------------
+
+_CH_V = 64  # virtual nodes per shard
+
+
+def _ch_sql_ring(k: int) -> str:
+    return f"""
+      SELECT s.range AS shard,
+             CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || ':'
+                   || CAST(v.range AS VARCHAR)), 1, 15)) AS BIGINT) AS pt
+      FROM range(0, {k}) s, range(0, {_CH_V}) v"""
+
+
+@register(
+    "q219_consistent_hash",
+    oracle=f"""
+    WITH r16 AS ({_ch_sql_ring(16)}),
+    r17 AS ({_ch_sql_ring(17)}),
+    l16 AS (SELECT list(pt) AS pts, min(pt) AS mn FROM r16),
+    l17 AS (SELECT list(pt) AS pts, min(pt) AS mn FROM r17),
+    d AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS dp
+      FROM documents),
+    a AS (
+      SELECT d.doc_id, d.dp,
+             coalesce(list_min(list_filter(l16.pts, p -> p >= d.dp)),
+                      l16.mn) AS s16,
+             coalesce(list_min(list_filter(l17.pts, p -> p >= d.dp)),
+                      l17.mn) AS s17
+      FROM d, l16, l17),
+    m AS (
+      SELECT a.doc_id, a.dp,
+             min(r16.shard) AS shard16, min(r17.shard) AS shard17
+      FROM a JOIN r16 ON r16.pt = a.s16 JOIN r17 ON r17.pt = a.s17
+      GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS moved_ch,
+             CAST(sum(CASE WHEN dp % 16 <> dp % 17 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS moved_mod
+      FROM m)
+    SELECT n_docs, moved_ch, moved_mod,
+           CAST(round(1000.0 * moved_ch / n_docs) AS BIGINT)
+             AS ch_permille,
+           CAST(round(1000.0 * moved_mod / n_docs) AS BIGINT)
+             AS mod_permille
+    FROM s
+    """,
+    doc="CONSISTENT-HASH shard layout with the minimal-movement "
+    "property MEASURED — the data-layout question every growing "
+    "corpus store faces (add one shard to 16: how much data moves?): "
+    "docs and 64 virtual nodes per shard hash onto a 60-bit ring "
+    "(the repo's md5 idiom), each doc lands on its clockwise "
+    "successor vnode, and the query compares assignments under 16 "
+    "vs 17 shards against naive mod-hashing. Consistent hashing "
+    "moves ~1/17 of docs (only those whose successor is a new "
+    "vnode); mod moves ~16/17 — both permille rates are exact "
+    "integers from the same relation. Plan shape: the ring is a "
+    "k*64-row relation folded to ONE sorted-list row and "
+    "cross-joined (broadcast) — successor lookup is a per-doc "
+    "list_filter/array_min over 1k entries in codegen, O(ring) "
+    "map-side work with NO shuffle of the corpus; the pt -> shard "
+    "resolution is a broadcast equi-join on the tiny ring. At 100 "
+    "TB the ring is still 1k rows; everything scales with one "
+    "corpus scan.",
+    tags=("analytics", "layout", "hashing", "broadcast", "scale"),
+)
+def q219_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def ring(k: int):
+        return (
+            spark.range(k)
+            .withColumnRenamed("id", "shard")
+            .crossJoin(
+                spark.range(_CH_V).withColumnRenamed("id", "v")
+            )
+            .select(
+                "shard",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("shard").cast("string"),
+                                F.col("v").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("pt"),
+            )
+        )
+
+    r16, r17 = ring(16), ring(17)
+    l16 = r16.agg(
+        F.array_sort(F.collect_list("pt")).alias("pts16"),
+        F.min("pt").alias("mn16"),
+    )
+    l17 = r17.agg(
+        F.array_sort(F.collect_list("pt")).alias("pts17"),
+        F.min("pt").alias("mn17"),
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("dp"),
+    )
+    a = (
+        d.crossJoin(F.broadcast(l16))
+        .crossJoin(F.broadcast(l17))
+        .select(
+            "doc_id",
+            "dp",
+            F.coalesce(
+                F.array_min(
+                    F.filter(
+                        "pts16", lambda p: p >= F.col("dp")
+                    )
+                ),
+                F.col("mn16"),
+            ).alias("s16"),
+            F.coalesce(
+                F.array_min(
+                    F.filter(
+                        "pts17", lambda p: p >= F.col("dp")
+                    )
+                ),
+                F.col("mn17"),
+            ).alias("s17"),
+        )
+    )
+    m = (
+        a.join(
+            F.broadcast(
+                r16.select(
+                    F.col("pt").alias("s16"),
+                    F.col("shard").alias("sh16"),
+                )
+            ),
+            "s16",
+        )
+        .join(
+            F.broadcast(
+                r17.select(
+                    F.col("pt").alias("s17"),
+                    F.col("shard").alias("sh17"),
+                )
+            ),
+            "s17",
+        )
+        .groupBy("doc_id", "dp")
+        .agg(
+            F.min("sh16").alias("shard16"),
+            F.min("sh17").alias("shard17"),
+        )
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("shard16") != F.col("shard17")).cast("long")
+        )
+        .cast("long")
+        .alias("moved_ch"),
+        F.sum(
+            (F.col("dp") % 16 != F.col("dp") % 17).cast("long")
+        )
+        .cast("long")
+        .alias("moved_mod"),
+    )
+    return s.select(
+        "n_docs",
+        "moved_ch",
+        "moved_mod",
+        F.round(F.lit(1000.0) * F.col("moved_ch") / F.col("n_docs"))
+        .cast("long")
+        .alias("ch_permille"),
+        F.round(F.lit(1000.0) * F.col("moved_mod") / F.col("n_docs"))
+        .cast("long")
+        .alias("mod_permille"),
+    )

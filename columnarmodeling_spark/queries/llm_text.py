@@ -1994,3 +1994,273 @@ def q215_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("toks_per_doc_milli"),
     )
+
+
+# --- q220: lang-id confusion matrix + macro-F1 -----------------------------
+
+
+@register(
+    "q220_langid_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    sc AS (
+      SELECT doc_id, lang,
+             len(list_filter(tk, x -> list_contains(['the','and','of','row','table'], x))) AS s_en,
+             len(list_filter(tk, x -> list_contains(['el','la','de','fila','tabla'], x))) AS s_es,
+             len(list_filter(tk, x -> list_contains(['zh','biao','hang','lie','shuju'], x))) AS s_zh
+      FROM toks),
+    pred AS (
+      SELECT lang AS lang_actual,
+             CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_zh THEN 'es'
+                  ELSE 'zh' END AS lang_guess
+      FROM sc),
+    cls AS (SELECT unnest(['en', 'es', 'zh']) AS c),
+    st AS (
+      SELECT cls.c,
+             CAST(sum(CASE WHEN lang_actual = cls.c
+                            AND lang_guess = cls.c THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN lang_guess = cls.c
+                            AND lang_actual <> cls.c THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN lang_actual = cls.c
+                            AND lang_guess <> cls.c THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM pred CROSS JOIN cls GROUP BY 1),
+    st2 AS (
+      SELECT c, tp, fp, fn,
+             CASE WHEN tp + fp > 0
+                  THEN CAST(round(1000.0 * tp / (tp + fp)) AS BIGINT)
+                  ELSE NULL END AS precision_milli,
+             CASE WHEN tp + fn > 0
+                  THEN CAST(round(1000.0 * tp / (tp + fn)) AS BIGINT)
+                  ELSE NULL END AS recall_milli,
+             CASE WHEN 2 * tp + fp + fn > 0
+                  THEN CAST(round(2000.0 * tp / (2 * tp + fp + fn))
+                       AS BIGINT)
+                  ELSE NULL END AS f1_milli
+      FROM st)
+    SELECT c, tp, fp, fn, precision_milli, recall_milli, f1_milli
+    FROM st2
+    UNION ALL
+    SELECT 'macro', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+           CAST(sum(fn) AS BIGINT), NULL, NULL,
+           CAST(round(sum(f1_milli) / 3.0) AS BIGINT)
+    FROM st2
+    """,
+    doc="LANG-ID CONFUSION MATRIX + macro-F1 — the classifier EVAL "
+    "the q52 heuristic was missing (a pipeline that routes documents "
+    "by predicted language needs to know per-class precision/recall "
+    "against labeled data before trusting the router; macro-F1 is "
+    "the balance-insensitive summary). Re-runs q52's exact "
+    "marker-token argmax (same tie-break), cross-joins the 3-row "
+    "class table, and reduces to per-class TP/FP/FN in one hash agg "
+    "— docs labeled with languages outside the classifier's range "
+    "count toward FP of whatever was predicted, the honest "
+    "open-set accounting. F1 uses the division-stable 2TP/(2TP+FP+"
+    "FN) form, one rounded division per cell (exact-operand "
+    "discipline); the macro row averages the three integer "
+    "per-class F1s. Scale: the matrix is 3 rows at any corpus "
+    "size; the only corpus-sized work is q52's token scan.",
+    tags=("llm", "text", "langid", "eval", "agg", "scale"),
+)
+def q220_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = q52_lang_id(spark, sf_dir).select("lang_actual", "lang_guess")
+    cls = spark.createDataFrame(
+        [("en",), ("es",), ("zh",)], "c string"
+    )
+    st = (
+        pred.crossJoin(F.broadcast(cls))
+        .groupBy("c")
+        .agg(
+            F.sum(
+                (
+                    (F.col("lang_actual") == F.col("c"))
+                    & (F.col("lang_guess") == F.col("c"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                (
+                    (F.col("lang_guess") == F.col("c"))
+                    & (F.col("lang_actual") != F.col("c"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                (
+                    (F.col("lang_actual") == F.col("c"))
+                    & (F.col("lang_guess") != F.col("c"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    st2 = st.select(
+        "c",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(
+                F.lit(1000.0) * F.col("tp") / (F.col("tp") + F.col("fp"))
+            ).cast("long"),
+        ).alias("precision_milli"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(
+                F.lit(1000.0) * F.col("tp") / (F.col("tp") + F.col("fn"))
+            ).cast("long"),
+        ).alias("recall_milli"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(
+                F.lit(2000.0)
+                * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            ).cast("long"),
+        ).alias("f1_milli"),
+    )
+    macro = st2.agg(
+        F.lit("macro").alias("c"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+        F.lit(None).cast("long").alias("precision_milli"),
+        F.lit(None).cast("long").alias("recall_milli"),
+        F.round(F.sum("f1_milli") / F.lit(3.0))
+        .cast("long")
+        .alias("f1_milli"),
+    )
+    return st2.unionByName(macro)
+
+
+# --- q221: Zipf rank-frequency fit -----------------------------------------
+
+_ZIPF_TOP = 1000  # fit over the top-N ranks (standard practice)
+
+
+@register(
+    "q221_token_zipf",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+    rk AS (
+      SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM tf),
+    q AS (
+      SELECT CAST(round(1000000.0 * ln(CAST(rnk AS DOUBLE))) AS BIGINT)
+               AS xq,
+             CAST(round(1000000.0 * ln(CAST(cnt AS DOUBLE))) AS BIGINT)
+               AS yq
+      FROM rk WHERE rnk <= {_ZIPF_TOP}),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_fit,
+             CAST(sum(xq) AS BIGINT) AS sx,
+             CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx
+      FROM q),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM tf)
+    SELECT v.n_vocab, s.n_fit,
+           CAST(round(1000000.0
+             * ((CAST(s.n_fit AS DOUBLE) * s.sxy
+                 - CAST(s.sx AS DOUBLE) * s.sy)
+                / (CAST(s.n_fit AS DOUBLE) * s.sxx
+                   - CAST(s.sx AS DOUBLE) * s.sx)))
+             AS BIGINT) AS slope_micro,
+           CAST(round(
+             (CAST(s.sy AS DOUBLE)
+              - ((CAST(s.n_fit AS DOUBLE) * s.sxy
+                  - CAST(s.sx AS DOUBLE) * s.sy)
+                 / (CAST(s.n_fit AS DOUBLE) * s.sxx
+                    - CAST(s.sx AS DOUBLE) * s.sx))
+                * s.sx) / s.n_fit) AS BIGINT) AS intercept_micro
+    FROM s, v
+    """,
+    doc="ZIPF RANK-FREQUENCY FIT — the corpus-health diagnostic "
+    "(natural text sits near slope -1 on log rank vs log frequency; "
+    "templated/synthetic/boilerplate corpora bend it, so the slope "
+    "is a standing data-quality monitor next to q186's degree "
+    "power law): token frequencies, a deterministic global rank "
+    "(count desc, token asc tie-break — with_global_index's "
+    "two-pass range partition on the Spark side, never a "
+    "single-task window), and an OLS fit over the top-1000 "
+    "(rank, count) points in log-log space. Cross-engine exactness: "
+    "ln values are quantized to integer micro-units BEFORE the OLS "
+    "sums (the q203 ln discipline — sums of int64 are "
+    "association-free), and the slope/intercept are single "
+    "divisions of those exact sums. Scale: the fit relation is "
+    "1000 rows at any corpus; the vocabulary agg is map-side "
+    "combinable; the rank pass range-partitions.",
+    tags=("llm", "text", "stats", "zipf", "scale"),
+)
+def q221_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rk = with_global_index(
+        tf.withColumn("neg_cnt", -F.col("cnt")),
+        ["neg_cnt", "tok"],
+        index_col="rnk",
+    )
+    q = rk.filter(F.col("rnk") <= _ZIPF_TOP).select(
+        F.round(F.lit(1000000.0) * F.log(F.col("rnk").cast("double")))
+        .cast("long")
+        .alias("xq"),
+        F.round(F.lit(1000000.0) * F.log(F.col("cnt").cast("double")))
+        .cast("long")
+        .alias("yq"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    v = tf.agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    # combine in DOUBLE: at real-corpus scale n_fit*sxy overflows
+    # int64 (~2e20 for a 100 TB corpus); identical-operand FP ops stay
+    # bit-identical cross-engine, and the slope is micro-quantized
+    num = (
+        F.col("n_fit").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = (
+        F.col("n_fit").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    slope = num / den
+    return s.crossJoin(F.broadcast(v)).select(
+        "n_vocab",
+        "n_fit",
+        F.round(F.lit(1000000.0) * slope).cast("long").alias(
+            "slope_micro"
+        ),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n_fit")
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )

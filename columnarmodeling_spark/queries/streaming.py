@@ -955,3 +955,89 @@ def q207_stream_ewma_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.n_late").cast("long").alias("n_late"),
         )
     )
+
+
+# --- q222: streaming decontamination screen --------------------------------
+
+
+@register(
+    "q222_stream_decontamination",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 6),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                         || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]
+                         || ' ' || tk[i+6] || ' ' || tk[i+7])) AS gr
+      FROM tk),
+    bench AS (SELECT DISTINCT gr FROM g WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+      FROM g JOIN bench USING (gr)
+      WHERE g.doc_id % 10 <> 0
+      GROUP BY 1)
+    SELECT doc_id, n_hit_grams, CAST(1 AS BIGINT) AS contaminated
+    FROM hits
+    """,
+    doc="STREAMING decontamination screen — q209's drop-list rule "
+    "applied AT INGEST (the shape a real pipeline wants: crawl "
+    "shards land in a folder, contaminated docs are flagged before "
+    "they ever reach a training mix, instead of a nightly batch "
+    "rescan): documents arrive as a file-source stream, tokenize + "
+    "8-gram + within-doc array_distinct are all STATELESS stream "
+    "projections, the benchmark gram set is a batch-built broadcast "
+    "(stream-static join, re-broadcast per micro-batch — the "
+    "MLSLD00.dat load-table discipline of q83), and the per-doc hit "
+    "count is the only stateful operator (update-mode agg keyed by "
+    "doc_id; counts are cumulative, so the post-drain max-resolution "
+    "is exact under any batch split — same monotone-state argument "
+    "as q207). Emits only flagged docs (6 at sf0.01 — the q209 "
+    "planted positives). Oracle = the batch inner-join equivalent. "
+    "Scale: state is one long per FLAGGED doc (clean docs never "
+    "enter the state store), the join side is the fixed-size eval "
+    "suite, and everything upstream is map-side.",
+    tags=("streaming", "llm", "dedup", "decontamination", "join", "scale"),
+)
+def q222_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.functions.text import tokens, word_shingles
+    from columnarmodeling_spark.streaming.sources import documents_stream
+
+    # batch side: the benchmark suite's distinct 8-gram set
+    bench = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("tk", tokens("text"))
+        .select(F.explode(word_shingles("tk", 8)).alias("gr"))
+        .distinct()
+    )
+    # stream side: training docs, stateless gram projection
+    # (array_distinct dedups within a doc without streaming state)
+    doc = (
+        documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 != 0)
+        .withColumn("tk", tokens("text"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("tk", 8))).alias(
+                "gr"
+            ),
+        )
+    )
+    hits = doc.join(F.broadcast(bench), "gr").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_grams")
+    )
+    drained = drain_to_memory(hits, mode="update").localCheckpoint()
+    return (
+        drained.groupBy("doc_id")
+        .agg(F.max("n_hit_grams").cast("long").alias("n_hit_grams"))
+        .select(
+            "doc_id",
+            "n_hit_grams",
+            F.lit(1).cast("long").alias("contaminated"),
+        )
+    )

@@ -118,3 +118,26 @@ def drain_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+_DOCS_DDL = (
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the ingest shape
+    of a training-data pipeline (new crawl shards land in a folder;
+    screens run as the data arrives instead of in a nightly batch).
+    Same dir-vs-flat-file handling as ``events_stream``; no timestamp
+    column, so none of its unit-drift guards apply. The single-batch
+    assumption is likewise inherited by any stateful consumer."""
+    tune(spark)
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(doc_path):
+        return spark.readStream.schema(_DOCS_DDL).parquet(doc_path)
+    return (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )

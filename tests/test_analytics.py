@@ -462,3 +462,54 @@ def test_q218_rrf_shape_and_monotonicity(spark):
         assert len(evs) <= 20
         scores = [r.fused_micro for r in evs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_q219_consistent_hash_minimal_movement(spark):
+    """Consistent hashing's minimal-movement property, measured: adding
+    one shard to 16 must move well under half the corpus, while
+    mod-hashing reshuffles nearly everything."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q219_consistent_hash"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_docs > 0
+    assert r.moved_ch + r.moved_mod <= 2 * r.n_docs
+    # theory: ~1/17 (59 permille) vs ~16/17 (941 permille); generous
+    # bands for small-sample noise
+    assert r.ch_permille < 250, r.ch_permille
+    assert r.mod_permille > 700, r.mod_permille
+    assert r.ch_permille < r.mod_permille
+
+
+def test_q220_confusion_matrix_consistency(spark):
+    """TP/FP/FN bookkeeping must cohere with q52's predictions."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.c: r for r in
+            REGISTRY["q220_langid_confusion"].fn(spark, sf).collect()}
+    assert set(rows) == {"en", "es", "zh", "macro"}
+    preds = REGISTRY["q52_lang_id"].fn(spark, sf).collect()
+    n_docs = len(preds)
+    # every doc contributes exactly one prediction: sum of per-class
+    # (tp + fp) over the classifier's range = n_docs
+    assert sum(rows[c].tp + rows[c].fp for c in ("en", "es", "zh")) == n_docs
+    macro = rows["macro"]
+    assert macro.tp == sum(rows[c].tp for c in ("en", "es", "zh"))
+    for c in ("en", "es", "zh"):
+        r = rows[c]
+        if r.f1_milli is not None:
+            assert 0 <= r.f1_milli <= 1000
+
+
+def test_q221_zipf_slope_negative(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q221_token_zipf"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_vocab >= r.n_fit > 2
+    # rank-frequency is monotonically non-increasing by construction,
+    # so the OLS slope over (ln rank, ln count) cannot be positive
+    assert r.slope_micro <= 0

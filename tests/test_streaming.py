@@ -187,3 +187,23 @@ def test_late_robust_folds_count_out_of_order_split(spark, tmp_path):
     }
     assert final[1] == (2, 0.25 * 40.0 + 0.75 * 30.0, 2)
     assert final[2] == (2, 0.25 * 7.0 + 0.75 * 5.0, 0)
+
+
+def test_q222_stream_matches_q209_flags(spark):
+    """The streaming screen must flag exactly the batch screen's
+    contaminated set, with identical hit counts."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        r.doc_id: r.n_hit_grams
+        for r in REGISTRY["q222_stream_decontamination"].fn(
+            spark, sf
+        ).collect()
+    }
+    batch = {
+        r.doc_id: r.n_hit_grams
+        for r in REGISTRY["q209_decontamination"].fn(spark, sf).collect()
+        if r.contaminated == 1
+    }
+    assert stream == batch and stream

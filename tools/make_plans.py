@@ -415,6 +415,22 @@ CASES = {
     "three row_number windows partition by event_type over the "
     "per-user relation; the top-20 filter runs before the final "
     "projection (WindowGroupLimit eligible).",
+    "q219_consistent_hash": "Consistent-hash shard layout. What to "
+    "check: both rings fold to single-row sorted lists entering via "
+    "BroadcastNestedLoopJoin (scalar cross join); successor lookup "
+    "is pure projection (array filter/min in codegen); the pt→shard "
+    "maps are BroadcastHashJoins on 1k-row relations — the documents "
+    "scan never shuffles.",
+    "q220_langid_confusion": "Lang-id confusion + macro-F1. What to "
+    "check: one documents scan through q52's marker projections, a "
+    "3-row class table broadcast cross join, one partial/final hash "
+    "agg to the 3-row matrix, and a single-row macro agg unioned "
+    "below it.",
+    "q221_token_zipf": "Zipf rank-frequency fit. What to check: the "
+    "token agg is partial/final; the rank comes from "
+    "with_global_index's repartitionByRange + per-partition "
+    "row_number (NO single-task window); the OLS runs on one agg "
+    "row of integer-quantized log sums.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
@@ -789,7 +805,48 @@ def _q207_stream(spark, sf):
     )
 
 
+def _q222_stream(spark, sf):
+    """The pre-drain plan of q222 (streaming decontamination)."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.functions.text import tokens, word_shingles
+    from columnarmodeling_spark.queries._util import t
+    from columnarmodeling_spark.streaming.sources import documents_stream
+
+    bench = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("tk", tokens("text"))
+        .select(F.explode(word_shingles("tk", 8)).alias("gr"))
+        .distinct()
+    )
+    doc = (
+        documents_stream(spark, sf)
+        .filter(F.col("doc_id") % 10 != 0)
+        .withColumn("tk", tokens("text"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("tk", 8))).alias(
+                "gr"
+            ),
+        )
+    )
+    return doc.join(F.broadcast(bench), "gr").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_grams")
+    )
+
+
 ROUND_CASES = {
+    "q222_stream_decontamination (pre-drain plan)": (
+        "Streaming decontamination screen (queries/streaming.py q222). "
+        "What to check: every op upstream of the join is a STATELESS "
+        "stream projection (tokenize, shingle, array_distinct, "
+        "explode); the benchmark gram set enters via BroadcastExchange "
+        "(stream-static join, re-broadcast per micro-batch); the only "
+        "stateful operator is the doc_id-keyed update-mode "
+        "StateStoreSave agg — state one long per flagged doc.",
+        _q222_stream,
+    ),
     "q207_stream_ewma_late (pre-drain stateful plan)": (
         "Late-data-robust streaming EWMA (queries/streaming.py q207). "
         "What to check: the SAME single user_id-keyed "
