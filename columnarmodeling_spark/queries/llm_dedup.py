@@ -351,9 +351,9 @@ def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q56_dup_clusters",
-    oracle=f"""
+# the full Jaccard-cluster CTE chain (recursive transitive closure),
+# shared by q56 and the q224 histogram rollup
+_SQL_CLUSTER_CTES = f"""
     WITH RECURSIVE
     {_SQL_SHINGLES},
     cnt2 AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -372,7 +372,12 @@ def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach(id, r) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
-      SELECT ed.v, reach.r FROM reach JOIN ed ON reach.id = ed.u)
+      SELECT ed.v, reach.r FROM reach JOIN ed ON reach.id = ed.u)"""
+
+
+@register(
+    "q56_dup_clusters",
+    oracle=_SQL_CLUSTER_CTES + """
     SELECT id AS doc_id,
            min(r) AS cluster_id,
            (id = min(r)) AS is_canonical
@@ -1721,4 +1726,122 @@ def q214_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("run_len") + 7).cast("long").alias("max_span_tokens"),
         F.countDistinct("b_doc").cast("long").alias("n_partner_docs"),
         F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )
+
+
+# --- q223: n-gram novelty score --------------------------------------------
+
+
+@register(
+    "q223_ngram_novelty",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    first AS (
+      SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+    per AS (
+      SELECT sh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh JOIN first f ON sh.s = f.s
+      GROUP BY 1)
+    SELECT doc_id, n_grams, n_novel,
+           CAST(round(1000.0 * n_novel / n_grams) AS BIGINT)
+             AS novelty_permille
+    FROM per
+    """,
+    doc="N-GRAM NOVELTY score — per document, the fraction of its "
+    "distinct 3-gram shingles whose FIRST corpus occurrence (by "
+    "doc_id order, the ingest-order proxy) is this document. The "
+    "streaming-corpus counterpart of dedup: a crawl snapshot full of "
+    "re-posts scores near zero novelty even when no single document "
+    "is an exact duplicate, and the per-slice novelty trend is the "
+    "standard freshness monitor for a growing training corpus "
+    "(memorization risk rises as novelty falls). Plan: the shared "
+    "shingle relation feeds a min-agg keyed by gram (map-side "
+    "combinable) and joins back on the gram — fan-out exactly 1 per "
+    "distinct (doc, gram), no pair space; both aggs partial/final. "
+    "The planted duplicate partners score near-zero novelty at "
+    "sf0.01, exercising the positive path.",
+    tags=("llm", "dedup", "novelty", "agg", "join", "scale"),
+)
+def q223_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(F.lit(1000.0) * F.col("n_novel") / F.col("n_grams"))
+        .cast("long")
+        .alias("novelty_permille"),
+    )
+
+
+# --- q224: duplicate-cluster size histogram --------------------------------
+
+
+@register(
+    "q224_dup_size_histogram",
+    oracle=_SQL_CLUSTER_CTES + """,
+    clusters AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+    sizes AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY 1),
+    hist AS (
+      SELECT cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(cluster_size) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM hist)
+    SELECT h.cluster_size, h.n_clusters, h.n_docs,
+           CAST(round(1000.0 * h.n_docs / t.total) AS BIGINT)
+             AS doc_share_permille
+    FROM hist h, tot t
+    """,
+    doc="DUPLICATE-CLUSTER SIZE HISTOGRAM — the dedup AUDIT report "
+    "every pipeline publishes before dropping data (how much of the "
+    "corpus sits in near-duplicate clusters of size 2, 3, ...? is "
+    "mass concentrated in a few mega-clusters — boilerplate — or "
+    "spread thin? that shape decides keep-one-per-cluster vs "
+    "drop-cluster policies): q56's Jaccard connected components "
+    "rolled up by component size, with each size's share of total "
+    "documents in permille. The exact-hash variant is vacuous on "
+    "this corpus (q40 finds only singletons — the planted "
+    "duplicates are NEAR-dups), so the histogram runs on the "
+    "near-dup clustering and its oracle replays the same recursive "
+    "transitive closure. Downstream of the clustering: two stacked "
+    "hash aggs + a scalar cross join, output bounded by the largest "
+    "cluster size at any corpus scale.",
+    tags=("llm", "dedup", "audit", "graph", "agg", "scale"),
+)
+def q224_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q56_dup_clusters(spark, sf_dir).select("cluster_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+    tot = hist.agg(F.sum("n_docs").cast("long").alias("total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.round(F.lit(1000.0) * F.col("n_docs") / F.col("total"))
+        .cast("long")
+        .alias("doc_share_permille"),
     )

@@ -1896,3 +1896,143 @@ def q198_residual_vq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d1").cast("long").alias("d1"),
         F.col("d2").cast("long").alias("d2"),
     )
+
+
+# --- q225: label-centroid cosine (embedding QA) ----------------------------
+
+
+@register(
+    "q225_label_centroid_cosine",
+    oracle="""
+    WITH comp AS (
+      SELECT label, d.d AS dim,
+             CAST(round(CAST(embedding[d.d] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS eq
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) d(d)),
+    n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+          FROM embeddings GROUP BY 1),
+    c AS (
+      SELECT comp.label, comp.dim, CAST(sum(comp.eq) AS BIGINT) AS s
+      FROM comp GROUP BY 1, 2),
+    cd AS (
+      SELECT c.label, c.dim,
+             CAST(c.s AS DOUBLE) / n.n AS cv
+      FROM c JOIN n USING (label)),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(CAST(round(a.cv * b.cv) AS BIGINT)) AS BIGINT)
+               AS dot_q
+      FROM cd a JOIN cd b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2),
+    norms AS (
+      SELECT label,
+             CAST(sum(CAST(round(cv * cv) AS BIGINT)) AS BIGINT) AS nq
+      FROM cd GROUP BY 1)
+    SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b,
+           CAST(round(1000000.0 * CAST(d.dot_q AS DOUBLE)
+                / (sqrt(CAST(qa.nq AS DOUBLE))
+                   * sqrt(CAST(qb.nq AS DOUBLE)))) AS BIGINT)
+             AS cos_micro
+    FROM dots d
+    JOIN norms qa ON qa.label = d.label_a
+    JOIN norms qb ON qb.label = d.label_b
+    JOIN n na ON na.label = d.label_a
+    JOIN n nb ON nb.label = d.label_b
+    """,
+    doc="LABEL-CENTROID COSINE matrix — the embedding-space QA check "
+    "(are the labeled groups actually separated? a pair of labels "
+    "whose centroids sit at cosine ~1 is a labeling or collapse "
+    "problem; the matrix is the standard first diagnostic before "
+    "trusting embeddings for dedup/retrieval): per-label centroids "
+    "over the 64-dim vectors, then all 45 label-pair cosines. "
+    "Cross-engine exactness: components quantize to integer micro "
+    "units BEFORE the per-(label, dim) sum (float sums are "
+    "association-dependent; int64 sums are not), centroid "
+    "components are one exact division each, and the 64-dim dot/"
+    "norm sums quantize each per-dim product to an integer first "
+    "(the q203 product-sum discipline) — sqrt is the only libm "
+    "call. Scale: everything reduces to a (labels x dims) relation "
+    "— 640 rows here — regardless of corpus size; the pair join is "
+    "labels², not vectors².",
+    tags=("llm", "similarity", "embedding", "eval", "agg", "scale"),
+)
+def q225_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000.0)
+        .cast("long")
+        .alias("eq"),
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c = comp.groupBy("label", "dim").agg(
+        F.sum("eq").cast("long").alias("s")
+    )
+    cd = c.join(n, "label").select(
+        "label", "dim", (F.col("s").cast("double") / F.col("n")).alias("cv")
+    )
+    a = cd.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("cv").alias("cva"),
+    )
+    b = cd.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("cv").alias("cvb"),
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(F.col("cva") * F.col("cvb")).cast("long")
+            )
+            .cast("long")
+            .alias("dot_q")
+        )
+    )
+    norms = cd.groupBy("label").agg(
+        F.sum(F.round(F.col("cv") * F.col("cv")).cast("long"))
+        .cast("long")
+        .alias("nq")
+    )
+    return (
+        dots.join(
+            norms.select(F.col("label").alias("label_a"), F.col("nq").alias("nqa")),
+            "label_a",
+        )
+        .join(
+            norms.select(F.col("label").alias("label_b"), F.col("nq").alias("nqb")),
+            "label_b",
+        )
+        .join(
+            n.select(F.col("label").alias("label_a"), F.col("n").alias("n_a")),
+            "label_a",
+        )
+        .join(
+            n.select(F.col("label").alias("label_b"), F.col("n").alias("n_b")),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("dot_q").cast("double")
+                / (
+                    F.sqrt(F.col("nqa").cast("double"))
+                    * F.sqrt(F.col("nqb").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )

@@ -513,3 +513,57 @@ def test_q221_zipf_slope_negative(spark):
     # rank-frequency is monotonically non-increasing by construction,
     # so the OLS slope over (ln rank, ln count) cannot be positive
     assert r.slope_micro <= 0
+
+
+def test_q223_novelty_planted_dups_score_low(spark):
+    """Planted near-duplicate partners must score materially lower
+    novelty than the corpus median; every score is a valid permille."""
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q223_ngram_novelty"].fn(spark, sf).collect()
+    assert rows
+    scores = sorted(r.novelty_permille for r in rows)
+    assert all(0 <= s <= 1000 for s in scores)
+    # the near-dup partners (q56 clusters of size > 1) with the LARGER
+    # doc_id copy someone else's grams -> novelty near zero
+    clusters = REGISTRY["q56_dup_clusters"].fn(spark, sf).collect()
+    by_c = {}
+    for r in clusters:
+        by_c.setdefault(r.cluster_id, []).append(r.doc_id)
+    later_copies = {
+        max(ds) for ds in by_c.values() if len(ds) > 1
+    }
+    assert later_copies, "testdata must contain near-dup clusters"
+    nov = {r.doc_id: r.novelty_permille for r in rows}
+    med = scores[len(scores) // 2]
+    for d in later_copies:
+        assert nov[d] < med, (d, nov[d], med)
+
+
+def test_q224_histogram_mass_conserves(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    hist = REGISTRY["q224_dup_size_histogram"].fn(spark, sf).collect()
+    n_docs_total = sum(r.n_docs for r in hist)
+    n_corpus = REGISTRY["q56_dup_clusters"].fn(spark, sf).count()
+    assert n_docs_total == n_corpus
+    for r in hist:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    assert any(r.cluster_size > 1 for r in hist), "planted dups expected"
+
+
+def test_q225_centroid_cosine_bounds_and_symmetry(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q225_label_centroid_cosine"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    labels = set()
+    for r in rows:
+        assert r.label_a < r.label_b
+        labels.update((r.label_a, r.label_b))
+        assert -1_000_001 <= r.cos_micro <= 1_000_001
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2

@@ -431,6 +431,19 @@ CASES = {
     "with_global_index's repartitionByRange + per-partition "
     "row_number (NO single-task window); the OLS runs on one agg "
     "row of integer-quantized log sums.",
+    "q223_ngram_novelty": "N-gram novelty score. What to check: the "
+    "shingle relation feeds a gram-keyed min hash agg (partial/"
+    "final) and one equi-join back on the gram — fan-out 1 per "
+    "(doc, gram); the per-doc rollup is a second partial/final agg.",
+    "q224_dup_size_histogram": "Duplicate-cluster size histogram. "
+    "What to check: everything above the rollup is q56's plan "
+    "(shingle equi-join + bounded label-propagation rounds); the "
+    "histogram is two stacked hash aggs and a scalar "
+    "crossJoin-broadcast.",
+    "q225_label_centroid_cosine": "Label-centroid cosine matrix. "
+    "What to check: the vector scan collapses to a (label, dim) "
+    "hash agg FIRST; the pair join and norm joins run over "
+    "640-row / 10-row relations (broadcast), never over vectors.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
