@@ -2287,3 +2287,115 @@ def q219_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mod_permille"),
     )
+
+
+# --- q227: Benford first-digit test ----------------------------------------
+
+
+@register(
+    "q227_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY 1),
+    n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT g.range AS digit,
+             CAST(round(1000000.0
+               * (ln(1.0 + 1.0 / g.range) / ln(10.0))) AS BIGINT)
+               AS p_micro
+      FROM range(1, 10) g),
+    terms AS (
+      SELECT grid.digit,
+             CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+             grid.p_micro,
+             CAST(round(1000000.0
+               * (CAST(coalesce(obs.n_obs, 0) AS DOUBLE)
+                  - CAST(n.n AS DOUBLE) * grid.p_micro / 1000000.0)
+               * (CAST(coalesce(obs.n_obs, 0) AS DOUBLE)
+                  - CAST(n.n AS DOUBLE) * grid.p_micro / 1000000.0)
+               / (CAST(n.n AS DOUBLE) * grid.p_micro / 1000000.0))
+               AS BIGINT) AS chi_term_micro
+      FROM grid LEFT JOIN obs ON grid.digit = obs.digit, n)
+    SELECT digit, n_obs, p_micro, chi_term_micro FROM terms
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), n.n, NULL,
+           CAST(sum(chi_term_micro) AS BIGINT)
+    FROM terms, n GROUP BY n.n
+    """,
+    doc="BENFORD FIRST-DIGIT test over line-item prices — the "
+    "fraud/synthetic-data screen (organically-grown monetary values "
+    "follow P(d) = log10(1 + 1/d); fabricated or uniformly-generated "
+    "values don't, and a chi-square against the Benford grid flags "
+    "the table — a standard data-forensics gate before ingesting a "
+    "third-party financial table). First digit comes from "
+    "INTEGER-to-string of the cent-quantized price (no log10-floor "
+    "digit extraction, whose libm boundary at exact powers of ten "
+    "flips digits between engines); expected probabilities are "
+    "ln-derived but micro-quantized (q203 discipline), and each "
+    "digit's chi term is quantized before the 9-term sum. Output: "
+    "one row per digit plus the chi-square total row (digit 0). "
+    "Uniformly-generated testdata prices FAIL Benford loudly — the "
+    "screen's positive path. One hash agg over the scan; the grid "
+    "is 9 rows at any scale.",
+    tags=("analytics", "quality", "benford", "agg", "scale"),
+)
+def q227_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "lineitem").select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    n = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    grid = spark.range(1, 10).select(
+        F.col("id").alias("digit"),
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("id"))
+                / F.log(F.lit(10.0))
+            )
+        )
+        .cast("long")
+        .alias("p_micro"),
+    )
+    e = F.col("n").cast("double") * F.col("p_micro") / F.lit(1000000.0)
+    o = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+    terms = (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0))
+            .cast("long")
+            .alias("n_obs"),
+            "p_micro",
+            F.round(F.lit(1000000.0) * (o - e) * (o - e) / e)
+            .cast("long")
+            .alias("chi_term_micro"),
+        )
+    )
+    total = terms.crossJoin(F.broadcast(n)).groupBy("n").agg(
+        F.lit(0).cast("long").alias("digit"),
+        F.lit(None).cast("long").alias("p_micro"),
+        F.sum("chi_term_micro").cast("long").alias("chi_term_micro"),
+    ).select(
+        "digit",
+        F.col("n").cast("long").alias("n_obs"),
+        "p_micro",
+        "chi_term_micro",
+    )
+    return terms.unionByName(total)

@@ -2264,3 +2264,154 @@ def q221_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("intercept_micro"),
     )
+
+
+# --- q226: quality filter funnel report ------------------------------------
+
+_FUNNEL_MIN_TOK = 30
+_FUNNEL_MIN_STOP_MILLI = 100   # stopword ratio >= 0.10
+_FUNNEL_MAX_REP_MILLI = 150    # max token freq / n_tok <= 0.15
+
+
+@register(
+    "q226_filter_funnel",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    tf AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+      GROUP BY 1, 2),
+    m AS (
+      SELECT t.doc_id,
+             CAST(len(t.tk) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(t.tk,
+                 x -> list_contains({_STOPWORDS!r}, x))) AS BIGINT)
+               AS n_stop,
+             mx.mx AS max_tf
+      FROM toks t
+      JOIN (SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
+            FROM tf GROUP BY 1) mx
+        ON t.doc_id = mx.doc_id
+      WHERE len(t.tk) > 0),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN n_tok < {_FUNNEL_MIN_TOK} THEN 1 ELSE 0 END AS f1,
+             CASE WHEN 1000 * n_stop < {_FUNNEL_MIN_STOP_MILLI} * n_tok
+                  THEN 1 ELSE 0 END AS f2,
+             CASE WHEN 1000 * max_tf > {_FUNNEL_MAX_REP_MILLI} * n_tok
+                  THEN 1 ELSE 0 END AS f3
+      FROM m),
+    stages AS (
+      SELECT 1 AS stage, 'min_length' AS rule,
+             CAST(sum(f1) AS BIGINT) AS n_dropped,
+             CAST(sum(1 - f1) AS BIGINT) AS n_surviving
+      FROM flags
+      UNION ALL
+      SELECT 2, 'stopword_floor',
+             CAST(sum(CASE WHEN f1 = 0 AND f2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(sum(CASE WHEN f1 = 0 AND f2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM flags
+      UNION ALL
+      SELECT 3, 'repetition_cap',
+             CAST(sum(CASE WHEN f1 = 0 AND f2 = 0 AND f3 = 1
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN f1 = 0 AND f2 = 0 AND f3 = 0
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM flags)
+    SELECT stage, rule, n_dropped, n_surviving
+    FROM stages
+    """,
+    doc="QUALITY FILTER FUNNEL report — the pipeline-ops view the "
+    "per-doc rules (q51/q54) don't give: apply the standard gates in "
+    "their production order (minimum length, stopword-ratio floor, "
+    "repetition cap — the Gopher/C4 rule family) and report, per "
+    "stage, how many documents the stage drops and how many survive "
+    "it cumulatively. This is the report a data curator reads to see "
+    "WHICH rule is doing the work and whether a rule change starves "
+    "the corpus. All thresholds compare in cross-multiplied integer "
+    "arithmetic (1000*n_stop < 100*n_tok), no division anywhere; the "
+    "per-doc max token frequency comes from one (doc, token) hash "
+    "agg + a doc-keyed max. Output is 3 rows at any corpus size.",
+    tags=("llm", "text", "quality", "pipeline", "agg", "scale"),
+)
+def q226_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("tk", tokens("text"))
+        .filter(F.size("tk") > 0)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    tf = (
+        d.select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("max_tf"))
+    )
+    m = d.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tok"),
+        F.size(F.filter("tk", lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+    ).join(tf, "doc_id")
+    flags = m.select(
+        (F.col("n_tok") < _FUNNEL_MIN_TOK).cast("long").alias("f1"),
+        (
+            1000 * F.col("n_stop")
+            < F.lit(_FUNNEL_MIN_STOP_MILLI) * F.col("n_tok")
+        )
+        .cast("long")
+        .alias("f2"),
+        (
+            1000 * F.col("max_tf")
+            > F.lit(_FUNNEL_MAX_REP_MILLI) * F.col("n_tok")
+        )
+        .cast("long")
+        .alias("f3"),
+    )
+    s1 = flags.agg(
+        F.lit(1).cast("int").alias("stage"),
+        F.lit("min_length").alias("rule"),
+        F.sum("f1").cast("long").alias("n_dropped"),
+        F.sum(1 - F.col("f1")).cast("long").alias("n_surviving"),
+    )
+    s2 = flags.agg(
+        F.lit(2).cast("int").alias("stage"),
+        F.lit("stopword_floor").alias("rule"),
+        F.sum(((F.col("f1") == 0) & (F.col("f2") == 1)).cast("long"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(((F.col("f1") == 0) & (F.col("f2") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_surviving"),
+    )
+    s3 = flags.agg(
+        F.lit(3).cast("int").alias("stage"),
+        F.lit("repetition_cap").alias("rule"),
+        F.sum(
+            (
+                (F.col("f1") == 0)
+                & (F.col("f2") == 0)
+                & (F.col("f3") == 1)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(
+            (
+                (F.col("f1") == 0)
+                & (F.col("f2") == 0)
+                & (F.col("f3") == 0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_surviving"),
+    )
+    return s1.unionByName(s2).unionByName(s3)

@@ -567,3 +567,43 @@ def test_q225_centroid_cosine_bounds_and_symmetry(spark):
         assert -1_000_001 <= r.cos_micro <= 1_000_001
     k = len(labels)
     assert len(rows) == k * (k - 1) // 2
+
+
+def test_q226_funnel_conserves_documents(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["q226_filter_funnel"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.rule for r in rows] == [
+        "min_length", "stopword_floor", "repetition_cap",
+    ]
+    # stage k's survivors = stage k+1's dropped + surviving
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_surviving == b.n_dropped + b.n_surviving
+    assert rows[0].n_dropped + rows[0].n_surviving > 0
+
+
+def test_q227_benford_chi_and_terms(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q227_benford_digits"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    digits = {r.digit: r for r in rows}
+    assert set(digits) == set(range(10))
+    total = digits[0]
+    assert total.chi_term_micro == sum(
+        digits[d].chi_term_micro for d in range(1, 10)
+    )
+    assert total.n_obs == sum(digits[d].n_obs for d in range(1, 10))
+    # Benford probabilities sum to 1 (micro-quantized)
+    assert abs(
+        sum(digits[d].p_micro for d in range(1, 10)) - 1_000_000
+    ) <= 5
+    # uniformly generated prices are loudly non-Benford: chi2 >> the
+    # 8-dof 99.9% critical value (~26.1)
+    assert total.chi_term_micro > 26_100_000

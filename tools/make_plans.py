@@ -444,6 +444,16 @@ CASES = {
     "What to check: the vector scan collapses to a (label, dim) "
     "hash agg FIRST; the pair join and norm joins run over "
     "640-row / 10-row relations (broadcast), never over vectors.",
+    "q226_filter_funnel": "Quality filter funnel. What to check: "
+    "one (doc, token) partial/final tf agg + a doc-keyed max, one "
+    "join back to the per-doc stats, then three single-row aggs "
+    "unioned — every gate is an integer cross-multiplication in "
+    "codegen, no division, no window.",
+    "q227_benford_digits": "Benford first-digit test. What to "
+    "check: the scan collapses to a 9-row digit hash agg; the "
+    "Benford grid is a 9-row range join (left) with the scalar "
+    "total crossJoin-broadcast; digit extraction is integer-to-"
+    "string, no log10 anywhere near the digit path.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
