@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from columnarmodeling_spark.functions.text import tokens
 from columnarmodeling_spark.operators.indexing import with_global_running_max
 from columnarmodeling_spark.queries import register
 from columnarmodeling_spark.queries._util import t
@@ -2399,3 +2400,238 @@ def q227_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi_term_micro",
     )
     return terms.unionByName(total)
+
+
+# --- q228: two-sample Kolmogorov-Smirnov test ------------------------------
+
+
+@register(
+    "q228_ks_test",
+    oracle="""
+    WITH ev AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'view')),
+    grp AS (
+      SELECT value, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(g1) AS BIGINT) AS cnt1
+      FROM ev GROUP BY 1),
+    cum AS (
+      SELECT CAST(sum(cnt1) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c1,
+             CAST(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS call
+      FROM grp),
+    tot AS (
+      SELECT CAST(sum(cnt1) AS BIGINT) AS n1,
+             CAST(sum(cnt) - sum(cnt1) AS BIGINT) AS n2
+      FROM grp),
+    d AS (
+      SELECT CAST(max(abs(c1 * t.n2 - (call - c1) * t.n1)) AS BIGINT)
+               AS d_num
+      FROM cum, tot t)
+    SELECT t.n1, t.n2, d.d_num,
+           CAST(round(1000000.0 * (CAST(d.d_num AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * t.n2))) AS BIGINT) AS d_micro,
+           CAST(round(1000000.0
+             * (CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2))
+             * sqrt((CAST(t.n1 AS DOUBLE) * t.n2)
+                    / CAST(t.n1 + t.n2 AS DOUBLE))) AS BIGINT)
+             AS lambda_micro,
+           CAST(round(1000000.0 * 2.0 * exp(-2.0
+             * ((CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2))
+                * sqrt((CAST(t.n1 AS DOUBLE) * t.n2)
+                       / CAST(t.n1 + t.n2 AS DOUBLE)))
+             * ((CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2))
+                * sqrt((CAST(t.n1 AS DOUBLE) * t.n2)
+                       / CAST(t.n1 + t.n2 AS DOUBLE)))))
+             AS BIGINT) AS p_approx_micro
+    FROM d, tot t
+    """,
+    doc="TWO-SAMPLE KOLMOGOROV-SMIRNOV — the shape-sensitive "
+    "complement to q216's Mann-Whitney (MW detects location shift; "
+    "KS catches any ECDF divergence: variance, bimodality, tail "
+    "inflation — the standard distribution-drift gate between a "
+    "treatment and control metric stream). D = max|F1-F2| computed "
+    "EXACTLY in integers: per distinct value, inclusive cumulative "
+    "counts c1/call from one running-sum window over the value "
+    "histogram (the q216 shape), and |c1*n2 - c2*n1| is an int64 "
+    "whose max over values is D*n1*n2 with zero float error. The "
+    "asymptotic lambda = D*sqrt(n1*n2/(n1+n2)) uses only the "
+    "IEEE-exact sqrt on identical operands; the one-term "
+    "Kolmogorov tail 2*exp(-2*lambda^2) is the single libm exp, "
+    "quantized at output (the q203 ln discipline applied to exp). "
+    "Scale: state is the distinct-value histogram, the global "
+    "window range-partitions like q147's sort, everything else is "
+    "one-row broadcast arithmetic.",
+    tags=("analytics", "stats", "ab-test", "drift", "window", "scale"),
+)
+def q228_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("g1"),
+        )
+    )
+    grp = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("g1").cast("long").alias("cnt1"),
+    )
+    win = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        F.sum("cnt1").over(win).cast("long").alias("c1"),
+        F.sum("cnt").over(win).cast("long").alias("call"),
+    )
+    tot = grp.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        (F.sum("cnt") - F.sum("cnt1")).cast("long").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c1") * F.col("n2")
+                    - (F.col("call") - F.col("c1")) * F.col("n1")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    dd = F.col("d_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    lam = dd * F.sqrt(
+        (F.col("n1").cast("double") * F.col("n2"))
+        / (F.col("n1") + F.col("n2")).cast("double")
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "d_num",
+        F.round(F.lit(1000000.0) * dd).cast("long").alias("d_micro"),
+        F.round(F.lit(1000000.0) * lam).cast("long").alias(
+            "lambda_micro"
+        ),
+        F.round(
+            F.lit(1000000.0) * 2.0 * F.exp(F.lit(-2.0) * lam * lam)
+        )
+        .cast("long")
+        .alias("p_approx_micro"),
+    )
+
+
+# --- q229: Spearman rank correlation per group -----------------------------
+
+
+@register(
+    "q229_spearman",
+    oracle="""
+    WITH d AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               t -> t <> ''))) AS BIGINT) AS y
+      FROM documents),
+    r AS (
+      SELECT lang,
+             CAST(2 * rank() OVER (PARTITION BY lang ORDER BY x)
+               + count(*) OVER (PARTITION BY lang, x) - 1
+               AS BIGINT) AS rx2,
+             CAST(2 * rank() OVER (PARTITION BY lang ORDER BY y)
+               + count(*) OVER (PARTITION BY lang, y) - 1
+               AS BIGINT) AS ry2
+      FROM d),
+    s AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx2) AS BIGINT) AS sx,
+             CAST(sum(ry2) AS BIGINT) AS sy,
+             CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+             CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+      FROM r GROUP BY 1)
+    SELECT lang, n,
+           CAST(round(1000000.0
+             * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       * (CAST(n AS DOUBLE) * syy
+                          - CAST(sy AS DOUBLE) * sy))))
+             AS BIGINT) AS rho_micro
+    FROM s ORDER BY lang
+    """,
+    doc="SPEARMAN RANK CORRELATION per language — the monotone-"
+    "association screen between two per-document signals (here "
+    "document length vs distinct-token count): robust to outliers "
+    "and nonlinearity where Pearson is not, it is the standard "
+    "redundancy check before adding a new quality signal to a "
+    "training-data filter stack. Tie handling is exact midranks, "
+    "DOUBLED to stay integer: 2*avgrank = 2*rank() + ties - 1 from "
+    "two per-group windows (the q216 midrank identity, no value-"
+    "histogram join needed), then Pearson over the integer doubled "
+    "ranks — all five sums are exact int64 per group; the rho "
+    "numerator/denominator combine in DOUBLE (n*sxy overflows int64 "
+    "at ~1e9 docs/group; identical-operand FP is bit-identical "
+    "cross-engine, q221 discipline) with the one IEEE-exact sqrt. "
+    "Scale: windows partition by (lang) and (lang, value) — no "
+    "global window; per-group state is five int64 cells.",
+    tags=("analytics", "stats", "rank", "correlation", "window",
+          "scale"),
+)
+def q229_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("y"),
+    )
+    rx2 = (
+        2 * F.rank().over(Window.partitionBy("lang").orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("lang", "x"))
+        - 1
+    ).cast("long")
+    ry2 = (
+        2 * F.rank().over(Window.partitionBy("lang").orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("lang", "y"))
+        - 1
+    ).cast("long")
+    r = d.select("lang", rx2.alias("rx2"), ry2.alias("ry2"))
+    s = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return s.select(
+        "lang",
+        "n",
+        F.round(F.lit(1000000.0) * (num / den))
+        .cast("long")
+        .alias("rho_micro"),
+    ).orderBy("lang")

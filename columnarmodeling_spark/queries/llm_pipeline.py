@@ -555,3 +555,90 @@ def q196_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_partkey",
         F.col("c2").isNotNull().alias("is_collision"),
     )
+
+
+# --- q232: greedy whole-document bin packing --------------------------------
+
+_PACK_BUDGET = 256
+
+
+@register(
+    "q232_greedy_packing",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    seq AS (
+      SELECT doc_id, source, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM toks),
+    rec AS (
+      SELECT doc_id, source, n_tok, rn,
+             CAST(1 AS BIGINT) AS bin_id, n_tok AS bin_cum
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.doc_id, s.source, s.n_tok, s.rn,
+             CASE WHEN r.bin_cum + s.n_tok <= {_PACK_BUDGET}
+                  THEN r.bin_id ELSE r.bin_id + 1 END,
+             CASE WHEN r.bin_cum + s.n_tok <= {_PACK_BUDGET}
+                  THEN r.bin_cum + s.n_tok ELSE s.n_tok END
+      FROM rec r JOIN seq s
+        ON s.source = r.source AND s.rn = r.rn + 1)
+    SELECT doc_id, source, n_tok, bin_id, bin_cum FROM rec
+    """,
+    doc="GREEDY WHOLE-DOCUMENT BIN PACKING — the padding-free "
+    "loader strategy that keeps every document INTACT (vs q130's "
+    "concat-and-chunk, which slices documents across chunk "
+    "boundaries): walk documents in deterministic order, filling "
+    "fixed token-budget context windows "
+    "(budget {B} here), opening a new bin when the next document "
+    "would overflow; an over-budget document gets a bin of its own. "
+    "The accept/continue decision depends on the running bin fill, "
+    "so the fold is inherently sequential WITHIN a shard (the q63 "
+    "W4 precedent) — the engine keeps exact semantics by folding "
+    "per shard in one Arrow-batched applyInPandas, with the shard "
+    "key (source) as the parallelism unit. The oracle replays the "
+    "identical fold as a recursive CTE over per-shard row numbers. "
+    "All integers; no float discipline needed. Scale: a 100 TB "
+    "corpus packs within bounded shards by construction (packing "
+    "across shard boundaries is neither needed nor wanted — shard "
+    "= one loader worker's stream); state per shard is two int64 "
+    "cells, and token counting is the same linear pass every text "
+    "query pays.".format(B=_PACK_BUDGET),
+    tags=("llm", "pipeline", "packing", "sequential", "scale"),
+)
+def q232_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_ids, bin_cums = [], []
+        b, c = 0, 0
+        for ntok in pdf["n_tok"]:
+            n = int(ntok)
+            if b == 0:
+                b, c = 1, n
+            elif c + n <= _PACK_BUDGET:
+                c += n
+            else:
+                b, c = b + 1, n
+            bin_ids.append(b)
+            bin_cums.append(c)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["bin_cum"] = pd.Series(bin_cums, dtype="int64")
+        return pdf[["doc_id", "source", "n_tok", "bin_id", "bin_cum"]]
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        schema="doc_id long, source string, n_tok long, "
+        "bin_id long, bin_cum long",
+    )

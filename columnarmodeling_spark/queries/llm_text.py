@@ -2415,3 +2415,192 @@ def q226_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_surviving"),
     )
     return s1.unionByName(s2).unionByName(s3)
+
+
+# --- q230: token-frequency Gini coefficient per language -------------------
+
+
+@register(
+    "q230_token_gini",
+    oracle="""
+    WITH tk AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM tk GROUP BY 1, 2),
+    rk AS (
+      SELECT lang, cnt,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY cnt, tok) AS BIGINT) AS i
+      FROM tf),
+    s AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_vocab,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(sum(i * cnt) AS BIGINT) AS si
+      FROM rk GROUP BY 1)
+    SELECT lang, n_vocab, n_tokens,
+           CAST(round(1000000.0
+             * ((2.0 * CAST(si AS DOUBLE)
+                 - (CAST(n_vocab AS DOUBLE) + 1.0) * n_tokens)
+                / (CAST(n_vocab AS DOUBLE) * n_tokens)))
+             AS BIGINT) AS gini_micro
+    FROM s ORDER BY lang
+    """,
+    doc="TOKEN-FREQUENCY GINI per language — the vocabulary-"
+    "concentration diagnostic that pairs with q221's Zipf slope: a "
+    "Gini near 1 means a few tokens dominate (templated/boilerplate "
+    "corpus slice), near 0 means a flat, unnatural distribution; "
+    "per-language trend lines are a standing data-mix health "
+    "monitor. Exact integer core: frequencies rank ascending per "
+    "language with a deterministic (cnt, tok) tie-break, and the "
+    "Lorenz sum S_i = sum(i*cnt) is exact int64, so Gini = "
+    "(2*S_i - (n+1)*S) / (n*S) has an integer-exact numerator and "
+    "denominator combined in DOUBLE only at the end (n*S overflows "
+    "int64 at web-corpus scale; identical-operand FP is "
+    "bit-identical cross-engine, q221 discipline). Scale: the "
+    "window partitions by language over the VOCABULARY relation "
+    "(bounded, not the token stream); the frequency agg is "
+    "map-side combinable.",
+    tags=("llm", "text", "stats", "quality", "window", "scale"),
+)
+def q230_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rk = tf.select(
+        "lang",
+        "cnt",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("cnt", "tok"))
+        .cast("long")
+        .alias("i"),
+    )
+    s = rk.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("i") * F.col("cnt")).cast("long").alias("si"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("si").cast("double")
+        - (F.col("n_vocab").cast("double") + F.lit(1.0))
+        * F.col("n_tokens")
+    ) / (F.col("n_vocab").cast("double") * F.col("n_tokens"))
+    return s.select(
+        "lang",
+        "n_vocab",
+        "n_tokens",
+        F.round(F.lit(1000000.0) * gini).cast("long").alias(
+            "gini_micro"
+        ),
+    ).orderBy("lang")
+
+
+# --- q231: repeated-token run-length filter (gap-and-island) ---------------
+
+_RUN_FLAG_MIN = 3
+
+
+@register(
+    "q231_repetition_runs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, i, tk[i] AS tok
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(tk) + 1)) AS i) idx
+      WHERE len(tk) > 0),
+    isl AS (
+      SELECT doc_id, tok,
+             i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i)
+               AS island
+      FROM pos),
+    runs AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_id, tok, island),
+    best AS (
+      SELECT doc_id, tok AS run_tok, run_len,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY run_len DESC, tok) AS rn
+      FROM runs),
+    n AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM toks)
+    SELECT n.doc_id, n.n_tok, b.run_len AS max_run, b.run_tok,
+           CAST(CASE WHEN b.run_len >= {_RUN_FLAG_MIN} THEN 1 ELSE 0 END
+                AS BIGINT) AS flag_repetitive
+    FROM n JOIN best b ON b.doc_id = n.doc_id AND b.rn = 1
+    """,
+    doc="REPEATED-TOKEN RUN FILTER — the repetition screen every "
+    "pretraining pipeline runs (degenerate generations and scraped "
+    "boilerplate show long runs of one token; C4/Gopher-style rules "
+    "drop documents whose max run exceeds a threshold). The classic "
+    "gap-and-island trick, per document: position minus "
+    "row_number() within (doc, token) is constant exactly on a "
+    "consecutive run, so one window plus one count gives every "
+    "run's length with no self-join; a per-doc (run_len DESC, tok) "
+    "row_number picks the deterministic winner. All integers end to "
+    "end — no float discipline needed. Scale: both windows "
+    "partition by doc_id (and token) — state never leaves the "
+    "document's shuffle partition, the exact shape that survives a "
+    "billion-document corpus; the token explode is the same linear "
+    "pass every text query pays.",
+    tags=("llm", "text", "quality", "window", "island", "scale"),
+)
+def q231_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    pos = d.filter(F.size("tk") > 0).select(
+        "doc_id", F.posexplode("tk").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    isl = pos.select(
+        "doc_id",
+        "tok",
+        (
+            F.col("i")
+            - F.row_number().over(
+                W.partitionBy("doc_id", "tok").orderBy("i")
+            )
+        ).alias("island"),
+    )
+    runs = isl.groupBy("doc_id", "tok", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    best = runs.select(
+        "doc_id",
+        F.col("tok").alias("run_tok"),
+        "run_len",
+        F.row_number()
+        .over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("run_len").desc(), F.col("tok")
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    n = d.filter(F.size("tk") > 0).select(
+        "doc_id", F.size("tk").cast("long").alias("n_tok")
+    )
+    return n.join(best, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        F.col("run_len").alias("max_run"),
+        "run_tok",
+        (F.col("run_len") >= _RUN_FLAG_MIN)
+        .cast("long")
+        .alias("flag_repetitive"),
+    )

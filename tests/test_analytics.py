@@ -607,3 +607,105 @@ def test_q227_benford_chi_and_terms(spark):
     # uniformly generated prices are loudly non-Benford: chi2 >> the
     # 8-dof 99.9% critical value (~26.1)
     assert total.chi_term_micro > 26_100_000
+
+
+def test_q228_ks_matches_numpy_ecdf(spark):
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q228_ks_test"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    a = np.sort(ev.loc[ev.event_type == "click", "value"].to_numpy())
+    b = np.sort(ev.loc[ev.event_type == "view", "value"].to_numpy())
+    assert (r.n1, r.n2) == (len(a), len(b))
+    pts = np.union1d(a, b)
+    c1 = np.searchsorted(a, pts, side="right")
+    c2 = np.searchsorted(b, pts, side="right")
+    d_num = int(np.max(np.abs(c1 * len(b) - c2 * len(a))))
+    assert r.d_num == d_num
+    assert 0 <= r.d_micro <= 1_000_000
+    assert r.lambda_micro >= 0
+    # one-term Kolmogorov tail is bounded by 2
+    assert 0 <= r.p_approx_micro <= 2_000_000
+
+
+def test_q229_spearman_matches_pandas(spark):
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q229_spearman"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    import re
+
+    docs["y"] = docs.text.map(
+        lambda s: len(set(t for t in re.split(r"[^a-z0-9]+", s.lower()) if t))
+    )
+    assert len(rows) == docs.lang.nunique()
+    for r in rows:
+        assert r.n > 0 and abs(r.rho_micro) <= 1_000_000
+        g = docs[docs.lang == r.lang]
+        rho = g.n_chars.rank().corr(g.y.rank())  # midrank Pearson
+        assert abs(r.rho_micro - round(1e6 * rho)) <= 2, r.lang
+
+
+def test_q230_gini_matches_python_fold(spark):
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q230_token_gini"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    for r in rows:
+        cnt = Counter()
+        for s in docs.loc[docs.lang == r.lang, "text"]:
+            cnt.update(t for t in re.split(r"[^a-z0-9]+", s.lower()) if t)
+        f = sorted(cnt.values())
+        n, s_tot = len(f), sum(f)
+        si = sum((i + 1) * c for i, c in enumerate(f))
+        assert (r.n_vocab, r.n_tokens) == (n, s_tot)
+        gini = (2.0 * si - (n + 1.0) * s_tot) / (n * 1.0 * s_tot)
+        assert abs(r.gini_micro - round(1e6 * gini)) <= 1
+        assert 0 <= r.gini_micro <= 1_000_000
+
+
+def test_q231_runs_match_python_scan(spark):
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["q231_repetition_runs"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        tk = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if not tk:
+            assert doc_id not in rows
+            continue
+        best_len, best_tok, cur = 0, None, 1
+        for i, tok in enumerate(tk):
+            cur = cur + 1 if i and tok == tk[i - 1] else 1
+            if cur > best_len or (cur == best_len and tok < best_tok):
+                best_len, best_tok = cur, tok
+        r = rows[doc_id]
+        assert (r.n_tok, r.max_run, r.run_tok) == (
+            len(tk), best_len, best_tok,
+        ), doc_id
+        assert r.flag_repetitive == int(best_len >= 3)

@@ -486,3 +486,47 @@ def test_decontamination_flags_planted_duplicates(spark, sf_dir):
     # 3-grams), so q94 must report nonzero contamination somewhere
     q94 = REGISTRY["q94_contamination"].fn(spark, sf_dir).collect()
     assert any(r["n_contaminated"] > 0 for r in q94)
+
+
+def test_q232_greedy_packing_matches_python_fold(spark):
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.llm_pipeline import _PACK_BUDGET
+
+    rows = REGISTRY["q232_greedy_packing"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    assert len(rows) == len(docs)
+    by_src = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        g = docs[docs.source == src].sort_values("doc_id")
+        b, c = 0, 0
+        for r, (_, doc) in zip(rs, g.iterrows()):
+            tk = [
+                t
+                for t in re.split(r"[^a-z0-9]+", doc.text.lower())
+                if t
+            ]
+            n = len(tk)
+            if b == 0:
+                b, c = 1, n
+            elif c + n <= _PACK_BUDGET:
+                c += n
+            else:
+                b, c = b + 1, n
+            assert (r.doc_id, r.n_tok, r.bin_id, r.bin_cum) == (
+                doc.doc_id, n, b, c,
+            ), (src, r.doc_id)
+        # bins fill within budget except single-doc overflow bins
+        fills = {}
+        for r in rs:
+            fills[r.bin_id] = max(fills.get(r.bin_id, 0), r.bin_cum)
+        for bid, fill in fills.items():
+            ndocs = sum(1 for r in rs if r.bin_id == bid)
+            assert fill <= _PACK_BUDGET or ndocs == 1
