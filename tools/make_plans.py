@@ -454,6 +454,33 @@ CASES = {
     "Benford grid is a 9-row range join (left) with the scalar "
     "total crossJoin-broadcast; digit extraction is integer-to-"
     "string, no log10 anywhere near the digit path.",
+    "q228_ks_test": "Two-sample Kolmogorov-Smirnov. What to check: "
+    "the event scan collapses to a distinct-value hash agg FIRST; "
+    "the one global running-sum window runs over that histogram "
+    "(range-partitionable, q216 shape); totals and the D max ride "
+    "one-row BroadcastExchanges — no per-event window, no sort of "
+    "the raw stream.",
+    "q229_spearman": "Spearman rank correlation per language. What "
+    "to check: both midrank windows partition by (lang) / (lang, "
+    "value) — no global window; the five moment sums are one "
+    "partial/final hash agg per language; rho is scalar arithmetic "
+    "in the projection.",
+    "q230_token_gini": "Token-frequency Gini per language. What to "
+    "check: the token explode feeds a (lang, tok) partial/final "
+    "agg, the rank window runs over the VOCABULARY relation "
+    "partitioned by lang (bounded, not the token stream), and the "
+    "Lorenz sums are a second per-lang hash agg.",
+    "q231_repetition_runs": "Repeated-token run filter. What to "
+    "check: both windows partition by doc_id(+tok) — state never "
+    "leaves the document's shuffle partition; runs collapse via a "
+    "(doc, tok, island) hash agg; the winner is a per-doc "
+    "row_number, and the n_tok join is doc-keyed.",
+    "q232_greedy_packing": "Greedy whole-document bin packing. "
+    "What to check: token counting is codegen (size over the "
+    "split), the only exchange is the hash partition by source "
+    "feeding ONE Arrow-batched FlatMapGroupsInPandas (the "
+    "sequential fold), and no window or sort appears outside the "
+    "per-group fold.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
