@@ -2635,3 +2635,313 @@ def q229_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rho_micro"),
     ).orderBy("lang")
+
+
+# --- q234: per-group OLS with R^2 ------------------------------------------
+
+
+@register(
+    "q234_grouped_ols",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS x,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents),
+    s AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY 1)
+    SELECT lang, n,
+           CAST(round(1000000.0
+             * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
+             AS BIGINT) AS slope_micro,
+           CAST(round(1000000.0
+             * ((CAST(sy AS DOUBLE)
+                 - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx)) * sx)
+                / CAST(n AS DOUBLE))) AS BIGINT) AS intercept_micro,
+           CAST(round(1000000.0
+             * (((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy
+                      - CAST(sy AS DOUBLE) * sy))))
+             AS BIGINT) AS r2_micro
+    FROM s ORDER BY lang
+    """,
+    doc="PER-GROUP OLS with R^2 — grouped simple regression (chars "
+    "per token by language: the calibration line behind q215's "
+    "fertility ratios, with the goodness-of-fit the ratio alone "
+    "hides; complements q221's global log-log fit). Moment "
+    "machinery: the six sums are exact int64 per group from ONE "
+    "map-side-combinable hash agg; slope, intercept and R^2 = "
+    "num^2/(denx*deny) combine those sums in DOUBLE in the "
+    "projection (n*sxy overflows int64 at ~1e9 docs/group; "
+    "identical-operand FP is bit-identical cross-engine, q221 "
+    "discipline) — no second pass over the data, no window. "
+    "Scale: one agg, #langs output rows, nothing else.",
+    tags=("analytics", "stats", "regression", "agg", "scale"),
+)
+def q234_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(tokens("text")).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    slope = num / denx
+    return s.select(
+        "lang",
+        "n",
+        F.round(F.lit(1000000.0) * slope).cast("long").alias(
+            "slope_micro"
+        ),
+        F.round(
+            F.lit(1000000.0)
+            * ((F.col("sy").cast("double") - slope * F.col("sx")) / nd)
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+        F.round(F.lit(1000000.0) * ((num * num) / (denx * deny)))
+        .cast("long")
+        .alias("r2_micro"),
+    ).orderBy("lang")
+
+
+# --- q237: Theil's U (uncertainty coefficient) -----------------------------
+
+
+@register(
+    "q237_theil_u",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS cls
+      FROM documents GROUP BY 1, 2),
+    cl AS (SELECT lang, CAST(sum(cls) AS BIGINT) AS cl
+           FROM c GROUP BY 1),
+    cs AS (SELECT source, CAST(sum(cls) AS BIGINT) AS cs
+           FROM c GROUP BY 1),
+    n AS (SELECT CAST(sum(cls) AS BIGINT) AS n FROM c),
+    a AS (
+      SELECT
+        (SELECT CAST(sum(cs * CAST(round(1000000.0
+           * ln(CAST(cs AS DOUBLE))) AS BIGINT)) AS BIGINT) FROM cs)
+          AS a_s,
+        (SELECT CAST(sum(cl * CAST(round(1000000.0
+           * ln(CAST(cl AS DOUBLE))) AS BIGINT)) AS BIGINT) FROM cl)
+          AS a_l,
+        (SELECT CAST(sum(cls * CAST(round(1000000.0
+           * ln(CAST(cls AS DOUBLE))) AS BIGINT)) AS BIGINT) FROM c)
+          AS a_ls,
+        (SELECT CAST(round(1000000.0 * ln(CAST(n AS DOUBLE)))
+           AS BIGINT) FROM n) AS lq_n,
+        (SELECT n FROM n) AS n)
+    SELECT n,
+           CAST(round(lq_n - CAST(a_s AS DOUBLE) / n) AS BIGINT)
+             AS h_s_micro,
+           CAST(round((CAST(a_l AS DOUBLE) - a_ls) / n) AS BIGINT)
+             AS h_cond_micro,
+           CAST(round(1000000.0
+             * (((lq_n - CAST(a_s AS DOUBLE) / n)
+                 - (CAST(a_l AS DOUBLE) - a_ls) / n)
+                / (lq_n - CAST(a_s AS DOUBLE) / n))) AS BIGINT)
+             AS u_micro
+    FROM a
+    """,
+    doc="THEIL'S U (uncertainty coefficient) for lang -> source — "
+    "the ASYMMETRIC categorical-association measure that finishes "
+    "what q204's chi-square starts (chi2 says 'dependent'; U says "
+    "'knowing the language removes this fraction of the entropy of "
+    "the source label', the quantity a stratified-sampling design "
+    "actually needs): U = (H(S) - H(S|L)) / H(S) with every "
+    "entropy assembled from c*ln(c) sums. Exactness: each ln is "
+    "quantized to integer micro-nats BEFORE its count-weighted sum "
+    "(q203 discipline), the three sums are exact int64 over the "
+    "(lang x source) CONTINGENCY relation (bounded — never the "
+    "corpus), and the final ratio combines them in double. Scale: "
+    "one groupBy builds the contingency table; everything after is "
+    "arithmetic over <=|L|*|S| rows on the driver-side-broadcast "
+    "scale.",
+    tags=("analytics", "stats", "entropy", "association", "scale"),
+)
+def q237_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("cls"))
+    )
+
+    def wsum(df: DataFrame, cnt: str, alias: str) -> DataFrame:
+        lq = F.round(
+            F.lit(1000000.0) * F.log(F.col(cnt).cast("double"))
+        ).cast("long")
+        return df.agg(
+            F.sum(F.col(cnt) * lq).cast("long").alias(alias)
+        )
+
+    cl = c.groupBy("lang").agg(F.sum("cls").cast("long").alias("cl"))
+    cs = c.groupBy("source").agg(
+        F.sum("cls").cast("long").alias("cs")
+    )
+    n = c.agg(F.sum("cls").cast("long").alias("n"))
+    a = (
+        wsum(cs, "cs", "a_s")
+        .crossJoin(F.broadcast(wsum(cl, "cl", "a_l")))
+        .crossJoin(F.broadcast(wsum(c, "cls", "a_ls")))
+        .crossJoin(
+            F.broadcast(
+                n.select(
+                    "n",
+                    F.round(
+                        F.lit(1000000.0)
+                        * F.log(F.col("n").cast("double"))
+                    )
+                    .cast("long")
+                    .alias("lq_n"),
+                )
+            )
+        )
+    )
+    h_s = F.col("lq_n") - F.col("a_s").cast("double") / F.col("n")
+    h_cond = (
+        F.col("a_l").cast("double") - F.col("a_ls")
+    ) / F.col("n")
+    return a.select(
+        "n",
+        F.round(h_s).cast("long").alias("h_s_micro"),
+        F.round(h_cond).cast("long").alias("h_cond_micro"),
+        F.round(F.lit(1000000.0) * ((h_s - h_cond) / h_s))
+        .cast("long")
+        .alias("u_micro"),
+    )
+
+
+# --- q238: trimmed and winsorized mean per group ---------------------------
+
+_TRIM_DECILE = 10  # drop bottom and top n/10 rows
+
+
+@register(
+    "q238_trimmed_mean",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(1000000.0 * value) AS BIGINT) AS vq,
+             event_id
+      FROM events),
+    r AS (
+      SELECT event_type, vq,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY vq, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    kept AS (
+      SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(vq) AS BIGINT) AS s_kept,
+             CAST(min(vq) AS BIGINT) AS v_lo,
+             CAST(max(vq) AS BIGINT) AS v_hi
+      FROM r
+      WHERE rn > n // {_TRIM_DECILE} AND rn <= n - n // {_TRIM_DECILE}
+      GROUP BY event_type)
+    SELECT event_type, n, n_kept,
+           CAST(round(CAST(s_kept AS DOUBLE) / n_kept) AS BIGINT)
+             AS trimmed_mean_micro,
+           CAST(round((CAST(s_kept AS DOUBLE)
+             + CAST(n // {_TRIM_DECILE} AS DOUBLE) * v_lo
+             + CAST(n // {_TRIM_DECILE} AS DOUBLE) * v_hi) / n)
+             AS BIGINT) AS winsor_mean_micro
+    FROM kept ORDER BY event_type
+    """,
+    doc="TRIMMED + WINSORIZED MEAN per event type — the robust "
+    "location estimators between q37's raw percentiles and q154's "
+    "median/MAD: drop (trimmed) or clamp (winsorized) the extreme "
+    "deciles so a heavy-tailed metric's 'average' stops being a "
+    "tail artifact. One rank pass per group (row_number + count "
+    "windows, event_id tie-break for determinism), then a single "
+    "agg of the kept band yields BOTH estimators: the winsorized "
+    "sum is s_kept + floor(n/10)*(v_lo + v_hi) because every "
+    "clamped row takes the band edge's value — no second pass, no "
+    "join back. Values are micro-quantized integers before any "
+    "sum (cross-engine exactness); the two means are one final "
+    "division each. Scale: windows partition by event_type; for a "
+    "group too hot for one partition the rank pass range-"
+    "partitions exactly like q147's distributed sort.",
+    tags=("analytics", "stats", "robust", "window", "scale"),
+)
+def q238_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.lit(1000000.0) * F.col("value"))
+        .cast("long")
+        .alias("vq"),
+        "event_id",
+    )
+    r = v.select(
+        "event_type",
+        "vq",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("vq", "event_id")
+        )
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    k = F.col("n") - (F.col("n") / _TRIM_DECILE).cast("long")
+    kept = (
+        r.filter(
+            (F.col("rn") > (F.col("n") / _TRIM_DECILE).cast("long"))
+            & (F.col("rn") <= k)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("vq").cast("long").alias("s_kept"),
+            F.min("vq").cast("long").alias("v_lo"),
+            F.max("vq").cast("long").alias("v_hi"),
+        )
+    )
+    ntrim = (F.col("n") / _TRIM_DECILE).cast("long").cast("double")
+    return kept.select(
+        "event_type",
+        "n",
+        "n_kept",
+        F.round(F.col("s_kept").cast("double") / F.col("n_kept"))
+        .cast("long")
+        .alias("trimmed_mean_micro"),
+        F.round(
+            (
+                F.col("s_kept").cast("double")
+                + ntrim * F.col("v_lo")
+                + ntrim * F.col("v_hi")
+            )
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("winsor_mean_micro"),
+    ).orderBy("event_type")

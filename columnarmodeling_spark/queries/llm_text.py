@@ -2604,3 +2604,314 @@ def q231_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flag_repetitive"),
     )
+
+
+# --- q233: KL divergence of per-source token mix vs corpus -----------------
+
+
+@register(
+    "q233_kl_source_mix",
+    oracle="""
+    WITH tk AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS tok
+      FROM documents),
+    tfs AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+      FROM tk GROUP BY 1, 2),
+    ns AS (
+      SELECT source, CAST(sum(cs) AS BIGINT) AS n_s,
+             CAST(count(*) AS BIGINT) AS vocab_s
+      FROM tfs GROUP BY 1),
+    tfc AS (
+      SELECT tok, CAST(sum(cs) AS BIGINT) AS cc FROM tfs GROUP BY 1),
+    nc AS (SELECT CAST(sum(cc) AS BIGINT) AS n_c FROM tfc),
+    terms AS (
+      SELECT s.source,
+             CAST(s.cs * CAST(round(1000000.0
+               * ln((CAST(s.cs AS DOUBLE) * x.n_c)
+                    / (CAST(c.cc AS DOUBLE) * n.n_s))) AS BIGINT)
+               AS BIGINT) AS term
+      FROM tfs s
+      JOIN tfc c ON c.tok = s.tok
+      JOIN ns n ON n.source = s.source
+      CROSS JOIN nc x)
+    SELECT n.source, n.n_s AS n_tokens, n.vocab_s AS n_vocab,
+           CAST(round(CAST(sum(t.term) AS DOUBLE) / n.n_s) AS BIGINT)
+             AS kl_micro
+    FROM terms t JOIN ns n ON n.source = t.source
+    GROUP BY n.source, n.n_s, n.vocab_s
+    ORDER BY n.source
+    """,
+    doc="KL DIVERGENCE of each source's token distribution from the "
+    "corpus mix — the per-domain drift monitor a data-mix curator "
+    "watches (PSI q203 bins a numeric feature; this is the "
+    "distribution-over-VOCABULARY counterpart): KL(source||corpus) "
+    "= sum p_s ln(p_s/p_c), always finite because every source "
+    "token is a corpus token. Exactness: each token's log-ratio "
+    "ln((cs*Nc)/(cc*Ns)) is quantized to integer micro-nats BEFORE "
+    "the weighted sum (q203 ln discipline), the cs-weighted sum is "
+    "exact int64, and one final division lands micro-nats per "
+    "token. At the 100 TB tier the micro quantum is rescaled to "
+    "milli so cs*lq stays inside int64 — the quantum is a "
+    "constant, not a semantics change. Scale: two map-side-"
+    "combinable aggs build the mixes; the term join shuffles on "
+    "tok over the VOCABULARY relation; N_c rides a one-row "
+    "broadcast and n_s a 20-row broadcast.",
+    tags=("llm", "text", "stats", "drift", "mix", "scale"),
+)
+def q233_kl_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tfs = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    )
+    ns = tfs.groupBy("source").agg(
+        F.sum("cs").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("vocab_s"),
+    )
+    tfc = tfs.groupBy("tok").agg(F.sum("cs").cast("long").alias("cc"))
+    nc = tfc.agg(F.sum("cc").cast("long").alias("n_c"))
+    lq = F.round(
+        F.lit(1000000.0)
+        * F.log(
+            (F.col("cs").cast("double") * F.col("n_c"))
+            / (F.col("cc").cast("double") * F.col("n_s"))
+        )
+    ).cast("long")
+    terms = (
+        tfs.join(tfc, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+        .select("source", (F.col("cs") * lq).cast("long").alias("term"))
+    )
+    return (
+        terms.join(F.broadcast(ns), "source")
+        .groupBy("source", "n_s", "vocab_s")
+        .agg(
+            F.round(F.sum("term").cast("double") / F.first("n_s"))
+            .cast("long")
+            .alias("kl_micro")
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("vocab_s").alias("n_vocab"),
+            "kl_micro",
+        )
+        .orderBy("source")
+    )
+
+
+# --- q235: source-pair vocabulary overlap matrix ---------------------------
+
+
+@register(
+    "q235_source_overlap",
+    oracle="""
+    WITH vt AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS tok
+      FROM documents),
+    sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS v FROM vt GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM vt a JOIN vt b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, sa.v AS v_a, sb.v AS v_b, i.n_inter,
+           CAST(round(1000000.0 * i.n_inter
+             / (sa.v + sb.v - i.n_inter)) AS BIGINT) AS jaccard_micro
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    ORDER BY i.src_a, i.src_b
+    """,
+    doc="SOURCE-PAIR VOCABULARY OVERLAP matrix — the corpus-mix "
+    "redundancy diagnostic (two crawls of the same domain show "
+    "near-1 vocabulary Jaccard long before document-level dedup "
+    "fires; a source whose vocabulary is disjoint from everything "
+    "is either gold or garbage): distinct (source, token) pairs, "
+    "a token-keyed self-join counts every pairwise intersection, "
+    "and per-source vocabulary sizes close the Jaccard. All "
+    "integers plus one final division. Scale: the self-join runs "
+    "over the VOCABULARY relation, not the corpus, and per-token "
+    "fan-out is bounded by #sources^2 (a constant — sources are "
+    "20ish, not millions); the result is the #sources-choose-2 "
+    "matrix, broadcast-size by construction.",
+    tags=("llm", "text", "mix", "join", "set", "scale"),
+)
+def q235_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vt = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sz = vt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = vt.alias("a")
+    b = vt.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("v").alias("v_a")))
+    sb = F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("v").alias("v_b")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "v_a",
+            "v_b",
+            "n_inter",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("n_inter")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --- q236: window-k skip-gram co-occurrence + PMI --------------------------
+
+_SKIP_K = 3
+_SKIP_MIN_CNT = 50
+
+
+@register(
+    "q236_skipgram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, i, tk[i] AS tok, len(tk) AS nt
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(tk) + 1)) AS i) idx),
+    pairs AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM (SELECT doc_id, i, tok, nt,
+                   unnest(range(i + 1,
+                                least(i + {_SKIP_K}, nt) + 1)) AS j
+            FROM pos) a
+      JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.j),
+    pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY 1, 2),
+    tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_pairs FROM pc),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY 1),
+    un AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni)
+    SELECT p.w1, p.w2, p.cnt,
+           CAST(round(1000000.0
+             * ln((CAST(p.cnt AS DOUBLE) * u.n_tok * u.n_tok)
+                  / (CAST(t.t_pairs AS DOUBLE) * c1.c * c2.c)))
+             AS BIGINT) AS pmi_micro
+    FROM pc p
+    JOIN uni c1 ON c1.tok = p.w1
+    JOIN uni c2 ON c2.tok = p.w2
+    CROSS JOIN tt t CROSS JOIN un u
+    WHERE p.cnt >= {_SKIP_MIN_CNT}
+    ORDER BY p.w1, p.w2
+    """,
+    doc="WINDOW-k SKIP-GRAM co-occurrence + PMI — the word2vec/GloVe "
+    "training-pair extraction (q119's PMI reads ADJACENT bigrams; "
+    "embedding training wants every ordered pair within a +/-k "
+    "window, which changes both the counts and the normalizer): "
+    "pairs are generated by an offset EXPLODE (each position emits "
+    "its <=k forward offsets) joined back on (doc, position) — an "
+    "equi-join with fan-out exactly k, never the per-document "
+    "quadratic a doc_id-only join would generate. PMI compares the "
+    "pair frequency against the unigram product under the "
+    "skip-gram total T; the single ln per surviving pair is "
+    "quantized to micro-nats at output. The cnt >= {_SKIP_MIN_CNT} "
+    "floor bounds the result to the frequent-pair relation. "
+    "Scale: positions and pairs are linear in corpus tokens (x k); "
+    "both aggs are map-side combinable; T and N ride one-row "
+    "broadcasts and the unigram joins shuffle on the VOCABULARY "
+    "relation.",
+    tags=("llm", "text", "pmi", "skipgram", "join", "scale"),
+)
+def q236_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    pos = d.select(
+        "doc_id",
+        F.size("tk").alias("nt"),
+        F.posexplode("tk").alias("i0", "tok"),
+    ).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "tok", "nt"
+    )
+    # filter i < nt first: F.sequence(a, b) with a > b yields a
+    # DESCENDING sequence (DuckDB's range yields empty), so the last
+    # position must never reach the explode
+    offs = pos.filter(F.col("i") < F.col("nt")).select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.explode(
+            F.sequence(
+                F.col("i") + 1,
+                F.least(F.col("i") + _SKIP_K, F.col("nt")),
+            )
+        ).alias("j"),
+    )
+    pairs = offs.join(
+        pos.select("doc_id", F.col("i").alias("j"), F.col("tok").alias("w2")),
+        ["doc_id", "j"],
+    )
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tt = pc.agg(F.sum("cnt").cast("long").alias("t_pairs"))
+    uni = pos.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    un = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.lit(1000000.0)
+        * F.log(
+            (
+                F.col("cnt").cast("double")
+                * F.col("n_tok")
+                * F.col("n_tok")
+            )
+            / (
+                F.col("t_pairs").cast("double")
+                * F.col("c1")
+                * F.col("c2")
+            )
+        )
+    ).cast("long")
+    return (
+        pc.filter(F.col("cnt") >= _SKIP_MIN_CNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(un))
+        .select("w1", "w2", "cnt", pmi.alias("pmi_micro"))
+        .orderBy("w1", "w2")
+    )

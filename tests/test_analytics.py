@@ -709,3 +709,183 @@ def test_q231_runs_match_python_scan(spark):
             len(tk), best_len, best_tok,
         ), doc_id
         assert r.flag_repetitive == int(best_len >= 3)
+
+
+def _tokenize_docs(path):
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(path)
+    docs["tk"] = docs.text.map(
+        lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    )
+    return docs
+
+
+def test_q233_kl_nonneg_and_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q233_kl_source_mix"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = _tokenize_docs("/root/testdata/sf0.001/documents.parquet")
+    corpus = Counter()
+    per = {}
+    for src, g in docs.groupby("source"):
+        c = Counter()
+        for tk in g.tk:
+            c.update(tk)
+        per[src] = c
+        corpus.update(c)
+    n_c = sum(corpus.values())
+    assert len(rows) == len(per)
+    for r in rows:
+        c = per[r.source]
+        n_s = sum(c.values())
+        assert (r.n_tokens, r.n_vocab) == (n_s, len(c))
+        kl = sum(
+            (cs / n_s) * math.log((cs * n_c) / (corpus[t] * n_s))
+            for t, cs in c.items()
+        )
+        # micro-quantized per-term sums track the float fold closely
+        assert abs(r.kl_micro - 1e6 * kl) <= 1000, r.source
+        assert r.kl_micro >= -5  # KL >= 0 up to quantization slack
+
+
+def test_q234_ols_matches_numpy(spark):
+    import numpy as np
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q234_grouped_ols"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = _tokenize_docs("/root/testdata/sf0.001/documents.parquet")
+    docs["x"] = docs.tk.map(len)
+    for r in rows:
+        g = docs[docs.lang == r.lang]
+        slope, intercept = np.polyfit(g.x, g.n_chars, 1)
+        cc = np.corrcoef(g.x, g.n_chars)[0, 1]
+        assert abs(r.slope_micro - 1e6 * slope) <= 2, r.lang
+        assert abs(r.intercept_micro - 1e6 * intercept) <= 2, r.lang
+        assert abs(r.r2_micro - 1e6 * cc * cc) <= 2, r.lang
+        assert 0 <= r.r2_micro <= 1_000_001
+
+
+def test_q235_overlap_bounds_and_sizes(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q235_source_overlap"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = _tokenize_docs("/root/testdata/sf0.001/documents.parquet")
+    vocab = {
+        src: set().union(*g.tk) for src, g in docs.groupby("source")
+    }
+    k = len(vocab)
+    # every co-vocabulary pair present exactly once, a < b
+    assert len(rows) == sum(
+        1
+        for a in vocab
+        for b in vocab
+        if a < b and vocab[a] & vocab[b]
+    )
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert (r.v_a, r.v_b) == (
+            len(vocab[r.src_a]), len(vocab[r.src_b]),
+        )
+        inter = len(vocab[r.src_a] & vocab[r.src_b])
+        assert r.n_inter == inter
+        assert r.jaccard_micro == round(
+            1e6 * inter / (r.v_a + r.v_b - inter)
+        )
+
+
+def test_q236_skipgram_counts_match_python(spark):
+    import math
+    from collections import Counter
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.llm_text import (
+        _SKIP_K,
+        _SKIP_MIN_CNT,
+    )
+
+    rows = REGISTRY["q236_skipgram_pmi"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = _tokenize_docs("/root/testdata/sf0.001/documents.parquet")
+    pairs, uni = Counter(), Counter()
+    for tk in docs.tk:
+        uni.update(tk)
+        for i, w1 in enumerate(tk):
+            for j in range(i + 1, min(i + _SKIP_K, len(tk) - 1) + 1):
+                pairs[(w1, tk[j])] += 1
+    t_pairs, n_tok = sum(pairs.values()), sum(uni.values())
+    expect = {p: c for p, c in pairs.items() if c >= _SKIP_MIN_CNT}
+    assert {(r.w1, r.w2): r.cnt for r in rows} == expect
+    for r in rows:
+        pmi = math.log(
+            (r.cnt * n_tok * n_tok)
+            / (t_pairs * uni[r.w1] * uni[r.w2])
+        )
+        assert abs(r.pmi_micro - 1e6 * pmi) <= 2, (r.w1, r.w2)
+
+
+def test_q237_theil_u_bounds_and_entropies(spark):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q237_theil_u"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    n = len(docs)
+    cs = Counter(docs.source)
+    c_ls = Counter(zip(docs.lang, docs.source))
+    cl = Counter(docs.lang)
+    h_s = math.log(n) - sum(c * math.log(c) for c in cs.values()) / n
+    h_cond = (
+        sum(c * math.log(c) for c in cl.values())
+        - sum(c * math.log(c) for c in c_ls.values())
+    ) / n
+    assert r.n == n
+    assert abs(r.h_s_micro - 1e6 * h_s) <= 1000
+    assert abs(r.h_cond_micro - 1e6 * h_cond) <= 1000
+    assert 0 <= r.h_cond_micro <= r.h_s_micro + 5
+    assert -5 <= r.u_micro <= 1_000_005
+
+
+def test_q238_trimmed_winsorized_match_python(spark):
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q238_trimmed_mean"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    for r in rows:
+        g = ev[ev.event_type == r.event_type].copy()
+        g["vq"] = (1e6 * g.value).round().astype("int64")
+        g = g.sort_values(["vq", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        cut = n // 10
+        kept = g.vq.iloc[cut: n - cut]
+        assert (r.n, r.n_kept) == (n, n - 2 * cut)
+        assert abs(
+            r.trimmed_mean_micro - kept.sum() / len(kept)
+        ) <= 0.51
+        wins = (kept.sum() + cut * kept.iloc[0] + cut * kept.iloc[-1]) / n
+        assert abs(r.winsor_mean_micro - wins) <= 0.51
+        # robustness: trimmed mean within the kept band
+        assert kept.iloc[0] <= r.trimmed_mean_micro <= kept.iloc[-1]
