@@ -481,6 +481,34 @@ CASES = {
     "feeding ONE Arrow-batched FlatMapGroupsInPandas (the "
     "sequential fold), and no window or sort appears outside the "
     "per-group fold.",
+    "q233_kl_source_mix": "KL divergence per source vs corpus mix. "
+    "What to check: two stacked map-side-combinable aggs build the "
+    "mixes; the term join shuffles on tok over the VOCABULARY "
+    "relation; n_s and N_c arrive via BroadcastExchange (20-row / "
+    "one-row) — the corpus is scanned once.",
+    "q234_grouped_ols": "Per-language OLS with R^2. What to check: "
+    "ONE partial/final hash agg produces all six moment sums; "
+    "slope/intercept/R^2 are projection arithmetic — no window, no "
+    "join, no second scan.",
+    "q235_source_overlap": "Source-pair vocabulary Jaccard. What "
+    "to check: the corpus collapses to the distinct (source, tok) "
+    "relation FIRST; the pair space comes only from the tok-keyed "
+    "self-join (fan-out <= #sources per token); both size joins are "
+    "BroadcastHashJoin.",
+    "q236_skipgram_pmi": "Window-k skip-gram PMI. What to check: "
+    "pair generation is offset-explode + (doc, position) EQUI-join "
+    "(fan-out exactly k) — no doc-keyed quadratic join; the PMI "
+    "joins run over the frequent-PAIR relation against vocabulary "
+    "aggs, with T and N as one-row broadcasts.",
+    "q237_theil_u": "Theil's U association. What to check: one "
+    "groupBy builds the (lang, source) contingency table; all "
+    "three c*ln(c) sums aggregate relations bounded by |L|, |S|, "
+    "|L|*|S|; the final row is crossJoin-broadcast arithmetic.",
+    "q238_trimmed_mean": "Trimmed + winsorized means. What to "
+    "check: the rank pass is two windows partitioned by "
+    "event_type (no global window); ONE agg of the kept band "
+    "yields both estimators — no join-back, no second pass over "
+    "the events.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
