@@ -2945,3 +2945,144 @@ def q238_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("winsor_mean_micro"),
     ).orderBy("event_type")
+
+
+# --- q240: Welch's unequal-variance t-test ---------------------------------
+
+
+@register(
+    "q240_welch_ttest",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(round(1000.0 * value) AS BIGINT) AS vq,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'view')),
+    s AS (
+      SELECT CAST(sum(g1) AS BIGINT) AS n1,
+             CAST(count(*) - sum(g1) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g1 = 1 THEN vq ELSE 0 END) AS BIGINT)
+               AS sv1,
+             CAST(sum(CASE WHEN g1 = 0 THEN vq ELSE 0 END) AS BIGINT)
+               AS sv2,
+             CAST(sum(CASE WHEN g1 = 1 THEN vq * vq ELSE 0 END)
+               AS BIGINT) AS svv1,
+             CAST(sum(CASE WHEN g1 = 0 THEN vq * vq ELSE 0 END)
+               AS BIGINT) AS svv2
+      FROM ev)
+    SELECT n1, n2,
+           CAST(round(1000.0 * (CAST(sv1 AS DOUBLE) / n1
+                                - CAST(sv2 AS DOUBLE) / n2))
+             AS BIGINT) AS diff_micro,
+           CAST(round(1000000.0
+             * ((CAST(sv1 AS DOUBLE) / n1 - CAST(sv2 AS DOUBLE) / n2)
+                / sqrt(((CAST(svv1 AS DOUBLE)
+                         - CAST(sv1 AS DOUBLE) * sv1 / n1)
+                        / (n1 - 1.0)) / n1
+                       + ((CAST(svv2 AS DOUBLE)
+                           - CAST(sv2 AS DOUBLE) * sv2 / n2)
+                          / (n2 - 1.0)) / n2))) AS BIGINT) AS t_micro,
+           CAST(round(1000.0
+             * ((((CAST(svv1 AS DOUBLE)
+                   - CAST(sv1 AS DOUBLE) * sv1 / n1)
+                  / (n1 - 1.0)) / n1
+                 + ((CAST(svv2 AS DOUBLE)
+                     - CAST(sv2 AS DOUBLE) * sv2 / n2)
+                    / (n2 - 1.0)) / n2)
+                * (((CAST(svv1 AS DOUBLE)
+                     - CAST(sv1 AS DOUBLE) * sv1 / n1)
+                    / (n1 - 1.0)) / n1
+                   + ((CAST(svv2 AS DOUBLE)
+                       - CAST(sv2 AS DOUBLE) * sv2 / n2)
+                      / (n2 - 1.0)) / n2)
+                / ((((CAST(svv1 AS DOUBLE)
+                      - CAST(sv1 AS DOUBLE) * sv1 / n1)
+                     / (n1 - 1.0)) / n1)
+                   * (((CAST(svv1 AS DOUBLE)
+                        - CAST(sv1 AS DOUBLE) * sv1 / n1)
+                       / (n1 - 1.0)) / n1) / (n1 - 1.0)
+                   + (((CAST(svv2 AS DOUBLE)
+                        - CAST(sv2 AS DOUBLE) * sv2 / n2)
+                       / (n2 - 1.0)) / n2)
+                     * (((CAST(svv2 AS DOUBLE)
+                          - CAST(sv2 AS DOUBLE) * sv2 / n2)
+                         / (n2 - 1.0)) / n2) / (n2 - 1.0))))
+             AS BIGINT) AS dof_milli
+    FROM s
+    """,
+    doc="WELCH'S UNEQUAL-VARIANCE t-TEST — the parametric member of "
+    "the two-sample battery (q191 proportions, q216 ranks, q228 "
+    "shapes): mean click-value vs view-value without the equal-"
+    "variance assumption a plain t-test smuggles in, plus the "
+    "Welch-Satterthwaite effective dof. One conditional-sum hash "
+    "agg yields all six moments as exact int64 over MILLI-quantized "
+    "values (micro would push sum(vq^2) past int64 at this row "
+    "count; at petabyte rows the quantum coarsens again — a "
+    "constant, not a semantics change). The t and dof expressions "
+    "combine those sums in double with one IEEE-exact sqrt, "
+    "quantized at output. Scale: a single map-side-combinable agg "
+    "over the event scan; one output row.",
+    tags=("analytics", "stats", "ab-test", "agg", "scale"),
+)
+def q240_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.round(F.lit(1000.0) * F.col("value"))
+            .cast("long")
+            .alias("vq"),
+            (F.col("event_type") == "click").cast("long").alias("g1"),
+        )
+    )
+    s = ev.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("vq")).otherwise(0))
+        .cast("long")
+        .alias("sv1"),
+        F.sum(F.when(F.col("g1") == 0, F.col("vq")).otherwise(0))
+        .cast("long")
+        .alias("sv2"),
+        F.sum(
+            F.when(F.col("g1") == 1, F.col("vq") * F.col("vq")).otherwise(0)
+        )
+        .cast("long")
+        .alias("svv1"),
+        F.sum(
+            F.when(F.col("g1") == 0, F.col("vq") * F.col("vq")).otherwise(0)
+        )
+        .cast("long")
+        .alias("svv2"),
+    )
+    m1 = F.col("sv1").cast("double") / F.col("n1")
+    m2 = F.col("sv2").cast("double") / F.col("n2")
+    se1 = (
+        (
+            F.col("svv1").cast("double")
+            - F.col("sv1").cast("double") * F.col("sv1") / F.col("n1")
+        )
+        / (F.col("n1") - F.lit(1.0))
+    ) / F.col("n1")
+    se2 = (
+        (
+            F.col("svv2").cast("double")
+            - F.col("sv2").cast("double") * F.col("sv2") / F.col("n2")
+        )
+        / (F.col("n2") - F.lit(1.0))
+    ) / F.col("n2")
+    se = se1 + se2
+    dof = (se * se) / (
+        se1 * se1 / (F.col("n1") - F.lit(1.0))
+        + se2 * se2 / (F.col("n2") - F.lit(1.0))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.round(F.lit(1000.0) * (m1 - m2)).cast("long").alias(
+            "diff_micro"
+        ),
+        F.round(F.lit(1000000.0) * ((m1 - m2) / F.sqrt(se)))
+        .cast("long")
+        .alias("t_micro"),
+        F.round(F.lit(1000.0) * dof).cast("long").alias("dof_milli"),
+    )

@@ -1845,3 +1845,119 @@ def q224_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("doc_share_permille"),
     )
+
+
+# --- q239: sorted-neighborhood near-dup screen -----------------------------
+
+_SNM_W = 10  # neighborhood width in sort positions
+
+
+@register(
+    "q239_sorted_neighborhood",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    key AS (
+      SELECT doc_id, min(md5(s)) AS k, CAST(count(*) AS BIGINT) AS sz
+      FROM sh GROUP BY 1),
+    idx AS (
+      SELECT doc_id, k, sz,
+             row_number() OVER (ORDER BY k, doc_id) AS rn
+      FROM key),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sz_a, b.sz AS sz_b
+      FROM idx a JOIN idx b
+        ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W}),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, min(c.sz_a) AS sz_a, min(c.sz_b) AS sz_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, n_inter,
+           CAST(sz_a + sz_b - n_inter AS BIGINT) AS n_union,
+           1000 * n_inter // (sz_a + sz_b - n_inter) AS jac_milli
+    FROM inter
+    WHERE 3 * n_inter >= sz_a + sz_b
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SORTED-NEIGHBORHOOD near-duplicate screen (SNM — the entity-"
+    "resolution classic, a THIRD blocking family beside MinHash-LSH "
+    "q44 and prefix filtering q129): sort documents by a content-"
+    "derived key (the min shingle hash — each doc's 1-perm MinHash, "
+    "so near-dups almost surely share it), then compare only pairs "
+    "within {_SNM_W} sort positions, then verify exact shingle "
+    "Jaccard >= 0.5 with the integer 3*inter >= sz_a+sz_b cross-"
+    "multiplication. The global sort position comes from the two-"
+    "pass range-partitioned with_global_index (never a single-task "
+    "window); the neighborhood pairing is a BLOCK equi-join (block "
+    "= rn div W, each row probes its own and the next block) — "
+    "candidate volume is N*W by construction, and the verify join "
+    "fans out only over candidate docs' shingles. The oracle "
+    "replays the same pipeline with a plain window at sf. Scale: "
+    "every relation is linear in docs (x constant W); skew is "
+    "impossible by construction because neighborhoods are "
+    "positional, not value-keyed.",
+    tags=("llm", "dedup", "snm", "join", "window", "scale"),
+)
+def q239_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    sh = _shingle_rows(spark, sf_dir)
+    key = sh.groupBy("doc_id").agg(
+        F.min(F.md5("s")).alias("k"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    idx = with_global_index(key, ["k", "doc_id"], index_col="rn")
+    blk = idx.withColumn(
+        "block", F.expr(f"div(rn, {_SNM_W})")
+    )
+    left = blk.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(F.col("block"), F.col("block") + 1)
+        ).alias("block"),
+    )
+    right = blk.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rn_b"),
+        "block",
+    )
+    cand = left.join(right, "block").filter(
+        (F.col("rn_b") > F.col("rn_a"))
+        & (F.col("rn_b") <= F.col("rn_a") + _SNM_W)
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    inter = (
+        cand.select("doc_a", "doc_b", "sz_a", "sz_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+            F.count(F.lit(1)).cast("long").alias("n_inter"),
+        )
+    )
+    return (
+        inter.filter(
+            3 * F.col("n_inter") >= F.col("sz_a") + F.col("sz_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr("div(1000 * n_inter, sz_a + sz_b - n_inter)").alias(
+                "jac_milli"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

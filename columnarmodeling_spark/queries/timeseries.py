@@ -1119,3 +1119,212 @@ def segmented_ewma(ev: DataFrame, chunk_width: int) -> DataFrame:
         "n_chunks",
         F.round(comp["a"] * s0 + comp["b"], 6).alias("ewma"),
     )
+
+
+# --- q241: autocorrelation of the hourly event-count series ----------------
+
+_ACF_MAX_LAG = 6
+
+
+@register(
+    "q241_acf",
+    oracle=f"""
+    WITH obs AS (
+      SELECT epoch_us(ts) // {_HOUR_US} AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM obs),
+    grid AS (
+      SELECT g.hr, CAST(coalesce(o.x, 0) AS BIGINT) AS x
+      FROM (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN obs o USING (hr)),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+      FROM grid),
+    cen AS (
+      SELECT g.hr, CAST(s.n * g.x - s.sx AS BIGINT) AS d
+      FROM grid g, s),
+    den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM cen),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag),
+    num AS (
+      SELECT l.lag, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(a.d * b.d) AS BIGINT) AS num
+      FROM lags l
+      JOIN cen a ON true
+      JOIN cen b ON b.hr = a.hr + l.lag
+      GROUP BY 1)
+    SELECT n.lag, n.n_terms,
+           CAST(round(1000000.0 * CAST(n.num AS DOUBLE) / d.den)
+             AS BIGINT) AS r_micro
+    FROM num n, den d ORDER BY n.lag
+    """,
+    doc="AUTOCORRELATION FUNCTION (lags 1..{L}) of the hourly event-"
+    "count series — the seasonality/burstiness fingerprint that "
+    "decides whether q156's anomaly rule needs a seasonal term and "
+    "what period q183's seasonal split should use. The series is "
+    "the ZERO-FILLED hourly grid (gaps are real zeros for a count "
+    "series — q149's LOCF would be wrong here); centering is exact "
+    "integer: d_t = N*x_t - S avoids the fractional mean, the "
+    "num/den sums are int64 (count-scale products; at petabyte "
+    "rows the counts rescale to k-units first), and each r is one "
+    "final division quantized to micro. Scale: the event scan "
+    "folds to the hourly-bucket agg (map-side combinable); every "
+    "window-free join after that runs over the GRID relation, "
+    "whose size is the time span in hours — bounded by the clock, "
+    "not the data.".format(L=_ACF_MAX_LAG),
+    tags=("timeseries", "stats", "acf", "seasonality", "scale"),
+)
+def q241_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        F.expr(f"div(unix_micros(cast(ts AS timestamp)), {_HOUR_US})")
+        .alias("hr")
+    )
+    obs = e.groupBy("hr").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    b = obs.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = (
+        b.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+        .join(obs, "hr", "left")
+        .select("hr", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    s = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    cen = grid.crossJoin(F.broadcast(s)).select(
+        "hr",
+        (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("d"),
+    )
+    den = cen.agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("den")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = cen.crossJoin(F.broadcast(lags))
+    bb = cen.select(
+        F.col("hr").alias("hr_b"), F.col("d").alias("d_b")
+    )
+    num = (
+        a.join(bb, F.col("hr_b") == F.col("hr") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.col("d") * F.col("d_b")).cast("long").alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_terms",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("num").cast("double")
+                / F.col("den")
+            )
+            .cast("long")
+            .alias("r_micro"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --- q242: Markov stationary distribution (power iteration) ----------------
+
+_ST_ITERS = 20
+_ST_SCALE = 1_000_000
+
+
+def _stationary_oracle() -> str:
+    head = f"""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS to_type
+      FROM events),
+    m AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    rt AS (
+      SELECT from_type, CAST(sum(c) AS BIGINT) AS row_total
+      FROM m GROUP BY 1),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM rt),
+    it0 AS (
+      SELECT from_type AS j, CAST({_ST_SCALE} // k.k AS BIGINT) AS v
+      FROM rt, k)"""
+    steps = [
+        f""",
+    it{i + 1} AS (
+      SELECT m.to_type AS j,
+             CAST(sum((v.v * m.c) // r.row_total) AS BIGINT) AS v
+      FROM it{i} v
+      JOIN m ON m.from_type = v.j
+      JOIN rt r ON r.from_type = m.from_type
+      GROUP BY 1)"""
+        for i in range(_ST_ITERS)
+    ]
+    tail = f"""
+    SELECT j AS event_type, v AS v_micro
+    FROM it{_ST_ITERS} ORDER BY j
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q242_markov_stationary",
+    oracle=_stationary_oracle(),
+    doc="MARKOV STATIONARY DISTRIBUTION by power iteration over "
+    "q164's transition matrix — the long-run state occupancy that "
+    "turns next-step probabilities into traffic shares (PageRank's "
+    "kernel on the event-type chain). Iteration semantics are "
+    "INTEGER end to end so both engines walk bit-identical states: "
+    "v lives in micro-mass units, each step's term is the exact "
+    "truncating division (v_i * c_ij) div rowtotal_i summed in "
+    "int64 — no float ever, the per-term floor leaks < k micro "
+    "per step by design (documented, deterministic). {N} unrolled "
+    "iterations; the oracle replays them as {N} chained CTEs. "
+    "Scale: the transition counts aggregate distributed (map-side "
+    "combinable, state <= |types|^2); the iteration itself folds "
+    "on the driver over the COLLECTED |types|^2-row matrix — the "
+    "q63 bounded-relation precedent (5 event types; a 1e6-state "
+    "chain would move the same integer fold into a joined "
+    "iteration like q143's k-means rounds).".format(N=_ST_ITERS),
+    tags=("timeseries", "markov", "iterative", "graph", "scale"),
+)
+def q242_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy("us", "event_id")
+        )
+        .alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    m = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )  # bounded: <= |event types|^2 rows
+    rt: dict = {}
+    for r in m:
+        rt[r.from_type] = rt.get(r.from_type, 0) + r.c
+    k = len(rt)
+    v = {s: _ST_SCALE // k for s in rt}
+    for _ in range(_ST_ITERS):
+        nxt: dict = {}
+        for r in m:
+            if r.from_type in v:
+                nxt[r.to_type] = nxt.get(r.to_type, 0) + (
+                    v[r.from_type] * r.c
+                ) // rt[r.from_type]
+        v = nxt
+    out = sorted(v.items())
+    return spark.createDataFrame(
+        [(s, int(x)) for s, x in out], "event_type string, v_micro long"
+    )

@@ -889,3 +889,123 @@ def test_q238_trimmed_winsorized_match_python(spark):
         assert abs(r.winsor_mean_micro - wins) <= 0.51
         # robustness: trimmed mean within the kept band
         assert kept.iloc[0] <= r.trimmed_mean_micro <= kept.iloc[-1]
+
+
+def test_q239_snm_pairs_are_real_neardups(spark):
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q239_sorted_neighborhood"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows  # planted near-dups must surface
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    texts = dict(zip(docs.doc_id, docs.text))
+
+    def shingles(s):
+        tk = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        return {
+            " ".join(tk[i: i + 3]) for i in range(len(tk) - 2)
+        }
+
+    for r in rows:
+        a, b = shingles(texts[r.doc_a]), shingles(texts[r.doc_b])
+        inter, union = len(a & b), len(a | b)
+        assert (r.n_inter, r.n_union) == (inter, union)
+        # survivors really pass the Jaccard >= 0.5 gate
+        assert 2 * inter >= union
+        assert r.jac_milli == 1000 * inter // union
+
+
+def test_q240_welch_consistent_with_mw_direction(spark):
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    r = REGISTRY["q240_welch_ttest"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    a = np.round(1000.0 * ev.loc[ev.event_type == "click", "value"]).astype(
+        "int64"
+    )
+    b = np.round(1000.0 * ev.loc[ev.event_type == "view", "value"]).astype(
+        "int64"
+    )
+    assert (r.n1, r.n2) == (len(a), len(b))
+    se1 = a.var(ddof=1) / len(a)
+    se2 = b.var(ddof=1) / len(b)
+    tstat = (a.mean() - b.mean()) / np.sqrt(se1 + se2)
+    dof = (se1 + se2) ** 2 / (
+        se1**2 / (len(a) - 1) + se2**2 / (len(b) - 1)
+    )
+    assert abs(r.t_micro - 1e6 * tstat) <= 2
+    assert abs(r.dof_milli - 1e3 * dof) <= 2
+    # dof bounded by min-1 .. n1+n2-2
+    assert 1000 * (min(len(a), len(b)) - 1) <= r.dof_milli
+    assert r.dof_milli <= 1000 * (len(a) + len(b) - 2)
+
+
+def test_q241_acf_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q241_acf"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    hr = (
+        ev.ts.astype("datetime64[us]").astype("int64") // 3_600_000_000
+    )  # unit-pinned micros -> hour buckets
+    lo, hi = hr.min(), hr.max()
+    x = np.zeros(hi - lo + 1, dtype="int64")
+    for h, c in hr.value_counts().items():
+        x[h - lo] = c
+    n = len(x)
+    d = n * x - x.sum()
+    den = float((d * d).sum())
+    assert len(rows) == 6
+    for r in rows:
+        num = float((d[: n - r.lag] * d[r.lag:]).sum())
+        assert r.n_terms == n - r.lag
+        assert abs(r.r_micro - round(1e6 * num / den)) <= 1
+        assert abs(r.r_micro) <= 1_000_000
+
+
+def test_q242_stationary_mass_and_fixpoint(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q242_markov_stationary"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 5
+    total = sum(r.v_micro for r in rows)
+    # per-term floor leaks < k micro per iteration
+    assert 1_000_000 - 5 * 20 * 5 <= total <= 1_000_000
+    assert all(r.v_micro > 0 for r in rows)
+    # stationarity: one more exact-integer step moves nothing
+    import pandas as pd
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    m = {}
+    for (u), g in ev.groupby("user_id"):
+        ts = list(g.event_type)
+        for a, b in zip(ts, ts[1:]):
+            m[(a, b)] = m.get((a, b), 0) + 1
+    rt = {}
+    for (a, _), c in m.items():
+        rt[a] = rt.get(a, 0) + c
+    v = {r.event_type: r.v_micro for r in rows}
+    nxt = {}
+    for (a, b), c in m.items():
+        if a in v:
+            nxt[b] = nxt.get(b, 0) + (v[a] * c) // rt[a]
+    for s in v:
+        assert abs(nxt.get(s, 0) - v[s]) <= 100, s
