@@ -509,6 +509,25 @@ CASES = {
     "event_type (no global window); ONE agg of the kept band "
     "yields both estimators — no join-back, no second pass over "
     "the events.",
+    "q239_sorted_neighborhood": "Sorted-neighborhood near-dup "
+    "screen. What to check: the sort position comes from the "
+    "two-pass with_global_index (no single-task window); pairing "
+    "is the positional BLOCK equi-join with the explode-2-blocks "
+    "trick; the verify join fans out only over candidate docs' "
+    "shingles.",
+    "q240_welch_ttest": "Welch's t-test. What to check: ONE "
+    "conditional-sum hash agg produces all six moments; t and dof "
+    "are projection arithmetic on the single output row — no "
+    "second scan, no window.",
+    "q241_acf": "Hourly-count autocorrelation. What to check: the "
+    "event scan folds to the hourly bucket agg first; the grid, "
+    "centering, lag joins and den/num aggs all run over the "
+    "hours-sized relation with the scalar moments broadcast.",
+    "q242_markov_stationary": "Markov stationary distribution. "
+    "What to check: the lead() window keys on user_id; the "
+    "transition agg is map-side combinable with ≤|types|² state; "
+    "the collected fold is the bounded |types|² relation (q63 "
+    "precedent) — the plan shows only the matrix build.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
