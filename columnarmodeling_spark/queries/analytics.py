@@ -3086,3 +3086,177 @@ def q240_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t_micro"),
         F.round(F.lit(1000.0) * dof).cast("long").alias("dof_milli"),
     )
+
+
+# --- q244: cohort retention triangle over the event log --------------------
+
+_COHORT_DAY_US = 86_400_000_000
+
+
+@register(
+    "q244_cohort_retention",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // {_COHORT_DAY_US} AS day
+      FROM events),
+    coh AS (
+      SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+    sz AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM coh GROUP BY 1),
+    act AS (
+      SELECT c.cohort_day, e.day - c.cohort_day AS offset_day,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      FROM ev e JOIN coh c USING (user_id)
+      GROUP BY 1, 2)
+    SELECT a.cohort_day, a.offset_day, s.cohort_size, a.n_active,
+           CAST((1000000 * a.n_active) // s.cohort_size AS BIGINT)
+             AS retention_micro
+    FROM act a JOIN sz s USING (cohort_day)
+    ORDER BY a.cohort_day, a.offset_day
+    """,
+    doc="COHORT RETENTION TRIANGLE — the product-analytics staple "
+    "(Mixpanel/Amplitude retention report) over the event log: "
+    "each user joins the cohort of their first active day; each "
+    "(cohort, day-offset) cell counts distinct users active that "
+    "many days after joining, with the retention rate as an exact "
+    "integer micro-fraction of the cohort size (truncating div on "
+    "both engines — no float). Day ids are epoch-microsecond "
+    "integer floor-division (q241 discipline). Scale: first-day "
+    "per user and distinct-users-per-cell are both map-side-"
+    "combinable hash aggs keyed on user_id then (cohort, offset); "
+    "the cohort relation joins back on user_id — the natural "
+    "pre-partitioning for an event log — and the triangle itself "
+    "is bounded by span^2/2 cells, a clock bound independent of "
+    "row count.",
+    tags=("analytics", "cohort", "retention", "events", "scale"),
+)
+def q244_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"div(unix_micros(cast(ts AS timestamp)), {_COHORT_DAY_US})"
+        ).alias("day"),
+    )
+    coh = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sz = coh.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    act = (
+        ev.join(coh, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("offset_day"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sz), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_day",
+            "cohort_size",
+            "n_active",
+            F.expr("div(1000000 * n_active, cohort_size)")
+            .cast("long")
+            .alias("retention_micro"),
+        )
+        .orderBy("cohort_day", "offset_day")
+    )
+
+
+# --- q245: rank-based ROC AUC per order-priority segment -------------------
+
+
+@register(
+    "q245_roc_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT o_orderpriority AS segment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS pos
+      FROM orders),
+    lvl AS (
+      SELECT segment, score,
+             CAST(sum(pos) AS BIGINT) AS pos_at,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_at
+      FROM scored GROUP BY 1, 2),
+    cum AS (
+      SELECT segment, score, pos_at, neg_at,
+             CAST(coalesce(sum(neg_at) OVER (
+               PARTITION BY segment ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS neg_below
+      FROM lvl),
+    agg AS (
+      SELECT segment,
+             CAST(sum(pos_at) AS BIGINT) AS npos,
+             CAST(sum(neg_at) AS BIGINT) AS nneg,
+             CAST(sum(pos_at * (2 * neg_below + neg_at)) AS BIGINT)
+               AS numer2
+      FROM cum GROUP BY 1)
+    SELECT segment, npos, nneg,
+           CAST((1000000 * numer2) // (2 * npos * nneg) AS BIGINT)
+             AS auc_micro
+    FROM agg ORDER BY segment
+    """,
+    doc="ROC AUC per segment by the rank statistic — the eval-battery "
+    "member that scores a CONTINUOUS classifier score against a "
+    "binary label (q216's Mann-Whitney U is the same statistic as "
+    "a two-sample test; this is its classifier-evaluation face, "
+    "AUC = U/(n+ * n-)): per (segment, distinct score level) count "
+    "positives and negatives, a running sum over score order gives "
+    "negatives-strictly-below, and AUC's tie-corrected numerator "
+    "sum(pos_at * (2*neg_below + neg_at)) stays EXACT int64 — "
+    "concordant pairs count 2, tied-score pairs count 1 — with one "
+    "truncating micro-division at the end (no float anywhere; "
+    "score = exact cents via the repo-standard half-away round). "
+    "Scale: level compaction is a map-side-combinable agg that "
+    "shrinks the relation to distinct scores per segment; the "
+    "window partitions by segment over compacted levels; the pair "
+    "arithmetic is closed-form — no pair relation is ever "
+    "materialized, unlike a naive O(n^2) AUC join.",
+    tags=("analytics", "eval", "auc", "ranking", "window", "scale"),
+)
+def q245_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    scored = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("segment"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("pos"),
+    )
+    lvl = scored.groupBy("segment", "score").agg(
+        F.sum("pos").cast("long").alias("pos_at"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("neg_at"),
+    )
+    w = (
+        W.partitionBy("segment")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = lvl.select(
+        "segment",
+        "pos_at",
+        "neg_at",
+        F.coalesce(F.sum("neg_at").over(w), F.lit(0))
+        .cast("long")
+        .alias("neg_below"),
+    )
+    agg = cum.groupBy("segment").agg(
+        F.sum("pos_at").cast("long").alias("npos"),
+        F.sum("neg_at").cast("long").alias("nneg"),
+        F.sum(
+            F.col("pos_at") * (2 * F.col("neg_below") + F.col("neg_at"))
+        )
+        .cast("long")
+        .alias("numer2"),
+    )
+    return agg.select(
+        "segment",
+        "npos",
+        "nneg",
+        F.expr("div(1000000 * numer2, 2 * npos * nneg)")
+        .cast("long")
+        .alias("auc_micro"),
+    ).orderBy("segment")

@@ -2915,3 +2915,178 @@ def q236_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "cnt", pmi.alias("pmi_micro"))
         .orderBy("w1", "w2")
     )
+
+
+# --- q247: pairwise Jensen-Shannon divergence between source mixes ---------
+
+_JSD_TOPV = 400
+
+
+@register(
+    "q247_js_divergence",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS tok
+      FROM documents),
+    tfs AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+      FROM tk GROUP BY 1, 2),
+    tfc AS (
+      SELECT tok, CAST(sum(cs) AS BIGINT) AS cc FROM tfs GROUP BY 1),
+    topv AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY cc DESC, tok) AS rk
+        FROM tfc) WHERE rk <= {_JSD_TOPV}),
+    tfv AS (
+      SELECT s.source, s.tok, s.cs
+      FROM tfs s JOIN topv v ON v.tok = s.tok),
+    ns AS (
+      SELECT source, CAST(sum(cs) AS BIGINT) AS n FROM tfv GROUP BY 1),
+    mat AS (
+      SELECT n.source, v.tok, CAST(coalesce(f.cs, 0) AS BIGINT) AS cs
+      FROM ns n CROSS JOIN topv v
+      LEFT JOIN tfv f ON f.source = n.source AND f.tok = v.tok),
+    pairterm AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CASE WHEN a.cs > 0 THEN a.cs * CAST(round(1000000.0
+               * ln(CAST(2 * a.cs * nb.n AS DOUBLE)
+                    / CAST(a.cs * nb.n + b.cs * na.n AS DOUBLE)))
+               AS BIGINT) ELSE 0 END AS term_a,
+             CASE WHEN b.cs > 0 THEN b.cs * CAST(round(1000000.0
+               * ln(CAST(2 * b.cs * na.n AS DOUBLE)
+                    / CAST(a.cs * nb.n + b.cs * na.n AS DOUBLE)))
+               AS BIGINT) ELSE 0 END AS term_b
+      FROM mat a
+      JOIN mat b ON b.tok = a.tok AND a.source < b.source
+      JOIN ns na ON na.source = a.source
+      JOIN ns nb ON nb.source = b.source
+      WHERE a.cs + b.cs > 0),
+    sums AS (
+      SELECT src_a, src_b,
+             CAST(sum(term_a) AS BIGINT) AS sum_a,
+             CAST(sum(term_b) AS BIGINT) AS sum_b
+      FROM pairterm GROUP BY 1, 2)
+    SELECT s.src_a, s.src_b,
+           CAST(round((CAST(s.sum_a AS DOUBLE) / na.n
+                     + CAST(s.sum_b AS DOUBLE) / nb.n) / 2.0)
+             AS BIGINT) AS jsd_micro
+    FROM sums s
+    JOIN ns na ON na.source = s.src_a
+    JOIN ns nb ON nb.source = s.src_b
+    ORDER BY s.src_a, s.src_b
+    """,
+    doc="PAIRWISE JENSEN-SHANNON DIVERGENCE between source token "
+    "mixes over the top-{V} global vocabulary — the symmetric, "
+    "always-finite companion to q233's KL-vs-corpus (JSD(a,b) = "
+    "(KL(a||m) + KL(b||m))/2, m the even mixture) that a mix "
+    "curator reads as a source-distance matrix (q235 compares "
+    "vocabulary SETS; this compares the distributions on them). "
+    "Conditioning on the deterministic top-V (global count desc, "
+    "token asc tie-break) bounds every pair's support; absent "
+    "tokens are true zeros contributing 0 by the CASE guard. "
+    "Exactness: each log-ratio's operands are exact int64 "
+    "products cast once to double, one IEEE division, ln "
+    "quantized to micro-nats BEFORE the cs-weighted int64 sum "
+    "(q233 discipline); the final two divisions and the half are "
+    "single IEEE ops on int64-derived doubles. Scale: the "
+    "matrix relation is |sources| x V (metadata-bounded, "
+    "broadcastable); the pair join keys on tok over that bounded "
+    "relation — K^2 V rows, never corpus-sized; the corpus scan "
+    "folds to the (source, tok) agg, map-side combinable.".format(
+        V=_JSD_TOPV
+    ),
+    tags=("llm", "text", "stats", "mix", "jsd", "scale"),
+)
+def q247_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tfs = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    )
+    tfc = tfs.groupBy("tok").agg(F.sum("cs").cast("long").alias("cc"))
+    # TakeOrderedAndProject top-V: distributed per-partition top-V then
+    # a V-row merge on the driver -- never a single-partition global sort
+    # of the vocabulary relation (the q101 idiom).
+    topv = (
+        tfc.orderBy(F.col("cc").desc(), "tok")
+        .limit(_JSD_TOPV)
+        .select("tok")
+    )
+    tfv = tfs.join(F.broadcast(topv), "tok")
+    ns = tfv.groupBy("source").agg(F.sum("cs").cast("long").alias("n"))
+    mat = (
+        ns.select("source")
+        .crossJoin(F.broadcast(topv))
+        .join(tfv, ["source", "tok"], "left")
+        .select(
+            "source", "tok", F.coalesce("cs", F.lit(0)).cast("long").alias("cs")
+        )
+    )
+    a = mat.select(
+        F.col("source").alias("src_a"),
+        "tok",
+        F.col("cs").alias("cs_a"),
+    )
+    b = mat.select(
+        F.col("source").alias("src_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("cs").alias("cs_b"),
+    )
+    na = ns.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = ns.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    den = (
+        F.col("cs_a") * F.col("n_b") + F.col("cs_b") * F.col("n_a")
+    ).cast("double")
+    lq_a = F.round(
+        F.lit(1000000.0)
+        * F.log((2 * F.col("cs_a") * F.col("n_b")).cast("double") / den)
+    ).cast("long")
+    lq_b = F.round(
+        F.lit(1000000.0)
+        * F.log((2 * F.col("cs_b") * F.col("n_a")).cast("double") / den)
+    ).cast("long")
+    pairterm = (
+        a.join(b, (F.col("tok_b") == F.col("tok"))
+               & (F.col("src_a") < F.col("src_b")))
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .filter(F.col("cs_a") + F.col("cs_b") > 0)
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.when(F.col("cs_a") > 0, F.col("cs_a") * lq_a)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("term_a"),
+            F.when(F.col("cs_b") > 0, F.col("cs_b") * lq_b)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("term_b"),
+        )
+    )
+    return (
+        pairterm.groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(
+            F.sum("term_a").cast("long").alias("sum_a"),
+            F.sum("term_b").cast("long").alias("sum_b"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                (
+                    F.col("sum_a").cast("double") / F.col("n_a")
+                    + F.col("sum_b").cast("double") / F.col("n_b")
+                )
+                / 2.0
+            )
+            .cast("long")
+            .alias("jsd_micro"),
+        )
+        .orderBy("src_a", "src_b")
+    )

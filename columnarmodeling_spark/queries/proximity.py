@@ -1093,3 +1093,130 @@ def q202_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_micro"),
         )
     )
+
+
+# --- q246: HITS hubs & authorities on the directed bond graph --------------
+
+_HITS_ITERS = 2
+_HITS_UNIT = 1_000_000
+
+
+def _hits_oracle() -> str:
+    """Unroll the HITS half-steps as CTEs: per round, authority = sum of
+    hub over in-edges, rescaled to max=1e6 by truncating integer
+    division, then hub = sum of the NEW authority over out-edges,
+    rescaled the same way — identical to the Spark loop body."""
+    ctes = [
+        f"""pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_EPS}),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT id
+      FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+    h0 AS (SELECT id, CAST({_HITS_UNIT} AS BIGINT) AS v FROM nodes)"""
+    ]
+    for r in range(1, _HITS_ITERS + 1):
+        ctes.append(
+            f"""a{r}raw AS (
+      SELECT e.dst AS id, CAST(sum(h.v) AS BIGINT) AS v
+      FROM e JOIN h{r - 1} h ON h.id = e.src GROUP BY 1),
+    a{r}all AS (
+      SELECT n.id, CAST(coalesce(r.v, 0) AS BIGINT) AS v
+      FROM nodes n LEFT JOIN a{r}raw r USING (id)),
+    a{r}mx AS (SELECT max(v) AS m FROM a{r}all),
+    a{r} AS (
+      SELECT id, CAST(({_HITS_UNIT} * v) // m AS BIGINT) AS v
+      FROM a{r}all, a{r}mx),
+    h{r}raw AS (
+      SELECT e.src AS id, CAST(sum(a.v) AS BIGINT) AS v
+      FROM e JOIN a{r} a ON a.id = e.dst GROUP BY 1),
+    h{r}all AS (
+      SELECT n.id, CAST(coalesce(r.v, 0) AS BIGINT) AS v
+      FROM nodes n LEFT JOIN h{r}raw r USING (id)),
+    h{r}mx AS (SELECT max(v) AS m FROM h{r}all),
+    h{r} AS (
+      SELECT id, CAST(({_HITS_UNIT} * v) // m AS BIGINT) AS v
+      FROM h{r}all, h{r}mx)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.id, a.v AS auth_micro, h.v AS hub_micro
+    FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h USING (id)"""
+    )
+
+
+@register(
+    "q246_hits",
+    oracle=_hits_oracle(),
+    doc="HITS HUBS & AUTHORITIES on the DIRECTED bond graph (edge "
+    "src -> dst with src < dst, the proximity join's native "
+    "orientation) — the link-analysis dual of q133's PageRank "
+    "that separates pointers-to-important (hubs) from pointed-at "
+    "(authorities), 2 full mutual-reinforcement rounds: authority "
+    "= sum of in-neighbor hub mass, hub = sum of out-neighbor "
+    "NEW authority mass. Exactness is the PageRank integer "
+    "replay: scores live in micro-units, every half-step is an "
+    "order-independent int64 sum followed by one max-normalizing "
+    "truncating division (max is order-independent too), so both "
+    "engines walk bit-identical state — no float L2 norm, by "
+    "design. Scale: each half-step is one equi-join (edges x "
+    "scores, co-partitioned on the join key across rounds) + one "
+    "map-side-combinable hash agg; the driver loop is "
+    "data-independent (fixed 2 rounds) with localCheckpoint "
+    "truncating lineage, the q133/q143 iteration pattern.",
+    tags=("graph", "hits", "iterative", "proximity", "scale"),
+)
+def q246_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("id", F.lit(_HITS_UNIT).cast("long").alias("v"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("v").cast("long").alias("v"))
+        )
+        a = _hits_rescale(nodes, a_raw)
+        h_raw = (
+            edges.join(
+                a.select(F.col("id").alias("dst"), "v"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("v").cast("long").alias("v"))
+        )
+        h = _hits_rescale(nodes, h_raw)
+    return nodes.join(
+        a.select("id", F.col("v").alias("auth_micro")), "id"
+    ).join(h.select("id", F.col("v").alias("hub_micro")), "id")
+
+
+def _hits_rescale(nodes: DataFrame, raw: DataFrame) -> DataFrame:
+    """Left-join scores onto the full node set (absent -> 0), then
+    rescale to max = _HITS_UNIT with exact truncating division."""
+    full = nodes.join(raw, "id", "left").select(
+        "id", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    mx = full.agg(F.max("v").alias("m"))
+    return (
+        full.crossJoin(F.broadcast(mx))
+        .select(
+            "id",
+            F.expr(f"div({_HITS_UNIT} * v, m)").cast("long").alias("v"),
+        )
+        .localCheckpoint()
+    )

@@ -1328,3 +1328,136 @@ def q242_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(s, int(x)) for s, x in out], "event_type string, v_micro long"
     )
+
+
+# --- q243: CUSUM changepoint statistic per event-type series ---------------
+
+
+@register(
+    "q243_cusum_changepoint",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM obs),
+    ty AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (
+      SELECT t.event_type, g.hr, CAST(coalesce(o.x, 0) AS BIGINT) AS x
+      FROM ty t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN obs o
+        ON o.event_type = t.event_type AND o.hr = g.hr),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+      FROM grid GROUP BY 1),
+    pref AS (
+      SELECT g.event_type, g.hr,
+             sum(s.n * g.x - s.sx) OVER (
+               PARTITION BY g.event_type ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM grid g JOIN s ON s.event_type = g.event_type),
+    cus AS (
+      SELECT event_type, hr,
+             r - least(CAST(0 AS BIGINT),
+                       min(r) OVER (
+                         PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)) AS cusum
+      FROM pref),
+    pk AS (
+      SELECT event_type, CAST(max(cusum) AS BIGINT) AS peak
+      FROM cus GROUP BY 1)
+    SELECT p.event_type, s.n AS n_hours, s.sx AS n_events, p.peak,
+           CAST(min(c.hr) AS BIGINT) AS peak_hr
+    FROM pk p
+    JOIN s ON s.event_type = p.event_type
+    JOIN cus c ON c.event_type = p.event_type AND c.cusum = p.peak
+    GROUP BY p.event_type, s.n, s.sx, p.peak
+    ORDER BY p.event_type
+    """,
+    doc="CUSUM CHANGEPOINT statistic per event-type hourly series — "
+    "the drift detector that tells q156's anomaly rule WHEN a "
+    "level shift happened, not just that one exists: the one-sided "
+    "CUSUM recursion S_k = max(0, S_(k-1) + d_k) is rewritten in "
+    "closed form as S_k = R_k - min(0, min_(j<=k) R_j) over the "
+    "prefix sums R of the integer-centered deviations d_t = "
+    "N*x_t - S (the q241 exact-centering trick: no fractional "
+    "mean), which turns a sequential recurrence into two STOCK "
+    "window functions — a running sum and a running min — that "
+    "both engines replay bit-identically in int64. The peak and "
+    "its earliest hour (deterministic tie-break) locate the most "
+    "likely changepoint. Scale: the event scan folds to the "
+    "hourly agg (map-side combinable); windows partition by "
+    "event_type over the clock-bounded grid, so no partition "
+    "exceeds the time span in hours regardless of row count.",
+    tags=("timeseries", "cusum", "changepoint", "window", "scale"),
+)
+def q243_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts AS timestamp)), {_HOUR_US})")
+        .alias("hr"),
+    )
+    obs = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    b = obs.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    ty = obs.select("event_type").distinct()
+    grid = (
+        ty.crossJoin(
+            F.broadcast(
+                b.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+            )
+        )
+        .join(obs, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    w = W.partitionBy("event_type").orderBy("hr")
+    cus = (
+        grid.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            F.sum(F.col("n") * F.col("x") - F.col("sx")).over(w).alias("r"),
+        )
+        .select(
+            "event_type",
+            "hr",
+            (
+                F.col("r")
+                - F.least(F.lit(0).cast("long"), F.min("r").over(w))
+            ).alias("cusum"),
+        )
+    )
+    pk = cus.groupBy("event_type").agg(
+        F.max("cusum").cast("long").alias("peak")
+    )
+    return (
+        pk.join(F.broadcast(s), "event_type")
+        .join(
+            cus.withColumnRenamed("cusum", "peak").select(
+                "event_type", "hr", "peak"
+            ),
+            ["event_type", "peak"],
+        )
+        .groupBy("event_type", "n", "sx", "peak")
+        .agg(F.min("hr").cast("long").alias("peak_hr"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("sx").alias("n_events"),
+            "peak",
+            "peak_hr",
+        )
+        .orderBy("event_type")
+    )

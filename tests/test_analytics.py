@@ -1009,3 +1009,182 @@ def test_q242_stationary_mass_and_fixpoint(spark):
             nxt[b] = nxt.get(b, 0) + (v[a] * c) // rt[a]
     for s in v:
         assert abs(nxt.get(s, 0) - v[s]) <= 100, s
+
+
+def test_q243_cusum_matches_sequential_recursion(spark):
+    """The closed form R_k - min(0, min prefix R) must equal the
+    textbook sequential recursion S_k = max(0, S_{k-1} + d_k)."""
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q243_cusum_changepoint"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    hr = ev.ts.astype("datetime64[us]").astype("int64") // 3_600_000_000
+    lo, hi = hr.min(), hr.max()
+    n = hi - lo + 1
+    got = {r.event_type: r for r in rows}
+    for ty, g in ev.groupby("event_type"):
+        x = np.zeros(n, dtype="int64")
+        for h, c in (
+            g.ts.astype("datetime64[us]").astype("int64") // 3_600_000_000
+        ).value_counts().items():
+            x[h - lo] = c
+        d = n * x - x.sum()
+        s, peak, peak_i = 0, 0, 0
+        for i, dv in enumerate(d):
+            s = max(0, s + dv)
+            if s > peak:
+                peak, peak_i = s, i
+        r = got[ty]
+        assert r.n_hours == n
+        assert r.n_events == x.sum()
+        assert r.peak == peak
+        assert r.peak_hr == lo + peak_i
+
+
+def test_q244_cohort_triangle_invariants(spark):
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q244_cohort_retention"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    day = ev.ts.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    df = pd.DataFrame({"user_id": ev.user_id, "day": day})
+    coh = df.groupby("user_id")["day"].min().rename("cohort")
+    j = df.join(coh, on="user_id")
+    j["offset"] = j.day - j.cohort
+    want = (
+        j.groupby(["cohort", "offset"])["user_id"].nunique().to_dict()
+    )
+    sizes = coh.value_counts().to_dict()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert r.n_active == want[(r.cohort_day, r.offset_day)]
+        assert r.cohort_size == sizes[r.cohort_day]
+        assert r.retention_micro == 1_000_000 * r.n_active // r.cohort_size
+        # offset 0 is by construction the full cohort
+        if r.offset_day == 0:
+            assert r.retention_micro == 1_000_000
+        assert r.n_active <= r.cohort_size
+
+
+def test_q245_auc_matches_bruteforce_pairs(spark):
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q245_roc_auc"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    # exact cents, half-away-from-zero (prices are positive)
+    od["score"] = np.floor(od.o_totalprice * 100 + 0.5).astype("int64")
+    for r in rows:
+        g = od[od.o_orderpriority == r.segment]
+        pos = g.loc[g.o_orderstatus == "F", "score"].to_numpy()
+        neg = g.loc[g.o_orderstatus != "F", "score"].to_numpy()
+        assert (r.npos, r.nneg) == (len(pos), len(neg))
+        diff = pos[:, None] - neg[None, :]
+        numer2 = 2 * int((diff > 0).sum()) + int((diff == 0).sum())
+        assert r.auc_micro == 1_000_000 * numer2 // (
+            2 * len(pos) * len(neg)
+        )
+        assert 0 <= r.auc_micro <= 1_000_000
+
+
+def test_q246_hits_matches_integer_replay(spark):
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q246_hits"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    c = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    ids = c.c_custkey.to_numpy()
+    x = c.c_acctbal.to_numpy()
+    y = (ids % 97).astype("float64") * 25.0
+    edges = []
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                d = np.sqrt((x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2)
+                if d < 30.0:
+                    edges.append((int(ids[i]), int(ids[j])))
+    nodes = sorted({u for e in edges for u in e})
+    h = {u: 1_000_000 for u in nodes}
+    a = {}
+    for _ in range(2):
+        a = {u: 0 for u in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        m = max(a.values())
+        a = {u: 1_000_000 * v // m for u, v in a.items()}
+        h = {u: 0 for u in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+        m = max(h.values())
+        h = {u: 1_000_000 * v // m for u, v in h.items()}
+    assert len(rows) == len(nodes)
+    for r in rows:
+        assert r.auth_micro == a[r.id]
+        assert r.hub_micro == h[r.id]
+    assert max(r.auth_micro for r in rows) == 1_000_000
+    assert max(r.hub_micro for r in rows) == 1_000_000
+
+
+def test_q247_jsd_bounds_and_replay(spark):
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q247_js_divergence"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cs: dict = {}
+    for _, row in docs.iterrows():
+        tk = [t for t in re.split(r"[^a-z0-9]+", row.text.lower()) if t]
+        cs.setdefault(row.source, Counter()).update(tk)
+    total = Counter()
+    for c in cs.values():
+        total.update(c)
+    topv = [
+        t for t, _ in sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:400]
+    tv = set(topv)
+    n = {s: sum(v for t, v in c.items() if t in tv) for s, c in cs.items()}
+    got = {(r.src_a, r.src_b): r.jsd_micro for r in rows}
+    srcs = sorted(cs)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for ai in range(len(srcs)):
+        for bi in range(ai + 1, len(srcs)):
+            sa, sb = srcs[ai], srcs[bi]
+            na, nb = n[sa], n[sb]
+            sum_a = sum_b = 0
+            for tk in topv:
+                ca, cb = cs[sa].get(tk, 0), cs[sb].get(tk, 0)
+                if ca + cb == 0:
+                    continue
+                den = ca * nb + cb * na
+                if ca > 0:
+                    sum_a += ca * round(1e6 * math.log(2 * ca * nb / den))
+                if cb > 0:
+                    sum_b += cb * round(1e6 * math.log(2 * cb * na / den))
+            want = round((sum_a / na + sum_b / nb) / 2.0)
+            assert abs(got[(sa, sb)] - want) <= 1
+            # JSD in nats is bounded by ln 2
+            assert 0 <= got[(sa, sb)] <= 693_148
