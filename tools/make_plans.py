@@ -528,6 +528,36 @@ CASES = {
     "transition agg is map-side combinable with ≤|types|² state; "
     "the collected fold is the bounded |types|² relation (q63 "
     "precedent) — the plan shows only the matrix build.",
+    "q243_cusum_changepoint": "CUSUM changepoint statistic. What "
+    "to check: the event scan folds to the hourly (event_type, hr) "
+    "hash agg with partial aggregation; both window functions "
+    "(running sum, running min) share ONE partition-by-event_type "
+    "sort over the clock-bounded grid; the per-type moments ride a "
+    "BroadcastExchange back onto the grid.",
+    "q244_cohort_retention": "Cohort retention triangle. What to "
+    "check: first-day-per-user and distinct-users-per-cell are "
+    "both partial/final hash aggs; the events-x-cohort join keys "
+    "on user_id (the event log's natural partitioning) and AQE "
+    "may broadcast the cohort side at sf; the cohort-size join is "
+    "an explicit BroadcastHashJoin — the triangle is clock²-"
+    "bounded metadata.",
+    "q245_roc_auc": "Per-segment ROC AUC by the rank statistic. "
+    "What to check: the level-compaction agg (segment, score) "
+    "shrinks the relation BEFORE the window; the running "
+    "neg-below window partitions by segment over compacted "
+    "levels; no pair relation anywhere — the tie-corrected "
+    "numerator is closed-form projection arithmetic.",
+    "q246_hits": "HITS hubs & authorities. What to check: each "
+    "half-step is one edges-x-scores equi-join plus a map-side-"
+    "combinable hash agg; the rescale is a broadcast of the "
+    "1-row max; localCheckpoint truncates lineage between rounds "
+    "so the plan shows the LAST half-step, not 4 stacked rounds.",
+    "q247_js_divergence": "Pairwise Jensen-Shannon divergence. "
+    "What to check: the corpus scan folds to the (source, tok) "
+    "hash agg; top-V is TakeOrderedAndProject (never a global "
+    "sort); topv and the per-source totals ride "
+    "BroadcastExchanges; the pair join runs over the |sources|×V "
+    "dense matrix relation — corpus-independent size.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
