@@ -94,26 +94,22 @@ def register(
 # q182-q204 plus canaries and 21 staleness slots (CORRECTNESS_r08:
 # 50/50 green); see git history for the slot-by-slot rationale.
 #
-# Round-9 rotation (executes the round-8 VERDICT's "Next round" items
-# 2 and 8). Window composition, in order: the q01 anchor; the five
-# standing tier canaries; the five batch round-8 additions
-# q205/q208/q209/q210/q211 — never driver-checked, but judge-replica
-# verified 7/7 strict-match in VERDICT r8 — with the two streaming
-# entries (q206/q207) at the window tail so their fixed micro-batch
-# drain overhead cannot starve batch rows if the driver's cap is
-# time-based. The remaining 37 slots apply the STANDING STALENESS
-# RULE: stalest-first re-verification. Oldest-driver-row ledger after
-# CORRECTNESS_r08 (latest green row per band):
-#   r4: 25 queries (q06 q09-q17 q20-q25 q27-q29 q31 q32 q100 q101
-#       q104 q105)                          -> ALL 25 in this window
-#   r5: 41 queries (q07 q08 q18 q19 q26 q33-q42 q58 q60 q61 q63 q65
-#       q71-q73 q75 q78 q80-q86 q88-q93 q106 q108 q110)
-#                                           -> 12 oldest batch slots
-#   r6: 44 queries (q51 q53 q55 q68 q70 ...) -> next round's band
-#   r7: 44 queries (q138-q181)               -> after that
-#   r8: 50 queries (fresh)
-# Every query rotated OUT of this window was green at its latest
-# driver check in CORRECTNESS_r08 or earlier.
+# Round-9 rotation (FINAL, supersedes the early-round-9 draft that
+# pre-dated the q212-q247 batch). Standing precedence: never-driver-
+# checked queries outrank staleness refresh — a first row is evidence
+# the union ledger lacks entirely; a refresh only tightens its age.
+# Window composition, in order: the q01 anchor; the five standing
+# tier canaries; the five batch round-8 additions q205/q208-q211
+# (judge-replica verified 7/7 strict-match in VERDICT r8, still no
+# driver row); the 35 batch round-9 additions q212-q247 (each
+# strict-replica MATCH at sf0.01 via tools/driver_replica.py when
+# added); one staleness slot (q06, the r4 band's oldest); and the
+# three streaming entries (q206/q207/q222) at the window tail so
+# their fixed micro-batch drain overhead cannot starve batch rows if
+# the driver's cap is time-based. The r4/r5 staleness bands planned
+# by the early-round-9 draft resume in round 10 — every query rotated
+# OUT of this window was green at its latest driver check in
+# CORRECTNESS_r08 or earlier.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
@@ -132,49 +128,51 @@ PRIORITY: tuple[str, ...] = (
     "q209_decontamination",
     "q210_heavy_hitters",
     "q211_containment_pairs",
-    # staleness refresh (standing rule, see ledger above): 37 slots,
-    # stalest-first — the full r4 band (25), then the 12 oldest
-    # non-streaming r5 rows
+    # round-9 batch additions awaiting their first driver row (each
+    # strict-replica MATCH at sf0.01 when added); q222 streaming goes
+    # at the window tail.
+    "q212_viscoelastic_bonds_3d",
+    "q213_winnowing",
+    "q214_contamination_spans",
+    "q215_tokenizer_fertility",
+    "q216_mann_whitney",
+    "q217_kruskal_wallis",
+    "q218_rrf_fusion",
+    "q219_consistent_hash",
+    "q220_langid_confusion",
+    "q221_token_zipf",
+    "q223_ngram_novelty",
+    "q224_dup_size_histogram",
+    "q225_label_centroid_cosine",
+    "q226_filter_funnel",
+    "q227_benford_digits",
+    "q228_ks_test",
+    "q229_spearman",
+    "q230_token_gini",
+    "q231_repetition_runs",
+    "q232_greedy_packing",
+    "q233_kl_source_mix",
+    "q234_grouped_ols",
+    "q235_source_overlap",
+    "q236_skipgram_pmi",
+    "q237_theil_u",
+    "q238_trimmed_mean",
+    "q239_sorted_neighborhood",
+    "q240_welch_ttest",
+    "q241_acf",
+    "q242_markov_stationary",
+    "q243_cusum_changepoint",
+    "q244_rolling_retention",
+    "q245_roc_auc",
+    "q246_hits",
+    "q247_js_divergence",
+    # staleness refresh (standing rule): one slot this round — the r4
+    # band's oldest row; the full band resumes in the round-10 window
     "q06_range_band_join",
-    "q09_group_centroids",
-    "q10_event_histogram",
-    "q11_grouping_sets",
-    "q12_cube_agg",
-    "q13_pivot_qty",
-    "q14_string_funcs",
-    "q15_datetime_funcs",
-    "q16_math_clamp",
-    "q17_topk_per_group",
-    "q20_boundary_touch",
-    "q21_json_extract",
-    "q22_window_rank_lag",
-    "q23_wraparound_neighbor",
-    "q24_running_total",
-    "q25_row_grouping",
-    "q27_set_algebra",
-    "q28_disjointness",
-    "q29_intersect_projection",
-    "q31_bond_type_histogram",
-    "q32_asof_join",
-    "q100_bigram_logprob",
-    "q101_bpe_merge_topk",
-    "q104_minhash_estimate_error",
-    "q105_config_scan",
-    "q07_rounded_dedup_dense_id",
-    "q08_flag_quota",
-    "q18_array_hof",
-    "q19_mirror_union",
-    "q26_sessionization",
-    "q33_affine_projection",
-    "q34_reject_filters",
-    "q35_rollup",
-    "q36_map_funcs",
-    "q37_percentiles",
-    "q38_salted_agg",
-    "q39_scalar_subquery",
     # streaming tail: fixed micro-batch drain cost, so last in-window
     "q206_stream_transitions_late",
     "q207_stream_ewma_late",
+    "q222_stream_decontamination",
 )
 
 

@@ -3088,76 +3088,128 @@ def q240_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q244: cohort retention triangle over the event log --------------------
+# --- q244: unbounded (rolling) retention curve over the event log ----------
 
 _COHORT_DAY_US = 86_400_000_000
 
 
 @register(
-    "q244_cohort_retention",
+    "q244_rolling_retention",
     oracle=f"""
     WITH ev AS (
       SELECT user_id, epoch_us(ts) // {_COHORT_DAY_US} AS day
       FROM events),
-    coh AS (
-      SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+    u AS (
+      SELECT user_id, min(day) AS cohort_day,
+             max(day) - min(day) AS last_off
+      FROM ev GROUP BY 1),
     sz AS (
       SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
-      FROM coh GROUP BY 1),
-    act AS (
-      SELECT c.cohort_day, e.day - c.cohort_day AS offset_day,
-             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
-      FROM ev e JOIN coh c USING (user_id)
-      GROUP BY 1, 2)
-    SELECT a.cohort_day, a.offset_day, s.cohort_size, a.n_active,
-           CAST((1000000 * a.n_active) // s.cohort_size AS BIGINT)
+      FROM u GROUP BY 1),
+    lvl AS (
+      SELECT cohort_day, last_off, CAST(count(*) AS BIGINT) AS n_at
+      FROM u GROUP BY 1, 2),
+    mx AS (SELECT cohort_day, max(last_off) AS mo FROM lvl GROUP BY 1),
+    grid AS (
+      SELECT cohort_day, unnest(generate_series(0, mo)) AS offset_day
+      FROM mx),
+    j AS (
+      SELECT g.cohort_day, g.offset_day,
+             CAST(coalesce(l.n_at, 0) AS BIGINT) AS n_at
+      FROM grid g LEFT JOIN lvl l
+        ON l.cohort_day = g.cohort_day AND l.last_off = g.offset_day),
+    r AS (
+      SELECT cohort_day, offset_day,
+             CAST(sum(n_at) OVER (
+               PARTITION BY cohort_day ORDER BY offset_day DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_retained
+      FROM j)
+    SELECT r.cohort_day, r.offset_day, s.cohort_size, r.n_retained,
+           CAST((1000000 * r.n_retained) // s.cohort_size AS BIGINT)
              AS retention_micro
-    FROM act a JOIN sz s USING (cohort_day)
-    ORDER BY a.cohort_day, a.offset_day
+    FROM r JOIN sz s USING (cohort_day)
+    ORDER BY r.cohort_day, r.offset_day
     """,
-    doc="COHORT RETENTION TRIANGLE — the product-analytics staple "
-    "(Mixpanel/Amplitude retention report) over the event log: "
-    "each user joins the cohort of their first active day; each "
-    "(cohort, day-offset) cell counts distinct users active that "
-    "many days after joining, with the retention rate as an exact "
-    "integer micro-fraction of the cohort size (truncating div on "
-    "both engines — no float). Day ids are epoch-microsecond "
-    "integer floor-division (q241 discipline). Scale: first-day "
-    "per user and distinct-users-per-cell are both map-side-"
-    "combinable hash aggs keyed on user_id then (cohort, offset); "
-    "the cohort relation joins back on user_id — the natural "
-    "pre-partitioning for an event log — and the triangle itself "
-    "is bounded by span^2/2 cells, a clock bound independent of "
-    "row count.",
-    tags=("analytics", "cohort", "retention", "events", "scale"),
+    doc="UNBOUNDED (ROLLING) RETENTION curve per first-active-day "
+    "cohort — the survival-function face of retention, distinct "
+    "from q172's classic triangle by both metric and computation: "
+    "q172 counts users ACTIVE ON day k (dips when users skip a "
+    "day); this counts users STILL ALIVE AT day k — active on any "
+    "day >= k — the monotone non-increasing curve churn analyses "
+    "and LTV models consume. Computation: one per-user lifetime "
+    "agg (min day, max-min last offset) REPLACES the full "
+    "activity relation, then the curve is a REVERSE cumulative "
+    "count over the (cohort, last-offset) histogram on the dense "
+    "0..max offset grid — a Kaplan-Meier-style survival count "
+    "with no censoring. Exact: epoch-day integer floor-division, "
+    "int64 counts, one truncating micro-division. Scale: the "
+    "event scan folds to the user_id-keyed lifetime agg "
+    "(map-side combinable); everything after runs on relations "
+    "bounded by users then by the day span — the descending "
+    "window partitions by cohort over clock-bounded rows, and "
+    "offset-0 retention = 1e6 is a built-in invariant.",
+    tags=("analytics", "retention", "survival", "events", "scale"),
 )
-def q244_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q244_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         F.expr(
             f"div(unix_micros(cast(ts AS timestamp)), {_COHORT_DAY_US})"
         ).alias("day"),
     )
-    coh = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    sz = coh.groupBy("cohort_day").agg(
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day"),
+        (F.max("day") - F.min("day")).alias("last_off"),
+    )
+    sz = u.groupBy("cohort_day").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_size")
     )
-    act = (
-        ev.join(coh, "user_id")
-        .groupBy(
+    lvl = u.groupBy("cohort_day", "last_off").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at")
+    )
+    grid = (
+        lvl.groupBy("cohort_day")
+        .agg(F.max("last_off").alias("mo"))
+        .select(
             "cohort_day",
-            (F.col("day") - F.col("cohort_day")).alias("offset_day"),
+            F.explode(F.sequence(F.lit(0).cast("long"), "mo")).alias(
+                "offset_day"
+            ),
         )
-        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    j = (
+        grid.join(
+            lvl.withColumnRenamed("last_off", "offset_day"),
+            ["cohort_day", "offset_day"],
+            "left",
+        )
+        .select(
+            "cohort_day",
+            "offset_day",
+            F.coalesce("n_at", F.lit(0)).cast("long").alias("n_at"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort_day")
+        .orderBy(F.col("offset_day").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = j.select(
+        "cohort_day",
+        "offset_day",
+        F.sum("n_at").over(w).cast("long").alias("n_retained"),
     )
     return (
-        act.join(F.broadcast(sz), "cohort_day")
+        r.join(F.broadcast(sz), "cohort_day")
         .select(
             "cohort_day",
             "offset_day",
             "cohort_size",
-            "n_active",
-            F.expr("div(1000000 * n_active, cohort_size)")
+            "n_retained",
+            F.expr("div(1000000 * n_retained, cohort_size)")
             .cast("long")
             .alias("retention_micro"),
         )

@@ -1377,9 +1377,12 @@ def q242_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.event_type, s.n, s.sx, p.peak
     ORDER BY p.event_type
     """,
-    doc="CUSUM CHANGEPOINT statistic per event-type hourly series — "
-    "the drift detector that tells q156's anomaly rule WHEN a "
-    "level shift happened, not just that one exists: the one-sided "
+    doc="PAGE'S SEQUENTIAL CUSUM per event-type hourly series — the "
+    "ONLINE drift detector complementing q175's offline "
+    "single-split statistic (q175 argmaxes |n·prefix−k·total| over "
+    "a per-user VALUE series; this runs the max(0, ·) reflected "
+    "random walk over the zero-filled hourly COUNT grid, the form "
+    "a monitor evaluates as data arrives): the one-sided "
     "CUSUM recursion S_k = max(0, S_(k-1) + d_k) is rewritten in "
     "closed form as S_k = R_k - min(0, min_(j<=k) R_j) over the "
     "prefix sums R of the integer-centered deviations d_t = "

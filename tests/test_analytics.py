@@ -1046,33 +1046,45 @@ def test_q243_cusum_matches_sequential_recursion(spark):
         assert r.peak_hr == lo + peak_i
 
 
-def test_q244_cohort_triangle_invariants(spark):
+def test_q244_rolling_retention_is_survival_count(spark):
     import pandas as pd
 
     from columnarmodeling_spark.queries import REGISTRY
 
-    rows = REGISTRY["q244_cohort_retention"].fn(
+    rows = REGISTRY["q244_rolling_retention"].fn(
         spark, "/root/testdata/sf0.001"
     ).collect()
     ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
     day = ev.ts.astype("datetime64[us]").astype("int64") // 86_400_000_000
     df = pd.DataFrame({"user_id": ev.user_id, "day": day})
-    coh = df.groupby("user_id")["day"].min().rename("cohort")
-    j = df.join(coh, on="user_id")
-    j["offset"] = j.day - j.cohort
-    want = (
-        j.groupby(["cohort", "offset"])["user_id"].nunique().to_dict()
-    )
-    sizes = coh.value_counts().to_dict()
-    assert len(rows) == len(want)
+    g = df.groupby("user_id")["day"]
+    u = pd.DataFrame({"cohort": g.min(), "last_off": g.max() - g.min()})
+    sizes = u.cohort.value_counts().to_dict()
+    want_rows = 0
+    for c, grp in u.groupby("cohort"):
+        want_rows += grp.last_off.max() + 1
+    assert len(rows) == want_rows
+    by_cohort: dict = {}
     for r in rows:
-        assert r.n_active == want[(r.cohort_day, r.offset_day)]
+        # survival definition: users whose last activity is >= offset
+        want = int(
+            ((u.cohort == r.cohort_day) & (u.last_off >= r.offset_day)).sum()
+        )
+        assert r.n_retained == want
         assert r.cohort_size == sizes[r.cohort_day]
-        assert r.retention_micro == 1_000_000 * r.n_active // r.cohort_size
-        # offset 0 is by construction the full cohort
-        if r.offset_day == 0:
+        assert (
+            r.retention_micro == 1_000_000 * r.n_retained // r.cohort_size
+        )
+        if r.offset_day == 0:  # everyone survives to their first day
             assert r.retention_micro == 1_000_000
-        assert r.n_active <= r.cohort_size
+        by_cohort.setdefault(r.cohort_day, []).append(
+            (r.offset_day, r.n_retained)
+        )
+    for curve in by_cohort.values():  # monotone non-increasing
+        curve.sort()
+        vals = [v for _, v in curve]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+        assert vals[-1] >= 1  # the max-offset user is still alive there
 
 
 def test_q245_auc_matches_bruteforce_pairs(spark):

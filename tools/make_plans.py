@@ -534,13 +534,12 @@ CASES = {
     "(running sum, running min) share ONE partition-by-event_type "
     "sort over the clock-bounded grid; the per-type moments ride a "
     "BroadcastExchange back onto the grid.",
-    "q244_cohort_retention": "Cohort retention triangle. What to "
-    "check: first-day-per-user and distinct-users-per-cell are "
-    "both partial/final hash aggs; the events-x-cohort join keys "
-    "on user_id (the event log's natural partitioning) and AQE "
-    "may broadcast the cohort side at sf; the cohort-size join is "
-    "an explicit BroadcastHashJoin — the triangle is clock²-"
-    "bounded metadata.",
+    "q244_rolling_retention": "Unbounded (rolling) retention curve. "
+    "What to check: the event scan folds to ONE user_id-keyed "
+    "lifetime agg (partial/final) — no events-sized join anywhere; "
+    "the histogram, grid explode, and descending survival window "
+    "all run on user- then clock-bounded relations; the "
+    "cohort-size join is an explicit BroadcastHashJoin.",
     "q245_roc_auc": "Per-segment ROC AUC by the rank statistic. "
     "What to check: the level-compaction agg (segment, score) "
     "shrinks the relation BEFORE the window; the running "
