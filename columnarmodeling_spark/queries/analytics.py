@@ -3312,3 +3312,301 @@ def q245_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("auc_micro"),
     ).orderBy("segment")
+
+
+# --- q250: Simpson's-reversal screen over the order book --------------------
+
+
+@register(
+    "q250_simpson_reversal",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS treat,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    seg AS (
+      SELECT segment,
+             CAST(sum(treat) AS BIGINT) AS n_treat,
+             CAST(sum(treat * conv) AS BIGINT) AS k_treat,
+             CAST(sum(1 - treat) AS BIGINT) AS n_ctrl,
+             CAST(sum((1 - treat) * conv) AS BIGINT) AS k_ctrl
+      FROM j GROUP BY 1),
+    allr AS (
+      SELECT '_ALL' AS segment,
+             CAST(sum(n_treat) AS BIGINT) AS n_treat,
+             CAST(sum(k_treat) AS BIGINT) AS k_treat,
+             CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl,
+             CAST(sum(k_ctrl) AS BIGINT) AS k_ctrl
+      FROM seg),
+    u AS (SELECT * FROM seg UNION ALL SELECT * FROM allr),
+    sgn AS (
+      SELECT segment, n_treat, k_treat, n_ctrl, k_ctrl,
+             CAST(sign(k_treat * n_ctrl - k_ctrl * n_treat) AS BIGINT)
+               AS diff_sign
+      FROM u),
+    gl2 AS (
+      SELECT CAST(sum(CASE WHEN diff_sign > 0
+                            AND segment <> '_ALL' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS strata_pos,
+             CAST(sum(CASE WHEN diff_sign < 0
+                            AND segment <> '_ALL' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS strata_neg,
+             CAST(max(CASE WHEN segment = '_ALL' THEN diff_sign END)
+                  AS BIGINT) AS pooled_sign
+      FROM sgn)
+    SELECT n.segment, n.n_treat, n.k_treat, n.n_ctrl, n.k_ctrl,
+           CAST((1000000 * n.k_treat) // n.n_treat AS BIGINT)
+             AS rate_treat_micro,
+           CAST((1000000 * n.k_ctrl) // n.n_ctrl AS BIGINT)
+             AS rate_ctrl_micro,
+           n.diff_sign,
+           CAST(g.strata_pos AS BIGINT) AS strata_pos,
+           CAST(g.strata_neg AS BIGINT) AS strata_neg,
+           CAST(CASE WHEN (g.pooled_sign > 0 AND g.strata_pos = 0
+                           AND g.strata_neg > 0)
+                       OR (g.pooled_sign < 0 AND g.strata_neg = 0
+                           AND g.strata_pos > 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS reversal_flag
+    FROM sgn n, gl2 g
+    ORDER BY n.segment
+    """,
+    doc="SIMPSON'S-REVERSAL SCREEN — the aggregation-bias audit "
+    "missing between q191 (A/B z-test, no strata) and q204 "
+    "(chi-square homogeneity, no direction): per market segment, "
+    "the urgent-priority 'treatment' vs the finished-order "
+    "'outcome' as exact integer rate differences, then the pooled "
+    "margin — flagging the Simpson configuration where every "
+    "stratum's effect points one way and the pooled effect points "
+    "the other (the confounded readout that makes naive pooled "
+    "dashboards lie). Exactness: the per-stratum sign is the "
+    "int64 cross-product sign(k_t*n_c - k_c*n_t) — no division "
+    "before comparison; rates are truncating micro-divisions. "
+    "The cross-product stays in int64 up to ~3e9 rows per cell "
+    "(3e9 squared < 2^63); past that, rescale counts to k-units "
+    "first — the q241 discipline. "
+    "Scale: one orders-customer equi-join on the natural custkey "
+    "(AQE may broadcast the dim side), two map-side-combinable "
+    "hash aggs onto <= |segments|+1 rows; the global flag relation "
+    "is one broadcast row.",
+    tags=("analytics", "stats", "simpson", "ab-test", "scale"),
+)
+def q250_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("treat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = (
+        o.join(c, "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.sum("treat").cast("long").alias("n_treat"),
+            F.sum(F.col("treat") * F.col("conv"))
+            .cast("long")
+            .alias("k_treat"),
+            F.sum(F.lit(1) - F.col("treat"))
+            .cast("long")
+            .alias("n_ctrl"),
+            F.sum((F.lit(1) - F.col("treat")) * F.col("conv"))
+            .cast("long")
+            .alias("k_ctrl"),
+        )
+    )
+    seg = seg.localCheckpoint(eager=False)
+    allr = seg.agg(
+        F.sum("n_treat").cast("long").alias("n_treat"),
+        F.sum("k_treat").cast("long").alias("k_treat"),
+        F.sum("n_ctrl").cast("long").alias("n_ctrl"),
+        F.sum("k_ctrl").cast("long").alias("k_ctrl"),
+    ).select(
+        F.lit("_ALL").alias("segment"),
+        "n_treat",
+        "k_treat",
+        "n_ctrl",
+        "k_ctrl",
+    )
+    u = seg.unionByName(allr)
+    sgn = u.select(
+        "segment",
+        "n_treat",
+        "k_treat",
+        "n_ctrl",
+        "k_ctrl",
+        F.signum(
+            (
+                F.col("k_treat") * F.col("n_ctrl")
+                - F.col("k_ctrl") * F.col("n_treat")
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("diff_sign"),
+    )
+    sgn = sgn.localCheckpoint(eager=False)
+    gl = sgn.agg(
+        F.sum(
+            F.when(
+                (F.col("diff_sign") > 0) & (F.col("segment") != "_ALL"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("strata_pos"),
+        F.sum(
+            F.when(
+                (F.col("diff_sign") < 0) & (F.col("segment") != "_ALL"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("strata_neg"),
+        F.max(
+            F.when(F.col("segment") == "_ALL", F.col("diff_sign"))
+        )
+        .cast("long")
+        .alias("pooled_sign"),
+    )
+    rev = (
+        (
+            (F.col("pooled_sign") > 0)
+            & (F.col("strata_pos") == 0)
+            & (F.col("strata_neg") > 0)
+        )
+        | (
+            (F.col("pooled_sign") < 0)
+            & (F.col("strata_neg") == 0)
+            & (F.col("strata_pos") > 0)
+        )
+    )
+    return (
+        sgn.crossJoin(F.broadcast(gl))
+        .select(
+            "segment",
+            "n_treat",
+            "k_treat",
+            "n_ctrl",
+            "k_ctrl",
+            F.expr("div(1000000 * k_treat, n_treat)")
+            .cast("long")
+            .alias("rate_treat_micro"),
+            F.expr("div(1000000 * k_ctrl, n_ctrl)")
+            .cast("long")
+            .alias("rate_ctrl_micro"),
+            "diff_sign",
+            "strata_pos",
+            "strata_neg",
+            F.when(rev, 1).otherwise(0).cast("long").alias(
+                "reversal_flag"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- q252: exact weighted quantiles by level compaction ---------------------
+
+
+@register(
+    "q252_weighted_quantiles",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cent,
+             CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)
+               AS w
+      FROM events),
+    lvl AS (
+      SELECT event_type, value_cent, CAST(sum(w) AS BIGINT) AS w
+      FROM ev GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, value_cent, w,
+             CAST(sum(w) OVER (
+               PARTITION BY event_type ORDER BY value_cent
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumw
+      FROM lvl),
+    tot AS (
+      SELECT event_type, CAST(sum(w) AS BIGINT) AS w_total
+      FROM lvl GROUP BY 1)
+    SELECT c.event_type, t.w_total,
+           CAST(min(CASE WHEN 4 * c.cumw >= 1 * t.w_total
+                         THEN c.value_cent END) AS BIGINT) AS p25_cent,
+           CAST(min(CASE WHEN 4 * c.cumw >= 2 * t.w_total
+                         THEN c.value_cent END) AS BIGINT) AS p50_cent,
+           CAST(min(CASE WHEN 4 * c.cumw >= 3 * t.w_total
+                         THEN c.value_cent END) AS BIGINT) AS p75_cent
+    FROM cum c JOIN tot t USING (event_type)
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+    doc="EXACT WEIGHTED QUANTILES per event type — the missing face "
+    "between q37 (unweighted percentiles) and q147/q170 "
+    "(approximate sketches): each observation carries an integer "
+    "weight (the props payload's k field), and the weighted "
+    "quartile is min{{v : 4*cumw(v) >= q*W}} — the lower weighted "
+    "quantile, decided entirely by int64 cross-multiplication "
+    "(4*cumw vs q*W) with NO division or float anywhere. Values "
+    "are quantized to cents first, so the running window runs "
+    "over the LEVEL-COMPACTED (type, value_cent) relation — the "
+    "q245 discipline: compaction bounds the window input by the "
+    "value domain (a few thousand cent levels), not the row "
+    "count. Scale: the scan folds to the (type, cent) hash agg "
+    "map-side; the cumulative window partitions by type over "
+    "domain-bounded rows; totals ride a broadcast.",
+    tags=("analytics", "stats", "quantiles", "weighted", "scale"),
+)
+def q252_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cent"),
+        F.get_json_object("props", "$.k").cast("long").alias("w"),
+    )
+    lvl = ev.groupBy("event_type", "value_cent").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    lvl = lvl.localCheckpoint(eager=False)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("value_cent")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = lvl.select(
+        "event_type",
+        "value_cent",
+        F.sum("w").over(w).cast("long").alias("cumw"),
+    )
+    tot = lvl.groupBy("event_type").agg(
+        F.sum("w").cast("long").alias("w_total")
+    )
+    j = cum.join(F.broadcast(tot), "event_type")
+
+    def pick(q: int):
+        return (
+            F.min(
+                F.when(
+                    4 * F.col("cumw") >= q * F.col("w_total"),
+                    F.col("value_cent"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{q * 25}_cent")
+        )
+
+    return (
+        j.groupBy("event_type", "w_total")
+        .agg(pick(1), pick(2), pick(3))
+        .orderBy("event_type")
+    )

@@ -1961,3 +1961,101 @@ def q239_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- q249: cross-split leakage audit ----------------------------------------
+# Deterministic 80/10/10 assignment by doc_id residue (8 -> val, 9 ->
+# test, else train); a near-dup pair whose members land in different
+# splits is leakage: the eval split no longer measures generalization.
+def _split_sql(col: str) -> str:
+    return (
+        f"CASE {col} % 10 WHEN 8 THEN 'val' WHEN 9 THEN 'test' "
+        "ELSE 'train' END"
+    )
+
+
+@register(
+    "q249_split_leakage",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE i * 1.0 / (ca.n + cb.n - i) >= {_JACCARD_TAU}),
+    sp AS (
+      SELECT doc_a, doc_b, jaccard,
+             least({_split_sql('doc_a')}, {_split_sql('doc_b')})
+               AS split_lo,
+             greatest({_split_sql('doc_a')}, {_split_sql('doc_b')})
+               AS split_hi
+      FROM pairs)
+    SELECT split_lo, split_hi,
+           CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
+           max(jaccard) AS max_jaccard
+    FROM (SELECT split_lo, split_hi, jaccard,
+                 unnest([doc_a, doc_b]) AS d
+          FROM sp)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="CROSS-SPLIT LEAKAGE AUDIT — the check a training pipeline "
+    "runs BEFORE training to validate its train/val/test split: "
+    "q42's exact shingle-Jaccard near-dup pairs, classified by "
+    "which splits the two members landed in (deterministic "
+    "doc_id-residue 80/10/10 assignment — derivable per row, no "
+    "assignment join exists). A train-val or train-test row with "
+    "n_pairs > 0 means the eval score is contaminated by "
+    "memorization; same-split rows (train-train) only waste "
+    "tokens. Differs from q209/q94 decontamination (directed "
+    "containment of a KNOWN benchmark) — this audits an INTERNAL "
+    "random split against symmetric near-duplication. Output is "
+    "the <= 6-row split-pair matrix: pair count, distinct docs "
+    "involved, max Jaccard seen. Scale: identical pair space to "
+    "q42 (shingle equi-join; max_df escape available in "
+    "jaccard_pairs_from_shingles); split labels are arithmetic "
+    "on doc_id; the matrix agg is map-side combinable onto <= 6 "
+    "groups.",
+    tags=("llm", "dedup", "leakage", "split", "jaccard", "scale"),
+)
+def q249_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs_from_shingles(
+        _shingle_rows(spark, sf_dir), tau=_JACCARD_TAU
+    )
+
+    def split_of(c: str):
+        r = F.col(c) % 10
+        return (
+            F.when(r == 8, F.lit("val"))
+            .when(r == 9, F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+
+    sp = pairs.select(
+        F.least(split_of("doc_a"), split_of("doc_b")).alias("split_lo"),
+        F.greatest(split_of("doc_a"), split_of("doc_b")).alias(
+            "split_hi"
+        ),
+        "jaccard",
+        F.array("doc_a", "doc_b").alias("ds"),
+    )
+    return (
+        sp.select(
+            "split_lo", "split_hi", "jaccard", F.explode("ds").alias("d")
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("d").cast("long").alias("n_docs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )

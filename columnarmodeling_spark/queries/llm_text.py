@@ -3090,3 +3090,299 @@ def q247_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --- q248: Heaps' law vocabulary-growth fit ---------------------------------
+
+
+@register(
+    "q248_heaps_law",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    rk AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+             row_number() OVER (ORDER BY doc_id) AS rnk
+      FROM toks),
+    fo AS (
+      SELECT tok, min(rnk) AS fr
+      FROM (SELECT r.rnk, unnest(t.tk) AS tok
+            FROM toks t JOIN rk r USING (doc_id))
+      GROUP BY 1),
+    newv AS (SELECT fr AS rnk, CAST(count(*) AS BIGINT) AS nv
+             FROM fo GROUP BY 1),
+    pr AS (
+      SELECT r.rnk, r.n_tok, CAST(coalesce(v.nv, 0) AS BIGINT) AS nv
+      FROM rk r LEFT JOIN newv v USING (rnk)),
+    mx AS (SELECT max(rnk) AS m FROM rk),
+    cps AS (
+      SELECT DISTINCT least(CAST(power(2.0, CAST(i AS DOUBLE)) AS BIGINT),
+                            mx.m) AS rank_cp
+      FROM (SELECT unnest(range(0, 41)) AS i), mx),
+    curve AS (
+      SELECT c.rank_cp,
+             CAST(sum(p.n_tok) AS BIGINT) AS cum_tokens,
+             CAST(sum(p.nv) AS BIGINT) AS cum_vocab
+      FROM cps c JOIN pr p ON p.rnk <= c.rank_cp
+      GROUP BY 1),
+    q AS (
+      SELECT CAST(round(1000000.0 * ln(CAST(cum_tokens AS DOUBLE)))
+               AS BIGINT) AS xq,
+             CAST(round(1000000.0 * ln(CAST(cum_vocab AS DOUBLE)))
+               AS BIGINT) AS yq
+      FROM curve WHERE cum_tokens > 0 AND cum_vocab > 0),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_fit,
+             CAST(sum(xq) AS BIGINT) AS sx,
+             CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx
+      FROM q)
+    SELECT c.rank_cp, c.cum_tokens, c.cum_vocab,
+           CAST(round(1000000.0
+             * ((CAST(s.n_fit AS DOUBLE) * s.sxy
+                 - CAST(s.sx AS DOUBLE) * s.sy)
+                / (CAST(s.n_fit AS DOUBLE) * s.sxx
+                   - CAST(s.sx AS DOUBLE) * s.sx)))
+             AS BIGINT) AS beta_micro,
+           CAST(round(
+             (CAST(s.sy AS DOUBLE)
+              - ((CAST(s.n_fit AS DOUBLE) * s.sxy
+                  - CAST(s.sx AS DOUBLE) * s.sy)
+                 / (CAST(s.n_fit AS DOUBLE) * s.sxx
+                    - CAST(s.sx AS DOUBLE) * s.sx))
+                * s.sx) / s.n_fit) AS BIGINT) AS intercept_micro
+    FROM curve c, s
+    ORDER BY c.rank_cp
+    """,
+    doc="HEAPS' LAW VOCABULARY-GROWTH FIT — q221 Zipf's companion "
+    "corpus-health diagnostic: natural text grows vocabulary as "
+    "V(N) ~ K*N^beta with beta ~ 0.4-0.6; a saturating curve "
+    "(beta ~ 0) flags a templated/synthetic corpus, a beta near 1 "
+    "flags noise/OCR garbage. Docs are ranked in doc_id order "
+    "(with_global_index's two-pass range partition — never a "
+    "single-task window); each token's FIRST rank is a min-agg; "
+    "the growth curve is evaluated only at power-of-2 rank "
+    "checkpoints (<= 41 at ANY corpus size), each checkpoint a "
+    "sum over the per-rank (n_tok, new_vocab) relation via a "
+    "broadcast theta-join — no global prefix-sum window exists "
+    "anywhere. The log-log OLS follows the q221 discipline: ln "
+    "values integer-micro-quantized BEFORE the sums, slope/"
+    "intercept combined in identical-operand DOUBLE arithmetic. "
+    "Scale: tokenize folds to two map-side-combinable aggs (per-"
+    "doc counts, per-token min-rank); everything after runs on "
+    "doc-bounded then 41-row relations.",
+    tags=("llm", "text", "stats", "heaps", "vocabulary", "scale"),
+)
+def q248_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("tk"))
+    )
+    rk = with_global_index(
+        d.select("doc_id", F.size("tk").cast("long").alias("n_tok")),
+        ["doc_id"],
+        index_col="rnk",
+    )
+    fo = (
+        d.select("doc_id", F.explode("tk").alias("tok"))
+        .join(rk.select("doc_id", "rnk"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("rnk").alias("fr"))
+    )
+    newv = fo.groupBy(F.col("fr").alias("rnk")).agg(
+        F.count(F.lit(1)).cast("long").alias("nv")
+    )
+    pr = (
+        rk.select("rnk", "n_tok")
+        .join(newv, "rnk", "left")
+        .select(
+            "rnk",
+            "n_tok",
+            F.coalesce("nv", F.lit(0)).cast("long").alias("nv"),
+        )
+    )
+    mx = rk.agg(F.max("rnk").alias("m"))
+    cps = (
+        spark.range(0, 41)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.pow(F.lit(2.0), F.col("id").cast("double")).cast("long"),
+                F.col("m"),
+            ).alias("rank_cp")
+        )
+        .distinct()
+    )
+    curve = (
+        pr.crossJoin(F.broadcast(cps))
+        .filter(F.col("rnk") <= F.col("rank_cp"))
+        .groupBy("rank_cp")
+        .agg(
+            F.sum("n_tok").cast("long").alias("cum_tokens"),
+            F.sum("nv").cast("long").alias("cum_vocab"),
+        )
+    )
+    q = curve.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).select(
+        F.round(
+            F.lit(1000000.0) * F.log(F.col("cum_tokens").cast("double"))
+        )
+        .cast("long")
+        .alias("xq"),
+        F.round(
+            F.lit(1000000.0) * F.log(F.col("cum_vocab").cast("double"))
+        )
+        .cast("long")
+        .alias("yq"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    num = (
+        F.col("n_fit").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = (
+        F.col("n_fit").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    slope = num / den
+    return (
+        curve.crossJoin(F.broadcast(s))
+        .select(
+            "rank_cp",
+            "cum_tokens",
+            "cum_vocab",
+            F.round(F.lit(1000000.0) * slope).cast("long").alias(
+                "beta_micro"
+            ),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx"))
+                / F.col("n_fit")
+            )
+            .cast("long")
+            .alias("intercept_micro"),
+        )
+        .orderBy("rank_cp")
+    )
+
+
+# --- q253: k-anonymity risk audit -------------------------------------------
+
+_KANON_K = 5
+_KANON_LEN_BUCKET = 200
+
+
+@register(
+    "q253_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT lang, source, n_chars // {_KANON_LEN_BUCKET} AS len_b,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM documents GROUP BY 1, 2, 3),
+    per AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_risky_groups,
+             CAST(sum(sz) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END)
+               AS BIGINT) AS n_risky_docs,
+             CAST(min(sz) AS BIGINT) AS min_group_size
+      FROM qi GROUP BY 1),
+    allr AS (
+      SELECT '_ALL' AS lang,
+             CAST(sum(n_groups) AS BIGINT) AS n_groups,
+             CAST(sum(n_risky_groups) AS BIGINT) AS n_risky_groups,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(n_risky_docs) AS BIGINT) AS n_risky_docs,
+             CAST(min(min_group_size) AS BIGINT) AS min_group_size
+      FROM per)
+    SELECT lang, n_groups, n_risky_groups, n_docs, n_risky_docs,
+           min_group_size,
+           CAST((1000000 * n_risky_docs) // n_docs AS BIGINT)
+             AS risk_micro
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+    ORDER BY lang
+    """,
+    doc="K-ANONYMITY RISK AUDIT over the corpus metadata — the "
+    "privacy screen a release pipeline runs before publishing a "
+    "dataset: every document falls into a quasi-identifier cell "
+    "(lang, source, length bucket of {B} chars), and a cell with "
+    "fewer than k={K} members re-identifies its members by "
+    "metadata alone. Reports, per language plus the _ALL rollup: "
+    "cell count, risky-cell count, docs at risk, the smallest "
+    "cell, and the at-risk fraction as an exact truncating "
+    "micro-division. Everything is int64 counting — no floats "
+    "exist. Scale: one map-side-combinable hash agg onto the QI "
+    "cell space (bounded by the attribute domains, not rows), "
+    "then a second agg onto |langs|+1 rows. The QI cell relation "
+    "is exactly the generalization lattice node a k-anonymization "
+    "run would coarsen next, so the audit is also the first step "
+    "of the fix.".format(B=_KANON_LEN_BUCKET, K=_KANON_K),
+    tags=("llm", "privacy", "k-anonymity", "audit", "scale"),
+)
+def q253_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qi = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "source",
+            F.expr(f"div(n_chars, {_KANON_LEN_BUCKET})").alias("len_b"),
+        )
+        .groupBy("lang", "source", "len_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    risky = F.col("sz") < _KANON_K
+    per = qi.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(risky, 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_groups"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.when(risky, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_docs"),
+        F.min("sz").cast("long").alias("min_group_size"),
+    )
+    per = per.localCheckpoint(eager=False)
+    allr = per.agg(
+        F.sum("n_groups").cast("long").alias("n_groups"),
+        F.sum("n_risky_groups").cast("long").alias("n_risky_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_risky_docs").cast("long").alias("n_risky_docs"),
+        F.min("min_group_size").cast("long").alias("min_group_size"),
+    ).select(
+        F.lit("_ALL").alias("lang"),
+        "n_groups",
+        "n_risky_groups",
+        "n_docs",
+        "n_risky_docs",
+        "min_group_size",
+    )
+    return (
+        per.unionByName(allr)
+        .select(
+            "lang",
+            "n_groups",
+            "n_risky_groups",
+            "n_docs",
+            "n_risky_docs",
+            "min_group_size",
+            F.expr("div(1000000 * n_risky_docs, n_docs)")
+            .cast("long")
+            .alias("risk_micro"),
+        )
+        .orderBy("lang")
+    )

@@ -1464,3 +1464,159 @@ def q243_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q251: lead-lag cross-correlation between event-type series -------------
+
+_XC_MAX_LAG = 6
+
+
+@register(
+    "q251_crosscorr",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM obs),
+    types AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (
+      SELECT t.event_type, g.hr, CAST(coalesce(o.x, 0) AS BIGINT) AS x
+      FROM types t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN obs o
+        ON o.event_type = t.event_type AND o.hr = g.hr),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+      FROM grid GROUP BY 1),
+    cen AS (
+      SELECT g.event_type, g.hr,
+             CAST(s.n * g.x - s.sx AS BIGINT) AS d
+      FROM grid g JOIN s USING (event_type)),
+    den AS (
+      SELECT event_type, CAST(sum(d * d) AS BIGINT) AS den
+      FROM cen GROUP BY 1),
+    lags AS (
+      SELECT unnest(range(-{_XC_MAX_LAG}, {_XC_MAX_LAG} + 1)) AS lag),
+    num AS (
+      SELECT a.event_type AS type_a, c.event_type AS type_b, l.lag,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(a.d * c.d) AS BIGINT) AS num
+      FROM lags l
+      JOIN cen a ON true
+      JOIN cen c ON c.hr = a.hr + l.lag AND a.event_type < c.event_type
+      GROUP BY 1, 2, 3)
+    SELECT n.type_a, n.type_b, n.lag, n.n_terms,
+           CAST(round(1000000.0 * CAST(n.num AS DOUBLE)
+             / sqrt(CAST(da.den AS DOUBLE) * CAST(db.den AS DOUBLE)))
+             AS BIGINT) AS r_micro
+    FROM num n
+    JOIN den da ON da.event_type = n.type_a
+    JOIN den db ON db.event_type = n.type_b
+    ORDER BY n.type_a, n.type_b, n.lag
+    """,
+    doc="LEAD-LAG CROSS-CORRELATION between every pair of event-type "
+    "hourly count series — q241 ACF's bivariate companion: does a "
+    "click burst LEAD an error burst (capacity), or lag it "
+    "(retry storms)? Both series live on the SAME zero-filled "
+    "global hourly grid (shared window so lags align; gaps are "
+    "real zeros); centering is q241's exact integer d = n*x - S "
+    "per series; the lag-l numerator sums d_a(t)*d_b(t+l) over "
+    "the overlap (n_terms reported) for l in -{L}..{L}, and the "
+    "normalizer is sqrt(den_a * den_b) computed as ONE identical-"
+    "operand double expression on both engines (IEEE sqrt is "
+    "correctly rounded — deterministic), quantized to micro. "
+    "Scale: the event scan folds to the (type, hour) bucket agg; "
+    "every join after runs on the grid relation (|types| x "
+    "clock-bounded hours) with the 13-row lag table broadcast; "
+    "|types| is schema-bounded, so the pair space never grows "
+    "with rows.".format(L=_XC_MAX_LAG),
+    tags=("timeseries", "stats", "crosscorr", "leadlag", "scale"),
+)
+def q251_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts AS timestamp)), {_HOUR_US})")
+        .alias("hr"),
+    )
+    obs = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    b = obs.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    types = obs.select("event_type").distinct()
+    hours = b.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    grid = (
+        types.crossJoin(hours)
+        .join(obs, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    cen = grid.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "hr",
+        (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("d"),
+    )
+    cen = cen.localCheckpoint(eager=False)
+    den = cen.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("den")
+    )
+    lags = spark.range(-_XC_MAX_LAG, _XC_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = cen.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hr").alias("hr_a"),
+        F.col("d").alias("d_a"),
+    ).crossJoin(F.broadcast(lags))
+    c = cen.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hr").alias("hr_b"),
+        F.col("d").alias("d_b"),
+    )
+    num = (
+        a.join(
+            c,
+            (F.col("hr_b") == F.col("hr_a") + F.col("lag"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.col("d_a") * F.col("d_b")).cast("long").alias("num"),
+        )
+    )
+    da = den.select(
+        F.col("event_type").alias("type_a"), F.col("den").alias("den_a")
+    )
+    db = den.select(
+        F.col("event_type").alias("type_b"), F.col("den").alias("den_b")
+    )
+    return (
+        num.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "lag",
+            "n_terms",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("num").cast("double")
+                / F.sqrt(
+                    F.col("den_a").cast("double")
+                    * F.col("den_b").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("r_micro"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )

@@ -1200,3 +1200,204 @@ def test_q247_jsd_bounds_and_replay(spark):
             assert abs(got[(sa, sb)] - want) <= 1
             # JSD in nats is bounded by ln 2
             assert 0 <= got[(sa, sb)] <= 693_148
+
+
+def test_q248_heaps_curve_matches_pandas(spark):
+    import math
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q248_heaps_law"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    seen: set = set()
+    cum_tok, cum_voc = [], []
+    nt = nv = 0
+    for txt in docs.text:
+        tk = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        nt += len(tk)
+        for t_ in tk:
+            if t_ not in seen:
+                seen.add(t_)
+                nv += 1
+        cum_tok.append(nt)
+        cum_voc.append(nv)
+    n = len(docs)
+    want = {min(2**i, n) for i in range(41)}
+    assert {r.rank_cp for r in rows} == want
+    for r in rows:
+        assert r.cum_tokens == cum_tok[r.rank_cp - 1]
+        assert r.cum_vocab == cum_voc[r.rank_cp - 1]
+    # curves are monotone non-decreasing and vocab <= tokens
+    srt = sorted(rows, key=lambda r: r.rank_cp)
+    for a, b in zip(srt, srt[1:]):
+        assert b.cum_tokens >= a.cum_tokens
+        assert b.cum_vocab >= a.cum_vocab
+    assert srt[-1].cum_vocab == len(seen)
+    # fit replay on the micro-quantized points
+    pts = [
+        (round(1e6 * math.log(r.cum_tokens)),
+         round(1e6 * math.log(r.cum_vocab)))
+        for r in srt if r.cum_tokens > 0 and r.cum_vocab > 0
+    ]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert srt[0].beta_micro == round(1e6 * slope)
+    assert srt[0].intercept_micro == round((sy - slope * sx) / k)
+    # a text corpus grows vocabulary sub-linearly
+    assert 0 <= srt[0].beta_micro <= 1_000_000
+
+
+def test_q249_leakage_matches_bruteforce(spark):
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q249_split_leakage"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = {}
+    for d, txt in zip(docs.doc_id, docs.text):
+        tk = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        sh[d] = {
+            " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+        }
+
+    def split(d):
+        r = d % 10
+        return "val" if r == 8 else ("test" if r == 9 else "train")
+
+    want: dict = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            un = len(sh[a] | sh[b])
+            j = inter / un
+            if j < 0.2:
+                continue
+            key = tuple(sorted((split(a), split(b))))
+            e = want.setdefault(key, [0, set(), 0.0])
+            e[0] += 1
+            e[1] |= {a, b}
+            e[2] = max(e[2], round(j, 6))
+    got = {(r.split_lo, r.split_hi): r for r in rows}
+    assert set(got) == set(want)
+    for key, (n_pairs, ds, mx) in want.items():
+        r = got[key]
+        assert r.n_pairs == n_pairs
+        assert r.n_docs == len(ds)
+        assert abs(r.max_jaccard - mx) < 1e-9
+
+
+def test_q250_simpson_replay_and_invariants(spark):
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q250_simpson_reversal"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    c = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["treat"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int)
+    j["conv"] = (j.o_orderstatus == "F").astype(int)
+    by = {r.segment: r for r in rows}
+    segs = [s for s in by if s != "_ALL"]
+    assert "_ALL" in by and len(segs) == j.c_mktsegment.nunique()
+    strata_pos = strata_neg = 0
+    for s in segs:
+        g = j[j.c_mktsegment == s]
+        nt = int(g.treat.sum())
+        kt = int((g.treat * g.conv).sum())
+        nc = int((1 - g.treat).sum())
+        kc = int(((1 - g.treat) * g.conv).sum())
+        r = by[s]
+        assert (r.n_treat, r.k_treat, r.n_ctrl, r.k_ctrl) == (nt, kt, nc, kc)
+        cross = kt * nc - kc * nt
+        sign = (cross > 0) - (cross < 0)
+        assert r.diff_sign == sign
+        assert r.rate_treat_micro == 1_000_000 * kt // nt
+        strata_pos += sign > 0
+        strata_neg += sign < 0
+    al = by["_ALL"]
+    assert al.n_treat == sum(by[s].n_treat for s in segs)
+    assert al.k_ctrl == sum(by[s].k_ctrl for s in segs)
+    assert al.strata_pos == strata_pos and al.strata_neg == strata_neg
+    want_rev = int(
+        (al.diff_sign > 0 and strata_pos == 0 and strata_neg > 0)
+        or (al.diff_sign < 0 and strata_neg == 0 and strata_pos > 0)
+    )
+    for r in rows:  # flag is a constant column
+        assert r.reversal_flag == want_rev
+        assert (r.strata_pos, r.strata_neg) == (strata_pos, strata_neg)
+
+
+def test_q252_weighted_quantiles_match_bruteforce(spark):
+    import json
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q252_weighted_quantiles"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cent"] = (ev.value * 100).round().astype("int64")
+    ev["w"] = [json.loads(p)["k"] for p in ev.props]
+    for r in rows:
+        g = ev[ev.event_type == r.event_type]
+        W = int(g.w.sum())
+        assert r.w_total == W
+        lv = g.groupby("cent").w.sum().sort_index()
+        cum = lv.cumsum()
+        for q, col in ((1, r.p25_cent), (2, r.p50_cent), (3, r.p75_cent)):
+            want = int(cum.index[(4 * cum >= q * W).argmax()])
+            assert col == want, (r.event_type, q)
+        assert r.p25_cent <= r.p50_cent <= r.p75_cent
+    assert len(rows) == ev.event_type.nunique()
+
+
+def test_q253_k_anonymity_replay(spark):
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q253_k_anonymity"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    d = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    d["len_b"] = d.n_chars // 200
+    sz = d.groupby(["lang", "source", "len_b"]).size()
+    by = {r.lang: r for r in rows}
+    langs = sorted(d.lang.unique())
+    assert set(by) == set(langs) | {"_ALL"}
+    for lang in langs:
+        s = sz[sz.index.get_level_values(0) == lang]
+        r = by[lang]
+        assert r.n_groups == len(s)
+        assert r.n_risky_groups == int((s < 5).sum())
+        assert r.n_docs == int(s.sum())
+        assert r.n_risky_docs == int(s[s < 5].sum())
+        assert r.min_group_size == int(s.min())
+        assert r.risk_micro == 1_000_000 * r.n_risky_docs // r.n_docs
+    al = by["_ALL"]
+    assert al.n_docs == len(d)
+    assert al.n_groups == sum(by[x].n_groups for x in langs)
+    assert al.min_group_size == min(by[x].min_group_size for x in langs)

@@ -267,3 +267,50 @@ def test_segmented_ewma_matches_plain_fold(spark, sf_dir):
     }
     for u, (_, e) in plain.items():
         assert abs(other[u] - e) <= 2e-6
+
+
+def test_q251_crosscorr_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q251_crosscorr"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    hr = ev.ts.astype("datetime64[us]").astype("int64") // 3_600_000_000
+    lo, hi = hr.min(), hr.max()
+    n = hi - lo + 1
+    types = sorted(ev.event_type.unique())
+    series = {}
+    for ty in types:
+        x = np.zeros(n, dtype=np.int64)
+        vc = hr[ev.event_type == ty].value_counts()
+        x[vc.index.to_numpy() - lo] = vc.to_numpy()
+        series[ty] = n * x - x.sum()  # exact integer centering
+    got = {(r.type_a, r.type_b, r.lag): r for r in rows}
+    n_pairs = len(types) * (len(types) - 1) // 2
+    assert len(rows) == n_pairs * 13
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            da, db = series[ta], series[tb]
+            dena, denb = (da * da).sum(), (db * db).sum()
+            for lag in range(-6, 7):
+                # overlap window: t and t+lag both inside the grid
+                if lag >= 0:
+                    num = int((da[: n - lag] * db[lag:]).sum())
+                    n_terms = n - lag
+                else:
+                    num = int((da[-lag:] * db[: n + lag]).sum())
+                    n_terms = n + lag
+                r = got[(ta, tb, lag)]
+                assert r.n_terms == n_terms
+                want = round(
+                    1e6 * num / np.sqrt(float(dena) * float(denb))
+                )
+                assert r.r_micro == want, (ta, tb, lag)
+                assert -1_100_000 <= r.r_micro <= 1_100_000
+    # lag-reversal identity: corr(a,b,-l) uses the same pair ordering,
+    # so the matrix is complete without (b,a) rows
+    assert all(r.type_a < r.type_b for r in rows)
