@@ -557,6 +557,43 @@ CASES = {
     "sort); topv and the per-source totals ride "
     "BroadcastExchanges; the pair join runs over the |sources|×V "
     "dense matrix relation — corpus-independent size.",
+    "q248_heaps_law": "Heaps' law vocabulary-growth fit. What to "
+    "check: the doc rank is with_global_index's two-pass range "
+    "partition (no single-task window); token first-occurrence is "
+    "one map-side-combinable min-agg; the 41-row checkpoint "
+    "relation rides a BroadcastExchange into the theta-join over "
+    "the per-rank relation; the OLS moments fold to one row — no "
+    "global prefix-sum window anywhere in the plan.",
+    "q249_split_leakage": "Cross-split leakage audit. What to "
+    "check: the pair space is q42's shingle equi-join (cached "
+    "shingle subtree feeds counts and both join sides once); split "
+    "labels are pure doc_id arithmetic in codegen — no assignment "
+    "join exists; the matrix agg partial/final-folds onto <= 6 "
+    "groups.",
+    "q250_simpson_reversal": "Simpson's-reversal screen. What to "
+    "check: one orders-customer equi-join on the natural custkey "
+    "(AQE is free to broadcast the customer side); the per-segment "
+    "and pooled moments are partial/final hash aggs onto "
+    "|segments|+1 rows; the global flag relation is one broadcast "
+    "row; localCheckpoint caps the union's plan reuse.",
+    "q251_crosscorr": "Lead-lag cross-correlation. What to check: "
+    "the event scan folds to the (type, hour) bucket agg; the "
+    "grid, centering, and both lag-join sides run over the "
+    "|types| x clock-bounded-hours relation off ONE "
+    "localCheckpoint (no recompute per lag); the 13-row lag table "
+    "and the per-type moment/denominator rows all ride "
+    "BroadcastExchanges.",
+    "q252_weighted_quantiles": "Exact weighted quantiles. What to "
+    "check: the scan folds to the (type, value_cent) level "
+    "compaction FIRST (partial/final hash agg); the cumulative "
+    "window partitions by type over the domain-bounded level "
+    "relation; totals ride a BroadcastExchange; quartile picks "
+    "are conditional-min aggs — no division in the plan.",
+    "q253_k_anonymity": "K-anonymity risk audit. What to check: "
+    "one map-side-combinable hash agg onto the QI cell space "
+    "(domain-bounded), a second onto |langs|+1 rows; the _ALL "
+    "rollup reuses the per-lang relation via localCheckpoint "
+    "instead of rescanning the corpus.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
