@@ -1235,7 +1235,10 @@ _ST_ITERS = 20
 _ST_SCALE = 1_000_000
 
 
-def _stationary_oracle() -> str:
+def _markov_chain_cte() -> str:
+    """Shared WITH body: transition counts, row totals, and the
+    unrolled integer power iteration through it{_ST_ITERS} — composed
+    (not spliced) into the q242 and q254 oracles."""
     head = f"""
     WITH pairs AS (
       SELECT event_type AS from_type,
@@ -1263,11 +1266,17 @@ def _stationary_oracle() -> str:
       GROUP BY 1)"""
         for i in range(_ST_ITERS)
     ]
-    tail = f"""
+    return head + "".join(steps)
+
+
+def _stationary_oracle() -> str:
+    return (
+        _markov_chain_cte()
+        + f"""
     SELECT j AS event_type, v AS v_micro
     FROM it{_ST_ITERS} ORDER BY j
     """
-    return head + "".join(steps) + tail
+    )
 
 
 @register(
@@ -1620,3 +1629,247 @@ def q251_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b", "lag")
     )
+
+
+# --- q254: Markov chain entropy rate ----------------------------------------
+
+
+def _entropy_rate_oracle() -> str:
+    return (
+        _markov_chain_cte()
+        + f"""
+    ,
+    lq AS (
+      SELECT m.from_type, m.to_type, m.c, r.row_total,
+             CAST(round(1000000.0 * ln(CAST(m.c AS DOUBLE)
+                                       / CAST(r.row_total AS DOUBLE)))
+               AS BIGINT) AS lq
+      FROM m JOIN rt r USING (from_type)),
+    h AS (
+      SELECT from_type,
+             CAST(sum((c * (-lq)) // row_total) AS BIGINT)
+               AS h_state_micro
+      FROM lq GROUP BY 1),
+    st AS (
+      SELECT j AS from_type, v AS pi_micro FROM it{_ST_ITERS}),
+    per AS (
+      SELECT h.from_type AS event_type, st.pi_micro, h.h_state_micro,
+             CAST((st.pi_micro * h.h_state_micro) // 1000000 AS BIGINT)
+               AS contrib_micro
+      FROM h JOIN st USING (from_type)),
+    allr AS (
+      SELECT '_ALL' AS event_type, CAST(1000000 AS BIGINT) AS pi_micro,
+             CAST(sum(contrib_micro) AS BIGINT) AS h_state_micro,
+             CAST(sum(contrib_micro) AS BIGINT) AS contrib_micro
+      FROM per)
+    SELECT * FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+    ORDER BY event_type
+    """
+    )
+
+
+@register(
+    "q254_entropy_rate",
+    oracle=_entropy_rate_oracle(),
+    doc="MARKOV CHAIN ENTROPY RATE — the single number that closes "
+    "the q164/q242/q237 family: H = sum_i pi_i * H(row_i), the "
+    "per-step unpredictability of the event-type process (ln-nats "
+    "micro-units; a near-zero rate means sequences are templated "
+    "and q237's Theil U will find strong structure, ln|types| "
+    "means white noise). Exactness: each row entropy is "
+    "sum_j (c_ij * -lnq_ij) div rowtotal_i with the per-term ln "
+    "micro-quantized IN the engines before any arithmetic (the "
+    "q203/q221 discipline; 1-ulp libm skew vanishes at micro "
+    "grain), and pi is q242's bit-identical 20-step integer "
+    "power iteration, so every output cell is an int64 both "
+    "engines compute identically. Scale: the transition agg is "
+    "map-side combinable onto <= |types|^2 rows; the iteration "
+    "and entropy fold run on that bounded relation (q63 "
+    "precedent), reported per state plus the _ALL rate.",
+    tags=("timeseries", "markov", "entropy", "stats", "scale"),
+)
+def q254_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("us", "event_id"))
+        .alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    m = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = m.localCheckpoint(eager=False)  # bounded: <= |types|^2 rows
+    rt = m.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("row_total")
+    )
+    # pi: q242's integer power iteration over the collected matrix
+    rows = m.collect()
+    totals: dict = {}
+    for r in rows:
+        totals[r.from_type] = totals.get(r.from_type, 0) + r.c
+    k = len(totals)
+    v = {s: _ST_SCALE // k for s in totals}
+    for _ in range(_ST_ITERS):
+        nxt: dict = {}
+        for r in rows:
+            if r.from_type in v:
+                nxt[r.to_type] = nxt.get(r.to_type, 0) + (
+                    v[r.from_type] * r.c
+                ) // totals[r.from_type]
+        v = nxt
+    st = spark.createDataFrame(
+        sorted((s, int(x)) for s, x in v.items()),
+        "from_type string, pi_micro long",
+    )
+    lq = m.join(F.broadcast(rt), "from_type").select(
+        "from_type",
+        "c",
+        "row_total",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(
+                F.col("c").cast("double")
+                / F.col("row_total").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("lq"),
+    )
+    h = (
+        lq.select(
+            "from_type",
+            F.expr("div(c * (-lq), row_total)").alias("term"),
+        )
+        .groupBy("from_type")
+        .agg(F.sum("term").cast("long").alias("h_state_micro"))
+    )
+    per = h.join(F.broadcast(st), "from_type").select(
+        F.col("from_type").alias("event_type"),
+        "pi_micro",
+        "h_state_micro",
+        F.expr("div(pi_micro * h_state_micro, 1000000)")
+        .cast("long")
+        .alias("contrib_micro"),
+    )
+    per = per.localCheckpoint(eager=False)
+    allr = per.agg(
+        F.sum("contrib_micro").cast("long").alias("h_state_micro"),
+        F.sum("contrib_micro").cast("long").alias("contrib_micro"),
+    ).select(
+        F.lit("_ALL").alias("event_type"),
+        F.lit(1000000).cast("long").alias("pi_micro"),
+        "h_state_micro",
+        "contrib_micro",
+    )
+    return per.unionByName(allr).orderBy("event_type")
+
+
+# --- q255: Fano factor / burstiness per event-type hourly series ------------
+
+
+@register(
+    "q255_fano_factor",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM obs),
+    ty AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (
+      SELECT t.event_type, g.hr, CAST(coalesce(o.x, 0) AS BIGINT) AS x
+      FROM ty t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN obs o
+        ON o.event_type = t.event_type AND o.hr = g.hr),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM grid GROUP BY 1)
+    SELECT event_type, n AS n_hours,
+           CAST((1000 * sx) // n AS BIGINT) AS mean_milli,
+           CAST(round(1000000.0 * CAST(n * sxx - sx * sx AS DOUBLE)
+             / (CAST(n - 1 AS DOUBLE) * CAST(sx AS DOUBLE)))
+             AS BIGINT) AS fano_micro,
+           CAST(round(1000000.0
+             * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                + CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             AS BIGINT) AS burstiness_micro
+    FROM s ORDER BY event_type
+    """,
+    doc="FANO FACTOR + BURSTINESS per event-type hourly series — the "
+    "dispersion fingerprint next to q241's ACF and q243's CUSUM: "
+    "a Poisson arrival process has F = Var/Mean = 1; F >> 1 means "
+    "bursty traffic (the regime where q156's anomaly thresholds "
+    "need widening), F < 1 means regularized/throttled. Also "
+    "reports Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) in "
+    "[-1, 1]. The series is the zero-filled hourly grid (q241 "
+    "discipline); moments are exact int64 (n, sum, sum of "
+    "squares), F is ONE double division of integer-derived "
+    "operands, and B's sigma is IEEE sqrt (correctly rounded, "
+    "cross-engine safe) over the same identical-operand "
+    "expression text in both engines, each quantized to micro. "
+    "Scale: the scan folds to the (type, hour) bucket agg "
+    "map-side; the moment agg runs over the clock-bounded grid; "
+    "output is |types| rows.",
+    tags=("timeseries", "stats", "fano", "burstiness", "scale"),
+)
+def q255_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts AS timestamp)), {_HOUR_US})")
+        .alias("hr"),
+    )
+    obs = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    b = obs.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(b.select(F.explode(F.sequence("lo", "hi")).alias("hr")))
+        .join(obs, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    var = num / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    sigma = F.sqrt(var)
+    mu = F.col("sx").cast("double") / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.expr("div(1000 * sx, n)").cast("long").alias("mean_milli"),
+        F.round(
+            F.lit(1000000.0)
+            * num
+            / ((F.col("n") - 1).cast("double") * F.col("sx").cast("double"))
+        )
+        .cast("long")
+        .alias("fano_micro"),
+        F.round(F.lit(1000000.0) * (sigma - mu) / (sigma + mu))
+        .cast("long")
+        .alias("burstiness_micro"),
+    ).orderBy("event_type")

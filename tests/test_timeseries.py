@@ -314,3 +314,85 @@ def test_q251_crosscorr_matches_numpy(spark):
     # lag-reversal identity: corr(a,b,-l) uses the same pair ordering,
     # so the matrix is complete without (b,a) rows
     assert all(r.type_a < r.type_b for r in rows)
+
+
+def test_q254_entropy_rate_replay_and_bounds(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q254_entropy_rate"].fn(spark, sf).collect()
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    # transition counts
+    m: dict = {}
+    for _, g in ev.groupby("user_id"):
+        ts = list(g.event_type)
+        for a, b in zip(ts, ts[1:]):
+            m[(a, b)] = m.get((a, b), 0) + 1
+    rt: dict = {}
+    for (a, _), c in m.items():
+        rt[a] = rt.get(a, 0) + c
+    # pi: the integer power iteration (q242 semantics)
+    k = len(rt)
+    v = {s: 1_000_000 // k for s in rt}
+    for _ in range(20):
+        nxt: dict = {}
+        for (a, b), c in m.items():
+            if a in v:
+                nxt[b] = nxt.get(b, 0) + (v[a] * c) // rt[a]
+        v = nxt
+    # row entropies with per-term micro-quantized ln
+    h: dict = {}
+    for (a, b), c in m.items():
+        lq = round(1e6 * math.log(c / rt[a]))
+        h[a] = h.get(a, 0) + (c * (-lq)) // rt[a]
+    by = {r.event_type: r for r in rows}
+    types = sorted(rt)
+    assert set(by) == set(types) | {"_ALL"}
+    total = 0
+    for ty in types:
+        r = by[ty]
+        assert r.pi_micro == v[ty]
+        assert r.h_state_micro == h[ty]
+        want_contrib = (v[ty] * h[ty]) // 1_000_000
+        assert r.contrib_micro == want_contrib
+        # a |types|-state chain's row entropy is bounded by ln k
+        assert 0 <= r.h_state_micro <= round(1e6 * math.log(k)) + k
+        total += want_contrib
+    al = by["_ALL"]
+    assert al.h_state_micro == al.contrib_micro == total
+    assert 0 <= total <= round(1e6 * math.log(k)) + k
+
+
+def test_q255_fano_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q255_fano_factor"].fn(spark, sf).collect()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    hr = ev.ts.astype("datetime64[us]").astype("int64") // 3_600_000_000
+    lo, hi = hr.min(), hr.max()
+    n = hi - lo + 1
+    assert len(rows) == ev.event_type.nunique()
+    for r in rows:
+        x = np.zeros(n, dtype=np.int64)
+        vc = hr[ev.event_type == r.event_type].value_counts()
+        x[vc.index.to_numpy() - lo] = vc.to_numpy()
+        assert r.n_hours == n
+        S, Q = int(x.sum()), int((x * x).sum())
+        assert r.mean_milli == 1000 * S // n
+        fano = (n * Q - S * S) / ((n - 1) * S)
+        assert r.fano_micro == round(1e6 * fano)
+        var = np.var(x, ddof=1)
+        assert abs(fano - var / x.mean()) < 1e-9  # exact-moment identity
+        sig, mu = np.sqrt(var), x.mean()
+        assert r.burstiness_micro == round(1e6 * (sig - mu) / (sig + mu))
+        assert -1_000_000 <= r.burstiness_micro <= 1_000_000

@@ -594,6 +594,17 @@ CASES = {
     "(domain-bounded), a second onto |langs|+1 rows; the _ALL "
     "rollup reuses the per-lang relation via localCheckpoint "
     "instead of rescanning the corpus.",
+    "q254_entropy_rate": "Markov chain entropy rate. What to "
+    "check: the transition agg partial/final-folds onto the "
+    "<= |types|^2 matrix BEFORE the localCheckpoint; the ln/"
+    "entropy arithmetic and the pi join all run on that bounded "
+    "relation (broadcast exchanges only); the single collect is "
+    "the bounded matrix — the q63/q242 precedent.",
+    "q255_fano_factor": "Fano factor / burstiness. What to check: "
+    "the event scan folds to the (type, hour) bucket agg "
+    "map-side; the zero-fill join and the moment agg run over "
+    "the |types| x clock-bounded grid; output is |types| rows "
+    "with all moments in one pass.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
