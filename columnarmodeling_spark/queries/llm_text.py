@@ -3386,3 +3386,159 @@ def q253_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- q256: Wasserstein-1 distance between source length distributions -------
+
+
+@register(
+    "q256_wasserstein",
+    oracle="""
+    WITH lv AS (
+      SELECT source, n_chars AS len,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    lens AS (SELECT DISTINCT len FROM lv),
+    gaps AS (
+      SELECT len,
+             lead(len) OVER (ORDER BY len) - len AS gap
+      FROM lens),
+    srcs AS (SELECT DISTINCT source FROM lv),
+    grid AS (
+      SELECT s.source, l.len, CAST(coalesce(v.c, 0) AS BIGINT) AS c
+      FROM srcs s CROSS JOIN lens l
+      LEFT JOIN lv v ON v.source = s.source AND v.len = l.len),
+    cum AS (
+      SELECT source, len,
+             CAST(sum(c) OVER (
+               PARTITION BY source ORDER BY len
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM grid),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM lv GROUP BY 1),
+    terms AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             ta.n AS n_a, tb.n AS n_b,
+             CAST(sum(abs(a.cum * tb.n - b.cum * ta.n) * g.gap)
+               AS BIGINT) AS area
+      FROM cum a
+      JOIN cum b ON a.len = b.len AND a.source < b.source
+      JOIN gaps g ON g.len = a.len AND g.gap IS NOT NULL
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY 1, 2, 3, 4)
+    SELECT source_a, source_b, n_a, n_b,
+           CAST(round(1000.0 * CAST(area AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+             AS BIGINT) AS w1_milli
+    FROM terms
+    ORDER BY source_a, source_b
+    """,
+    doc="WASSERSTEIN-1 (EARTH-MOVER) DISTANCE between every pair of "
+    "sources' document-length distributions — the integral-form "
+    "companion to q228's KS sup-statistic: W1 = integral "
+    "|F_a - F_b| dx reads as 'average characters of length shift "
+    "needed to turn one source's distribution into the other's', "
+    "the drift number a mixing/rebalance decision actually wants "
+    "(KS says WHETHER they differ; W1 says BY HOW MUCH in char "
+    "units). Exact: distributions are level-compacted onto the "
+    "shared distinct-length grid; each term is the int64 cross "
+    "product |cumA*nB - cumB*nA| times the integer gap to the "
+    "next level; ONE double division at the end, quantized to "
+    "milli-chars. Scale: the corpus folds to (source, len) "
+    "counts map-side; the CDF window and pair join run over the "
+    "|sources| x |length-domain| grid (domain-bounded, q252 "
+    "discipline); the pair space is |sources| choose 2. Counts "
+    "up to ~3e9 keep the cross product in int64; past that "
+    "rescale to k-units (q250 note).",
+    tags=("llm", "stats", "wasserstein", "drift", "scale"),
+)
+def q256_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    lv = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("len"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lv = lv.localCheckpoint(eager=False)
+    lens = lv.select("len").distinct()
+    gaps = lens.select(
+        "len",
+        (
+            F.lead("len").over(W.partitionBy().orderBy("len"))
+            - F.col("len")
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    srcs = lv.select("source").distinct()
+    grid = (
+        srcs.crossJoin(lens)
+        .join(lv, ["source", "len"], "left")
+        .select(
+            "source",
+            "len",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wc = (
+        W.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        "source", "len", F.sum("c").over(wc).cast("long").alias("cum")
+    )
+    cum = cum.localCheckpoint(eager=False)
+    tot = lv.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = cum.select(
+        F.col("source").alias("source_a"),
+        "len",
+        F.col("cum").alias("cum_a"),
+    )
+    b = cum.select(
+        F.col("source").alias("source_b"),
+        F.col("len").alias("len_b"),
+        F.col("cum").alias("cum_b"),
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    terms = (
+        a.join(
+            b,
+            (F.col("len") == F.col("len_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .join(F.broadcast(gaps), "len")
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+                * F.col("gap")
+            )
+            .cast("long")
+            .alias("area")
+        )
+    )
+    return terms.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.lit(1000.0)
+            * F.col("area").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+        .cast("long")
+        .alias("w1_milli"),
+    ).orderBy("source_a", "source_b")

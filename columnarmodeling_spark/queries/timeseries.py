@@ -1873,3 +1873,135 @@ def q255_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("burstiness_micro"),
     ).orderBy("event_type")
+
+
+# --- q257: inter-arrival exponentiality screen -------------------------------
+
+
+@register(
+    "q257_interarrival",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS us
+      FROM events),
+    gaps AS (
+      SELECT event_type,
+             us - lag(us) OVER (PARTITION BY user_id, event_type
+               ORDER BY us, event_id) AS g
+      FROM ev),
+    gg AS (SELECT event_type, g, g // 1000000 AS gms
+           FROM gaps WHERE g IS NOT NULL),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(gms) AS BIGINT) AS sm,
+             CAST(sum(gms * gms) AS BIGINT) AS smm
+      FROM gg GROUP BY 1),
+    tail AS (
+      SELECT g.event_type,
+             CAST(sum(CASE WHEN g.g * s.n_gaps > s.sg
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+      FROM gg g JOIN s USING (event_type)
+      GROUP BY 1)
+    SELECT s.event_type, s.n_gaps,
+           CAST(s.sg // s.n_gaps AS BIGINT) AS mean_gap_us,
+           CAST(round(1000000.0
+             * sqrt((CAST(s.n_gaps AS DOUBLE) * CAST(s.smm AS DOUBLE)
+                     - CAST(s.sm AS DOUBLE) * CAST(s.sm AS DOUBLE))
+                    / (CAST(s.n_gaps AS DOUBLE)
+                       * CAST(s.n_gaps - 1 AS DOUBLE)))
+             / (CAST(s.sm AS DOUBLE) / CAST(s.n_gaps AS DOUBLE)))
+             AS BIGINT) AS cv_micro,
+           CAST((1000000 * t.n_over) // s.n_gaps AS BIGINT)
+             AS tail_over_mean_micro
+    FROM s JOIN tail t USING (event_type)
+    ORDER BY s.event_type
+    """,
+    doc="INTER-ARRIVAL EXPONENTIALITY SCREEN per event type — the "
+    "gap-domain dual of q255's count-domain Fano factor: a "
+    "memoryless (Poisson) process has per-user inter-arrival "
+    "gaps with CV = sigma/mu = 1 and P(gap > mean) = 1/e ~ "
+    "0.367879; CV >> 1 or a fat tail fraction flags bursty "
+    "sessions, CV << 1 flags scheduled/bot traffic. Gaps are "
+    "exact microsecond int64 lags per (user, type) — the "
+    "per-user partition is the event log's natural key, never a "
+    "global per-type ordering (q26 discipline). Exactness: n and "
+    "sum(g) are int64; the tail test is the cross-multiplication "
+    "g*n > sum(g) — no division; the CV moments run on "
+    "second-TRUNCATED gaps (g // 1e6 us, identical truncating "
+    "div both engines) so sum(g_s^2) stays in exact int64 — no "
+    "float aggregation exists (20-day max gaps square to ~3e12; "
+    "~1e6 worst-case gaps per type fit; beyond that truncate to "
+    "minutes, same rescale note as q241); CV is one "
+    "IEEE-sqrt expression over the integer moments quantized to "
+    "micro. Scale: two "
+    "map-side-combinable aggs keyed (user,type) then type; the "
+    "tail join broadcasts |types| moment rows.",
+    tags=("timeseries", "stats", "poisson", "interarrival", "scale"),
+)
+def q257_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    gaps = ev.select(
+        "event_type",
+        (
+            F.col("us")
+            - F.lag("us").over(
+                W.partitionBy("user_id", "event_type").orderBy(
+                    "us", "event_id"
+                )
+            )
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    gaps = gaps.withColumn("gms", F.expr("div(g, 1000000)"))
+    gaps = gaps.localCheckpoint(eager=False)
+    s = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum("gms").cast("long").alias("sm"),
+        F.sum(F.col("gms") * F.col("gms")).cast("long").alias("smm"),
+    )
+    tail = (
+        gaps.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("g") * F.col("n_gaps") > F.col("sg"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_over")
+        )
+    )
+    mu = F.col("sm").cast("double") / F.col("n_gaps").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("n_gaps").cast("double") * F.col("smm").cast("double")
+            - F.col("sm").cast("double") * F.col("sm").cast("double")
+        )
+        / (
+            F.col("n_gaps").cast("double")
+            * (F.col("n_gaps") - 1).cast("double")
+        )
+    )
+    return (
+        s.join(tail, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.expr("div(sg, n_gaps)").cast("long").alias("mean_gap_us"),
+            F.round(F.lit(1000000.0) * sd / mu)
+            .cast("long")
+            .alias("cv_micro"),
+            F.expr("div(1000000 * n_over, n_gaps)")
+            .cast("long")
+            .alias("tail_over_mean_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -1401,3 +1401,66 @@ def test_q253_k_anonymity_replay(spark):
     assert al.n_docs == len(d)
     assert al.n_groups == sum(by[x].n_groups for x in langs)
     assert al.min_group_size == min(by[x].min_group_size for x in langs)
+
+
+def test_q256_wasserstein_matches_scipy_style(spark):
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q256_wasserstein"].fn(spark, sf).collect()
+    d = pd.read_parquet(f"{sf}/documents.parquet")
+    srcs = sorted(d.source.unique())
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+
+    def w1(a, b):
+        # area between empirical CDFs over the merged level grid
+        av, bv = np.sort(a), np.sort(b)
+        lv = np.unique(np.concatenate([av, bv]))
+        fa = np.searchsorted(av, lv, side="right") / len(av)
+        fb = np.searchsorted(bv, lv, side="right") / len(bv)
+        return float(np.sum(np.abs(fa - fb)[:-1] * np.diff(lv)))
+
+    got = {(r.source_a, r.source_b): r for r in rows}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            a = d[d.source == sa].n_chars.to_numpy()
+            b = d[d.source == sb].n_chars.to_numpy()
+            r = got[(sa, sb)]
+            assert (r.n_a, r.n_b) == (len(a), len(b))
+            assert abs(r.w1_milli - round(1000 * w1(a, b))) <= 1
+            assert r.w1_milli >= 0
+
+
+def test_q257_interarrival_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q257_interarrival"].fn(spark, sf).collect()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "event_type", "us", "event_id"])
+    g = ev.groupby(["user_id", "event_type"]).us.diff().dropna()
+    g = g.astype("int64")
+    ty = ev.loc[g.index, "event_type"]
+    assert len(rows) == ev.event_type.nunique()
+    for r in rows:
+        gi = g[ty == r.event_type]
+        n = len(gi)
+        assert r.n_gaps == n
+        assert r.mean_gap_us == int(gi.sum()) // n
+        gs = gi // 1_000_000
+        sm, smm = int(gs.sum()), int((gs * gs).sum())
+        mu = sm / n
+        sd = math.sqrt((n * smm - sm * sm) / (n * (n - 1)))
+        assert r.cv_micro == round(1e6 * sd / mu)
+        n_over = int((gi * n > int(gi.sum())).sum())
+        assert r.tail_over_mean_micro == 1_000_000 * n_over // n
+        # a renewal process tail fraction lives strictly inside (0, 1)
+        assert 0 < r.tail_over_mean_micro < 1_000_000

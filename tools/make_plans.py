@@ -605,6 +605,18 @@ CASES = {
     "map-side; the zero-fill join and the moment agg run over "
     "the |types| x clock-bounded grid; output is |types| rows "
     "with all moments in one pass.",
+    "q256_wasserstein": "Wasserstein-1 between source length "
+    "distributions. What to check: the corpus folds to (source, "
+    "len) counts map-side; the CDF window partitions by source "
+    "over the domain-bounded level grid; the pair join keys on "
+    "len with gaps/totals riding BroadcastExchanges; the term agg "
+    "folds onto |sources| choose 2 rows.",
+    "q257_interarrival": "Inter-arrival exponentiality screen. "
+    "What to check: the lag window partitions by (user, type) — "
+    "the log's natural key, no global ordering; both moment aggs "
+    "are partial/final onto |types| rows; the tail pass reuses "
+    "the localCheckpointed gap relation with the moment row "
+    "broadcast.",
     "q160_jl_distortion": "JL ±1 projection distortion. What to "
     "check: the d×k sign expansion is a posexplode generator plus a "
     "BroadcastExchange of the 8-row direction table (the sign is "
