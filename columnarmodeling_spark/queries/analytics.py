@@ -3610,3 +3610,134 @@ def q252_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pick(1), pick(2), pick(3))
         .orderBy("event_type")
     )
+
+
+# --- q259: leave-one-group-out OLS cross-validation -------------------------
+
+
+@register(
+    "q259_loo_cv_ols",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS x,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents),
+    s AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY 1),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+             CAST(sum(sy) AS BIGINT) AS tsy,
+             CAST(sum(sxy) AS BIGINT) AS tsxy,
+             CAST(sum(sxx) AS BIGINT) AS tsxx
+      FROM s),
+    r AS (
+      SELECT s.lang, s.n, s.sx, s.sy, s.sxy, s.sxx, s.syy,
+             g.tn - s.n AS rn, g.tsx - s.sx AS rsx, g.tsy - s.sy AS rsy,
+             g.tsxy - s.sxy AS rsxy, g.tsxx - s.sxx AS rsxx
+      FROM s CROSS JOIN g),
+    fit AS (
+      SELECT lang, n, sx, sy, sxy, sxx, syy, rn, rsx, rsy,
+             (CAST(rn AS DOUBLE) * rsxy - CAST(rsx AS DOUBLE) * rsy)
+               / (CAST(rn AS DOUBLE) * rsxx - CAST(rsx AS DOUBLE) * rsx)
+               AS b
+      FROM r),
+    ab AS (
+      SELECT lang, n, sx, sy, sxy, sxx, syy, b,
+             (CAST(rsy AS DOUBLE) - b * rsx) / rn AS a
+      FROM fit),
+    e AS (
+      SELECT lang, n, a, b,
+             (CAST(syy AS DOUBLE) - 2.0 * a * sy - 2.0 * b * sxy
+              + 2.0 * a * b * sx + a * a * n + b * b * sxx) / n AS mse
+      FROM ab)
+    SELECT lang, n AS n_held,
+           CAST(round(1000000.0 * b) AS BIGINT) AS slope_micro,
+           CAST(round(1000000.0 * a) AS BIGINT) AS intercept_micro,
+           CAST(round(1000.0 * sqrt(greatest(mse, 0.0))) AS BIGINT)
+             AS rmse_milli
+    FROM e ORDER BY lang
+    """,
+    doc="LEAVE-ONE-GROUP-OUT OLS CROSS-VALIDATION (the generalization "
+    "check q234's in-group fits cannot give: fit chars-per-token on "
+    "every language EXCEPT g, then score the held-out g — per-group "
+    "train/test without a second pass): the rest-of-corpus "
+    "sufficient statistics are GLOBAL SUMS MINUS GROUP SUMS (exact "
+    "int64 subtraction — the classic jackknife/moment trick, q189 "
+    "family), so one map-side-combinable agg yields every fold's "
+    "train fit AND its held-out MSE, expanded as syy - 2a*sy - "
+    "2b*sxy + 2ab*sx + a^2*n + b^2*sxx from the same six sums. All "
+    "double combining happens in textually identical expressions on "
+    "both engines (identical-operand IEEE discipline, q234); "
+    "greatest(mse, 0) guards the cancellation-epsilon corner before "
+    "sqrt. Scale: one agg to |langs| rows, a one-row broadcast of "
+    "the totals, arithmetic on the broadcast scale — the fold loop "
+    "every CV harness runs is ZERO extra passes here.",
+    tags=("analytics", "stats", "regression", "cv", "jackknife", "scale"),
+)
+def q259_loo_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(tokens("text")).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    g = s.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+    )
+    r = s.crossJoin(F.broadcast(g)).select(
+        "lang", "n", "sx", "sy", "sxy", "sxx", "syy",
+        (F.col("tn") - F.col("n")).alias("rn"),
+        (F.col("tsx") - F.col("sx")).alias("rsx"),
+        (F.col("tsy") - F.col("sy")).alias("rsy"),
+        (F.col("tsxy") - F.col("sxy")).alias("rsxy"),
+        (F.col("tsxx") - F.col("sxx")).alias("rsxx"),
+    )
+    # Textually identical arithmetic on both engines (IEEE discipline).
+    fit = r.withColumn(
+        "b",
+        F.expr(
+            "(CAST(rn AS DOUBLE) * rsxy - CAST(rsx AS DOUBLE) * rsy)"
+            " / (CAST(rn AS DOUBLE) * rsxx - CAST(rsx AS DOUBLE) * rsx)"
+        ),
+    )
+    ab = fit.withColumn(
+        "a", F.expr("(CAST(rsy AS DOUBLE) - b * rsx) / rn")
+    )
+    e = ab.withColumn(
+        "mse",
+        F.expr(
+            "(CAST(syy AS DOUBLE) - 2.0 * a * sy - 2.0 * b * sxy"
+            " + 2.0 * a * b * sx + a * a * n + b * b * sxx) / n"
+        ),
+    )
+    return e.select(
+        "lang",
+        F.col("n").alias("n_held"),
+        F.expr("CAST(round(1000000.0 * b) AS BIGINT)").alias("slope_micro"),
+        F.expr("CAST(round(1000000.0 * a) AS BIGINT)").alias(
+            "intercept_micro"
+        ),
+        F.expr(
+            "CAST(round(1000.0 * sqrt(greatest(mse, 0.0))) AS BIGINT)"
+        ).alias("rmse_milli"),
+    ).orderBy("lang")

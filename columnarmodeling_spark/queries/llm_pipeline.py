@@ -642,3 +642,90 @@ def q232_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, source string, n_tok long, "
         "bin_id long, bin_cum long",
     )
+
+
+# --- q258: target-mix source reweighting ------------------------------------
+
+
+@register(
+    "q258_source_reweighting",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_tokens) AS BIGINT) AS n_total
+      FROM s),
+    w AS (
+      SELECT s.source, s.n_docs, s.n_tokens,
+             CAST(round(1000.0 * g.n_total / (g.k * s.n_tokens)) AS BIGINT)
+               AS weight_milli
+      FROM s CROSS JOIN g)
+    SELECT source, n_docs, n_tokens, weight_milli,
+           least(weight_milli, 1000) AS capped_milli,
+           CAST((n_tokens * least(weight_milli, 1000)) // 1000 AS BIGINT)
+             AS eff_tokens
+    FROM w
+    ORDER BY source
+    """,
+    doc="TARGET-MIX SOURCE REWEIGHTING (the sampling-weight table a "
+    "data-mix curator feeds the loader: given a target of equal "
+    "token share per source, what weight does each source's data "
+    "carry?): weight_s = (N/k)/n_s in milli-units, then the "
+    "downsample-only policy caps at 1000 (never upsample: a source "
+    "below its target share keeps weight 1.0 rather than repeating "
+    "data), and eff_tokens = floor(n_tokens * capped / 1000) is "
+    "the post-sampling token budget the capped mix actually "
+    "yields. Integer end-to-end except the ONE quantized weight "
+    "division (identical-operand double, q221 discipline); the "
+    "floor-div is over non-negative terms so Spark div() and "
+    "DuckDB // agree. Scale: one map-side-combinable agg folds the "
+    "corpus to |sources| rows; k and N ride a one-row broadcast; "
+    "everything downstream is arithmetic on the broadcast scale.",
+    tags=("llm", "pipeline", "mix", "sampling", "scale"),
+)
+def q258_source_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.size(tokens("text")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    g = s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_tokens").cast("long").alias("n_total"),
+    )
+    w = s.crossJoin(F.broadcast(g)).withColumn(
+        "weight_milli",
+        F.round(
+            F.lit(1000.0)
+            * F.col("n_total")
+            / (F.col("k") * F.col("n_tokens"))
+        ).cast("long"),
+    )
+    return (
+        w.withColumn(
+            "capped_milli",
+            F.least(F.col("weight_milli"), F.lit(1000).cast("long")),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_milli",
+            "capped_milli",
+            F.expr("CAST(div(n_tokens * capped_milli, 1000) AS BIGINT)")
+            .alias("eff_tokens"),
+        )
+        .orderBy("source")
+    )

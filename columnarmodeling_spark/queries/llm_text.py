@@ -3542,3 +3542,362 @@ def q256_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w1_milli"),
     ).orderBy("source_a", "source_b")
+
+
+# --- q260: token <-> source mutual information screen ------------------------
+
+_MI_TOP_K = 20  # most-document-frequent tokens screened
+
+
+@register(
+    "q260_token_source_mi",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_filter(regexp_split_to_array(
+                    lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS tok
+      FROM documents),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df
+      FROM dt GROUP BY 1),
+    topk AS (
+      SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {_MI_TOP_K}),
+    ns AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s
+      FROM documents GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    dws AS (
+      SELECT d.tok, d.source, CAST(count(*) AS BIGINT) AS c1
+      FROM dt d JOIN topk k ON k.tok = d.tok
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT k.tok, k.df, s.source, s.n_s,
+             CAST(coalesce(w.c1, 0) AS BIGINT) AS c1
+      FROM topk k CROSS JOIN ns s
+      LEFT JOIN dws w ON w.tok = k.tok AND w.source = s.source),
+    terms AS (
+      SELECT g.tok, g.df,
+             CASE WHEN g.c1 > 0 THEN g.c1 * CAST(round(1000000.0
+               * ln((CAST(g.c1 AS DOUBLE) * x.n)
+                    / (CAST(g.df AS DOUBLE) * g.n_s))) AS BIGINT)
+               ELSE 0 END
+             + CASE WHEN g.n_s - g.c1 > 0 THEN
+                 (g.n_s - g.c1) * CAST(round(1000000.0
+                   * ln((CAST(g.n_s - g.c1 AS DOUBLE) * x.n)
+                        / (CAST(x.n - g.df AS DOUBLE) * g.n_s)))
+                   AS BIGINT)
+               ELSE 0 END AS term,
+             x.n AS n
+      FROM grid g CROSS JOIN nn x)
+    SELECT tok, df,
+           CAST(round(CAST(sum(term) AS DOUBLE) / n) AS BIGINT) AS mi_micro
+    FROM terms GROUP BY tok, df, n
+    ORDER BY tok
+    """,
+    doc="MUTUAL INFORMATION between source and token PRESENCE for the "
+    f"{_MI_TOP_K} most document-frequent tokens — the feature-"
+    "selection screen behind 'which tokens identify their source?' "
+    "(q237's Theil U measures lang<->source association; this "
+    "measures source<->VOCABULARY, the signal a contamination or "
+    "style probe trains on): MI(S; 1[w in doc]) = sum over "
+    "(source, present/absent) cells of p ln(p/(p_row p_col)), "
+    "assembled from the (tok, source) document-frequency "
+    "CONTINGENCY relation with zero-count cells contributing 0. "
+    "Exactness: each cell's log-ratio ln(c*N/(rowtot*n_s)) is "
+    "quantized to integer micro-nats BEFORE the count-weighted "
+    "int64 sum (q203/q233 ln discipline); ONE double division per "
+    "token at the end. Scale: the distinct (doc, tok) relation "
+    "folds map-side to per-token df; top-k is a bounded global "
+    "sort of the VOCAB relation (q221 discipline); the cell "
+    "counts join a BROADCAST k-row token list against the same "
+    "distinct relation; the grid is k x |sources| arithmetic on "
+    "the broadcast scale.",
+    tags=("llm", "text", "stats", "mi", "feature-selection", "scale"),
+)
+def q260_token_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(tokens("text"))).alias("tok"),
+    )
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    topk = df.orderBy(F.desc("df"), "tok").limit(_MI_TOP_K)
+    ns = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dws = (
+        dt.join(F.broadcast(topk.select("tok")), "tok")
+        .groupBy("tok", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    grid = (
+        F.broadcast(topk)
+        .crossJoin(F.broadcast(ns))
+        .join(dws, ["tok", "source"], "left")
+        .select(
+            "tok",
+            "df",
+            "source",
+            "n_s",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+        )
+    )
+    terms = grid.crossJoin(F.broadcast(nn)).select(
+        "tok",
+        "df",
+        "n",
+        (
+            F.when(
+                F.col("c1") > 0,
+                F.col("c1")
+                * F.round(
+                    F.lit(1000000.0)
+                    * F.log(
+                        (F.col("c1").cast("double") * F.col("n"))
+                        / (F.col("df").cast("double") * F.col("n_s"))
+                    )
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            + F.when(
+                (F.col("n_s") - F.col("c1")) > 0,
+                (F.col("n_s") - F.col("c1"))
+                * F.round(
+                    F.lit(1000000.0)
+                    * F.log(
+                        (
+                            (F.col("n_s") - F.col("c1")).cast("double")
+                            * F.col("n")
+                        )
+                        / (
+                            (F.col("n") - F.col("df")).cast("double")
+                            * F.col("n_s")
+                        )
+                    )
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("tok", "df", "n")
+        .agg(
+            F.round(F.sum("term").cast("double") / F.first("n"))
+            .cast("long")
+            .alias("mi_micro")
+        )
+        .select("tok", "df", "mi_micro")
+        .orderBy("tok")
+    )
+
+
+# --- q262: Hellinger / Bhattacharyya source-pair distance --------------------
+
+
+@register(
+    "q262_hellinger",
+    oracle="""
+    WITH tk AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS tok
+      FROM documents),
+    tfs AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+      FROM tk GROUP BY 1, 2),
+    ns AS (
+      SELECT source, CAST(sum(cs) AS BIGINT) AS n FROM tfs GROUP BY 1),
+    bc AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             ta.n AS n_a, tb.n AS n_b,
+             CAST(sum(CAST(round(1000000000000.0
+               * sqrt((CAST(a.cs AS DOUBLE) * b.cs)
+                      / (CAST(ta.n AS DOUBLE) * tb.n))) AS BIGINT))
+               AS BIGINT) AS bc_pico
+      FROM tfs a
+      JOIN tfs b ON b.tok = a.tok AND a.source < b.source
+      JOIN ns ta ON ta.source = a.source
+      JOIN ns tb ON tb.source = b.source
+      GROUP BY 1, 2, 3, 4)
+    SELECT source_a, source_b, n_a, n_b,
+           CAST(round(CAST(bc_pico AS DOUBLE) / 1000000.0) AS BIGINT)
+             AS bc_micro,
+           CAST(round(1000000.0 * sqrt(greatest(
+             1.0 - CAST(bc_pico AS DOUBLE) / 1000000000000.0, 0.0)))
+             AS BIGINT) AS hellinger_micro
+    FROM bc ORDER BY source_a, source_b
+    """,
+    doc="HELLINGER DISTANCE (via the Bhattacharyya coefficient) "
+    "between every source pair's unigram distributions — the "
+    "bounded-metric member of the drift family (q233 KL is "
+    "unbounded and asymmetric; q247 JSD is smoothed; Hellinger is "
+    "a TRUE METRIC in [0,1], the one you threshold for 'same "
+    "distribution?' gating): BC = sum sqrt(p_a p_b) over the "
+    "shared vocabulary, H = sqrt(1-BC). Exactness: each term's "
+    "sqrt((cs_a*cs_b)/(n_a*n_b)) is one identical-operand double "
+    "quantized to integer PICO units before the exact int64 sum "
+    "(Cauchy-Schwarz bounds the sum by 1e12 — no overflow at any "
+    "scale; per-term rounding error is <= 0.5e-12 * |vocab|, "
+    "invisible at the published micro quantum); the final sqrt is "
+    "single-operand IEEE. Scale: corpus folds map-side to the "
+    "(source, tok) relation; the pair join shuffles on tok over "
+    "the VOCABULARY (q235 discipline); output is |sources| "
+    "choose 2.",
+    tags=("llm", "text", "stats", "hellinger", "drift", "scale"),
+)
+def q262_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tfs = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    )
+    tfs = tfs.localCheckpoint(eager=False)
+    ns = tfs.groupBy("source").agg(F.sum("cs").cast("long").alias("n"))
+    a = tfs.select(
+        F.col("source").alias("source_a"), "tok", F.col("cs").alias("cs_a")
+    )
+    b = tfs.select(
+        F.col("source").alias("source_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("cs").alias("cs_b"),
+    )
+    ta = ns.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = ns.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    term = F.round(
+        F.lit(1000000000000.0)
+        * F.sqrt(
+            (F.col("cs_a").cast("double") * F.col("cs_b"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        )
+    ).cast("long")
+    bc = (
+        a.join(
+            b,
+            (F.col("tok_b") == F.col("tok"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.sum(term).cast("long").alias("bc_pico"))
+    )
+    return bc.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(round(CAST(bc_pico AS DOUBLE) / 1000000.0) AS BIGINT)"
+        ).alias("bc_micro"),
+        F.expr(
+            "CAST(round(1000000.0 * sqrt(greatest("
+            "1.0 - CAST(bc_pico AS DOUBLE) / 1000000000000.0, 0.0)))"
+            " AS BIGINT)"
+        ).alias("hellinger_micro"),
+    ).orderBy("source_a", "source_b")
+
+
+# --- q263: vocabulary coverage curve ----------------------------------------
+
+_COVERAGE_KS = (100, 1000, 10000)  # vocabulary budgets probed
+
+
+@register(
+    "q263_vocab_coverage",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      FROM tf),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+      FROM tf),
+    cum AS (
+      SELECT rk, CAST(sum(c) OVER (
+               ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM r),
+    ks AS (
+      SELECT CAST(unnest([{", ".join(str(k) for k in _COVERAGE_KS)}])
+               AS BIGINT) AS k)
+    SELECT k.k, t.v AS n_vocab, t.n AS n_tokens, c.cum_tokens,
+           CAST(round(1000000.0 * c.cum_tokens / t.n) AS BIGINT)
+             AS coverage_micro
+    FROM ks k
+    CROSS JOIN tot t
+    JOIN cum c ON c.rk = least(k.k, t.v)
+    ORDER BY k.k
+    """,
+    doc="VOCABULARY COVERAGE CURVE — what fraction of corpus token "
+    "OCCURRENCES do the top-k most frequent types cover, at k = "
+    f"{_COVERAGE_KS} (the tokenizer-budget question 'how big must "
+    "the vocab be?' that q221's Zipf exponent implies but never "
+    "answers, and the OOV-rate complement: 1 - coverage IS the "
+    "OOV mass at budget k): rank types by (count desc, tok), "
+    "running-sum the counts, probe the cumsum at each budget "
+    "(clamped to the vocab size). Integer end-to-end except the "
+    "ONE quantized coverage division. Scale: the corpus folds "
+    "map-side to the VOCAB relation; the rank and running sum are "
+    "a single global-order window over that bounded relation "
+    "(q221 discipline — acceptable because vocab << corpus; the "
+    "two-level escape is ranged pre-bucketing by count if vocab "
+    "itself sharded); the probe join is 3 rows against the "
+    "cumsum.",
+    tags=("llm", "text", "vocab", "coverage", "tokenizer", "scale"),
+)
+def q263_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tf = tf.localCheckpoint(eager=False)
+    tot = tf.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    r = tf.select(
+        "c",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("c"), "tok"))
+        .alias("rk"),
+    )
+    cum = r.select(
+        "rk",
+        F.sum("c")
+        .over(
+            W.partitionBy()
+            .orderBy("rk")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(int(k),) for k in _COVERAGE_KS], "k long"
+    )
+    return (
+        F.broadcast(ks)
+        .crossJoin(F.broadcast(tot))
+        .join(cum, F.col("rk") == F.least(F.col("k"), F.col("v")))
+        .select(
+            "k",
+            F.col("v").alias("n_vocab"),
+            F.col("n").alias("n_tokens"),
+            "cum_tokens",
+            F.expr(
+                "CAST(round(1000000.0 * cum_tokens / n) AS BIGINT)"
+            ).alias("coverage_micro"),
+        )
+        .orderBy("k")
+    )
