@@ -3901,3 +3901,78 @@ def q263_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- q261: unseen-mass / Chao1 vocabulary richness ---------------------------
+
+
+@register(
+    "q261_unseen_mass",
+    oracle="""
+    WITH tk AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS tok
+      FROM documents),
+    tfs AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tk GROUP BY 1, 2),
+    s AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS v_types,
+             CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+             CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+      FROM tfs GROUP BY 1)
+    SELECT source, n_tokens, v_types, f1, f2,
+           CAST(round(1000.0 * (v_types + CAST(f1 AS DOUBLE) * (f1 - 1)
+             / (2.0 * (f2 + 1)))) AS BIGINT) AS chao1_milli,
+           CAST(round(1000000.0 * f1 / n_tokens) AS BIGINT) AS unseen_micro
+    FROM s ORDER BY source
+    """,
+    doc="UNSEEN-MASS + CHAO1 VOCABULARY RICHNESS per source — the "
+    "extrapolation the in-sample vocab family cannot give (q248 "
+    "Heaps fits growth OBSERVED so far; q263 covers budget over "
+    "types SEEN; this estimates what is NOT yet seen): Good-Turing "
+    "missing mass p0 = f1/N (the probability the NEXT token drawn "
+    "from source s is a never-seen type — the sampling-adequacy "
+    "gate for 'is this source crawled out?') and the bias-corrected "
+    "Chao1 asymptotic richness V + f1(f1-1)/(2(f2+1)) (defined even "
+    "at f2=0, where the classic f1^2/(2 f2) form blows up), both "
+    "from the singleton/doubleton counts-of-counts. Exactness: "
+    "counts are exact int64 all the way; each estimator is ONE "
+    "textually identical double expression quantized at the end "
+    "(q234 identical-operand IEEE discipline). Scale: corpus folds "
+    "map-side to the (source, tok) relation; the counts-of-counts "
+    "fold is a second map-side-combinable agg on that bounded "
+    "relation keyed by source (no skew: hot sources fold in their "
+    "combiners); output is |sources| rows.",
+    tags=("llm", "text", "vocab", "richness", "good-turing", "scale"),
+)
+def q261_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tfs = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = tfs.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_types"),
+        F.count_if(F.col("c") == 1).cast("long").alias("f1"),
+        F.count_if(F.col("c") == 2).cast("long").alias("f2"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "v_types",
+        "f1",
+        "f2",
+        F.expr(
+            "CAST(round(1000.0 * (v_types + CAST(f1 AS DOUBLE) * (f1 - 1)"
+            " / (2.0 * (f2 + 1)))) AS BIGINT)"
+        ).alias("chao1_milli"),
+        F.expr(
+            "CAST(round(1000000.0 * f1 / n_tokens) AS BIGINT)"
+        ).alias("unseen_micro"),
+    ).orderBy("source")
