@@ -76,6 +76,9 @@ HEADLINE = [
     "q213_winnowing",
     "q214_contamination_spans",
     "q216_mann_whitney",
+    # late round-9 addition: the vocabulary-keyed source-pair join
+    # (the bounded-fan-out drift-metric shape shared by q235/q247/q262)
+    "q262_hellinger",
 ]
 
 

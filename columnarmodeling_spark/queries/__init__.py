@@ -110,6 +110,25 @@ def register(
 # by the early-round-9 draft resume in round 10 — every query rotated
 # OUT of this window was green at its latest driver check in
 # CORRECTNESS_r08 or earlier.
+#
+# Staleness ledger (latest CORRECTNESS_r0N row per query, computed from
+# the artifact series; every row green at its latest check). Refresh
+# priority = oldest band first, oldest query within the band first:
+#   r4 band (25, oldest q06 — ITS SLOT IS IN THIS WINDOW): q06 q09-q17
+#     q20-q25 q27-q29 q31 q32 q100 q101 q104 q105
+#   r5 band (41, oldest q07): q07 q08 q18 q19 q26 q33-q42 q58 q60 q61
+#     q63 q65 q71-q73 q75 q78 q80-q86 q88-q93 q106 q108 q110
+#   r6 band (44, oldest q51): q51 q53 q55 q68 q70 q76 q77 q79 q94 q95
+#     q97-q99 q102 q103 q107 q109 q111-q137
+#   r7 band (44): q138-q181
+#   r8 band (50): q01-q05 q30 q43-q50 q52 q54 q56 q57 q59 q62 q64
+#     q66 q67 q69 q74 q87 q96 q182-q204
+#   never driver-checked: q205-q263 — the r8/r9 additions fronting
+#     THIS window (q248-q263 arrive in the r10 window; each was
+#     strict-replica verified at sf0.01 when added).
+# Post-r9 expected composition: r4 band shrinks to 24 (q06 refreshed);
+# q205-q221 and q223-q247 move to an r9 band; round 10 leads with
+# q248-q263 then drains r4/r5.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor

@@ -1464,3 +1464,214 @@ def test_q257_interarrival_replay(spark):
         assert r.tail_over_mean_micro == 1_000_000 * n_over // n
         # a renewal process tail fraction lives strictly inside (0, 1)
         assert 0 < r.tail_over_mean_micro < 1_000_000
+
+
+def test_q259_loo_cv_matches_numpy(spark):
+    import math
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q259_loo_cv_ols"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    per = {}
+    for _, doc in docs.iterrows():
+        x = len([t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t])
+        y = int(doc.n_chars)
+        n, sx, sy, sxy, sxx, syy = per.get(doc.lang, (0,) * 6)
+        per[doc.lang] = (
+            n + 1, sx + x, sy + y, sxy + x * y, sxx + x * x, syy + y * y,
+        )
+    tot = [sum(v[i] for v in per.values()) for i in range(5)]
+    assert len(rows) == len(per)
+    for r in rows:
+        n, sx, sy, sxy, sxx, syy = per[r.lang]
+        rn, rsx, rsy, rsxy, rsxx = (
+            tot[0] - n, tot[1] - sx, tot[2] - sy, tot[3] - sxy, tot[4] - sxx,
+        )
+        b = (float(rn) * rsxy - float(rsx) * rsy) / (
+            float(rn) * rsxx - float(rsx) * rsx
+        )
+        a = (float(rsy) - b * rsx) / rn
+        mse = (
+            float(syy) - 2.0 * a * sy - 2.0 * b * sxy
+            + 2.0 * a * b * sx + a * a * n + b * b * sxx
+        ) / n
+        assert r.n_held == n
+        assert r.slope_micro == round(1000000.0 * b)
+        assert r.intercept_micro == round(1000000.0 * a)
+        assert r.rmse_milli == round(1000.0 * math.sqrt(max(mse, 0.0)))
+        # chars-per-token slope from a real corpus is positive
+        assert r.slope_micro > 0
+
+
+def test_q260_mi_matches_python_contingency(spark):
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.llm_text import _MI_TOP_K
+
+    rows = REGISTRY["q260_token_source_mi"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    df = Counter()
+    cell = Counter()
+    n_s = Counter()
+    for _, doc in docs.iterrows():
+        n_s[doc.source] += 1
+        for tok in set(
+            t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t
+        ):
+            df[tok] += 1
+            cell[(tok, doc.source)] += 1
+    n = len(docs)
+    topk = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_MI_TOP_K]
+    assert len(rows) == len(topk)
+    want = {}
+    for tok, dfi in topk:
+        acc = 0
+        for src, ns in n_s.items():
+            c1 = cell.get((tok, src), 0)
+            if c1 > 0:
+                acc += c1 * round(
+                    1000000.0 * math.log((float(c1) * n) / (float(dfi) * ns))
+                )
+            c0 = ns - c1
+            if c0 > 0:
+                acc += c0 * round(
+                    1000000.0
+                    * math.log((float(c0) * n) / (float(n - dfi) * ns))
+                )
+        want[tok] = (dfi, round(float(acc) / n))
+    for r in rows:
+        dfi, mi = want[r.tok]
+        assert (r.df, r.mi_micro) == (dfi, mi), r.tok
+        # MI is non-negative up to the micro-quantization slack
+        assert r.mi_micro >= -1
+
+
+def test_q261_unseen_mass_matches_python_counts(spark):
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q261_unseen_mass"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {}
+    for _, doc in docs.iterrows():
+        c = counts.setdefault(doc.source, Counter())
+        for t in re.split(r"[^a-z0-9]+", doc.text.lower()):
+            if t:
+                c[t] += 1
+    assert len(rows) == len(counts)
+    for r in rows:
+        c = counts[r.source]
+        n, v = sum(c.values()), len(c)
+        f1 = sum(1 for x in c.values() if x == 1)
+        f2 = sum(1 for x in c.values() if x == 2)
+        assert (r.n_tokens, r.v_types, r.f1, r.f2) == (n, v, f1, f2)
+        assert r.chao1_milli == round(
+            1000.0 * (v + float(f1) * (f1 - 1) / (2.0 * (f2 + 1)))
+        )
+        assert r.unseen_micro == round(1000000.0 * f1 / n)
+        # the asymptote can only exceed what was observed
+        assert r.chao1_milli >= 1000 * v
+        assert 0 <= r.unseen_micro <= 1000000
+
+
+def test_q262_hellinger_matches_python_pairs(spark):
+    import math
+    from collections import Counter
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q262_hellinger"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {}
+    for _, doc in docs.iterrows():
+        c = counts.setdefault(doc.source, Counter())
+        for t in re.split(r"[^a-z0-9]+", doc.text.lower()):
+            if t:
+                c[t] += 1
+    srcs = sorted(counts)
+    npairs = len(srcs) * (len(srcs) - 1) // 2
+    assert len(rows) == npairs
+    tot = {s: sum(c.values()) for s, c in counts.items()}
+    for r in rows:
+        ca, cb = counts[r.source_a], counts[r.source_b]
+        na, nb = tot[r.source_a], tot[r.source_b]
+        assert (r.n_a, r.n_b) == (na, nb)
+        bc = sum(
+            round(
+                1000000000000.0
+                * math.sqrt((float(ca[t_]) * cb[t_]) / (float(na) * nb))
+            )
+            for t_ in ca
+            if t_ in cb
+        )
+        assert r.bc_micro == round(float(bc) / 1000000.0)
+        assert r.hellinger_micro == round(
+            1000000.0 * math.sqrt(max(1.0 - float(bc) / 1e12, 0.0))
+        )
+        # a bounded metric: BC and H both live in [0, 1]
+        assert 0 <= r.bc_micro <= 1000001
+        assert 0 <= r.hellinger_micro <= 1000000
+
+
+def test_q263_coverage_matches_python_cumsum(spark):
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.llm_text import _COVERAGE_KS
+
+    rows = REGISTRY["q263_vocab_coverage"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    c = Counter(
+        t
+        for txt in docs.text
+        for t in re.split(r"[^a-z0-9]+", txt.lower())
+        if t
+    )
+    n, v = sum(c.values()), len(c)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum = []
+    acc = 0
+    for _, cnt in ranked:
+        acc += cnt
+        cum.append(acc)
+    assert len(rows) == len(_COVERAGE_KS)
+    prev = -1
+    for r in sorted(rows, key=lambda r: r.k):
+        assert (r.n_vocab, r.n_tokens) == (v, n)
+        want = cum[min(r.k, v) - 1]
+        assert r.cum_tokens == want
+        assert r.coverage_micro == round(1000000.0 * want / n)
+        # coverage is monotone in the budget and ends at 100%
+        assert r.coverage_micro >= prev
+        prev = r.coverage_micro
+        if r.k >= v:
+            assert r.coverage_micro == 1000000

@@ -530,3 +530,34 @@ def test_q232_greedy_packing_matches_python_fold(spark):
         for bid, fill in fills.items():
             ndocs = sum(1 for r in rs if r.bin_id == bid)
             assert fill <= _PACK_BUDGET or ndocs == 1
+
+
+def test_q258_reweighting_matches_python_fold(spark):
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q258_source_reweighting"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    per = {}
+    for _, doc in docs.iterrows():
+        n = len([t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t])
+        d, s = per.get(doc.source, (0, 0))
+        per[doc.source] = (d + 1, s + n)
+    k = len(per)
+    n_total = sum(s for _, s in per.values())
+    assert len(rows) == k
+    for r in rows:
+        d, s = per[r.source]
+        assert (r.n_docs, r.n_tokens) == (d, s)
+        assert r.weight_milli == round(1000.0 * n_total / (k * s))
+        assert r.capped_milli == min(r.weight_milli, 1000)
+        assert r.eff_tokens == s * r.capped_milli // 1000
+        # downsample-only: the capped mix never repeats data
+        assert r.eff_tokens <= r.n_tokens
+    # the capped mix fits inside the corpus budget
+    assert sum(r.eff_tokens for r in rows) <= n_total

@@ -625,6 +625,45 @@ CASES = {
     "direction)-keyed partial/final agg; the pair joins key on "
     "vec_id with the +250 offset applied as a projection, so both "
     "distance aggs are plain equi-joins + hash aggs.",
+    "q258_source_reweighting": "Target-mix source reweighting. "
+    "What to check: ONE map-side-combinable hash agg folds the "
+    "corpus to |sources| rows; the (k, N) totals ride a one-row "
+    "BroadcastExchange into a BroadcastNestedLoopJoin; every "
+    "weight/cap/floor-div is plain projection arithmetic after "
+    "the fold — no second corpus pass.",
+    "q259_loo_cv_ols": "Leave-one-group-out OLS cross-validation. "
+    "What to check: the six sufficient statistics fold "
+    "partial/final onto |langs| rows in one agg; the global "
+    "totals are a one-row BroadcastExchange; every fold's "
+    "rest-of-corpus fit AND held-out MSE are projections on the "
+    "broadcast join — the CV loop costs zero extra passes.",
+    "q260_token_source_mi": "Token-source mutual information "
+    "screen. What to check: the distinct (doc, tok) relation "
+    "folds map-side to per-token df; top-k is a "
+    "TakeOrderedAndProject (bounded), then rides a "
+    "BroadcastExchange into the cell-count join so the second "
+    "pass shuffles only k tokens' rows; the k x |sources| grid "
+    "and the MI terms are broadcast-scale arithmetic.",
+    "q261_unseen_mass": "Good-Turing unseen mass + Chao1 "
+    "richness. What to check: the corpus folds map-side to the "
+    "(source, tok) vocab relation; the counts-of-counts fold is "
+    "a second partial/final hash agg keyed by source onto "
+    "|sources| rows; both estimators are single projections — "
+    "no window, no join, two exchanges total.",
+    "q262_hellinger": "Hellinger / Bhattacharyya source-pair "
+    "distance. What to check: the corpus folds to the (source, "
+    "tok) relation behind one localCheckpoint that feeds both "
+    "pair sides and the totals; the pair join keys on tok over "
+    "the VOCABULARY (never doc pairs); per-source totals ride "
+    "BroadcastExchanges; the term agg folds onto |sources| "
+    "choose 2 rows.",
+    "q263_vocab_coverage": "Vocabulary coverage curve. What to "
+    "check: the corpus folds map-side to the vocab relation "
+    "behind one localCheckpoint feeding the totals, the rank "
+    "window, and the cumsum; the single-partition window is the "
+    "documented q221 vocab-scale exception (vocab << corpus); "
+    "the 3-row budget probe and the one-row totals ride "
+    "BroadcastExchanges.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
