@@ -2036,3 +2036,295 @@ def q225_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_micro"),
         )
     )
+
+
+# --- q266: embedding anisotropy (mean pairwise cosine) -----------------------
+
+
+@register(
+    "q266_anisotropy",
+    oracle="""
+    WITH nq AS (
+      SELECT vec_id, label, embedding,
+             CAST(list_sum(list_transform(embedding, x ->
+               CAST(round(10000000000.0 * CAST(x AS DOUBLE)
+                 * CAST(x AS DOUBLE)) AS BIGINT))) AS BIGINT) AS n2q
+      FROM embeddings),
+    uq AS (
+      SELECT vec_id, label, d.d AS dim,
+             CAST(round(1000000.0 * (CAST(embedding[d.d] AS DOUBLE)
+               / sqrt(CAST(n2q AS DOUBLE) / 10000000000.0)))
+               AS BIGINT) AS u
+      FROM nq, LATERAL unnest(generate_series(1, len(embedding))) d(d)),
+    s AS (
+      SELECT label, dim, CAST(sum(u) AS BIGINT) AS su,
+             CAST(count(*) AS BIGINT) AS n
+      FROM uq GROUP BY 1, 2),
+    lab AS (
+      SELECT CAST(label AS VARCHAR) AS label_s, n,
+             CAST(sum(CAST(round(1000000000000.0
+               * (CAST(su AS DOUBLE) / n / 1000000.0)
+               * (CAST(su AS DOUBLE) / n / 1000000.0)) AS BIGINT))
+               AS BIGINT) AS m2_pico
+      FROM s GROUP BY 1, 2),
+    alls AS (
+      SELECT dim, CAST(sum(su) AS BIGINT) AS su, CAST(sum(n) AS BIGINT) AS n
+      FROM s GROUP BY 1),
+    alla AS (
+      SELECT '_ALL' AS label_s, n,
+             CAST(sum(CAST(round(1000000000000.0
+               * (CAST(su AS DOUBLE) / n / 1000000.0)
+               * (CAST(su AS DOUBLE) / n / 1000000.0)) AS BIGINT))
+               AS BIGINT) AS m2_pico
+      FROM alls GROUP BY 1, 2),
+    u AS (SELECT * FROM lab UNION ALL SELECT * FROM alla)
+    SELECT label_s, n, m2_pico,
+           CAST(round(1000000.0 * (n * (CAST(m2_pico AS DOUBLE)
+             / 1000000000000.0) - 1.0) / (n - 1)) AS BIGINT)
+             AS mean_cos_micro
+    FROM u WHERE n > 1 ORDER BY label_s
+    """,
+    doc="EMBEDDING ANISOTROPY — the mean pairwise cosine of the "
+    "unit-normalized vectors, per label and corpus-wide (_ALL): the "
+    "'embedding collapse' diagnostic (an isotropic healthy space "
+    "sits near 0; representation collapse pushes it toward 1 — the "
+    "number you check BEFORE trusting cosine dedup q49/q98 or ANN "
+    "recall q110, because a collapsed space makes every threshold "
+    "meaningless). NO pair join: sum_pairs cos = ||sum u||^2 - n, "
+    "so mean_cos = (n*||m||^2 - 1)/(n-1) with m the mean unit "
+    "vector — one agg, identity-exact. Exactness: per-row norm^2 "
+    "is an int64 sum of 1e10-quantized component squares (list "
+    "fold — order-free); unit components quantize to micro BEFORE "
+    "the per-(label, dim) int64 sum; ||m||^2 is an int64 sum of "
+    "pico-quantized squared means (64 bounded terms, <= 6.4e13 — "
+    "no overflow at ANY n since m_i <= 1); ONE final division. "
+    "_ALL re-aggregates the per-label int64 sums — exact "
+    "composition, no second scan. Scale: everything folds map-side "
+    "onto the (labels x 64) relation; output is |labels|+1 rows.",
+    tags=("llm", "similarity", "embedding", "eval", "anisotropy", "scale"),
+)
+def q266_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    nq = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    F.lit(10000000000.0) * x.cast("double") * x.cast("double")
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n2q"),
+    )
+    uq = nq.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+        F.col("n2q"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.col("x").cast("double")
+                / F.sqrt(F.col("n2q").cast("double") / F.lit(10000000000.0))
+            )
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    s = uq.groupBy("label", "dim").agg(
+        F.sum("u").cast("long").alias("su"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    s = s.localCheckpoint(eager=False)
+    m2 = F.sum(
+        F.round(
+            F.lit(1000000000000.0)
+            * (F.col("su").cast("double") / F.col("n") / F.lit(1000000.0))
+            * (F.col("su").cast("double") / F.col("n") / F.lit(1000000.0))
+        ).cast("long")
+    ).cast("long")
+    lab = s.groupBy(
+        F.col("label").cast("string").alias("label_s"), "n"
+    ).agg(m2.alias("m2_pico"))
+    alls = s.groupBy("dim").agg(
+        F.sum("su").cast("long").alias("su"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    alla = alls.groupBy(F.lit("_ALL").alias("label_s"), "n").agg(
+        m2.alias("m2_pico")
+    )
+    u = lab.unionByName(alla)
+    return (
+        u.where(F.col("n") > 1)
+        .select(
+            "label_s",
+            "n",
+            "m2_pico",
+            F.expr(
+                "CAST(round(1000000.0 * (n * (CAST(m2_pico AS DOUBLE)"
+                " / 1000000000000.0) - 1.0) / (n - 1)) AS BIGINT)"
+            ).alias("mean_cos_micro"),
+        )
+        .orderBy("label_s")
+    )
+
+
+# --- q267: participation ratio (effective dimensionality) --------------------
+
+
+@register(
+    "q267_participation_ratio",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, d.d AS i,
+             CAST(round(100000.0 * CAST(embedding[d.d] AS DOUBLE))
+               AS BIGINT) AS eq
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) d(d)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    g AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.eq * b.eq) AS BIGINT) AS gij
+      FROM comp a JOIN comp b USING (vec_id)
+      GROUP BY 1, 2),
+    s AS (SELECT i, CAST(sum(eq) AS BIGINT) AS si FROM comp GROUP BY 1),
+    c AS (
+      SELECT g.i, g.j,
+             (CAST(g.gij AS DOUBLE) / nn.n
+              - (CAST(sa.si AS DOUBLE) / nn.n)
+                * (CAST(sb.si AS DOUBLE) / nn.n)) / 10000000000.0 AS cv
+      FROM g
+      CROSS JOIN nn
+      JOIN s sa ON sa.i = g.i
+      JOIN s sb ON sb.i = g.j),
+    tr AS (
+      SELECT CAST(sum(CASE WHEN i = j THEN
+               CAST(round(1000000000000.0 * cv) AS BIGINT) END) AS BIGINT)
+               AS tr_pico,
+             CAST(sum(CAST(round(1000000000000000000.0 * cv * cv)
+               AS BIGINT)) AS BIGINT) AS tr2_atto,
+             CAST(count(*) AS BIGINT) AS d2
+      FROM c)
+    SELECT nn.n, CAST(round(sqrt(CAST(tr.d2 AS DOUBLE))) AS BIGINT) AS d,
+           tr.tr_pico, tr.tr2_atto,
+           CAST(round(1000.0
+             * (CAST(tr.tr_pico AS DOUBLE) / 1000000000000.0)
+             * (CAST(tr.tr_pico AS DOUBLE) / 1000000000000.0)
+             / (CAST(tr.tr2_atto AS DOUBLE) / 1000000000000000000.0))
+             AS BIGINT) AS pr_milli
+    FROM tr CROSS JOIN nn
+    """,
+    doc="PARTICIPATION RATIO — the effective dimensionality of the "
+    "embedding space, PR = tr(C)^2 / tr(C^2), WITHOUT an "
+    "eigendecomposition (tr(C^2) = sum C_ij^2 equals sum lambda_i^2 "
+    "by Frobenius invariance, so the eigen-spectrum's inverse "
+    "Simpson index falls out of two trace sums over the covariance "
+    "cells): PR near d means variance spreads across all "
+    "directions; PR near 1 means rank collapse — the spectrum-side "
+    "companion to q266's mean-cosine collapse check and the "
+    "capacity number an IVF/PQ design (q47/q123) should budget "
+    "against. Exactness: components quantize to 1e-5 units, the "
+    "Gram and sum relations are exact int64 (|term| <= 2.8e9 — "
+    "safe to ~3e9 vectors), each covariance cell is ONE "
+    "identical-operand double expression, and both traces quantize "
+    "per-cell to int64 before their 64/4096-term sums. Scale: the "
+    "d^2 fan-out folds map-side onto 4096 cells (constant agg "
+    "state); everything downstream is arithmetic on the bounded "
+    "cell relation; output is ONE row. The self-join on vec_id is "
+    "row-local (both sides the same row) — at scale it compiles "
+    "to the chained-posexplode plan on the Spark side, never a "
+    "shuffle pair space.",
+    tags=("llm", "similarity", "embedding", "eval", "spectrum", "scale"),
+)
+def q267_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "embedding",
+        F.posexplode("embedding").alias("i0", "xi"),
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.lit(100000.0) * F.col("xi").cast("double"))
+        .cast("long")
+        .alias("eqi"),
+        "embedding",
+    )
+    both = comp.select(
+        "i",
+        "eqi",
+        F.posexplode("embedding").alias("j0", "xj"),
+    ).select(
+        "i",
+        (F.col("j0") + 1).alias("j"),
+        "eqi",
+        F.round(F.lit(100000.0) * F.col("xj").cast("double"))
+        .cast("long")
+        .alias("eqj"),
+    )
+    g = both.groupBy("i", "j").agg(
+        F.sum(F.col("eqi") * F.col("eqj")).cast("long").alias("gij")
+    )
+    s = (
+        e.select(F.posexplode("embedding").alias("i0", "xi"))
+        .select(
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.lit(100000.0) * F.col("xi").cast("double"))
+            .cast("long")
+            .alias("eq"),
+        )
+        .groupBy("i")
+        .agg(F.sum("eq").cast("long").alias("si"))
+    )
+    nn = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sa = s.select(F.col("i").alias("ia"), F.col("si").alias("sia"))
+    sb = s.select(F.col("i").alias("ib"), F.col("si").alias("sib"))
+    c = (
+        g.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(sa), F.col("i") == F.col("ia"))
+        .join(F.broadcast(sb), F.col("j") == F.col("ib"))
+        .select(
+            "i",
+            "j",
+            "n",
+            F.expr(
+                "(CAST(gij AS DOUBLE) / n"
+                " - (CAST(sia AS DOUBLE) / n) * (CAST(sib AS DOUBLE) / n))"
+                " / 10000000000.0"
+            ).alias("cv"),
+        )
+    )
+    tr = c.groupBy("n").agg(
+        F.sum(
+            F.when(
+                F.col("i") == F.col("j"),
+                F.round(F.lit(1000000000000.0) * F.col("cv")).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("tr_pico"),
+        F.sum(
+            F.round(
+                F.lit(1000000000000000000.0) * F.col("cv") * F.col("cv")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("tr2_atto"),
+        F.count(F.lit(1)).cast("long").alias("d2"),
+    )
+    return tr.select(
+        "n",
+        F.expr("CAST(round(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)").alias("d"),
+        "tr_pico",
+        "tr2_atto",
+        F.expr(
+            "CAST(round(1000.0"
+            " * (CAST(tr_pico AS DOUBLE) / 1000000000000.0)"
+            " * (CAST(tr_pico AS DOUBLE) / 1000000000000.0)"
+            " / (CAST(tr2_atto AS DOUBLE) / 1000000000000000000.0))"
+            " AS BIGINT)"
+        ).alias("pr_milli"),
+    )
