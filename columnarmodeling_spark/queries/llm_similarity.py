@@ -2328,3 +2328,408 @@ def q267_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("pr_milli"),
     )
+
+
+# --- q264: top principal component by integer power iteration ----------------
+
+_PCA_ITERS = 3
+_PCA_UNIT = 1_000_000
+
+# The quantized-covariance relation shared with q267's oracle (component
+# quantum 1e-5; cell value cv is the plain double covariance).
+_SQL_COV = """comp AS (
+      SELECT vec_id, d.d AS i,
+             CAST(round(100000.0 * CAST(embedding[d.d] AS DOUBLE))
+               AS BIGINT) AS eq
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) d(d)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    g AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.eq * b.eq) AS BIGINT) AS gij
+      FROM comp a JOIN comp b USING (vec_id)
+      GROUP BY 1, 2),
+    s AS (SELECT i, CAST(sum(eq) AS BIGINT) AS si FROM comp GROUP BY 1),
+    c AS MATERIALIZED (
+      SELECT g.i, g.j,
+             (CAST(g.gij AS DOUBLE) / nn.n
+              - (CAST(sa.si AS DOUBLE) / nn.n)
+                * (CAST(sb.si AS DOUBLE) / nn.n)) / 10000000000.0 AS cv
+      FROM g
+      CROSS JOIN nn
+      JOIN s sa ON sa.i = g.i
+      JOIN s sb ON sb.i = g.j)"""
+
+
+def _pca_oracle() -> str:
+    """Unroll the power iteration as CTEs: per round, w = sum_j
+    round(cv * v_j) (int64, order-free), then rescale to max|.|=1e6 by
+    SIGNED truncating division (DuckDB's // floors, so negatives go
+    through -((-x) // m) to match Spark's div())."""
+    ctes = [
+        f"""{_SQL_COV},
+    dims AS (SELECT DISTINCT i AS dim FROM c),
+    v0 AS (SELECT dim, CAST({_PCA_UNIT} AS BIGINT) AS v FROM dims)"""
+    ]
+    for r in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""w{r} AS (
+      SELECT c.i AS dim,
+             CAST(sum(CAST(round(c.cv * v.v) AS BIGINT)) AS BIGINT) AS w
+      FROM c JOIN v{r - 1} v ON v.dim = c.j GROUP BY 1),
+    m{r} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS m FROM w{r}),
+    v{r} AS (
+      SELECT dim,
+             CAST(CASE WHEN w >= 0 THEN ({_PCA_UNIT} * w) // m
+                  ELSE -(({_PCA_UNIT} * (-w)) // m) END AS BIGINT) AS v
+      FROM w{r}, m{r})"""
+        )
+    last = f"v{_PCA_ITERS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    va AS (SELECT dim AS i, v FROM {last}),
+    vb AS (SELECT dim AS j, v FROM {last}),
+    ray AS (
+      SELECT CAST(sum(CAST(round(c.cv * va.v * vb.v) AS BIGINT))
+               AS BIGINT) AS num_q
+      FROM c JOIN va USING (i) JOIN vb USING (j)),
+    den AS (
+      SELECT CAST(sum(v * v) AS BIGINT) AS den_q FROM {last}),
+    tr AS (
+      SELECT CAST(sum(CASE WHEN i = j THEN
+               CAST(round(1000000000000.0 * cv) AS BIGINT) END)
+               AS BIGINT) AS tr_pico
+      FROM c)
+    SELECT l.dim, l.v AS v_micro,
+           CAST(round(1000000000.0 * CAST(r.num_q AS DOUBLE) / d.den_q)
+             AS BIGINT) AS lambda_nano,
+           CAST(round(1000000.0 * (CAST(r.num_q AS DOUBLE) / d.den_q)
+             / (CAST(t.tr_pico AS DOUBLE) / 1000000000000.0)) AS BIGINT)
+             AS share_micro
+    FROM {last} l CROSS JOIN ray r CROSS JOIN den d CROSS JOIN tr t
+    ORDER BY l.dim"""
+    )
+
+
+@register(
+    "q264_pca_power",
+    oracle=_pca_oracle(),
+    doc="TOP PRINCIPAL COMPONENT by POWER ITERATION on the quantized "
+    f"covariance — {_PCA_ITERS} rounds of w = C v with the q246 "
+    "integer-state discipline (each matvec term round(cv * v_j) "
+    "quantizes BEFORE the order-free int64 sum; each round "
+    "max-|.|-rescales to 1e6 by SIGNED truncating division — "
+    "Spark div() truncates, DuckDB // floors, so the oracle routes "
+    "negatives through -((-x) // m) to stay bit-identical), then "
+    "the Rayleigh quotient lambda = v'Cv / v'v as a ratio of two "
+    "exact int64 sums, and the explained-variance share against "
+    "q267's tr(C). The direction every whitening / dimension-drop "
+    "decision hangs on, and the deterministic all-ones start makes "
+    "the iterate reproducible run-to-run (no random init). Scale: "
+    "the covariance fold is q267's map-side d^2-cell agg (constant "
+    "state); each iteration is a 4096-row join + 64-row agg — "
+    "broadcast-scale arithmetic, the driver loop is fixed-depth "
+    "with localCheckpoint truncating lineage (q133/q143/q246 "
+    "pattern). Output is d rows.",
+    tags=("llm", "similarity", "embedding", "pca", "iterative", "scale"),
+)
+def q264_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "embedding",
+        F.posexplode("embedding").alias("i0", "xi"),
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.lit(100000.0) * F.col("xi").cast("double"))
+        .cast("long")
+        .alias("eqi"),
+        "embedding",
+    )
+    both = comp.select(
+        "i",
+        "eqi",
+        F.posexplode("embedding").alias("j0", "xj"),
+    ).select(
+        "i",
+        (F.col("j0") + 1).alias("j"),
+        "eqi",
+        F.round(F.lit(100000.0) * F.col("xj").cast("double"))
+        .cast("long")
+        .alias("eqj"),
+    )
+    g = both.groupBy("i", "j").agg(
+        F.sum(F.col("eqi") * F.col("eqj")).cast("long").alias("gij")
+    )
+    s = (
+        e.select(F.posexplode("embedding").alias("i0", "xi"))
+        .select(
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.lit(100000.0) * F.col("xi").cast("double"))
+            .cast("long")
+            .alias("eq"),
+        )
+        .groupBy("i")
+        .agg(F.sum("eq").cast("long").alias("si"))
+    )
+    nn = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sa = s.select(F.col("i").alias("ia"), F.col("si").alias("sia"))
+    sb = s.select(F.col("i").alias("ib"), F.col("si").alias("sib"))
+    c = (
+        g.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(sa), F.col("i") == F.col("ia"))
+        .join(F.broadcast(sb), F.col("j") == F.col("ib"))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "(CAST(gij AS DOUBLE) / n"
+                " - (CAST(sia AS DOUBLE) / n) * (CAST(sib AS DOUBLE) / n))"
+                " / 10000000000.0"
+            ).alias("cv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = c.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(_PCA_UNIT).cast("long").alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        w = (
+            c.join(
+                F.broadcast(v.select(F.col("dim").alias("j"), "v")), "j"
+            )
+            .groupBy(F.col("i").alias("dim"))
+            .agg(
+                F.sum(F.round(F.col("cv") * F.col("v")).cast("long"))
+                .cast("long")
+                .alias("w")
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                F.expr(
+                    f"CAST(CASE WHEN w >= 0 THEN div({_PCA_UNIT} * w, m)"
+                    f" ELSE -div({_PCA_UNIT} * (-w), m) END AS BIGINT)"
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    va = v.select(F.col("dim").alias("i"), F.col("v").alias("vai"))
+    vb = v.select(F.col("dim").alias("j"), F.col("v").alias("vbj"))
+    ray = (
+        c.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("cv") * F.col("vai") * F.col("vbj")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("num_q")
+        )
+    )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("den_q"))
+    tr = c.agg(
+        F.sum(
+            F.when(
+                F.col("i") == F.col("j"),
+                F.round(F.lit(1000000000000.0) * F.col("cv")).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("tr_pico")
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "dim",
+            F.col("v").alias("v_micro"),
+            F.expr(
+                "CAST(round(1000000000.0 * CAST(num_q AS DOUBLE) / den_q)"
+                " AS BIGINT)"
+            ).alias("lambda_nano"),
+            F.expr(
+                "CAST(round(1000000.0 * (CAST(num_q AS DOUBLE) / den_q)"
+                " / (CAST(tr_pico AS DOUBLE) / 1000000000000.0))"
+                " AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        .orderBy("dim")
+    )
+
+
+# --- q265: Fisher separability (between/within scatter traces) ---------------
+
+
+@register(
+    "q265_fisher_ratio",
+    oracle="""
+    WITH comp AS (
+      SELECT label, d.d AS dim,
+             CAST(round(1000000.0 * CAST(embedding[d.d] AS DOUBLE))
+               AS BIGINT) AS eq,
+             CAST(round(10000000000.0 * CAST(embedding[d.d] AS DOUBLE)
+               * CAST(embedding[d.d] AS DOUBLE)) AS BIGINT) AS sq
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) d(d)),
+    s AS (
+      SELECT label, dim, CAST(sum(eq) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM comp GROUP BY 1, 2),
+    ssq AS (
+      SELECT label, CAST(sum(sq) AS BIGINT) AS ssq
+      FROM comp GROUP BY 1),
+    gm AS (
+      SELECT dim, CAST(sum(s) AS BIGINT) AS gs, CAST(sum(n) AS BIGINT) AS gn
+      FROM s GROUP BY 1),
+    mu2 AS (
+      SELECT label, n,
+             CAST(sum(CAST(round(1000000000000.0
+               * (CAST(s AS DOUBLE) / n / 1000000.0)
+               * (CAST(s AS DOUBLE) / n / 1000000.0)) AS BIGINT))
+               AS BIGINT) AS pico
+      FROM s GROUP BY 1, 2),
+    dif AS (
+      SELECT s.label, s.n,
+             CAST(sum(CAST(round(1000000000000.0
+               * ((CAST(s.s AS DOUBLE) / s.n
+                   - CAST(g.gs AS DOUBLE) / g.gn) / 1000000.0)
+               * ((CAST(s.s AS DOUBLE) / s.n
+                   - CAST(g.gs AS DOUBLE) / g.gn) / 1000000.0))
+               AS BIGINT)) AS BIGINT) AS dpico
+      FROM s JOIN gm g USING (dim) GROUP BY 1, 2),
+    per AS (
+      SELECT CAST(m.label AS VARCHAR) AS label_s, m.n,
+             CAST(round(1000.0 * (CAST(q.ssq AS DOUBLE) / 10000000000.0
+               - m.n * (CAST(m.pico AS DOUBLE) / 1000000000000.0)))
+               AS BIGINT) AS within_milli,
+             CAST(round(1000.0 * m.n
+               * (CAST(d.dpico AS DOUBLE) / 1000000000000.0)) AS BIGINT)
+               AS between_milli
+      FROM mu2 m JOIN ssq q USING (label) JOIN dif d ON d.label = m.label),
+    tot AS (
+      SELECT '_ALL' AS label_s, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(within_milli) AS BIGINT) AS within_milli,
+             CAST(sum(between_milli) AS BIGINT) AS between_milli
+      FROM per),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM tot)
+    SELECT label_s, n, within_milli, between_milli,
+           CAST(round(1000000.0 * between_milli / within_milli) AS BIGINT)
+             AS fisher_micro
+    FROM u ORDER BY label_s
+    """,
+    doc="FISHER SEPARABILITY — between-class vs within-class scatter "
+    "TRACES over the labeled embedding space, per label and pooled "
+    "(_ALL): between = n_c ||mu_c - mu||^2, within = sum ||x - "
+    "mu_c||^2 expanded moment-wise as ssq - n_c ||mu_c||^2 (no "
+    "second centered pass), ratio in micro units — the label-"
+    "quality number behind 'are these classes linearly separable "
+    "at all?' that q225's pairwise centroid cosines gesture at but "
+    "never aggregate. Exactness: components and their squares "
+    "quantize to int64 at 1e-6 / 1e-10 BEFORE the per-(label, dim) "
+    "sums; each trace is an int64 sum of pico-quantized squared "
+    "means (d bounded terms); the _ALL row composes from the "
+    "per-label int64 milli traces — exact, no rescan. Scale: one "
+    "d-fan-out fold onto the (labels x d) relation (constant agg "
+    "state), global means from re-agg of the same relation; "
+    "output is |labels|+1 rows.",
+    tags=("llm", "similarity", "embedding", "eval", "fisher", "scale"),
+)
+def q265_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.lit(1000000.0) * F.col("x").cast("double"))
+        .cast("long")
+        .alias("eq"),
+        F.round(
+            F.lit(10000000000.0)
+            * F.col("x").cast("double")
+            * F.col("x").cast("double")
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    s = comp.groupBy("label", "dim").agg(
+        F.sum("eq").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    s = s.localCheckpoint(eager=False)
+    ssq = comp.groupBy("label").agg(F.sum("sq").cast("long").alias("ssq"))
+    glob = s.groupBy("dim").agg(
+        F.sum("s").cast("long").alias("gs"),
+        F.sum("n").cast("long").alias("gn"),
+    )
+    mu2 = s.groupBy("label", "n").agg(
+        F.sum(
+            F.round(
+                F.lit(1000000000000.0)
+                * (F.col("s").cast("double") / F.col("n") / F.lit(1000000.0))
+                * (F.col("s").cast("double") / F.col("n") / F.lit(1000000.0))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("pico")
+    )
+    diff = (
+        (F.col("s").cast("double") / F.col("n"))
+        - (F.col("gs").cast("double") / F.col("gn"))
+    ) / F.lit(1000000.0)
+    dif = (
+        s.join(F.broadcast(glob), "dim")
+        .groupBy("label", "n")
+        .agg(
+            F.sum(
+                F.round(F.lit(1000000000000.0) * diff * diff).cast("long")
+            )
+            .cast("long")
+            .alias("dpico")
+        )
+    )
+    per = (
+        mu2.join(ssq, "label")
+        .join(dif, ["label", "n"])
+        .select(
+            F.col("label").cast("string").alias("label_s"),
+            "n",
+            F.expr(
+                "CAST(round(1000.0 * (CAST(ssq AS DOUBLE) / 10000000000.0"
+                " - n * (CAST(pico AS DOUBLE) / 1000000000000.0)))"
+                " AS BIGINT)"
+            ).alias("within_milli"),
+            F.expr(
+                "CAST(round(1000.0 * n"
+                " * (CAST(dpico AS DOUBLE) / 1000000000000.0)) AS BIGINT)"
+            ).alias("between_milli"),
+        )
+    )
+    per = per.localCheckpoint(eager=False)
+    tot = per.agg(
+        F.lit("_ALL").alias("label_s"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("within_milli").cast("long").alias("within_milli"),
+        F.sum("between_milli").cast("long").alias("between_milli"),
+    )
+    return (
+        per.unionByName(tot)
+        .select(
+            "label_s",
+            "n",
+            "within_milli",
+            "between_milli",
+            F.expr(
+                "CAST(round(1000000.0 * between_milli / within_milli)"
+                " AS BIGINT)"
+            ).alias("fisher_micro"),
+        )
+        .orderBy("label_s")
+    )

@@ -1675,3 +1675,219 @@ def test_q263_coverage_matches_python_cumsum(spark):
         prev = r.coverage_micro
         if r.k >= v:
             assert r.coverage_micro == 1000000
+
+
+def _emb_cov(emb):
+    """Quantized covariance replay shared by the q264/q267 tests:
+    eq = round(1e5 x) int64, C_ij = (G_ij/n - (s_i/n)(s_j/n))/1e10."""
+    n, d = len(emb), len(emb[0])
+    eq = [[round(100000.0 * float(x)) for x in row] for row in emb]
+    g = [[sum(eq[r][i] * eq[r][j] for r in range(n)) for j in range(d)]
+         for i in range(d)]
+    s = [sum(eq[r][i] for r in range(n)) for i in range(d)]
+    return [
+        [(g[i][j] / n - (s[i] / n) * (s[j] / n)) / 10000000000.0
+         for j in range(d)]
+        for i in range(d)
+    ], n, d
+
+
+def test_q264_pca_power_matches_integer_replay(spark):
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.llm_similarity import (
+        _PCA_ITERS,
+        _PCA_UNIT,
+    )
+
+    rows = REGISTRY["q264_pca_power"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).embedding.tolist()
+    c, n, d = _emb_cov(emb)
+    v = [_PCA_UNIT] * d
+    for _ in range(_PCA_ITERS):
+        w = [
+            sum(round(c[i][j] * v[j]) for j in range(d)) for i in range(d)
+        ]
+        m = max(abs(x) for x in w)
+        v = [
+            (abs(_PCA_UNIT * x) // m) * (1 if x >= 0 else -1) for x in w
+        ]
+    num = sum(
+        round(c[i][j] * v[i] * v[j]) for i in range(d) for j in range(d)
+    )
+    den = sum(x * x for x in v)
+    tr_pico = sum(round(1000000000000.0 * c[i][i]) for i in range(d))
+    assert len(rows) == d
+    got = {r.dim: r for r in rows}
+    for i in range(d):
+        r = got[i + 1]
+        assert r.v_micro == v[i], i
+        assert r.lambda_nano == round(1000000000.0 * num / den)
+        assert r.share_micro == round(
+            1000000.0 * (num / den) / (tr_pico / 1000000000000.0)
+        )
+    # the iterate is max-normalized; the top eigenpair is non-trivial
+    assert max(abs(r.v_micro) for r in rows) == _PCA_UNIT
+    assert rows[0].lambda_nano > 0
+    assert 0 < rows[0].share_micro < 1000000
+
+
+def test_q267_participation_ratio_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    def half_up(x):
+        # both engines round half AWAY from zero; Python round() is
+        # half-to-even, which diverges on the exact .5 ties the 4096
+        # squared-cell terms occasionally hit
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    (row,) = REGISTRY["q267_participation_ratio"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).embedding.tolist()
+    c, n, d = _emb_cov(emb)
+    tr_pico = sum(half_up(1000000000000.0 * c[i][i]) for i in range(d))
+    tr2_atto = sum(
+        half_up(1000000000000000000.0 * c[i][j] * c[i][j])
+        for i in range(d)
+        for j in range(d)
+    )
+    assert (row.n, row.d) == (n, d)
+    assert row.tr_pico == tr_pico
+    assert row.tr2_atto == tr2_atto
+    assert row.pr_milli == round(
+        1000.0
+        * (tr_pico / 1000000000000.0)
+        * (tr_pico / 1000000000000.0)
+        / (tr2_atto / 1000000000000000000.0)
+    )
+    # PR lives in [1, d] by Cauchy-Schwarz on the spectrum
+    assert 1000 <= row.pr_milli <= 1000 * d
+
+
+def test_q265_fisher_matches_replay(spark):
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q265_fisher_ratio"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = len(df.embedding.iloc[0])
+    s = defaultdict(lambda: [0] * d)
+    nc = defaultdict(int)
+    ssq = defaultdict(int)
+    for _, r in df.iterrows():
+        lab = int(r.label)
+        nc[lab] += 1
+        for i, x in enumerate(r.embedding):
+            x = float(x)
+            s[lab][i] += round(1000000.0 * x)
+            ssq[lab] += round(10000000000.0 * x * x)
+    gs = [sum(s[c][i] for c in s) for i in range(d)]
+    gn = sum(nc.values())
+    per = {}
+    for c in s:
+        pico = sum(
+            round(
+                1000000000000.0
+                * (s[c][i] / nc[c] / 1000000.0)
+                * (s[c][i] / nc[c] / 1000000.0)
+            )
+            for i in range(d)
+        )
+        dpico = sum(
+            round(
+                1000000000000.0
+                * ((s[c][i] / nc[c] - gs[i] / gn) / 1000000.0)
+                * ((s[c][i] / nc[c] - gs[i] / gn) / 1000000.0)
+            )
+            for i in range(d)
+        )
+        w = round(
+            1000.0
+            * (ssq[c] / 10000000000.0 - nc[c] * (pico / 1000000000000.0))
+        )
+        b = round(1000.0 * nc[c] * (dpico / 1000000000000.0))
+        per[str(c)] = (nc[c], w, b)
+    per["_ALL"] = (
+        gn,
+        sum(v[1] for k, v in per.items() if k != "_ALL"),
+        sum(v[2] for k, v in per.items() if k != "_ALL"),
+    )
+    assert len(rows) == len(per)
+    for r in rows:
+        n, w, b = per[r.label_s]
+        assert (r.n, r.within_milli, r.between_milli) == (n, w, b), r.label_s
+        assert r.fisher_micro == round(1000000.0 * b / w)
+        # scatter traces are non-negative; within is strictly positive
+        assert r.within_milli > 0
+        assert r.between_milli >= 0
+
+
+def test_q266_anisotropy_matches_replay(spark):
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q266_anisotropy"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = len(df.embedding.iloc[0])
+    su = defaultdict(lambda: [0] * d)
+    nc = defaultdict(int)
+    for _, r in df.iterrows():
+        xs = [float(x) for x in r.embedding]
+        n2q = sum(round(10000000000.0 * x * x) for x in xs)
+        nrm = math.sqrt(n2q / 10000000000.0)
+        lab = str(int(r.label))
+        nc[lab] += 1
+        for i, x in enumerate(xs):
+            su[lab][i] += round(1000000.0 * (x / nrm))
+    su["_ALL"] = [sum(su[c][i] for c in list(su)) for i in range(d)]
+    nc["_ALL"] = sum(nc.values())
+    want = {}
+    for c, n in nc.items():
+        if n <= 1:
+            continue
+        pico = sum(
+            round(
+                1000000000000.0
+                * (su[c][i] / n / 1000000.0)
+                * (su[c][i] / n / 1000000.0)
+            )
+            for i in range(d)
+        )
+        want[c] = (
+            n,
+            pico,
+            round(
+                1000000.0 * (n * (pico / 1000000000000.0) - 1.0) / (n - 1)
+            ),
+        )
+    assert len(rows) == len(want)
+    for r in rows:
+        n, pico, mc = want[r.label_s]
+        assert (r.n, r.m2_pico, r.mean_cos_micro) == (n, pico, mc), r.label_s
+        # a cosine mean lives in [-1, 1]
+        assert -1000000 <= r.mean_cos_micro <= 1000000
