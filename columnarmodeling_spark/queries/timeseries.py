@@ -2005,3 +2005,293 @@ def q257_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q268: Theil-Sen robust trend per event-type hourly series ---------------
+
+
+@register(
+    "q268_theil_sen",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM obs),
+    ty AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (
+      SELECT t.event_type, g.hr - b.lo AS h,
+             CAST(coalesce(o.x, 0) AS BIGINT) AS x
+      FROM ty t
+      CROSS JOIN b
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN obs o
+        ON o.event_type = t.event_type AND o.hr = g.hr),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(round(1000000.0 * (b2.x - a.x) / (b2.h - a.h))
+               AS BIGINT) AS s
+      FROM grid a
+      JOIN grid b2
+        ON b2.event_type = a.event_type AND b2.h > a.h),
+    rk AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY s)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs),
+    med AS (
+      SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+             CAST(s AS BIGINT) AS slope_micro
+      FROM rk WHERE rn = (np + 1) // 2),
+    res AS (
+      SELECT g.event_type, m.n_pairs, m.slope_micro,
+             1000000 * g.x - m.slope_micro * g.h AS r
+      FROM grid g JOIN med m USING (event_type)),
+    rrk AS (
+      SELECT event_type, n_pairs, slope_micro, r,
+             row_number() OVER (PARTITION BY event_type ORDER BY r)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nh
+      FROM res)
+    SELECT event_type, CAST(nh AS BIGINT) AS n_hours, n_pairs,
+           slope_micro, CAST(r AS BIGINT) AS intercept_micro
+    FROM rrk WHERE rn = (nh + 1) // 2
+    ORDER BY event_type
+    """,
+    doc="THEIL-SEN ROBUST TREND per event-type hourly series — the "
+    "breakdown-resistant member of the trend family (q153's OLS "
+    "slope moves arbitrarily far under one corrupted bucket; the "
+    "median-of-pairwise-slopes estimator tolerates 29% gross "
+    "outliers — the right trend for traffic data where q255 just "
+    "showed burstiness): slope = lower median over all C(n,2) "
+    "pairwise (dx/dh) on the zero-filled hourly grid (q241/q255 "
+    "discipline, hours re-based to the window start), intercept = "
+    "lower median of the integer residuals 1e6*x - slope*h. "
+    "Exactness: each pairwise slope is ONE identical-operand "
+    "double division quantized to micro BEFORE ranking; medians "
+    "are pure order statistics at rank (n+1)//2 (both engines "
+    "floor positive division); residuals are exact int64. Scale: "
+    "the pair space is CLOCK-BOUNDED (C(hours, 2) per type — "
+    "independent of event volume, the q251 grid argument); the "
+    "scan folds map-side onto the grid before any pairing; the "
+    "rank windows partition by type over that bounded space.",
+    tags=("timeseries", "stats", "robust", "trend", "scale"),
+)
+def q268_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts AS timestamp)), {_HOUR_US})")
+        .alias("hr"),
+    )
+    obs = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    b = obs.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            "lo",
+            F.explode(F.sequence("lo", "hi")).alias("hr"),
+        )
+        .join(obs, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            (F.col("hr") - F.col("lo")).alias("h"),
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = grid.select(
+        "event_type", F.col("h").alias("ha"), F.col("x").alias("xa")
+    )
+    b2 = grid.select(
+        "event_type", F.col("h").alias("hb"), F.col("x").alias("xb")
+    )
+    pairs = a.join(
+        b2,
+        ["event_type"],
+    ).where(F.col("hb") > F.col("ha")).select(
+        "event_type",
+        F.expr(
+            "CAST(round(1000000.0 * (xb - xa) / (hb - ha)) AS BIGINT)"
+        ).alias("s"),
+    )
+    rk = pairs.select(
+        "event_type",
+        "s",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("s"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("np"),
+    )
+    med = rk.where(
+        F.col("rn") == F.expr("div(np + 1, 2)")
+    ).select(
+        "event_type",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.col("s").cast("long").alias("slope_micro"),
+    )
+    res = grid.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "slope_micro",
+        (
+            F.lit(1000000).cast("long") * F.col("x")
+            - F.col("slope_micro") * F.col("h")
+        ).alias("r"),
+    )
+    rrk = res.select(
+        "event_type",
+        "n_pairs",
+        "slope_micro",
+        "r",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("r"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("nh"),
+    )
+    return (
+        rrk.where(F.col("rn") == F.expr("div(nh + 1, 2)"))
+        .select(
+            "event_type",
+            F.col("nh").cast("long").alias("n_hours"),
+            "n_pairs",
+            "slope_micro",
+            F.col("r").cast("long").alias("intercept_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q269: hour-of-day seasonality profile + ANOVA strength ------------------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "q269_seasonality",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             epoch_us(ts) // {_DAY_US} AS day,
+             (epoch_us(ts) // {_HOUR_US}) % 24 AS hod,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+    ty AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (
+      SELECT t.event_type, d.day, h.hod,
+             CAST(coalesce(o.x, 0) AS BIGINT) AS x
+      FROM ty t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day FROM b) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hod) h
+      LEFT JOIN obs o ON o.event_type = t.event_type
+        AND o.day = d.day AND o.hod = h.hod),
+    hodagg AS (
+      SELECT event_type, hod,
+             CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS ss
+      FROM grid GROUP BY 1, 2),
+    tyagg AS (
+      SELECT event_type,
+             CAST(sum(nd) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(ss) AS BIGINT) AS sst,
+             CAST(sum(s * s) AS BIGINT) AS s2t
+      FROM hodagg GROUP BY 1)
+    SELECT h.event_type, h.hod, h.nd AS n_days,
+           CAST((1000 * h.s) // h.nd AS BIGINT) AS mean_milli,
+           CAST((1000 * t.st) // t.n AS BIGINT) AS grand_milli,
+           CAST(CASE WHEN t.n * t.sst - t.st * t.st > 0 THEN
+             round(1000000.0 * (24 * t.s2t - t.st * t.st)
+               / (t.n * t.sst - t.st * t.st))
+             ELSE 0 END AS BIGINT) AS eta2_micro
+    FROM hodagg h JOIN tyagg t USING (event_type)
+    ORDER BY h.event_type, h.hod
+    """,
+    doc="HOUR-OF-DAY SEASONALITY — the 24-slot diurnal profile per "
+    "event type plus the one-way-ANOVA seasonality strength eta^2 "
+    "= SS_between/SS_total (the 'how much of the variance is just "
+    "time-of-day?' number that q241's lag-24 ACF hints at and "
+    "q255's burstiness confounds; a forecaster subtracts THIS "
+    "profile before hunting real anomalies): cells are the "
+    "zero-filled (day x hour-of-day) calendar grid, so every hod "
+    "stratum holds exactly n_days cells and the balanced-design "
+    "identity turns eta^2 into a PURE INT64 cross-multiplied "
+    "ratio (24*sum s_hod^2 - S^2) / (N*SS - S^2) — ONE quantized "
+    "double division per type, zero intermediate float. Profile "
+    "means are floor-milli (non-negative, so Spark div and DuckDB "
+    "// agree). Scale: the scan folds map-side onto the calendar "
+    "grid (clock-bounded); both aggs run on bounded relations; "
+    "output is |types| x 24 rows.",
+    tags=("timeseries", "stats", "seasonality", "anova", "scale"),
+)
+def q269_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts AS timestamp)), {_DAY_US})")
+        .alias("day"),
+        F.expr(
+            f"div(unix_micros(cast(ts AS timestamp)), {_HOUR_US}) % 24"
+        ).alias("hod"),
+    )
+    obs = e.groupBy("event_type", "day", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    b = obs.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
+        .crossJoin(
+            F.broadcast(
+                obs.sparkSession.range(24).select(F.col("id").alias("hod"))
+            )
+        )
+        .join(obs, ["event_type", "day", "hod"], "left")
+        .select(
+            "event_type",
+            "day",
+            "hod",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    hodagg = grid.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    hodagg = hodagg.localCheckpoint(eager=False)
+    tyagg = hodagg.groupBy("event_type").agg(
+        F.sum("nd").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("long").alias("sst"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("s2t"),
+    )
+    return (
+        hodagg.join(F.broadcast(tyagg), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            F.col("nd").alias("n_days"),
+            F.expr("CAST(div(1000 * s, nd) AS BIGINT)").alias("mean_milli"),
+            F.expr("CAST(div(1000 * st, n) AS BIGINT)").alias("grand_milli"),
+            F.expr(
+                "CAST(CASE WHEN n * sst - st * st > 0 THEN"
+                " round(1000000.0 * (24 * s2t - st * st)"
+                " / (n * sst - st * st))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("eta2_micro"),
+        )
+        .orderBy("event_type", "hod")
+    )
