@@ -664,6 +664,30 @@ CASES = {
     "documented q221 vocab-scale exception (vocab << corpus); "
     "the 3-row budget probe and the one-row totals ride "
     "BroadcastExchanges.",
+    "q264_pca_power": "Top principal component by integer power "
+    "iteration. What to check: the d^2 covariance fold is ONE "
+    "MapInPandas over the scan (one exact int64 matmul per Arrow "
+    "batch emitting 4096 partial cells) + a partial/final hash "
+    "agg — no self-join, no per-vector d^2 codegen fan-out; every "
+    "iteration round is a broadcast join + 64-row agg on the "
+    "localCheckpointed cell relation; the Rayleigh/trace scalars "
+    "ride one-row BroadcastExchanges.",
+    "q265_fisher_ratio": "Fisher between/within scatter traces. "
+    "What to check: ONE d-fan-out Generate feeds the "
+    "(label, dim) partial/final agg; global means re-aggregate "
+    "that bounded relation (no second corpus pass); the _ALL "
+    "row composes from the per-label localCheckpoint — the "
+    "corpus is scanned exactly once.",
+    "q266_anisotropy": "Embedding anisotropy via the sum-vector "
+    "identity. What to check: NO pair join anywhere in the plan "
+    "— the per-row norm is an in-row HOF fold, unit components "
+    "fold map-side onto the (label, dim) relation, and the _ALL "
+    "row re-aggregates the same localCheckpointed relation.",
+    "q267_participation_ratio": "Participation ratio (effective "
+    "dimensionality). What to check: same MapInPandas batch-matmul "
+    "covariance fold as q264 (d^2 cells, constant agg state); "
+    "both traces are one more agg over the 4096-cell relation; "
+    "output is a single row with no extra exchange.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
