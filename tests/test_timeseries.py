@@ -396,3 +396,86 @@ def test_q255_fano_matches_numpy(spark):
         sig, mu = np.sqrt(var), x.mean()
         assert r.burstiness_micro == round(1e6 * (sig - mu) / (sig + mu))
         assert -1_000_000 <= r.burstiness_micro <= 1_000_000
+
+
+def test_q268_theil_sen_matches_replay(spark):
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q268_theil_sen"].fn(spark, sf).collect()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["hr"] = ev.ts.astype("datetime64[us]").astype("int64") // (
+        3_600_000_000
+    )
+    lo, hi = int(ev.hr.min()), int(ev.hr.max())
+    types = sorted(ev.event_type.unique())
+    assert len(rows) == len(types)
+    cnt = Counter(zip(ev.event_type, ev.hr))
+    for r in rows:
+        xs = [cnt.get((r.event_type, h), 0) for h in range(lo, hi + 1)]
+        n = len(xs)
+        assert r.n_hours == n
+        slopes = sorted(
+            round(1000000.0 * (xs[b] - xs[a]) / (b - a))
+            for a in range(n)
+            for b in range(a + 1, n)
+        )
+        assert r.n_pairs == n * (n - 1) // 2 == len(slopes)
+        slope = slopes[(len(slopes) + 1) // 2 - 1]
+        assert r.slope_micro == slope
+        res = sorted(1000000 * xs[h] - slope * h for h in range(n))
+        assert r.intercept_micro == res[(n + 1) // 2 - 1]
+
+
+def test_q269_seasonality_matches_replay(spark):
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q269_seasonality"].fn(spark, sf).collect()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    us = ev.ts.astype("datetime64[us]").astype("int64")
+    ev["day"] = us // 86_400_000_000
+    ev["hod"] = (us // 3_600_000_000) % 24
+    lo, hi = int(ev.day.min()), int(ev.day.max())
+    nd = hi - lo + 1
+    types = sorted(ev.event_type.unique())
+    assert len(rows) == 24 * len(types)
+    cnt = Counter(zip(ev.event_type, ev.day, ev.hod))
+    for ty in types:
+        s_hod = {
+            hod: sum(
+                cnt.get((ty, d, hod), 0) for d in range(lo, hi + 1)
+            )
+            for hod in range(24)
+        }
+        ss_hod = {
+            hod: sum(
+                cnt.get((ty, d, hod), 0) ** 2 for d in range(lo, hi + 1)
+            )
+            for hod in range(24)
+        }
+        n = 24 * nd
+        st = sum(s_hod.values())
+        sst = sum(ss_hod.values())
+        s2t = sum(v * v for v in s_hod.values())
+        denom = n * sst - st * st
+        eta = (
+            round(1000000.0 * (24 * s2t - st * st) / denom)
+            if denom > 0
+            else 0
+        )
+        for r in [x for x in rows if x.event_type == ty]:
+            assert r.n_days == nd
+            assert r.mean_milli == 1000 * s_hod[r.hod] // nd
+            assert r.grand_milli == 1000 * st // n
+            assert r.eta2_micro == eta
+            # a variance ratio lives in [0, 1]
+            assert 0 <= r.eta2_micro <= 1000000

@@ -688,6 +688,19 @@ CASES = {
     "covariance fold as q264 (d^2 cells, constant agg state); "
     "both traces are one more agg over the 4096-cell relation; "
     "output is a single row with no extra exchange.",
+    "q268_theil_sen": "Theil-Sen robust trend. What to check: the "
+    "event scan folds map-side onto the zero-filled hourly grid "
+    "BEFORE any pairing; the pair join is grid x grid per type "
+    "(clock-bounded, never event x event); both median picks are "
+    "rank windows partitioned by type over the bounded pair/grid "
+    "relations; the chosen slope rides a BroadcastExchange into "
+    "the residual pass.",
+    "q269_seasonality": "Hour-of-day seasonality ANOVA. What to "
+    "check: the scan folds map-side onto the (type, day, hod) "
+    "calendar grid; the per-hod and per-type moment aggs run on "
+    "bounded relations off one localCheckpoint; eta^2 is pure "
+    "int64 cross-multiplication — no float until the final "
+    "quantized division; output is |types| x 24 rows.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
