@@ -123,12 +123,12 @@ def register(
 #   r7 band (44): q138-q181
 #   r8 band (50): q01-q05 q30 q43-q50 q52 q54 q56 q57 q59 q62 q64
 #     q66 q67 q69 q74 q87 q96 q182-q204
-#   never driver-checked: q205-q263 — the r8/r9 additions fronting
-#     THIS window (q248-q263 arrive in the r10 window; each was
+#   never driver-checked: q205-q269 — the r8/r9 additions fronting
+#     THIS window (q248-q269 arrive in the r10 window; each was
 #     strict-replica verified at sf0.01 when added).
 # Post-r9 expected composition: r4 band shrinks to 24 (q06 refreshed);
 # q205-q221 and q223-q247 move to an r9 band; round 10 leads with
-# q248-q263 then drains r4/r5.
+# q248-q269 then drains r4/r5.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
