@@ -3741,3 +3741,132 @@ def q259_loo_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(1000.0 * sqrt(greatest(mse, 0.0))) AS BIGINT)"
         ).alias("rmse_milli"),
     ).orderBy("lang")
+
+
+# --- q270: James-Stein / empirical-Bayes shrinkage of per-source means -------
+
+
+@register(
+    "q270_js_shrinkage",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS x
+      FROM documents),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY 1),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(sx) AS BIGINT) AS st,
+             CAST(sum(sxx) AS BIGINT) AS sst,
+             CAST(sum(CAST(round(1000.0
+               * (CAST(sx AS DOUBLE) * sx / n)) AS BIGINT)) AS BIGINT)
+               AS swb_milli
+      FROM s),
+    p AS (
+      SELECT s.source, s.n, s.sx, g.k, g.nn, g.st,
+             (CAST(g.sst AS DOUBLE) - CAST(g.swb_milli AS DOUBLE) / 1000.0)
+               / (g.nn - g.k) AS vw,
+             greatest((CAST(g.swb_milli AS DOUBLE) / 1000.0
+               - (CAST(g.st AS DOUBLE) * g.st / g.nn)) / (g.k - 1)
+               - (CAST(g.sst AS DOUBLE)
+                  - CAST(g.swb_milli AS DOUBLE) / 1000.0) / (g.nn - g.k),
+               0.0) / (CAST(g.nn AS DOUBLE) / g.k) AS tau2
+      FROM s CROSS JOIN g),
+    w AS (
+      SELECT source, n, k, nn, st, tau2, vw,
+             tau2 / (tau2 + vw / n) AS wgt,
+             CAST(sx AS DOUBLE) / n AS mu_i,
+             CAST(st AS DOUBLE) / nn AS mu
+      FROM p)
+    SELECT source, n AS n_docs,
+           CAST(round(1000.0 * mu_i) AS BIGINT) AS mean_milli,
+           CAST(round(1000000.0 * wgt) AS BIGINT) AS weight_micro,
+           CAST(round(1000.0 * (mu + wgt * (mu_i - mu))) AS BIGINT)
+             AS shrunk_milli
+    FROM w ORDER BY source
+    """,
+    doc="JAMES-STEIN / EMPIRICAL-BAYES SHRINKAGE of per-source mean "
+    "token counts toward the grand mean — the estimator a curator "
+    "should use before ranking sources on a per-group statistic "
+    "(small sources' raw means are noise; the normal-normal EB "
+    "posterior mean m + w_i(x_i - m) with w_i = tau^2/(tau^2 + "
+    "vw/n_i) dominates the raw means in total squared error — "
+    "Stein's paradox, operationalized): method-of-moments tau^2 = "
+    "max(between-MS - within-MS, 0)/n_bar from the SAME three "
+    "int64 sums (n, sum x, sum x^2) per source. Exactness: the "
+    "group fold is exact int64; every variance/weight is an "
+    "identical-operand double expression shared textually with "
+    "the oracle; the sx^2/n terms quantize to int64 MILLI before "
+    "their sum (order-free — no float accumulation anywhere; the "
+    "milli quantum bounds the term at ~1e12 per source at sf, "
+    "lower it for exa-scale sums). Scale: ONE "
+    "map-side-combinable agg to |sources| rows; everything after "
+    "is arithmetic on a one-row broadcast.",
+    tags=("analytics", "stats", "shrinkage", "empirical-bayes", "scale"),
+)
+def q270_js_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("x")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    s = s.localCheckpoint(eager=False)
+    g = s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sx").cast("long").alias("st"),
+        F.sum("sxx").cast("long").alias("sst"),
+        F.sum(
+            F.expr(
+                "CAST(round(1000.0 * (CAST(sx AS DOUBLE) * sx / n))"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("swb_milli"),
+    )
+    p = s.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n",
+        "sx",
+        "k",
+        "nn",
+        "st",
+        F.expr(
+            "(CAST(sst AS DOUBLE) - CAST(swb_milli AS DOUBLE) / 1000.0)"
+            " / (nn - k)"
+        ).alias("vw"),
+        F.expr(
+            "greatest((CAST(swb_milli AS DOUBLE) / 1000.0"
+            " - (CAST(st AS DOUBLE) * st / nn)) / (k - 1)"
+            " - (CAST(sst AS DOUBLE)"
+            " - CAST(swb_milli AS DOUBLE) / 1000.0) / (nn - k), 0.0)"
+            " / (CAST(nn AS DOUBLE) / k)"
+        ).alias("tau2"),
+    )
+    w = p.select(
+        "source",
+        "n",
+        F.expr("tau2 / (tau2 + vw / n)").alias("wgt"),
+        F.expr("CAST(sx AS DOUBLE) / n").alias("mu_i"),
+        F.expr("CAST(st AS DOUBLE) / nn").alias("mu"),
+    )
+    return w.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("CAST(round(1000.0 * mu_i) AS BIGINT)").alias("mean_milli"),
+        F.expr("CAST(round(1000000.0 * wgt) AS BIGINT)").alias(
+            "weight_micro"
+        ),
+        F.expr(
+            "CAST(round(1000.0 * (mu + wgt * (mu_i - mu))) AS BIGINT)"
+        ).alias("shrunk_milli"),
+    ).orderBy("source")

@@ -2059,3 +2059,93 @@ def q249_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+# --- q271: capture-recapture corpus-size estimate -----------------------------
+
+
+@register(
+    "q271_capture_recapture",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(text) AS f,
+             max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_b
+      FROM documents GROUP BY 1),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS v_true,
+             CAST(sum(in_a) AS BIGINT) AS n1,
+             CAST(sum(in_b) AS BIGINT) AS n2,
+             CAST(sum(in_a * in_b) AS BIGINT) AS m
+      FROM fp)
+    SELECT n1, n2, m, v_true,
+           CAST(round(1000.0 * (CAST(n1 AS DOUBLE) * n2) / m) AS BIGINT)
+             AS lp_milli,
+           CAST(round(1000.0 * ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1))
+             / (m + 1) - 1.0)) AS BIGINT) AS chapman_milli,
+           CAST(round(1000000.0 * ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1))
+             / (m + 1) - 1.0 - v_true) / v_true) AS BIGINT)
+             AS chapman_err_micro
+    FROM c
+    """,
+    doc="CAPTURE-RECAPTURE (Lincoln-Petersen + the bias-corrected "
+    "Chapman form) estimate of the DEDUPLICATED corpus size from "
+    "two overlapping samples — the ecology estimator that answers "
+    "'how many distinct documents exist across all crawls?' from "
+    "two crawl snapshots WITHOUT scanning the union (the "
+    "two-sample complement to q261's single-sample unseen mass; "
+    "q224 histograms the dups the estimator must see through): "
+    "samples are deterministic doc_id residues (mod 3 / mod 2 — "
+    "overlapping by construction), units are exact content "
+    "fingerprints (md5(text), both engines' reference "
+    "implementation), N-hat = n1*n2/m, Chapman = "
+    "(n1+1)(n2+1)/(m+1) - 1 (finite even at m = 0), and the "
+    "published relative error scores the estimator against the "
+    "true fingerprint count the full scan gives. Exactness: ONE "
+    "hash agg folds each fingerprint's presence flags; the three "
+    "counts are int64 sums; each estimate is one identical-"
+    "operand double expression. Scale: the fold is map-side "
+    "combinable onto the fingerprint relation; output is ONE row.",
+    tags=("llm", "dedup", "capture-recapture", "estimation", "scale"),
+)
+def q271_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.md5("text").alias("f"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("in_a"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("in_b"),
+        )
+        .groupBy("f")
+        .agg(
+            F.max("in_a").alias("in_a"),
+            F.max("in_b").alias("in_b"),
+        )
+    )
+    c = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("v_true"),
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+    )
+    return c.select(
+        "n1",
+        "n2",
+        "m",
+        "v_true",
+        F.expr(
+            "CAST(round(1000.0 * (CAST(n1 AS DOUBLE) * n2) / m) AS BIGINT)"
+        ).alias("lp_milli"),
+        F.expr(
+            "CAST(round(1000.0 * ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1))"
+            " / (m + 1) - 1.0)) AS BIGINT)"
+        ).alias("chapman_milli"),
+        F.expr(
+            "CAST(round(1000000.0 * ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1))"
+            " / (m + 1) - 1.0 - v_true) / v_true) AS BIGINT)"
+        ).alias("chapman_err_micro"),
+    )

@@ -1891,3 +1891,84 @@ def test_q266_anisotropy_matches_replay(spark):
         assert (r.n, r.m2_pico, r.mean_cos_micro) == (n, pico, mc), r.label_s
         # a cosine mean lives in [-1, 1]
         assert -1000000 <= r.mean_cos_micro <= 1000000
+
+
+def test_q270_js_shrinkage_matches_replay(spark):
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q270_js_shrinkage"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    per = {}
+    for _, doc in docs.iterrows():
+        x = len([t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t])
+        n, sx, sxx = per.get(doc.source, (0, 0, 0))
+        per[doc.source] = (n + 1, sx + x, sxx + x * x)
+    k = len(per)
+    nn = sum(v[0] for v in per.values())
+    st = sum(v[1] for v in per.values())
+    sst = sum(v[2] for v in per.values())
+    swb_milli = sum(
+        round(1000.0 * (float(sx) * sx / n)) for n, sx, _ in per.values()
+    )
+    vw = (float(sst) - float(swb_milli) / 1000.0) / (nn - k)
+    tau2 = max(
+        (float(swb_milli) / 1000.0 - (float(st) * st / nn)) / (k - 1)
+        - (float(sst) - float(swb_milli) / 1000.0) / (nn - k),
+        0.0,
+    ) / (float(nn) / k)
+    mu = float(st) / nn
+    assert len(rows) == k
+    for r in rows:
+        n, sx, _ = per[r.source]
+        wgt = tau2 / (tau2 + vw / n)
+        mu_i = float(sx) / n
+        assert r.n_docs == n
+        assert r.mean_milli == round(1000.0 * mu_i)
+        assert r.weight_micro == round(1000000.0 * wgt)
+        assert r.shrunk_milli == round(1000.0 * (mu + wgt * (mu_i - mu)))
+        # shrinkage moves every group mean TOWARD the grand mean
+        gm = round(1000.0 * mu)
+        assert min(r.mean_milli, gm) - 1 <= r.shrunk_milli <= max(
+            r.mean_milli, gm
+        ) + 1
+        assert 0 <= r.weight_micro <= 1000000
+
+
+def test_q271_capture_recapture_matches_replay(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q271_capture_recapture"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    flags = {}
+    for _, doc in docs.iterrows():
+        f = hashlib.md5(doc.text.encode()).hexdigest()
+        a, b = flags.get(f, (0, 0))
+        flags[f] = (
+            a | (doc.doc_id % 3 == 0),
+            b | (doc.doc_id % 2 == 0),
+        )
+    v = len(flags)
+    n1 = sum(a for a, _ in flags.values())
+    n2 = sum(b for _, b in flags.values())
+    m = sum(a and b for a, b in flags.values())
+    assert (row.n1, row.n2, row.m, row.v_true) == (n1, n2, m, v)
+    assert row.lp_milli == round(1000.0 * (float(n1) * n2) / m)
+    chap = (float(n1 + 1) * (n2 + 1)) / (m + 1) - 1.0
+    assert row.chapman_milli == round(1000.0 * chap)
+    assert row.chapman_err_micro == round(1000000.0 * (chap - v) / v)
+    # the overlap can never exceed either sample
+    assert m <= min(n1, n2)
+    # both estimators are at least the observed union lower bound pieces
+    assert row.lp_milli >= 1000 * m
