@@ -729,3 +729,97 @@ def q258_source_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q272: exact-k weighted sampling without replacement (ES / Gumbel) -------
+
+_ES_K = 5  # docs kept per source
+_ES_U = 1_048_576  # 2^20 uniform resolution (the q87/q142 md5 rule)
+
+
+@register(
+    "q272_weighted_topk_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS nt
+      FROM documents),
+    nz AS (SELECT doc_id, source, nt FROM toks WHERE nt > 0),
+    keyed AS (
+      SELECT doc_id, source, nt,
+             CAST(round(1000000.0
+               * ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                           1, 5)) AS BIGINT) + 1.0) / {_ES_U})
+               / nt) AS BIGINT) AS key_micro
+      FROM nz),
+    rk AS (
+      SELECT doc_id, source, nt, key_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key_micro DESC, doc_id) AS rn
+      FROM keyed)
+    SELECT source, rn AS pick, doc_id, nt, key_micro
+    FROM rk WHERE rn <= {_ES_K}
+    ORDER BY source, pick
+    """,
+    doc=f"EXACT-k WEIGHTED SAMPLING WITHOUT REPLACEMENT — Efraimidis-"
+    "Spirakis A-Res (equivalently Gumbel-top-k): keep the top-"
+    f"{_ES_K} docs per source by the key u^(1/w), w = token count "
+    "— the fixed-budget companion to q142's Poisson sampler "
+    "(Poisson gives a RANDOM-SIZE sample; a loader shard wants "
+    "exactly k) and the mechanism that realizes q258's weights as "
+    "an actual pick. Determinism/exactness: u is the q87/q142 "
+    "20-bit md5 uniform (+1 to dodge ln 0), the key is compared "
+    "as ln(u)/w — the monotone log transform of u^(1/w), so no "
+    "cross-engine pow — quantized to integer micro BEFORE the "
+    "rank (q203 ln discipline), ties broken by doc_id: both "
+    "engines pick the IDENTICAL sample. Scale: one rank window "
+    "per source partition (never global); at extreme per-source "
+    "cardinality the standard escape is per-partition top-k then "
+    "re-rank the k x partitions survivors (TakeOrdered shape).",
+    tags=("llm", "pipeline", "sampling", "weighted", "gumbel", "scale"),
+)
+def q272_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    nz = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens("text")).cast("long").alias("nt"),
+        )
+        .where(F.col("nt") > 0)
+    )
+    keyed = nz.select(
+        "doc_id",
+        "source",
+        "nt",
+        F.expr(
+            "CAST(round(1000000.0"
+            " * ln((CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 5),"
+            " 16, 10) AS BIGINT) + 1.0) / "
+            f"{_ES_U})"
+            " / nt) AS BIGINT)"
+        ).alias("key_micro"),
+    )
+    rk = keyed.select(
+        "doc_id",
+        "source",
+        "nt",
+        "key_micro",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.desc("key_micro"), "doc_id"))
+        .alias("rn"),
+    )
+    return (
+        rk.where(F.col("rn") <= _ES_K)
+        .select(
+            "source",
+            F.col("rn").alias("pick"),
+            "doc_id",
+            "nt",
+            "key_micro",
+        )
+        .orderBy("source", "pick")
+    )

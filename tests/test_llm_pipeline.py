@@ -561,3 +561,44 @@ def test_q258_reweighting_matches_python_fold(spark):
         assert r.eff_tokens <= r.n_tokens
     # the capped mix fits inside the corpus budget
     assert sum(r.eff_tokens for r in rows) <= n_total
+
+
+def test_q272_weighted_topk_matches_replay(spark):
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.llm_pipeline import _ES_K, _ES_U
+
+    rows = REGISTRY["q272_weighted_topk_sample"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = {}
+    for _, doc in docs.iterrows():
+        nt = len(
+            [t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t]
+        )
+        if nt == 0:
+            continue
+        hk = int(
+            hashlib.md5(str(doc.doc_id).encode()).hexdigest()[:5], 16
+        )
+        key = round(1000000.0 * math.log((hk + 1.0) / _ES_U) / nt)
+        keyed.setdefault(doc.source, []).append((key, int(doc.doc_id), nt))
+    want = {}
+    for src, lst in keyed.items():
+        lst.sort(key=lambda kv: (-kv[0], kv[1]))
+        want[src] = lst[:_ES_K]
+    assert len(rows) == sum(min(_ES_K, len(v)) for v in want.values())
+    for r in rows:
+        key, doc_id, nt = want[r.source][r.pick - 1]
+        assert (r.doc_id, r.nt, r.key_micro) == (doc_id, nt, key), (
+            r.source,
+            r.pick,
+        )
+        # the ES key is ln of a (0,1] uniform scaled by 1/w: never positive
+        assert r.key_micro <= 0
