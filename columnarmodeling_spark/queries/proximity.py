@@ -1220,3 +1220,201 @@ def _hits_rescale(nodes: DataFrame, raw: DataFrame) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+# --- q273: Laplacian spectral radius by integer power iteration --------------
+
+_LAP_ITERS = 3
+_LAP_UNIT = 1_000_000
+
+
+def _lap_oracle() -> str:
+    """Unroll L v = deg*v - sum of neighbor v as CTEs — EXACT int64
+    end-to-end (no quantization: the matvec is integer arithmetic on
+    integer state), signed truncating max-rescale per round (q246/q264
+    discipline), Rayleigh quotient as a ratio of two exact int64 sums."""
+    ctes = [
+        f"""pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_EPS}),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e
+      UNION ALL SELECT dst AS src, src AS dst FROM e),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),
+    deg AS MATERIALIZED (
+      SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+      FROM und GROUP BY 1),
+    v0 AS (
+      SELECT id, CAST((CASE WHEN id % 2 = 0 THEN 1 ELSE -1 END)
+               * ({_LAP_UNIT} + id % 997) AS BIGINT) AS v
+      FROM nodes)"""
+    ]
+    for r in range(1, _LAP_ITERS + 1):
+        ctes.append(
+            f"""nb{r} AS (
+      SELECT u.src AS id, CAST(sum(v.v) AS BIGINT) AS s
+      FROM und u JOIN v{r - 1} v ON v.id = u.dst GROUP BY 1),
+    w{r} AS (
+      SELECT d.id, CAST(d.d * v.v - coalesce(n.s, 0) AS BIGINT) AS w
+      FROM deg d
+      JOIN v{r - 1} v USING (id)
+      LEFT JOIN nb{r} n USING (id)),
+    m{r} AS (SELECT CAST(greatest(max(abs(w)), 1) AS BIGINT) AS m
+             FROM w{r}),
+    v{r} AS (
+      SELECT id,
+             CAST(CASE WHEN w >= 0 THEN ({_LAP_UNIT} * w) // m
+                  ELSE -(({_LAP_UNIT} * (-w)) // m) END AS BIGINT) AS v
+      FROM w{r}, m{r})"""
+        )
+    last = f"v{_LAP_ITERS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    nbf AS (
+      SELECT u.src AS id, CAST(sum(v.v) AS BIGINT) AS s
+      FROM und u JOIN {last} v ON v.id = u.dst GROUP BY 1),
+    ray AS (
+      SELECT CAST(sum(v.v * (d.d * v.v - coalesce(n.s, 0))) AS BIGINT)
+               AS num_q,
+             CAST(sum(v.v * v.v) AS BIGINT) AS den_q
+      FROM {last} v JOIN deg d USING (id) LEFT JOIN nbf n USING (id)),
+    cnt AS (
+      SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+             CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_deg)
+    SELECT c.n_nodes, c.n_edges, c.max_deg,
+           CAST(CASE WHEN r.den_q > 0 THEN
+             round(1000.0 * CAST(r.num_q AS DOUBLE) / r.den_q)
+             ELSE 0 END AS BIGINT) AS lambda_max_milli
+    FROM cnt c CROSS JOIN ray r"""
+    )
+
+
+@register(
+    "q273_laplacian_lambda",
+    oracle=_lap_oracle(),
+    doc="LAPLACIAN SPECTRAL RADIUS of the proximity bond graph by "
+    f"POWER ITERATION — {_LAP_ITERS} rounds of w = L v = deg*v - "
+    "sum(neighbor v) on the q246 integer-state discipline, and the "
+    "spectral member the graph tier lacked (q133 PageRank and "
+    "q246 HITS probe adjacency's top space; lambda_max(L) bounds "
+    "synchronizability/diffusion speed and caps the safe step "
+    "size of any graph-diffusion smoother at 2/lambda_max). "
+    "Sharper than q264: the matvec is EXACT int64 on integer "
+    "state — zero quantization anywhere in the loop — because L "
+    "has integer entries; the all-ones vector is L's null space, "
+    "so the deterministic start alternates sign by id parity with an id-dependent magnitude (UNIT + id mod 997 — non-constant on any generic component; degenerate graphs fall back to lambda 0 via the guarded rescale) "
+    "(never orthogonal to the top eigenvector in a generic "
+    "graph). Rescale is the signed truncating division (Spark "
+    "div = trunc; DuckDB // floors, negatives routed through "
+    "-((-x)//m)). Rayleigh lambda = v'Lv / v'v as ONE division "
+    "of exact int64 sums; Gershgorin sanity lambda <= 2*max_deg. "
+    "Scale: each round is one edges-x-state equi-join + hash agg "
+    "(co-partitioned across rounds, q133/q193 pattern); state is "
+    "|nodes| longs; localCheckpoint truncates lineage per round.",
+    tags=("graph", "spectral", "laplacian", "iterative", "scale"),
+)
+def q273_laplacian_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    deg = deg.localCheckpoint()
+    v = deg.select(
+        "id",
+        (
+            F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+            * (F.lit(_LAP_UNIT) + F.col("id") % 997)
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    for _ in range(_LAP_ITERS):
+        nb = (
+            und.join(v.select(F.col("id").alias("dst"), "v"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("v").cast("long").alias("s"))
+        )
+        w = (
+            deg.join(v, "id")
+            .join(nb, "id", "left")
+            .select(
+                "id",
+                (
+                    F.col("d") * F.col("v")
+                    - F.coalesce(F.col("s"), F.lit(0))
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        mx = w.agg(
+            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1))
+            .cast("long")
+            .alias("m")
+        )
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                "id",
+                F.expr(
+                    f"CAST(CASE WHEN w >= 0 THEN div({_LAP_UNIT} * w, m)"
+                    f" ELSE -div({_LAP_UNIT} * (-w), m) END AS BIGINT)"
+                ).alias("v"),
+            )
+            .localCheckpoint()
+        )
+    nbf = (
+        und.join(v.select(F.col("id").alias("dst"), "v"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("v").cast("long").alias("s"))
+    )
+    ray = (
+        v.join(deg, "id")
+        .join(nbf, "id", "left")
+        .agg(
+            F.sum(
+                F.col("v")
+                * (
+                    F.col("d") * F.col("v")
+                    - F.coalesce(F.col("s"), F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("num_q"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("den_q"),
+        )
+    )
+    cnt = (
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.max("d").cast("long").alias("max_deg"),
+        )
+        .crossJoin(
+            F.broadcast(
+                edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+        )
+    )
+    return cnt.crossJoin(F.broadcast(ray)).select(
+        "n_nodes",
+        "n_edges",
+        "max_deg",
+        F.expr(
+            "CAST(CASE WHEN den_q > 0 THEN"
+            " round(1000.0 * CAST(num_q AS DOUBLE) / den_q)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("lambda_max_milli"),
+    )

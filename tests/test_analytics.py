@@ -1972,3 +1972,59 @@ def test_q271_capture_recapture_matches_replay(spark):
     assert m <= min(n1, n2)
     # both estimators are at least the observed union lower bound pieces
     assert row.lp_milli >= 1000 * m
+
+
+def test_q273_laplacian_matches_integer_replay(spark):
+    import numpy as np
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q273_laplacian_lambda"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    c = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    ids = c.c_custkey.to_numpy()
+    x = c.c_acctbal.to_numpy()
+    y = (ids % 97).astype("float64") * 25.0
+    edges = []
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                d = np.sqrt((x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2)
+                if d < 30.0:
+                    edges.append((int(ids[i]), int(ids[j])))
+    und = edges + [(b, a) for a, b in edges]
+    nodes = sorted({u for e in und for u in e})
+    deg = {u: 0 for u in nodes}
+    for s, _ in und:
+        deg[s] += 1
+    v = {
+        u: (1 if u % 2 == 0 else -1) * (1_000_000 + u % 997)
+        for u in nodes
+    }
+    for _ in range(3):
+        nb = {u: 0 for u in nodes}
+        for s, d in und:
+            nb[s] += v[d]
+        w = {u: deg[u] * v[u] - nb[u] for u in nodes}
+        m = max(max(abs(t) for t in w.values()), 1)
+        v = {
+            u: (abs(1_000_000 * t) // m) * (1 if t >= 0 else -1)
+            for u, t in w.items()
+        }
+    nb = {u: 0 for u in nodes}
+    for s, d in und:
+        nb[s] += v[d]
+    num = sum(v[u] * (deg[u] * v[u] - nb[u]) for u in nodes)
+    den = sum(t * t for t in v.values())
+    assert (row.n_nodes, row.n_edges, row.max_deg) == (
+        len(nodes),
+        len(edges),
+        max(deg.values()),
+    )
+    assert row.lambda_max_milli == round(1000.0 * num / den)
+    # Rayleigh on a PSD matrix is non-negative; Gershgorin caps at 2*max_deg
+    assert 0 <= row.lambda_max_milli <= 2000 * row.max_deg
+    # a connected non-bipartite-free graph pushes lambda past max_deg + 1
+    assert row.lambda_max_milli >= 1000 * row.max_deg
