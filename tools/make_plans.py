@@ -701,6 +701,30 @@ CASES = {
     "bounded relations off one localCheckpoint; eta^2 is pure "
     "int64 cross-multiplication — no float until the final "
     "quantized division; output is |types| x 24 rows.",
+    "q270_js_shrinkage": "James-Stein shrinkage of per-source "
+    "means. What to check: ONE map-side-combinable agg folds the "
+    "corpus to |sources| rows of int64 moments off a "
+    "localCheckpoint; the one-row global fold (incl. the "
+    "milli-quantized swb sum) rides a BroadcastExchange; every "
+    "weight and posterior mean is projection arithmetic — no "
+    "second corpus pass.",
+    "q271_capture_recapture": "Capture-recapture corpus-size "
+    "estimate. What to check: one hash agg folds presence flags "
+    "per md5 fingerprint (map-side combinable), one more agg to "
+    "a single row; both estimators are projections — two "
+    "exchanges total, output one row.",
+    "q272_weighted_topk_sample": "Exact-k weighted sample "
+    "(Gumbel top-k). What to check: tokenize + md5 key are pure "
+    "projections on the scan; the ONLY exchange hash-partitions "
+    "by source for the rank window (never a global sort); the "
+    "filter keeps k rows per source.",
+    "q273_laplacian_lambda": "Laplacian spectral radius by "
+    "integer power iteration. What to check: each round is one "
+    "edges-x-state equi-join + partial/final hash agg (the "
+    "q133/q193 iteration shape) behind a localCheckpoint; the "
+    "matvec and Rayleigh sums are exact int64 — no quantization "
+    "node anywhere; the max-rescale scalar rides a one-row "
+    "BroadcastExchange.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
