@@ -3870,3 +3870,114 @@ def q270_js_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(1000.0 * (mu + wgt * (mu_i - mu))) AS BIGINT)"
         ).alias("shrunk_milli"),
     ).orderBy("source")
+
+
+# --- q274: join-key skew profiler --------------------------------------------
+
+_SKEW_TOP = 5  # heaviest keys reported
+
+
+@register(
+    "q274_join_skew_profile",
+    oracle=f"""
+    WITH kc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS mx
+      FROM kc),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn
+      FROM kc),
+    p99 AS (
+      SELECT CAST(r.c AS BIGINT) AS p99_cnt
+      FROM r CROSS JOIN s
+      WHERE r.rn = (99 * s.n_keys + 99) // 100),
+    top AS (
+      SELECT user_id, c,
+             row_number() OVER (ORDER BY c DESC, user_id) AS rk
+      FROM kc)
+    SELECT t.rk AS rank, t.user_id, t.c AS cnt,
+           CAST(round(1000000.0 * t.c / s.n_events) AS BIGINT)
+             AS share_micro,
+           s.n_events, s.n_keys,
+           CAST(round(1000.0 * s.mx * s.n_keys / s.n_events) AS BIGINT)
+             AS skew_milli,
+           p.p99_cnt
+    FROM top t CROSS JOIN s CROSS JOIN p99 p
+    WHERE t.rk <= {_SKEW_TOP}
+    ORDER BY t.rk
+    """,
+    doc="JOIN-KEY SKEW PROFILER over events.user_id — the 'should I "
+    f"salt this join?' report (top-{_SKEW_TOP} heaviest keys with "
+    "their traffic share, the max/mean skew factor, and the p99 "
+    "key frequency; a skew factor near 1 means hash partitions "
+    "balance, >>1 means one task owns the hot key's whole fan-out "
+    "— the diagnostic BEHIND the q38 salting and q208 segmented "
+    "escapes, turned into a query): skew = max/(N/K) cross-"
+    "multiplied as max*K/N, p99 by exact order statistic at rank "
+    "ceil(0.99K) (integer (99K+99)//100, floor-safe on both "
+    "engines for non-negative operands). Exactness: one int64 "
+    "fold to key counts; every output is integer until the two "
+    "quantized divisions. Scale: the fold is map-side combinable "
+    "onto the KEY relation; the rank windows run over that "
+    "bounded relation (q221 vocab-scale discipline — pre-bucket "
+    "by count if the key space itself shards); output is "
+    f"{_SKEW_TOP} rows.",
+    tags=("analytics", "diagnostics", "skew", "profiling", "scale"),
+)
+def q274_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    kc = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    kc = kc.localCheckpoint(eager=False)
+    s = kc.agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("mx"),
+    )
+    r = kc.select(
+        "c",
+        F.row_number()
+        .over(W.partitionBy().orderBy("c", "user_id"))
+        .alias("rn"),
+    )
+    p99 = (
+        r.crossJoin(F.broadcast(s))
+        .where(
+            F.col("rn") == F.expr("div(99 * n_keys + 99, 100)")
+        )
+        .select(F.col("c").alias("p99_cnt"))
+    )
+    top = kc.select(
+        "user_id",
+        "c",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("c"), "user_id"))
+        .alias("rk"),
+    ).where(F.col("rk") <= _SKEW_TOP)
+    return (
+        top.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            F.col("rk").alias("rank"),
+            "user_id",
+            F.col("c").alias("cnt"),
+            F.expr(
+                "CAST(round(1000000.0 * c / n_events) AS BIGINT)"
+            ).alias("share_micro"),
+            "n_events",
+            "n_keys",
+            F.expr(
+                "CAST(round(1000.0 * mx * n_keys / n_events) AS BIGINT)"
+            ).alias("skew_milli"),
+            "p99_cnt",
+        )
+        .orderBy("rank")
+    )

@@ -2028,3 +2028,34 @@ def test_q273_laplacian_matches_integer_replay(spark):
     assert 0 <= row.lambda_max_milli <= 2000 * row.max_deg
     # a connected non-bipartite-free graph pushes lambda past max_deg + 1
     assert row.lambda_max_milli >= 1000 * row.max_deg
+
+
+def test_q274_skew_profile_matches_replay(spark):
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.analytics import _SKEW_TOP
+
+    rows = REGISTRY["q274_join_skew_profile"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    kc = Counter(int(u) for u in ev.user_id)
+    n = sum(kc.values())
+    k = len(kc)
+    mx = max(kc.values())
+    asc = sorted(kc.items(), key=lambda kv: (kv[1], kv[0]))
+    p99 = asc[(99 * k + 99) // 100 - 1][1]
+    top = sorted(kc.items(), key=lambda kv: (-kv[1], kv[0]))[:_SKEW_TOP]
+    assert len(rows) == min(_SKEW_TOP, k)
+    for r in rows:
+        u, c = top[r.rank - 1]
+        assert (r.user_id, r.cnt) == (u, c)
+        assert r.share_micro == round(1000000.0 * c / n)
+        assert (r.n_events, r.n_keys, r.p99_cnt) == (n, k, p99)
+        assert r.skew_milli == round(1000.0 * mx * k / n)
+        # max/mean skew is at least 1 (the max can't be under the mean)
+        assert r.skew_milli >= 1000
+        assert r.p99_cnt <= mx
