@@ -2730,3 +2730,239 @@ def q265_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_s")
     )
+
+
+# --- q275: maximal marginal relevance (MMR) diverse top-k ---------------------
+
+_MMR_K = 5
+_MMR_LAM7 = 7  # lambda = 0.7 as the integer pair (7, 3)
+_MMR_LAM3 = 3
+
+# Quantized unit-free cosine pieces shared by the Spark body and the
+# unrolled oracle: components quantize to micro ints (q225 discipline),
+# dot/norm sums are exact int64, ONE identical-operand double per cosine.
+_SQL_EQ = """eq AS MATERIALIZED (
+      SELECT vec_id, label, d.d AS dim,
+             CAST(round(1000000.0 * CAST(embedding[d.d] AS DOUBLE))
+               AS BIGINT) AS e
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) d(d)),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, CAST(sum(e * e) AS BIGINT) AS n2
+      FROM eq GROUP BY 1),
+    qv AS MATERIALIZED (
+      SELECT dim, CAST(sum(e) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM eq WHERE label = 0 GROUP BY 1),
+    qq AS MATERIALIZED (
+      SELECT dim, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS e
+      FROM qv),
+    qn AS MATERIALIZED (
+      SELECT CAST(sum(e * e) AS BIGINT) AS n2 FROM qq),
+    rel AS MATERIALIZED (
+      SELECT a.vec_id,
+             CAST(round(1000000.0 * CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))))
+               AS BIGINT) AS r
+      FROM (SELECT DISTINCT vec_id FROM eq) a
+      JOIN (SELECT e.vec_id, CAST(sum(e.e * q.e) AS BIGINT) AS dot
+            FROM eq e JOIN qq q USING (dim) GROUP BY 1) d
+        ON d.vec_id = a.vec_id
+      JOIN nrm na ON na.vec_id = a.vec_id
+      CROSS JOIN qn)"""
+
+
+def _mmr_pair_cos(pick: str) -> str:
+    """Cosine of every candidate against the one-row pick CTE — all
+    equi-joins (a scalar subquery in the join condition forces DuckDB
+    into a nested loop; routing through the pick relation keeps it
+    hash-joined)."""
+    return (
+        "SELECT e.vec_id, CAST(round(1000000.0 * CAST(sum(e.e * s.e)"
+        " AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))"
+        " * sqrt(CAST(ns.n2 AS DOUBLE)))) AS BIGINT) AS c"
+        f" FROM {pick} p"
+        " JOIN eq s ON s.vec_id = p.vec_id"
+        " JOIN eq e ON e.dim = s.dim"
+        " JOIN nrm na ON na.vec_id = e.vec_id"
+        " JOIN nrm ns ON ns.vec_id = p.vec_id"
+        " GROUP BY e.vec_id, na.n2, ns.n2"
+    )
+
+
+def _mmr_oracle() -> str:
+    ctes = [_SQL_EQ]
+    ctes.append(
+        """p1 AS MATERIALIZED (
+      SELECT vec_id, r, CAST(0 AS BIGINT) AS ms
+      FROM rel ORDER BY r DESC, vec_id LIMIT 1)"""
+    )
+    for t_ in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{i}" for i in range(1, t_)
+        )
+        sims = " UNION ALL ".join(
+            _mmr_pair_cos(f"p{i}") for i in range(1, t_)
+        )
+        ctes.append(
+            f"""ms{t_} AS MATERIALIZED (
+      SELECT vec_id, CAST(max(c) AS BIGINT) AS ms
+      FROM ({sims}) GROUP BY 1),
+    p{t_} AS MATERIALIZED (
+      SELECT r.vec_id, r.r, m.ms
+      FROM rel r JOIN ms{t_} m USING (vec_id)
+      WHERE r.vec_id NOT IN ({prev})
+      ORDER BY {_MMR_LAM7} * r.r - {_MMR_LAM3} * m.ms DESC, r.vec_id
+      LIMIT 1)"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, r, ms FROM p{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT rank, vec_id, r AS rel_micro, ms AS maxsim_micro,
+           CAST({_MMR_LAM7} * r - {_MMR_LAM3} * ms AS BIGINT) AS mmr_score
+    FROM ({picks}) ORDER BY rank"""
+    )
+
+
+@register(
+    "q275_mmr_selection",
+    oracle=_mmr_oracle(),
+    doc="MAXIMAL MARGINAL RELEVANCE — the diversity-aware top-k "
+    f"selector (k={_MMR_K}, lambda=0.7 as the exact integer pair "
+    "7/3): greedily pick the vector maximizing 7*relevance - "
+    "3*max-similarity-to-already-picked — the standard eval-set / "
+    "retrieval-context builder that q46's plain top-k cannot give "
+    "(plain top-k returns near-duplicates; MMR's second term is "
+    "the built-in dedup). Relevance = cosine to the label-0 "
+    "centroid (the 'query'); centroid components are "
+    "round(s/n)-quantized micro ints so every cosine is the q225 "
+    "discipline end-to-end: int64 dot/norm sums, ONE identical-"
+    "operand double + sqrt per cosine, quantized to micro BEFORE "
+    "the argmax (ties by vec_id — both engines pick the IDENTICAL "
+    "set). Scale: each of the k-1 rounds is one broadcast-keyed "
+    "cosine pass against the single new pick + a TakeOrdered "
+    "argmax (never a global sort); the k-row selected set is the "
+    "documented bounded driver collect (q63 sequential-greedy "
+    "precedent).",
+    tags=("llm", "similarity", "embedding", "mmr", "selection", "scale"),
+)
+def q275_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    eq = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.lit(1000000.0) * F.col("x").cast("double"))
+        .cast("long")
+        .alias("e"),
+    )
+    eq = eq.localCheckpoint(eager=False)
+    nrm = eq.groupBy("vec_id").agg(
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("n2")
+    )
+    nrm = nrm.localCheckpoint(eager=False)
+    qq = (
+        eq.where(F.col("label") == 0)
+        .groupBy("dim")
+        .agg(
+            F.sum("e").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "dim",
+            F.expr("CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)").alias(
+                "e"
+            ),
+        )
+    )
+    qq = qq.localCheckpoint(eager=False)
+    qn = qq.agg(F.sum(F.col("e") * F.col("e")).cast("long").alias("n2"))
+    dots = (
+        eq.join(F.broadcast(qq.select("dim", F.col("e").alias("eq_q"))),
+                "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("e") * F.col("eq_q")).cast("long").alias("dot"))
+    )
+    rel = (
+        dots.join(nrm, "vec_id")
+        .crossJoin(F.broadcast(qn.select(F.col("n2").alias("qn2"))))
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(round(1000000.0 * CAST(dot AS DOUBLE)"
+                " / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))))"
+                " AS BIGINT)"
+            ).alias("r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    first = rel.orderBy(F.desc("r"), "vec_id").limit(1).collect()[0]
+    picks = [(1, int(first.vec_id), int(first.r), 0)]
+    maxsim = None  # DataFrame (vec_id, ms) vs the selected set so far
+    for rank in range(2, _MMR_K + 1):
+        new_id = picks[-1][1]
+        sv = eq.where(F.col("vec_id") == new_id).select(
+            "dim", F.col("e").alias("es")
+        )
+        sn = nrm.where(F.col("vec_id") == new_id).select(
+            F.col("n2").alias("sn2")
+        )
+        cos = (
+            eq.join(F.broadcast(sv), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("e") * F.col("es")).cast("long").alias("dot"))
+            .join(nrm, "vec_id")
+            .crossJoin(F.broadcast(sn))
+            .select(
+                "vec_id",
+                F.expr(
+                    "CAST(round(1000000.0 * CAST(dot AS DOUBLE)"
+                    " / (sqrt(CAST(n2 AS DOUBLE))"
+                    " * sqrt(CAST(sn2 AS DOUBLE)))) AS BIGINT)"
+                ).alias("c"),
+            )
+        )
+        maxsim = (
+            cos
+            if maxsim is None
+            else maxsim.unionByName(
+                cos.select("vec_id", F.col("c"))
+            )
+        )
+        ms = maxsim.groupBy("vec_id").agg(
+            F.max("c").cast("long").alias("ms")
+        )
+        chosen_ids = [p[1] for p in picks]
+        nxt = (
+            rel.join(ms, "vec_id")
+            .where(~F.col("vec_id").isin(chosen_ids))
+            .orderBy(
+                F.desc(
+                    F.lit(_MMR_LAM7) * F.col("r")
+                    - F.lit(_MMR_LAM3) * F.col("ms")
+                ),
+                "vec_id",
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rank, int(nxt.vec_id), int(nxt.r), int(nxt.ms)))
+        maxsim = maxsim.localCheckpoint(eager=False)
+    out = spark.createDataFrame(
+        [
+            (rank, vid, r, ms, _MMR_LAM7 * r - _MMR_LAM3 * ms)
+            for rank, vid, r, ms in picks
+        ],
+        "rank long, vec_id long, rel_micro long, maxsim_micro long, "
+        "mmr_score long",
+    )
+    return out.orderBy("rank")

@@ -2059,3 +2059,66 @@ def test_q274_skew_profile_matches_replay(spark):
         # max/mean skew is at least 1 (the max can't be under the mean)
         assert r.skew_milli >= 1000
         assert r.p99_cnt <= mx
+
+
+def test_q275_mmr_matches_greedy_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.queries.llm_similarity import (
+        _MMR_K,
+        _MMR_LAM3,
+        _MMR_LAM7,
+    )
+
+    rows = REGISTRY["q275_mmr_selection"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eq = {
+        int(r.vec_id): [round(1000000.0 * float(x)) for x in r.embedding]
+        for _, r in df.iterrows()
+    }
+    lab0 = [int(r.vec_id) for _, r in df.iterrows() if int(r.label) == 0]
+    d = len(next(iter(eq.values())))
+    n0 = len(lab0)
+    q = [
+        round(float(sum(eq[v][i] for v in lab0)) / n0) for i in range(d)
+    ]
+    n2 = {v: sum(e * e for e in es) for v, es in eq.items()}
+    qn2 = sum(e * e for e in q)
+
+    def cos(a, b, na, nb):
+        dot = sum(x * y for x, y in zip(a, b))
+        return round(
+            1000000.0 * float(dot) / (math.sqrt(na) * math.sqrt(nb))
+        )
+
+    rel = {v: cos(es, q, n2[v], qn2) for v, es in eq.items()}
+    first = min(eq, key=lambda v: (-rel[v], v))
+    picks = [(1, first, rel[first], 0)]
+    ms = {}
+    for rank in range(2, _MMR_K + 1):
+        new = picks[-1][1]
+        for v in eq:
+            c = cos(eq[v], eq[new], n2[v], n2[new])
+            ms[v] = max(ms.get(v, -2000000), c)
+        chosen = {p[1] for p in picks}
+        nxt = min(
+            (v for v in eq if v not in chosen),
+            key=lambda v: (-(_MMR_LAM7 * rel[v] - _MMR_LAM3 * ms[v]), v),
+        )
+        picks.append((rank, nxt, rel[nxt], ms[nxt]))
+    assert len(rows) == _MMR_K
+    for r, (rank, v, rl, m) in zip(sorted(rows, key=lambda x: x.rank),
+                                   picks):
+        assert (r.rank, r.vec_id, r.rel_micro, r.maxsim_micro) == (
+            rank, v, rl, m,
+        )
+        assert r.mmr_score == _MMR_LAM7 * rl - _MMR_LAM3 * m
+    # the selected set is diverse: no pick is a near-clone of an earlier one
+    for r in rows:
+        if r.rank > 1:
+            assert r.maxsim_micro < 999000
