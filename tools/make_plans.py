@@ -725,6 +725,18 @@ CASES = {
     "matvec and Rayleigh sums are exact int64 — no quantization "
     "node anywhere; the max-rescale scalar rides a one-row "
     "BroadcastExchange.",
+    "q274_join_skew_profile": "Join-key skew profiler. What to "
+    "check: one map-side-combinable fold onto the key relation "
+    "behind a localCheckpoint; the p99 and top-k rank windows "
+    "run over that bounded relation (q221 vocab-scale "
+    "discipline); the summary scalars ride one-row "
+    "BroadcastExchanges.",
+    "q275_mmr_selection": "MMR diverse top-k. What to check: "
+    "every cosine pass is a BROADCAST join (centroid or the one "
+    "new pick) + partial/final hash agg — the vector relation is "
+    "never shuffled on a pair key; each argmax is a "
+    "TakeOrderedAndProject; the k-pick loop is fixed-depth with "
+    "lazy localCheckpoints truncating lineage.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
