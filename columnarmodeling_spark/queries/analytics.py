@@ -3981,3 +3981,148 @@ def q274_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- q276: Murphy decomposition of the Brier score ----------------------------
+
+
+@register(
+    "q276_brier_decomposition",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             least(20, CAST(count(*) FILTER (event_type = 'click')
+               AS BIGINT)) AS c,
+             CASE WHEN count(*) FILTER (event_type = 'purchase')
+                       > count(*) FILTER (event_type = 'click')
+                  THEN 1 ELSE 0 END AS o
+      FROM events GROUP BY 1),
+    b AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n, CAST(sum(o) AS BIGINT) AS s
+      FROM u GROUP BY 1),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+             CAST(sum(n * c * c - 40 * c * s + 400 * s) AS BIGINT) AS bq
+      FROM b),
+    terms AS (
+      SELECT g.nn, g.ss, g.bq,
+             CAST(sum(CAST(round(1000000.0
+               * (CAST(b.c * b.n - 20 * b.s AS DOUBLE)
+                  * (b.c * b.n - 20 * b.s)) / (400.0 * b.n)) AS BIGINT))
+               AS BIGINT) AS rel_q,
+             CAST(sum(CAST(round(1000000.0 * b.n
+               * (CAST(b.s AS DOUBLE) / b.n - CAST(g.ss AS DOUBLE) / g.nn)
+               * (CAST(b.s AS DOUBLE) / b.n - CAST(g.ss AS DOUBLE) / g.nn))
+               AS BIGINT)) AS BIGINT) AS res_q
+      FROM b CROSS JOIN g
+      GROUP BY 1, 2, 3)
+    SELECT nn AS n_users,
+           CAST(round(1000000.0 * ss / nn) AS BIGINT) AS base_rate_micro,
+           CAST(round(1000000.0 * bq / (400.0 * nn)) AS BIGINT)
+             AS brier_micro,
+           CAST(round(CAST(rel_q AS DOUBLE) / nn) AS BIGINT)
+             AS reliability_micro,
+           CAST(round(CAST(res_q AS DOUBLE) / nn) AS BIGINT)
+             AS resolution_micro,
+           CAST(round(1000000.0 * (CAST(ss AS DOUBLE) / nn)
+             * (1.0 - CAST(ss AS DOUBLE) / nn)) AS BIGINT)
+             AS uncertainty_micro
+    FROM terms
+    """,
+    doc="MURPHY DECOMPOSITION of the Brier score — BS = reliability "
+    "- resolution + uncertainty — for the fixed-point click-count "
+    "forecaster f = min(20, clicks)/20 against q191/q200's "
+    "conversion outcome: the proper-scoring-rule companion to "
+    "q200's reliability CURVE (the curve shows WHERE calibration "
+    "fails; the decomposition says how much of the score is "
+    "miscalibration vs genuine discrimination vs irreducible base-"
+    "rate noise — the number that tells you whether recalibration "
+    "or a better model is the fix). Exactness: the raw Brier sum "
+    "is PURE INT64 in 400ths (n c^2 - 40 c s + 400 s per bin — "
+    "no float until the final division); reliability/resolution "
+    "terms are identical-operand doubles quantized per bin to "
+    "micro BEFORE their <= 21-term int64 sums ((cn - 20s)^2 "
+    "composed in double to dodge the n^2 overflow). Scale: one "
+    "user-keyed agg, one fold onto <= 21 forecast bins, "
+    "broadcast-scale arithmetic; output is ONE row.",
+    tags=("analytics", "eval", "brier", "calibration", "scale"),
+)
+def q276_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(
+                F.lit(20).cast("long"),
+                F.count(F.when(F.col("event_type") == "click", 1))
+                .cast("long"),
+            ).alias("c"),
+            F.when(
+                F.count(F.when(F.col("event_type") == "purchase", 1))
+                > F.count(F.when(F.col("event_type") == "click", 1)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("o"),
+        )
+    )
+    b = u.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o").cast("long").alias("s"),
+    )
+    b = b.localCheckpoint(eager=False)
+    g = b.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum(
+            F.col("n") * F.col("c") * F.col("c")
+            - F.lit(40) * F.col("c") * F.col("s")
+            + F.lit(400) * F.col("s")
+        )
+        .cast("long")
+        .alias("bq"),
+    )
+    terms = (
+        b.crossJoin(F.broadcast(g))
+        .groupBy("nn", "ss", "bq")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(1000000.0"
+                    " * (CAST(c * n - 20 * s AS DOUBLE)"
+                    " * (c * n - 20 * s)) / (400.0 * n)) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("rel_q"),
+            F.sum(
+                F.expr(
+                    "CAST(round(1000000.0 * n"
+                    " * (CAST(s AS DOUBLE) / n - CAST(ss AS DOUBLE) / nn)"
+                    " * (CAST(s AS DOUBLE) / n - CAST(ss AS DOUBLE) / nn))"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("res_q"),
+        )
+    )
+    return terms.select(
+        F.col("nn").alias("n_users"),
+        F.expr("CAST(round(1000000.0 * ss / nn) AS BIGINT)").alias(
+            "base_rate_micro"
+        ),
+        F.expr(
+            "CAST(round(1000000.0 * bq / (400.0 * nn)) AS BIGINT)"
+        ).alias("brier_micro"),
+        F.expr("CAST(round(CAST(rel_q AS DOUBLE) / nn) AS BIGINT)").alias(
+            "reliability_micro"
+        ),
+        F.expr("CAST(round(CAST(res_q AS DOUBLE) / nn) AS BIGINT)").alias(
+            "resolution_micro"
+        ),
+        F.expr(
+            "CAST(round(1000000.0 * (CAST(ss AS DOUBLE) / nn)"
+            " * (1.0 - CAST(ss AS DOUBLE) / nn)) AS BIGINT)"
+        ).alias("uncertainty_micro"),
+    )

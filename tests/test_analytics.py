@@ -2122,3 +2122,77 @@ def test_q275_mmr_matches_greedy_replay(spark):
     for r in rows:
         if r.rank > 1:
             assert r.maxsim_micro < 999000
+
+
+def test_q276_brier_decomposition_matches_replay(spark):
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q276_brier_decomposition"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = Counter(
+        int(u) for u, t_ in zip(ev.user_id, ev.event_type) if t_ == "click"
+    )
+    buys = Counter(
+        int(u)
+        for u, t_ in zip(ev.user_id, ev.event_type)
+        if t_ == "purchase"
+    )
+    users = sorted({int(u) for u in ev.user_id})
+    bins = defaultdict(lambda: [0, 0])
+    for u in users:
+        c = min(20, clicks.get(u, 0))
+        o = 1 if buys.get(u, 0) > clicks.get(u, 0) else 0
+        bins[c][0] += 1
+        bins[c][1] += o
+    nn = sum(n for n, _ in bins.values())
+    ss = sum(s for _, s in bins.values())
+    bq = sum(
+        n * c * c - 40 * c * s + 400 * s for c, (n, s) in bins.items()
+    )
+    rel_q = sum(
+        round(
+            1000000.0
+            * (float(c * n - 20 * s) * (c * n - 20 * s))
+            / (400.0 * n)
+        )
+        for c, (n, s) in bins.items()
+    )
+    res_q = sum(
+        round(
+            1000000.0
+            * n
+            * (float(s) / n - float(ss) / nn)
+            * (float(s) / n - float(ss) / nn)
+        )
+        for c, (n, s) in bins.items()
+    )
+    assert row.n_users == nn
+    assert row.base_rate_micro == round(1000000.0 * ss / nn)
+    assert row.brier_micro == round(1000000.0 * bq / (400.0 * nn))
+    assert row.reliability_micro == round(float(rel_q) / nn)
+    assert row.resolution_micro == round(float(res_q) / nn)
+    assert row.uncertainty_micro == round(
+        1000000.0 * (float(ss) / nn) * (1.0 - float(ss) / nn)
+    )
+    # the Murphy identity holds up to per-bin quantization slack
+    assert (
+        abs(
+            row.brier_micro
+            - (
+                row.reliability_micro
+                - row.resolution_micro
+                + row.uncertainty_micro
+            )
+        )
+        <= 25
+    )
+    # each component is a non-negative variance-like quantity
+    assert row.reliability_micro >= 0
+    assert row.resolution_micro >= 0
+    assert 0 <= row.uncertainty_micro <= 250000
