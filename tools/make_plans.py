@@ -737,6 +737,11 @@ CASES = {
     "never shuffled on a pair key; each argmax is a "
     "TakeOrderedAndProject; the k-pick loop is fixed-depth with "
     "lazy localCheckpoints truncating lineage.",
+    "q276_brier_decomposition": "Brier score Murphy "
+    "decomposition. What to check: one user-keyed partial/final "
+    "agg, one fold onto <= 21 forecast bins behind a "
+    "localCheckpoint; the raw Brier sum is integer codegen (no "
+    "float until the final projection); output one row.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
