@@ -3976,3 +3976,179 @@ def q261_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(1000000.0 * f1 / n_tokens) AS BIGINT)"
         ).alias("unseen_micro"),
     ).orderBy("source")
+
+
+# --- q277: McNemar's paired test between two lang-id rules --------------------
+
+
+@register(
+    "q277_mcnemar",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    sc AS (
+      SELECT lang,
+             len(list_filter(tk, x -> list_contains(
+               ['the','and','of','row','table'], x))) AS a_en,
+             len(list_filter(tk, x -> list_contains(
+               ['el','la','de','fila','tabla'], x))) AS a_es,
+             len(list_filter(tk, x -> list_contains(
+               ['zh','biao','hang','lie','shuju'], x))) AS a_zh,
+             len(list_filter(tk, x -> x = 'the')) AS b_en,
+             len(list_filter(tk, x -> x = 'de')) AS b_es,
+             len(list_filter(tk, x -> x = 'zh')) AS b_zh
+      FROM toks),
+    pred AS (
+      SELECT lang,
+             CASE WHEN a_en >= a_es AND a_en >= a_zh THEN 'en'
+                  WHEN a_es >= a_zh THEN 'es' ELSE 'zh' END AS ga,
+             CASE WHEN b_en >= b_es AND b_en >= b_zh THEN 'en'
+                  WHEN b_es >= b_zh THEN 'es' ELSE 'zh' END AS gb
+      FROM sc),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ga = lang AND gb = lang THEN 1 ELSE 0 END)
+               AS BIGINT) AS both_right,
+             CAST(sum(CASE WHEN ga <> lang AND gb <> lang THEN 1 ELSE 0
+               END) AS BIGINT) AS both_wrong,
+             CAST(sum(CASE WHEN ga = lang AND gb <> lang THEN 1 ELSE 0
+               END) AS BIGINT) AS a_only,
+             CAST(sum(CASE WHEN ga <> lang AND gb = lang THEN 1 ELSE 0
+               END) AS BIGINT) AS b_only
+      FROM pred)
+    SELECT n, both_right, both_wrong, a_only, b_only,
+           CAST(round(1000.0 * (both_right + a_only) / n) AS BIGINT)
+             AS acc_a_milli,
+           CAST(round(1000.0 * (both_right + b_only) / n) AS BIGINT)
+             AS acc_b_milli,
+           CAST(CASE WHEN a_only + b_only > 0 THEN
+             round(1000.0 * (CAST(a_only - b_only AS DOUBLE)
+               * (a_only - b_only)) / (a_only + b_only))
+             ELSE 0 END AS BIGINT) AS mcnemar_milli
+    FROM c
+    """,
+    doc="McNEMAR'S PAIRED TEST between two lang-id rules on the SAME "
+    "documents — the right significance test for 'is classifier A "
+    "actually better than B?' (comparing two accuracies with q191's "
+    "two-sample z-test is wrong on paired predictions; McNemar "
+    "conditions on the discordant pairs only): A = q52's full "
+    "5-marker argmax, B = the degenerate single-marker variant "
+    "(the,de,zh), chi^2_1 = (b01-b10)^2/(b01+b10) from the exact "
+    "discordant counts, plus both accuracies and the full 2x2 "
+    "agreement table. Exactness: ONE token scan feeds both rules; "
+    "every cell is an int64 conditional count; the statistic is "
+    "one identical-operand double (squared difference composed in "
+    "double to dodge overflow), guarded at zero discordance. "
+    "Scale: the scan folds map-side to one row — the 3.84 "
+    "critical value then decides the router swap at ANY corpus "
+    "size.",
+    tags=("llm", "text", "eval", "mcnemar", "paired-test", "scale"),
+)
+def q277_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tk = tokens("text")
+    a_en = F.size(
+        F.filter(
+            tk,
+            lambda x: x.isin("the", "and", "of", "row", "table"),
+        )
+    )
+    a_es = F.size(
+        F.filter(tk, lambda x: x.isin("el", "la", "de", "fila", "tabla"))
+    )
+    a_zh = F.size(
+        F.filter(
+            tk, lambda x: x.isin("zh", "biao", "hang", "lie", "shuju")
+        )
+    )
+    b_en = F.size(F.filter(tk, lambda x: x == "the"))
+    b_es = F.size(F.filter(tk, lambda x: x == "de"))
+    b_zh = F.size(F.filter(tk, lambda x: x == "zh"))
+    sc = t(spark, sf_dir, "documents").select(
+        "lang",
+        a_en.alias("a_en"),
+        a_es.alias("a_es"),
+        a_zh.alias("a_zh"),
+        b_en.alias("b_en"),
+        b_es.alias("b_es"),
+        b_zh.alias("b_zh"),
+    )
+    pred = sc.select(
+        "lang",
+        F.when(
+            (F.col("a_en") >= F.col("a_es"))
+            & (F.col("a_en") >= F.col("a_zh")),
+            F.lit("en"),
+        )
+        .when(F.col("a_es") >= F.col("a_zh"), F.lit("es"))
+        .otherwise(F.lit("zh"))
+        .alias("ga"),
+        F.when(
+            (F.col("b_en") >= F.col("b_es"))
+            & (F.col("b_en") >= F.col("b_zh")),
+            F.lit("en"),
+        )
+        .when(F.col("b_es") >= F.col("b_zh"), F.lit("es"))
+        .otherwise(F.lit("zh"))
+        .alias("gb"),
+    )
+    c = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("ga") == F.col("lang"))
+                & (F.col("gb") == F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_right"),
+        F.sum(
+            F.when(
+                (F.col("ga") != F.col("lang"))
+                & (F.col("gb") != F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_wrong"),
+        F.sum(
+            F.when(
+                (F.col("ga") == F.col("lang"))
+                & (F.col("gb") != F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("a_only"),
+        F.sum(
+            F.when(
+                (F.col("ga") != F.col("lang"))
+                & (F.col("gb") == F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("b_only"),
+    )
+    return c.select(
+        "n",
+        "both_right",
+        "both_wrong",
+        "a_only",
+        "b_only",
+        F.expr(
+            "CAST(round(1000.0 * (both_right + a_only) / n) AS BIGINT)"
+        ).alias("acc_a_milli"),
+        F.expr(
+            "CAST(round(1000.0 * (both_right + b_only) / n) AS BIGINT)"
+        ).alias("acc_b_milli"),
+        F.expr(
+            "CAST(CASE WHEN a_only + b_only > 0 THEN"
+            " round(1000.0 * (CAST(a_only - b_only AS DOUBLE)"
+            " * (a_only - b_only)) / (a_only + b_only))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("mcnemar_milli"),
+    )

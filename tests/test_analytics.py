@@ -2196,3 +2196,51 @@ def test_q276_brier_decomposition_matches_replay(spark):
     assert row.reliability_micro >= 0
     assert row.resolution_micro >= 0
     assert 0 <= row.uncertainty_micro <= 250000
+
+
+def test_q277_mcnemar_matches_replay(spark):
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q277_mcnemar"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ma = {
+        "en": {"the", "and", "of", "row", "table"},
+        "es": {"el", "la", "de", "fila", "tabla"},
+        "zh": {"zh", "biao", "hang", "lie", "shuju"},
+    }
+    mb = {"en": {"the"}, "es": {"de"}, "zh": {"zh"}}
+
+    def guess(tk, m):
+        s = {c: sum(1 for t_ in tk if t_ in m[c]) for c in ("en", "es", "zh")}
+        if s["en"] >= s["es"] and s["en"] >= s["zh"]:
+            return "en"
+        return "es" if s["es"] >= s["zh"] else "zh"
+
+    br = bw = ao = bo = 0
+    for _, doc in docs.iterrows():
+        tk = [t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t]
+        ga, gb = guess(tk, ma), guess(tk, mb)
+        a_ok, b_ok = ga == doc.lang, gb == doc.lang
+        br += a_ok and b_ok
+        bw += (not a_ok) and (not b_ok)
+        ao += a_ok and not b_ok
+        bo += b_ok and not a_ok
+    n = len(docs)
+    assert (row.n, row.both_right, row.both_wrong, row.a_only,
+            row.b_only) == (n, br, bw, ao, bo)
+    assert row.acc_a_milli == round(1000.0 * (br + ao) / n)
+    assert row.acc_b_milli == round(1000.0 * (br + bo) / n)
+    want = (
+        round(1000.0 * (float(ao - bo) * (ao - bo)) / (ao + bo))
+        if ao + bo > 0
+        else 0
+    )
+    assert row.mcnemar_milli == want
+    # the richer marker set can only tie or beat its own subset rule
+    assert row.acc_a_milli >= row.acc_b_milli
