@@ -742,6 +742,11 @@ CASES = {
     "agg, one fold onto <= 21 forecast bins behind a "
     "localCheckpoint; the raw Brier sum is integer codegen (no "
     "float until the final projection); output one row.",
+    "q277_mcnemar": "McNemar paired lang-id test. What to "
+    "check: ONE document scan computes all six in-row HOF marker "
+    "counts and both argmax guesses in codegen; the 2x2 cells "
+    "fold in one partial/final agg to a single row — no join, "
+    "no window, no second scan.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
