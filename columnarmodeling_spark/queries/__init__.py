@@ -129,6 +129,21 @@ def register(
 # Post-r9 expected composition: r4 band shrinks to 24 (q06 refreshed);
 # q205-q221 and q223-q247 move to an r9 band; round 10 leads with
 # q248-q269 then drains r4/r5.
+#
+# Round-10 rotation. The round-9 driver artifacts (CORRECTNESS_r09 /
+# BENCH_r09) never materialized — round 10 opened with VERDICT/ADVICE
+# still r8's and no r9 rows in the artifact series — so EVERYTHING from
+# q205 up (73 queries at round-10 start) is still never-driver-checked.
+# Standing precedence (never-checked outranks staleness) therefore
+# empties the staleness slots entirely this round: the window keeps the
+# round-9 composition (q01 anchor, five tier canaries, q205/q208-q211,
+# q212-q221/q223-q247, streaming tail q206/q207/q222) and the single
+# q06 staleness slot is replaced by q248, the oldest never-checked
+# query not yet in-window. q249-q277 and the round-10 additions remain
+# outside the 50-slot cap; they carry strict-replica MATCH evidence
+# from tools/driver_replica.py (run when added) plus the pytest oracle
+# harness, and front the round-11 window. The r4/r5 staleness drains
+# resume once the never-checked backlog fits inside one window.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
@@ -185,9 +200,9 @@ PRIORITY: tuple[str, ...] = (
     "q245_roc_auc",
     "q246_hits",
     "q247_js_divergence",
-    # staleness refresh (standing rule): one slot this round — the r4
-    # band's oldest row; the full band resumes in the round-10 window
-    "q06_range_band_join",
+    # round-10: the q06 staleness slot yields to q248 (never-checked
+    # outranks staleness; see the round-10 rotation note above)
+    "q248_heaps_law",
     # streaming tail: fixed micro-batch drain cost, so last in-window
     "q206_stream_transitions_late",
     "q207_stream_ewma_late",
