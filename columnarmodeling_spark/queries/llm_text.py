@@ -4152,3 +4152,247 @@ def q277_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("mcnemar_milli"),
     )
+
+
+# --- q278/q279: multi-rule paired-classifier tests --------------------------
+#
+# Reference parity: the reference validates the solver by re-running the
+# same canonical experiment under variant configurations and comparing
+# outcomes on identical inputs (README.md:29-33, the four shipped test
+# folders). q278/q279 are the statistical version of that workflow for
+# classifier variants sharing one evaluation set: Cochran's Q extends
+# q277's McNemar to k=3 rules, Cohen's kappa scores inter-rule agreement
+# beyond chance.
+
+_LANGID_PRED_SQL = """
+    toks AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    sc AS (
+      SELECT lang,
+             len(list_filter(tk, x -> list_contains(
+               ['the','and','of','row','table'], x))) AS a_en,
+             len(list_filter(tk, x -> list_contains(
+               ['el','la','de','fila','tabla'], x))) AS a_es,
+             len(list_filter(tk, x -> list_contains(
+               ['zh','biao','hang','lie','shuju'], x))) AS a_zh,
+             len(list_filter(tk, x -> list_contains(
+               ['the','and','of'], x))) AS b_en,
+             len(list_filter(tk, x -> list_contains(
+               ['el','la','de'], x))) AS b_es,
+             len(list_filter(tk, x -> list_contains(
+               ['zh','biao','hang'], x))) AS b_zh,
+             len(list_filter(tk, x -> x = 'the')) AS c_en,
+             len(list_filter(tk, x -> x = 'de')) AS c_es,
+             len(list_filter(tk, x -> x = 'zh')) AS c_zh
+      FROM toks),
+    pred AS (
+      SELECT lang,
+             CASE WHEN a_en >= a_es AND a_en >= a_zh THEN 'en'
+                  WHEN a_es >= a_zh THEN 'es' ELSE 'zh' END AS ga,
+             CASE WHEN b_en >= b_es AND b_en >= b_zh THEN 'en'
+                  WHEN b_es >= b_zh THEN 'es' ELSE 'zh' END AS gb,
+             CASE WHEN c_en >= c_es AND c_en >= c_zh THEN 'en'
+                  WHEN c_es >= c_zh THEN 'es' ELSE 'zh' END AS gc
+      FROM sc)
+"""
+
+_MARKERS_A = {
+    "en": ("the", "and", "of", "row", "table"),
+    "es": ("el", "la", "de", "fila", "tabla"),
+    "zh": ("zh", "biao", "hang", "lie", "shuju"),
+}
+_MARKERS_B = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "zh": ("zh", "biao", "hang"),
+}
+_MARKERS_C = {"en": ("the",), "es": ("de",), "zh": ("zh",)}
+
+
+def _langid_pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang + per-rule argmax guesses ga/gb/gc from ONE token scan."""
+    tk = tokens("text")
+
+    def score(markers):
+        return {
+            lang: F.size(F.filter(tk, lambda x: x.isin(*words)))
+            for lang, words in markers.items()
+        }
+
+    def argmax(s, prefix):
+        return (
+            F.when((s["en"] >= s["es"]) & (s["en"] >= s["zh"]), F.lit("en"))
+            .when(s["es"] >= s["zh"], F.lit("es"))
+            .otherwise(F.lit("zh"))
+            .alias(prefix)
+        )
+
+    sa, sb, sc = (
+        score(_MARKERS_A),
+        score(_MARKERS_B),
+        score(_MARKERS_C),
+    )
+    return t(spark, sf_dir, "documents").select(
+        "lang", argmax(sa, "ga"), argmax(sb, "gb"), argmax(sc, "gc")
+    )
+
+
+@register(
+    "q278_cochran_q",
+    oracle=f"""
+    WITH {_LANGID_PRED_SQL.strip()},
+    x AS (
+      SELECT CASE WHEN ga = lang THEN 1 ELSE 0 END AS xa,
+             CASE WHEN gb = lang THEN 1 ELSE 0 END AS xb,
+             CASE WHEN gc = lang THEN 1 ELSE 0 END AS xc
+      FROM pred),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xa) AS BIGINT) AS g_a,
+             CAST(sum(xb) AS BIGINT) AS g_b,
+             CAST(sum(xc) AS BIGINT) AS g_c,
+             CAST(sum(xa + xb + xc) AS BIGINT) AS s1,
+             CAST(sum((xa + xb + xc) * (xa + xb + xc)) AS BIGINT) AS s2
+      FROM x)
+    SELECT n, g_a, g_b, g_c, s1, s2,
+           CAST(CASE WHEN 3 * s1 - s2 > 0 THEN
+             round(1000.0 * (2.0 * (3.0 * (g_a * g_a + g_b * g_b
+               + g_c * g_c) - CAST(s1 AS DOUBLE) * s1))
+               / (3 * s1 - s2))
+             ELSE 0 END AS BIGINT) AS cochran_q_milli
+    FROM c
+    """,
+    doc="COCHRAN'S Q TEST across THREE paired lang-id rules on the same "
+    "documents — the k-treatment generalization of q277's McNemar "
+    "(k=2 Cochran reduces to it): rules A/B/C are the 5-marker, "
+    "3-marker and 1-marker argmax variants, Q = (k-1)(k*Sum G_j^2 - "
+    "S1^2)/(k*S1 - S2) with column totals G_j, S1 = Sum R_i, "
+    "S2 = Sum R_i^2 over per-doc success counts R_i. Exactness: ONE "
+    "token scan scores all nine marker sets in-row; every total is "
+    "an int64 conditional sum; the statistic is one double ratio of "
+    "integer-derived operands, milli-quantized, guarded at the "
+    "degenerate 3*S1 = S2 (all rows unanimous) case. Scale: the scan "
+    "folds map-side to one row — chi^2_2 critical value 5.99 then "
+    "ranks the three rules at ANY corpus size.",
+    tags=("llm", "text", "eval", "cochran-q", "paired-test", "scale"),
+)
+def q278_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _langid_pred_frame(spark, sf_dir).select(
+        F.when(F.col("ga") == F.col("lang"), 1).otherwise(0).alias("xa"),
+        F.when(F.col("gb") == F.col("lang"), 1).otherwise(0).alias("xb"),
+        F.when(F.col("gc") == F.col("lang"), 1).otherwise(0).alias("xc"),
+    )
+    c = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("g_a"),
+        F.sum("xb").cast("long").alias("g_b"),
+        F.sum("xc").cast("long").alias("g_c"),
+        F.sum(F.col("xa") + F.col("xb") + F.col("xc"))
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            (F.col("xa") + F.col("xb") + F.col("xc"))
+            * (F.col("xa") + F.col("xb") + F.col("xc"))
+        )
+        .cast("long")
+        .alias("s2"),
+    )
+    return c.select(
+        "n",
+        "g_a",
+        "g_b",
+        "g_c",
+        "s1",
+        "s2",
+        F.expr(
+            "CAST(CASE WHEN 3 * s1 - s2 > 0 THEN"
+            " round(1000.0 * (2.0 * (3.0 * (g_a * g_a + g_b * g_b"
+            " + g_c * g_c) - CAST(s1 AS DOUBLE) * s1))"
+            " / (3 * s1 - s2))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("cochran_q_milli"),
+    )
+
+
+@register(
+    "q279_cohen_kappa",
+    oracle=f"""
+    WITH {_LANGID_PRED_SQL.strip()},
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ga = gc THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree,
+             CAST(sum(CASE WHEN ga = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_en,
+             CAST(sum(CASE WHEN ga = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_es,
+             CAST(sum(CASE WHEN ga = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_zh,
+             CAST(sum(CASE WHEN gc = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_en,
+             CAST(sum(CASE WHEN gc = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_es,
+             CAST(sum(CASE WHEN gc = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_zh
+      FROM pred)
+    SELECT n, agree,
+           a_en * c_en + a_es * c_es + a_zh * c_zh AS pe_num,
+           CAST(CASE WHEN n * n > a_en * c_en + a_es * c_es + a_zh * c_zh
+             THEN round(1000.0 * (CAST(n AS DOUBLE) * agree
+               - (a_en * c_en + a_es * c_es + a_zh * c_zh))
+               / (CAST(n AS DOUBLE) * n
+                  - (a_en * c_en + a_es * c_es + a_zh * c_zh)))
+             ELSE 1000 END AS BIGINT) AS kappa_milli
+    FROM c
+    """,
+    doc="COHEN'S KAPPA between the 5-marker and 1-marker lang-id rules "
+    "— chance-corrected agreement (raw agreement is inflated when "
+    "both raters over-predict the majority class): kappa = (n*agree "
+    "- Sum_c rowA_c*rowC_c) / (n^2 - Sum_c rowA_c*rowC_c), the "
+    "integer-cleared form of (po-pe)/(1-pe). Exactness: marginals "
+    "and the diagonal are int64 conditional counts from the shared "
+    "one-scan prediction frame; kappa is one double ratio of "
+    "integer-derived operands, milli-quantized, guarded at pe = 1 "
+    "(both raters constant — kappa pinned to 1000 with agreement "
+    "then perfect by construction). Scale: folds map-side to one "
+    "row at any corpus size.",
+    tags=("llm", "text", "eval", "kappa", "agreement", "scale"),
+)
+def q279_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _langid_pred_frame(spark, sf_dir)
+
+    def cnt(col, v):
+        return (
+            F.sum(F.when(F.col(col) == v, 1).otherwise(0))
+            .cast("long")
+            .alias(f"{col[1]}_{v}")
+        )
+
+    c = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("ga") == F.col("gc"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        cnt("ga", "en"),
+        cnt("ga", "es"),
+        cnt("ga", "zh"),
+        cnt("gc", "en"),
+        cnt("gc", "es"),
+        cnt("gc", "zh"),
+    )
+    return c.select(
+        "n",
+        "agree",
+        F.expr("a_en * c_en + a_es * c_es + a_zh * c_zh").alias("pe_num"),
+        F.expr(
+            "CAST(CASE WHEN n * n > a_en * c_en + a_es * c_es + a_zh * c_zh"
+            " THEN round(1000.0 * (CAST(n AS DOUBLE) * agree"
+            " - (a_en * c_en + a_es * c_es + a_zh * c_zh))"
+            " / (CAST(n AS DOUBLE) * n"
+            "    - (a_en * c_en + a_es * c_es + a_zh * c_zh)))"
+            " ELSE 1000 END AS BIGINT)"
+        ).alias("kappa_milli"),
+    )
