@@ -2244,3 +2244,110 @@ def test_q277_mcnemar_matches_replay(spark):
     assert row.mcnemar_milli == want
     # the richer marker set can only tie or beat its own subset rule
     assert row.acc_a_milli >= row.acc_b_milli
+
+
+def test_q278_cochran_q_matches_replay(spark):
+    import re
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q278_cochran_q"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    rules = [
+        {
+            "en": {"the", "and", "of", "row", "table"},
+            "es": {"el", "la", "de", "fila", "tabla"},
+            "zh": {"zh", "biao", "hang", "lie", "shuju"},
+        },
+        {
+            "en": {"the", "and", "of"},
+            "es": {"el", "la", "de"},
+            "zh": {"zh", "biao", "hang"},
+        },
+        {"en": {"the"}, "es": {"de"}, "zh": {"zh"}},
+    ]
+
+    def guess(tk, m):
+        s = {c: sum(1 for t_ in tk if t_ in m[c]) for c in ("en", "es", "zh")}
+        if s["en"] >= s["es"] and s["en"] >= s["zh"]:
+            return "en"
+        return "es" if s["es"] >= s["zh"] else "zh"
+
+    g = [0, 0, 0]
+    s1 = s2 = 0
+    for _, doc in docs.iterrows():
+        tk = [t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t]
+        r_i = 0
+        for j, m in enumerate(rules):
+            ok = guess(tk, m) == doc.lang
+            g[j] += ok
+            r_i += ok
+        s1 += r_i
+        s2 += r_i * r_i
+    assert (row.n, row.g_a, row.g_b, row.g_c, row.s1, row.s2) == (
+        len(docs), g[0], g[1], g[2], s1, s2,
+    )
+    want = (
+        round(
+            1000.0
+            * (2.0 * (3.0 * (g[0] ** 2 + g[1] ** 2 + g[2] ** 2) - float(s1) * s1))
+            / (3 * s1 - s2)
+        )
+        if 3 * s1 - s2 > 0
+        else 0
+    )
+    assert row.cochran_q_milli == want
+    # Q is non-negative by construction (it is a scaled variance)
+    assert row.cochran_q_milli >= 0
+    # per-rule totals are bounded by n and the marker-set nesting makes
+    # rule A at least as accurate as its subsets on this corpus
+    assert 0 <= row.g_c <= row.n and 0 <= row.g_a <= row.n
+
+
+def test_q279_cohen_kappa_matches_replay(spark):
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q279_cohen_kappa"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ma = {
+        "en": {"the", "and", "of", "row", "table"},
+        "es": {"el", "la", "de", "fila", "tabla"},
+        "zh": {"zh", "biao", "hang", "lie", "shuju"},
+    }
+    mc = {"en": {"the"}, "es": {"de"}, "zh": {"zh"}}
+
+    def guess(tk, m):
+        s = {c: sum(1 for t_ in tk if t_ in m[c]) for c in ("en", "es", "zh")}
+        if s["en"] >= s["es"] and s["en"] >= s["zh"]:
+            return "en"
+        return "es" if s["es"] >= s["zh"] else "zh"
+
+    agree = 0
+    ca, cc = Counter(), Counter()
+    for _, doc in docs.iterrows():
+        tk = [t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t]
+        ga, gc = guess(tk, ma), guess(tk, mc)
+        agree += ga == gc
+        ca[ga] += 1
+        cc[gc] += 1
+    n = len(docs)
+    pe_num = sum(ca[c] * cc[c] for c in ("en", "es", "zh"))
+    assert (row.n, row.agree, row.pe_num) == (n, agree, pe_num)
+    if n * n > pe_num:
+        want = round(1000.0 * (float(n) * agree - pe_num) / (float(n) * n - pe_num))
+    else:
+        want = 1000
+    assert row.kappa_milli == want
+    # kappa cannot exceed perfect agreement
+    assert row.kappa_milli <= 1000
