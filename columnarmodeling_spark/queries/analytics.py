@@ -4126,3 +4126,196 @@ def q276_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (1.0 - CAST(ss AS DOUBLE) / nn)) AS BIGINT)"
         ).alias("uncertainty_micro"),
     )
+
+
+# --- q281: Benjamini-Hochberg FDR screen ------------------------------------
+
+
+@register(
+    "q281_bh_fdr",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 'en'
+                  WHEN lang = 'zh' THEN 'zh' ELSE 'ot' END AS bkt
+      FROM documents),
+    per AS (
+      SELECT source,
+             CAST(sum(CASE WHEN bkt = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a1,
+             CAST(sum(CASE WHEN bkt = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a2,
+             CAST(sum(CASE WHEN bkt = 'ot' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a3
+      FROM d GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(a1) AS BIGINT) AS t1, CAST(sum(a2) AS BIGINT) AS t2,
+             CAST(sum(a3) AS BIGINT) AS t3,
+             CAST(count(*) AS BIGINT) AS m
+      FROM per),
+    chi AS (
+      SELECT source, a1, a2, a3, m,
+             CAST(round(1000000.0 * (
+               (CAST(a1 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t1
+                  / (t1 + t2 + t3))
+               * (CAST(a1 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t1
+                  / (t1 + t2 + t3))
+               / (CAST(a1 + a2 + a3 AS DOUBLE) * t1 / (t1 + t2 + t3))
+             + (CAST(a2 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t2
+                  / (t1 + t2 + t3))
+               * (CAST(a2 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t2
+                  / (t1 + t2 + t3))
+               / (CAST(a1 + a2 + a3 AS DOUBLE) * t2 / (t1 + t2 + t3))
+             + (CAST(a3 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t3
+                  / (t1 + t2 + t3))
+               * (CAST(a3 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t3
+                  / (t1 + t2 + t3))
+               / (CAST(a1 + a2 + a3 AS DOUBLE) * t3 / (t1 + t2 + t3))
+             + (CAST(t1 - a1 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
+                  AS DOUBLE) * t1 / (t1 + t2 + t3))
+               * (CAST(t1 - a1 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
+                  AS DOUBLE) * t1 / (t1 + t2 + t3))
+               / (CAST(t1 + t2 + t3 - a1 - a2 - a3 AS DOUBLE) * t1
+                  / (t1 + t2 + t3))
+             + (CAST(t2 - a2 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
+                  AS DOUBLE) * t2 / (t1 + t2 + t3))
+               * (CAST(t2 - a2 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
+                  AS DOUBLE) * t2 / (t1 + t2 + t3))
+               / (CAST(t1 + t2 + t3 - a1 - a2 - a3 AS DOUBLE) * t2
+                  / (t1 + t2 + t3))
+             + (CAST(t3 - a3 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
+                  AS DOUBLE) * t3 / (t1 + t2 + t3))
+               * (CAST(t3 - a3 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
+                  AS DOUBLE) * t3 / (t1 + t2 + t3))
+               / (CAST(t1 + t2 + t3 - a1 - a2 - a3 AS DOUBLE) * t3
+                  / (t1 + t2 + t3))
+             )) AS BIGINT) AS chi2_micro
+      FROM per, tot),
+    p AS (
+      SELECT source, chi2_micro, m,
+             CAST(round(1000000.0
+               * exp(-CAST(chi2_micro AS DOUBLE) / 2000000.0)) AS BIGINT)
+               AS p_micro
+      FROM chi),
+    r AS (
+      SELECT source, chi2_micro, p_micro, m,
+             CAST(row_number() OVER (ORDER BY p_micro, source) AS BIGINT)
+               AS k
+      FROM p),
+    km AS (
+      SELECT COALESCE(max(CASE WHEN p_micro * m <= 50000 * k THEN k END),
+                      0) AS kmax
+      FROM r)
+    SELECT source, chi2_micro, p_micro, k,
+           k <= kmax AS rejected
+    FROM r, km
+    ORDER BY k
+    """,
+    doc="BENJAMINI-HOCHBERG FDR screen over per-source language-mix "
+    "drift tests — the multiple-testing correction every per-slice "
+    "drift dashboard needs (20 sources at alpha=.05 yields ~1 false "
+    "alarm per refresh uncorrected): per source, a 2x3 independence "
+    "chi-square of {en,zh,other} vs rest-of-corpus; dof=2 makes the "
+    "survival function CLOSED-FORM, p = exp(-chi2/2) — no incomplete "
+    "gamma, exact on both engines. Step-up rule: reject ranks 1..kmax "
+    "where kmax = max{k : p_k <= alpha*k/m}, decided by the INTEGER "
+    "cross-multiplication p_micro*m <= 50000*k (alpha=.05; no "
+    "threshold rounding at all). Exactness: counts int64 from one "
+    "scan; chi2 is quantized to micro BEFORE exp; the rank window "
+    "and kmax fold run on the |sources|-bounded relation. Scale: the "
+    "doc scan folds map-side onto |sources| rows; everything after "
+    "is arithmetic on that bounded relation.",
+    tags=("analytics", "fdr", "multiple-testing", "chi-square", "scale"),
+)
+def q281_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", "en")
+        .when(F.col("lang") == "zh", "zh")
+        .otherwise("ot")
+        .alias("bkt"),
+    )
+    per = d.groupBy("source").agg(
+        F.sum(F.when(F.col("bkt") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("a1"),
+        F.sum(F.when(F.col("bkt") == "zh", 1).otherwise(0))
+        .cast("long")
+        .alias("a2"),
+        F.sum(F.when(F.col("bkt") == "ot", 1).otherwise(0))
+        .cast("long")
+        .alias("a3"),
+    )
+    tot = per.agg(
+        F.sum("a1").cast("long").alias("t1"),
+        F.sum("a2").cast("long").alias("t2"),
+        F.sum("a3").cast("long").alias("t3"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+
+    def cell(o: str, ct: str, rt: str) -> str:
+        n = "(t1 + t2 + t3)"
+        e = f"(CAST({rt} AS DOUBLE) * {ct} / {n})"
+        return f"(CAST({o} AS DOUBLE) - {e}) * (CAST({o} AS DOUBLE) - {e}) / {e}"
+
+    ra = "(a1 + a2 + a3)"
+    rb = "(t1 + t2 + t3 - a1 - a2 - a3)"
+    chi_expr = " + ".join(
+        [
+            cell("a1", "t1", ra),
+            cell("a2", "t2", ra),
+            cell("a3", "t3", ra),
+            cell("(t1 - a1)", "t1", rb),
+            cell("(t2 - a2)", "t2", rb),
+            cell("(t3 - a3)", "t3", rb),
+        ]
+    )
+    chi = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "m",
+        F.expr(f"CAST(round(1000000.0 * ({chi_expr})) AS BIGINT)").alias(
+            "chi2_micro"
+        ),
+    )
+    p = chi.select(
+        "source",
+        "chi2_micro",
+        "m",
+        F.expr(
+            "CAST(round(1000000.0"
+            " * exp(-CAST(chi2_micro AS DOUBLE) / 2000000.0)) AS BIGINT)"
+        ).alias("p_micro"),
+    )
+    # rank + step-up run on the |sources|-bounded relation: the single
+    # partition these windows collapse to holds one row per source, not
+    # per document — bounded state by construction.
+    r = p.withColumn(
+        "k",
+        F.row_number()
+        .over(Window.orderBy("p_micro", "source"))
+        .cast("long"),
+    )
+    kmax = r.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_micro") * F.col("m") <= 50000 * F.col("k"),
+                    F.col("k"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("kmax")
+    )
+    return (
+        r.crossJoin(F.broadcast(kmax))
+        .select(
+            "source",
+            "chi2_micro",
+            "p_micro",
+            "k",
+            (F.col("k") <= F.col("kmax")).alias("rejected"),
+        )
+        .orderBy("k")
+    )

@@ -4396,3 +4396,88 @@ def q279_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 1000 END AS BIGINT)"
         ).alias("kappa_milli"),
     )
+
+
+# --- q280: G-test keyness ---------------------------------------------------
+
+
+@register(
+    "q280_gtest_keyness",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en, u.tok
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS u(tok)),
+    cnt AS (
+      SELECT tok,
+             CAST(sum(is_en) AS BIGINT) AS cnt_en,
+             CAST(sum(1 - is_en) AS BIGINT) AS cnt_rest
+      FROM toks GROUP BY tok),
+    tot AS (
+      SELECT CAST(sum(cnt_en) AS BIGINT) AS na,
+             CAST(sum(cnt_rest) AS BIGINT) AS nb
+      FROM cnt),
+    g AS (
+      SELECT tok, cnt_en, cnt_rest,
+             2 * (cnt_en * (CASE WHEN cnt_en > 0 THEN
+                    CAST(round(1000000.0 * ln((CAST(cnt_en AS DOUBLE)
+                      * (na + nb)) / (CAST(na AS DOUBLE)
+                      * (cnt_en + cnt_rest)))) AS BIGINT) ELSE 0 END)
+                + cnt_rest * (CASE WHEN cnt_rest > 0 THEN
+                    CAST(round(1000000.0 * ln((CAST(cnt_rest AS DOUBLE)
+                      * (na + nb)) / (CAST(nb AS DOUBLE)
+                      * (cnt_en + cnt_rest)))) AS BIGINT) ELSE 0 END))
+               AS g_micro
+      FROM cnt, tot)
+    SELECT tok, cnt_en, cnt_rest, g_micro
+    FROM g
+    ORDER BY g_micro DESC, tok
+    LIMIT 20
+    """,
+    doc="G-TEST KEYNESS (Dunning log-likelihood): the 20 tokens most "
+    "characteristic of the English sub-corpus vs the rest — the "
+    "standard corpus-linguistics keyword extractor, and the "
+    "significance-aware alternative to raw frequency ratio (which "
+    "explodes on rare tokens): G = 2*Sum O*ln(O/E) over the 2-cell "
+    "partition, E from the corpus marginals. Exactness: counts are "
+    "int64 from ONE tokenize scan; each ln is quantized to integer "
+    "micro-nats BEFORE the int64 count product (the standing q100 "
+    "discipline — a 1-ulp libm difference only matters exactly on a "
+    ".5 boundary), zero-count cells contribute the other side only; "
+    "top-20 is TakeOrdered with the token tie-break. Scale: "
+    "vocab-bounded grouped agg (map-side combinable) + a one-row "
+    "broadcast total; per-partition top-k, never a global sort. "
+    "Caveat noted: the double products O*N stay exact under 2^53 — "
+    "beyond that the micro-nat quantization absorbs the ulp.",
+    tags=("llm", "text", "keyness", "g-test", "scale"),
+)
+def q280_gtest_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    cnt = d.groupBy("tok").agg(
+        F.sum("is_en").cast("long").alias("cnt_en"),
+        F.sum(1 - F.col("is_en")).cast("long").alias("cnt_rest"),
+    )
+    tot = cnt.agg(
+        F.sum("cnt_en").cast("long").alias("na"),
+        F.sum("cnt_rest").cast("long").alias("nb"),
+    )
+    g = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "cnt_en",
+        "cnt_rest",
+        F.expr(
+            "2 * (cnt_en * (CASE WHEN cnt_en > 0 THEN"
+            " CAST(round(1000000.0 * ln((CAST(cnt_en AS DOUBLE)"
+            " * (na + nb)) / (CAST(na AS DOUBLE)"
+            " * (cnt_en + cnt_rest)))) AS BIGINT) ELSE 0 END)"
+            " + cnt_rest * (CASE WHEN cnt_rest > 0 THEN"
+            " CAST(round(1000000.0 * ln((CAST(cnt_rest AS DOUBLE)"
+            " * (na + nb)) / (CAST(nb AS DOUBLE)"
+            " * (cnt_en + cnt_rest)))) AS BIGINT) ELSE 0 END))"
+        ).alias("g_micro"),
+    )
+    return g.orderBy(F.desc("g_micro"), "tok").limit(20)

@@ -2351,3 +2351,54 @@ def test_q279_cohen_kappa_matches_replay(spark):
     assert row.kappa_milli == want
     # kappa cannot exceed perfect agreement
     assert row.kappa_milli <= 1000
+
+
+def test_q281_bh_fdr_matches_replay(spark):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q281_bh_fdr"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    per = {}
+    for _, doc in docs.iterrows():
+        bkt = doc.lang if doc.lang in ("en", "zh") else "ot"
+        per.setdefault(doc.source, Counter())[bkt] += 1
+    t1 = sum(c["en"] for c in per.values())
+    t2 = sum(c["zh"] for c in per.values())
+    t3 = sum(c["ot"] for c in per.values())
+    m = len(per)
+    n = t1 + t2 + t3
+    recs = []
+    for src, c in per.items():
+        a = (c["en"], c["zh"], c["ot"])
+        ra = sum(a)
+        rb = n - ra
+        chi = 0.0
+        for o, ct, rt in [
+            (a[0], t1, ra), (a[1], t2, ra), (a[2], t3, ra),
+            (t1 - a[0], t1, rb), (t2 - a[1], t2, rb), (t3 - a[2], t3, rb),
+        ]:
+            e = float(rt) * ct / n
+            chi += (o - e) * (o - e) / e
+        chi_micro = round(1000000.0 * chi)
+        p_micro = round(1000000.0 * math.exp(-chi_micro / 2000000.0))
+        recs.append((src, chi_micro, p_micro))
+    recs.sort(key=lambda r: (r[2], r[0]))
+    kmax = 0
+    for k, (_, _, pm) in enumerate(recs, 1):
+        if pm * m <= 50000 * k:
+            kmax = k
+    assert len(rows) == m
+    for r, (src, cm, pm) in zip(rows, recs):
+        assert (r.source, r.chi2_micro, r.p_micro, r.rejected) == (
+            src, cm, pm, r.k <= kmax,
+        )
+    # the step-up property: every rejected rank precedes every kept one
+    flags = [r.rejected for r in rows]
+    assert flags == sorted(flags, reverse=True)

@@ -602,3 +602,53 @@ def test_q272_weighted_topk_matches_replay(spark):
         )
         # the ES key is ln of a (0,1] uniform scaled by 1/w: never positive
         assert r.key_micro <= 0
+
+
+def test_q280_gtest_keyness_matches_replay(spark):
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    rows = REGISTRY["q280_gtest_keyness"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cnt_en, cnt_rest = Counter(), Counter()
+    for _, doc in docs.iterrows():
+        tk = [t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t]
+        tgt = cnt_en if doc.lang == "en" else cnt_rest
+        for t_ in tk:
+            tgt[t_] += 1
+    na = sum(cnt_en.values())
+    nb = sum(cnt_rest.values())
+
+    def g(tok):
+        a, b = cnt_en[tok], cnt_rest[tok]
+        tot = a + b
+        ga = (
+            a * round(1000000.0 * math.log(a * (na + nb) / (na * tot)))
+            if a > 0
+            else 0
+        )
+        gb = (
+            b * round(1000000.0 * math.log(b * (na + nb) / (nb * tot)))
+            if b > 0
+            else 0
+        )
+        return 2 * (ga + gb)
+
+    vocab = set(cnt_en) | set(cnt_rest)
+    want = sorted(((g(t_), t_) for t_ in vocab), key=lambda x: (-x[0], x[1]))
+    assert len(rows) == 20
+    for r, (gm, tok) in zip(rows, want[:20]):
+        assert (r.tok, r.cnt_en, r.cnt_rest, r.g_micro) == (
+            tok, cnt_en[tok], cnt_rest[tok], gm,
+        )
+    # a token seen ONLY in the en sub-corpus has positive keyness
+    only_en = next(
+        (t_ for t_ in vocab if cnt_rest[t_] == 0 and cnt_en[t_] > 0), None
+    )
+    if only_en is not None:
+        assert g(only_en) > 0

@@ -747,6 +747,27 @@ CASES = {
     "counts and both argmax guesses in codegen; the 2x2 cells "
     "fold in one partial/final agg to a single row — no join, "
     "no window, no second scan.",
+    "q278_cochran_q": "Cochran's Q over three paired lang-id "
+    "rules. What to check: ONE document scan computes all nine "
+    "in-row HOF marker counts and the three argmax guesses in "
+    "codegen; the success totals fold in one partial/final agg "
+    "to a single row — no join, no window, no second scan.",
+    "q279_cohen_kappa": "Cohen's kappa between two lang-id "
+    "rules. What to check: same one-scan shape as q278 — the "
+    "3x3 contingency marginals are conditional sums inside ONE "
+    "partial/final agg; kappa is arithmetic on the single "
+    "folded row.",
+    "q280_gtest_keyness": "G-test (Dunning log-likelihood) "
+    "keyness top-20. What to check: one tokenize scan feeds a "
+    "vocab-bounded partial/final hash agg; the corpus totals "
+    "arrive as a one-row broadcast (BroadcastNestedLoopJoin of "
+    "a scalar); top-20 is TakeOrderedAndProject, never a global "
+    "sort.",
+    "q281_bh_fdr": "Benjamini-Hochberg FDR over per-source "
+    "chi-square drift tests. What to check: the document scan "
+    "folds map-side onto |sources| rows BEFORE the rank window; "
+    "the single-partition window and the kmax fold both run on "
+    "that bounded relation; totals ride a one-row broadcast.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
