@@ -4319,3 +4319,279 @@ def q281_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- q282: Mantel-Haenszel pooled odds ratio --------------------------------
+
+
+@register(
+    "q282_mantel_haenszel",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 300
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN lang = 'en' AND n_chars < 300
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN lang <> 'en' AND n_chars >= 300
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN lang <> 'en' AND n_chars < 300
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM documents GROUP BY source),
+    q AS (
+      SELECT a,
+             CAST(round(1000000.0 * a * d / (a + b + c + d)) AS BIGINT)
+               AS ad_micro,
+             CAST(round(1000000.0 * b * c / (a + b + c + d)) AS BIGINT)
+               AS bc_micro,
+             CAST(round(1000000.0 * (a + b) * (a + c)
+                  / (a + b + c + d)) AS BIGINT) AS e_micro,
+             CASE WHEN a + b + c + d > 1 THEN
+               CAST(round(1000000.0 * ((CAST(a + b AS DOUBLE) * (c + d))
+                    * (CAST(a + c AS DOUBLE) * (b + d)))
+                    / ((CAST(a + b + c + d AS DOUBLE)
+                        * (a + b + c + d)) * (a + b + c + d - 1)))
+                    AS BIGINT)
+             ELSE 0 END AS v_micro
+      FROM per),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(ad_micro) AS BIGINT) AS sum_ad_micro,
+             CAST(sum(bc_micro) AS BIGINT) AS sum_bc_micro,
+             CAST(sum(e_micro) AS BIGINT) AS sum_e_micro,
+             CAST(sum(v_micro) AS BIGINT) AS sum_v_micro
+      FROM q)
+    SELECT n_strata, sum_a, sum_ad_micro, sum_bc_micro,
+           CAST(CASE WHEN sum_bc_micro > 0 THEN
+                round(1000.0 * sum_ad_micro / sum_bc_micro)
+                ELSE 0 END AS BIGINT) AS or_mh_milli,
+           CAST(CASE WHEN sum_v_micro > 0 THEN
+                round((CAST(1000000 * sum_a - sum_e_micro AS DOUBLE)
+                       * (1000000 * sum_a - sum_e_micro)) / 1000000.0
+                      / sum_v_micro)
+                ELSE 0 END AS BIGINT) AS cmh_chi2_milli
+    FROM s
+    """,
+    doc="MANTEL-HAENSZEL pooled odds ratio + Cochran-Mantel-Haenszel "
+    "test across source strata: does being English associate with "
+    "long documents (n_chars >= 300) AFTER controlling for source? "
+    "The stratified-confounding companion to q250's Simpson screen — "
+    "q250 flags the reversal, MH gives the adjusted effect size and "
+    "its significance. Per source a 2x2 of {en, not} x {long, short}; "
+    "OR_MH = sum(a_i*d_i/n_i) / sum(b_i*c_i/n_i); CMH chi2 (1 dof, no "
+    "continuity correction — documented) = (sum a_i - sum E_i)^2 / "
+    "sum V_i with the hypergeometric E_i, V_i. Exactness: cells are "
+    "int64 from ONE scan; each per-stratum rational term (ad/n, bc/n, "
+    "E, V) is quantized to integer micro BEFORE the cross-strata sum "
+    "(the standing q100 discipline), so the sums are exact int64 on "
+    "both engines; the two final divisions are single double ops on "
+    "those int64s. Zero-denominator guards return 0 (documented "
+    "convention, matches q277). Scale: the scan folds map-side onto "
+    "|sources| rows; everything after is arithmetic on one row.",
+    tags=("analytics", "stratified", "odds-ratio", "cmh", "scale"),
+)
+def q282_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            (F.col("lang") == "en").alias("en"),
+            (F.col("n_chars") >= 300).alias("lng"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("en") & F.col("lng"), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("en") & ~F.col("lng"), 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+            F.sum(F.when(~F.col("en") & F.col("lng"), 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(~F.col("en") & ~F.col("lng"), 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    q = per.select(
+        "a",
+        F.expr(
+            "CAST(round(1000000.0 * a * d / (a + b + c + d)) AS BIGINT)"
+        ).alias("ad_micro"),
+        F.expr(
+            "CAST(round(1000000.0 * b * c / (a + b + c + d)) AS BIGINT)"
+        ).alias("bc_micro"),
+        F.expr(
+            "CAST(round(1000000.0 * (a + b) * (a + c)"
+            " / (a + b + c + d)) AS BIGINT)"
+        ).alias("e_micro"),
+        F.expr(
+            "CASE WHEN a + b + c + d > 1 THEN"
+            " CAST(round(1000000.0 * ((CAST(a + b AS DOUBLE) * (c + d))"
+            " * (CAST(a + c AS DOUBLE) * (b + d)))"
+            " / ((CAST(a + b + c + d AS DOUBLE)"
+            " * (a + b + c + d)) * (a + b + c + d - 1)))"
+            " AS BIGINT) ELSE 0 END"
+        ).alias("v_micro"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum("ad_micro").cast("long").alias("sum_ad_micro"),
+        F.sum("bc_micro").cast("long").alias("sum_bc_micro"),
+        F.sum("e_micro").cast("long").alias("sum_e_micro"),
+        F.sum("v_micro").cast("long").alias("sum_v_micro"),
+    )
+    return s.select(
+        "n_strata",
+        "sum_a",
+        "sum_ad_micro",
+        "sum_bc_micro",
+        F.expr(
+            "CAST(CASE WHEN sum_bc_micro > 0 THEN"
+            " round(1000.0 * sum_ad_micro / sum_bc_micro)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("or_mh_milli"),
+        F.expr(
+            "CAST(CASE WHEN sum_v_micro > 0 THEN"
+            " round((CAST(1000000 * sum_a - sum_e_micro AS DOUBLE)"
+            " * (1000000 * sum_a - sum_e_micro)) / 1000000.0"
+            " / sum_v_micro) ELSE 0 END AS BIGINT)"
+        ).alias("cmh_chi2_milli"),
+    )
+
+
+# --- q283: Cramer's V association matrix ------------------------------------
+
+
+@register(
+    "q283_cramers_v",
+    oracle="""
+    WITH base AS (
+      SELECT lang AS x1, source AS x2,
+             CAST(n_chars // 100 AS BIGINT) AS x3,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2, 3),
+    pairs AS (
+      SELECT 'lang_x_source' AS pair, x1 AS u, x2 AS v, sum(cnt) AS o
+      FROM base GROUP BY 2, 3
+      UNION ALL
+      SELECT 'lang_x_lenb', x1, CAST(x3 AS VARCHAR), sum(cnt)
+      FROM base GROUP BY 2, 3
+      UNION ALL
+      SELECT 'source_x_lenb', x2, CAST(x3 AS VARCHAR), sum(cnt)
+      FROM base GROUP BY 2, 3),
+    marg AS (
+      SELECT pair, u, v, o,
+             sum(o) OVER (PARTITION BY pair, u) AS rt,
+             sum(o) OVER (PARTITION BY pair, v) AS ct,
+             sum(o) OVER (PARTITION BY pair) AS n
+      FROM pairs),
+    chi AS (
+      SELECT pair,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT u) AS BIGINT) AS r,
+             CAST(count(DISTINCT v) AS BIGINT) AS c,
+             CAST(sum(CAST(round(1000000.0
+               * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+               * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+               / (CAST(rt AS DOUBLE) * ct / n)) AS BIGINT)) AS BIGINT)
+               AS chi2_micro
+      FROM marg GROUP BY pair)
+    SELECT pair, n, r, c, chi2_micro,
+           CAST(round(1000.0 * sqrt((CAST(chi2_micro AS DOUBLE)
+                / 1000000.0) / (CAST(n AS DOUBLE)
+                * least(r - 1, c - 1)))) AS BIGINT) AS v_milli
+    FROM chi
+    ORDER BY pair
+    """,
+    doc="CRAMER'S V association matrix over the three categorical "
+    "axes of the corpus (lang, source, and the n_chars//100 length "
+    "bucket) — the normalized does-X-predict-Y screen a mixture "
+    "designer reads before trusting per-source quotas (chi-square "
+    "alone grows with n; V in [0,1] is comparable across pairs). ONE "
+    "document scan folds to the bounded lang x source x lenb cube; "
+    "all three pairwise contingency tables, their marginals (windows "
+    "over the bounded relation), and the chi-squares derive from that "
+    "cube without touching documents again. Exactness: cube counts "
+    "are int64; each cell's (O-E)^2/E is quantized to integer micro "
+    "BEFORE the per-pair sum (standing q100 discipline); V's sqrt is "
+    "a single double op on the int64 sum, rounded to milli. Zero "
+    "cells contribute nothing by construction (absent cube rows), "
+    "matching the observed-cells chi-square both engines compute. "
+    "Scale: cube size is a product of categorical cardinalities — "
+    "independent of corpus rows; the windows run on that bounded "
+    "relation.",
+    tags=("analytics", "association", "chi-square", "cramers-v", "scale"),
+)
+def q283_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    base = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.col("lang").alias("x1"),
+            F.col("source").alias("x2"),
+            F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("x3"),
+        )
+        .groupBy("x1", "x2", "x3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pairs = (
+        base.groupBy(
+            F.lit("lang_x_source").alias("pair"),
+            F.col("x1").alias("u"),
+            F.col("x2").alias("v"),
+        )
+        .agg(F.sum("cnt").alias("o"))
+        .unionAll(
+            base.groupBy(
+                F.lit("lang_x_lenb").alias("pair"),
+                F.col("x1").alias("u"),
+                F.col("x3").cast("string").alias("v"),
+            ).agg(F.sum("cnt").alias("o"))
+        )
+        .unionAll(
+            base.groupBy(
+                F.lit("source_x_lenb").alias("pair"),
+                F.col("x2").alias("u"),
+                F.col("x3").cast("string").alias("v"),
+            ).agg(F.sum("cnt").alias("o"))
+        )
+    )
+    # the windows below run on the bounded contingency relation (a few
+    # hundred cells), not on documents — single-partition is by design
+    marg = (
+        pairs.withColumn("rt", F.sum("o").over(Window.partitionBy("pair", "u")))
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("pair", "v")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy("pair")))
+    )
+    chi = marg.groupBy("pair").agg(
+        F.max("n").cast("long").alias("n"),
+        F.countDistinct("u").cast("long").alias("r"),
+        F.countDistinct("v").cast("long").alias("c"),
+        F.sum(
+            F.expr(
+                "CAST(round(1000000.0"
+                " * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)"
+                " * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)"
+                " / (CAST(rt AS DOUBLE) * ct / n)) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+    return chi.select(
+        "pair",
+        "n",
+        "r",
+        "c",
+        "chi2_micro",
+        F.expr(
+            "CAST(round(1000.0 * sqrt((CAST(chi2_micro AS DOUBLE)"
+            " / 1000000.0) / (CAST(n AS DOUBLE)"
+            " * least(r - 1, c - 1)))) AS BIGINT)"
+        ).alias("v_milli"),
+    ).orderBy("pair")

@@ -823,3 +823,138 @@ def q272_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pick")
     )
+
+
+# --- q284: Neyman-allocation stratified sampler ------------------------------
+
+_NEY_TARGET = 100  # total sample budget across strata
+_NEY_U = 1_048_576  # 2^20 uniform resolution (the q87/q142 md5 rule)
+
+
+@register(
+    "q284_neyman_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS nt
+      FROM documents),
+    st AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(nt) AS BIGINT) AS sy,
+             CAST(sum(nt * nt) AS BIGINT) AS sy2
+      FROM toks GROUP BY source),
+    sd AS (
+      SELECT source, nh,
+             CASE WHEN nh > 1 THEN
+               CAST(round(1000000.0 * sqrt(
+                 CAST(nh * sy2 - sy * sy AS DOUBLE)
+                 / (CAST(nh AS DOUBLE) * (nh - 1)))) AS BIGINT)
+             ELSE 0 END AS s_micro
+      FROM st),
+    w AS (
+      SELECT source, nh, s_micro, nh * s_micro AS wh,
+             sum(nh * s_micro) OVER () AS tot_w
+      FROM sd),
+    alloc AS (
+      SELECT source, nh, s_micro,
+             CAST(least(nh, CASE WHEN tot_w > 0 THEN
+               round({_NEY_TARGET}.0 * wh / tot_w) ELSE 0 END) AS BIGINT)
+               AS n_alloc
+      FROM w),
+    keyed AS (
+      SELECT doc_id, source, nt,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))
+                  AS BIGINT) AS key
+      FROM toks),
+    rk AS (
+      SELECT doc_id, source, nt, key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key DESC, doc_id) AS rn
+      FROM keyed)
+    SELECT rk.source, CAST(rk.rn AS BIGINT) AS pick, rk.doc_id, rk.nt,
+           alloc.n_alloc, alloc.s_micro
+    FROM rk JOIN alloc ON alloc.source = rk.source
+    WHERE rk.rn <= alloc.n_alloc
+    ORDER BY rk.source, pick
+    """,
+    doc=f"NEYMAN-ALLOCATION STRATIFIED SAMPLER: split a fixed budget of "
+    f"{_NEY_TARGET} docs across source strata proportional to N_h*S_h "
+    "(stratum size x token-count stddev) — the variance-optimal "
+    "allocation for estimating the corpus mean, vs q87's proportional "
+    "split (which over-samples large homogeneous strata). Pass 1 folds "
+    "ONE scan to per-stratum int64 (N, sum y, sum y^2); the sample "
+    "stddev is one sqrt on those exact sums, quantized to micro; "
+    "allocations are round(T*w_h/W) capped at N_h (rounding may "
+    "over/undershoot T by a few — documented, the audit columns "
+    "expose it). Pass 2 ranks docs per stratum by the 20-bit md5 "
+    "uniform (q87/q142 rule) and keeps rank <= n_h via a broadcast "
+    "of the |sources|-bounded allocation. Determinism: both engines "
+    "pick the IDENTICAL sample (integer keys, doc_id tie-break). "
+    "Scale: two scans by design (allocation needs global stats); "
+    "rank windows are per-stratum, never global; int64 products "
+    "N*sum(y^2) stay exact under 2^63 — beyond that pre-scale y "
+    "(documented caveat).",
+    tags=("llm", "pipeline", "sampling", "stratified", "neyman", "scale"),
+)
+def q284_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("nt"),
+    )
+    st = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("nt").cast("long").alias("sy"),
+        F.sum(F.col("nt") * F.col("nt")).cast("long").alias("sy2"),
+    )
+    sd = st.select(
+        "source",
+        "nh",
+        F.expr(
+            "CASE WHEN nh > 1 THEN"
+            " CAST(round(1000000.0 * sqrt("
+            " CAST(nh * sy2 - sy * sy AS DOUBLE)"
+            " / (CAST(nh AS DOUBLE) * (nh - 1)))) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("s_micro"),
+    )
+    # the allocation window runs on the |sources|-bounded relation
+    w = sd.withColumn("wh", F.col("nh") * F.col("s_micro")).withColumn(
+        "tot_w", F.sum(F.col("nh") * F.col("s_micro")).over(W.partitionBy())
+    )
+    alloc = w.select(
+        "source",
+        "s_micro",
+        F.expr(
+            f"CAST(least(nh, CASE WHEN tot_w > 0 THEN"
+            f" round({_NEY_TARGET}.0 * wh / tot_w) ELSE 0 END) AS BIGINT)"
+        ).alias("n_alloc"),
+    )
+    keyed = toks.select(
+        "doc_id",
+        "source",
+        "nt",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 5),"
+            " 16, 10) AS BIGINT)"
+        ).alias("key"),
+    )
+    rk = keyed.select(
+        "source",
+        "doc_id",
+        "nt",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.desc("key"), "doc_id"))
+        .cast("long")
+        .alias("pick"),
+    )
+    return (
+        rk.join(F.broadcast(alloc), "source")
+        .where(F.col("pick") <= F.col("n_alloc"))
+        .select("source", "pick", "doc_id", "nt", "n_alloc", "s_micro")
+        .orderBy("source", "pick")
+    )

@@ -4481,3 +4481,146 @@ def q280_gtest_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g_micro"),
     )
     return g.orderBy(F.desc("g_micro"), "tok").limit(20)
+
+
+# --- q285: Burrows' Delta stylometric distance ------------------------------
+
+_BD_M = 30  # marker vocabulary: the corpus's top-M tokens
+
+
+@register(
+    "q285_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, u.tok
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS u(tok)),
+    cnt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+    marker AS (
+      SELECT tok FROM (
+        SELECT tok, sum(c) AS tot FROM cnt GROUP BY tok
+        ORDER BY tot DESC, tok LIMIT {_BD_M})),
+    srctot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS nt
+      FROM cnt GROUP BY source),
+    grid AS (
+      SELECT s.source, m.tok, s.nt,
+             CAST(coalesce(c.c, 0) AS BIGINT) AS c
+      FROM srctot s CROSS JOIN marker m
+      LEFT JOIN cnt c ON c.source = s.source AND c.tok = m.tok),
+    f AS (
+      SELECT source, tok,
+             CAST(round(1000000.0 * c / nt) AS BIGINT) AS f_micro
+      FROM grid),
+    mstat AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(f_micro) AS BIGINT) AS sf,
+             CAST(sum(f_micro * f_micro) AS BIGINT) AS sf2
+      FROM f GROUP BY tok),
+    z AS (
+      SELECT f.source, f.tok,
+             CASE WHEN ms.m > 1 AND ms.m * ms.sf2 > ms.sf * ms.sf THEN
+               CAST(round(1000.0
+                 * (CAST(f.f_micro AS DOUBLE) - CAST(ms.sf AS DOUBLE) / ms.m)
+                 / sqrt(CAST(ms.m * ms.sf2 - ms.sf * ms.sf AS DOUBLE)
+                        / (CAST(ms.m AS DOUBLE) * (ms.m - 1)))) AS BIGINT)
+             ELSE 0 END AS z_milli
+      FROM f JOIN mstat ms ON ms.tok = f.tok),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2,
+             CAST(sum(abs(a.z_milli - b.z_milli)) AS BIGINT) AS sum_abs
+      FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s1, s2, sum_abs,
+           CAST(round(CAST(sum_abs AS DOUBLE) / {_BD_M}) AS BIGINT)
+             AS delta_milli
+    FROM pairs
+    ORDER BY s1, s2
+    """,
+    doc=f"BURROWS' DELTA stylometric distance between sources — the "
+    "standard authorship/register attribution measure (mean |z| "
+    "difference over the top-{m} marker tokens' relative "
+    "frequencies, z-scored across sources): which sources 'write "
+    "alike'? Complements q280's keyness (which finds WHAT differs; "
+    "Delta says HOW FAR apart two registers sit) and q235's raw "
+    "vocab overlap (Delta is frequency-profile, not set, based). "
+    "ONE tokenize scan folds to the (source x token) count relation; "
+    "the top-{m} marker vocab is a TakeOrdered on the vocab-bounded "
+    "rollup; everything downstream (dense source x marker grid, "
+    "per-marker mean/std, z, pairwise fold) runs on |sources| x {m} "
+    "rows. Exactness: relative frequencies quantized to micro from "
+    "int64 counts; per-marker mean/std from exact int64 sums of "
+    "those; z quantized to milli before the pairwise |z1-z2| sums "
+    "(int64); sqrt and the two divisions are single IEEE double ops. "
+    "sigma=0 markers contribute z=0 on both engines (guard). Scale: "
+    "pair space is |sources|^2 x {m} on a broadcast-size relation — "
+    "never a document-level pair join.".replace("{m}", str(_BD_M)),
+    tags=("llm", "text", "stylometry", "burrows-delta", "scale"),
+)
+def q285_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    marker = (
+        cnt.groupBy("tok")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.desc("tot"), "tok")
+        .limit(_BD_M)
+        .select("tok")
+    )
+    srctot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("nt"))
+    grid = (
+        srctot.crossJoin(F.broadcast(marker))
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr(
+                "CAST(round(1000000.0 * coalesce(c, 0) / nt) AS BIGINT)"
+            ).alias("f_micro"),
+        )
+    )
+    mstat = grid.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("f_micro").cast("long").alias("sf"),
+        F.sum(F.col("f_micro") * F.col("f_micro")).cast("long").alias("sf2"),
+    )
+    z = grid.join(F.broadcast(mstat), "tok").select(
+        "source",
+        "tok",
+        F.expr(
+            "CASE WHEN m > 1 AND m * sf2 > sf * sf THEN"
+            " CAST(round(1000.0"
+            " * (CAST(f_micro AS DOUBLE) - CAST(sf AS DOUBLE) / m)"
+            " / sqrt(CAST(m * sf2 - sf * sf AS DOUBLE)"
+            " / (CAST(m AS DOUBLE) * (m - 1)))) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("z_milli"),
+    )
+    za = z.select(
+        F.col("source").alias("s1"), "tok", F.col("z_milli").alias("z1")
+    )
+    zb = z.select(
+        F.col("source").alias("s2"), "tok", F.col("z_milli").alias("z2")
+    )
+    pairs = (
+        za.join(F.broadcast(zb), "tok")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum(F.abs(F.col("z1") - F.col("z2"))).cast("long").alias("sum_abs"))
+    )
+    return pairs.select(
+        "s1",
+        "s2",
+        "sum_abs",
+        F.expr(
+            f"CAST(round(CAST(sum_abs AS DOUBLE) / {_BD_M}) AS BIGINT)"
+        ).alias("delta_milli"),
+    ).orderBy("s1", "s2")

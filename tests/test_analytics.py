@@ -2402,3 +2402,89 @@ def test_q281_bh_fdr_matches_replay(spark):
     # the step-up property: every rejected rank precedes every kept one
     flags = [r.rejected for r in rows]
     assert flags == sorted(flags, reverse=True)
+
+
+def test_q282_mantel_haenszel_matches_replay(spark):
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q282_mantel_haenszel"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cells = {}
+    for _, doc in docs.iterrows():
+        en, lng = doc.lang == "en", doc.n_chars >= 300
+        k = (en and lng, en and not lng, (not en) and lng,
+             (not en) and not lng)
+        c = cells.setdefault(doc.source, [0, 0, 0, 0])
+        c[k.index(True)] += 1
+    sum_a = sum_ad = sum_bc = sum_e = sum_v = 0
+    for a, b, c_, d in cells.values():
+        n = a + b + c_ + d
+        sum_a += a
+        sum_ad += round(1000000.0 * a * d / n)
+        sum_bc += round(1000000.0 * b * c_ / n)
+        sum_e += round(1000000.0 * (a + b) * (a + c_) / n)
+        if n > 1:
+            sum_v += round(
+                1000000.0 * (float(a + b) * (c_ + d))
+                * (float(a + c_) * (b + d))
+                / ((float(n) * n) * (n - 1))
+            )
+    assert (row.n_strata, row.sum_a, row.sum_ad_micro, row.sum_bc_micro) == (
+        len(cells), sum_a, sum_ad, sum_bc,
+    )
+    want_or = round(1000.0 * sum_ad / sum_bc) if sum_bc > 0 else 0
+    diff = 1000000 * sum_a - sum_e
+    want_chi = (
+        round(float(diff) * diff / 1000000.0 / sum_v) if sum_v > 0 else 0
+    )
+    assert (row.or_mh_milli, row.cmh_chi2_milli) == (want_or, want_chi)
+    # the pooled OR is positive whenever any discordant mass exists
+    assert row.or_mh_milli >= 0 and row.cmh_chi2_milli >= 0
+
+
+def test_q283_cramers_v_matches_replay(spark):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q283_cramers_v"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    axes = {
+        "lang_x_source": list(zip(docs.lang, docs.source)),
+        "lang_x_lenb": list(zip(docs.lang, (docs.n_chars // 100).astype(str))),
+        "source_x_lenb": list(
+            zip(docs.source, (docs.n_chars // 100).astype(str))
+        ),
+    }
+    want = {}
+    for pair, uv in axes.items():
+        o = Counter(uv)
+        rt, ct = Counter(), Counter()
+        for (u, v), k in o.items():
+            rt[u] += k
+            ct[v] += k
+        n = sum(o.values())
+        chi = sum(
+            round(1000000.0 * (k - rt[u] * ct[v] / n) ** 2
+                  / (rt[u] * ct[v] / n))
+            for (u, v), k in o.items()
+        )
+        vm = round(
+            1000.0 * math.sqrt((chi / 1000000.0)
+                               / (n * min(len(rt) - 1, len(ct) - 1)))
+        )
+        want[pair] = (n, len(rt), len(ct), chi, vm)
+    assert len(rows) == 3
+    for r in rows:
+        assert (r.n, r.r, r.c, r.chi2_micro, r.v_milli) == want[r.pair], r.pair
+        # V is a normalized association: inside [0, 1] up to quantization
+        assert 0 <= r.v_milli <= 1000

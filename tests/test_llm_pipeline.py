@@ -652,3 +652,107 @@ def test_q280_gtest_keyness_matches_replay(spark):
     )
     if only_en is not None:
         assert g(only_en) > 0
+
+
+def test_q284_neyman_sample_matches_replay(spark):
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd
+
+    rows = REGISTRY["q284_neyman_sample"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    per = {}
+    for _, doc in docs.iterrows():
+        nt = len([t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t])
+        key = int(hashlib.md5(str(doc.doc_id).encode()).hexdigest()[:5], 16)
+        per.setdefault(doc.source, []).append((key, int(doc.doc_id), nt))
+    stats = {}
+    for src, lst in per.items():
+        n = len(lst)
+        sy = sum(nt for _, _, nt in lst)
+        sy2 = sum(nt * nt for _, _, nt in lst)
+        s_micro = (
+            round(1000000.0 * math.sqrt((n * sy2 - sy * sy)
+                                        / (float(n) * (n - 1))))
+            if n > 1
+            else 0
+        )
+        stats[src] = (n, s_micro)
+    tot_w = sum(n * s for n, s in stats.values())
+    alloc = {
+        src: min(n, round(100.0 * (n * s) / tot_w) if tot_w > 0 else 0)
+        for src, (n, s) in stats.items()
+    }
+    want = {}
+    for src, lst in per.items():
+        lst.sort(key=lambda kv: (-kv[0], kv[1]))
+        want[src] = lst[: alloc[src]]
+    assert len(rows) == sum(len(v) for v in want.values())
+    for r in rows:
+        key, doc_id, nt = want[r.source][r.pick - 1]
+        assert (r.doc_id, r.nt, r.n_alloc, r.s_micro) == (
+            doc_id, nt, alloc[r.source], stats[r.source][1],
+        ), (r.source, r.pick)
+    # allocation respects stratum size and lands near the budget
+    assert all(alloc[s] <= stats[s][0] for s in alloc)
+    assert abs(sum(alloc.values()) - 100) <= len(alloc)
+
+
+def test_q285_burrows_delta_matches_replay(spark):
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    rows = REGISTRY["q285_burrows_delta"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+
+    def rnd(x):  # SQL round: half away from zero (Python round is half-even)
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cnt = {}
+    for _, doc in docs.iterrows():
+        c = cnt.setdefault(doc.source, Counter())
+        for tk in re.split(r"[^a-z0-9]+", doc.text.lower()):
+            if tk:
+                c[tk] += 1
+    tot = Counter()
+    for c in cnt.values():
+        tot.update(c)
+    markers = [
+        tk for tk, _ in sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:30]
+    srcs = sorted(cnt)
+    nt = {s: sum(cnt[s].values()) for s in srcs}
+    f = {
+        (s, tk): rnd(1000000.0 * cnt[s][tk] / nt[s])
+        for s in srcs
+        for tk in markers
+    }
+    z = {}
+    m = len(srcs)
+    for tk in markers:
+        vals = [f[(s, tk)] for s in srcs]
+        sf, sf2 = sum(vals), sum(v * v for v in vals)
+        if m > 1 and m * sf2 > sf * sf:
+            sd = math.sqrt((m * sf2 - sf * sf) / (float(m) * (m - 1)))
+            for s in srcs:
+                z[(s, tk)] = rnd(1000.0 * (f[(s, tk)] - sf / m) / sd)
+        else:
+            for s in srcs:
+                z[(s, tk)] = 0
+    assert len(rows) == m * (m - 1) // 2
+    for r in rows:
+        sa = sum(abs(z[(r.s1, tk)] - z[(r.s2, tk)]) for tk in markers)
+        assert (r.sum_abs, r.delta_milli) == (sa, rnd(sa / 30.0)), (
+            r.s1, r.s2,
+        )
+        # Delta is a metric-like distance: non-negative, symmetric pairs
+        assert r.delta_milli >= 0 and r.s1 < r.s2
