@@ -4595,3 +4595,321 @@ def q283_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * least(r - 1, c - 1)))) AS BIGINT)"
         ).alias("v_milli"),
     ).orderBy("pair")
+
+
+# --- q286: logistic regression via exact-quantized IRLS ----------------------
+#
+# The per-step expression templates are shared VERBATIM between the Spark
+# side (F.expr) and the DuckDB oracle: both engines parse the same text
+# into the same IEEE double operation tree, and every cross-row sum is of
+# per-row int64-quantized contributions, so the fitted coefficients are
+# bit-identical by construction.
+
+_LR_X = (
+    "CAST(n_chars AS DOUBLE) / 100.0 AS x1, "
+    "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
+    " / 100.0 AS x2, "
+    "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y"
+)
+
+_LR_MU = (
+    "(1.0 / (1.0 + exp(-(CAST(w0 AS DOUBLE) / 1000000.0"
+    " + CAST(w1 AS DOUBLE) / 1000000.0 * x1"
+    " + CAST(w2 AS DOUBLE) / 1000000.0 * x2))))"
+)
+
+
+def _lr_contribs() -> str:
+    """Per-row int64-quantized gradient/Hessian contributions at w."""
+    mu, out = _LR_MU, []
+    for name, expr in [
+        ("g0c", f"(y - {mu})"),
+        ("g1c", f"x1 * (y - {mu})"),
+        ("g2c", f"x2 * (y - {mu})"),
+        ("h00c", f"({mu} * (1.0 - {mu}))"),
+        ("h01c", f"({mu} * (1.0 - {mu})) * x1"),
+        ("h02c", f"({mu} * (1.0 - {mu})) * x2"),
+        ("h11c", f"({mu} * (1.0 - {mu})) * x1 * x1"),
+        ("h12c", f"({mu} * (1.0 - {mu})) * x1 * x2"),
+        ("h22c", f"({mu} * (1.0 - {mu})) * x2 * x2"),
+    ]:
+        out.append(
+            f"CAST(round(1000000.0 * {expr}) AS BIGINT) AS {name}"
+        )
+    return ", ".join(out)
+
+
+_LR_SUMS = ", ".join(
+    f"CAST(sum({c}c) AS BIGINT) AS {c}"
+    for c in ("g0", "g1", "g2", "h00", "h01", "h02", "h11", "h12", "h22")
+)
+
+
+def _lr_solve() -> str:
+    """Newton update w += H^-1 g by Cramer's rule on the int64 sums
+    (CAST to double before every product — triple products overflow
+    int64), emitted as the three new w*_micro columns."""
+    det = (
+        "(CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * h22"
+        " - CAST(h12 AS DOUBLE) * h12)"
+        " - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE) * h22"
+        " - CAST(h12 AS DOUBLE) * h02)"
+        " + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE) * h12"
+        " - CAST(h11 AS DOUBLE) * h02))"
+    )
+    d0 = (
+        "(CAST(g0 AS DOUBLE) * (CAST(h11 AS DOUBLE) * h22"
+        " - CAST(h12 AS DOUBLE) * h12)"
+        " - CAST(h01 AS DOUBLE) * (CAST(g1 AS DOUBLE) * h22"
+        " - CAST(h12 AS DOUBLE) * g2)"
+        " + CAST(h02 AS DOUBLE) * (CAST(g1 AS DOUBLE) * h12"
+        " - CAST(h11 AS DOUBLE) * g2))"
+    )
+    d1 = (
+        "(CAST(h00 AS DOUBLE) * (CAST(g1 AS DOUBLE) * h22"
+        " - CAST(g2 AS DOUBLE) * h12)"
+        " - CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE) * h22"
+        " - CAST(h12 AS DOUBLE) * h02)"
+        " + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE) * g2"
+        " - CAST(g1 AS DOUBLE) * h02))"
+    )
+    d2 = (
+        "(CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * g2"
+        " - CAST(h12 AS DOUBLE) * g1)"
+        " - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE) * g2"
+        " - CAST(g1 AS DOUBLE) * h02)"
+        " + CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE) * h12"
+        " - CAST(h11 AS DOUBLE) * h02))"
+    )
+    outs = []
+    for k, dk in (("0", d0), ("1", d1), ("2", d2)):
+        outs.append(
+            f"CASE WHEN abs({det}) > 0.0 THEN w{k}"
+            f" + CAST(round(1000000.0 * ({dk} / {det})) AS BIGINT)"
+            f" ELSE w{k} END AS w{k}"
+        )
+    return ", ".join(outs)
+
+
+_LR_LL = (
+    "CAST(sum(CAST(round(1000000.0 * (y * ln(greatest("
+    f"{_LR_MU}, 1e-12)) + (1.0 - y) * ln(greatest(1.0 - {_LR_MU},"
+    " 1e-12)))) AS BIGINT)) AS BIGINT) AS ll_micro,"
+    " CAST(count(*) AS BIGINT) AS n"
+)
+
+
+@register(
+    "q286_irls_logistic",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_LR_X} FROM documents),
+    w_init AS (
+      SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+             CAST(0 AS BIGINT) AS w2),
+    c1 AS (
+      SELECT {_lr_contribs()}
+      FROM base CROSS JOIN w_init),
+    s1 AS (SELECT {_LR_SUMS} FROM c1),
+    w_1 AS (
+      SELECT {_lr_solve()}
+      FROM s1 CROSS JOIN w_init),
+    c2 AS (
+      SELECT {_lr_contribs()}
+      FROM base CROSS JOIN w_1),
+    s2 AS (SELECT {_LR_SUMS} FROM c2),
+    w_2 AS (
+      SELECT {_lr_solve()}
+      FROM s2 CROSS JOIN w_1),
+    ll AS (
+      SELECT {_LR_LL}
+      FROM base CROSS JOIN w_2)
+    SELECT ll.n, w_2.w0 AS w0_micro, w_2.w1 AS w1_micro,
+           w_2.w2 AS w2_micro, ll.ll_micro
+    FROM w_2 CROSS JOIN ll
+    """,
+    doc="LOGISTIC REGRESSION by two unrolled IRLS/Newton steps — the "
+    "quality-classifier fit (P[lang=en] from document length and "
+    "word-count features) done INSIDE the engine, no sklearn, no "
+    "driver-side math: per step, one scan computes per-row gradient "
+    "and Hessian contributions at the current w, each quantized to "
+    "integer micro BEFORE the cross-row sum (float sums are "
+    "order-dependent across engines; int64 sums are exact — the "
+    "standing q100 discipline applied to an ITERATIVE fit), and the "
+    "3x3 Newton solve is Cramer's rule on those int64 sums with the "
+    "shared-verbatim expression template, so Spark and DuckDB walk "
+    "the IDENTICAL IEEE operation tree: coefficients match to the "
+    "bit. w is carried between steps as micro int64 (w0: mu = 0.5 "
+    "exactly on both engines). Final row: n, the step-2 coefficients, "
+    "and the micro-quantized log-likelihood (mu clamped at 1e-12 for "
+    "ln). Scale: 3 scans by design (2 Newton steps + LL eval), each "
+    "folding map-side to one 9-cell row; the weight relation rides a "
+    "one-row broadcast; per-row contributions stay in codegen. int64 "
+    "caveat: contribution sums stay exact under 2^63 (~1e12 rows at "
+    "these feature scales); beyond that drop the quantum to 1e3.",
+    tags=("analytics", "regression", "logistic", "irls", "iterative",
+          "scale"),
+)
+def q286_irls_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "documents").selectExpr(*_split_top(_LR_X))
+    w = spark.range(1).selectExpr(
+        "CAST(0 AS BIGINT) AS w0", "CAST(0 AS BIGINT) AS w1",
+        "CAST(0 AS BIGINT) AS w2",
+    )
+    for _ in range(2):
+        c = base.crossJoin(F.broadcast(w)).selectExpr(
+            *_split_top(_lr_contribs())
+        )
+        s = c.selectExpr(*_split_top(_LR_SUMS))
+        w = s.crossJoin(F.broadcast(w)).selectExpr(*_split_top(_lr_solve()))
+    ll = base.crossJoin(F.broadcast(w)).selectExpr(*_split_top(_LR_LL))
+    return w.crossJoin(F.broadcast(ll)).selectExpr(
+        "n", "w0 AS w0_micro", "w1 AS w1_micro", "w2 AS w2_micro",
+        "ll_micro",
+    )
+
+
+def _split_top(select_list: str) -> list[str]:
+    """Split a SQL select list on top-level commas (the shared templates
+    contain commas inside parens)."""
+    out, depth, cur = [], 0, []
+    for ch in select_list:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+# --- q287: isotonic (PAV) calibration via the minimax formula -----------------
+
+
+@register(
+    "q287_isotonic_calibration",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             least(20, CAST(sum(CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END) AS BIGINT)) AS c,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END)
+                   > sum(CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS o
+      FROM events GROUP BY user_id),
+    b AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n, CAST(sum(o) AS BIGINT) AS s
+      FROM u GROUP BY c),
+    ivl AS (
+      SELECT ja.c AS cj, kb.c AS ck,
+             CAST(round(1000000.0 * sum(m.s) / sum(m.n)) AS BIGINT)
+               AS avg_micro
+      FROM b ja JOIN b kb ON kb.c >= ja.c
+      JOIN b m ON m.c BETWEEN ja.c AND kb.c
+      GROUP BY 1, 2),
+    mn AS (
+      SELECT b.c, ivl.cj, min(ivl.avg_micro) AS lo
+      FROM b JOIN ivl ON ivl.cj <= b.c AND ivl.ck >= b.c
+      GROUP BY 1, 2),
+    fit AS (
+      SELECT c, CAST(max(lo) AS BIGINT) AS fitted_micro
+      FROM mn GROUP BY c)
+    SELECT b.c, b.n, b.s,
+           CAST(round(1000000.0 * b.s / b.n) AS BIGINT) AS raw_micro,
+           fit.fitted_micro
+    FROM b JOIN fit ON fit.c = b.c
+    ORDER BY b.c
+    """,
+    doc="ISOTONIC (PAV) CALIBRATION of the q276 forecast-bin frame — "
+    "the monotone recalibration map every probability consumer wants "
+    "when q200's reliability curve wiggles: fit the least-squares "
+    "NON-DECREASING g(bin) to the observed rates. Computed by the "
+    "pool-adjacent-violators CLOSED FORM g(i) = max_{j<=i} min_{k>=i} "
+    "weightedAvg(rates over bins j..k) — no sequential stack, no "
+    "driver loop: with <= 21 forecast bins the interval relation is "
+    "<= 231 rows, so the triangle self-join, the per-(bin, j) min, "
+    "and the per-bin max are all joins/aggs on a BOUNDED relation. "
+    "Exactness: bin counts are int64 from one user-keyed scan; each "
+    "interval's weighted average sum(s)/sum(n) is one double division "
+    "quantized to micro; min/max on those int64s are exact (the "
+    "minimax runs ON the quantized averages — both engines build the "
+    "identical map; it can differ from infinite-precision PAV only "
+    "at sub-micro ties, documented). Scale: the only corpus-sized "
+    "work is the user-keyed agg; everything isotonic happens on 21 "
+    "rows.",
+    tags=("analytics", "calibration", "isotonic", "pav", "scale"),
+)
+def q287_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(
+                F.lit(20).cast("long"),
+                F.count(F.when(F.col("event_type") == "click", 1))
+                .cast("long"),
+            ).alias("c"),
+            F.when(
+                F.count(F.when(F.col("event_type") == "purchase", 1))
+                > F.count(F.when(F.col("event_type") == "click", 1)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("o"),
+        )
+    )
+    b = u.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o").cast("long").alias("s"),
+    )
+    # the bounded (<= 21 rows) bin relation feeds four consumers below;
+    # checkpoint so the user-keyed scan runs once
+    b = b.localCheckpoint(eager=False)
+    ja = b.select(F.col("c").alias("cj"))
+    kb = b.select(F.col("c").alias("ck"))
+    m = b.select(F.col("c").alias("cm"), "n", "s")
+    ivl = (
+        ja.join(F.broadcast(kb), F.col("ck") >= F.col("cj"))
+        .join(
+            F.broadcast(m),
+            (F.col("cm") >= F.col("cj")) & (F.col("cm") <= F.col("ck")),
+        )
+        .groupBy("cj", "ck")
+        .agg(
+            F.expr(
+                "CAST(round(1000000.0 * sum(s) / sum(n)) AS BIGINT)"
+            ).alias("avg_micro")
+        )
+    )
+    mn = (
+        b.select("c")
+        .join(
+            F.broadcast(ivl),
+            (F.col("cj") <= F.col("c")) & (F.col("ck") >= F.col("c")),
+        )
+        .groupBy("c", "cj")
+        .agg(F.min("avg_micro").alias("lo"))
+    )
+    fit = mn.groupBy("c").agg(
+        F.max("lo").cast("long").alias("fitted_micro")
+    )
+    return (
+        b.join(F.broadcast(fit), "c")
+        .select(
+            "c",
+            "n",
+            "s",
+            F.expr("CAST(round(1000000.0 * s / n) AS BIGINT)").alias(
+                "raw_micro"
+            ),
+            "fitted_micro",
+        )
+        .orderBy("c")
+    )

@@ -2488,3 +2488,145 @@ def test_q283_cramers_v_matches_replay(spark):
         assert (r.n, r.r, r.c, r.chi2_micro, r.v_milli) == want[r.pair], r.pair
         # V is a normalized association: inside [0, 1] up to quantization
         assert 0 <= r.v_milli <= 1000
+
+
+def test_q286_irls_logistic_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q286_irls_logistic"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rnd(x):  # SQL round: half away from zero
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    base = [
+        (
+            doc.n_chars / 100.0,
+            (len(doc.text) - len(doc.text.replace(" ", ""))) / 100.0,
+            1.0 if doc.lang == "en" else 0.0,
+        )
+        for _, doc in docs.iterrows()
+    ]
+
+    def step(w0, w1, w2):
+        s = [0] * 9
+        for x1, x2, y in base:
+            mu = 1.0 / (1.0 + math.exp(
+                -(w0 / 1000000.0 + w1 / 1000000.0 * x1
+                  + w2 / 1000000.0 * x2)))
+            v = mu * (1.0 - mu)
+            for i, e in enumerate([
+                y - mu, x1 * (y - mu), x2 * (y - mu),
+                v, v * x1, v * x2, v * x1 * x1, v * x1 * x2, v * x2 * x2,
+            ]):
+                s[i] += rnd(1000000.0 * e)
+        g0, g1, g2, h00, h01, h02, h11, h12, h22 = s
+        det = (
+            float(h00) * (float(h11) * h22 - float(h12) * h12)
+            - float(h01) * (float(h01) * h22 - float(h12) * h02)
+            + float(h02) * (float(h01) * h12 - float(h11) * h02)
+        )
+        if abs(det) == 0.0:
+            return w0, w1, w2
+        d0 = (
+            float(g0) * (float(h11) * h22 - float(h12) * h12)
+            - float(h01) * (float(g1) * h22 - float(h12) * g2)
+            + float(h02) * (float(g1) * h12 - float(h11) * g2)
+        )
+        d1 = (
+            float(h00) * (float(g1) * h22 - float(g2) * h12)
+            - float(g0) * (float(h01) * h22 - float(h12) * h02)
+            + float(h02) * (float(h01) * g2 - float(g1) * h02)
+        )
+        d2 = (
+            float(h00) * (float(h11) * g2 - float(h12) * g1)
+            - float(h01) * (float(h01) * g2 - float(g1) * h02)
+            + float(g0) * (float(h01) * h12 - float(h11) * h02)
+        )
+        return (
+            w0 + rnd(1000000.0 * (d0 / det)),
+            w1 + rnd(1000000.0 * (d1 / det)),
+            w2 + rnd(1000000.0 * (d2 / det)),
+        )
+
+    w = step(*step(0, 0, 0))
+    ll = sum(
+        rnd(1000000.0 * (
+            y * math.log(max(
+                1.0 / (1.0 + math.exp(
+                    -(w[0] / 1000000.0 + w[1] / 1000000.0 * x1
+                      + w[2] / 1000000.0 * x2))), 1e-12))
+            + (1.0 - y) * math.log(max(
+                1.0 - 1.0 / (1.0 + math.exp(
+                    -(w[0] / 1000000.0 + w[1] / 1000000.0 * x1
+                      + w[2] / 1000000.0 * x2))), 1e-12))))
+        for x1, x2, y in base
+    )
+    assert (row.n, row.w0_micro, row.w1_micro, row.w2_micro,
+            row.ll_micro) == (len(base), *w, ll)
+    # the fitted LL must beat the w=0 model (every Newton step from 0
+    # on a concave LL with a full-rank Hessian improves it here)
+    assert ll > len(base) * 1000000.0 * math.log(0.5)
+    assert ll <= 0
+
+
+def test_q287_isotonic_matches_replay_and_pav(spark):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q287_isotonic_calibration"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    per = {}
+    for _, e in ev.iterrows():
+        d = per.setdefault(e.user_id, Counter())
+        d[e.event_type] += 1
+    bins = {}
+    for d in per.values():
+        c = min(20, d["click"])
+        n, s = bins.get(c, (0, 0))
+        bins[c] = (n + 1, s + (1 if d["purchase"] > d["click"] else 0))
+    cs = sorted(bins)
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    avg = {}
+    for j in range(len(cs)):
+        for k in range(j, len(cs)):
+            nn = sum(bins[c][0] for c in cs[j:k + 1])
+            ss = sum(bins[c][1] for c in cs[j:k + 1])
+            avg[(j, k)] = rnd(1000000.0 * ss / nn)
+    fitted = {
+        cs[i]: max(
+            min(avg[(j, k)] for k in range(i, len(cs)))
+            for j in range(i + 1)
+        )
+        for i in range(len(cs))
+    }
+    assert len(rows) == len(cs)
+    for r in rows:
+        n, s = bins[r.c]
+        assert (r.n, r.s, r.raw_micro, r.fitted_micro) == (
+            n, s, rnd(1000000.0 * s / n), fitted[r.c],
+        ), r.c
+    # PAV output is monotone non-decreasing in the forecast bin
+    seq = [r.fitted_micro for r in rows]
+    assert seq == sorted(seq)
+    # and pools to the overall rate: weighted mean of fitted == global
+    # mean (within quantization slack of one micro per bin)
+    tot_n = sum(n for n, _ in bins.values())
+    tot_s = sum(s for _, s in bins.values())
+    wm = sum(bins[r.c][0] * r.fitted_micro for r in rows) / tot_n
+    assert abs(wm - 1000000.0 * tot_s / tot_n) <= len(cs)
