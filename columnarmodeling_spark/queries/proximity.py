@@ -1418,3 +1418,104 @@ def q273_laplacian_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("lambda_max_milli"),
     )
+
+
+# --- q289: degree assortativity of the bond graph ----------------------------
+
+
+@register(
+    "q289_degree_assortativity",
+    oracle=f"""
+    WITH pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_EPS}),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+      GROUP BY id),
+    j AS (
+      SELECT ds.d AS dx, dd.d AS dy
+      FROM e JOIN deg ds ON ds.id = e.src
+             JOIN deg dd ON dd.id = e.dst),
+    s AS (
+      SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+             CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(2 * count(*) AS BIGINT) AS m,
+             CAST(sum(dx + dy) AS BIGINT) AS sx,
+             CAST(sum(dx * dx + dy * dy) AS BIGINT) AS sxx,
+             CAST(2 * sum(dx * dy) AS BIGINT) AS sxy
+      FROM j)
+    SELECT n_nodes, n_edges, sx, sxx, sxy,
+           CAST(CASE WHEN m * sxx - sx * sx > 0 THEN
+                round(1000.0 * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                      / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                ELSE 0 END AS BIGINT) AS r_milli
+    FROM s
+    """,
+    doc="DEGREE ASSORTATIVITY (Newman's r) of the undirected bond "
+    "graph — do high-degree nodes bond to high-degree nodes? The "
+    "one-number mixing diagnostic that tells a partitioner whether "
+    "the graph has a dense core (r > 0: hubs cluster, the skew-join "
+    "danger zone q274 profiles) or a hub-and-spoke shape (r < 0). "
+    "Pearson correlation of endpoint degrees over the symmetrized "
+    "edge list, computed WITHOUT materializing 2E rows: each "
+    "undirected edge contributes both orientations analytically "
+    "(sx = sum(dx+dy), sxx = sum(dx^2+dy^2), sxy = 2*sum(dx*dy) — "
+    "symmetric marginals make x- and y-moments equal). Exactness: "
+    "degrees and all five moments are exact int64 sums from one "
+    "edge pass; r is one double expression on them, rounded to "
+    "milli; degenerate variance returns 0 (guard). Scale: degree "
+    "agg + two equi-joins on the edge key, all map-side-combinable "
+    "folds to one row; int64 moment sums stay exact under 2^63 "
+    "(degrees to ~3e9 at the corpus sizes this targets).",
+    tags=("graph", "assortativity", "proximity", "scale"),
+)
+def q289_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    j = (
+        edges.join(deg.select(F.col("id").alias("src"),
+                              F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("id").alias("dst"),
+                         F.col("d").alias("dy")), "dst")
+    )
+    n_nodes = deg.count()
+    s = j.agg(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        (F.lit(2) * F.count(F.lit(1))).cast("long").alias("m"),
+        F.sum(F.col("dx") + F.col("dy")).cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast("long")
+        .alias("sxx"),
+        (F.lit(2) * F.sum(F.col("dx") * F.col("dy")))
+        .cast("long")
+        .alias("sxy"),
+    )
+    return s.select(
+        "n_nodes",
+        "n_edges",
+        "sx",
+        "sxx",
+        "sxy",
+        F.expr(
+            "CAST(CASE WHEN m * sxx - sx * sx > 0 THEN"
+            " round(1000.0 * (CAST(m AS DOUBLE) * sxy"
+            " - CAST(sx AS DOUBLE) * sx)"
+            " / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("r_milli"),
+    )

@@ -2295,3 +2295,163 @@ def q269_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+# --- q288: segmented associative Holt linear-trend smoothing -----------------
+#
+# Per event, Holt's level/trend update with dyadic alpha=0.25, beta=0.5:
+#   l' = 0.25 x + 0.75 l + 0.75 b
+#   b' = 0.125 x - 0.125 l + 0.875 b
+# i.e. state (l, b) maps through the CONSTANT matrix
+#   A = [[0.75, 0.75], [-0.125, 0.875]]   c = (0.25 x, 0.125 x)
+# Affine maps compose associatively, so the q208 segmentation carries
+# over verbatim with a 2x2-matrix state instead of a scalar: per
+# (user, 2-day chunk) fold the sorted events, per user compose the
+# bounded chunk-map list, apply to s0 = (first value, 0) — which the
+# first event's own map fixes exactly (0.25x+0.75x = x, 0.125x-0.125x
+# = 0), the same seed trick q208 uses.
+
+
+@register(
+    "q288_holt_segmented",
+    # Oracle gotcha (probed on DuckDB 1.x): inside a list_reduce lambda,
+    # struct_pack(a11 := ..., a21 := ... acc.a11 ...) resolves acc.a11 in
+    # LATER assignments to the ALREADY-ASSIGNED new a11 (sequential alias
+    # shadowing) — q208's scalar fold never trips this because its second
+    # field only reads acc.b. The accumulator is therefore a 6-element
+    # LIST [a11, a12, a21, a22, b1, b2] (1-based), which has no named
+    # assignments to shadow.
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, value,
+             epoch_us(ts) // {_SEG_W} AS chunk
+      FROM events),
+    ck AS (
+      SELECT user_id, chunk, count(*) AS cn,
+             list_reduce(
+               list_prepend([1.0::DOUBLE, 0.0, 0.0, 1.0, 0.0, 0.0],
+                 list([0.75::DOUBLE, 0.75, -0.125, 0.875,
+                       0.25 * value, 0.125 * value]
+                      ORDER BY us, event_id)),
+               (acc, m) -> [m[1] * acc[1] + m[2] * acc[3],
+                            m[1] * acc[2] + m[2] * acc[4],
+                            m[3] * acc[1] + m[4] * acc[3],
+                            m[3] * acc[2] + m[4] * acc[4],
+                            m[1] * acc[5] + m[2] * acc[6] + m[5],
+                            m[3] * acc[5] + m[4] * acc[6] + m[6]]) AS m
+      FROM ev GROUP BY 1, 2),
+    u AS (
+      SELECT user_id,
+             CAST(sum(cn) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             list_reduce(
+               list_prepend([1.0::DOUBLE, 0.0, 0.0, 1.0, 0.0, 0.0],
+                 list(m ORDER BY chunk)),
+               (acc, c) -> [c[1] * acc[1] + c[2] * acc[3],
+                            c[1] * acc[2] + c[2] * acc[4],
+                            c[3] * acc[1] + c[4] * acc[3],
+                            c[3] * acc[2] + c[4] * acc[4],
+                            c[1] * acc[5] + c[2] * acc[6] + c[5],
+                            c[3] * acc[5] + c[4] * acc[6] + c[6]]) AS t
+      FROM ck GROUP BY 1),
+    s0 AS (
+      SELECT user_id, first(value ORDER BY us, event_id) AS v0
+      FROM ev GROUP BY 1)
+    SELECT u.user_id, u.n_events, u.n_chunks,
+           round(u.t[1] * s0.v0 + u.t[5], 6) AS level,
+           round(u.t[3] * s0.v0 + u.t[6], 6) AS trend,
+           round((u.t[1] * s0.v0 + u.t[5])
+                 + 3.0 * (u.t[3] * s0.v0 + u.t[6]), 6) AS forecast3
+    FROM u JOIN s0 USING (user_id)
+    """,
+    doc="SEGMENTED ASSOCIATIVE HOLT smoothing — the trend-aware "
+    "generalization of q208's EWMA (a plain EWMA lags a drifting "
+    "series forever; Holt's level+trend pair tracks it and yields "
+    "an h-step forecast): per event the (level, trend) state maps "
+    "through a CONSTANT 2x2 matrix plus an x-dependent offset with "
+    "dyadic alpha=0.25, beta=0.5, and affine maps compose "
+    "associatively, so the q208 skew escape carries over verbatim — "
+    "per (user, 2-day chunk) fold, bounded per-user chunk-map "
+    "composition, apply to s0 = (first value, 0), which the first "
+    "event's own map fixes exactly. No agg buffer ever holds more "
+    "than one chunk of one user. Exactness: every coefficient is a "
+    "dyadic binary fraction, the oracle replays the IDENTICAL "
+    "chunked association (same fold order, same left-assoc "
+    "three-term sums), and the output rounds to 6dp on identical "
+    "doubles. Output: per-user level, trend, and the 3-step-ahead "
+    "forecast l + 3b. Scale: same shape as q208 — the skew-probed "
+    "segmented fold; a 10^8-event user costs max-events-per-chunk "
+    "buffer, never their whole history.",
+    tags=("timeseries", "holt", "trend", "segmented", "agg", "skew",
+          "scale"),
+)
+def q288_holt_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+    ev = ev.withColumn("chunk", F.expr(f"div(us, {_SEG_W})"))
+    ident = F.struct(
+        F.lit(1.0).alias("a11"), F.lit(0.0).alias("a12"),
+        F.lit(0.0).alias("a21"), F.lit(1.0).alias("a22"),
+        F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2"),
+    )
+
+    def compose(acc, m):
+        return F.struct(
+            (m["a11"] * acc["a11"] + m["a12"] * acc["a21"]).alias("a11"),
+            (m["a11"] * acc["a12"] + m["a12"] * acc["a22"]).alias("a12"),
+            (m["a21"] * acc["a11"] + m["a22"] * acc["a21"]).alias("a21"),
+            (m["a21"] * acc["a12"] + m["a22"] * acc["a22"]).alias("a22"),
+            (m["a11"] * acc["b1"] + m["a12"] * acc["b2"] + m["b1"]).alias("b1"),
+            (m["a21"] * acc["b1"] + m["a22"] * acc["b2"] + m["b2"]).alias("b2"),
+        )
+
+    def event_map(e):
+        return F.struct(
+            F.lit(0.75).alias("a11"), F.lit(0.75).alias("a12"),
+            F.lit(-0.125).alias("a21"), F.lit(0.875).alias("a22"),
+            (F.lit(0.25) * e["value"]).alias("b1"),
+            (F.lit(0.125) * e["value"]).alias("b2"),
+        )
+
+    per_chunk = (
+        ev.groupBy("user_id", "chunk")
+        .agg(
+            F.count("*").alias("cn"),
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "value"))
+            ).alias("s"),
+        )
+        .select(
+            "user_id",
+            "chunk",
+            "cn",
+            F.aggregate(
+                F.transform("s", event_map), ident, compose
+            ).alias("m"),
+            F.element_at(F.col("s"), 1).alias("first_e"),
+        )
+    )
+    per_user = per_chunk.groupBy("user_id").agg(
+        F.sum("cn").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.array_sort(F.collect_list(F.struct("chunk", "m"))).alias("maps"),
+        F.min(F.struct("chunk", "first_e")).alias("f0"),
+    )
+    comp = F.aggregate(
+        F.transform("maps", lambda c: c["m"]), ident, compose
+    )
+    v0 = F.col("f0")["first_e"]["value"]
+    level = comp["a11"] * v0 + comp["b1"]
+    trend = comp["a21"] * v0 + comp["b2"]
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_chunks",
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + F.lit(3.0) * trend, 6).alias("forecast3"),
+    )

@@ -226,3 +226,54 @@ def test_modularity_bounds_and_consistency(spark, sf_dir):
     assert 0 <= r["intra_edges"] <= r["m_edges"]
     comm = REGISTRY["q193_label_propagation"].fn(spark, sf_dir).collect()
     assert r["n_communities"] == len({x["community"] for x in comm})
+
+
+def test_q289_assortativity_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q289_degree_assortativity"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    c = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    pts = [
+        (int(r.c_custkey), float(r.c_acctbal), (int(r.c_custkey) % 97) * 25.0)
+        for _, r in c.iterrows()
+    ]
+    edges = [
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+        if a[0] < b[0]
+        and math.sqrt((a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2) < 30.0
+    ] + [
+        (b[0], a[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+        if a[0] > b[0]
+        and math.sqrt((a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2) < 30.0
+    ]
+    deg = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    sx = sum(deg[s] + deg[d] for s, d in edges)
+    sxx = sum(deg[s] ** 2 + deg[d] ** 2 for s, d in edges)
+    sxy = 2 * sum(deg[s] * deg[d] for s, d in edges)
+    m = 2 * len(edges)
+    assert (row.n_nodes, row.n_edges, row.sx, row.sxx, row.sxy) == (
+        len(deg), len(edges), sx, sxx, sxy,
+    )
+    if m * sxx - sx * sx > 0:
+        want = round(
+            1000.0 * (float(m) * sxy - float(sx) * sx)
+            / (float(m) * sxx - float(sx) * sx)
+        )
+    else:
+        want = 0
+    assert row.r_milli == want
+    # a correlation lives in [-1, 1]
+    assert -1000 <= row.r_milli <= 1000

@@ -479,3 +479,75 @@ def test_q269_seasonality_matches_replay(spark):
             assert r.eta2_micro == eta
             # a variance ratio lives in [0, 1]
             assert 0 <= r.eta2_micro <= 1000000
+
+
+def test_q288_holt_segmented_matches_replay(spark):
+    import pandas as pd
+
+    rows = REGISTRY["q288_holt_segmented"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    W = 172_800_000_000
+    per = {}
+    for _, e in ev.iterrows():
+        us = e.ts.value // 1000  # ns -> us
+        per.setdefault(e.user_id, []).append((us, e.event_id, e.value))
+
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    def compose(acc, m):
+        return (
+            m[0] * acc[0] + m[1] * acc[2],
+            m[0] * acc[1] + m[1] * acc[3],
+            m[2] * acc[0] + m[3] * acc[2],
+            m[2] * acc[1] + m[3] * acc[3],
+            m[0] * acc[4] + m[1] * acc[5] + m[4],
+            m[2] * acc[4] + m[3] * acc[5] + m[5],
+        )
+
+    got = {r.user_id: r for r in rows}
+    assert len(got) == len(per)
+    for uid, evs in per.items():
+        evs.sort()
+        chunks = {}
+        for us, eid, v in evs:
+            chunks.setdefault(us // W if us >= 0 else -((-us) // W),
+                              []).append((us, eid, v))
+        acc = ident
+        for c in sorted(chunks):
+            ck = ident
+            for us, eid, v in chunks[c]:
+                ck = compose(
+                    ck, (0.75, 0.75, -0.125, 0.875, 0.25 * v, 0.125 * v)
+                )
+            acc = compose(acc, ck)
+        v0 = evs[0][2]
+        level = acc[0] * v0 + acc[4]
+        trend = acc[2] * v0 + acc[5]
+        r = got[uid]
+        assert (r.n_events, r.n_chunks) == (len(evs), len(chunks))
+        assert r.level == round(level, 6) and r.trend == round(trend, 6)
+        assert r.forecast3 == round(level + 3.0 * trend, 6)
+
+
+def test_q288_holt_constant_series_is_flat(spark):
+    # a constant series must smooth to (level = const, trend = 0) no
+    # matter how the chunked association groups the events
+    rows = [
+        (i, 1_700_000_000_000_000 + i * 90_000_000_000, 7, 5.5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, value double"
+    ).selectExpr(
+        "event_id", "CAST(us / 1000000 AS TIMESTAMP) AS ts", "user_id",
+        "'x' AS event_type", "value", "'{}' AS props",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(d + "/events.parquet")
+        (row,) = REGISTRY["q288_holt_segmented"].fn(spark, d).collect()
+    assert row.n_events == 40 and row.n_chunks > 1
+    assert row.level == 5.5 and row.trend == 0.0 and row.forecast3 == 5.5

@@ -768,6 +768,35 @@ CASES = {
     "folds map-side onto |sources| rows BEFORE the rank window; "
     "the single-partition window and the kmax fold both run on "
     "that bounded relation; totals ride a one-row broadcast.",
+    "q282_mantel_haenszel": "Mantel-Haenszel pooled OR + CMH "
+    "chi-square. What to check: ONE scan folds map-side onto "
+    "|sources| 2x2 cells; per-stratum quantized terms sum in a "
+    "second bounded agg to a single row — no join, no window.",
+    "q283_cramers_v": "Cramer's V association matrix. What to "
+    "check: one scan folds to the lang x source x lenb cube; "
+    "the three pairwise tables, their marginal windows, and the "
+    "chi-square aggs all run on that bounded cube — documents "
+    "is scanned exactly once.",
+    "q284_neyman_sample": "Neyman-allocation stratified sampler. "
+    "What to check: pass 1 folds to |sources| moment rows; pass "
+    "2's rank window is per-stratum (partitioned, never global) "
+    "and the allocation joins back as a BroadcastHashJoin.",
+    "q285_burrows_delta": "Burrows' Delta stylometry. What to "
+    "check: one tokenize scan to the (source, token) counts; "
+    "the top-30 marker pick is a TakeOrdered on the vocab "
+    "rollup; grid/z/pairwise stages are joins on broadcast-size "
+    "relations — never a document-level pair join.",
+    "q286_irls_logistic": "Two-step IRLS logistic fit. What to "
+    "check: three scans (two Newton steps + LL), each folding "
+    "map-side to ONE row of int64 sums; the weight relation "
+    "enters each scan as a one-row broadcast (BNLJ of a scalar); "
+    "per-row sigmoid/Hessian contributions stay in codegen.",
+    "q287_isotonic_calibration": "PAV isotonic calibration via "
+    "the minimax closed form. What to check: the only "
+    "corpus-sized work is the user-keyed agg; the bin relation "
+    "is localCheckpointed at <=21 rows and the triangle "
+    "interval join + min/max aggs all run on that bounded "
+    "relation as broadcast joins.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
