@@ -2224,3 +2224,227 @@ def q212_viscoelastic_bonds_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_len_micro"),
     )
+
+
+# --- q292: the bilinear softening law through the 3D hook --------------------
+
+
+def _softening_oracle3d(
+    n_steps: int, k: str, dt: str, eps: str, eps_y: float
+) -> str:
+    """3D variant of _softening_oracle: the same unrolled bilinear-
+    damage CTE chain with the max-strain state ``u`` threaded through
+    every bond CTE and all three coordinates in the 3D kernel's exact
+    IEEE association (see _kelvin_voigt_oracle3d for the 3D force
+    component shape, _softening_oracle for the damage-secant ``eff``)."""
+    eps_u = repr(2.0 * eps_y)
+    ey = repr(eps_y)
+    head = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id, c_acctbal AS x,
+             CAST(c_custkey % 97 AS DOUBLE) * 25.0 AS y,
+             CAST(c_custkey % 53 AS DOUBLE) * 5.0 AS z
+      FROM customer),
+    b0 AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             (0.85 + 0.1 * CAST((a.id + b.id) % 4 AS DOUBLE))
+               * sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)
+                      + (a.z - b.z) * (a.z - b.z)) AS rest,
+             0.0 AS u
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE sqrt((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)
+                 + (a.z - b.z) * (a.z - b.z)) < {eps}),
+    s0 AS MATERIALIZED (
+      SELECT id, x, y, z,
+             CAST(id % 3 - 1 AS DOUBLE) * 8.0 AS vx,
+             CAST(id % 5 - 2 AS DOUBLE) * 4.0 AS vy,
+             CAST(id % 7 - 3 AS DOUBLE) * 2.0 AS vz,
+             1.0 AS m
+      FROM pts)"""
+    eff = f"""CASE WHEN strain > 0 THEN
+                   CASE WHEN new_max <= {ey} THEN 1.0
+                        WHEN new_max < {eps_u}
+                        THEN ({eps_u} - new_max) / {ey} * {ey}
+                             / greatest(new_max, 1e-300)
+                        ELSE 0.0 END
+                 ELSE 1.0 END AS eff"""
+    steps = []
+    for i in range(1, n_steps + 1):
+        p = i - 1
+        comp = []
+        for sign_ in ("", "-"):
+            body = ",\n               ".join(
+                f"""CASE WHEN dist > 0
+                    THEN {sign_}(eff * {k} * (dist - rest) / dist * (b{c} - a{c}))
+                    ELSE 0.0 END AS f{c}"""
+                for c in ("x", "y", "z")
+            )
+            comp.append(body)
+        steps.append(f""",
+    e{i} AS MATERIALIZED (
+      SELECT src, dst, rest, ax, ay, az, bx, by, bz, dist,
+             CASE WHEN rest > 0 THEN (dist - rest) / rest
+                  ELSE 0.0 END AS strain,
+             greatest(u, CASE WHEN rest > 0 THEN (dist - rest) / rest
+                              ELSE 0.0 END) AS new_max
+      FROM (
+        SELECT b.src, b.dst, b.rest, b.u,
+               pa.x AS ax, pa.y AS ay, pa.z AS az,
+               pb.x AS bx, pb.y AS by, pb.z AS bz,
+               sqrt((pb.x - pa.x) * (pb.x - pa.x)
+                    + (pb.y - pa.y) * (pb.y - pa.y)
+                    + (pb.z - pa.z) * (pb.z - pa.z)) AS dist
+        FROM b{p} b
+        JOIN s{p} pa ON b.src = pa.id
+        JOIN s{p} pb ON b.dst = pb.id)),
+    br{i} AS MATERIALIZED (
+      SELECT src, dst, rest, new_max AS u FROM e{i}
+      WHERE new_max >= {eps_u}),
+    b{i} AS MATERIALIZED (
+      SELECT src, dst, rest, new_max AS u FROM e{i}
+      WHERE NOT (new_max >= {eps_u})),
+    f{i} AS MATERIALIZED (
+      SELECT id, sum(fx) AS fx, sum(fy) AS fy, sum(fz) AS fz FROM (
+        SELECT src AS id,
+               {comp[0]}
+        FROM (
+          SELECT *, {eff}
+          FROM e{i} WHERE NOT (new_max >= {eps_u}))
+        UNION ALL
+        SELECT dst AS id,
+               {comp[1]}
+        FROM (
+          SELECT *, {eff}
+          FROM e{i} WHERE NOT (new_max >= {eps_u})))
+      GROUP BY id),
+    s{i} AS MATERIALIZED (
+      SELECT s.id,
+             s.x + (s.vx + coalesce(f.fx, 0.0) / s.m * {dt}) * {dt} AS x,
+             s.y + (s.vy + coalesce(f.fy, 0.0) / s.m * {dt}) * {dt} AS y,
+             s.z + (s.vz + coalesce(f.fz, 0.0) / s.m * {dt}) * {dt} AS z,
+             s.vx + coalesce(f.fx, 0.0) / s.m * {dt} AS vx,
+             s.vy + coalesce(f.fy, 0.0) / s.m * {dt} AS vy,
+             s.vz + coalesce(f.fz, 0.0) / s.m * {dt} AS vz,
+             s.m
+      FROM s{p} s LEFT JOIN f{i} f ON s.id = f.id)""")
+    broken = "\n    UNION ALL\n".join(
+        f"""    SELECT src, dst, CAST({i} AS BIGINT) AS break_step,
+           CAST(round(u * 1000000) AS BIGINT) AS damage_micro
+    FROM br{i}"""
+        for i in range(1, n_steps + 1)
+    )
+    tail = f"""
+    SELECT src, dst, CAST(-1 AS BIGINT) AS break_step,
+           CAST(round(u * 1000000) AS BIGINT) AS damage_micro
+    FROM b{n_steps}
+    UNION ALL
+{broken}
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q292_softening_bonds_3d",
+    oracle=_softening_oracle3d(8, "1.0", "0.05", "60.0", _SOFT_EPS_Y),
+    doc="The bilinear cohesive-softening law through the 3D solver "
+    "hook — completes the law x dimension matrix (q192 = bilinear 2D, "
+    "q205 = Kelvin-Voigt 2D, q212 = Kelvin-Voigt 3D): the SAME "
+    "bilinear_softening_law kernel (dimension-agnostic by the hook's "
+    "dist/rest/strength/ustate contract) driving "
+    "simulation/solver3d.py's run_solver3d_blocked_breaking, with the "
+    "IRREVERSIBLE max-strain damage state riding the bond column "
+    "across the 3x3x3 halo-exchange shuffle for two fuse=4 bursts. "
+    "Scenario: q212's 3D point cloud and velocities, yield strain "
+    "12%, ultimate 24% (breaks), damaged-secant unloading in between. "
+    "Output per input bond: break step (-1 = survived) and the "
+    "max-historical-strain damage in integer micro-units, "
+    "hash-checked against a DuckDB oracle unrolling all 8 steps in 3 "
+    "coordinates with the damage state threaded through every bond "
+    "CTE. Reference: UniaxialCompressionTest/UDM.dll + "
+    "BALL3D_PSLICE.dat (SURVEY §2.9/§2.4).",
+    tags=("simulation", "E3", "udm", "constitutive", "iterative", "scale",
+          "3d"),
+)
+def q292_softening_bonds_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.proximity import grid_proximity_join
+    from columnarmodeling_spark.simulation.solver import (
+        bilinear_softening_law,
+    )
+    from columnarmodeling_spark.simulation.solver3d import (
+        run_solver3d_blocked_breaking,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97).cast("double") * 25.0).alias("y"),
+        ((F.col("c_custkey") % 53).cast("double") * 5.0).alias("z"),
+    )
+    cand = grid_proximity_join(
+        pts.select("id", "x", "y"), eps=60.0, id_col="id"
+    ).select("src", "dst")
+    pa = pts.select(
+        F.col("id").alias("src"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), F.col("z").alias("za"),
+    )
+    pb = pts.select(
+        F.col("id").alias("dst"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), F.col("z").alias("zb"),
+    )
+    d3 = F.sqrt(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+        + (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+    )
+    bonds = (
+        cand.join(pa, "src")
+        .join(pb, "dst")
+        .withColumn("d3", d3)
+        .filter(F.col("d3") < 60.0)
+        .select(
+            "src",
+            "dst",
+            (
+                (
+                    0.85
+                    + 0.1 * ((F.col("src") + F.col("dst")) % 4).cast("double")
+                )
+                * F.col("d3")
+            ).alias("rest"),
+        )
+    )
+    state0 = pts.select(
+        "id",
+        "x",
+        "y",
+        "z",
+        ((F.col("id") % 3 - 1).cast("double") * 8.0).alias("vx"),
+        ((F.col("id") % 5 - 2).cast("double") * 4.0).alias("vy"),
+        ((F.col("id") % 7 - 3).cast("double") * 2.0).alias("vz"),
+        F.lit(1.0).alias("m"),
+    )
+    # a live bond survives to strain < eps_u = 2*eps_y; max rest <=
+    # 1.15 * 60 = 69.0, with the usual 1.05 margin
+    reach = 1.05 * (1.0 + 2.0 * _SOFT_EPS_Y) * 69.0
+    _, bond_log = run_solver3d_blocked_breaking(
+        state0,
+        bonds,
+        n_steps=8,
+        strain_limit=_SOFT_EPS_Y,
+        k=1.0,
+        dt=0.05,
+        fuse=4,
+        reach=reach,
+        bond_law=bilinear_softening_law,
+    )
+    return bond_log.select(
+        "src",
+        "dst",
+        "break_step",
+        F.round(F.col("ustate") * 1000000.0)
+        .cast("long")
+        .alias("damage_micro"),
+    )

@@ -1041,3 +1041,113 @@ def q222_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("long").alias("contaminated"),
         )
     )
+
+
+# --- q290: streaming heavy hitters (Misra-Gries state at ingest) -------------
+
+_SHH_K = 60       # heavy-hitter bar: cnt * K > N (> 1/60 of all tokens)
+_SHH_SHARDS = 8   # state keys: token-hash shards
+
+
+@register(
+    "q290_stream_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT u.tok
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), t -> t <> '')) AS u(tok)),
+    cnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnt)
+    SELECT tok, cnt, n_total
+    FROM cnt, tot
+    WHERE cnt * {_SHH_K} > n_total
+    ORDER BY cnt DESC, tok
+    """,
+    doc="STREAMING heavy hitters — q210's two-pass exact pattern moved "
+    "to INGEST: the candidate sketch is maintained as STREAMING STATE "
+    "(applyInPandasWithState keyed by an 8-way token-hash shard, each "
+    "shard holding a k-counter Misra-Gries summary — the same batched "
+    "decrement trick as operators/heavy_hitters.py), so 'what's "
+    "trending in the crawl' never waits for a nightly rescan. "
+    "Candidate drain -> one exact batch count join over just the "
+    "candidates. PROVABLE superset under any arrival order and any "
+    "batch split: every occurrence of a token lands in exactly one "
+    "shard, so a global heavy hitter (cnt > N/K) has shard-count "
+    "cnt > N/K >= N_shard/K and survives that shard's K-counter MG "
+    "regardless of order — which is why the ORACLE is the exact "
+    "order-independent heavy-hitter set, not an MG replay: the "
+    "output provably equals it. Exactness: the verify pass is int64 "
+    "counts + an integer cross-multiplication, no division. Scale: "
+    "state is K counters x #shards (constant); shard count scales "
+    "with executors; the verify join probes a <= shards*K candidate "
+    "relation broadcast against the corpus scan.",
+    tags=("streaming", "stateful", "heavy-hitters", "sketch", "llm",
+          "scale"),
+)
+def q290_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from columnarmodeling_spark.functions.text import tokens
+    from columnarmodeling_spark.streaming.sources import documents_stream
+
+    toks = documents_stream(spark, sf_dir).select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    sharded = toks.withColumn(
+        "shard", F.pmod(F.xxhash64("tok"), F.lit(_SHH_SHARDS)).cast("long")
+    )
+
+    def mg(key, pdfs, state: GroupState):
+        if state.exists:
+            st_toks, st_cnts = state.get
+            counts = dict(zip(st_toks, st_cnts))
+        else:
+            counts = {}
+        for pdf in pdfs:
+            for tok, c in pdf["tok"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > _SHH_K:
+                # batched Misra-Gries decrement (heavy_hitters.py trick)
+                cut = sorted(counts.values())[len(counts) - _SHH_K - 1]
+                counts = {t_: c - cut for t_, c in counts.items() if c > cut}
+        state.update((list(counts.keys()), [int(c) for c in counts.values()]))
+        yield pd.DataFrame(
+            {"shard": [key[0]] * len(counts), "tok": list(counts.keys())}
+        )
+
+    cand_stream = sharded.groupBy("shard").applyInPandasWithState(
+        mg,
+        outputStructType="shard long, tok string",
+        stateStructType="toks array<string>, cnts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # Update mode re-emits each shard's survivors every micro-batch; the
+    # union across batches only widens the candidate set (still a
+    # superset — extra candidates cost one probe row each, never
+    # correctness), so a plain distinct is the right drain resolution.
+    cand = (
+        drain_to_memory(cand_stream, mode="update")
+        .select("tok")
+        .distinct()
+        .localCheckpoint()
+    )
+    corpus = t(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    tot = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    exact = (
+        corpus.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * _SHH_K > F.col("n_total"))
+        .select("tok", "cnt", "n_total")
+        .orderBy(F.desc("cnt"), "tok")
+    )

@@ -2455,3 +2455,169 @@ def q288_holt_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trend, 6).alias("trend"),
         F.round(level + F.lit(3.0) * trend, 6).alias("forecast3"),
     )
+
+
+# --- q291: Mann-Kendall trend test -------------------------------------------
+
+
+@register(
+    "q291_mann_kendall",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM obs),
+    ty AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (
+      SELECT t.event_type, g.hr - b.lo AS h,
+             CAST(coalesce(o.x, 0) AS BIGINT) AS x
+      FROM ty t
+      CROSS JOIN b
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g
+      LEFT JOIN obs o
+        ON o.event_type = t.event_type AND o.hr = g.hr),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b2.x > a.x THEN 1
+                           WHEN b2.x < a.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM grid a
+      JOIN grid b2
+        ON b2.event_type = a.event_type AND b2.h > a.h
+      GROUP BY 1),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM grid GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t_ * (t_ - 1) * (2 * t_ + 5)), 0)
+                  AS BIGINT) AS tie_term
+      FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t_
+            FROM grid GROUP BY 1, 2)
+      WHERE t_ > 1 GROUP BY 1),
+    v AS (
+      SELECT nn.event_type, nn.n, s.s,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                  - coalesce(ties.tie_term, 0) AS BIGINT) AS var18
+      FROM nn JOIN s USING (event_type)
+      LEFT JOIN ties USING (event_type))
+    SELECT event_type, n, s, var18,
+           CAST(CASE WHEN var18 > 0 AND s > 0 THEN
+                  round(1000.0 * (s - 1)
+                        / sqrt(CAST(var18 AS DOUBLE) / 18.0))
+                WHEN var18 > 0 AND s < 0 THEN
+                  round(1000.0 * (s + 1)
+                        / sqrt(CAST(var18 AS DOUBLE) / 18.0))
+                ELSE 0 END AS BIGINT) AS z_milli
+    FROM v
+    ORDER BY event_type
+    """,
+    doc="MANN-KENDALL trend test per event-type hourly series — the "
+    "nonparametric IS-there-a-trend significance test that pairs "
+    "with q268's Theil-Sen (which estimates HOW STEEP; MK says "
+    "whether to believe it): S = sum of pairwise sign(x_j - x_i) "
+    "over the same CLOCK-BOUNDED zero-filled hourly grid, variance "
+    "with the tie correction (zero-filled idle hours tie heavily — "
+    "skipping the correction overstates significance), and the "
+    "continuity-corrected z = (S -/+ 1)/sqrt(Var). Exactness: S, n, "
+    "and 18*Var are exact int64 from sign sums and tie-group "
+    "counts; z is one sqrt + one division on those, rounded to "
+    "milli; S = 0 or degenerate variance returns 0. Scale: the "
+    "pair space is hours-squared — bounded by the CLOCK, not by "
+    "event volume (the q268 argument); everything else is grouped "
+    "aggs on the grid.",
+    tags=("timeseries", "trend", "mann-kendall", "scale"),
+)
+def q291_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts AS timestamp)), {_HOUR_US})")
+        .alias("hr"),
+    )
+    obs = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    b = obs.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            "lo",
+            F.explode(F.sequence("lo", "hi")).alias("hr"),
+        )
+        .join(obs, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            (F.col("hr") - F.col("lo")).alias("h"),
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = grid.select("event_type", F.col("h").alias("ha"),
+                    F.col("x").alias("xa"))
+    b2 = grid.select("event_type", F.col("h").alias("hb"),
+                     F.col("x").alias("xb"))
+    s = (
+        a.join(b2, ["event_type"])
+        .where(F.col("hb") > F.col("ha"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nn = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        grid.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t_"))
+        .where(F.col("t_") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t_") * (F.col("t_") - 1) * (2 * F.col("t_") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        nn.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5)"
+                " - coalesce(tie_term, 0) AS BIGINT)"
+            ).alias("var18"),
+        )
+    )
+    return v.select(
+        "event_type",
+        "n",
+        "s",
+        "var18",
+        F.expr(
+            "CAST(CASE WHEN var18 > 0 AND s > 0 THEN"
+            " round(1000.0 * (s - 1)"
+            " / sqrt(CAST(var18 AS DOUBLE) / 18.0))"
+            " WHEN var18 > 0 AND s < 0 THEN"
+            " round(1000.0 * (s + 1)"
+            " / sqrt(CAST(var18 AS DOUBLE) / 18.0))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("z_milli"),
+    ).orderBy("event_type")

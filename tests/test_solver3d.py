@@ -161,3 +161,59 @@ def test_breaking3d_state_survives_round_boundary(spark):
     for i in f1:
         for c in ("x", "y", "z", "vx", "vy", "vz"):
             assert f1[i][c] == f2[i][c], (i, c)
+
+
+def test_bilinear3d_damage_survives_round_boundary(spark):
+    """The q292 guarantee: the bilinear law's IRREVERSIBLE max-strain
+    damage state through run_solver3d_blocked_breaking is bit-identical
+    whether 8 steps run as one burst or two fuse=4 bursts (damage rides
+    the bond relation across the halo-exchange shuffle). A per-round
+    reset would let softened bonds re-stiffen at step 5 — the exact
+    healing bug the persistent ustate exists to prevent. Also pins:
+    damage is monotone (never below 0), frozen at its break value for
+    broken bonds, and the scenario actually breaks bonds past eps_u."""
+    from columnarmodeling_spark.simulation.solver import (
+        bilinear_softening_law,
+    )
+    from columnarmodeling_spark.simulation.solver3d import (
+        run_solver3d_blocked_breaking,
+    )
+
+    state, bonds = _lattice3d(spark)
+    state = state.select(
+        "id", "x", "y", "z",
+        ((F.col("id") % 3 - 1).cast("double") * 1.2).alias("vx"),
+        ((F.col("id") % 5 - 2).cast("double") * 0.8).alias("vy"),
+        ((F.col("id") % 7 - 3).cast("double") * 0.5).alias("vz"),
+        "m",
+    )
+    eps_y = 0.08  # eps_u = 0.16
+    reach = 1.05 * (1.0 + 2.0 * eps_y) * 0.9
+
+    def run(fuse):
+        fin, log = run_solver3d_blocked_breaking(
+            state, bonds, n_steps=8, strain_limit=eps_y, k=1.0, dt=0.05,
+            fuse=fuse, block=2.5, reach=reach,
+            bond_law=bilinear_softening_law,
+        )
+        f = {r["id"]: r for r in fin.collect()}
+        b = {(r["src"], r["dst"]): r for r in log.collect()}
+        return f, b
+
+    f1, b1 = run(8)
+    f2, b2 = run(4)
+    assert set(b1) == set(b2)
+    n_broken = sum(1 for r in b1.values() if r["break_step"] > 0)
+    assert n_broken > 0, "scenario must exercise the break path"
+    assert any(
+        r["break_step"] > 4 for r in b1.values()
+    ), "a break after the fuse=4 boundary pins the damage carry"
+    for key in b1:
+        assert b1[key]["break_step"] == b2[key]["break_step"], key
+        assert b1[key]["ustate"] == b2[key]["ustate"], key
+        assert b1[key]["ustate"] >= 0.0
+        if b1[key]["break_step"] > 0:
+            assert b1[key]["ustate"] >= 2.0 * eps_y
+    for i in f1:
+        for c in ("x", "y", "z", "vx", "vy", "vz"):
+            assert f1[i][c] == f2[i][c], (i, c)

@@ -207,3 +207,32 @@ def test_q222_stream_matches_q209_flags(spark):
         if r.contaminated == 1
     }
     assert stream == batch and stream
+
+
+def test_q290_stream_heavy_hitters_exact(spark):
+    """The streamed MG candidates + exact verify must equal the exact
+    batch heavy-hitter set — under ANY arrival order (superset
+    property), so the replay is order-independent."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q290_stream_heavy_hitters"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cnt = Counter()
+    for text in docs.text:
+        cnt.update(t for t in re.split(r"[^a-z0-9]+", text.lower()) if t)
+    n = sum(cnt.values())
+    want = sorted(
+        ((tok, c) for tok, c in cnt.items() if c * 60 > n),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert [(r.tok, r.cnt, r.n_total) for r in rows] == [
+        (tok, c, n) for tok, c in want
+    ]
+    assert len(rows) > 0  # non-trivial: the corpus has heavy tokens

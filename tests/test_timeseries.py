@@ -551,3 +551,49 @@ def test_q288_holt_constant_series_is_flat(spark):
         (row,) = REGISTRY["q288_holt_segmented"].fn(spark, d).collect()
     assert row.n_events == 40 and row.n_chunks > 1
     assert row.level == 5.5 and row.trend == 0.0 and row.forecast3 == 5.5
+
+
+def test_q291_mann_kendall_matches_replay(spark):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    rows = REGISTRY["q291_mann_kendall"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    H = 3_600_000_000
+    obs = Counter(
+        (e.event_type, (e.ts.value // 1000) // H) for _, e in ev.iterrows()
+    )
+    hrs = [h for _, h in obs]
+    lo, hi = min(hrs), max(hrs)
+    types = sorted({ty for ty, _ in obs})
+    got = {r.event_type: r for r in rows}
+    assert sorted(got) == types
+    for ty in types:
+        xs = [obs.get((ty, h), 0) for h in range(lo, hi + 1)]
+        n = len(xs)
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(xs).values()
+            if t > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        if var18 > 0 and s != 0:
+            z = round(
+                1000.0 * (s - (1 if s > 0 else -1))
+                / math.sqrt(var18 / 18.0)
+            )
+        else:
+            z = 0
+        r = got[ty]
+        assert (r.n, r.s, r.var18, r.z_milli) == (n, s, var18, z), ty
+        # |S| is bounded by the number of pairs
+        assert abs(r.s) <= n * (n - 1) // 2
