@@ -2149,3 +2149,145 @@ def q271_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (m + 1) - 1.0 - v_true) / v_true) AS BIGINT)"
         ).alias("chapman_err_micro"),
     )
+
+
+# --- q293: LSH blocking recall eval ------------------------------------------
+
+
+@register(
+    "q293_lsh_blocking_recall",
+    oracle=f"""
+    WITH {_sql_minhash_signatures()},
+    ssh AS (SELECT doc_id, s FROM sh),
+    sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM ssh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sz za ON za.doc_id = i.doc_a
+      JOIN sz zb ON zb.doc_id = i.doc_b
+      WHERE 3 * i.i >= za.n + zb.n),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 * {MERSENNE_P} + mh1 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh2 * {MERSENNE_P} + mh3 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, mh4 * {MERSENNE_P} + mh5 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, 3 AS band, mh6 * {MERSENNE_P} + mh7 AS bv FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    hit AS (
+      SELECT t.doc_a, t.doc_b
+      FROM truth t JOIN cand c
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           CAST(CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+                round(1000.0 * (SELECT count(*) FROM hit)
+                      / (SELECT count(*) FROM truth))
+                ELSE 0 END AS BIGINT) AS recall_milli,
+           CAST(CASE WHEN (SELECT count(*) FROM cand) > 0 THEN
+                round(1000.0 * (SELECT count(*) FROM hit)
+                      / (SELECT count(*) FROM cand))
+                ELSE 0 END AS BIGINT) AS precision_milli
+    """,
+    doc="LSH BLOCKING RECALL EVAL — the candidate-completeness audit "
+    "for q44's 4x2 banding (the IVF tier has q113's recall curve; the "
+    "dedup tier's blocking had no equivalent): ground truth = exact "
+    "shingle-Jaccard pairs with J >= 0.5 decided "
+    "by the integer cross-multiplication 3*inter >= na+nb (complete "
+    "by construction: a pair with J > 0 shares a shingle, so the "
+    "shared-shingle equi-join enumerates every truth pair — never "
+    "all-pairs), candidates = q44's banding. Reports truth/candidate/hit counts, recall and "
+    "precision against the J >= 0.5 bar (theory at J = 0.5: "
+    "1-(1-0.25^1)^4 per-pair capture — the observed recall pins the "
+    "banding's operating point). Exactness: every count is int64; "
+    "the two ratios are single rounded divisions. Scale: truth pair "
+    "space is bounded by the shared-shingle join; "
+    "candidate space by band buckets — both equi-joins, no quadratic "
+    "stage. At 100 TB this eval runs on a hash-sampled probe subset "
+    "(the q113 discipline); the registered form evaluates the full "
+    "corpus because the sf-sized truth set (25 planted pairs) is the "
+    "signal.",
+    tags=("dedup", "llm", "lsh", "eval", "recall", "scale"),
+)
+def q293_lsh_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ssh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
+    sz = ssh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ssh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ssh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    truth = (
+        inter.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    sig = _minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                (
+                    F.col(f"mh{2 * k}") * MERSENNE_P + F.col(f"mh{2 * k + 1}")
+                ).alias("bv"),
+            )
+            for k in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.expr(
+                "CAST(CASE WHEN n_truth > 0 THEN"
+                " round(1000.0 * n_hit / n_truth) ELSE 0 END AS BIGINT)"
+            ).alias("recall_milli"),
+            F.expr(
+                "CAST(CASE WHEN n_cand > 0 THEN"
+                " round(1000.0 * n_hit / n_cand) ELSE 0 END AS BIGINT)"
+            ).alias("precision_milli"),
+        )
+    )

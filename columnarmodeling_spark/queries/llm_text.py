@@ -4624,3 +4624,69 @@ def q285_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(round(CAST(sum_abs AS DOUBLE) / {_BD_M}) AS BIGINT)"
         ).alias("delta_milli"),
     ).orderBy("s1", "s2")
+
+
+# --- q294: keyword-in-context (KWIC) concordance -----------------------------
+
+_KWIC_TERMS = ("data", "row", "table")
+_KWIC_W = 2  # context tokens each side
+
+
+@register(
+    "q294_kwic_concordance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, tk, u.i
+      FROM toks,
+           LATERAL unnest(generate_series(1, len(tk))) AS u(i)
+      WHERE tk[i] IN {str(tuple(_KWIC_TERMS))})
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS term,
+           coalesce(array_to_string(
+             tk[greatest(i - {_KWIC_W}, 1):i - 1], ' '), '') AS left_ctx,
+           coalesce(array_to_string(
+             tk[i + 1:least(i + {_KWIC_W}, len(tk))], ' '), '') AS right_ctx
+    FROM pos
+    ORDER BY doc_id, pos
+    """,
+    doc="KEYWORD-IN-CONTEXT concordance — the corpus-inspection tool "
+    "every keyness hit (q280) gets pasted into: for each occurrence "
+    f"of the probe terms {_KWIC_TERMS} emit the 1-based token "
+    f"position and {_KWIC_W} tokens of context each side, so a "
+    "curator reads HOW a term is used, not just how often. ONE "
+    "tokenize scan; posexplode over the retained token array keeps "
+    "the context slices as in-row array ops (slice + array_join in "
+    "codegen — no self-join back to the document, no second scan); "
+    "the term filter collapses the fan-out to matching positions "
+    "only. Exactness: pure integer positions and string slices — "
+    "the engines agree exactly (window clamps via greatest/least "
+    "mirror DuckDB's inclusive 1-based list slicing). Scale: output "
+    "is occurrence-bounded; everything is per-row codegen after the "
+    "explode, no shuffle at all until the driver's presentation "
+    "sort.",
+    tags=("llm", "text", "kwic", "concordance", "scale"),
+)
+def q294_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    e = d.select(
+        "doc_id", "tk", F.posexplode("tk").alias("p0", "term")
+    ).where(F.col("term").isin(*_KWIC_TERMS))
+    w = _KWIC_W
+    return e.select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        "term",
+        F.expr(
+            f"array_join(slice(tk, greatest(p0 + 1 - {w}, 1),"
+            f" (p0 + 1 - 1) - greatest(p0 + 1 - {w}, 1) + 1), ' ')"
+        ).alias("left_ctx"),
+        F.expr(
+            f"array_join(slice(tk, p0 + 2,"
+            f" least(p0 + 1 + {w}, size(tk)) - (p0 + 2) + 1), ' ')"
+        ).alias("right_ctx"),
+    ).orderBy("doc_id", "pos")

@@ -756,3 +756,94 @@ def test_q285_burrows_delta_matches_replay(spark):
         )
         # Delta is a metric-like distance: non-negative, symmetric pairs
         assert r.delta_milli >= 0 and r.s1 < r.s2
+
+
+def test_q293_lsh_blocking_recall_matches_replay(spark):
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    (row,) = REGISTRY["q293_lsh_blocking_recall"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    P = 2147483647
+    # repo constants — import to stay in lockstep
+    from columnarmodeling_spark.queries.llm_dedup import MINHASH_AB as AB
+    sh = {}
+    for _, doc in docs.iterrows():
+        tk = [t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t]
+        sh[doc.doc_id] = {
+            " ".join(tk[i:i + 3]) for i in range(len(tk) - 2)
+        }
+    truth = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and 3 * inter >= len(sh[a]) + len(sh[b]):
+                truth.add((a, b))
+    sig = {}
+    for d, ss in sh.items():
+        us = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+            for s in ss
+        ]
+        sig[d] = (
+            [min((a * u + b) % P for u in us) for a, b in AB]
+            if us
+            else None
+        )
+    buckets = {}
+    for d, mh in sig.items():
+        if mh is None:
+            continue
+        for k in range(4):
+            buckets.setdefault(
+                (k, mh[2 * k] * P + mh[2 * k + 1]), []
+            ).append(d)
+    cand = set()
+    for mem in buckets.values():
+        for i, a in enumerate(sorted(mem)):
+            for b in sorted(mem)[i + 1:]:
+                cand.add((a, b))
+    hit = truth & cand
+    assert (row.n_truth, row.n_cand, row.n_hit) == (
+        len(truth), len(cand), len(hit),
+    )
+    assert row.n_truth > 0 and row.n_cand > 0  # non-trivial eval
+    want_r = round(1000.0 * len(hit) / len(truth)) if truth else 0
+    want_p = round(1000.0 * len(hit) / len(cand)) if cand else 0
+    assert (row.recall_milli, row.precision_milli) == (want_r, want_p)
+
+
+def test_q294_kwic_matches_replay(spark):
+    import re
+
+    import pandas as pd
+
+    rows = REGISTRY["q294_kwic_concordance"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    want = []
+    for _, doc in docs.iterrows():
+        tk = [t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t]
+        for i, term in enumerate(tk):
+            if term in ("data", "row", "table"):
+                want.append((
+                    doc.doc_id, i + 1, term,
+                    " ".join(tk[max(i - 2, 0):i]),
+                    " ".join(tk[i + 1:i + 3]),
+                ))
+    want.sort()
+    got = sorted(
+        (r.doc_id, r.pos, r.term, r.left_ctx, r.right_ctx) for r in rows
+    )
+    assert got == want
+    assert len(got) > 0
+    # boundary behavior: the first-token occurrences have empty left ctx
+    firsts = [g for g in got if g[1] == 1]
+    assert all(g[3] == "" for g in firsts)

@@ -797,6 +797,28 @@ CASES = {
     "is localCheckpointed at <=21 rows and the triangle "
     "interval join + min/max aggs all run on that bounded "
     "relation as broadcast joins.",
+    "q288_holt_segmented": "Segmented associative Holt smoothing "
+    "(q208's escape with a 2x2-matrix state). What to check: "
+    "same shape as q208 — per-(user, chunk) hash agg folds the "
+    "sorted event maps, per-user agg composes the bounded "
+    "chunk-map list; no window, no per-user global sort, state "
+    "bounded by one chunk of one user.",
+    "q289_degree_assortativity": "Newman degree assortativity. "
+    "What to check: degree agg + two equi-joins on the "
+    "checkpointed edge relation; the five moments fold in ONE "
+    "partial/final agg to a single row — both edge orientations "
+    "are analytic (no 2E-row union).",
+    "q291_mann_kendall": "Mann-Kendall trend test. What to "
+    "check: the pair join is keyed by event_type over the "
+    "CLOCK-BOUNDED hourly grid (the q268 shape); S, the tie "
+    "terms, and n fold in grouped aggs on that grid; z is one "
+    "row-level expression on the joined bounded relation.",
+    "q292_softening_bonds_3d": "Bilinear softening law through "
+    "the 3D breaking solver. What to check: identical plan "
+    "shape to q212 (one FlatMapCoGroupsInPandas per round, "
+    "3x3x3 halo via Generate+filter, ustate riding the "
+    "checkpointed bond relation) — only the in-kernel law "
+    "changes, which is the point of the force_law hook.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
@@ -1194,7 +1216,45 @@ def _q222_stream(spark, sf):
     )
 
 
+def _q290_stream(spark, sf):
+    """The pre-drain stateful plan of q290 (streaming MG heavy hitters)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from columnarmodeling_spark.functions.text import tokens
+    from columnarmodeling_spark.streaming.sources import documents_stream
+
+    sharded = (
+        documents_stream(spark, sf)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("tok"), F.lit(8)).cast("long")
+        )
+    )
+
+    def mg(key, pdfs, state: GroupState):
+        yield pd.DataFrame({"shard": [], "tok": []})
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        mg,
+        outputStructType="shard long, tok string",
+        stateStructType="toks array<string>, cnts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 ROUND_CASES = {
+    "q290_stream_heavy_hitters (pre-drain stateful plan)": (
+        "Streaming Misra-Gries heavy hitters (queries/streaming.py "
+        "q290). What to check: tokenize + explode + shard hash are "
+        "STATELESS stream projections; the only stateful operator is "
+        "FlatMapGroupsInPandasWithState keyed by the 8-way shard "
+        "(constant state: K counters per shard); no stream-side "
+        "shuffle beyond the shard hash partition.",
+        _q290_stream,
+    ),
     "q222_stream_decontamination (pre-drain plan)": (
         "Streaming decontamination screen (queries/streaming.py q222). "
         "What to check: every op upstream of the join is a STATELESS "
