@@ -4690,3 +4690,190 @@ def q294_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" least(p0 + 1 + {w}, size(tk)) - (p0 + 2) + 1), ' ')"
         ).alias("right_ctx"),
     ).orderBy("doc_id", "pos")
+
+
+# --- q295: held-out bigram perplexity per source ------------------------------
+
+
+@register(
+    "q295_heldout_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    tr_tok AS (
+      SELECT u.tok FROM toks,
+           UNNEST(tk) AS u(tok)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 10 <> 0),
+    vocab AS (SELECT DISTINCT tok FROM tr_tok),
+    vs AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM vocab),
+    tr_bg AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+      FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 10 <> 0
+      GROUP BY 1, 2),
+    tr_uni AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+      FROM tr_bg GROUP BY 1),
+    te_pos AS (
+      SELECT t.doc_id, t.source, u.i, tk[u.i] AS tok0
+      FROM toks t,
+           LATERAL unnest(generate_series(1, len(tk))) AS u(i)
+      WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 10 = 0),
+    te_tok AS (
+      SELECT p.doc_id, p.source, p.i,
+             CASE WHEN v.tok IS NULL THEN '<unk>' ELSE p.tok0 END AS tok,
+             CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM te_pos p LEFT JOIN vocab v ON v.tok = p.tok0),
+    te_bg AS (
+      SELECT a.source, a.tok AS w1, b.tok AS w2, a.oov + b.oov AS oov
+      FROM te_tok a JOIN te_tok b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    scored AS (
+      SELECT g.source, g.oov,
+             CAST(round(1000000.0 * ln(
+               (CAST(coalesce(bg.c12, 0) + 1 AS DOUBLE))
+               / (coalesce(un.c1, 0) + vs.v))) AS BIGINT) AS logp_micro
+      FROM te_bg g
+      CROSS JOIN vs
+      LEFT JOIN tr_bg bg ON bg.w1 = g.w1 AND bg.w2 = g.w2
+      LEFT JOIN tr_uni un ON un.w1 = g.w1)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN oov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_bigrams,
+           CAST(sum(logp_micro) AS BIGINT) AS sum_logp_micro,
+           CAST(round(1000.0 * exp(-(CAST(sum(logp_micro) AS DOUBLE)
+                / 1000000.0) / count(*))) AS BIGINT) AS ppl_milli
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="HELD-OUT BIGRAM PERPLEXITY per source — the eval-side LM "
+    "discipline q100's in-corpus scorer skips: train an add-one "
+    "bigram LM on a 90% md5-hash split (the q87 16-bit-uniform rule — "
+    "the modulus split correlates with the synthetic source "
+    "assignment and starves per-source rows), score the 10% held-out docs with unseen tokens "
+    "mapped to <unk> (vocab+1 smoothing mass), report per-source "
+    "perplexity — the number that says WHICH source's text the "
+    "corpus model explains worst (a drift/quality signal no "
+    "frequency ratio gives). Exactness: every ln((c12+1)/(c1+V)) is "
+    "quantized to integer micro-nats per test bigram BEFORE the "
+    "int64 sum (q100/q203 discipline); history counts c1 are the "
+    "bigram-table marginal (train-final tokens are never histories, "
+    "consistent on both engines); ppl is one exp on the exact "
+    "sums, rounded to milli. Scale: train tables are vocab-bounded "
+    "grouped aggs; test bigrams re-assemble via the (doc, pos) "
+    "offset equi-join (the q236 shape, fan-out exactly 1); scoring "
+    "is two equi-joins against broadcastable vocab-sized relations.",
+    tags=("llm", "text", "lm", "perplexity", "eval", "scale"),
+)
+def q295_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("tk")
+    )
+    split = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+        " AS BIGINT) % 10"
+    )
+    tr = d.where(split != 0)
+    vocab = (
+        tr.select(F.explode("tk").alias("tok")).distinct().localCheckpoint(
+            eager=False
+        )
+    )
+    vs = vocab.agg((F.count(F.lit(1)) + 1).cast("long").alias("v"))
+    tr_pos = tr.select(
+        "doc_id", F.posexplode("tk").alias("i", "tok")
+    )
+    tr_bg = (
+        tr_pos.alias("a")
+        .join(
+            tr_pos.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .groupBy(
+            F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    tr_uni = tr_bg.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    te_tok = (
+        d.where(split == 0)
+        .select("doc_id", "source", F.posexplode("tk").alias("i", "tok0"))
+        .join(
+            F.broadcast(vocab.withColumnRenamed("tok", "tok0")).withColumn(
+                "seen", F.lit(1)
+            ),
+            "tok0",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            F.when(F.col("seen").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("tok0"))
+            .alias("tok"),
+            F.when(F.col("seen").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("oov"),
+        )
+    )
+    te_bg = (
+        te_tok.alias("a")
+        .join(
+            te_tok.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.tok").alias("w1"),
+            F.col("b.tok").alias("w2"),
+            (F.col("a.oov") + F.col("b.oov")).alias("oov"),
+        )
+    )
+    scored = (
+        te_bg.crossJoin(F.broadcast(vs))
+        .join(F.broadcast(tr_bg), ["w1", "w2"], "left")
+        .join(F.broadcast(tr_uni), "w1", "left")
+        .select(
+            "source",
+            "oov",
+            F.expr(
+                "CAST(round(1000000.0 * ln("
+                " (CAST(coalesce(c12, 0) + 1 AS DOUBLE))"
+                " / (coalesce(c1, 0) + v))) AS BIGINT)"
+            ).alias("logp_micro"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("oov") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov_bigrams"),
+            F.sum("logp_micro").cast("long").alias("sum_logp_micro"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "n_oov_bigrams",
+            "sum_logp_micro",
+            F.expr(
+                "CAST(round(1000.0 * exp(-(CAST(sum_logp_micro AS DOUBLE)"
+                " / 1000000.0) / n_bigrams)) AS BIGINT)"
+            ).alias("ppl_milli"),
+        )
+        .orderBy("source")
+    )

@@ -847,3 +847,60 @@ def test_q294_kwic_matches_replay(spark):
     # boundary behavior: the first-token occurrences have empty left ctx
     firsts = [g for g in got if g[1] == 1]
     assert all(g[3] == "" for g in firsts)
+
+
+def test_q295_heldout_perplexity_matches_replay(spark):
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    rows = REGISTRY["q295_heldout_perplexity"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def split(doc_id):
+        return int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16
+        ) % 10
+
+    tr_bg, vocab = Counter(), set()
+    te = []
+    for _, doc in docs.iterrows():
+        tk = [t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t]
+        if split(doc.doc_id) != 0:
+            vocab.update(tk)
+            tr_bg.update(zip(tk, tk[1:]))
+        else:
+            te.append((doc.source, tk))
+    tr_uni = Counter()
+    for (w1, _), c in tr_bg.items():
+        tr_uni[w1] += c
+    v = len(vocab) + 1
+    per = {}
+    for source, tk in te:
+        mapped = [
+            (w if w in vocab else "<unk>", 0 if w in vocab else 1)
+            for w in tk
+        ]
+        for (w1, o1), (w2, o2) in zip(mapped, mapped[1:]):
+            lp = round(
+                1000000.0 * math.log(
+                    (tr_bg.get((w1, w2), 0) + 1)
+                    / (tr_uni.get(w1, 0) + v)
+                )
+            )
+            n, oo, s = per.get(source, (0, 0, 0))
+            per[source] = (n + 1, oo + (1 if o1 + o2 > 0 else 0), s + lp)
+    got = {r.source: r for r in rows}
+    assert sorted(got) == sorted(per)
+    for src_, (n, oo, s) in per.items():
+        r = got[src_]
+        assert (r.n_bigrams, r.n_oov_bigrams, r.sum_logp_micro) == (n, oo, s)
+        want = round(1000.0 * math.exp(-(s / 1000000.0) / n))
+        assert r.ppl_milli == want
+        # add-one smoothed perplexity is bounded by vocab+1 (uniform)
+        assert 1000 <= r.ppl_milli <= 1000 * v
