@@ -2966,3 +2966,92 @@ def q275_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_score long",
     )
     return out.orderBy("rank")
+
+
+# --- q296: scalar int8 (SQ8) quantization distortion eval --------------------
+
+
+@register(
+    "q296_sq8_distortion",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, u.i, embedding[u.i] AS x
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS u(i)),
+    st AS (
+      SELECT i, min(x) AS mn, max(x) AS mx
+      FROM dims GROUP BY i),
+    q AS (
+      SELECT d.vec_id,
+             CASE WHEN st.mx > st.mn THEN
+               CAST(round(1000000000000.0
+                 * (CAST(d.x AS DOUBLE)
+                    - (CAST(st.mn AS DOUBLE)
+                       + round((CAST(d.x AS DOUBLE) - st.mn)
+                               / ((CAST(st.mx AS DOUBLE) - st.mn) / 255.0))
+                         * ((CAST(st.mx AS DOUBLE) - st.mn) / 255.0)))
+                 * (CAST(d.x AS DOUBLE)
+                    - (CAST(st.mn AS DOUBLE)
+                       + round((CAST(d.x AS DOUBLE) - st.mn)
+                               / ((CAST(st.mx AS DOUBLE) - st.mn) / 255.0))
+                         * ((CAST(st.mx AS DOUBLE) - st.mn) / 255.0))))
+                 AS BIGINT)
+             ELSE 0 END AS err_pico
+      FROM dims d JOIN st ON st.i = d.i)
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(err_pico) AS BIGINT) AS sq_err_pico
+    FROM q
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    doc="SCALAR INT8 (SQ8) QUANTIZATION distortion eval — the 4x "
+    "compression every serving-side vector store tries FIRST, "
+    "before PQ (q123/q124) or residual VQ (q198): per-dimension "
+    "min/max from one corpus pass, each value snapped to one of 256 "
+    "levels (code = round((x-mn)/scale), reconstruction mn + "
+    "code*scale), and the per-vector squared reconstruction error "
+    "reported in integer pico units — the table a capacity planner "
+    "reads against q124's ADC recall before picking a codec. "
+    "Exactness: min/max are exact float comparisons; the error "
+    "expression is a single shared-shape IEEE chain on (x, mn, mx), "
+    "quantized to int64 pico PER DIMENSION before the per-vector "
+    "sum (order-free); constant dimensions quantize to zero error "
+    "(guard). Scale: one posexplode pass + a 64-row broadcast stats "
+    "relation; everything stays in codegen — no UDF, no pair space. "
+    "Caveat: pico quantization is sized to SQ8's error scale "
+    "((range/510)^2 per dim); ~1e-6-relative products stay well "
+    "inside 2^53.",
+    tags=("llm", "similarity", "quantization", "sq8", "eval", "scale"),
+)
+def q296_sq8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    )
+    st = dims.groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    rec = (
+        "(CAST(mn AS DOUBLE)"
+        " + round((CAST(x AS DOUBLE) - mn)"
+        " / ((CAST(mx AS DOUBLE) - mn) / 255.0))"
+        " * ((CAST(mx AS DOUBLE) - mn) / 255.0))"
+    )
+    q = dims.join(F.broadcast(st), "i").select(
+        "vec_id",
+        F.expr(
+            f"CASE WHEN mx > mn THEN"
+            f" CAST(round(1000000000000.0"
+            f" * (CAST(x AS DOUBLE) - {rec})"
+            f" * (CAST(x AS DOUBLE) - {rec})) AS BIGINT)"
+            f" ELSE 0 END"
+        ).alias("err_pico"),
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum("err_pico").cast("long").alias("sq_err_pico"),
+        )
+        .orderBy("vec_id")
+    )

@@ -2621,3 +2621,78 @@ def q291_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("z_milli"),
     ).orderBy("event_type")
+
+
+# --- q297: time-decayed feature aggregates ------------------------------------
+
+_DECAY_HL_US = 86_400_000_000  # 24h half-life in epoch-micros
+
+
+@register(
+    "q297_time_decayed_features",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    ref AS (SELECT max(us) AS t FROM ev),
+    w AS (
+      SELECT user_id,
+             CAST(round(1000000.0
+               * exp(-0.6931471805599453 * (CAST(t - us AS DOUBLE)
+                     / {_DECAY_HL_US}))) AS BIGINT) AS w_micro,
+             CAST(round(1000000.0
+               * (exp(-0.6931471805599453 * (CAST(t - us AS DOUBLE)
+                      / {_DECAY_HL_US})) * value)) AS BIGINT) AS wv_micro
+      FROM ev CROSS JOIN ref)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w_micro) AS BIGINT) AS decayed_count_micro,
+           CAST(sum(wv_micro) AS BIGINT) AS decayed_value_micro
+    FROM w
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="TIME-DECAYED feature aggregates — the feature-store staple "
+    "(recency-weighted activity at a reference instant, 24h "
+    "half-life): unlike q194/q208's EVENT-indexed EWMA, the decay "
+    "here is WALL-CLOCK anchored (exp(-ln2 * age / halflife) at the "
+    "corpus max timestamp), so two users with identical event "
+    "sequences but different timing get different features — the "
+    "churn/recency signal batch counts can't express. Exactness: "
+    "ages are exact int64 micros; each event's weight and "
+    "weighted-value are quantized to micro int64 BEFORE the "
+    "user-level sums (one exp per event on identical int64 inputs — "
+    "both engines evaluate the same IEEE chain; ln 2 is embedded as "
+    "the same 17-digit literal); sums are exact. Scale: one scan, "
+    "one broadcast scalar (the reference time), one user-keyed "
+    "map-side-combinable agg — no window, no state.",
+    tags=("timeseries", "decay", "features", "scale"),
+)
+def q297_time_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    ref = ev.agg(F.max("us").alias("t"))
+    w = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.expr(
+            f"CAST(round(1000000.0"
+            f" * exp(-0.6931471805599453 * (CAST(t - us AS DOUBLE)"
+            f" / {_DECAY_HL_US}))) AS BIGINT)"
+        ).alias("w_micro"),
+        F.expr(
+            f"CAST(round(1000000.0"
+            f" * (exp(-0.6931471805599453 * (CAST(t - us AS DOUBLE)"
+            f" / {_DECAY_HL_US})) * value)) AS BIGINT)"
+        ).alias("wv_micro"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("w_micro").cast("long").alias("decayed_count_micro"),
+            F.sum("wv_micro").cast("long").alias("decayed_value_micro"),
+        )
+        .orderBy("user_id")
+    )

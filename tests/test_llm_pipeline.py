@@ -904,3 +904,46 @@ def test_q295_heldout_perplexity_matches_replay(spark):
         assert r.ppl_milli == want
         # add-one smoothed perplexity is bounded by vocab+1 (uniform)
         assert 1000 <= r.ppl_milli <= 1000 * v
+
+
+def test_q296_sq8_distortion_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    rows = REGISTRY["q296_sq8_distortion"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # exact float32 -> float64 widening, matching both engines' CASTs
+    # (numpy float32 intermediates would differ in the 7th digit)
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding] for _, r in emb.iterrows()
+    }
+    n_dim = len(next(iter(vecs.values())))
+    mn = [min(v[i] for v in vecs.values()) for i in range(n_dim)]
+    mx = [max(v[i] for v in vecs.values()) for i in range(n_dim)]
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    want = {}
+    for vid, v in vecs.items():
+        s = 0
+        for i in range(n_dim):
+            if mx[i] > mn[i]:
+                scale = (mx[i] - mn[i]) / 255.0
+                rec = mn[i] + rnd((v[i] - mn[i]) / scale) * scale
+                s += rnd(1e12 * (v[i] - rec) * (v[i] - rec))
+        want[vid] = s
+    got = {r.vec_id: r for r in rows}
+    assert sorted(got) == sorted(want)
+    for vid, r in got.items():
+        assert r.n_dims == n_dim
+        assert r.sq_err_pico == want[vid], vid
+        # each dim errs at most (scale/2)^2; bound the vector total
+        bound = sum(
+            rnd(1e12 * ((mx[i] - mn[i]) / 510.0) ** 2) + 1
+            for i in range(n_dim)
+        )
+        assert 0 <= r.sq_err_pico <= bound

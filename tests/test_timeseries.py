@@ -597,3 +597,36 @@ def test_q291_mann_kendall_matches_replay(spark):
         assert (r.n, r.s, r.var18, r.z_milli) == (n, s, var18, z), ty
         # |S| is bounded by the number of pairs
         assert abs(r.s) <= n * (n - 1) // 2
+
+
+def test_q297_time_decayed_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    rows = REGISTRY["q297_time_decayed_features"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    HL = 86_400_000_000
+    LN2 = 0.6931471805599453
+    us = [e.ts.value // 1000 for _, e in ev.iterrows()]
+    t = max(us)
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    per = {}
+    for (_, e), u in zip(ev.iterrows(), us):
+        wm = rnd(1000000.0 * math.exp(-LN2 * ((t - u) / HL)))
+        wv = rnd(1000000.0 * (math.exp(-LN2 * ((t - u) / HL)) * e.value))
+        n, c, v = per.get(e.user_id, (0, 0, 0))
+        per[e.user_id] = (n + 1, c + wm, v + wv)
+    got = {r.user_id: r for r in rows}
+    assert sorted(got) == sorted(per)
+    for uid, (n, c, v) in per.items():
+        r = got[uid]
+        assert (r.n_events, r.decayed_count_micro,
+                r.decayed_value_micro) == (n, c, v), uid
+        # each weight is in (0, 1]: decayed count <= raw count
+        assert 0 <= r.decayed_count_micro <= 1000000 * r.n_events

@@ -819,6 +819,23 @@ CASES = {
     "3x3x3 halo via Generate+filter, ustate riding the "
     "checkpointed bond relation) — only the in-kernel law "
     "changes, which is the point of the force_law hook.",
+    "q293_lsh_blocking_recall": "LSH blocking recall eval. What "
+    "to check: the truth pair space comes ONLY from the "
+    "shared-shingle equi-join, the candidate space ONLY from "
+    "the band-bucket equi-join — no quadratic stage anywhere; "
+    "the three counts fold to one row via scalar aggs on "
+    "checkpointed bounded relations.",
+    "q294_kwic_concordance": "Keyword-in-context concordance. "
+    "What to check: ONE tokenize scan; posexplode retains the "
+    "token array so context slices are in-row codegen "
+    "(slice + array_join) — no self-join back to documents, no "
+    "shuffle before the presentation sort.",
+    "q295_heldout_perplexity": "Held-out bigram perplexity. "
+    "What to check: train bigram/unigram tables are "
+    "vocab-bounded hash aggs; test bigrams re-assemble via the "
+    "(doc, pos) offset equi-join; scoring joins broadcast the "
+    "vocab-sized LM tables; per-source fold is one "
+    "partial/final agg.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
