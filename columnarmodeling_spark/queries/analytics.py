@@ -4913,3 +4913,108 @@ def q287_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c")
     )
+
+
+# --- q298: weight-of-evidence / information value ------------------------------
+
+_WOE_BINS = 10
+
+
+@register(
+    "q298_woe_iv",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    rk AS (
+      SELECT doc_id, n_chars, y,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM d),
+    binned AS (
+      SELECT CAST((rn - 1) * {_WOE_BINS} // n AS BIGINT) AS bin, y
+      FROM rk),
+    per AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS g,
+             CAST(count(*) - sum(y) AS BIGINT) AS b
+      FROM binned GROUP BY bin),
+    tot AS (
+      SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt
+      FROM per)
+    SELECT bin, per.n, g, b,
+           CAST(round(1000000.0 * ln(((CAST(g AS DOUBLE) + 0.5) / gt)
+                / ((CAST(b AS DOUBLE) + 0.5) / bt))) AS BIGINT)
+             AS woe_micro,
+           CAST(round(1000000.0 * (((CAST(g AS DOUBLE) + 0.5) / gt)
+                - ((CAST(b AS DOUBLE) + 0.5) / bt))
+                * round(1000000.0 * ln(((CAST(g AS DOUBLE) + 0.5) / gt)
+                / ((CAST(b AS DOUBLE) + 0.5) / bt))) / 1000000.0)
+             AS BIGINT) AS iv_contrib_micro
+    FROM per CROSS JOIN tot
+    ORDER BY bin
+    """,
+    doc="WEIGHT OF EVIDENCE / INFORMATION VALUE of document length "
+    "for the lang=en target — the credit-scoring-style predictive- "
+    "power screen a feature pipeline runs before q286's logistic "
+    "fit (IV < 0.02: drop the feature; > 0.3: strong): equi-depth "
+    "decile bins by the deterministic total order (n_chars, "
+    "doc_id), per-bin WoE = ln((g/G)/(b/B)) with the standard "
+    "0.5-cell adjustment (zero-cell safe), and the per-bin IV "
+    "contribution. Exactness: bin = (rn-1)*10 DIV n on exact "
+    "int64 ranks (no NTILE — its tie placement is not pinned "
+    "across engines); WoE is micro-quantized from the shared "
+    "double chain; the IV product re-uses the ALREADY-QUANTIZED "
+    "WoE (so both engines multiply the identical int64). Scale: "
+    "the rank here is one window; the registered escape is the "
+    "two-pass global index of q165/q167 (operators/indexing), "
+    "which this query uses on the Spark side — everything after "
+    "is arithmetic on {_WOE_BINS} rows.",
+    tags=("analytics", "woe", "iv", "binning", "scale"),
+)
+def q298_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    rk = with_global_index(d, ["n_chars", "doc_id"], index_col="rn")
+    n_tot = rk.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    binned = rk.crossJoin(F.broadcast(n_tot)).select(
+        F.expr(f"CAST((rn - 1) * {_WOE_BINS} DIV n AS BIGINT)").alias("bin"),
+        "y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("g"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("b"),
+    )
+    tot = per.agg(
+        F.sum("g").cast("long").alias("gt"),
+        F.sum("b").cast("long").alias("bt"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "g",
+            "b",
+            F.expr(
+                "CAST(round(1000000.0 * ln(((CAST(g AS DOUBLE) + 0.5) / gt)"
+                " / ((CAST(b AS DOUBLE) + 0.5) / bt))) AS BIGINT)"
+            ).alias("woe_micro"),
+            F.expr(
+                "CAST(round(1000000.0 * (((CAST(g AS DOUBLE) + 0.5) / gt)"
+                " - ((CAST(b AS DOUBLE) + 0.5) / bt))"
+                " * round(1000000.0 * ln(((CAST(g AS DOUBLE) + 0.5) / gt)"
+                " / ((CAST(b AS DOUBLE) + 0.5) / bt))) / 1000000.0)"
+                " AS BIGINT)"
+            ).alias("iv_contrib_micro"),
+        )
+        .orderBy("bin")
+    )

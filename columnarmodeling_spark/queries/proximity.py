@@ -1519,3 +1519,96 @@ def q289_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("r_milli"),
     )
+
+
+# --- q299: local clustering coefficient ---------------------------------------
+
+
+@register(
+    "q299_clustering_coefficient",
+    oracle=f"""
+    WITH pts AS ({_POINTS_SQL}),
+    e AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < {_EPS}),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+      GROUP BY id),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    pertri AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS tri
+      FROM (SELECT a AS id FROM tri
+            UNION ALL SELECT b AS id FROM tri
+            UNION ALL SELECT c AS id FROM tri)
+      GROUP BY id)
+    SELECT d.id, d.degree,
+           CAST(coalesce(p.tri, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.degree >= 2 THEN
+                round(1000.0 * (2 * coalesce(p.tri, 0))
+                      / (CAST(d.degree AS DOUBLE) * (d.degree - 1)))
+                ELSE 0 END AS BIGINT) AS cc_milli
+    FROM deg d LEFT JOIN pertri p ON p.id = d.id
+    ORDER BY d.id
+    """,
+    doc="LOCAL CLUSTERING COEFFICIENT per node — the per-node "
+    "companion of q128's global triangle count (q128 says how many "
+    "triangles the graph has; this says WHICH nodes sit in tight "
+    "cliques vs bridge positions — the feature community detectors "
+    "and fraud screens read): cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)). "
+    "Triangles enumerate via the src<dst-oriented two-join (each "
+    "triangle found exactly once as a<b<c, each corner credited via "
+    "the three-way union); degrees from the symmetrized edge agg. "
+    "Exactness: triangle and degree counts are exact int64; cc is "
+    "one double division rounded to milli, deg<2 guard returns 0. "
+    "Scale: the wedge join fans out by adjacency, not all-pairs; at "
+    "power-law skew the q128 degree-orientation escape applies "
+    "verbatim (orient edges low-degree -> high-degree before the "
+    "wedge join) — the native src<dst orientation is kept here for "
+    "oracle parity on the near-uniform bond graph.",
+    tags=("graph", "triangles", "clustering", "proximity", "scale"),
+)
+def q299_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pertri = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return (
+        deg.join(pertri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("tri", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN degree >= 2 THEN"
+                " round(1000.0 * (2 * coalesce(tri, 0))"
+                " / (CAST(degree AS DOUBLE) * (degree - 1)))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("cc_milli"),
+        )
+        .orderBy("id")
+    )

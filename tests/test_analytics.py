@@ -2630,3 +2630,92 @@ def test_q287_isotonic_matches_replay_and_pav(spark):
     tot_s = sum(s for _, s in bins.values())
     wm = sum(bins[r.c][0] * r.fitted_micro for r in rows) / tot_n
     assert abs(wm - 1000000.0 * tot_s / tot_n) <= len(cs)
+
+
+def test_q298_woe_iv_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q298_woe_iv"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ranked = sorted(
+        (int(r.n_chars), int(r.doc_id), 1 if r.lang == "en" else 0)
+        for _, r in docs.iterrows()
+    )
+    n = len(ranked)
+    bins = {}
+    for rn, (_, _, y) in enumerate(ranked, 1):
+        b = (rn - 1) * 10 // n
+        cnt, g = bins.get(b, (0, 0))
+        bins[b] = (cnt + 1, g + y)
+    gt = sum(g for _, g in bins.values())
+    bt = sum(cnt - g for cnt, g in bins.values())
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    got = {r.bin: r for r in rows}
+    assert sorted(got) == sorted(bins)
+    iv_total = 0
+    for b, (cnt, g) in bins.items():
+        bad = cnt - g
+        woe = rnd(1000000.0 * math.log(((g + 0.5) / gt) / ((bad + 0.5) / bt)))
+        iv = rnd(
+            1000000.0 * (((g + 0.5) / gt) - ((bad + 0.5) / bt))
+            * woe / 1000000.0
+        )
+        r = got[b]
+        assert (r.n, r.g, r.b, r.woe_micro, r.iv_contrib_micro) == (
+            cnt, g, bad, woe, iv,
+        ), b
+        iv_total += iv
+        # IV contributions are non-negative by construction:
+        # (p_g - p_b) and ln(p_g/p_b) always share a sign
+        assert iv >= 0
+    assert iv_total >= 0
+
+
+def test_q299_clustering_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q299_clustering_coefficient"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    c = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    pts = [
+        (int(r.c_custkey), float(r.c_acctbal), (int(r.c_custkey) % 97) * 25.0)
+        for _, r in c.iterrows()
+    ]
+    adj = {}
+    ids = [p[0] for p in pts]
+    for i, a in enumerate(pts):
+        for b in pts[i + 1:]:
+            if math.sqrt((a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2) < 30.0:
+                adj.setdefault(a[0], set()).add(b[0])
+                adj.setdefault(b[0], set()).add(a[0])
+    tri = {v: 0 for v in adj}
+    for v in adj:
+        for u in adj[v]:
+            if u > v:
+                for w in adj[v] & adj[u]:
+                    if w > u:
+                        tri[v] += 1
+                        tri[u] += 1
+                        tri[w] += 1
+    got = {r.id: r for r in rows}
+    assert sorted(got) == sorted(adj)
+    for v, r in got.items():
+        d = len(adj[v])
+        cc = round(1000.0 * 2 * tri[v] / (d * (d - 1))) if d >= 2 else 0
+        assert (r.degree, r.n_triangles, r.cc_milli) == (d, tri[v], cc), v
+        # cc is a fraction of realized wedges
+        assert 0 <= r.cc_milli <= 1000

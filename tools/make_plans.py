@@ -836,6 +836,16 @@ CASES = {
     "(doc, pos) offset equi-join; scoring joins broadcast the "
     "vocab-sized LM tables; per-source fold is one "
     "partial/final agg.",
+    "q296_sq8_distortion": "SQ8 quantization distortion eval. "
+    "What to check: one posexplode pass; the 64-row per-dim "
+    "stats relation joins back as a BroadcastHashJoin; the "
+    "error chain is pure codegen, no UDF; per-vector fold is a "
+    "partial/final hash agg.",
+    "q297_time_decayed_features": "Wall-clock time-decay "
+    "features. What to check: one events scan; the reference "
+    "instant enters as a one-row broadcast (BNLJ of a scalar); "
+    "per-event exp stays in codegen; the user-keyed agg is "
+    "map-side combinable — no window, no state.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
