@@ -5018,3 +5018,137 @@ def q298_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- q300: split-conformal coverage eval --------------------------------------
+
+
+@register(
+    "q300_conformal_coverage",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             50 * least(20, CAST(sum(CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END) AS BIGINT)) AS p_milli,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END)
+                   > sum(CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END)
+                  THEN 1000 ELSE 0 END AS o_milli,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 2 AS grp
+      FROM events GROUP BY user_id),
+    a AS (SELECT grp, abs(o_milli - p_milli) AS a FROM u),
+    ncal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal
+      FROM a WHERE grp = 0),
+    dist AS (
+      SELECT a, count(*) AS c,
+             sum(count(*)) OVER (ORDER BY a) AS cum
+      FROM a WHERE grp = 0 GROUP BY a),
+    qh AS (
+      SELECT min(a) AS q_hat
+      FROM dist, ncal
+      WHERE cum >= CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)),
+    ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(CASE WHEN a.a <= qh.q_hat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM a CROSS JOIN qh WHERE grp = 1)
+    SELECT ncal.n_cal, ev.n_eval, CAST(qh.q_hat AS BIGINT) AS q_hat_milli,
+           ev.n_covered,
+           CAST(round(1000.0 * ev.n_covered / ev.n_eval) AS BIGINT)
+             AS coverage_milli
+    FROM ncal CROSS JOIN qh CROSS JOIN ev
+    """,
+    doc="SPLIT-CONFORMAL COVERAGE eval of the q276 forecast frame — "
+    "the distribution-free calibration check that turns any score "
+    "into a coverage guarantee: nonconformity a = |outcome - "
+    "forecast| in exact milli units, the 90% conformal quantile "
+    "q_hat = the ceil(0.9*(n+1))-th smallest a on an md5-hash "
+    "calibration split, and the empirical coverage P[a <= q_hat] on "
+    "the disjoint eval split (marginal validity >= 90% in "
+    "expectation over splits — the number a forecast consumer "
+    "audits). Exactness: a takes <= 42 distinct values (o in {0,1}, "
+    "p in {0..20}/20), so the order statistic folds to a BOUNDED "
+    "distribution relation and the cumulative window runs on it — "
+    "never a global sort of users; all counts int64, one rounded "
+    "division. Scale: the user-keyed agg is the only corpus-sized "
+    "work (the q276/q287 shape); everything conformal runs on the "
+    "bounded a-distribution.",
+    tags=("analytics", "conformal", "calibration", "eval", "scale"),
+)
+def q300_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.lit(50)
+                * F.least(
+                    F.lit(20).cast("long"),
+                    F.count(
+                        F.when(F.col("event_type") == "click", 1)
+                    ).cast("long"),
+                )
+            ).alias("p_milli"),
+            F.when(
+                F.count(F.when(F.col("event_type") == "purchase", 1))
+                > F.count(F.when(F.col("event_type") == "click", 1)),
+                F.lit(1000),
+            )
+            .otherwise(F.lit(0))
+            .alias("o_milli"),
+        )
+        .withColumn(
+            "grp",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4),"
+                " 16, 10) AS BIGINT) % 2"
+            ),
+        )
+    )
+    a = u.select(
+        "grp", F.abs(F.col("o_milli") - F.col("p_milli")).alias("a")
+    ).localCheckpoint(eager=False)
+    cal = a.where(F.col("grp") == 0)
+    ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    # the cumulative window runs on the <=42-row bounded distribution
+    dist = (
+        cal.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(Window.orderBy("a")))
+    )
+    qh = (
+        dist.crossJoin(F.broadcast(ncal))
+        .where(
+            F.col("cum")
+            >= F.expr("CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)")
+        )
+        .agg(F.min("a").alias("q_hat"))
+    )
+    ev = (
+        a.where(F.col("grp") == 1)
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("a") <= F.col("q_hat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        ncal.crossJoin(F.broadcast(qh))
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "n_cal",
+            "n_eval",
+            F.col("q_hat").cast("long").alias("q_hat_milli"),
+            "n_covered",
+            F.expr(
+                "CAST(round(1000.0 * n_covered / n_eval) AS BIGINT)"
+            ).alias("coverage_milli"),
+        )
+    )

@@ -2696,3 +2696,89 @@ def q297_time_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- q301: trailing 7-day distinct users --------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "q301_trailing_distinct_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id
+      FROM events),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM du),
+    contrib AS (
+      SELECT DISTINCT du.day + j.j AS day, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS j) j
+      CROSS JOIN b
+      WHERE du.day + j.j <= b.hi),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS wau7
+      FROM contrib GROUP BY day),
+    grid AS (
+      SELECT g.day FROM b,
+           LATERAL unnest(generate_series(b.lo, b.hi)) AS g(day))
+    SELECT grid.day - b.lo AS day_index,
+           CAST(coalesce(daily.wau7, 0) AS BIGINT) AS wau7
+    FROM grid CROSS JOIN b LEFT JOIN daily ON daily.day = grid.day
+    ORDER BY day_index
+    """,
+    doc="TRAILING 7-DAY DISTINCT USERS per day (the WAU curve) — the "
+    "canonical sliding-window DISTINCT, which no window function "
+    "computes (count(distinct) over a RANGE frame re-scans the frame "
+    "per row): each (day, user) first-class pair CONTRIBUTES ITSELF "
+    "to the 7 trailing windows it falls in (a bounded explode of "
+    "exactly 7), and a second distinct + count per target day "
+    "finishes the job — two dedup aggs and one 7-way fan-out, "
+    "never a per-day rescan. Exactness: pure int64 day arithmetic "
+    "and counts (div truncation consistent on both engines for the "
+    "positive epoch range, the q208 probe). Days with no activity "
+    "in their trailing week report 0 via the clock-bounded grid. "
+    "Scale: the fan-out is a fixed x7 on the ALREADY-DEDUPED "
+    "(day, user) relation (<< raw events); both dedups are "
+    "map-side-combinable hash aggs keyed by (day, user); the grid "
+    "is clock-bounded.",
+    tags=("timeseries", "distinct", "sliding-window", "wau", "scale"),
+)
+def q301_trailing_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    du = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                f"div(unix_micros(cast(ts AS timestamp)), {_DAY_US})"
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    b = du.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = (
+        du.select(
+            F.explode(F.expr("sequence(day, day + 6)")).alias("day"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(b))
+        .where(F.col("day") <= F.col("hi"))
+        .select("day", "user_id", "lo")
+        .distinct()
+    )
+    daily = contrib.groupBy("day", "lo").agg(
+        F.count(F.lit(1)).cast("long").alias("wau7")
+    )
+    grid = b.select(
+        "lo", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return (
+        grid.join(daily, ["day", "lo"], "left")
+        .select(
+            (F.col("day") - F.col("lo")).alias("day_index"),
+            F.coalesce("wau7", F.lit(0)).cast("long").alias("wau7"),
+        )
+        .orderBy("day_index")
+    )

@@ -2719,3 +2719,41 @@ def test_q299_clustering_matches_replay(spark):
         assert (r.degree, r.n_triangles, r.cc_milli) == (d, tri[v], cc), v
         # cc is a fraction of realized wedges
         assert 0 <= r.cc_milli <= 1000
+
+
+def test_q300_conformal_coverage_matches_replay(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    (row,) = REGISTRY["q300_conformal_coverage"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    per = {}
+    for _, e in ev.iterrows():
+        d = per.setdefault(e.user_id, Counter())
+        d[e.event_type] += 1
+    cal, evl = [], []
+    for uid, d in per.items():
+        p = 50 * min(20, d["click"])
+        o = 1000 if d["purchase"] > d["click"] else 0
+        a = abs(o - p)
+        grp = int(
+            hashlib.md5(str(uid).encode()).hexdigest()[:4], 16
+        ) % 2
+        (cal if grp == 0 else evl).append(a)
+    cal.sort()
+    k = math.ceil(0.9 * (len(cal) + 1))
+    q_hat = cal[k - 1]
+    covered = sum(1 for a in evl if a <= q_hat)
+    assert (row.n_cal, row.n_eval, row.q_hat_milli, row.n_covered) == (
+        len(cal), len(evl), q_hat, covered,
+    )
+    assert row.coverage_milli == round(1000.0 * covered / len(evl))
+    # q_hat is an observed nonconformity value, bounded by the scale
+    assert 0 <= row.q_hat_milli <= 1000

@@ -630,3 +630,28 @@ def test_q297_time_decayed_matches_replay(spark):
                 r.decayed_value_micro) == (n, c, v), uid
         # each weight is in (0, 1]: decayed count <= raw count
         assert 0 <= r.decayed_count_micro <= 1000000 * r.n_events
+
+
+def test_q301_trailing_distinct_matches_replay(spark):
+    import pandas as pd
+
+    rows = REGISTRY["q301_trailing_distinct_users"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    D = 86_400_000_000
+    du = {(e.ts.value // 1000 // D, e.user_id) for _, e in ev.iterrows()}
+    days = [d for d, _ in du]
+    lo, hi = min(days), max(days)
+    want = {}
+    for d in range(lo, hi + 1):
+        want[d - lo] = len(
+            {u for (dd, u) in du if d - 6 <= dd <= d}
+        )
+    got = {r.day_index: r.wau7 for r in rows}
+    assert got == want
+    # WAU7 dominates any single day's DAU
+    dau = {}
+    for dd, u in du:
+        dau[dd - lo] = dau.get(dd - lo, 0) + 1
+    assert all(got[i] >= dau.get(i, 0) for i in got)

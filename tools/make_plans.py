@@ -846,6 +846,17 @@ CASES = {
     "instant enters as a one-row broadcast (BNLJ of a scalar); "
     "per-event exp stays in codegen; the user-keyed agg is "
     "map-side combinable — no window, no state.",
+    "q298_woe_iv": "WoE / information value screen. What to "
+    "check: the rank comes from the two-pass global index "
+    "(range partition + per-partition row_number + broadcast "
+    "offsets — NO single-partition window); the bin fold and "
+    "everything after run on 10 rows.",
+    "q299_clustering_coefficient": "Local clustering "
+    "coefficient. What to check: triangle enumeration is two "
+    "equi-joins on the checkpointed src<dst edge relation "
+    "(adjacency fan-out, no all-pairs); corner credit is three "
+    "unions into one hash agg; cc is row-level arithmetic on "
+    "the degree left-join.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
