@@ -4699,10 +4699,26 @@ _LR_LL = (
 )
 
 
-@register(
-    "q286_irls_logistic",
-    oracle=f"""
-    WITH base AS (
+def _irls_weights(spark: SparkSession, base: DataFrame) -> DataFrame:
+    """Two Newton steps from w = 0 on the shared templates; returns the
+    one-row (w0, w1, w2) micro-int64 weight relation."""
+    w = spark.range(1).selectExpr(
+        "CAST(0 AS BIGINT) AS w0", "CAST(0 AS BIGINT) AS w1",
+        "CAST(0 AS BIGINT) AS w2",
+    )
+    for _ in range(2):
+        c = base.crossJoin(F.broadcast(w)).selectExpr(
+            *_split_top(_lr_contribs())
+        )
+        s = c.selectExpr(*_split_top(_LR_SUMS))
+        w = s.crossJoin(F.broadcast(w)).selectExpr(*_split_top(_lr_solve()))
+    return w
+
+
+def _lr_chain_sql() -> str:
+    """The two-step IRLS fit as a CTE chain ending in w_2 — shared by
+    q286 (reports the fit) and q303 (mines with it)."""
+    return f"""base AS (
       SELECT {_LR_X} FROM documents),
     w_init AS (
       SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
@@ -4720,7 +4736,13 @@ _LR_LL = (
     s2 AS (SELECT {_LR_SUMS} FROM c2),
     w_2 AS (
       SELECT {_lr_solve()}
-      FROM s2 CROSS JOIN w_1),
+      FROM s2 CROSS JOIN w_1)"""
+
+
+@register(
+    "q286_irls_logistic",
+    oracle=f"""
+    WITH {_lr_chain_sql()},
     ll AS (
       SELECT {_LR_LL}
       FROM base CROSS JOIN w_2)
@@ -4752,16 +4774,7 @@ _LR_LL = (
 )
 def q286_irls_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t(spark, sf_dir, "documents").selectExpr(*_split_top(_LR_X))
-    w = spark.range(1).selectExpr(
-        "CAST(0 AS BIGINT) AS w0", "CAST(0 AS BIGINT) AS w1",
-        "CAST(0 AS BIGINT) AS w2",
-    )
-    for _ in range(2):
-        c = base.crossJoin(F.broadcast(w)).selectExpr(
-            *_split_top(_lr_contribs())
-        )
-        s = c.selectExpr(*_split_top(_LR_SUMS))
-        w = s.crossJoin(F.broadcast(w)).selectExpr(*_split_top(_lr_solve()))
+    w = _irls_weights(spark, base)
     ll = base.crossJoin(F.broadcast(w)).selectExpr(*_split_top(_LR_LL))
     return w.crossJoin(F.broadcast(ll)).selectExpr(
         "n", "w0 AS w0_micro", "w1 AS w1_micro", "w2 AS w2_micro",
@@ -5151,4 +5164,80 @@ def q300_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(round(1000.0 * n_covered / n_eval) AS BIGINT)"
             ).alias("coverage_milli"),
         )
+    )
+
+
+# --- q303: hard-example mining with the q286 model ----------------------------
+
+_HEM_K = 5  # hardest docs kept per source
+
+_LR_ROW_LOSS = (
+    "CAST(round(-1000000.0 * (y * ln(greatest("
+    f"{_LR_MU}, 1e-12)) + (1.0 - y) * ln(greatest(1.0 - {_LR_MU},"
+    " 1e-12)))) AS BIGINT)"
+)
+
+
+@register(
+    "q303_hard_example_mining",
+    oracle=f"""
+    WITH {_lr_chain_sql()},
+    base2 AS (
+      SELECT doc_id, source, {_LR_X} FROM documents),
+    scored AS (
+      SELECT doc_id, source, CAST(y AS BIGINT) AS y,
+             {_LR_ROW_LOSS} AS loss_micro
+      FROM base2 CROSS JOIN w_2),
+    rk AS (
+      SELECT doc_id, source, y, loss_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY loss_micro DESC, doc_id) AS rn
+      FROM scored)
+    SELECT source, CAST(rn AS BIGINT) AS pick, doc_id, y, loss_micro
+    FROM rk WHERE rn <= {_HEM_K}
+    ORDER BY source, pick
+    """,
+    doc="HARD-EXAMPLE MINING with the q286 model — the active-learning "
+    f"loop closed inside the engine: refit the two-step IRLS logistic "
+    f"(the shared _lr_chain templates, bit-identical weights), score "
+    f"EVERY document's per-row log loss at the fitted w, and keep the "
+    f"{_HEM_K} hardest docs per source — the relabel/inspect queue a "
+    "data curator actually pulls (high-loss docs are mislabels, "
+    "drift, or genuinely hard — all worth eyes). Exactness: the "
+    "weights are the q286 int64 micro relation; each doc's loss is "
+    "one shared-template IEEE chain quantized to micro BEFORE the "
+    "rank (ties broken by doc_id, so both engines pick the identical "
+    "queue). Scale: 2 fit scans + 1 scoring scan, all map-side; the "
+    "per-source rank is a partitioned window (never global), with "
+    "the q272 per-partition-top-k escape applying at extreme "
+    "per-source cardinality.",
+    tags=("analytics", "mining", "logistic", "active-learning", "scale"),
+)
+def q303_hard_example_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.selectExpr(*_split_top(_LR_X))
+    w = _irls_weights(spark, base)
+    base2 = docs.selectExpr("doc_id", "source", *_split_top(_LR_X))
+    scored = base2.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        "source",
+        F.col("y").cast("long").alias("y"),
+        F.expr(_LR_ROW_LOSS).alias("loss_micro"),
+    )
+    rk = scored.select(
+        "doc_id",
+        "source",
+        "y",
+        "loss_micro",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.desc("loss_micro"), "doc_id"))
+        .cast("long")
+        .alias("pick"),
+    )
+    return (
+        rk.where(F.col("pick") <= _HEM_K)
+        .select("source", "pick", "doc_id", "y", "loss_micro")
+        .orderBy("source", "pick")
     )

@@ -3055,3 +3055,122 @@ def q296_sq8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- q302: per-dimension Fisher (ANOVA-F) class separability -------------------
+
+
+@register(
+    "q302_fisher_separability",
+    oracle="""
+    WITH dims AS (
+      SELECT label, u.i, 
+             CAST(round(1000000.0
+               * CAST(embedding[u.i] AS DOUBLE)) AS BIGINT) AS u
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS u(i)),
+    per AS (
+      SELECT i, label,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(u) AS BIGINT) AS s,
+             CAST(sum(u * u) AS BIGINT) AS s2
+      FROM dims GROUP BY i, label),
+    cls AS (
+      SELECT i, label, n, s,
+             CAST(round(CAST(s2 AS DOUBLE)
+                  - CAST(s AS DOUBLE) * s / n) AS BIGINT) AS ssw_c,
+             CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS sb_c
+      FROM per),
+    d AS (
+      SELECT i,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(ssw_c) AS BIGINT) AS ssw,
+             CAST(sum(sb_c) AS BIGINT) AS sb
+      FROM cls GROUP BY i),
+    f AS (
+      SELECT i, k, n, ssw,
+             sb - CAST(round(CAST(st AS DOUBLE) * st / n) AS BIGINT)
+               AS ssb
+      FROM d)
+    SELECT CAST(i AS BIGINT) AS dim, k, n, ssb, ssw,
+           CAST(CASE WHEN ssw > 0 AND k > 1 AND n > k THEN
+                round(1000.0 * (CAST(ssb AS DOUBLE) / (k - 1))
+                      / (CAST(ssw AS DOUBLE) / (n - k)))
+                ELSE 0 END AS BIGINT) AS f_milli
+    FROM f
+    ORDER BY dim
+    """,
+    doc="PER-DIMENSION FISHER / ANOVA-F class separability of the "
+    "embedding space — which coordinates actually carry the label "
+    "signal (the feature-selection table a probing classifier or "
+    "PQ-subspace designer reads; complements q266's anisotropy and "
+    "q267's participation ratio, which are label-blind): F(dim) = "
+    "(SSB/(k-1)) / (SSW/(n-k)) from per-(dim, class) moments. "
+    "Exactness: each value is quantized to int64 micro BEFORE any "
+    "moment (so n/s/s2 sums are exact; s2 stays under 2^63 to ~1e12 "
+    "vectors at |x|<=1 — the documented ceiling); the per-class "
+    "rational terms s^2/n quantize per class before the cross-class "
+    "sums (q282 discipline); F is one double expression, milli- "
+    "rounded, with degenerate guards. Note dims are 1-based (the "
+    "DuckDB list convention; Spark's posexplode index is shifted to "
+    "match). Scale: one posexplode pass, two grouped aggs keyed "
+    "(dim, label) then (dim) — both map-side-combinable; output is "
+    "64 rows.",
+    tags=("llm", "similarity", "anova", "separability", "eval", "scale"),
+)
+def q302_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.expr("CAST(round(1000000.0 * x) AS BIGINT)").alias("u"),
+    )
+    per = dims.groupBy("i", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("u").cast("long").alias("s"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("s2"),
+    )
+    cls = per.select(
+        "i",
+        "n",
+        "s",
+        F.expr(
+            "CAST(round(CAST(s2 AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * s / n) AS BIGINT)"
+        ).alias("ssw_c"),
+        F.expr("CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT)").alias(
+            "sb_c"
+        ),
+    )
+    d = cls.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ssw_c").cast("long").alias("ssw"),
+        F.sum("sb_c").cast("long").alias("sb"),
+    )
+    f = d.select(
+        "i",
+        "k",
+        "n",
+        "ssw",
+        F.expr(
+            "sb - CAST(round(CAST(st AS DOUBLE) * st / n) AS BIGINT)"
+        ).alias("ssb"),
+    )
+    return f.select(
+        F.col("i").cast("long").alias("dim"),
+        "k",
+        "n",
+        "ssb",
+        "ssw",
+        F.expr(
+            "CAST(CASE WHEN ssw > 0 AND k > 1 AND n > k THEN"
+            " round(1000.0 * (CAST(ssb AS DOUBLE) / (k - 1))"
+            " / (CAST(ssw AS DOUBLE) / (n - k)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("f_milli"),
+    ).orderBy("dim")

@@ -2757,3 +2757,51 @@ def test_q300_conformal_coverage_matches_replay(spark):
     assert row.coverage_milli == round(1000.0 * covered / len(evl))
     # q_hat is an observed nonconformity value, bounded by the scale
     assert 0 <= row.q_hat_milli <= 1000
+
+
+def test_q303_hard_example_mining_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q303_hard_example_mining"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # the fitted weights must equal q286's (shared chain)
+    (wrow,) = REGISTRY["q286_irls_logistic"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    w = (wrow.w0_micro, wrow.w1_micro, wrow.w2_micro)
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    per = {}
+    for _, doc in docs.iterrows():
+        x1 = doc.n_chars / 100.0
+        x2 = (len(doc.text) - len(doc.text.replace(" ", ""))) / 100.0
+        y = 1.0 if doc.lang == "en" else 0.0
+        mu = 1.0 / (1.0 + math.exp(
+            -(w[0] / 1000000.0 + w[1] / 1000000.0 * x1
+              + w[2] / 1000000.0 * x2)))
+        loss = rnd(-1000000.0 * (
+            y * math.log(max(mu, 1e-12))
+            + (1.0 - y) * math.log(max(1.0 - mu, 1e-12))))
+        per.setdefault(doc.source, []).append(
+            (loss, int(doc.doc_id), int(y))
+        )
+    want = {}
+    for src_, lst in per.items():
+        lst.sort(key=lambda r: (-r[0], r[1]))
+        want[src_] = lst[:5]
+    assert len(rows) == sum(min(5, len(v)) for v in want.values())
+    for r in rows:
+        loss, doc_id, y = want[r.source][r.pick - 1]
+        assert (r.doc_id, r.y, r.loss_micro) == (doc_id, y, loss), (
+            r.source, r.pick,
+        )
+        # log loss is non-negative
+        assert r.loss_micro >= 0

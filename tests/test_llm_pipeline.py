@@ -947,3 +947,44 @@ def test_q296_sq8_distortion_matches_replay(spark):
             for i in range(n_dim)
         )
         assert 0 <= r.sq_err_pico <= bound
+
+
+def test_q302_fisher_separability_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    rows = REGISTRY["q302_fisher_separability"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    per = {}
+    for _, r in emb.iterrows():
+        for i, x in enumerate(r.embedding, 1):
+            u = rnd(1000000.0 * float(x))
+            n, s, s2 = per.get((i, r.label), (0, 0, 0))
+            per[(i, r.label)] = (n + 1, s + u, s2 + u * u)
+    dims = {}
+    for (i, _), (n, s, s2) in per.items():
+        ssw_c = rnd(float(s2) - float(s) * s / n)
+        sb_c = rnd(float(s) * s / n)
+        k, nn, st, ssw, sb = dims.get(i, (0, 0, 0, 0, 0))
+        dims[i] = (k + 1, nn + n, st + s, ssw + ssw_c, sb + sb_c)
+    got = {r.dim: r for r in rows}
+    assert sorted(got) == sorted(dims)
+    for i, (k, n, st, ssw, sb) in dims.items():
+        ssb = sb - rnd(float(st) * st / n)
+        r = got[i]
+        assert (r.k, r.n, r.ssb, r.ssw) == (k, n, ssb, ssw), i
+        want = (
+            rnd(1000.0 * (ssb / (k - 1)) / (ssw / (n - k)))
+            if ssw > 0 and k > 1 and n > k
+            else 0
+        )
+        assert r.f_milli == want, i
+    # F ratios are non-negative up to the per-class quantization noise
+    assert all(r.f_milli >= -1 for r in rows)

@@ -857,6 +857,16 @@ CASES = {
     "(adjacency fan-out, no all-pairs); corner credit is three "
     "unions into one hash agg; cc is row-level arithmetic on "
     "the degree left-join.",
+    "q300_conformal_coverage": "Split-conformal coverage. What "
+    "to check: the only corpus-sized work is the user-keyed "
+    "agg; the order statistic runs as a cumulative window on "
+    "the <=42-row bounded nonconformity distribution; q_hat "
+    "and the totals ride one-row broadcasts.",
+    "q301_trailing_distinct_users": "Trailing 7-day distinct "
+    "users. What to check: dedup agg on (day, user), a "
+    "sequence-explode of exactly 7, a second dedup + count per "
+    "day — no per-day rescan, no window; the zero-fill grid is "
+    "a clock-bounded explode.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
