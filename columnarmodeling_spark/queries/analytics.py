@@ -5241,3 +5241,114 @@ def q303_hard_example_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "pick", "doc_id", "y", "loss_micro")
         .orderBy("source", "pick")
     )
+
+
+# --- q304: data-quality rule audit ---------------------------------------------
+
+
+@register(
+    "q304_dq_audit",
+    oracle="""
+    SELECT 'lineitem_qty_range' AS rule,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'part_pk_unique',
+           CAST((SELECT count(*) FROM part) AS BIGINT),
+           CAST((SELECT count(*) - count(DISTINCT p_partkey) FROM part)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events_value_finite',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value IS NULL OR isnan(value)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_nchars_consistent',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n_chars <> length(text)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    ORDER BY rule
+    """,
+    doc="DATA-QUALITY RULE AUDIT — the Deequ/dbt-tests-style "
+    "constraint sweep a 100 TB warehouse runs on every load: five "
+    "rule families over five tables in one result (range check on "
+    "lineitem quantity, referential integrity orders->customer via "
+    "anti-join, primary-key uniqueness on part, NULL/NaN screen on "
+    "event values, and the derived-column consistency n_chars = "
+    "length(text)) — each row reports checked/violation counts, so "
+    "a scheduler alerts on n_violations > 0 per rule rather than on "
+    "a whole-job boolean. Exactness: every check is an exact int64 "
+    "count (the FK check is an anti-join count, the PK check is "
+    "count - count(distinct)). Scale: each rule is one map-side "
+    "fold over its table; the FK anti-join is an equi-join on the "
+    "key (broadcastable dim); nothing quadratic, no sort.",
+    tags=("analytics", "data-quality", "audit", "scale"),
+)
+def q304_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("lineitem_qty_range").alias("rule"), "n_checked",
+             "n_violations")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    fk_bad = orders.join(F.broadcast(cust), "o_custkey", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    )
+    fk = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked")
+    ).crossJoin(F.broadcast(fk_bad)).select(
+        F.lit("orders_custkey_fk").alias("rule"), "n_checked",
+        "n_violations",
+    )
+    part = t(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("p_partkey"))
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("part_pk_unique").alias("rule"), "n_checked",
+             "n_violations")
+    ev = t(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(
+            F.when(F.col("value").isNull() | F.isnan("value"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("events_value_finite").alias("rule"), "n_checked",
+             "n_violations")
+    docs = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("documents_nchars_consistent").alias("rule"),
+             "n_checked", "n_violations")
+    return (
+        li.unionByName(fk)
+        .unionByName(part)
+        .unionByName(ev)
+        .unionByName(docs)
+        .orderBy("rule")
+    )

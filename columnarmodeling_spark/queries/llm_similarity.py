@@ -3174,3 +3174,135 @@ def q302_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("f_milli"),
     ).orderBy("dim")
+
+
+# --- q305: MRR of the IVF search against the exact top-1 -----------------------
+
+_MRR_NPROBE = 2
+
+
+def _mrr_oracle() -> str:
+    """The q113 CTE head (quantize / probes / seeds / route) with an
+    MRR tail: exact top-1 per probe, the nprobe=2 IVF top-3 ranking,
+    and reciprocal ranks quantized to micro per query before the exact
+    int64 sum."""
+    return f"""
+    WITH {_SQL_QUANT_MAT},
+    {_SQL_PROBES.strip()},
+    seeds AS MATERIALIZED (
+      SELECT vec_id AS sid, qv AS sqv
+      FROM n
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              <= CAST(ceil(sqrt((SELECT count(*) FROM n))) AS BIGINT)),
+    dist AS MATERIALIZED (
+      SELECT v.vec_id, s.sid,
+             list_sum(list_transform(range(1, 65),
+                      i -> (v.qv[i] - s.sqv[i]) * (v.qv[i] - s.sqv[i]))) AS d2
+      FROM n v CROSS JOIN seeds s),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, sid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS crk
+      FROM dist),
+    ex_pairs AS MATERIALIZED (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> a.qv[i] * b.qv[i]))
+                   / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)),
+                   9) AS cos9
+      FROM n a
+      JOIN probes pr ON pr.vec_id = a.vec_id
+      JOIN n b ON a.vec_id <> b.vec_id),
+    exact1 AS (
+      SELECT vec_id, neighbor FROM (
+        SELECT vec_id, neighbor,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos9 DESC, neighbor) AS rk
+        FROM ex_pairs)
+      WHERE rk = 1),
+    ivf_pairs AS (
+      SELECT p.vec_id, b.vec_id AS neighbor,
+             round(list_sum(list_transform(range(1, 65),
+                            i -> a.qv[i] * b.qv[i]))
+                   / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)),
+                   9) AS cos9
+      FROM (SELECT vec_id, sid FROM ranked WHERE crk <= {_MRR_NPROBE}) p
+      JOIN (SELECT vec_id, sid FROM ranked WHERE crk = 1) asn
+        ON asn.sid = p.sid AND asn.vec_id <> p.vec_id
+      JOIN n a ON a.vec_id = p.vec_id
+      JOIN n b ON b.vec_id = asn.vec_id),
+    ivf AS (
+      SELECT vec_id, neighbor, rk FROM (
+        SELECT vec_id, neighbor,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos9 DESC, neighbor) AS rk
+        FROM ivf_pairs)
+      WHERE rk <= {_IVF_TOPK}),
+    rr AS (
+      SELECT e.vec_id,
+             CAST(round(1000000.0 / i.rk) AS BIGINT) AS rr_micro
+      FROM exact1 e JOIN ivf i
+        ON i.vec_id = e.vec_id AND i.neighbor = e.neighbor)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(rr.rr_micro) AS BIGINT) AS n_found,
+           CAST(coalesce(sum(rr.rr_micro), 0) AS BIGINT) AS sum_rr_micro,
+           CAST(round(CAST(coalesce(sum(rr.rr_micro), 0) AS DOUBLE)
+                / count(*)) AS BIGINT) AS mrr_micro
+    FROM probes pb LEFT JOIN rr ON rr.vec_id = pb.vec_id
+    """
+
+
+@register(
+    "q305_ivf_mrr",
+    oracle=_mrr_oracle(),
+    doc="MEAN RECIPROCAL RANK of the IVF search against the exact "
+    "top-1 neighbor — the ranking-quality number q113's recall curve "
+    "doesn't give (recall says the true neighbor is SOMEWHERE in the "
+    "top-3; MRR says WHERE): per md5-sampled probe, find the exact "
+    "nearest neighbor's rank inside the nprobe=2 adaptive-IVF top-3 "
+    "and average 1/rank (0 when the cell routing missed it). "
+    "Exactness: each reciprocal rank is quantized to micro BEFORE "
+    "the int64 sum (ranks are ints from the q225-quantized cosine "
+    "ordering with neighbor tie-breaks, identical on both engines); "
+    "the mean is one double division of two int64s. Scale: same "
+    "sampled-probe discipline and cell-bounded IVF join as q113 — "
+    "the exact baseline is linear in the corpus times the fixed "
+    "probe count.",
+    tags=("similarity", "llm", "ann", "ivf", "eval", "mrr", "scale"),
+)
+def q305_ivf_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    base = _probe_ids(n).localCheckpoint()
+    exact1 = (
+        _bruteforce_cosine_topk(
+            spark, sf_dir, probe=n.join(F.broadcast(base), "vec_id")
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "neighbor")
+        .localCheckpoint()
+    )
+    ivf = _ivf_adaptive_topk(spark, sf_dir, nprobe=_MRR_NPROBE).select(
+        "vec_id", "neighbor", "rk"
+    )
+    rr = exact1.join(ivf, ["vec_id", "neighbor"]).select(
+        "vec_id",
+        F.expr("CAST(round(1000000.0 / rk) AS BIGINT)").alias("rr_micro"),
+    )
+    return (
+        base.join(rr, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.count("rr_micro").cast("long").alias("n_found"),
+            F.coalesce(F.sum("rr_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_rr_micro"),
+        )
+        .select(
+            "n_queries",
+            "n_found",
+            "sum_rr_micro",
+            F.expr(
+                "CAST(round(CAST(sum_rr_micro AS DOUBLE) / n_queries)"
+                " AS BIGINT)"
+            ).alias("mrr_micro"),
+        )
+    )

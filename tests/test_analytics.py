@@ -2805,3 +2805,52 @@ def test_q303_hard_example_mining_matches_replay(spark):
         )
         # log loss is non-negative
         assert r.loss_micro >= 0
+
+
+def test_q304_dq_audit_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = {
+        r.rule: r
+        for r in REGISTRY["q304_dq_audit"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    part = pd.read_parquet(f"{sf}/part.parquet")
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    want = {
+        "lineitem_qty_range": (
+            len(li),
+            int(((li.l_quantity < 1) | (li.l_quantity > 50)).sum()),
+        ),
+        "orders_custkey_fk": (
+            len(orders),
+            int((~orders.o_custkey.isin(set(cust.c_custkey))).sum()),
+        ),
+        "part_pk_unique": (
+            len(part), len(part) - part.p_partkey.nunique(),
+        ),
+        "events_value_finite": (
+            len(ev),
+            int(sum(1 for v in ev.value
+                    if v is None or (isinstance(v, float) and math.isnan(v)))),
+        ),
+        "documents_nchars_consistent": (
+            len(docs),
+            int(sum(1 for _, d in docs.iterrows()
+                    if d.n_chars != len(d.text))),
+        ),
+    }
+    assert sorted(rows) == sorted(want)
+    for rule, (n, v) in want.items():
+        assert (rows[rule].n_checked, rows[rule].n_violations) == (n, v), rule
+        assert 0 <= rows[rule].n_violations <= rows[rule].n_checked

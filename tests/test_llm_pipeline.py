@@ -988,3 +988,20 @@ def test_q302_fisher_separability_matches_replay(spark):
         assert r.f_milli == want, i
     # F ratios are non-negative up to the per-class quantization noise
     assert all(r.f_milli >= -1 for r in rows)
+
+
+def test_q305_ivf_mrr_bounds(spark):
+    """MRR invariants against its own components: every found query
+    contributes a reciprocal rank in [1/3, 1] (top-3 list), misses
+    contribute 0, and the mean respects those bounds; the query count
+    is the fixed md5 probe sample."""
+    (row,) = REGISTRY["q305_ivf_mrr"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < row.n_queries <= 32
+    assert 0 <= row.n_found <= row.n_queries
+    assert 333333 * row.n_found <= row.sum_rr_micro <= 1000000 * row.n_found
+    assert row.mrr_micro == round(row.sum_rr_micro / row.n_queries)
+    assert 0 <= row.mrr_micro <= 1000000
+    # the eval must actually find neighbors on this corpus
+    assert row.n_found > 0

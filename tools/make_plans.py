@@ -867,6 +867,15 @@ CASES = {
     "sequence-explode of exactly 7, a second dedup + count per "
     "day — no per-day rescan, no window; the zero-fill grid is "
     "a clock-bounded explode.",
+    "q302_fisher_separability": "Per-dim Fisher/ANOVA-F "
+    "separability. What to check: one posexplode pass; both "
+    "aggs ((dim,label) then (dim)) are partial/final hash aggs; "
+    "F is row-level arithmetic on 64 rows.",
+    "q303_hard_example_mining": "Hard-example mining with the "
+    "q286 fit. What to check: the weight relation enters the "
+    "scoring scan as a one-row broadcast; per-doc loss stays in "
+    "codegen; the top-5 rank is a source-partitioned window, "
+    "never a global sort.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
