@@ -5352,3 +5352,226 @@ def q304_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(docs)
         .orderBy("rule")
     )
+
+
+# --- q306: sequential probability ratio test (SPRT) ---------------------------
+
+# H0: P[value > 50] = 0.30  vs  H1: p = 0.40; alpha = beta = 0.05.
+# Boundaries +/- ln(19); increments ln(p1/p0), ln((1-p1)/(1-p0)) — all
+# embedded as engine-side constant expressions so both engines fold the
+# identical IEEE values.
+_SPRT_S = "CAST(round(1000000.0 * ln(0.4 / 0.3)) AS BIGINT)"
+_SPRT_F = "CAST(round(1000000.0 * ln(0.6 / 0.7)) AS BIGINT)"
+_SPRT_B = "CAST(round(1000000.0 * ln(19.0)) AS BIGINT)"
+
+
+@register(
+    "q306_sprt",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             CASE WHEN value > 50 THEN {_SPRT_S} ELSE {_SPRT_F} END AS inc
+      FROM events),
+    walk AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) AS rn,
+             sum(inc) OVER (PARTITION BY event_type
+                            ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS llr
+      FROM ev),
+    crossing AS (
+      SELECT event_type,
+             min(rn) AS rn
+      FROM walk
+      WHERE llr >= {_SPRT_B} OR llr <= -{_SPRT_B}
+      GROUP BY event_type),
+    att AS (
+      SELECT c.event_type, c.rn, w.llr
+      FROM crossing c JOIN walk w
+        ON w.event_type = c.event_type AND w.rn = c.rn),
+    fin AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(inc) AS BIGINT) AS llr_final
+      FROM ev GROUP BY event_type)
+    SELECT f.event_type,
+           CASE WHEN a.rn IS NULL THEN 'continue'
+                WHEN a.llr >= {_SPRT_B} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(coalesce(a.rn, f.n_total) AS BIGINT) AS n_at_decision,
+           CAST(coalesce(a.llr, f.llr_final) AS BIGINT) AS llr_micro
+    FROM fin f LEFT JOIN att a ON a.event_type = f.event_type
+    ORDER BY f.event_type
+    """,
+    doc="SEQUENTIAL PROBABILITY RATIO TEST per event type — Wald's "
+    "always-valid sequential decision (H0: P[value>50] = 0.30 vs H1: "
+    "0.40, alpha = beta = 0.05): walk the events in time order, add "
+    "ln(p1/p0) per success and ln(q1/q0) per failure, decide at the "
+    "FIRST +/- ln(19) crossing — the early-stopping discipline a "
+    "fixed-horizon z-test (q191) can't give, reporting how many "
+    "events the decision actually needed. Exactness: both increments "
+    "and the boundary are engine-side constant-folded expressions "
+    "quantized to micro int64, so the running LLR is an exact "
+    "integer walk — the crossing row is unambiguous on both engines "
+    "(ties in ts broken by event_id). Scale: the walk is a per-type "
+    "running sum (window partitioned by event_type); at extreme "
+    "per-type volume the registered escape is the q208 segmented "
+    "associative prefix-sum (chunk sums compose), since only the "
+    "FIRST crossing chunk needs its interior walk expanded.",
+    tags=("analytics", "sprt", "sequential", "ab-test", "scale"),
+)
+def q306_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.expr(
+            f"CASE WHEN value > 50 THEN {_SPRT_S} ELSE {_SPRT_F} END"
+        ).alias("inc"),
+    )
+    w = W.partitionBy("event_type").orderBy("us", "event_id")
+    walk = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.sum("inc")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("llr"),
+    ).localCheckpoint(eager=False)
+    crossing = (
+        walk.where(
+            (F.col("llr") >= F.expr(_SPRT_B))
+            | (F.col("llr") <= -F.expr(_SPRT_B))
+        )
+        .groupBy("event_type")
+        .agg(F.min("rn").alias("rn"))
+    )
+    att = crossing.join(walk, ["event_type", "rn"])
+    fin = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("inc").cast("long").alias("llr_final"),
+    )
+    return (
+        fin.join(att, "event_type", "left")
+        .select(
+            "event_type",
+            F.expr(
+                f"CASE WHEN rn IS NULL THEN 'continue'"
+                f" WHEN llr >= {_SPRT_B} THEN 'accept_h1'"
+                f" ELSE 'accept_h0' END"
+            ).alias("decision"),
+            F.coalesce("rn", "n_total").cast("long").alias("n_at_decision"),
+            F.coalesce("llr", "llr_final").cast("long").alias("llr_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q307: cumulative gains / lift table ---------------------------------------
+
+_LR_SCORE = f"CAST(round(1000000.0 * {_LR_MU}) AS BIGINT)"
+
+
+@register(
+    "q307_gains_table",
+    oracle=f"""
+    WITH {_lr_chain_sql()},
+    base2 AS (
+      SELECT doc_id, {_LR_X} FROM documents),
+    scored AS (
+      SELECT doc_id, CAST(y AS BIGINT) AS y,
+             {_LR_SCORE} AS score_micro
+      FROM base2 CROSS JOIN w_2),
+    rk AS (
+      SELECT y,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM scored),
+    dec AS (
+      SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile, y
+      FROM rk),
+    per AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM dec GROUP BY decile),
+    cum AS (
+      SELECT decile, n, pos,
+             CAST(sum(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+             CAST(sum(pos) OVER () AS BIGINT) AS tot_pos,
+             CAST(sum(n) OVER () AS BIGINT) AS tot_n
+      FROM per)
+    SELECT decile, n, pos, cum_pos,
+           CAST(round(1000.0 * cum_pos / tot_pos) AS BIGINT) AS gain_milli,
+           CAST(round(1000.0 * (CAST(pos AS DOUBLE) / n)
+                / (CAST(tot_pos AS DOUBLE) / tot_n)) AS BIGINT)
+             AS lift_milli
+    FROM cum
+    ORDER BY decile
+    """,
+    doc="CUMULATIVE GAINS / LIFT TABLE of the q286 model — the decile "
+    "chart every targeting decision reads (if I act on the top 10% "
+    "scored docs, what fraction of all positives do I capture, and "
+    "at what multiple of the base rate?): score every document with "
+    "the shared-template IRLS fit, decile by the deterministic "
+    "(score desc, doc_id) order, report per-decile counts, the "
+    "cumulative capture curve, and per-decile lift. Complements "
+    "q245's ROC AUC (threshold-free discrimination) and q298's IV "
+    "(pre-fit feature power) with the POST-fit actionability view. "
+    "Exactness: scores are micro-quantized int64 before the rank "
+    "(deterministic ties); decile = (rn-1)*10 DIV n on exact ranks; "
+    "counts int64, the two ratios single rounded divisions. Scale: "
+    "one global rank (the q298 note applies — the two-pass global "
+    "index is the registered escape, used on the Spark side); the "
+    "decile windows run on 10 rows.",
+    tags=("analytics", "gains", "lift", "logistic", "eval", "scale"),
+)
+def q307_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.selectExpr(*_split_top(_LR_X))
+    w = _irls_weights(spark, base)
+    scored = (
+        docs.selectExpr("doc_id", *_split_top(_LR_X))
+        .crossJoin(F.broadcast(w))
+        .select(
+            "doc_id",
+            F.col("y").cast("long").alias("y"),
+            F.expr(_LR_SCORE).alias("score_micro"),
+        )
+        .withColumn("neg_score", -F.col("score_micro"))
+    )
+    rk = with_global_index(scored, ["neg_score", "doc_id"], index_col="rn")
+    n_tot = rk.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dec = rk.crossJoin(F.broadcast(n_tot)).select(
+        F.expr("CAST((rn - 1) * 10 DIV n AS BIGINT)").alias("decile"), "y"
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    # the cumulative windows run on the 10-row decile relation
+    cum = (
+        per.withColumn(
+            "cum_pos", F.sum("pos").over(W.orderBy("decile")).cast("long")
+        )
+        .withColumn("tot_pos", F.sum("pos").over(W.partitionBy()).cast("long"))
+        .withColumn("tot_n", F.sum("n").over(W.partitionBy()).cast("long"))
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "pos",
+        "cum_pos",
+        F.expr(
+            "CAST(round(1000.0 * cum_pos / tot_pos) AS BIGINT)"
+        ).alias("gain_milli"),
+        F.expr(
+            "CAST(round(1000.0 * (CAST(pos AS DOUBLE) / n)"
+            " / (CAST(tot_pos AS DOUBLE) / tot_n)) AS BIGINT)"
+        ).alias("lift_milli"),
+    ).orderBy("decile")

@@ -2854,3 +2854,100 @@ def test_q304_dq_audit_matches_replay(spark):
     for rule, (n, v) in want.items():
         assert (rows[rule].n_checked, rows[rule].n_violations) == (n, v), rule
         assert 0 <= rows[rule].n_violations <= rows[rule].n_checked
+
+
+def test_q306_sprt_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q306_sprt"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    S = rnd(1000000.0 * math.log(0.4 / 0.3))
+    FL = rnd(1000000.0 * math.log(0.6 / 0.7))
+    B = rnd(1000000.0 * math.log(19.0))
+    per = {}
+    for _, e in ev.iterrows():
+        per.setdefault(e.event_type, []).append(
+            (e.ts.value // 1000, e.event_id, e.value)
+        )
+    got = {r.event_type: r for r in rows}
+    assert sorted(got) == sorted(per)
+    for ty, lst in per.items():
+        lst.sort()
+        llr, hit = 0, None
+        for rn, (_, _, v) in enumerate(lst, 1):
+            llr += S if v > 50 else FL
+            if hit is None and (llr >= B or llr <= -B):
+                hit = (rn, llr)
+        r = got[ty]
+        if hit is None:
+            assert (r.decision, r.n_at_decision, r.llr_micro) == (
+                "continue", len(lst), llr,
+            ), ty
+        else:
+            want = "accept_h1" if hit[1] >= B else "accept_h0"
+            assert (r.decision, r.n_at_decision, r.llr_micro) == (
+                want, hit[0], hit[1],
+            ), ty
+            # the decision LLR sits just past the boundary, not far past
+            assert abs(r.llr_micro) < B + max(S, -FL) + 1
+
+
+def test_q307_gains_table_matches_replay(spark):
+    import math
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q307_gains_table"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    (wrow,) = REGISTRY["q286_irls_logistic"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    w = (wrow.w0_micro, wrow.w1_micro, wrow.w2_micro)
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    scored = []
+    for _, doc in docs.iterrows():
+        x1 = doc.n_chars / 100.0
+        x2 = (len(doc.text) - len(doc.text.replace(" ", ""))) / 100.0
+        y = 1 if doc.lang == "en" else 0
+        mu = 1.0 / (1.0 + math.exp(
+            -(w[0] / 1000000.0 + w[1] / 1000000.0 * x1
+              + w[2] / 1000000.0 * x2)))
+        scored.append((-rnd(1000000.0 * mu), int(doc.doc_id), y))
+    scored.sort()
+    n = len(scored)
+    per = {}
+    for rn, (_, _, y) in enumerate(scored, 1):
+        d = (rn - 1) * 10 // n
+        cnt, pos = per.get(d, (0, 0))
+        per[d] = (cnt + 1, pos + y)
+    tot_pos = sum(p for _, p in per.values())
+    got = {r.decile: r for r in rows}
+    assert sorted(got) == sorted(per)
+    cum = 0
+    for d in sorted(per):
+        cnt, pos = per[d]
+        cum += pos
+        r = got[d]
+        assert (r.n, r.pos, r.cum_pos) == (cnt, pos, cum), d
+        assert r.gain_milli == rnd(1000.0 * cum / tot_pos)
+        assert r.lift_milli == rnd(1000.0 * (pos / cnt) / (tot_pos / n))
+    # the cumulative gain curve is monotone and ends at 100%
+    gains = [got[d].gain_milli for d in sorted(got)]
+    assert gains == sorted(gains) and gains[-1] == 1000

@@ -876,6 +876,15 @@ CASES = {
     "scoring scan as a one-row broadcast; per-doc loss stays in "
     "codegen; the top-5 rank is a source-partitioned window, "
     "never a global sort.",
+    "q304_dq_audit": "Data-quality rule audit. What to check: "
+    "five independent map-side folds unioned; the FK check is a "
+    "BroadcastHashJoin LeftAnti on the key; no sort until the "
+    "5-row presentation ORDER BY.",
+    "q305_ivf_mrr": "IVF MRR eval. What to check: the exact "
+    "baseline is the broadcast-matmul mapInPandas restricted to "
+    "the 32-probe sample; the IVF side is the q96/q113 "
+    "cell-cogrouped search; the final fold is one agg on the "
+    "probe-sized relation.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
