@@ -5575,3 +5575,142 @@ def q307_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(tot_pos AS DOUBLE) / tot_n)) AS BIGINT)"
         ).alias("lift_milli"),
     ).orderBy("decile")
+
+
+# --- q308: Count-Min join-size estimation vs exact ------------------------------
+
+_JSZ_W = 8192  # counters per sketch row
+_JSZ_D = 3     # hash rows (first 3 of the shared minhash family)
+
+
+def _jsz_hash_sql(u: str, j: int) -> str:
+    from columnarmodeling_spark.functions.text import MERSENNE_P, MINHASH_AB
+
+    a, b = MINHASH_AB[j]
+    return f"(({a} * {u} + {b}) % {MERSENNE_P}) % {_JSZ_W}"
+
+
+def _jsz_u_sql(key: str) -> str:
+    from columnarmodeling_spark.functions.text import MERSENNE_P
+
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % {MERSENNE_P}"
+    )
+
+
+def _jsz_u_spark(key: str) -> str:
+    from columnarmodeling_spark.functions.text import MERSENNE_P
+
+    return (
+        f"CAST(conv(substr(md5(CAST({key} AS STRING)), 1, 15),"
+        f" 16, 10) AS BIGINT) % {MERSENNE_P}"
+    )
+
+
+@register(
+    "q308_join_size_sketch",
+    oracle=f"""
+    WITH ea AS (
+      SELECT {_jsz_u_sql('user_id')} AS u, user_id AS k FROM events),
+    ob AS (
+      SELECT {_jsz_u_sql('o_custkey')} AS u, o_custkey AS k FROM orders),
+    sa AS (
+      SELECT j, col, CAST(count(*) AS BIGINT) AS c FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS j, {_jsz_hash_sql('u', j)} AS col FROM ea"
+            for j in range(_JSZ_D))})
+      GROUP BY j, col),
+    sb AS (
+      SELECT j, col, CAST(count(*) AS BIGINT) AS c FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS j, {_jsz_hash_sql('u', j)} AS col FROM ob"
+            for j in range(_JSZ_D))})
+      GROUP BY j, col),
+    est AS (
+      SELECT sa.j, CAST(sum(sa.c * sb.c) AS BIGINT) AS est
+      FROM sa JOIN sb ON sb.j = sa.j AND sb.col = sa.col
+      GROUP BY sa.j),
+    exact AS (
+      SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_size
+      FROM (SELECT k, count(*) AS c FROM ea GROUP BY k) a
+      JOIN (SELECT k, count(*) AS c FROM ob GROUP BY k) b ON b.k = a.k)
+    SELECT exact.exact_size,
+           CAST(min(est.est) AS BIGINT) AS est_min,
+           CAST(max(est.est) AS BIGINT) AS est_max,
+           CAST(round(1000.0 * min(est.est) / exact.exact_size)
+                AS BIGINT) AS over_milli
+    FROM est CROSS JOIN exact
+    GROUP BY exact.exact_size
+    """,
+    doc="COUNT-MIN JOIN-SIZE ESTIMATION — the optimizer's question "
+    "answered with sketches: estimate |events JOIN orders ON user = "
+    "custkey| from two Count-Min sketches (3 rows x 8192 counters, "
+    "the shared minhash hash family) via the row-wise inner product "
+    "sum(cA*cB), taking the min across rows — NEVER touching the "
+    "join itself; then score it against the exact size sum(na*nb) "
+    "over matched keys. The AMS/CM inner-product estimate is an "
+    "UPPER BOUND per row (collisions only add mass), so est_min >= "
+    "exact always — the property the test pins. Why it matters at "
+    "100 TB: a skew-aware planner wants join cardinality BEFORE "
+    "paying the shuffle; two 4 KB sketches built map-side answer it "
+    "in one pass per side (3 x 8192 x 8 B = 192 KB each). "
+    "Exactness: counters and inner products "
+    "are exact int64 (bucket ids from the md5->Mersenne hash chain, "
+    "identical both engines); one rounded ratio. Scale: each sketch "
+    "is a map-side fold to <= 3*8192 cells; the estimate join is "
+    "sketch-sized; the exact baseline (for scoring only) is the "
+    "key-grouped equi-join.",
+    tags=("analytics", "sketch", "count-min", "join", "cardinality",
+          "scale"),
+)
+def q308_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ea = t(spark, sf_dir, "events").selectExpr(
+        f"{_jsz_u_spark('user_id')} AS u", "user_id AS k"
+    ).localCheckpoint(eager=False)
+    ob = t(spark, sf_dir, "orders").selectExpr(
+        f"{_jsz_u_spark('o_custkey')} AS u", "o_custkey AS k"
+    ).localCheckpoint(eager=False)
+
+    def sketch(df):
+        rows = None
+        for j in range(_JSZ_D):
+            r = df.selectExpr(
+                f"{j} AS j", f"{_jsz_hash_sql('u', j)} AS col"
+            )
+            rows = r if rows is None else rows.unionByName(r)
+        return rows.groupBy("j", "col").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    sa = sketch(ea)
+    sb = sketch(ob).withColumnRenamed("c", "cb")
+    est = (
+        sa.join(sb, ["j", "col"])
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("cb")).cast("long").alias("est"))
+    )
+    exact = (
+        ea.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .join(
+            ob.groupBy("k").agg(F.count(F.lit(1)).alias("cb")), "k"
+        )
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_size"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .groupBy("exact_size")
+        .agg(
+            F.min("est").cast("long").alias("est_min"),
+            F.max("est").cast("long").alias("est_max"),
+        )
+        .select(
+            "exact_size",
+            "est_min",
+            "est_max",
+            F.expr(
+                "CAST(round(1000.0 * est_min / exact_size) AS BIGINT)"
+            ).alias("over_milli"),
+        )
+    )

@@ -2951,3 +2951,43 @@ def test_q307_gains_table_matches_replay(spark):
     # the cumulative gain curve is monotone and ends at 100%
     gains = [got[d].gain_milli for d in sorted(got)]
     assert gains == sorted(gains) and gains[-1] == 1000
+
+
+def test_q308_join_size_sketch_matches_replay(spark):
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from columnarmodeling_spark.functions.text import MERSENNE_P, MINHASH_AB
+
+    (row,) = REGISTRY["q308_join_size_sketch"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+
+    def u_of(k):
+        return int(
+            hashlib.md5(str(k).encode()).hexdigest()[:15], 16
+        ) % MERSENNE_P
+
+    W = 8192
+    ca, cb = Counter(ev.user_id), Counter(orders.o_custkey)
+    exact = sum(c * cb.get(k, 0) for k, c in ca.items())
+    ests = []
+    for j in range(3):
+        a, b = MINHASH_AB[j]
+        sa, sb = Counter(), Counter()
+        for k, c in ca.items():
+            sa[(a * u_of(k) + b) % MERSENNE_P % W] += c
+        for k, c in cb.items():
+            sb[(a * u_of(k) + b) % MERSENNE_P % W] += c
+        ests.append(sum(c * sb.get(col, 0) for col, c in sa.items()))
+    assert (row.exact_size, row.est_min, row.est_max) == (
+        exact, min(ests), max(ests),
+    )
+    assert row.over_milli == round(1000.0 * min(ests) / exact)
+    # the CM inner product is an upper bound on the true join size
+    assert row.est_min >= row.exact_size

@@ -885,6 +885,16 @@ CASES = {
     "the 32-probe sample; the IVF side is the q96/q113 "
     "cell-cogrouped search; the final fold is one agg on the "
     "probe-sized relation.",
+    "q306_sprt": "Wald SPRT walk. What to check: one events "
+    "scan; the running sum and row_number share ONE "
+    "event_type-partitioned window spec (single sort); the "
+    "crossing detection is a filter + min agg, the attach is an "
+    "equi-join on (type, rn).",
+    "q307_gains_table": "Gains/lift deciles. What to check: the "
+    "weight relation broadcasts into the scoring scan; the rank "
+    "is the two-pass global index (range partition, NO "
+    "single-partition window over documents); the cumulative "
+    "windows run on the 10-row decile relation.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
