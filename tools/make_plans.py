@@ -895,6 +895,11 @@ CASES = {
     "is the two-pass global index (range partition, NO "
     "single-partition window over documents); the cumulative "
     "windows run on the 10-row decile relation.",
+    "q308_join_size_sketch": "CM join-size estimate. What to "
+    "check: each side folds map-side to a <=3x8192-cell sketch "
+    "(union of 3 hash projections into ONE hash agg); the "
+    "estimate join is sketch-sized; the exact baseline is the "
+    "key-grouped equi-join, used for scoring only.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
