@@ -140,7 +140,7 @@ def register(
 # q212-q221/q223-q247, streaming tail q206/q207/q222) and the single
 # q06 staleness slot is replaced by q248, the oldest never-checked
 # query not yet in-window. q249-q277 and the round-10 additions
-# (q278-q308) remain
+# (q278-q309) remain
 # outside the 50-slot cap; they carry strict-replica MATCH evidence
 # from tools/driver_replica.py (run when added) plus the pytest oracle
 # harness, and front the round-11 window. The r4/r5 staleness drains

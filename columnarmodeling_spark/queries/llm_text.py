@@ -4877,3 +4877,169 @@ def q295_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q309: per-source macro-F1 of the lang-id rule ----------------------------
+
+
+@register(
+    "q309_langid_macro_f1",
+    oracle="""
+    WITH sc AS (
+      SELECT source, lang,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), t -> t IN ('the','and','of','row','table')))
+               AS s_en,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), t -> t IN ('el','la','de','fila','tabla')))
+               AS s_es,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), t -> t IN ('zh','biao','hang','lie','shuju')))
+               AS s_zh
+      FROM documents),
+    pred AS (
+      SELECT source, lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS g
+      FROM sc),
+    cls AS (
+      SELECT pred.source, c.c,
+             CAST(sum(CASE WHEN lang = c.c AND g = c.c
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN lang <> c.c AND g = c.c
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN lang = c.c AND g <> c.c
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM pred CROSS JOIN (SELECT unnest(['en','es','zh']) AS c) c
+      GROUP BY 1, 2),
+    f1 AS (
+      SELECT source, c,
+             CASE WHEN 2 * tp + fp + fn > 0 THEN
+               CAST(round(1000000.0 * (2 * tp)
+                    / (2 * tp + fp + fn)) AS BIGINT)
+             ELSE 0 END AS f1_micro
+      FROM cls),
+    per AS (
+      SELECT source,
+             CAST(round(CAST(sum(f1_micro) AS DOUBLE) / count(*))
+                  AS BIGINT) AS macro_f1_micro
+      FROM f1 GROUP BY source),
+    acc AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN g = lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM pred GROUP BY source)
+    SELECT acc.source, acc.n, acc.n_correct,
+           CAST(round(1000.0 * acc.n_correct / acc.n) AS BIGINT)
+             AS accuracy_milli,
+           per.macro_f1_micro
+    FROM acc JOIN per ON per.source = acc.source
+    ORDER BY acc.source
+    """,
+    doc="PER-SOURCE MACRO-F1 of the marker lang-id rule — the summary "
+    "metric an evaluator quotes from q220's confusion matrix: "
+    "per-class F1 = 2TP/(2TP+FP+FN) over {en, es, zh}, averaged "
+    "unweighted (macro — the class-imbalance-honest aggregate; "
+    "micro-F1 for single-label multiclass IS accuracy, reported "
+    "alongside as accuracy_milli). Which SOURCES does the rule "
+    "serve worst? — the per-slice view q220's global matrix "
+    "aggregates away. Exactness: TP/FP/FN are int64 from ONE scan "
+    "(the q277/q278 in-row HOF scoring, argmax ties broken "
+    "en > es > zh on both engines); each class F1 is quantized to "
+    "micro BEFORE the 3-way macro mean; accuracy is one rounded "
+    "division. Scale: the scan folds map-side onto |sources| x 3 "
+    "cells; everything after is arithmetic on that bounded "
+    "relation.",
+    tags=("llm", "text", "langid", "f1", "eval", "scale"),
+)
+def q309_langid_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tk = tokens("text")
+    sc = t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(
+            F.filter(tk, lambda x: x.isin("the", "and", "of", "row", "table"))
+        ).alias("s_en"),
+        F.size(
+            F.filter(tk, lambda x: x.isin("el", "la", "de", "fila", "tabla"))
+        ).alias("s_es"),
+        F.size(
+            F.filter(
+                tk, lambda x: x.isin("zh", "biao", "hang", "lie", "shuju")
+            )
+        ).alias("s_zh"),
+    )
+    pred = sc.select(
+        "source",
+        "lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            F.lit("en"),
+        )
+        .when(F.col("s_es") >= F.col("s_zh"), F.lit("es"))
+        .otherwise(F.lit("zh"))
+        .alias("g"),
+    ).localCheckpoint(eager=False)
+    cls = (
+        pred.crossJoin(
+            F.broadcast(
+                spark.createDataFrame([("en",), ("es",), ("zh",)], "c string")
+            )
+        )
+        .groupBy("source", "c")
+        .agg(
+            F.sum(
+                F.when((F.col("lang") == F.col("c"))
+                       & (F.col("g") == F.col("c")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("lang") != F.col("c"))
+                       & (F.col("g") == F.col("c")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when((F.col("lang") == F.col("c"))
+                       & (F.col("g") != F.col("c")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    f1 = cls.select(
+        "source",
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn > 0 THEN"
+            " CAST(round(1000000.0 * (2 * tp)"
+            " / (2 * tp + fp + fn)) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("f1_micro"),
+    )
+    per = f1.groupBy("source").agg(
+        F.expr(
+            "CAST(round(CAST(sum(f1_micro) AS DOUBLE) / count(*))"
+            " AS BIGINT)"
+        ).alias("macro_f1_micro")
+    )
+    acc = pred.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("g") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return (
+        acc.join(per, "source")
+        .select(
+            "source",
+            "n",
+            "n_correct",
+            F.expr(
+                "CAST(round(1000.0 * n_correct / n) AS BIGINT)"
+            ).alias("accuracy_milli"),
+            "macro_f1_micro",
+        )
+        .orderBy("source")
+    )

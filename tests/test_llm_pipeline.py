@@ -1005,3 +1005,56 @@ def test_q305_ivf_mrr_bounds(spark):
     assert 0 <= row.mrr_micro <= 1000000
     # the eval must actually find neighbors on this corpus
     assert row.n_found > 0
+
+
+def test_q309_langid_macro_f1_matches_replay(spark):
+    import math
+    import re
+
+    import pandas as pd
+
+    rows = REGISTRY["q309_langid_macro_f1"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    m = {
+        "en": {"the", "and", "of", "row", "table"},
+        "es": {"el", "la", "de", "fila", "tabla"},
+        "zh": {"zh", "biao", "hang", "lie", "shuju"},
+    }
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    per = {}
+    for _, doc in docs.iterrows():
+        tk = [t for t in re.split(r"[^a-z0-9]+", doc.text.lower()) if t]
+        s = {c: sum(1 for t_ in tk if t_ in m[c]) for c in ("en", "es", "zh")}
+        if s["en"] >= s["es"] and s["en"] >= s["zh"]:
+            g = "en"
+        elif s["es"] >= s["zh"]:
+            g = "es"
+        else:
+            g = "zh"
+        per.setdefault(doc.source, []).append((doc.lang, g))
+    got = {r.source: r for r in rows}
+    assert sorted(got) == sorted(per)
+    for src_, pairs in per.items():
+        n = len(pairs)
+        n_correct = sum(1 for y, g in pairs if y == g)
+        f1s = []
+        for c in ("en", "es", "zh"):
+            tp = sum(1 for y, g in pairs if y == c and g == c)
+            fp = sum(1 for y, g in pairs if y != c and g == c)
+            fn = sum(1 for y, g in pairs if y == c and g != c)
+            f1s.append(
+                rnd(1000000.0 * 2 * tp / (2 * tp + fp + fn))
+                if 2 * tp + fp + fn > 0
+                else 0
+            )
+        r = got[src_]
+        assert (r.n, r.n_correct) == (n, n_correct), src_
+        assert r.accuracy_milli == rnd(1000.0 * n_correct / n)
+        assert r.macro_f1_micro == rnd(sum(f1s) / 3.0), src_
+        # macro F1 and accuracy are both rates
+        assert 0 <= r.macro_f1_micro <= 1000000

@@ -900,6 +900,10 @@ CASES = {
     "(union of 3 hash projections into ONE hash agg); the "
     "estimate join is sketch-sized; the exact baseline is the "
     "key-grouped equi-join, used for scoring only.",
+    "q309_langid_macro_f1": "Per-source macro-F1. What to "
+    "check: ONE scan with the in-row HOF scoring; the class "
+    "cross join is a 3-row broadcast; both aggs fold map-side "
+    "onto |sources|-bounded relations.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
