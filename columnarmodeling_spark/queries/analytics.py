@@ -4154,41 +4154,52 @@ def q276_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS m
       FROM per),
     chi AS (
+      -- zero-denominator convention (mirrors q282): a cell whose column
+      -- total or row total is 0 contributes 0 to chi2 (its limit)
       SELECT source, a1, a2, a3, m,
              CAST(round(1000000.0 * (
+               CASE WHEN t1 = 0 OR (a1 + a2 + a3) = 0 THEN 0.0 ELSE
                (CAST(a1 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t1
                   / (t1 + t2 + t3))
                * (CAST(a1 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t1
                   / (t1 + t2 + t3))
-               / (CAST(a1 + a2 + a3 AS DOUBLE) * t1 / (t1 + t2 + t3))
-             + (CAST(a2 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t2
+               / (CAST(a1 + a2 + a3 AS DOUBLE) * t1 / (t1 + t2 + t3)) END
+             + CASE WHEN t2 = 0 OR (a1 + a2 + a3) = 0 THEN 0.0 ELSE
+               (CAST(a2 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t2
                   / (t1 + t2 + t3))
                * (CAST(a2 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t2
                   / (t1 + t2 + t3))
-               / (CAST(a1 + a2 + a3 AS DOUBLE) * t2 / (t1 + t2 + t3))
-             + (CAST(a3 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t3
+               / (CAST(a1 + a2 + a3 AS DOUBLE) * t2 / (t1 + t2 + t3)) END
+             + CASE WHEN t3 = 0 OR (a1 + a2 + a3) = 0 THEN 0.0 ELSE
+               (CAST(a3 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t3
                   / (t1 + t2 + t3))
                * (CAST(a3 AS DOUBLE) - CAST(a1 + a2 + a3 AS DOUBLE) * t3
                   / (t1 + t2 + t3))
-               / (CAST(a1 + a2 + a3 AS DOUBLE) * t3 / (t1 + t2 + t3))
-             + (CAST(t1 - a1 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
+               / (CAST(a1 + a2 + a3 AS DOUBLE) * t3 / (t1 + t2 + t3)) END
+             + CASE WHEN t1 = 0 OR (t1 + t2 + t3 - a1 - a2 - a3) = 0
+               THEN 0.0 ELSE
+               (CAST(t1 - a1 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
                   AS DOUBLE) * t1 / (t1 + t2 + t3))
                * (CAST(t1 - a1 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
                   AS DOUBLE) * t1 / (t1 + t2 + t3))
                / (CAST(t1 + t2 + t3 - a1 - a2 - a3 AS DOUBLE) * t1
-                  / (t1 + t2 + t3))
-             + (CAST(t2 - a2 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
+                  / (t1 + t2 + t3)) END
+             + CASE WHEN t2 = 0 OR (t1 + t2 + t3 - a1 - a2 - a3) = 0
+               THEN 0.0 ELSE
+               (CAST(t2 - a2 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
                   AS DOUBLE) * t2 / (t1 + t2 + t3))
                * (CAST(t2 - a2 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
                   AS DOUBLE) * t2 / (t1 + t2 + t3))
                / (CAST(t1 + t2 + t3 - a1 - a2 - a3 AS DOUBLE) * t2
-                  / (t1 + t2 + t3))
-             + (CAST(t3 - a3 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
+                  / (t1 + t2 + t3)) END
+             + CASE WHEN t3 = 0 OR (t1 + t2 + t3 - a1 - a2 - a3) = 0
+               THEN 0.0 ELSE
+               (CAST(t3 - a3 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
                   AS DOUBLE) * t3 / (t1 + t2 + t3))
                * (CAST(t3 - a3 AS DOUBLE) - CAST(t1 + t2 + t3 - a1 - a2 - a3
                   AS DOUBLE) * t3 / (t1 + t2 + t3))
                / (CAST(t1 + t2 + t3 - a1 - a2 - a3 AS DOUBLE) * t3
-                  / (t1 + t2 + t3))
+                  / (t1 + t2 + t3)) END
              )) AS BIGINT) AS chi2_micro
       FROM per, tot),
     p AS (
@@ -4220,7 +4231,11 @@ def q276_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gamma, exact on both engines. Step-up rule: reject ranks 1..kmax "
     "where kmax = max{k : p_k <= alpha*k/m}, decided by the INTEGER "
     "cross-multiplication p_micro*m <= 50000*k (alpha=.05; no "
-    "threshold rounding at all). Exactness: counts int64 from one "
+    "threshold rounding at all). Degenerate data: a cell whose column "
+    "total (globally empty language bucket) or row total is 0 "
+    "contributes 0 to chi2 — its limit — on BOTH engines, per the "
+    "q282 zero-denominator convention, instead of Inf/NaN divergence. "
+    "Exactness: counts int64 from one "
     "scan; chi2 is quantized to micro BEFORE exp; the rank window "
     "and kmax fold run on the |sources|-bounded relation. Scale: the "
     "doc scan folds map-side onto |sources| rows; everything after "
@@ -4256,9 +4271,14 @@ def q281_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def cell(o: str, ct: str, rt: str) -> str:
+        # Zero-denominator convention (mirrors q282): a cell whose column
+        # total or row total is 0 has expected count 0 and contributes 0
+        # to chi2 (its limit), instead of dividing by zero — which Spark's
+        # non-ANSI cast would clamp to Long.MaxValue while DuckDB errors.
         n = "(t1 + t2 + t3)"
         e = f"(CAST({rt} AS DOUBLE) * {ct} / {n})"
-        return f"(CAST({o} AS DOUBLE) - {e}) * (CAST({o} AS DOUBLE) - {e}) / {e}"
+        core = f"(CAST({o} AS DOUBLE) - {e}) * (CAST({o} AS DOUBLE) - {e}) / {e}"
+        return f"(CASE WHEN {ct} = 0 OR {rt} = 0 THEN 0.0 ELSE {core} END)"
 
     ra = "(a1 + a2 + a3)"
     rb = "(t1 + t2 + t3 - a1 - a2 - a3)"

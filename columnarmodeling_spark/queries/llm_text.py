@@ -4364,11 +4364,14 @@ def q278_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q279_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = _langid_pred_frame(spark, sf_dir)
 
-    def cnt(col, v):
+    def cnt(col, v, prefix):
+        # prefix is explicit (not derived from the column spelling) so a
+        # rename of the prediction columns fails loudly at the agg, not
+        # as a confusing downstream expression error.
         return (
             F.sum(F.when(F.col(col) == v, 1).otherwise(0))
             .cast("long")
-            .alias(f"{col[1]}_{v}")
+            .alias(f"{prefix}_{v}")
         )
 
     c = pred.agg(
@@ -4376,12 +4379,12 @@ def q279_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ga") == F.col("gc"), 1).otherwise(0))
         .cast("long")
         .alias("agree"),
-        cnt("ga", "en"),
-        cnt("ga", "es"),
-        cnt("ga", "zh"),
-        cnt("gc", "en"),
-        cnt("gc", "es"),
-        cnt("gc", "zh"),
+        cnt("ga", "en", "a"),
+        cnt("ga", "es", "a"),
+        cnt("ga", "zh", "a"),
+        cnt("gc", "en", "c"),
+        cnt("gc", "es", "c"),
+        cnt("gc", "zh", "c"),
     )
     return c.select(
         "n",

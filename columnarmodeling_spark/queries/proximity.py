@@ -1449,7 +1449,8 @@ def q273_laplacian_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(2 * sum(dx * dy) AS BIGINT) AS sxy
       FROM j)
     SELECT n_nodes, n_edges, sx, sxx, sxy,
-           CAST(CASE WHEN m * sxx - sx * sx > 0 THEN
+           CAST(CASE WHEN CAST(m AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx > 0 THEN
                 round(1000.0 * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
                       / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
                 ELSE 0 END AS BIGINT) AS r_milli
@@ -1467,10 +1468,15 @@ def q273_laplacian_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     "symmetric marginals make x- and y-moments equal). Exactness: "
     "degrees and all five moments are exact int64 sums from one "
     "edge pass; r is one double expression on them, rounded to "
-    "milli; degenerate variance returns 0 (guard). Scale: degree "
+    "milli; degenerate variance returns 0 via a guard evaluated in "
+    "DOUBLE on both engines (an int64 guard would overflow at "
+    "sx*sx ~ 2^63, i.e. sx ~ 3e9 — Spark would wrap silently into "
+    "the wrong branch while DuckDB errors; the double guard matches "
+    "the numerator's own precision). Scale: degree "
     "agg + two equi-joins on the edge key, all map-side-combinable "
-    "folds to one row; int64 moment sums stay exact under 2^63 "
-    "(degrees to ~3e9 at the corpus sizes this targets).",
+    "folds to one row; the int64 MOMENT sums themselves stay exact "
+    "while sxx < 2^63 (sum of squared degrees; the double-precision "
+    "guard is the binding constraint well before that).",
     tags=("graph", "assortativity", "proximity", "scale"),
 )
 def q289_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,7 +1518,8 @@ def q289_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sxx",
         "sxy",
         F.expr(
-            "CAST(CASE WHEN m * sxx - sx * sx > 0 THEN"
+            "CAST(CASE WHEN CAST(m AS DOUBLE) * sxx"
+            " - CAST(sx AS DOUBLE) * sx > 0 THEN"
             " round(1000.0 * (CAST(m AS DOUBLE) * sxy"
             " - CAST(sx AS DOUBLE) * sx)"
             " / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"

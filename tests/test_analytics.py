@@ -2991,3 +2991,47 @@ def test_q308_join_size_sketch_matches_replay(spark):
     assert row.over_milli == round(1000.0 * min(ests) / exact)
     # the CM inner product is an upper bound on the true join size
     assert row.est_min >= row.exact_size
+
+
+def test_q281_bh_fdr_empty_bucket_guard(spark, tmp_path):
+    """Degenerate corpus with a globally EMPTY 'zh' bucket (t3 = 0):
+    the per-cell zero-total guard (ADVICE r10) must keep chi2 finite
+    and bit-identical on both engines — unguarded, the expected-count
+    divisor is 0, Spark's non-ANSI cast clamps Inf to Long.MaxValue
+    and DuckDB errors on the cast."""
+    import duckdb
+    import pandas as pd
+
+    from columnarmodeling_spark.queries import REGISTRY
+    from tests.oracle_utils import canonical_rows
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["hello world", "more text", "hola mundo",
+                     "otra fila", "third doc"],
+            "lang": ["en", "en", "es", "es", "en"],  # no 'zh' anywhere
+            "source": ["src_a", "src_a", "src_b", "src_b", "src_b"],
+            "n_chars": [11, 9, 10, 9, 9],
+        }
+    )
+    d = str(tmp_path)
+    docs.to_parquet(d + "/documents.parquet", index=False)
+    spec = REGISTRY["q281_bh_fdr"]
+    got = spec.fn(spark, d)
+    mine_cols = got.columns
+    mine_rows = [tuple(r) for r in got.collect()]
+    # finite chi2 on the degenerate bucket (no Long.MaxValue clamp)
+    chi_i = mine_cols.index("chi2_micro")
+    assert all(abs(r[chi_i]) < 10**15 for r in mine_rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    cur = con.execute(spec.oracle)
+    ocols = [c[0] for c in cur.description]
+    orows = cur.fetchall()
+    assert sorted(mine_cols) == sorted(ocols)
+    assert canonical_rows(mine_cols, mine_rows) == canonical_rows(
+        ocols, orows
+    )

@@ -1007,6 +1007,87 @@ def test_q305_ivf_mrr_bounds(spark):
     assert row.n_found > 0
 
 
+def test_q305_ivf_mrr_matches_replay(spark):
+    """Pure-pandas replay of the full MRR tail at sf0.001 — the exact
+    top-1 per md5-sampled probe, its rank inside the nprobe=2
+    adaptive-IVF top-3 (sqrt-n md5 seeds, min-d2 cell assignment), and
+    the micro-quantized reciprocal-rank sum — so the query's numeric
+    correctness no longer rests solely on the generic oracle-parity
+    harness (ADVICE r10), matching the q293/q295 replay discipline."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    (row,) = REGISTRY["q305_ivf_mrr"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    ids = emb.vec_id.to_numpy(np.int64)
+    mat = np.array(
+        [[rnd(1000.0 * float(x)) for x in v] for v in emb.embedding],
+        dtype=np.int64,
+    )
+    n2 = (mat * mat).sum(axis=1)
+    # md5-ranked prefix draws: 32 probes and ceil(sqrt(n)) seeds
+    md5rk = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(str(int(ids[i])).encode()).hexdigest(),
+            int(ids[i]),
+        ),
+    )
+    probe_pos = md5rk[:32]
+    seed_pos = md5rk[: math.ceil(math.sqrt(len(ids)))]
+    # route every vector: crk by (d2-to-seed, sid); cell ids are seed ids
+    cells_1 = {}  # vec pos -> assigned seed id (crk == 1)
+    cells_2 = {}  # vec pos -> the two probed seed ids (crk <= 2)
+    for i in range(len(ids)):
+        d2 = [
+            (int(((mat[i] - mat[s]) ** 2).sum()), int(ids[s]))
+            for s in seed_pos
+        ]
+        d2.sort()
+        cells_1[i] = d2[0][1]
+        cells_2[i] = {d2[0][1], d2[1][1]}
+    # integer-quantized cosine: c9 = rnd(1e9 * dot / sqrt(n2a*n2b))
+    dots = mat @ mat.T
+    inv = 1.0 / np.sqrt(n2[:, None].astype(np.float64) * n2[None, :])
+    c9 = np.vectorize(rnd)(1e9 * dots * inv).astype(np.int64)
+    by_cell = {}
+    for i in range(len(ids)):
+        by_cell.setdefault(cells_1[i], []).append(i)
+    sum_rr = 0
+    n_found = 0
+    for p in probe_pos:
+        order = sorted(
+            (j for j in range(len(ids)) if j != p),
+            key=lambda j: (-c9[p, j], int(ids[j])),
+        )
+        exact1 = order[0]
+        cand = sorted(
+            (
+                j
+                for cell in cells_2[p]
+                for j in by_cell.get(cell, [])
+                if j != p
+            ),
+            key=lambda j: (-c9[p, j], int(ids[j])),
+        )[:3]
+        if exact1 in cand:
+            n_found += 1
+            sum_rr += rnd(1000000.0 / (cand.index(exact1) + 1))
+    assert row.n_queries == 32
+    assert row.n_found == n_found
+    assert row.sum_rr_micro == sum_rr
+    assert row.mrr_micro == rnd(sum_rr / 32.0)
+
+
 def test_q309_langid_macro_f1_matches_replay(spark):
     import math
     import re
