@@ -94,117 +94,109 @@ def register(
 # q182-q204 plus canaries and 21 staleness slots (CORRECTNESS_r08:
 # 50/50 green); see git history for the slot-by-slot rationale.
 #
-# Round-9 rotation (FINAL, supersedes the early-round-9 draft that
-# pre-dated the q212-q247 batch). Standing precedence: never-driver-
-# checked queries outrank staleness refresh — a first row is evidence
-# the union ledger lacks entirely; a refresh only tightens its age.
-# Window composition, in order: the q01 anchor; the five standing
-# tier canaries; the five batch round-8 additions q205/q208-q211
-# (judge-replica verified 7/7 strict-match in VERDICT r8, still no
-# driver row); the 35 batch round-9 additions q212-q247 (each
-# strict-replica MATCH at sf0.01 via tools/driver_replica.py when
-# added); one staleness slot (q06, the r4 band's oldest); and the
-# three streaming entries (q206/q207/q222) at the window tail so
-# their fixed micro-batch drain overhead cannot starve batch rows if
-# the driver's cap is time-based. The r4/r5 staleness bands planned
-# by the early-round-9 draft resume in round 10 — every query rotated
-# OUT of this window was green at its latest driver check in
-# CORRECTNESS_r08 or earlier.
+# Round-9/10 rotation history: the round-9 driver artifacts never
+# materialized (driver skipped the round), so the r10 window absorbed
+# both batches — first driver rows for q205-q248 plus the q01 anchor,
+# five tier canaries and the streaming tail (CORRECTNESS_r10: 50/50
+# green); see git history for the slot-by-slot rationale.
 #
-# Staleness ledger (latest CORRECTNESS_r0N row per query, computed from
+# Round-11 rotation (executes the r10 VERDICT's "Next round" item 1).
+# Standing precedence: never-driver-checked queries outrank staleness
+# refresh — a first row is evidence the union ledger lacks entirely; a
+# refresh only tightens its age. The never-checked backlog is q249-q309
+# (61 queries, all strict-replica MATCH at sf0.01 when added AND
+# independently judge-replica verified 61/61 in VERDICT r10), which
+# exceeds one 50-slot window, so per the r10 verdict the canary slots
+# yield too: fixed slots are ONLY the q01 anchor and the streaming tail
+# (q206/q207/q222 — the streaming tier's regression guards; their fixed
+# micro-batch drain cost goes last so it cannot starve batch rows if
+# the driver's cap is time-based). Window composition, in order: the
+# q01 anchor; the 45 oldest never-checked batch queries q249-q294
+# (q249-q277 — the round-9-era additions — strictly before the
+# round-10 batch q278+, oldest-first within each); then the tail
+# q290_stream_heavy_hitters (streaming, so tail) + q206/q207/q222.
+# That gives 46 of the 61 their first driver row; the remainder
+# q295-q309 (15) fronts the round-12 window.
+#
+# Staleness ledger (latest CORRECTNESS_rNN row per query, computed from
 # the artifact series; every row green at its latest check). Refresh
 # priority = oldest band first, oldest query within the band first:
-#   r4 band (25, oldest q06 — ITS SLOT IS IN THIS WINDOW): q06 q09-q17
-#     q20-q25 q27-q29 q31 q32 q100 q101 q104 q105
+#   r4 band (25, oldest q06): q06 q09-q17 q20-q25 q27-q29 q31 q32
+#     q100 q101 q104 q105
 #   r5 band (41, oldest q07): q07 q08 q18 q19 q26 q33-q42 q58 q60 q61
 #     q63 q65 q71-q73 q75 q78 q80-q86 q88-q93 q106 q108 q110
 #   r6 band (44, oldest q51): q51 q53 q55 q68 q70 q76 q77 q79 q94 q95
 #     q97-q99 q102 q103 q107 q109 q111-q137
 #   r7 band (44): q138-q181
-#   r8 band (50): q01-q05 q30 q43-q50 q52 q54 q56 q57 q59 q62 q64
-#     q66 q67 q69 q74 q87 q96 q182-q204
-#   never driver-checked: q205-q269 — the r8/r9 additions fronting
-#     THIS window (q248-q269 arrive in the r10 window; each was
-#     strict-replica verified at sf0.01 when added).
-# Post-r9 expected composition: r4 band shrinks to 24 (q06 refreshed);
-# q205-q221 and q223-q247 move to an r9 band; round 10 leads with
-# q248-q269 then drains r4/r5.
-#
-# Round-10 rotation. The round-9 driver artifacts (CORRECTNESS_r09 /
-# BENCH_r09) never materialized — round 10 opened with VERDICT/ADVICE
-# still r8's and no r9 rows in the artifact series — so EVERYTHING from
-# q205 up (73 queries at round-10 start) is still never-driver-checked.
-# Standing precedence (never-checked outranks staleness) therefore
-# empties the staleness slots entirely this round: the window keeps the
-# round-9 composition (q01 anchor, five tier canaries, q205/q208-q211,
-# q212-q221/q223-q247, streaming tail q206/q207/q222) and the single
-# q06 staleness slot is replaced by q248, the oldest never-checked
-# query not yet in-window. q249-q277 and the round-10 additions
-# (q278-q309) remain
-# outside the 50-slot cap; they carry strict-replica MATCH evidence
-# from tools/driver_replica.py (run when added) plus the pytest oracle
-# harness, and front the round-11 window. The r4/r5 staleness drains
-# resume once the never-checked backlog fits inside one window.
+#   r8 band (44): q02-q05 q43 q45-q50 q52 q54 q57 q59 q62 q66 q67 q69
+#     q74 q87 q182-q204
+#   r10 band (50): q01 q30 q44 q56 q64 q96 q205-q248 q206/q207/q222
+#   never driver-checked: q249-q309 (q249-q294 except q290 front THIS
+#     window; q290 rides the streaming tail; q295-q309 front round 12)
+#     plus the round-11 addition q310 (strict-replica MATCH when added).
+# ROUND-12 COMMITMENT (r10 VERDICT item 4 — the drain must not slip
+# again): round 12 leads with the 16-query remainder q295-q310, then
+# spends EVERY remaining batch slot on the staleness drain — the q01
+# anchor + streaming tail leave 30 slots, enough for the whole r4 band
+# (25) plus the r5 band's 5 oldest (q07 q08 q18 q19 q26). Post-r12
+# the ledger's oldest band is r5 (36 left), draining ~30/round after.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
-    # tier canaries (kept in-window as regression guards)
-    "q30_proximity_pairs",
-    "q44_lsh_candidates",
-    "q56_dup_clusters",
-    "q96_ivf_adaptive",
-    "q64_solver_steps",
-    # round-8 batch additions awaiting their first driver row (judge
-    # replica 7/7 strict-match in VERDICT r8); q206/q207 streaming go
-    # at the window tail.
-    "q205_viscoelastic_bonds",
-    "q208_ewma_segmented",
-    "q209_decontamination",
-    "q210_heavy_hitters",
-    "q211_containment_pairs",
-    # round-9 batch additions awaiting their first driver row (each
-    # strict-replica MATCH at sf0.01 when added); q222 streaming goes
-    # at the window tail.
-    "q212_viscoelastic_bonds_3d",
-    "q213_winnowing",
-    "q214_contamination_spans",
-    "q215_tokenizer_fertility",
-    "q216_mann_whitney",
-    "q217_kruskal_wallis",
-    "q218_rrf_fusion",
-    "q219_consistent_hash",
-    "q220_langid_confusion",
-    "q221_token_zipf",
-    "q223_ngram_novelty",
-    "q224_dup_size_histogram",
-    "q225_label_centroid_cosine",
-    "q226_filter_funnel",
-    "q227_benford_digits",
-    "q228_ks_test",
-    "q229_spearman",
-    "q230_token_gini",
-    "q231_repetition_runs",
-    "q232_greedy_packing",
-    "q233_kl_source_mix",
-    "q234_grouped_ols",
-    "q235_source_overlap",
-    "q236_skipgram_pmi",
-    "q237_theil_u",
-    "q238_trimmed_mean",
-    "q239_sorted_neighborhood",
-    "q240_welch_ttest",
-    "q241_acf",
-    "q242_markov_stationary",
-    "q243_cusum_changepoint",
-    "q244_rolling_retention",
-    "q245_roc_auc",
-    "q246_hits",
-    "q247_js_divergence",
-    # round-10: the q06 staleness slot yields to q248 (never-checked
-    # outranks staleness; see the round-10 rotation note above)
-    "q248_heaps_law",
-    # streaming tail: fixed micro-batch drain cost, so last in-window
+    # round-9-era batch additions awaiting their first driver row
+    # (strict-replica MATCH at sf0.01 when added; judge-replica
+    # re-verified 61/61 in VERDICT r10) — oldest-added first
+    "q249_split_leakage",
+    "q250_simpson_reversal",
+    "q251_crosscorr",
+    "q252_weighted_quantiles",
+    "q253_k_anonymity",
+    "q254_entropy_rate",
+    "q255_fano_factor",
+    "q256_wasserstein",
+    "q257_interarrival",
+    "q258_source_reweighting",
+    "q259_loo_cv_ols",
+    "q260_token_source_mi",
+    "q261_unseen_mass",
+    "q262_hellinger",
+    "q263_vocab_coverage",
+    "q264_pca_power",
+    "q265_fisher_ratio",
+    "q266_anisotropy",
+    "q267_participation_ratio",
+    "q268_theil_sen",
+    "q269_seasonality",
+    "q270_js_shrinkage",
+    "q271_capture_recapture",
+    "q272_weighted_topk_sample",
+    "q273_laplacian_lambda",
+    "q274_join_skew_profile",
+    "q275_mmr_selection",
+    "q276_brier_decomposition",
+    "q277_mcnemar",
+    # round-10 batch additions awaiting their first driver row
+    "q278_cochran_q",
+    "q279_cohen_kappa",
+    "q280_gtest_keyness",
+    "q281_bh_fdr",
+    "q282_mantel_haenszel",
+    "q283_cramers_v",
+    "q284_neyman_sample",
+    "q285_burrows_delta",
+    "q286_irls_logistic",
+    "q287_isotonic_calibration",
+    "q288_holt_segmented",
+    "q289_degree_assortativity",
+    "q291_mann_kendall",
+    "q292_softening_bonds_3d",
+    "q293_lsh_blocking_recall",
+    "q294_kwic_concordance",
+    # streaming tail: fixed micro-batch drain cost, so last in-window;
+    # q290 is never-checked and gets its first driver row here, the
+    # other three are the streaming tier's standing regression guards
+    "q290_stream_heavy_hitters",
     "q206_stream_transitions_late",
     "q207_stream_ewma_late",
     "q222_stream_decontamination",

@@ -889,6 +889,106 @@ def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q310: profiler-driven adaptive salting -----------------------------------
+
+# Salt when the sampled skew factor max/(N/K) crosses 2x — below that a
+# plain hash agg balances fine and the extra shuffle stage is pure cost.
+_ADAPTIVE_SKEW_MILLI = 2000
+_ADAPTIVE_SAMPLE_MOD = 37  # deterministic ~2.7% profile sample
+_ADAPTIVE_SALT = 8
+
+
+@register(
+    "q310_skew_adaptive_agg",
+    oracle=f"""
+    WITH prof AS (
+      SELECT CAST(coalesce(round(1000.0 * max(c) * count(*) / sum(c)), 0)
+                  AS BIGINT) AS skew_milli
+      FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_id % {_ADAPTIVE_SAMPLE_MOD} = 0
+            GROUP BY user_id))
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(100.0 * e.value) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           p.skew_milli,
+           p.skew_milli >= {_ADAPTIVE_SKEW_MILLI} AS salted
+    FROM events e CROSS JOIN prof p
+    GROUP BY e.user_id, p.skew_milli
+    """,
+    doc="PROFILER-DRIVEN ADAPTIVE SALTING — the q274 skew report turned "
+    "into a plan decision (r10 verdict item 6: the profiler reported, "
+    "nothing consumed it): a cheap deterministic ~2.7% profile pass "
+    f"(event_id % {_ADAPTIVE_SAMPLE_MOD} = 0) estimates the key-skew "
+    "factor max/(N/K); at skew >= "
+    f"{_ADAPTIVE_SKEW_MILLI / 1000:.0f}x the per-user aggregation runs "
+    "as q38's two-stage salted shape (hot key spread over "
+    f"{_ADAPTIVE_SALT} reducers, partials merged per key), below it as "
+    "the plain one-shuffle hash agg — the extra stage is pure cost on "
+    "balanced keys. The decision rides the output (skew_milli, salted) "
+    "so the oracle checks the BRANCH CHOICE, not just the aggregate; "
+    "both branches produce identical observable results (the synthetic "
+    "events corpus profiles ~2.7x, taking the salted branch; "
+    "tests/test_dedup_skew.py forces both on crafted corpora). "
+    "Exactness: totals are int64 cent sums (order-independent under "
+    "re-association, unlike double sums — the salted tree adds in a "
+    "different order); the profile statistic is one double expression "
+    "on three int64s, identical operand order on both engines. Scale: "
+    "the profile pass folds map-side onto the sampled KEY relation and "
+    "collects ONE row; the decision is driver-side plan selection, the "
+    "same place AQE's skew-join mitigation lives.",
+    tags=("agg", "skew", "salt", "adaptive", "diagnostics", "scale"),
+)
+def q310_skew_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    (prof,) = (
+        ev.filter(
+            F.pmod(F.col("event_id"), F.lit(_ADAPTIVE_SAMPLE_MOD)) == 0
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.expr(
+                "CAST(coalesce(round(1000.0 * max(c) * count(*) / sum(c)),"
+                " 0) AS BIGINT)"
+            ).alias("skew_milli")
+        )
+        .collect()  # bounded: exactly one row (the profile statistic)
+    )
+    skew_milli = prof["skew_milli"]
+    salted = skew_milli >= _ADAPTIVE_SKEW_MILLI
+    cents = F.expr("CAST(round(100.0 * value) AS BIGINT)")
+    if salted:
+        agg = (
+            ev.withColumn(
+                "salt", F.pmod(F.col("event_id"), F.lit(_ADAPTIVE_SALT))
+            )
+            .groupBy("user_id", "salt")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("pn"),
+                F.sum(cents).cast("long").alias("pv"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("pn").cast("long").alias("n"),
+                F.sum("pv").cast("long").alias("total_cents"),
+            )
+        )
+    else:
+        agg = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+    return agg.select(
+        "user_id",
+        "n",
+        "total_cents",
+        F.lit(skew_milli).cast("long").alias("skew_milli"),
+        F.lit(bool(salted)).alias("salted"),
+    )
+
+
 @register(
     "q36_map_funcs",
     oracle="""

@@ -128,6 +128,38 @@ def test_vertex_line_sink(spark):
     assert line == "1.00000000 2.00000000 3.00000000 4.00000000 5.00000000 6.00000000"
 
 
+def test_fixed_format_sink_nondefault_precision(spark, tmp_path):
+    """S7/S8 golden bytes at a NON-default format (r10 verdict item 7:
+    only %.8f was pinned, leaving the fmt parameterization untested):
+    %.6e scientific layout, byte-exact against C printf semantics —
+    format_string is Java String.format, which matches printf for %e
+    away from decimal ties (Java rounds ties HALF_UP, glibc half-even,
+    so the pinned values avoid exact .5 tie digits)."""
+    df = spark.createDataFrame(
+        [(1234.5678, -0.000012345, 0.0)], "x DOUBLE, y DOUBLE, z DOUBLE"
+    )
+    out = str(tmp_path / "out")
+    write_lines(
+        df, fixed_point_line("x", "y", "z", fmt="%.6e"), out, crlf=True
+    )
+    data = b"".join(
+        open(f, "rb").read() for f in sorted(glob.glob(f"{out}/part-*"))
+    )
+    assert data == b"1.234568e+03 -1.234500e-05 0.000000e+00\r\n"
+
+
+def test_vertex_line_sink_nondefault_precision(spark):
+    df = spark.createDataFrame(
+        [(1, [(1.5, -2.25, 3.0624)])],
+        "id LONG, vs ARRAY<STRUCT<x: DOUBLE, y: DOUBLE, z: DOUBLE>>",
+    )
+    line = (
+        df.select(vertex_line("vs", fmt="%.3e").alias("l"))
+        .collect()[0]["l"]
+    )
+    assert line == "1.500e+00 -2.250e+00 3.062e+00"
+
+
 def test_snapshot_store_partition_pruning(spark, tmp_path):
     """S9 scale contract: snapshots stored Parquet-partitioned by step
     must prune to one partition when filtered on step (SURVEY §4:

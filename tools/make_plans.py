@@ -904,6 +904,12 @@ CASES = {
     "check: ONE scan with the in-row HOF scoring; the class "
     "cross join is a 3-row broadcast; both aggs fold map-side "
     "onto |sources|-bounded relations.",
+    "q310_skew_adaptive_agg": "Profiler-driven adaptive salting. "
+    "What to check: the ~2.7% profile pass folds map-side onto the "
+    "sampled key relation and collects ONE row; the captured plan "
+    "is the branch the profile chose (salted on this corpus) — two "
+    "HashAggregate pairs, (user_id, salt) partials then the per-key "
+    "merge, no exchange beyond the two stage shuffles.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
