@@ -79,6 +79,16 @@ HEADLINE = [
     # late round-9 addition: the vocabulary-keyed source-pair join
     # (the bounded-fan-out drift-metric shape shared by q235/q247/q262)
     "q262_hellinger",
+    # round-10 heavy tier (r10 verdict item 3): the Newton-fold trainer
+    # (IRLS logistic), the 90/10-split bigram LM scoring join, the
+    # stateful streaming heavy-hitter pass, the WoE/IV binned-evidence
+    # fold, and the greedy first-fit packing loop — the most expensive
+    # new shapes, benched so a perf regression there surfaces per-round
+    "q286_irls_logistic",
+    "q295_heldout_perplexity",
+    "q290_stream_heavy_hitters",
+    "q298_woe_iv",
+    "q232_greedy_packing",
 ]
 
 
