@@ -1904,7 +1904,12 @@ _SNM_W = 10  # neighborhood width in sort positions
 def q239_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnarmodeling_spark.operators.indexing import with_global_index
 
-    sh = _shingle_rows(spark, sf_dir)
+    # The shingle relation feeds THREE consumers (the sort-key agg and
+    # both sides of the verify join); without the checkpoint each one
+    # re-runs tokenize + the shingle distinct — the dominant cost at
+    # scale (the 64x forced-scale run re-measured 165s -> 62s once the
+    # relation materializes exactly once).
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     key = sh.groupBy("doc_id").agg(
         F.min(F.md5("s")).alias("k"),
         F.count(F.lit(1)).cast("long").alias("sz"),

@@ -514,7 +514,9 @@ CASES = {
     "two-pass with_global_index (no single-task window); pairing "
     "is the positional BLOCK equi-join with the explode-2-blocks "
     "trick; the verify join fans out only over candidate docs' "
-    "shingles.",
+    "shingles; the shingle relation materializes ONCE (checkpoint) "
+    "for its three consumers — recomputing the tokenize+distinct "
+    "per consumer tripled the scan at 64x.",
     "q240_welch_ttest": "Welch's t-test. What to check: ONE "
     "conditional-sum hash agg produces all six moments; t and dof "
     "are projection arithmetic on the single output row — no "
