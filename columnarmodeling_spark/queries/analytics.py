@@ -3916,7 +3916,9 @@ _SKEW_TOP = 5  # heaviest keys reported
     "key frequency; a skew factor near 1 means hash partitions "
     "balance, >>1 means one task owns the hot key's whole fan-out "
     "— the diagnostic BEHIND the q38 salting and q208 segmented "
-    "escapes, turned into a query): skew = max/(N/K) cross-"
+    "escapes, turned into a query, and CONSUMED as a live plan "
+    "decision by q310's adaptive salted aggregation): skew = "
+    "max/(N/K) cross-"
     "multiplied as max*K/N, p99 by exact order statistic at rank "
     "ceil(0.99K) (integer (99K+99)//100, floor-safe on both "
     "engines for non-negative operands). Exactness: one int64 "
