@@ -1766,7 +1766,9 @@ def q214_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "novelty", "agg", "join", "scale"),
 )
 def q223_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_rows(spark, sf_dir)
+    # two consumers (the first-doc agg and the join-back) — materialize
+    # the tokenize+distinct once, the q239 r11 lesson
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     per = (
         sh.join(first, "s")

@@ -1905,6 +1905,12 @@ def q213_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.posexplode(word_shingles("tk", _WIN_K)))
         .withColumnRenamed("col", "gram")
         .select("doc_id", "pos", hex_hash("gram").alias("h"))
+        # deliberately NOT checkpointed despite three consumers: this is
+        # a pure narrow pipeline (no shuffle to save — contrast q239's
+        # distinct-bearing shingle relation), and pinning the 64x gram
+        # relation in the unified pool starved the window sort of
+        # execution memory (measured at 64x: ~64s recomputing vs
+        # 55-335s highly variable with a checkpoint)
     )
     fp = winnow_selected(g, _WIN_W)
     nd = g.groupBy("doc_id").agg(
