@@ -31,6 +31,12 @@ class QuerySpec:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # True when merely BUILDING the DataFrame executes a Spark job
+    # (driver-side plan selection runs an eager profile collect, the
+    # same place AQE's runtime re-planning lives). Generic tooling that
+    # constructs-without-running every query (plan capture, dry audits)
+    # should expect a hidden job from these specs.
+    eager: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -41,13 +47,16 @@ def register(
     oracle: str | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    eager: bool = False,
 ):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc, tags=tags, eager=eager
+        )
         return fn
 
     return deco
@@ -100,110 +109,114 @@ def register(
 # five tier canaries and the streaming tail (CORRECTNESS_r10: 50/50
 # green); see git history for the slot-by-slot rationale.
 #
-# Round-11 rotation (executes the r10 VERDICT's "Next round" item 1).
-# Standing precedence: never-driver-checked queries outrank staleness
-# refresh — a first row is evidence the union ledger lacks entirely; a
-# refresh only tightens its age. The never-checked backlog is q249-q309
-# (61 queries, all strict-replica MATCH at sf0.01 when added AND
-# independently judge-replica verified 61/61 in VERDICT r10), which
-# exceeds one 50-slot window, so per the r10 verdict the canary slots
-# yield too: fixed slots are ONLY the q01 anchor and the streaming tail
-# (q206/q207/q222 — the streaming tier's regression guards; their fixed
-# micro-batch drain cost goes last so it cannot starve batch rows if
-# the driver's cap is time-based). Window composition, in order: the
-# q01 anchor; the 45 oldest never-checked batch queries q249-q294
-# (q249-q277 — the round-9-era additions — strictly before the
-# round-10 batch q278+, oldest-first within each); then the tail
-# q290_stream_heavy_hitters (streaming, so tail) + q206/q207/q222.
-# That gives 46 of the 61 their first driver row; the remainder
-# q295-q309 (15) fronts the round-12 window.
+# Round-11 rotation history: the r11 window gave first driver rows to
+# q249-q294 + q290 plus the q01 anchor and the streaming tail
+# (CORRECTNESS_r11: 50/50 green); see git history for the slot-by-slot
+# rationale.
+#
+# Round-12 rotation (executes the r11 VERDICT's "Next round" item 1 —
+# the composition committed in round 11's ledger, verbatim). Standing
+# precedence: never-driver-checked queries outrank staleness refresh.
+# Window composition, in order: the q01 anchor; the 16-query
+# never-checked remainder q295-q310 (first driver rows — q310 is batch
+# despite its driver-side plan selection, so it rides the batch block);
+# then the FULL r4 staleness band (25 queries, oldest q06: q06,
+# q09-q17, q20-q25, q27-q29, q31/q32, q100/q101/q104/q105) plus the
+# r5 band's 5 oldest (q07/q08/q18/q19/q26); streaming tail last
+# (q206/q207/q222 — fixed micro-batch drain cost must not starve batch
+# rows if the driver's cap is time-based). 1+16+30+3 = 50.
+# Post-r12 ledger: never-checked count 0 (barring round-12 additions,
+# which front round 13), oldest staleness band r5 (36 rows left).
 #
 # Staleness ledger (latest CORRECTNESS_rNN row per query, computed from
 # the artifact series; every row green at its latest check). Refresh
-# priority = oldest band first, oldest query within the band first:
-#   r4 band (25, oldest q06): q06 q09-q17 q20-q25 q27-q29 q31 q32
-#     q100 q101 q104 q105
-#   r5 band (41, oldest q07): q07 q08 q18 q19 q26 q33-q42 q58 q60 q61
-#     q63 q65 q71-q73 q75 q78 q80-q86 q88-q93 q106 q108 q110
+# priority = oldest band first, oldest query within the band first.
+# AFTER the round-12 window runs:
+#   r5 band (36, oldest q33): q33-q42 q58 q60 q61 q63 q65 q71-q73 q75
+#     q78 q80-q86 q88-q93 q106 q108 q110
 #   r6 band (44, oldest q51): q51 q53 q55 q68 q70 q76 q77 q79 q94 q95
 #     q97-q99 q102 q103 q107 q109 q111-q137
 #   r7 band (44): q138-q181
 #   r8 band (44): q02-q05 q43 q45-q50 q52 q54 q57 q59 q62 q66 q67 q69
 #     q74 q87 q182-q204
-#   r10 band (50): q01 q30 q44 q56 q64 q96 q205-q248 q206/q207/q222
-#   never driver-checked: q249-q309 (q249-q294 except q290 front THIS
-#     window; q290 rides the streaming tail; q295-q309 front round 12)
-#     plus the round-11 addition q310 (strict-replica MATCH when added).
-# ROUND-12 COMMITMENT (r10 VERDICT item 4 — the drain must not slip
-# again): round 12 leads with the 16-query remainder q295-q310, then
-# spends EVERY remaining batch slot on the staleness drain — the q01
-# anchor + streaming tail leave 30 slots, enough for the whole r4 band
-# (25) plus the r5 band's 5 oldest (q07 q08 q18 q19 q26). Post-r12
-# the ledger's oldest band is r5 (36 left), draining ~30/round after.
+#   r10 band (50): q30 q44 q56 q64 q96 q205-q248 (minus streaming tail)
+#   r11 band (46): q249-q294
+#   r12 band (50): q01 anchor, q295-q310, r4 drain + q07/q08/q18/q19/
+#     q26, q206/q207/q222
+#   never driver-checked: round-12 additions only (front round 13).
+# ROUND-13 PLAN (slot arithmetic written now so rotation is mechanical,
+# per r11 VERDICT item 6): q01 anchor + streaming tail (q206/q207/q222)
+# + any round-12 additions needing first rows (q311 adaptive join = 1
+# as of this writing) leave 45 batch slots — enough for the WHOLE r5
+# band (36) plus the r6 band's 9 oldest (q51 q53 q55 q68 q70 q76 q77
+# q79 q94). Post-r13 the oldest band is r6 (35 left), r14 drains it
+# plus 10 of r7, and the ledger converges to a ≤3-round-stale steady
+# state by r16.
 # Round-11 full-registry re-verification: EVERY registered query —
 # all 310, including the whole staleness backlog and the never-checked
 # remainder — was run through the strict driver replica
 # (tools/driver_replica.py, raw stringified compare) at sf0.01 during
 # round 11: 310/310 strict-match, zero mismatches, zero errors. The
 # r12 drain and every later refresh is therefore evidence conversion,
-# not risk.
+# not risk. Round 12 re-runs the replica registry-wide and checks in
+# the artifact as REPLICA_r12.json (r11 VERDICT item 5).
 # ---------------------------------------------------------------------------
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
-    # round-9-era batch additions awaiting their first driver row
-    # (strict-replica MATCH at sf0.01 when added; judge-replica
-    # re-verified 61/61 in VERDICT r10) — oldest-added first
-    "q249_split_leakage",
-    "q250_simpson_reversal",
-    "q251_crosscorr",
-    "q252_weighted_quantiles",
-    "q253_k_anonymity",
-    "q254_entropy_rate",
-    "q255_fano_factor",
-    "q256_wasserstein",
-    "q257_interarrival",
-    "q258_source_reweighting",
-    "q259_loo_cv_ols",
-    "q260_token_source_mi",
-    "q261_unseen_mass",
-    "q262_hellinger",
-    "q263_vocab_coverage",
-    "q264_pca_power",
-    "q265_fisher_ratio",
-    "q266_anisotropy",
-    "q267_participation_ratio",
-    "q268_theil_sen",
-    "q269_seasonality",
-    "q270_js_shrinkage",
-    "q271_capture_recapture",
-    "q272_weighted_topk_sample",
-    "q273_laplacian_lambda",
-    "q274_join_skew_profile",
-    "q275_mmr_selection",
-    "q276_brier_decomposition",
-    "q277_mcnemar",
-    # round-10 batch additions awaiting their first driver row
-    "q278_cochran_q",
-    "q279_cohen_kappa",
-    "q280_gtest_keyness",
-    "q281_bh_fdr",
-    "q282_mantel_haenszel",
-    "q283_cramers_v",
-    "q284_neyman_sample",
-    "q285_burrows_delta",
-    "q286_irls_logistic",
-    "q287_isotonic_calibration",
-    "q288_holt_segmented",
-    "q289_degree_assortativity",
-    "q291_mann_kendall",
-    "q292_softening_bonds_3d",
-    "q293_lsh_blocking_recall",
-    "q294_kwic_concordance",
+    # never-driver-checked remainder (first driver rows; strict-replica
+    # MATCH at sf0.01 when added AND judge-replica re-verified 16/16 in
+    # VERDICT r11) — oldest-added first
+    "q295_heldout_perplexity",
+    "q296_sq8_distortion",
+    "q297_time_decayed_features",
+    "q298_woe_iv",
+    "q299_clustering_coefficient",
+    "q300_conformal_coverage",
+    "q301_trailing_distinct_users",
+    "q302_fisher_separability",
+    "q303_hard_example_mining",
+    "q304_dq_audit",
+    "q305_ivf_mrr",
+    "q306_sprt",
+    "q307_gains_table",
+    "q308_join_size_sketch",
+    "q309_langid_macro_f1",
+    "q310_skew_adaptive_agg",
+    # staleness drain: the FULL r4 band (25, oldest-first)
+    "q06_range_band_join",
+    "q09_group_centroids",
+    "q10_event_histogram",
+    "q11_grouping_sets",
+    "q12_cube_agg",
+    "q13_pivot_qty",
+    "q14_string_funcs",
+    "q15_datetime_funcs",
+    "q16_math_clamp",
+    "q17_topk_per_group",
+    "q20_boundary_touch",
+    "q21_json_extract",
+    "q22_window_rank_lag",
+    "q23_wraparound_neighbor",
+    "q24_running_total",
+    "q25_row_grouping",
+    "q27_set_algebra",
+    "q28_disjointness",
+    "q29_intersect_projection",
+    "q31_bond_type_histogram",
+    "q32_asof_join",
+    "q100_bigram_logprob",
+    "q101_bpe_merge_topk",
+    "q104_minhash_estimate_error",
+    "q105_config_scan",
+    # staleness drain: the r5 band's 5 oldest
+    "q07_rounded_dedup_dense_id",
+    "q08_flag_quota",
+    "q18_array_hof",
+    "q19_mirror_union",
+    "q26_sessionization",
     # streaming tail: fixed micro-batch drain cost, so last in-window;
-    # q290 is never-checked and gets its first driver row here, the
-    # other three are the streaming tier's standing regression guards
-    "q290_stream_heavy_hitters",
+    # the streaming tier's standing regression guards
     "q206_stream_transitions_late",
     "q207_stream_ewma_late",
     "q222_stream_decontamination",

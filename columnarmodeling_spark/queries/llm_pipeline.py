@@ -849,7 +849,7 @@ _NEY_U = 1_048_576  # 2^20 uniform resolution (the q87/q142 md5 rule)
       SELECT source, nh,
              CASE WHEN nh > 1 THEN
                CAST(round(1000000.0 * sqrt(
-                 CAST(nh * sy2 - sy * sy AS DOUBLE)
+                 (CAST(nh AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)
                  / (CAST(nh AS DOUBLE) * (nh - 1)))) AS BIGINT)
              ELSE 0 END AS s_micro
       FROM st),
@@ -893,9 +893,10 @@ _NEY_U = 1_048_576  # 2^20 uniform resolution (the q87/q142 md5 rule)
     "of the |sources|-bounded allocation. Determinism: both engines "
     "pick the IDENTICAL sample (integer keys, doc_id tie-break). "
     "Scale: two scans by design (allocation needs global stats); "
-    "rank windows are per-stratum, never global; int64 products "
-    "N*sum(y^2) stay exact under 2^63 — beyond that pre-scale y "
-    "(documented caveat).",
+    "rank windows are per-stratum, never global; the N*sum(y^2) "
+    "moment products evaluate in DOUBLE on both engines (the "
+    "q289/q255 overflow guard — int64 would wrap in Spark and "
+    "error in DuckDB once sum(y) ~ 3e9).",
     tags=("llm", "pipeline", "sampling", "stratified", "neyman", "scale"),
 )
 def q284_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,7 +918,7 @@ def q284_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CASE WHEN nh > 1 THEN"
             " CAST(round(1000000.0 * sqrt("
-            " CAST(nh * sy2 - sy * sy AS DOUBLE)"
+            " (CAST(nh AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)"
             " / (CAST(nh AS DOUBLE) * (nh - 1)))) AS BIGINT)"
             " ELSE 0 END"
         ).alias("s_micro"),

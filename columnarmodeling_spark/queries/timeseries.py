@@ -1796,14 +1796,15 @@ def q254_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid GROUP BY 1)
     SELECT event_type, n AS n_hours,
            CAST((1000 * sx) // n AS BIGINT) AS mean_milli,
-           CAST(round(1000000.0 * CAST(n * sxx - sx * sx AS DOUBLE)
+           CAST(round(1000000.0
+             * (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
              / (CAST(n - 1 AS DOUBLE) * CAST(sx AS DOUBLE)))
              AS BIGINT) AS fano_micro,
            CAST(round(1000000.0
-             * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             * (sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
                 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             / (sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
                 + CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
              AS BIGINT) AS burstiness_micro
@@ -1817,8 +1818,10 @@ def q254_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reports Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) in "
     "[-1, 1]. The series is the zero-filled hourly grid (q241 "
     "discipline); moments are exact int64 (n, sum, sum of "
-    "squares), F is ONE double division of integer-derived "
-    "operands, and B's sigma is IEEE sqrt (correctly rounded, "
+    "squares), the n*sxx - sx*sx numerator evaluates in DOUBLE "
+    "on both engines (the q289 overflow guard — int64 wraps in "
+    "Spark / errors in DuckDB near sx ~ 3e9), F is ONE double "
+    "division, and B's sigma is IEEE sqrt (correctly rounded, "
     "cross-engine safe) over the same identical-operand "
     "expression text in both engines, each quantized to micro. "
     "Scale: the scan folds to the (type, hour) bucket agg "
@@ -1852,9 +1855,12 @@ def q255_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+    # n*sxx and sx*sx evaluate in DOUBLE (the q289 guard): at ~3e9 hourly
+    # events the int64 products wrap silently in Spark and error in
+    # DuckDB, so both engines must run the identical double expression.
+    num = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
         "double"
-    )
+    ) * F.col("sx")
     var = num / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
     sigma = F.sqrt(var)
     mu = F.col("sx").cast("double") / F.col("n").cast("double")

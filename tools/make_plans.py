@@ -912,6 +912,15 @@ CASES = {
     "is the branch the profile chose (salted on this corpus) — two "
     "HashAggregate pairs, (user_id, salt) partials then the per-key "
     "merge, no exchange beyond the two stage shuffles.",
+    "q311_join_adaptive_strategy": "Profiler-driven adaptive join "
+    "strategy (q310's driver-side plan selection on the join side). "
+    "What to check: the captured plan is the branch the two-stat "
+    "profile chose — at sf0.1 the build estimate (~150k orders) "
+    "clears the 50k broadcast bar and the probe profiles ~2.7x "
+    "skewed, so expect the SALTED shape: build side exploded 8x, "
+    "SortMergeJoin on (user_id, salt) with no BroadcastExchange, "
+    "then one HashAggregate pair on event_type. The profile itself "
+    "ran eagerly at build time (eager=True) and is not in the plan.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind

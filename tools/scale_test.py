@@ -73,6 +73,17 @@ def build(spark, src: str, out: str, k: int) -> None:
             r = r.withColumn("o_custkey", F.col("o_custkey") + shift)
         elif name == "customer":
             r = r.withColumn("c_custkey", F.col("c_custkey") + shift)
+            # replicas become SPATIALLY disjoint for the solver law
+            # kernels (q192/q205 use c_acctbal as the x coordinate):
+            # +20k per replica clears the ~[-1k, 10k] acctbal range, so
+            # a K× corpus is K disjoint domains at CONSTANT density —
+            # the 100 TB scale-up semantics (more domain, same physics).
+            # Without this the replicas interleave in the same band and
+            # the proximity pair space grows ~K² per grid cell, which
+            # measures densification, not scale.
+            r = r.withColumn(
+                "c_acctbal", F.col("c_acctbal") + F.col("rep") * 20_000.0
+            )
         elif name == "documents":
             r = r.withColumn("doc_id", F.col("doc_id") + shift)
             # prefix every token with the replica id: replicas become
