@@ -5736,3 +5736,426 @@ def q308_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("over_milli"),
         )
     )
+
+
+# --- q313: Fellegi-Sunter probabilistic record linkage -------------------------
+#
+# Per-field (m, u) probabilities are fixed model constants. The
+# agree/disagree log-weights are pre-quantized to integer micro-nats in
+# PYTHON and embedded as literals in both engines' SQL: ln() on the two
+# engines' libm can differ in the last ulp, which round(1e6*ln(x)) then
+# amplifies to an off-by-one per field — model constants must never be
+# re-derived per engine.
+
+import math as _math
+
+
+def _micro(x: float) -> int:
+    return round(1_000_000 * _math.log(x))
+
+
+_FS_W = {
+    "seg": (_micro(0.9 / 0.2), _micro(0.1 / 0.8)),
+    "bal": (_micro(0.85 / 0.05), _micro(0.15 / 0.95)),
+    "phon": (_micro(0.8 / 0.01), _micro(0.2 / 0.99)),
+}
+
+
+def _fs_w(field: str) -> str:
+    agree, disagree = _FS_W[field]
+    return (
+        f"CASE WHEN {field} = 1 "
+        f"THEN CAST({agree} AS BIGINT) "
+        f"ELSE CAST({disagree} AS BIGINT) END"
+    )
+
+
+_FS_WEIGHT_SQL = " + ".join(_fs_w(f) for f in _FS_W)
+
+
+@register(
+    "q313_record_linkage",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             c_mktsegment AS seg_v, c_acctbal AS bal_v,
+             CAST(substr(c_name, 10) AS BIGINT) % 97 AS phon_v
+      FROM customer),
+    pairs AS (
+      SELECT CASE WHEN a.seg_v = b.seg_v THEN 1 ELSE 0 END AS seg,
+             CASE WHEN abs(a.bal_v - b.bal_v) <= 100.0 THEN 1 ELSE 0 END
+               AS bal,
+             CASE WHEN a.phon_v = b.phon_v THEN 1 ELSE 0 END AS phon
+      FROM c a JOIN c b ON a.nat = b.nat AND a.band = b.band
+                       AND a.k < b.k),
+    scored AS (
+      SELECT seg, bal, phon,
+             {_FS_WEIGHT_SQL} AS weight_micro
+      FROM pairs)
+    SELECT CASE WHEN weight_micro >= 4000000 THEN 'match'
+                WHEN weight_micro <= 0 THEN 'nonmatch'
+                ELSE 'review' END AS decision,
+           CAST(seg AS BIGINT) AS seg,
+           CAST(bal AS BIGINT) AS bal,
+           CAST(phon AS BIGINT) AS phon,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(weight_micro) AS BIGINT) AS weight_micro
+    FROM scored
+    GROUP BY 1, 2, 3, 4
+    ORDER BY weight_micro DESC, seg, bal, phon
+    """,
+    doc="FELLEGI-SUNTER PROBABILISTIC RECORD LINKAGE (the 1969 "
+    "entity-resolution model every dedup/master-data pipeline runs): "
+    "candidate pairs come from BLOCKING on (nation, acctbal-band) — "
+    "never the O(n^2) cross space; each pair gets a per-field "
+    "agreement vector (market segment equality, balance proximity "
+    "<= 100, a mod-97 name-key as the phonetic-key stand-in) and the "
+    "classic log2-style weights w = ln(m/u) on agreement, "
+    "ln((1-m)/(1-u)) on disagreement, with fixed (m, u) model "
+    "constants; totals classify into match / review / nonmatch by "
+    "the standard two-threshold rule. Exactness: each field weight "
+    "is micro-quantized through identical expression text on both "
+    "engines, so pair totals and thresholds are exact int64. Scale: "
+    "the blocked self-join is the same bounded-pair-space skeleton "
+    "as the dedup tier (block size bounds each join group; a hot "
+    "block would take the max_df-style cap of "
+    "jaccard_pairs_from_shingles); scoring is per-row expression "
+    "work and the rollup is a tiny hash agg over <= 24 agreement "
+    "patterns.",
+    tags=("analytics", "linkage", "entity-resolution", "join", "scale"),
+)
+def q313_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("band"),
+        F.col("c_mktsegment").alias("seg_v"),
+        F.col("c_acctbal").alias("bal_v"),
+        F.expr("CAST(substr(c_name, 10) AS BIGINT) % 97").alias("phon_v"),
+    )
+    a = c.select(*(F.col(x).alias(f"a_{x}") for x in c.columns))
+    b = c.select(*(F.col(x).alias(f"b_{x}") for x in c.columns))
+    pairs = a.join(
+        b,
+        (F.col("a_nat") == F.col("b_nat"))
+        & (F.col("a_band") == F.col("b_band"))
+        & (F.col("a_k") < F.col("b_k")),
+    ).select(
+        F.when(F.col("a_seg_v") == F.col("b_seg_v"), 1).otherwise(0).alias("seg"),
+        F.when(F.abs(F.col("a_bal_v") - F.col("b_bal_v")) <= 100.0, 1)
+        .otherwise(0)
+        .alias("bal"),
+        F.when(F.col("a_phon_v") == F.col("b_phon_v"), 1).otherwise(0).alias("phon"),
+    )
+    scored = pairs.select(
+        "seg", "bal", "phon", F.expr(_FS_WEIGHT_SQL).alias("weight_micro")
+    )
+    return (
+        scored.select(
+            F.when(F.col("weight_micro") >= 4000000, "match")
+            .when(F.col("weight_micro") <= 0, "nonmatch")
+            .otherwise("review")
+            .alias("decision"),
+            F.col("seg").cast("long").alias("seg"),
+            F.col("bal").cast("long").alias("bal"),
+            F.col("phon").cast("long").alias("phon"),
+            "weight_micro",
+        )
+        .groupBy("decision", "seg", "bal", "phon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("weight_micro").cast("long").alias("weight_micro"),
+        )
+        .orderBy(F.col("weight_micro").desc(), "seg", "bal", "phon")
+    )
+
+
+# --- q314: Kaplan-Meier survival curve -----------------------------------------
+
+
+@register(
+    "q314_kaplan_meier",
+    oracle="""
+    WITH sign AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    err AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS te
+      FROM events e JOIN sign s ON e.user_id = s.user_id
+      WHERE e.event_type = 'error' AND epoch_us(e.ts) > s.t0
+      GROUP BY 1),
+    mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+    dur AS (
+      SELECT s.user_id,
+             CAST(CASE WHEN e.te IS NOT NULL
+                       THEN (e.te - s.t0) // 86400000000
+                       ELSE (mx.tmax - s.t0) // 86400000000 END
+                  AS BIGINT) AS day,
+             CASE WHEN e.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM sign s LEFT JOIN err e ON s.user_id = e.user_id CROSS JOIN mx),
+    per AS (
+      SELECT day, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS c
+      FROM dur GROUP BY day),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+    risk AS (
+      SELECT day, d, c,
+             n - COALESCE(sum(d + c) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM per CROSS JOIN tot),
+    km AS (
+      SELECT day, d, c, at_risk,
+             max(CASE WHEN d >= at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY day) AS hit0,
+             sum(CASE WHEN d > 0 AND d < at_risk
+                      THEN ln(1.0 - CAST(d AS DOUBLE) / at_risk)
+                      ELSE 0.0 END) OVER (ORDER BY day) AS lsum
+      FROM risk)
+    SELECT day, d AS events, c AS censored,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CASE WHEN hit0 = 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(1000000.0 * exp(lsum)) AS BIGINT) END
+             AS surv_micro
+    FROM km ORDER BY day
+    """,
+    doc="KAPLAN-MEIER PRODUCT-LIMIT SURVIVAL ESTIMATOR with right "
+    "censoring — the churn/retention curve an analytics engine owes "
+    "the growth team: per user, time-to-first-error after signup "
+    "(users with no error are censored at the observation horizon); "
+    "risk sets n_i = N - cumulative(exits before day i) are EXACT "
+    "integer window arithmetic (no >= theta join), and "
+    "S(t) = prod(1 - d_i/n_i) rides exp(cumsum(ln)) over the "
+    "day-ordered axis with the d_i = n_i absorbing state handled by "
+    "a running max flag (ln(0)-safe). Float discipline: the only "
+    "doubles are the per-day ln factors summed in a DETERMINISTIC "
+    "order (ORDER BY day), micro-quantized at the end. Scale: the "
+    "per-user reductions are user-keyed hash aggs; everything after "
+    "the per-day rollup operates on <= horizon-days rows, so the "
+    "unpartitioned cumulative windows are bounded by the time axis, "
+    "not the data (the q298 discipline: aggregate first, window on "
+    "the reduced axis).",
+    tags=("analytics", "survival", "window", "scale"),
+)
+def q314_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .join(sign, "user_id")
+        .filter(F.col("us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("te"))
+    )
+    mx = ev.agg(F.max("us").alias("tmax"))
+    dur = (
+        sign.join(err, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                "CAST(CASE WHEN te IS NOT NULL"
+                " THEN (te - t0) DIV 86400000000"
+                " ELSE (tmax - t0) DIV 86400000000 END AS BIGINT)"
+            ).alias("day"),
+            F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    per = dur.groupBy("day").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    tot = dur.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_prev = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("day")
+    risk = per.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    km = risk.select(
+        "day",
+        "d",
+        "c",
+        "at_risk",
+        F.max(F.when(F.col("d") >= F.col("at_risk"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("hit0"),
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("at_risk")),
+                F.log(1.0 - F.col("d").cast("double") / F.col("at_risk")),
+            ).otherwise(0.0)
+        )
+        .over(w_cum)
+        .alias("lsum"),
+    )
+    return km.select(
+        "day",
+        F.col("d").alias("events"),
+        F.col("c").alias("censored"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.when(F.col("hit0") == 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("CAST(round(1000000.0 * exp(lsum)) AS BIGINT)")
+        )
+        .alias("surv_micro"),
+    ).orderBy("day")
+
+
+# --- q315: difference-in-differences --------------------------------------------
+
+# 2024-01-16 00:00:00 UTC in microseconds — the intervention cutoff.
+_DID_CUTOFF_US = 1_705_363_200_000_000
+
+
+@register(
+    "q315_diff_in_differences",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+             CASE WHEN epoch_us(ts) >= {_DID_CUTOFF_US} THEN 1 ELSE 0 END
+               AS post,
+             value AS x
+      FROM events WHERE event_type = 'purchase'),
+    cell AS (
+      SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx
+      FROM p GROUP BY treat, post),
+    piv AS (
+      SELECT
+        max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t0,
+        max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_t1,
+        max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c0,
+        max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_c1,
+        max(CASE WHEN treat = 1 AND post = 0 THEN sx END) AS sx_t0,
+        max(CASE WHEN treat = 1 AND post = 1 THEN sx END) AS sx_t1,
+        max(CASE WHEN treat = 0 AND post = 0 THEN sx END) AS sx_c0,
+        max(CASE WHEN treat = 0 AND post = 1 THEN sx END) AS sx_c1,
+        max(CASE WHEN treat = 1 AND post = 0 THEN sxx END) AS sxx_t0,
+        max(CASE WHEN treat = 1 AND post = 1 THEN sxx END) AS sxx_t1,
+        max(CASE WHEN treat = 0 AND post = 0 THEN sxx END) AS sxx_c0,
+        max(CASE WHEN treat = 0 AND post = 1 THEN sxx END) AS sxx_c1
+      FROM cell)
+    SELECT n_t0, n_t1, n_c0, n_c1,
+           CAST(round(1000000.0 * sx_t0 / n_t0) AS BIGINT) AS mean_t0_micro,
+           CAST(round(1000000.0 * sx_t1 / n_t1) AS BIGINT) AS mean_t1_micro,
+           CAST(round(1000000.0 * sx_c0 / n_c0) AS BIGINT) AS mean_c0_micro,
+           CAST(round(1000000.0 * sx_c1 / n_c1) AS BIGINT) AS mean_c1_micro,
+           CAST(round(1000000.0 * ((sx_t1 / n_t1 - sx_t0 / n_t0)
+                - (sx_c1 / n_c1 - sx_c0 / n_c0))) AS BIGINT) AS did_micro,
+           CAST(round(1000000.0 * sqrt(
+               ((sxx_t1 - sx_t1 * sx_t1 / n_t1) / (n_t1 - 1)) / n_t1
+             + ((sxx_t0 - sx_t0 * sx_t0 / n_t0) / (n_t0 - 1)) / n_t0
+             + ((sxx_c1 - sx_c1 * sx_c1 / n_c1) / (n_c1 - 1)) / n_c1
+             + ((sxx_c0 - sx_c0 * sx_c0 / n_c0) / (n_c0 - 1)) / n_c0))
+             AS BIGINT) AS se_micro,
+           CAST(round(1000.0 * ((sx_t1 / n_t1 - sx_t0 / n_t0)
+                - (sx_c1 / n_c1 - sx_c0 / n_c0)) / sqrt(
+               ((sxx_t1 - sx_t1 * sx_t1 / n_t1) / (n_t1 - 1)) / n_t1
+             + ((sxx_t0 - sx_t0 * sx_t0 / n_t0) / (n_t0 - 1)) / n_t0
+             + ((sxx_c1 - sx_c1 * sx_c1 / n_c1) / (n_c1 - 1)) / n_c1
+             + ((sxx_c0 - sx_c0 * sx_c0 / n_c0) / (n_c0 - 1)) / n_c0))
+             AS BIGINT) AS t_milli
+    FROM piv
+    """,
+    doc="DIFFERENCE-IN-DIFFERENCES ESTIMATOR — the quasi-experimental "
+    "causal read every product-analytics engine runs when an A/B "
+    "randomization wasn't available: purchase value by (treat = "
+    "user_id parity, post = ts >= the 2024-01-16 intervention "
+    "cutoff), DiD = (T,post - T,pre) - (C,post - C,pre), with the "
+    "large-sample SE from the four independent cell variances "
+    "(Welch-style, the q240 convention) and the t statistic. All "
+    "four cell moments (n, sum, sum-of-squares) come from ONE "
+    "hash aggregate over the filtered fact scan; the pivot and the "
+    "estimator are arithmetic on a single row. Doubles: value is "
+    "already DOUBLE; means/variances are micro-quantized at the "
+    "final projection (the shared-chain rule), and every sxx - "
+    "sx*sx/n evaluates in DOUBLE from the start, the q255/q289 "
+    "overflow lesson. Scale: one map-side-combinable agg on a "
+    "4-group key; no window, no join, no second scan.",
+    tags=("analytics", "causal", "did", "scale"),
+)
+def q315_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("treat"),
+            F.when(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                >= _DID_CUTOFF_US,
+                1,
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.col("value").alias("x"),
+        )
+    )
+    cell = p.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    piv_cols = []
+    for m in ("n", "sx", "sxx"):
+        for tr, po, tag in ((1, 0, "t0"), (1, 1, "t1"), (0, 0, "c0"), (0, 1, "c1")):
+            piv_cols.append(
+                F.max(
+                    F.when(
+                        (F.col("treat") == tr) & (F.col("post") == po),
+                        F.col(m),
+                    )
+                ).alias(f"{m}_{tag}")
+            )
+    piv = cell.agg(*piv_cols)
+    var_sum = (
+        "((sxx_t1 - sx_t1 * sx_t1 / n_t1) / (n_t1 - 1)) / n_t1"
+        " + ((sxx_t0 - sx_t0 * sx_t0 / n_t0) / (n_t0 - 1)) / n_t0"
+        " + ((sxx_c1 - sx_c1 * sx_c1 / n_c1) / (n_c1 - 1)) / n_c1"
+        " + ((sxx_c0 - sx_c0 * sx_c0 / n_c0) / (n_c0 - 1)) / n_c0"
+    )
+    did = (
+        "((sx_t1 / n_t1 - sx_t0 / n_t0) - (sx_c1 / n_c1 - sx_c0 / n_c0))"
+    )
+    return piv.select(
+        "n_t0",
+        "n_t1",
+        "n_c0",
+        "n_c1",
+        F.expr("CAST(round(1000000.0 * sx_t0 / n_t0) AS BIGINT)").alias(
+            "mean_t0_micro"
+        ),
+        F.expr("CAST(round(1000000.0 * sx_t1 / n_t1) AS BIGINT)").alias(
+            "mean_t1_micro"
+        ),
+        F.expr("CAST(round(1000000.0 * sx_c0 / n_c0) AS BIGINT)").alias(
+            "mean_c0_micro"
+        ),
+        F.expr("CAST(round(1000000.0 * sx_c1 / n_c1) AS BIGINT)").alias(
+            "mean_c1_micro"
+        ),
+        F.expr(f"CAST(round(1000000.0 * {did}) AS BIGINT)").alias("did_micro"),
+        F.expr(
+            f"CAST(round(1000000.0 * sqrt({var_sum})) AS BIGINT)"
+        ).alias("se_micro"),
+        F.expr(
+            f"CAST(round(1000.0 * {did} / sqrt({var_sum})) AS BIGINT)"
+        ).alias("t_milli"),
+    )

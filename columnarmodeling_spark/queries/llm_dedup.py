@@ -2298,3 +2298,133 @@ def q293_lsh_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_milli"),
         )
     )
+
+
+# --- q317: LSH (bands, rows) parameter auto-tuning -----------------------------
+
+_LSH_GRID = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]  # b * r = 16 perms
+_LSH_TAU_BIN = 6  # bins >= 6 (s >= 0.3) count as true-duplicate mass
+_LSH_FP_LAMBDA = 0.25  # relative cost of a false candidate vs a miss
+
+_LSH_GRID_SQL = ", ".join(f"({b}, {r})" for b, r in _LSH_GRID)
+
+# Shared expression text: candidate probability of the (b, r) banding at
+# the bin's midpoint similarity, and the per-bin cost contribution —
+# micro-quantized per (grid row, bin) BEFORE the integer sum (q100 rule).
+_LSH_P = "(1.0 - power(1.0 - power((bin + 0.5) / 20.0, r), b))"
+_LSH_CONTRIB = (
+    f"CAST(round(1000000.0 * CASE WHEN bin >= {_LSH_TAU_BIN} "
+    f"THEN cnt * (1.0 - {_LSH_P}) "
+    f"ELSE {_LSH_FP_LAMBDA} * cnt * {_LSH_P} END) AS BIGINT)"
+)
+
+
+@register(
+    "q317_lsh_param_tuning",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sims AS (
+      SELECT round(i * 1.0 / (ca.n + cb.n - i), 6) AS s
+      FROM inter
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id),
+    hist AS (
+      SELECT CAST(least(19, floor(s * 20)) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM sims GROUP BY 1),
+    grid AS (SELECT * FROM (VALUES {_LSH_GRID_SQL}) AS g(b, r)),
+    contrib AS (
+      SELECT g.b, g.r, h.bin,
+             {_LSH_CONTRIB} AS c_micro,
+             CASE WHEN h.bin >= {_LSH_TAU_BIN}
+                  THEN {_LSH_CONTRIB} ELSE 0 END AS fn_micro,
+             CASE WHEN h.bin < {_LSH_TAU_BIN}
+                  THEN {_LSH_CONTRIB} ELSE 0 END AS fp_micro
+      FROM grid g CROSS JOIN hist h),
+    scored AS (
+      SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+             CAST(sum(fn_micro) AS BIGINT) AS fn_micro,
+             CAST(sum(fp_micro) AS BIGINT) AS fp_micro,
+             CAST(sum(c_micro) AS BIGINT) AS cost_micro
+      FROM contrib GROUP BY b, r)
+    SELECT bands, rows_per_band, fn_micro, fp_micro, cost_micro,
+           CASE WHEN row_number() OVER (ORDER BY cost_micro, bands) = 1
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS chosen
+    FROM scored
+    ORDER BY cost_micro, bands
+    """,
+    doc="LSH (BANDS, ROWS) PARAMETER AUTO-TUNING — the third leg of the "
+    "adaptive-planning family (q310 picked the agg strategy from a "
+    "skew profile, q311 the join strategy from a CM join-size sketch; "
+    "this picks the MinHash-LSH banding from the OBSERVED similarity "
+    "distribution instead of a rule-of-thumb threshold): the exact "
+    "shingle-join similarity histogram (20 bins) is integrated "
+    "against the S-curve P(s) = 1 - (1 - s^r)^b for every (b, r) "
+    "factorization of the 16-perm signature; expected miss mass "
+    "(s >= 0.3 pairs the banding would NOT candidate) and expected "
+    "false-candidate mass (s < 0.3 pairs it would) combine at "
+    "lambda = 0.25, and the argmin row carries chosen = 1 so the "
+    "oracle checks the DECISION, not just the scores (the q310 "
+    "convention). Float discipline: each (grid, bin) contribution is "
+    "micro-quantized before the integer rollup, so grid sums are "
+    "order-free int64. Scale: at 100 TB the histogram would come "
+    "from the SAME banded/blocked sample the engine already "
+    "maintains (q44's candidates or q239's SNM blocks), never the "
+    "full pair space — here the exact q42 skeleton doubles as the "
+    "ground-truth histogram so the oracle stays closed-form; the "
+    "grid integration is 5 x 20 rows of arithmetic.",
+    tags=("dedup", "llm", "lsh", "adaptive", "scale"),
+)
+def q317_lsh_param_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pairs = jaccard_pairs_from_shingles(_shingle_rows(spark, sf_dir), tau=0.0)
+    hist = (
+        pairs.select(
+            F.expr("CAST(least(19, floor(jaccard * 20)) AS BIGINT)").alias(
+                "bin"
+            )
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    grid = spark.createDataFrame(_LSH_GRID, "b INT, r INT")
+    contrib = F.broadcast(grid).crossJoin(hist).select(
+        "b",
+        "r",
+        F.expr(_LSH_CONTRIB).alias("c_micro"),
+        F.expr(
+            f"CASE WHEN bin >= {_LSH_TAU_BIN} THEN {_LSH_CONTRIB} "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("fn_micro"),
+        F.expr(
+            f"CASE WHEN bin < {_LSH_TAU_BIN} THEN {_LSH_CONTRIB} "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("fp_micro"),
+    )
+    scored = contrib.groupBy("b", "r").agg(
+        F.sum("fn_micro").cast("long").alias("fn_micro"),
+        F.sum("fp_micro").cast("long").alias("fp_micro"),
+        F.sum("c_micro").cast("long").alias("cost_micro"),
+    )
+    # 5-row decision relation: the unpartitioned rank window is bounded
+    # by the grid size, not the data.
+    rn = F.row_number().over(Window.orderBy("cost_micro", "b"))
+    return (
+        scored.select(
+            F.col("b").cast("long").alias("bands"),
+            F.col("r").cast("long").alias("rows_per_band"),
+            "fn_micro",
+            "fp_micro",
+            "cost_micro",
+            F.when(rn == 1, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("chosen"),
+        )
+        .orderBy("cost_micro", "bands")
+    )

@@ -5052,3 +5052,265 @@ def q309_langid_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q312: URL canonicalization + host rollup --------------------------------
+#
+# The canonicalization chain is GENERATED once and rendered for both
+# engines (engine-specific array-function names substituted), so the
+# Spark columns and the DuckDB CTE layers evaluate the identical
+# expression text — the same shared-chain discipline the micro-quantized
+# float queries use, applied to string surgery.
+
+_URL_DIRTY_SQL = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'https://WWW.' || source || '.Example.com/Page/' "
+    "|| CAST(doc_id AS STRING) || '/' "
+    "WHEN 1 THEN 'HTTP://' || source || '.example.COM:80/page/' "
+    "|| CAST(doc_id AS STRING) || '?utm_source=feed&ref=' "
+    "|| CAST(doc_id % 7 AS STRING) "
+    "WHEN 2 THEN 'https://' || source || '.example.com:443/page/' "
+    "|| CAST(doc_id AS STRING) || '?id=' || CAST(doc_id AS STRING) "
+    "|| '&utm_campaign=x#frag' "
+    "ELSE 'http://m.' || source || '.example.com/page/' "
+    "|| CAST(doc_id AS STRING) || '?b=2&a=1' END"
+)
+
+
+def _url_canon_steps(engine: str) -> list[tuple[str, str]]:
+    """Ordered (column, SQL-expression) canonicalization steps.
+
+    *engine* is ``"duck"`` or ``"spark"`` — only the array-function
+    names differ; every scalar step is byte-identical.
+    """
+    duck = engine == "duck"
+    filt = "list_filter" if duck else "filter"
+    sort = "list_sort" if duck else "array_sort"
+    join = "array_to_string" if duck else "array_join"
+    splitarr = "string_split" if duck else "split"
+    return [
+        ("scheme", "lower(split_part(url, '://', 1))"),
+        ("rest", "split_part(url, '://', 2)"),
+        ("nofrag", "split_part(rest, '#', 1)"),
+        ("hostport", "split_part(nofrag, '/', 1)"),
+        ("rawhost", "lower(split_part(hostport, ':', 1))"),
+        ("port", "split_part(hostport, ':', 2)"),
+        ("host", "regexp_replace(rawhost, '^(www|m)\\.', '')"),
+        (
+            "portpart",
+            "CASE WHEN port = '' OR (scheme = 'http' AND port = '80') "
+            "OR (scheme = 'https' AND port = '443') "
+            "THEN '' ELSE ':' || port END",
+        ),
+        ("pathq", "substr(nofrag, length(hostport) + 1)"),
+        ("path0", "split_part(pathq, '?', 1)"),
+        ("path1", "CASE WHEN path0 = '' THEN '/' ELSE path0 END"),
+        (
+            "path",
+            "CASE WHEN length(path1) > 1 AND path1 LIKE '%/' "
+            "THEN substr(path1, 1, length(path1) - 1) ELSE path1 END",
+        ),
+        ("qs", "split_part(pathq, '?', 2)"),
+        (
+            "keep",
+            f"{join}({sort}({filt}({splitarr}(qs, '&'), "
+            "p -> substr(p, 1, 4) <> 'utm_')), '&')",
+        ),
+        (
+            "canon_url",
+            "scheme || '://' || host || portpart || path "
+            "|| CASE WHEN keep <> '' THEN '?' || keep ELSE '' END",
+        ),
+    ]
+
+
+def _url_canon_oracle() -> str:
+    layers = ["u0 AS (SELECT doc_id, n_chars, "
+              f"{_URL_DIRTY_SQL} AS url FROM documents)"]
+    prev = "u0"
+    for i, (col, expr) in enumerate(_url_canon_steps("duck"), start=1):
+        layers.append(f"u{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = f"u{i}"
+    return (
+        "WITH " + ",\n    ".join(layers) + f"""
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+                AS BIGINT) AS https_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(canon_url) AS sample_url
+    FROM {prev}
+    GROUP BY host
+    ORDER BY host
+    """
+    )
+
+
+@register(
+    "q312_url_canonicalize",
+    oracle=_url_canon_oracle(),
+    doc="URL CANONICALIZATION + host-level rollup — the CommonCrawl-"
+    "style ingest step every web-scale training-data pipeline runs "
+    "before URL-keyed dedup: lowercase scheme/host, strip default "
+    "ports (http:80 / https:443, non-default preserved), drop "
+    "fragments, strip www./m. host prefixes, drop utm_* tracking "
+    "params, SORT the surviving query params (param-order-insensitive "
+    "key), trim trailing path slashes. Dirty URLs are derived "
+    "deterministically from (doc_id, source) — four dirt patterns "
+    "covering every rule — because the synthetic corpus carries no "
+    "URL column; the operator under test is the canonicalization "
+    "chain, which is code-GENERATED once and rendered for both "
+    "engines (only array-function NAMES differ). Rollup: per "
+    "canonical host, doc/distinct-URL counts, scheme mix, byte mass. "
+    "Scale: pure per-row string expressions (whole-stage codegen, no "
+    "UDF, no shuffle until the host rollup) followed by one hash "
+    "aggregate on a low-cardinality key; count(DISTINCT canon_url) "
+    "expands to the standard two-level agg — no single-partition "
+    "bottleneck.",
+    tags=("text", "llm", "url", "canonicalize", "scale"),
+)
+def q312_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source", F.expr(_URL_DIRTY_SQL).alias("url")
+    )
+    for col, expr in _url_canon_steps("spark"):
+        d = d.withColumn(col, F.expr(expr))
+    return (
+        d.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("canon_url").cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("scheme") == "https", 1).otherwise(0))
+            .cast("long")
+            .alias("https_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("canon_url").alias("sample_url"),
+        )
+        .orderBy("host")
+    )
+
+
+# --- q316: DSIR-style importance resampling -----------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_TOP = 100
+
+
+@register(
+    "q316_dsir_importance",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS w
+      FROM documents),
+    feat AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % {_DSIR_BUCKETS}
+               AS bucket
+      FROM toks),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    cnt AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN tgt.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct
+      FROM feat LEFT JOIN tgt ON feat.doc_id = tgt.doc_id
+      GROUP BY bucket),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(ct) AS BIGINT) AS tt
+      FROM cnt),
+    w AS (
+      SELECT bucket,
+             CAST(round(1000000.0 * ln(
+               ((CAST(ct AS DOUBLE) + 1.0) / (tt + {_DSIR_BUCKETS}))
+               / ((CAST(ca AS DOUBLE) + 1.0) / (ta + {_DSIR_BUCKETS}))))
+               AS BIGINT) AS logw_micro
+      FROM cnt CROSS JOIN tot),
+    scored AS (
+      SELECT f.doc_id, CAST(sum(w.logw_micro) AS BIGINT) AS score_micro
+      FROM feat f JOIN w ON f.bucket = w.bucket
+      GROUP BY f.doc_id),
+    ranked AS (
+      SELECT s.doc_id, d.lang, d.source, s.score_micro,
+             row_number() OVER (ORDER BY s.score_micro DESC, s.doc_id)
+               AS rn
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+    SELECT doc_id, lang, source, score_micro, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_DSIR_TOP}
+    ORDER BY rn
+    """,
+    doc=f"DSIR-STYLE IMPORTANCE RESAMPLING (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling') — the "
+    "data-mix curation step that scores every raw document by how "
+    "target-like its hashed n-gram features are, then keeps the top "
+    "slice: tokens hash into 64 buckets (the 60-bit md5 hash shared "
+    "with the dedup tier, mod B); the target distribution p is "
+    "estimated from the lang=en slice and the raw distribution q from "
+    "the whole corpus, both add-one smoothed over B buckets; per-doc "
+    "importance = sum over tokens of log(p_b/q_b). Float discipline: "
+    "each bucket's log-ratio is micro-quantized BEFORE the per-doc "
+    "sum (the q100 rule), so doc scores are exact int64 arithmetic "
+    "and the top-{_DSIR_TOP} cut plus (score, doc_id) tie-break is "
+    "deterministic across engines. Scale: the bucket-weight table is "
+    "B={_DSIR_BUCKETS} rows — a broadcast; scoring is one hash-agg "
+    "over the exploded tokens (map-side partial sums); the global "
+    "top-k is Spark's TakeOrdered (per-partition heaps + driver "
+    "merge of k*P rows), never a full sort.",
+    tags=("text", "llm", "dsir", "sampling", "scale"),
+)
+def q316_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).select(
+        "doc_id",
+        (hex_hash("w") % _DSIR_BUCKETS).alias("bucket"),
+    )
+    tgt = d.filter(F.col("lang") == "en").select("doc_id")
+    cnt = (
+        feat.join(F.broadcast(tgt.withColumn("__t", F.lit(1))), "doc_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ca"),
+            F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(round(1000000.0 * ln("
+            f"((CAST(ct AS DOUBLE) + 1.0) / (tt + {_DSIR_BUCKETS}))"
+            f" / ((CAST(ca AS DOUBLE) + 1.0) / (ta + {_DSIR_BUCKETS}))))"
+            " AS BIGINT)"
+        ).alias("logw_micro"),
+    )
+    scored = (
+        feat.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("logw_micro").cast("long").alias("score_micro"))
+    )
+    top = (
+        scored.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    )
+    return top.select(
+        "doc_id",
+        "lang",
+        "source",
+        "score_micro",
+        rn.cast("long").alias("rn"),
+    ).orderBy("rn")

@@ -1,0 +1,265 @@
+"""Property tests for the round-12 operator additions (q312-q317).
+
+The differential oracle tests in test_queries_oracle.py already pin both
+engines to identical values; these tests pin the SEMANTICS — the
+invariants a refactor could silently break while both engines drift
+together.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- q312: URL canonicalization ----------------------------------------------
+
+
+def _canonicalize(spark, urls: list[str]):
+    """Run the q312 canonicalization chain over arbitrary URL literals."""
+    from columnarmodeling_spark.queries.llm_text import _url_canon_steps
+
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    for col, expr in _url_canon_steps("spark"):
+        df = df.withColumn(col, F.expr(expr))
+    return dict(zip(urls, [r.canon_url for r in df.select("canon_url").collect()]))
+
+
+def test_q312_canonicalization_rules(spark):
+    got = _canonicalize(
+        spark,
+        [
+            "HTTP://WWW.Ex.COM:80/a/b/?utm_source=x&z=1&a=2#frag",
+            "https://ex.com:443/a",
+            "https://ex.com:8443/a",  # non-default port preserved
+            "http://m.ex.com/",
+            "https://ex.com/a?utm_a=1&utm_b=2",  # all params stripped
+        ],
+    )
+    assert got["HTTP://WWW.Ex.COM:80/a/b/?utm_source=x&z=1&a=2#frag"] == (
+        "http://ex.com/a/b?a=2&z=1"
+    )
+    assert got["https://ex.com:443/a"] == "https://ex.com/a"
+    assert got["https://ex.com:8443/a"] == "https://ex.com:8443/a"
+    assert got["http://m.ex.com/"] == "http://ex.com/"
+    assert got["https://ex.com/a?utm_a=1&utm_b=2"] == "https://ex.com/a"
+
+
+def test_q312_canonicalization_idempotent(spark):
+    """Canonicalizing a canonical URL must be a no-op (fixed point)."""
+    dirty = [
+        "HTTP://WWW.Ex.COM:80/a/b/?utm_source=x&z=1&a=2#frag",
+        "https://ex.com:8443/p/?b=2&a=1",
+        "http://m.ex.com/x?utm_x=1",
+    ]
+    once = _canonicalize(spark, dirty)
+    twice = _canonicalize(spark, list(once.values()))
+    for u in dirty:
+        assert twice[once[u]] == once[u]
+
+
+def test_q312_host_rollup_accounts_every_doc(spark):
+    df = REGISTRY["q312_url_canonicalize"].fn(spark, SF)
+    rows = df.collect()
+    n_docs = sum(r.n_docs for r in rows)
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert n_docs == total
+    for r in rows:
+        # four dirt patterns -> at most 4 distinct canonical URLs per doc_id,
+        # every host is the stripped registrable form
+        assert r.n_urls <= r.n_docs
+        assert not r.host.startswith(("www.", "m."))
+        assert r.sample_url.startswith(("http://", "https://"))
+        assert "#" not in r.sample_url and "utm_" not in r.sample_url
+
+
+# --- q313: Fellegi-Sunter record linkage --------------------------------------
+
+
+def test_q313_weights_and_thresholds(spark):
+    from columnarmodeling_spark.queries.analytics import _FS_W
+
+    rows = REGISTRY["q313_record_linkage"].fn(spark, SF).collect()
+    assert rows, "blocking produced no candidate pairs"
+    for r in rows:
+        expected = sum(
+            _FS_W[f][0] if getattr(r, f) == 1 else _FS_W[f][1]
+            for f in ("seg", "bal", "phon")
+        )
+        assert r.weight_micro == expected
+        if r.weight_micro >= 4_000_000:
+            assert r.decision == "match"
+        elif r.weight_micro <= 0:
+            assert r.decision == "nonmatch"
+        else:
+            assert r.decision == "review"
+    # full-agreement pattern outranks every other pattern it appears with
+    weights = {(r.seg, r.bal, r.phon): r.weight_micro for r in rows}
+    if (1, 1, 1) in weights:
+        assert weights[(1, 1, 1)] == max(weights.values())
+
+
+def test_q313_pair_count_matches_blocking(spark):
+    rows = REGISTRY["q313_record_linkage"].fn(spark, SF).collect()
+    n_pairs = sum(r.n_pairs for r in rows)
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_nationkey").alias("nat"),
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("band"),
+    )
+    blocks = c.groupBy("nat", "band").count().collect()
+    expected = sum(b["count"] * (b["count"] - 1) // 2 for b in blocks)
+    assert n_pairs == expected
+
+
+# --- q314: Kaplan-Meier --------------------------------------------------------
+
+
+def test_q314_km_invariants(spark):
+    rows = REGISTRY["q314_kaplan_meier"].fn(spark, SF).collect()
+    assert rows
+    prev_day = -1
+    prev_surv = 1_000_000
+    total_exits = 0
+    n0 = rows[0].at_risk + 0  # first-day risk set = cohort size
+    for r in rows:
+        assert r.day > prev_day
+        # survival is non-increasing and only drops on event days
+        assert r.surv_micro <= prev_surv
+        if r.events == 0:
+            assert r.surv_micro == prev_surv
+        # risk set = cohort minus everyone who exited strictly earlier
+        assert r.at_risk == n0 - total_exits
+        total_exits += r.events + r.censored
+        prev_day, prev_surv = r.day, r.surv_micro
+    assert total_exits == n0  # everyone exits by the horizon
+
+
+def test_q314_km_matches_pure_python(spark):
+    """Replay the product-limit estimator in plain Python."""
+    rows = REGISTRY["q314_kaplan_meier"].fn(spark, SF).collect()
+    s = 1.0
+    dead = False
+    for r in rows:
+        if r.events >= r.at_risk:
+            dead = True
+        if not dead and r.events > 0:
+            s *= 1.0 - r.events / r.at_risk
+        expect = 0 if dead else round(1_000_000 * s)
+        assert r.surv_micro == expect
+
+
+# --- q315: difference-in-differences -------------------------------------------
+
+
+def test_q315_did_identity(spark):
+    r = REGISTRY["q315_diff_in_differences"].fn(spark, SF).collect()[0]
+    did = (r.mean_t1_micro - r.mean_t0_micro) - (
+        r.mean_c1_micro - r.mean_c0_micro
+    )
+    # did is quantized once from doubles, the identity from the four
+    # already-quantized means can differ by the four roundings
+    assert abs(r.did_micro - did) <= 2
+    assert r.se_micro > 0
+    assert abs(r.t_milli - round(1000 * r.did_micro / r.se_micro)) <= 1
+    assert min(r.n_t0, r.n_t1, r.n_c0, r.n_c1) > 1
+
+
+# --- q316: DSIR importance -----------------------------------------------------
+
+
+def test_q316_top_slice_is_target_enriched(spark):
+    df = REGISTRY["q316_dsir_importance"].fn(spark, SF)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base_rate = (
+        docs.filter(F.col("lang") == "en").count() / docs.count()
+    )
+    top_rate = sum(1 for r in rows if r.lang == "en") / len(rows)
+    # importance resampling must enrich the target distribution
+    assert top_rate > base_rate
+
+
+def test_q316_scores_replay_in_python(spark):
+    """Recompute the bucket weights + one doc score in plain Python."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    B = 64
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+
+    def buckets(text):
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        return [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+            for t in toks
+        ]
+
+    ca: Counter = Counter()
+    ct: Counter = Counter()
+    for d in docs:
+        bs = buckets(d.text)
+        ca.update(bs)
+        if d.lang == "en":
+            ct.update(bs)
+    ta, tt = sum(ca.values()), sum(ct.values())
+    w = {
+        b: round(
+            1_000_000
+            * math.log(
+                ((ct.get(b, 0) + 1.0) / (tt + B))
+                / ((ca.get(b, 0) + 1.0) / (ta + B))
+            )
+        )
+        for b in ca
+    }
+    expect = {
+        d.doc_id: sum(w[b] for b in buckets(d.text))
+        for d in docs
+        if buckets(d.text)
+    }
+    got = {
+        r.doc_id: r.score_micro
+        for r in REGISTRY["q316_dsir_importance"].fn(spark, SF).collect()
+    }
+    for doc_id, score in got.items():
+        assert expect[doc_id] == score
+
+
+# --- q317: LSH parameter tuning ------------------------------------------------
+
+
+def test_q317_grid_and_decision(spark):
+    rows = REGISTRY["q317_lsh_param_tuning"].fn(spark, SF).collect()
+    assert {(r.bands, r.rows_per_band) for r in rows} == {
+        (16, 1), (8, 2), (4, 4), (2, 8), (1, 16)
+    }
+    assert sum(r.chosen for r in rows) == 1
+    costs = [r.cost_micro for r in rows]
+    assert costs == sorted(costs)
+    assert rows[0].chosen == 1
+    for r in rows:
+        assert r.cost_micro == r.fn_micro + r.fp_micro
+        assert r.fn_micro >= 0 and r.fp_micro >= 0
+
+
+def test_q317_scurve_monotonicity(spark):
+    """More rows per band -> stricter candidates: FN mass rises, FP falls."""
+    rows = sorted(
+        REGISTRY["q317_lsh_param_tuning"].fn(spark, SF).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    fns = [r.fn_micro for r in rows]
+    fps = [r.fp_micro for r in rows]
+    assert fns == sorted(fns)
+    assert fps == sorted(fps, reverse=True)
