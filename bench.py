@@ -89,6 +89,13 @@ HEADLINE = [
     "q290_stream_heavy_hitters",
     "q298_woe_iv",
     "q232_greedy_packing",
+    # round-12 additions: the codegen-heavy per-row string chain (URL
+    # canonicalization), the blocked-linkage self-join, and the
+    # DSIR scoring pass (explode + two broadcast joins + TakeOrdered) —
+    # q317 stays out: it reuses q42's benched pair skeleton verbatim
+    "q312_url_canonicalize",
+    "q313_record_linkage",
+    "q316_dsir_importance",
 ]
 
 

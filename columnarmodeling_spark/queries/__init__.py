@@ -146,14 +146,15 @@ def register(
 #   never driver-checked: round-12 additions only (front round 13).
 # ROUND-13 PLAN (slot arithmetic written now so rotation is mechanical,
 # per r11 VERDICT item 6): q01 anchor + streaming tail (q206/q207/q222)
-# + the round-12 additions needing first rows (7: q311 adaptive join,
+# + the round-12 additions needing first rows (10: q311 adaptive join,
 # q312 URL canonicalize, q313 record linkage, q314 Kaplan-Meier, q315
-# diff-in-differences, q316 DSIR importance, q317 LSH param tuning —
-# all strict-replica MATCH at sf0.01 when added) leave 39 batch slots —
-# enough for the WHOLE r5 band (36) plus the r6 band's 3 oldest (q51
-# q53 q55). Post-r13 the oldest band is r6 (41 left), r14 drains it
-# plus 9 of r7, and the ledger converges to a ≤3-round-stale steady
-# state by r17.
+# diff-in-differences, q316 DSIR importance, q317 LSH param tuning,
+# q318 span-corruption plan, q319 host quota cap, q320 Kneser-Ney —
+# all strict-replica MATCH at sf0.01 when added, and all verified by
+# the round-12 full-registry driver-flow simulation) leave 36 batch
+# slots — exactly the WHOLE r5 band (36). Post-r13 the oldest band is
+# r6 (44 left), r14 drains 40+ of it, and the ledger converges to a
+# ≤3-round-stale steady state by r17.
 # Round-11 full-registry re-verification: EVERY registered query —
 # all 310, including the whole staleness backlog and the never-checked
 # remainder — was run through the strict driver replica

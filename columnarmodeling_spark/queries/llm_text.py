@@ -5314,3 +5314,419 @@ def q316_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_micro",
         rn.cast("long").alias("rn"),
     ).orderBy("rn")
+
+
+# --- q318: T5-style span-corruption mask planning -------------------------------
+
+_SPAN_LEN = 3  # mean noise-span length (T5 default)
+_NOISE_PCT = 15  # noise density, percent (integer arithmetic only)
+
+
+@register(
+    "q318_span_corruption_plan",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    meta AS (
+      SELECT doc_id, len(tk) AS n,
+             ({_NOISE_PCT} * len(tk) + 50) // 100 AS n_noise
+      FROM toks),
+    plan AS (
+      SELECT doc_id, n, n_noise,
+             CASE WHEN n >= 8
+                  THEN greatest(1, (n_noise + {_SPAN_LEN} - 1)
+                                   // {_SPAN_LEN})
+                  ELSE 0 END AS n_spans
+      FROM meta),
+    cand AS (
+      SELECT p.doc_id, p.n, p.n_spans, pos,
+             ('0x' || substr(md5(CAST(p.doc_id AS STRING) || ':'
+                 || CAST(pos AS STRING)), 1, 15))::BIGINT AS h
+      FROM plan p CROSS JOIN LATERAL (
+        SELECT unnest(range(1, p.n - {_SPAN_LEN} + 2)) AS pos) c
+      WHERE p.n_spans > 0),
+    starts AS (
+      SELECT doc_id, n, n_spans, pos AS s,
+             pos + {_SPAN_LEN} - 1 AS e
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY h, pos) AS rk FROM cand)
+      WHERE rk <= n_spans),
+    isl AS (
+      SELECT doc_id, n, s, e,
+             CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id
+                  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_isl
+      FROM starts),
+    grp AS (
+      SELECT doc_id, n,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island, s, e
+      FROM isl),
+    merged AS (
+      SELECT doc_id, any_value(n) AS n,
+             least(max(e), any_value(n)) - min(s) + 1 AS masked
+      FROM grp GROUP BY doc_id, island),
+    agg AS (
+      SELECT doc_id, any_value(n) AS n,
+             CAST(count(*) AS BIGINT) AS n_sentinels,
+             CAST(sum(masked) AS BIGINT) AS masked_tokens
+      FROM merged GROUP BY doc_id)
+    SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_tokens,
+           CAST(p.n_spans AS BIGINT) AS n_spans,
+           COALESCE(a.n_sentinels, 0) AS n_sentinels,
+           COALESCE(a.masked_tokens, 0) AS masked_tokens,
+           CAST(p.n AS BIGINT) - COALESCE(a.masked_tokens, 0)
+             AS visible_tokens
+    FROM plan p LEFT JOIN agg a ON p.doc_id = a.doc_id
+    ORDER BY p.doc_id
+    """,
+    doc="T5-STYLE SPAN-CORRUPTION MASK PLANNING — the denoising-"
+    "objective prep step a pretraining pipeline runs per document: "
+    "noise budget = 15% of tokens (EXACT integer arithmetic, "
+    "(15n+50) DIV 100 — no float round), spans of mean length 3, "
+    "span starts drawn DETERMINISTICALLY by ranking candidate "
+    "positions on the shared 60-bit md5 hash of (doc_id, pos) — the "
+    "engine's hash-based pseudo-randomness convention (q87/q142), "
+    "so both engines plan the identical mask; overlapping spans "
+    "merge via the q214 interval-island pattern (running-max end, "
+    "new-island flag, per-island extent clipped to the doc) and "
+    "each merged island becomes ONE sentinel. Output: per-doc mask "
+    "accounting (spans planned, sentinels after merge, masked / "
+    "visible token counts — exactly what the batch packer needs to "
+    "size encoder/decoder sequences). Scale: every window is "
+    "PARTITIONED BY doc_id (no global window); candidates are "
+    "bounded by doc length; the rest is per-group integer "
+    "arithmetic.",
+    tags=("text", "llm", "pretraining", "mask", "window", "scale"),
+)
+def q318_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    plan = d.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n"),
+        F.expr(f"({_NOISE_PCT} * size(tk) + 50) DIV 100").alias("n_noise"),
+    ).withColumn(
+        "n_spans",
+        F.expr(
+            f"CASE WHEN n >= 8 THEN greatest(1, (n_noise + {_SPAN_LEN} - 1)"
+            f" DIV {_SPAN_LEN}) ELSE 0 END"
+        ),
+    )
+    cand = (
+        plan.filter(F.col("n_spans") > 0)
+        .select(
+            "doc_id",
+            "n",
+            "n_spans",
+            F.explode(
+                F.expr(f"sequence(1, n - {_SPAN_LEN} + 1)")
+            ).alias("pos"),
+        )
+        .withColumn(
+            "h",
+            hex_hash(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("h", "pos")
+    )
+    starts = (
+        cand.withColumn("rk", rk)
+        .filter(F.col("rk") <= F.col("n_spans"))
+        .select(
+            "doc_id",
+            "n",
+            F.col("pos").alias("s"),
+            (F.col("pos") + _SPAN_LEN - 1).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = starts.withColumn(
+        "new_isl",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w_cum))
+    merged = grp.groupBy("doc_id", "island").agg(
+        F.first("n").alias("n"),
+        (
+            F.least(F.max("e"), F.first("n")) - F.min("s") + 1
+        ).alias("masked"),
+    )
+    agg = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentinels"),
+        F.sum("masked").cast("long").alias("masked_tokens"),
+    )
+    return (
+        plan.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_sentinels"), F.lit(0)).alias("n_sentinels"),
+            F.coalesce(F.col("masked_tokens"), F.lit(0)).alias(
+                "masked_tokens"
+            ),
+            (
+                F.col("n")
+                - F.coalesce(F.col("masked_tokens"), F.lit(0))
+            ).alias("visible_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- q319: per-host quota cap (sqrt-damped domain mix) ---------------------------
+
+
+def _q319_host_oracle_layers() -> str:
+    layers = [
+        "u0 AS (SELECT doc_id, n_chars, "
+        f"{_URL_DIRTY_SQL} AS url FROM documents)"
+    ]
+    prev = "u0"
+    for i, (col, expr) in enumerate(_url_canon_steps("duck"), start=1):
+        layers.append(f"u{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = f"u{i}"
+    return ",\n    ".join(layers) + f",\n    docs AS (SELECT doc_id, n_chars, host FROM {prev})"
+
+
+@register(
+    "q319_host_quota_cap",
+    oracle=f"""
+    WITH {_q319_host_oracle_layers()},
+    ranked AS (
+      SELECT doc_id, n_chars, host,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY host) AS n_docs
+      FROM docs),
+    capped AS (
+      SELECT host, n_docs,
+             CAST(3 * ceil(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS cap,
+             CASE WHEN rk <= 3 * ceil(sqrt(CAST(n_docs AS DOUBLE)))
+                  THEN 1 ELSE 0 END AS keep,
+             n_chars
+      FROM ranked)
+    SELECT host,
+           CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+           any_value(cap) AS cap,
+           CAST(sum(keep) AS BIGINT) AS kept,
+           CAST(sum(1 - keep) AS BIGINT) AS dropped,
+           CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           CAST(sum(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS dropped_chars
+    FROM capped
+    GROUP BY host
+    ORDER BY host
+    """,
+    doc="PER-HOST QUOTA CAP with sqrt damping — the domain-mix rule "
+    "web-scale corpora apply after URL canonicalization (FineWeb/C4 "
+    "style: no host may dominate the training mix, but bigger hosts "
+    "still contribute more): documents resolve to their canonical "
+    "host through the EXACT q312 chain (this query consumes that "
+    "operator, the way q310 consumed q274's profile), rank within "
+    "host by the (n_chars, doc_id) quality proxy, keep the top "
+    "3*ceil(sqrt(n_host)) — sublinear in host size, so a 100x "
+    "bigger host gets only 10x the slots. Output: per-host "
+    "admission accounting (cap, kept/dropped docs and bytes). "
+    "Exactness: sqrt/ceil are IEEE-correctly-rounded on both "
+    "engines and feed integer comparisons only. Scale: one window "
+    "rank PARTITIONED BY host; a pathological giant host is the "
+    "q17 top-k-per-group shape and the registered escape is "
+    "operators/indexing.with_group_rank (q181) — never a global "
+    "sort.",
+    tags=("text", "llm", "mix", "quota", "window", "scale"),
+)
+def q319_host_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source", F.expr(_URL_DIRTY_SQL).alias("url")
+    )
+    for col, expr in _url_canon_steps("spark"):
+        d = d.withColumn(col, F.expr(expr))
+    docs = d.select("doc_id", "n_chars", "host")
+    w_rank = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    w_host = Window.partitionBy("host")
+    ranked = docs.select(
+        "host",
+        "n_chars",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_host).alias("n_docs"),
+    )
+    capped = ranked.select(
+        "host",
+        "n_docs",
+        F.expr("CAST(3 * ceil(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)").alias(
+            "cap"
+        ),
+        F.when(
+            F.col("rk")
+            <= F.expr("3 * ceil(sqrt(CAST(n_docs AS DOUBLE)))"),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+        "n_chars",
+    )
+    return (
+        capped.groupBy("host")
+        .agg(
+            F.first("n_docs").cast("long").alias("n_docs"),
+            F.first("cap").alias("cap"),
+            F.sum("keep").cast("long").alias("kept"),
+            F.sum(1 - F.col("keep")).cast("long").alias("dropped"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum(F.when(F.col("keep") == 0, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("dropped_chars"),
+        )
+        .orderBy("host")
+    )
+
+
+# --- q320: Kneser-Ney smoothed bigram LM scoring --------------------------------
+
+# Absolute discount, in fixed micro units so both engines subtract the
+# identical constant (0.75 is exactly representable, but the convention
+# keeps every model constant single-sourced).
+_KN_D = 0.75
+
+
+@register(
+    "q320_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(tk))) AS i) idx
+      WHERE len(tk) >= 2),
+    c2 AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM pairs GROUP BY w1, w2),
+    fwd AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM c2 GROUP BY w1),
+    rev AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1r
+      FROM c2 GROUP BY w2),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1all FROM c2),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(round(1000000.0 * ln(
+               greatest(CAST(c2.c12 AS DOUBLE) - {_KN_D}, 0.0) / fwd.c1
+               + ({_KN_D} * fwd.n1f / fwd.c1)
+                 * (CAST(rev.n1r AS DOUBLE) / tot.n1all)))
+               AS BIGINT) AS lq
+      FROM pairs p
+      JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+      JOIN fwd ON p.w1 = fwd.w1
+      JOIN rev ON p.w2 = rev.w2
+      CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round((CAST(sum(lq) AS DOUBLE) / count(*)) / 1000000.0, 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="KNESER-NEY SMOOTHED BIGRAM LM SCORING — the real-LM upgrade "
+    "over q100's add-one baseline (interpolated KN with absolute "
+    "discount d=0.75 is what KenLM-grade quality filters actually "
+    "ship): P(w2|w1) = max(c12-d, 0)/c1 + (d*N1+(w1,.)/c1) * "
+    "Pcont(w2), where the continuation probability Pcont(w2) = "
+    "N1+(.,w2)/N1+(.,.) counts CONTEXTS, not tokens — the "
+    "'francisco problem' fix that frequency-proportional smoothing "
+    "gets wrong. All four model tables (bigram counts, forward "
+    "context totals+fanouts, reverse fanouts, distinct-bigram "
+    "total) derive from ONE bigram hash agg; per-bigram log-probs "
+    "are micro-quantized before the per-doc sum (the q100 rule), "
+    "so doc scores are exact int64 arithmetic. Scale: the scoring "
+    "joins are key-grouped equi-joins on pre-aggregated counts "
+    "(fan-out exactly 1 per probe row, hot function words bounded "
+    "by pre-aggregation); the one-row bigram-vocabulary total "
+    "rides a broadcast — the q295 64x row measured this exact "
+    "join skeleton sub-linear under a doubly-64x corpus+vocab "
+    "load.",
+    tags=("text", "llm", "lm", "quality", "scale"),
+)
+def q320_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    pairs = (
+        d.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> struct(tk[i] as w1, tk[i + 1] as w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    fwd = c2.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    rev = c2.groupBy("w2").agg(F.count("*").cast("long").alias("n1r"))
+    tot = c2.agg(F.count("*").cast("long").alias("n1all"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(fwd, "w1")
+        .join(rev, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(round(1000000.0 * ln("
+                f"greatest(CAST(c12 AS DOUBLE) - {_KN_D}, 0.0) / c1"
+                f" + ({_KN_D} * n1f / c1)"
+                " * (CAST(n1r AS DOUBLE) / n1all))) AS BIGINT)"
+            ).alias("lq"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            (F.sum("lq").cast("double") / F.count("*")) / 1000000.0, 6
+        ).alias("avg_logprob"),
+    )

@@ -1,4 +1,4 @@
-"""Property tests for the round-12 operator additions (q312-q317).
+"""Property tests for the round-12 operator additions (q312-q320).
 
 The differential oracle tests in test_queries_oracle.py already pin both
 engines to identical values; these tests pin the SEMANTICS — the
@@ -263,3 +263,160 @@ def test_q317_scurve_monotonicity(spark):
     fps = [r.fp_micro for r in rows]
     assert fns == sorted(fns)
     assert fps == sorted(fps, reverse=True)
+
+
+# --- q318: span-corruption planning ---------------------------------------------
+
+
+def test_q318_mask_accounting(spark):
+    rows = REGISTRY["q318_span_corruption_plan"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.visible_tokens == r.n_tokens - r.masked_tokens
+        assert 0 <= r.masked_tokens <= r.n_tokens
+        assert r.n_sentinels <= r.n_spans
+        if r.n_spans == 0:
+            assert r.masked_tokens == 0 and r.n_sentinels == 0
+        else:
+            # merged islands cover at least one span and at most all of
+            # them laid end-to-end
+            assert r.n_sentinels >= 1
+            assert r.masked_tokens <= 3 * r.n_spans
+
+
+def test_q318_replays_in_python(spark):
+    import hashlib
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["q318_span_corruption_plan"].fn(spark, SF).collect()
+    }
+    for d in docs[:50]:
+        toks = [t for t in re.split("[^a-z0-9]+", d.text.lower()) if t]
+        n = len(toks)
+        n_noise = (15 * n + 50) // 100
+        n_spans = max(1, (n_noise + 2) // 3) if n >= 8 else 0
+        r = got[d.doc_id]
+        assert r.n_tokens == n and r.n_spans == n_spans
+        if n_spans == 0:
+            continue
+        cands = sorted(
+            range(1, n - 2 + 1),
+            key=lambda p: (
+                int(
+                    hashlib.md5(f"{d.doc_id}:{p}".encode()).hexdigest()[:15],
+                    16,
+                ),
+                p,
+            ),
+        )[:n_spans]
+        spans = sorted((s, s + 2) for s in cands)
+        islands = []
+        for s, e in spans:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        masked = sum(min(e, n) - s + 1 for s, e in islands)
+        assert r.n_sentinels == len(islands)
+        assert r.masked_tokens == masked
+
+
+# --- q319: host quota cap --------------------------------------------------------
+
+
+def test_q319_quota_arithmetic(spark):
+    rows = REGISTRY["q319_host_quota_cap"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cap == 3 * math.ceil(math.sqrt(r.n_docs))
+        assert r.kept == min(r.cap, r.n_docs)
+        assert r.kept + r.dropped == r.n_docs
+        assert r.kept_chars >= 0 and r.dropped_chars >= 0
+    total = sum(r.n_docs for r in rows)
+    assert total == spark.read.parquet(f"{SF}/documents.parquet").count()
+
+
+def test_q319_sqrt_damping_is_sublinear():
+    """The cap rule itself: 100x the docs -> ~10x the slots."""
+    assert 3 * math.ceil(math.sqrt(100)) == 30
+    assert 3 * math.ceil(math.sqrt(10000)) == 300
+
+
+# --- q320: Kneser-Ney ------------------------------------------------------------
+
+
+def test_q320_kn_probability_mass(spark):
+    """Sum of P(w2|w1) over OBSERVED w2 must be <= 1 for every context
+    (the discounted mass funds unseen continuations)."""
+    import re
+    from collections import Counter, defaultdict
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    c2: Counter = Counter()
+    for d in docs:
+        toks = [t for t in re.split("[^a-z0-9]+", d.text.lower()) if t]
+        c2.update(zip(toks, toks[1:]))
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1r: Counter = Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1r[w2] += 1
+    n1all = len(c2)
+    by_ctx = defaultdict(float)
+    for (w1, w2), c in c2.items():
+        p = max(c - 0.75, 0.0) / c1[w1] + (0.75 * n1f[w1] / c1[w1]) * (
+            n1r[w2] / n1all
+        )
+        by_ctx[w1] += p
+    assert all(s <= 1.0 + 1e-9 for s in by_ctx.values())
+
+
+def test_q320_matches_pure_python(spark):
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    c2: Counter = Counter()
+    toks_by_doc = {}
+    for d in docs:
+        toks = [t for t in re.split("[^a-z0-9]+", d.text.lower()) if t]
+        toks_by_doc[d.doc_id] = toks
+        c2.update(zip(toks, toks[1:]))
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1r: Counter = Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1r[w2] += 1
+    n1all = len(c2)
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["q320_kneser_ney_bigram"].fn(spark, SF).collect()
+    }
+    for doc_id, toks in toks_by_doc.items():
+        bigrams = list(zip(toks, toks[1:]))
+        if not bigrams:
+            assert doc_id not in got
+            continue
+        lqs = [
+            round(
+                1_000_000
+                * math.log(
+                    max(c2[b] - 0.75, 0.0) / c1[b[0]]
+                    + (0.75 * n1f[b[0]] / c1[b[0]]) * (n1r[b[1]] / n1all)
+                )
+            )
+            for b in bigrams
+        ]
+        r = got[doc_id]
+        assert r.n_bigrams == len(bigrams)
+        # Python's round() is banker's, Spark/DuckDB round HALF_UP — on
+        # an exact .5 tie the last digit differs by 1e-6; compare to the
+        # unrounded mean instead of re-rounding.
+        assert abs(r.avg_logprob - (sum(lqs) / len(lqs)) / 1_000_000) <= 1e-6

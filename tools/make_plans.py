@@ -921,6 +921,53 @@ CASES = {
     "SortMergeJoin on (user_id, salt) with no BroadcastExchange, "
     "then one HashAggregate pair on event_type. The profile itself "
     "ran eagerly at build time (eager=True) and is not in the plan.",
+    "q312_url_canonicalize": "URL canonicalization + host rollup. "
+    "What to check: the whole 15-step canonicalization chain is "
+    "per-row Project expressions inside ONE WholeStageCodegen span "
+    "over the scan (no UDF, no shuffle before the host agg); "
+    "count(DISTINCT canon_url) expands to the standard two-level "
+    "aggregate; ReadSchema carries only doc_id/source/n_chars.",
+    "q313_record_linkage": "Fellegi-Sunter blocked linkage self-join. "
+    "What to check: the join key is the (nation, band) BLOCK (equi), "
+    "the a_k < b_k dedup is a post-condition; agreement vectors and "
+    "weights are Project arithmetic on the pair rows; the rollup is "
+    "a tiny hash agg on <= 24 patterns — AQE is free to split a hot "
+    "block exactly like the proximity join's grid cells.",
+    "q314_kaplan_meier": "Kaplan-Meier survival. What to check: the "
+    "signup/error reductions are user-keyed partial-then-final hash "
+    "aggs; the horizon max is a one-row broadcast; both cumulative "
+    "windows run AFTER the per-day rollup, so the single-partition "
+    "WindowExec is bounded by horizon days, not events.",
+    "q315_diff_in_differences": "DiD estimator. What to check: ONE "
+    "scan with the event_type filter pushed, one map-side-combinable "
+    "hash agg onto the 4-cell key, then a single-row final agg — no "
+    "join, no window, no second scan.",
+    "q316_dsir_importance": "DSIR importance resampling. What to "
+    "check: the target flag join and the 64-row bucket-weight table "
+    "are both BroadcastHashJoin; per-doc scoring is a partial hash "
+    "agg over the exploded tokens; the top-100 is TakeOrderedAndProject "
+    "(per-partition heaps), never a global Sort.",
+    "q317_lsh_param_tuning": "LSH (b, r) parameter tuning. What to "
+    "check: the pair space comes only from the cached shingle "
+    "equi-join (InMemoryTableScan feeds the three q42-skeleton "
+    "branches); the histogram folds to <= 20 rows before the 5-row "
+    "grid broadcast-crossjoin; the decision window sorts 5 rows.",
+    "q318_span_corruption_plan": "Span-corruption mask planning. "
+    "What to check: every WindowExec is PARTITIONED BY doc_id (the "
+    "candidate rank, the island flag, the island id) — no global "
+    "window; the candidate explode is bounded by doc length; the "
+    "final accounting join is doc_id-keyed.",
+    "q319_host_quota_cap": "Per-host quota cap. What to check: the "
+    "q312 canonicalization chain is Project expressions on the "
+    "scan; the rank window partitions by host (giant-host escape "
+    "documented: with_group_rank); the admission rollup is one "
+    "hash agg on the host key.",
+    "q320_kneser_ney_bigram": "Kneser-Ney bigram scoring. What to "
+    "check: all four model tables derive from the ONE bigram hash "
+    "agg; the scoring joins are equi-joins on pre-aggregated "
+    "counts (fan-out 1 per probe row); the distinct-bigram total "
+    "is a one-row BroadcastExchange; per-bigram quantization keeps "
+    "the doc agg integer.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
