@@ -1758,14 +1758,18 @@ def q204_chisq_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(cnt1) AS BIGINT) AS n1,
              CAST(sum(cnt) - sum(cnt1) AS BIGINT) AS n2,
              CAST(sum(cnt) AS BIGINT) AS n,
-             CAST(sum(cnt1 * (2 * cnt_lt + cnt + 1)) AS BIGINT) AS r1_x2,
-             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+             CAST(round(sum(CAST(cnt1 AS DOUBLE) * (2 * cnt_lt + cnt + 1)))
+               AS BIGINT) AS r1_x2,
+             CAST(round(sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt))
+               AS BIGINT) AS tie_term
       FROM cum)
     SELECT n1, n2,
-           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(round(r1_x2 - CAST(n1 AS DOUBLE) * (n1 + 1)) AS BIGINT)
+             AS u1_x2,
            tie_term,
            CAST(round(1000000.0
-             * (CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) / 2.0)
+             * ((r1_x2 - CAST(n1 AS DOUBLE) * (n1 + 1)
+                 - CAST(n1 AS DOUBLE) * n2) / 2.0)
              / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
                     * ((n + 1.0) - CAST(tie_term AS DOUBLE)
                        / (CAST(n AS DOUBLE) * (n - 1.0))))) AS BIGINT)
@@ -1780,11 +1784,14 @@ def q204_chisq_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global sort: group by exact value first (the q167 CDF shape), "
     "then ONE running-sum window over the distinct-value histogram "
     "gives every value's midrank as 2*cnt_lt + cnt + 1 (doubled to "
-    "stay integer); R1, U1 and the tie correction sum(t^3 - t) are "
-    "exact int64 from a single agg. The z arithmetic is one shared "
-    "expression over int64-derived doubles whose only libm call is "
-    "the IEEE-exact sqrt, quantized to micro-units (q191 "
-    "discipline). Scale: state is the value histogram, not the "
+    "stay integer); R1, U1 and the tie correction sum(t^3 - t) come "
+    "from a single agg with every count product evaluated in DOUBLE "
+    "(the q255/q289 overflow rule: cnt_lt ~ N and t^3 wrap int64 at "
+    "scale; integer-valued double sums stay exact below 2^53, and "
+    "round() before the BIGINT cast closes the Spark-truncates vs "
+    "DuckDB-rounds gap). The z arithmetic is one shared expression "
+    "whose only libm call is the IEEE-exact sqrt, quantized to "
+    "micro-units (q191 discipline). Scale: state is the value histogram, not the "
     "event stream; the one global window runs over distinct values "
     "(range-partitionable exactly like q147's distributed sort).",
     tags=("analytics", "stats", "ab-test", "rank", "window", "scale"),
@@ -1815,20 +1822,30 @@ def q216_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt1").cast("long").alias("n1"),
         (F.sum("cnt") - F.sum("cnt1")).cast("long").alias("n2"),
         F.sum("cnt").cast("long").alias("n"),
-        F.sum(
-            F.col("cnt1")
-            * (2 * F.col("cnt_lt") + F.col("cnt") + 1)
+        # per-row rank/tie products evaluate in DOUBLE (the q255/q289
+        # overflow rule: cnt_lt ~ N and cnt^3 wrap int64 at ~2e6-tie
+        # groups / ~3e9 rows); integer-valued double sums stay EXACT
+        # below 2^53, and round() before the cast closes the Spark-
+        # truncates vs DuckDB-rounds CAST gap
+        F.round(
+            F.sum(
+                F.col("cnt1").cast("double")
+                * (2 * F.col("cnt_lt") + F.col("cnt") + 1)
+            )
         )
         .cast("long")
         .alias("r1_x2"),
-        F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        F.round(
+            F.sum(
+                F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+                - F.col("cnt")
+            )
         )
         .cast("long")
         .alias("tie_term"),
     )
-    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
-    num = (u1_x2 - F.col("n1") * F.col("n2")).cast("double") / F.lit(2.0)
+    u1_x2 = F.col("r1_x2") - F.col("n1").cast("double") * (F.col("n1") + 1)
+    num = (u1_x2 - F.col("n1").cast("double") * F.col("n2")) / F.lit(2.0)
     var = (
         F.col("n1").cast("double") * F.col("n2") / F.lit(12.0)
     ) * (
@@ -1839,7 +1856,7 @@ def q216_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n1",
         "n2",
-        u1_x2.cast("long").alias("u1_x2"),
+        F.round(u1_x2).cast("long").alias("u1_x2"),
         "tie_term",
         F.round(F.lit(1000000.0) * num / F.sqrt(var))
         .cast("long")
@@ -1868,7 +1885,8 @@ def q216_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     rj AS (
       SELECT gj.event_type,
              CAST(sum(gj.cnt_g) AS BIGINT) AS n_j,
-             CAST(sum(gj.cnt_g * (2 * c.cnt_lt + c.cnt + 1)) AS BIGINT)
+             CAST(round(sum(CAST(gj.cnt_g AS DOUBLE)
+                            * (2 * c.cnt_lt + c.cnt + 1))) AS BIGINT)
                AS r_j_x2
       FROM gj JOIN cum c ON gj.value = c.value
       GROUP BY 1),
@@ -1887,7 +1905,8 @@ def q216_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(term_micro) AS BIGINT) AS sum_term_micro
       FROM terms),
     ties AS (
-      SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+      SELECT CAST(round(sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt))
+               AS BIGINT) AS tie_term
       FROM vh)
     SELECT nn.n, nn.k, ties.tie_term,
            CAST(round(1000000.0
@@ -1906,8 +1925,10 @@ def q216_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     "types draw value from the same distribution? Same "
     "value-histogram midrank machinery (2*cnt_lt + cnt + 1, doubled "
     "to stay integer; one running-sum window over DISTINCT values, "
-    "never a per-row global sort), per-group rank sums R_j as exact "
-    "int64, tie correction sum(t^3 - t) from the histogram. The "
+    "never a per-row global sort), per-group rank sums R_j and the "
+    "tie correction sum(t^3 - t) with count products in DOUBLE + "
+    "round-before-cast (the q216 overflow discipline; exact below "
+    "2^53). The "
     "per-group R_j^2/(4 n_j) terms are pre-scaled by 1/(N(N+1)) — "
     "H's natural scale; raw-term micro-units overflow int64 past "
     "~100k rows — and THEN quantized to integer micro-units BEFORE "
@@ -1943,9 +1964,13 @@ def q217_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("cnt_g").cast("long").alias("n_j"),
-            F.sum(
-                F.col("cnt_g")
-                * (2 * F.col("cnt_lt") + F.col("cnt") + 1)
+            # rank products in DOUBLE + round-before-cast (the q216
+            # overflow discipline: cnt_lt ~ N wraps int64 at ~3e9 rows)
+            F.round(
+                F.sum(
+                    F.col("cnt_g").cast("double")
+                    * (2 * F.col("cnt_lt") + F.col("cnt") + 1)
+                )
             )
             .cast("long")
             .alias("r_j_x2"),
@@ -1973,8 +1998,11 @@ def q217_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_micro").cast("long").alias("sum_term_micro")
     )
     ties = vh.agg(
-        F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        F.round(
+            F.sum(
+                F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+                - F.col("cnt")
+            )
         )
         .cast("long")
         .alias("tie_term")
@@ -2429,7 +2457,8 @@ def q227_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(cnt) - sum(cnt1) AS BIGINT) AS n2
       FROM grp),
     d AS (
-      SELECT CAST(max(abs(c1 * t.n2 - (call - c1) * t.n1)) AS BIGINT)
+      SELECT CAST(round(max(abs(CAST(c1 AS DOUBLE) * t.n2
+                 - (call - c1) * CAST(t.n1 AS DOUBLE)))) AS BIGINT)
                AS d_num
       FROM cum, tot t)
     SELECT t.n1, t.n2, d.d_num,
@@ -2497,10 +2526,15 @@ def q228_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         cum.crossJoin(F.broadcast(tot))
         .agg(
-            F.max(
-                F.abs(
-                    F.col("c1") * F.col("n2")
-                    - (F.col("call") - F.col("c1")) * F.col("n1")
+            # CDF cross-products in DOUBLE + round-before-cast (the
+            # q216 overflow discipline: c1*n2 ~ N^2 wraps at ~3e9 rows)
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c1").cast("double") * F.col("n2")
+                        - (F.col("call") - F.col("c1"))
+                        * F.col("n1").cast("double")
+                    )
                 )
             )
             .cast("long")

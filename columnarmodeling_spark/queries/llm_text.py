@@ -1494,11 +1494,12 @@ def q185_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS cnt
       FROM hb CROSS JOIN {_cms_ab_sql()} GROUP BY 1, 2),
     est AS (
-      SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS e
+      SELECT ca.j, CAST(round(sum(CAST(ca.cnt AS DOUBLE) * cb.cnt))
+               AS BIGINT) AS e
       FROM ca JOIN cb ON cb.j = ca.j AND cb.col = ca.col
       GROUP BY ca.j),
     exact AS (
-      SELECT CAST(sum(a.c * b.c) AS BIGINT) AS x
+      SELECT CAST(round(sum(CAST(a.c AS DOUBLE) * b.c)) AS BIGINT) AS x
       FROM (SELECT tk, count(*) AS c FROM ta GROUP BY tk) a
       JOIN (SELECT tk, count(*) AS c FROM tb GROUP BY tk) b
         ON a.tk = b.tk)
@@ -1562,13 +1563,19 @@ def q190_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["j", "col"],
         )
         .groupBy("j")
-        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("e"))
+        # hot-cell count products in DOUBLE + round-before-cast (the
+        # q216 overflow discipline: a single hot key puts cnt ~ N in
+        # one cell, cnt^2 wraps int64 at ~3e9 rows)
+        .agg(
+            F.round(F.sum(F.col("cnt").cast("double") * F.col("cnt_b")))
+            .alias("e")
+        )
         .agg(F.min("e").cast("long").alias("cms_est"))
     )
     exact = (
         fa.join(fb.select("tk", F.col("c").alias("cb")), "tk")
         .agg(
-            F.sum(F.col("c") * F.col("cb"))
+            F.round(F.sum(F.col("c").cast("double") * F.col("cb")))
             .cast("long")
             .alias("exact_join_size")
         )
@@ -4345,12 +4352,17 @@ def q278_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS c_zh
       FROM pred)
     SELECT n, agree,
-           a_en * c_en + a_es * c_es + a_zh * c_zh AS pe_num,
-           CAST(CASE WHEN n * n > a_en * c_en + a_es * c_es + a_zh * c_zh
+           CAST(CAST(a_en AS DOUBLE) * c_en + CAST(a_es AS DOUBLE) * c_es
+                + CAST(a_zh AS DOUBLE) * c_zh AS BIGINT) AS pe_num,
+           CAST(CASE WHEN CAST(n AS DOUBLE) * n
+                  > CAST(a_en AS DOUBLE) * c_en + CAST(a_es AS DOUBLE) * c_es
+                    + CAST(a_zh AS DOUBLE) * c_zh
              THEN round(1000.0 * (CAST(n AS DOUBLE) * agree
-               - (a_en * c_en + a_es * c_es + a_zh * c_zh))
+               - (CAST(a_en AS DOUBLE) * c_en + CAST(a_es AS DOUBLE) * c_es
+                  + CAST(a_zh AS DOUBLE) * c_zh))
                / (CAST(n AS DOUBLE) * n
-                  - (a_en * c_en + a_es * c_es + a_zh * c_zh)))
+                  - (CAST(a_en AS DOUBLE) * c_en + CAST(a_es AS DOUBLE) * c_es
+                     + CAST(a_zh AS DOUBLE) * c_zh)))
              ELSE 1000 END AS BIGINT) AS kappa_milli
     FROM c
     """,
@@ -4395,13 +4407,24 @@ def q279_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "n",
         "agree",
-        F.expr("a_en * c_en + a_es * c_es + a_zh * c_zh").alias("pe_num"),
+        # every count product evaluates in DOUBLE (the q255/q289 overflow
+        # rule: n*n and marginal products wrap int64 at n ~ 3e9 docs —
+        # Spark silently, DuckDB with an error); pe_num stays exact as
+        # long as each product < 2^53 and degrades gracefully past it
         F.expr(
-            "CAST(CASE WHEN n * n > a_en * c_en + a_es * c_es + a_zh * c_zh"
+            "CAST(CAST(a_en AS DOUBLE) * c_en + CAST(a_es AS DOUBLE) * c_es"
+            " + CAST(a_zh AS DOUBLE) * c_zh AS BIGINT)"
+        ).alias("pe_num"),
+        F.expr(
+            "CAST(CASE WHEN CAST(n AS DOUBLE) * n"
+            " > CAST(a_en AS DOUBLE) * c_en + CAST(a_es AS DOUBLE) * c_es"
+            "   + CAST(a_zh AS DOUBLE) * c_zh"
             " THEN round(1000.0 * (CAST(n AS DOUBLE) * agree"
-            " - (a_en * c_en + a_es * c_es + a_zh * c_zh))"
+            " - (CAST(a_en AS DOUBLE) * c_en + CAST(a_es AS DOUBLE) * c_es"
+            "    + CAST(a_zh AS DOUBLE) * c_zh))"
             " / (CAST(n AS DOUBLE) * n"
-            "    - (a_en * c_en + a_es * c_es + a_zh * c_zh)))"
+            "    - (CAST(a_en AS DOUBLE) * c_en + CAST(a_es AS DOUBLE) * c_es"
+            "       + CAST(a_zh AS DOUBLE) * c_zh)))"
             " ELSE 1000 END AS BIGINT)"
         ).alias("kappa_milli"),
     )

@@ -1005,7 +1005,8 @@ def _modularity_oracle(rounds: int) -> str:
       FROM deg d JOIN l{rounds} l ON l.id = d.id
       GROUP BY 1),
     sq AS (
-      SELECT CAST(coalesce(sum(dsum * dsum), 0) AS BIGINT) AS sd2
+      SELECT CAST(coalesce(round(sum(CAST(dsum AS DOUBLE) * dsum)), 0)
+               AS BIGINT) AS sd2
       FROM dc),
     me AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
     nc AS (
@@ -1016,7 +1017,7 @@ def _modularity_oracle(rounds: int) -> str:
            lc.intra AS intra_edges,
            sq.sd2 AS degree_sq_sum,
            CAST(round(1000000.0
-                      * (4 * me.m * lc.intra - sq.sd2)
+                      * (4.0 * me.m * lc.intra - sq.sd2)
                       / (4.0 * me.m * me.m)) AS BIGINT) AS q_micro
     FROM nc, me, lc, sq
     """
@@ -1068,7 +1069,15 @@ def q202_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lbl")
         .agg(F.sum("deg").cast("long").alias("dsum"))
         .agg(
-            F.coalesce(F.sum(F.col("dsum") * F.col("dsum")), F.lit(0))
+            # community degree-sum squares in DOUBLE + round-before-
+            # cast (q216 overflow rule: dsum ~ 2|E| on one giant
+            # community, dsum^2 wraps int64 at ~1.5e9 edges)
+            F.coalesce(
+                F.round(
+                    F.sum(F.col("dsum").cast("double") * F.col("dsum"))
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias("sd2")
         )
@@ -1086,7 +1095,10 @@ def q202_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sd2").alias("degree_sq_sum"),
             F.round(
                 F.lit(1000000.0)
-                * (4 * F.col("m") * F.col("intra") - F.col("sd2"))
+                * (
+                    F.lit(4.0) * F.col("m") * F.col("intra")
+                    - F.col("sd2")
+                )
                 / (4.0 * F.col("m") * F.col("m"))
             )
             .cast("long")

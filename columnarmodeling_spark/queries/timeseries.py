@@ -2205,21 +2205,23 @@ _DAY_US = 86_400_000_000
       SELECT event_type, hod,
              CAST(count(*) AS BIGINT) AS nd,
              CAST(sum(x) AS BIGINT) AS s,
-             CAST(sum(x * x) AS BIGINT) AS ss
+             CAST(round(sum(CAST(x AS DOUBLE) * x)) AS BIGINT) AS ss
       FROM grid GROUP BY 1, 2),
     tyagg AS (
       SELECT event_type,
              CAST(sum(nd) AS BIGINT) AS n,
              CAST(sum(s) AS BIGINT) AS st,
              CAST(sum(ss) AS BIGINT) AS sst,
-             CAST(sum(s * s) AS BIGINT) AS s2t
+             CAST(round(sum(CAST(s AS DOUBLE) * s)) AS BIGINT) AS s2t
       FROM hodagg GROUP BY 1)
     SELECT h.event_type, h.hod, h.nd AS n_days,
            CAST((1000 * h.s) // h.nd AS BIGINT) AS mean_milli,
            CAST((1000 * t.st) // t.n AS BIGINT) AS grand_milli,
-           CAST(CASE WHEN t.n * t.sst - t.st * t.st > 0 THEN
-             round(1000000.0 * (24 * t.s2t - t.st * t.st)
-               / (t.n * t.sst - t.st * t.st))
+           CAST(CASE WHEN CAST(t.n AS DOUBLE) * t.sst
+                  - CAST(t.st AS DOUBLE) * t.st > 0 THEN
+             round(1000000.0 * (24.0 * t.s2t - CAST(t.st AS DOUBLE) * t.st)
+               / (CAST(t.n AS DOUBLE) * t.sst
+                  - CAST(t.st AS DOUBLE) * t.st))
              ELSE 0 END AS BIGINT) AS eta2_micro
     FROM hodagg h JOIN tyagg t USING (event_type)
     ORDER BY h.event_type, h.hod
@@ -2275,14 +2277,20 @@ def q269_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     hodagg = grid.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("x").cast("long").alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+        # squared calendar-cell counts in DOUBLE + round-before-cast
+        # (the q255/q289 overflow rule: x ~ N/cells, x^2 wraps int64)
+        F.round(F.sum(F.col("x").cast("double") * F.col("x")))
+        .cast("long")
+        .alias("ss"),
     )
     hodagg = hodagg.localCheckpoint(eager=False)
     tyagg = hodagg.groupBy("event_type").agg(
         F.sum("nd").cast("long").alias("n"),
         F.sum("s").cast("long").alias("st"),
         F.sum("ss").cast("long").alias("sst"),
-        F.sum(F.col("s") * F.col("s")).cast("long").alias("s2t"),
+        F.round(F.sum(F.col("s").cast("double") * F.col("s")))
+        .cast("long")
+        .alias("s2t"),
     )
     return (
         hodagg.join(F.broadcast(tyagg), "event_type")
@@ -2293,9 +2301,11 @@ def q269_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(div(1000 * s, nd) AS BIGINT)").alias("mean_milli"),
             F.expr("CAST(div(1000 * st, n) AS BIGINT)").alias("grand_milli"),
             F.expr(
-                "CAST(CASE WHEN n * sst - st * st > 0 THEN"
-                " round(1000000.0 * (24 * s2t - st * st)"
-                " / (n * sst - st * st))"
+                "CAST(CASE WHEN CAST(n AS DOUBLE) * sst"
+                " - CAST(st AS DOUBLE) * st > 0 THEN"
+                " round(1000000.0 * (24.0 * s2t"
+                " - CAST(st AS DOUBLE) * st)"
+                " / (CAST(n AS DOUBLE) * sst - CAST(st AS DOUBLE) * st))"
                 " ELSE 0 END AS BIGINT)"
             ).alias("eta2_micro"),
         )
