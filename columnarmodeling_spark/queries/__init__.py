@@ -146,15 +146,16 @@ def register(
 #   never driver-checked: round-12 additions only (front round 13).
 # ROUND-13 PLAN (slot arithmetic written now so rotation is mechanical,
 # per r11 VERDICT item 6): q01 anchor + streaming tail (q206/q207/q222)
-# + the round-12 additions needing first rows (10: q311 adaptive join,
+# + the round-12 additions needing first rows (12: q311 adaptive join,
 # q312 URL canonicalize, q313 record linkage, q314 Kaplan-Meier, q315
 # diff-in-differences, q316 DSIR importance, q317 LSH param tuning,
-# q318 span-corruption plan, q319 host quota cap, q320 Kneser-Ney —
-# all strict-replica MATCH at sf0.01 when added, and all verified by
-# the round-12 full-registry driver-flow simulation) leave 36 batch
-# slots — exactly the WHOLE r5 band (36). Post-r13 the oldest band is
-# r6 (44 left), r14 drains 40+ of it, and the ledger converges to a
-# ≤3-round-stale steady state by r17.
+# q318 span-corruption plan, q319 host quota cap, q320 Kneser-Ney,
+# q321 adaptive histogram, q322 budget waterfill — all strict-replica
+# MATCH at sf0.01 when added, and q311-q320 verified by the round-12
+# full-registry driver-flow simulation) leave 34 batch slots — the r5
+# band's 34 oldest (all but q108/q110). Post-r13 the oldest band is r5
+# (2 left: q108 q110), r14 takes those plus 40+ of r6, and the ledger
+# converges to a ≤3-round-stale steady state by r17.
 # Round-11 full-registry re-verification: EVERY registered query —
 # all 310, including the whole staleness backlog and the never-checked
 # remainder — was run through the strict driver replica

@@ -6193,3 +6193,251 @@ def q315_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(round(1000.0 * {did} / sqrt({var_sum})) AS BIGINT)"
         ).alias("t_milli"),
     )
+
+
+# --- q321: adaptive histogram binning (Freedman-Diaconis vs Sturges) -----------
+
+_FDH_CAP = 512  # bin-count guard
+
+
+@register(
+    "q321_adaptive_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT value AS x, event_id FROM events),
+    rk AS (
+      SELECT x, row_number() OVER (ORDER BY x, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM v),
+    qs AS (
+      SELECT any_value(n) AS n,
+             max(CASE WHEN rn = (n + 3) // 4 THEN x END) AS q1,
+             max(CASE WHEN rn = (3 * n + 3) // 4 THEN x END) AS q3,
+             min(x) AS lo, max(x) AS hi
+      FROM rk),
+    par AS (
+      SELECT n, lo, hi, q3 - q1 AS iqr,
+             2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3.0) AS h,
+             CAST(ceil(ln(CAST(n AS DOUBLE)) / ln(2.0)) + 1 AS BIGINT)
+               AS k_sturges
+      FROM qs),
+    dec AS (
+      SELECT n, lo, hi, iqr, k_sturges,
+             CASE WHEN iqr > 0.0 THEN
+               (CAST(round(1000000000.0 * (hi - lo) / h) AS BIGINT)
+                + 999999999) // 1000000000
+             ELSE CAST(0 AS BIGINT) END AS k_fd
+      FROM par),
+    choice AS (
+      SELECT n, lo, hi, k_fd, k_sturges,
+             CASE WHEN k_fd > 0 THEN 'fd' ELSE 'sturges' END AS rule,
+             least({_FDH_CAP}, greatest(1,
+               CASE WHEN k_fd > 0 THEN k_fd ELSE k_sturges END)) AS k
+      FROM dec)
+    SELECT c.rule, CAST(c.k AS BIGINT) AS k_used,
+           CAST(c.k_fd AS BIGINT) AS k_fd,
+           CAST(c.k_sturges AS BIGINT) AS k_sturges,
+           CAST(least(c.k - 1, CAST(floor((v.x - c.lo) / (c.hi - c.lo)
+                * c.k) AS BIGINT)) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM v CROSS JOIN choice c
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY bin
+    """,
+    doc="ADAPTIVE HISTOGRAM BINNING — the fourth leg of the adaptive-"
+    "planning family (q310 agg strategy, q311 join strategy, q317 "
+    "LSH banding; this picks the bin COUNT from the data): "
+    "Freedman-Diaconis h = 2*IQR/cbrt(n) from EXACT rank-based "
+    "quartiles (type-1, (n+3) DIV 4 ranks with an event_id "
+    "tie-break — no interpolated quantiles, whose tie rules differ "
+    "across engines), falling back to Sturges ceil(log2 n)+1 when "
+    "IQR = 0 (degenerate spike distribution), capped at "
+    f"{_FDH_CAP}; the rule, both candidate k's and the chosen k "
+    "ride the output so the oracle checks the DECISION (q310 "
+    "convention). Exactness: the one non-IEEE-exact libm call "
+    "(pow^1/3) is nano-quantized BEFORE the integer ceil, so an "
+    "ulp of cbrt drift cannot flip the bin count; bin assignment "
+    "is the shared double chain (identical operand order). Scale: "
+    "the rank pass is the q165/q167 two-pass global-index shape; "
+    "everything after the quartile row is ONE map-side-combinable "
+    "agg onto <= k groups.",
+    tags=("analytics", "histogram", "adaptive", "scale"),
+)
+def q321_adaptive_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.indexing import with_global_index
+
+    v = t(spark, sf_dir, "events").select(
+        F.col("value").alias("x"), "event_id"
+    )
+    rk = with_global_index(v, ["x", "event_id"], index_col="rn")
+    n_tot = rk.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qs = (
+        rk.crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.first("n").alias("n"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("x"))
+            ).alias("q1"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("x")
+                )
+            ).alias("q3"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+    )
+    par = qs.select(
+        "n",
+        "lo",
+        "hi",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        F.expr(
+            "2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3.0)"
+        ).alias("h"),
+        F.expr(
+            "CAST(ceil(ln(CAST(n AS DOUBLE)) / ln(2.0)) + 1 AS BIGINT)"
+        ).alias("k_sturges"),
+    )
+    dec = par.select(
+        "n",
+        "lo",
+        "hi",
+        "iqr",
+        "k_sturges",
+        F.expr(
+            "CASE WHEN iqr > 0.0 THEN"
+            " (CAST(round(1000000000.0 * (hi - lo) / h) AS BIGINT)"
+            "  + 999999999) DIV 1000000000"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("k_fd"),
+    )
+    choice = dec.select(
+        "lo",
+        "hi",
+        "k_fd",
+        "k_sturges",
+        F.when(F.col("k_fd") > 0, "fd").otherwise("sturges").alias("rule"),
+        F.expr(
+            f"least({_FDH_CAP}, greatest(1,"
+            " CASE WHEN k_fd > 0 THEN k_fd ELSE k_sturges END))"
+        ).alias("k"),
+    )
+    return (
+        v.crossJoin(F.broadcast(choice))
+        .select(
+            "rule",
+            F.col("k").cast("long").alias("k_used"),
+            F.col("k_fd").cast("long").alias("k_fd"),
+            F.col("k_sturges").cast("long").alias("k_sturges"),
+            F.expr(
+                "CAST(least(k - 1, CAST(floor((x - lo) / (hi - lo) * k)"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("bin"),
+        )
+        .groupBy("rule", "k_used", "k_fd", "k_sturges", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+# --- q322: token-budget waterfill mix allocation ---------------------------------
+
+
+@register(
+    "q322_budget_waterfill",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(sum(n_chars) // 4 AS BIGINT) AS tokens,
+             CAST(round(1000000.0 * sum(CASE WHEN lang = 'en' THEN 1
+                  ELSE 0 END) / count(*)) AS BIGINT) AS en_micro,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST((4 * sum(tokens)) // 10 AS BIGINT) AS budget FROM src),
+    ranked AS (
+      SELECT source, tokens, en_micro, n_docs,
+             row_number() OVER (ORDER BY en_micro DESC, source) AS rk,
+             CAST(coalesce(sum(tokens) OVER (ORDER BY en_micro DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS taken_before
+      FROM src)
+    SELECT r.source, CAST(r.rk AS BIGINT) AS rk, r.en_micro, r.tokens,
+           CAST(greatest(0, least(r.tokens, t.budget - r.taken_before))
+                AS BIGINT) AS alloc,
+           CAST(CASE WHEN t.budget - r.taken_before <= 0 THEN 1
+                     WHEN t.budget - r.taken_before < r.tokens THEN 2
+                     ELSE 0 END AS BIGINT) AS boundary
+    FROM ranked r CROSS JOIN tot t
+    ORDER BY rk
+    """,
+    doc="TOKEN-BUDGET WATERFILL MIX ALLOCATION — the planning step a "
+    "training-mix builder runs before q95's sampling executes it: "
+    "given per-source token inventories and a 40% global token "
+    "budget, fill sources in quality order (en-share as the "
+    "target-likeness proxy, the q316 target) — full inventory "
+    "until the budget boundary, the remainder at the boundary "
+    "source, zero after — i.e. the greedy solution of the "
+    "budget-constrained selection LP, which is optimal because "
+    "the objective is linear in tokens. The boundary column marks "
+    "full/partial/starved so the oracle checks the DECISION "
+    "structure, not just totals. Exactness: inventories, the "
+    "budget and the exclusive running sum are pure int64 (DIV-"
+    "quantized token estimate, no floats anywhere). Scale: one "
+    "hash agg to the source grain, then a window over |sources| "
+    "rows — the same aggregate-first discipline as q298/q314; at "
+    "millions of hosts the rank window range-partitions like "
+    "q147's distributed sort.",
+    tags=("analytics", "llm", "mix", "allocation", "window", "scale"),
+)
+def q322_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.expr("CAST(sum(n_chars) DIV 4 AS BIGINT)").alias("tokens"),
+        F.expr(
+            "CAST(round(1000000.0 * sum(CASE WHEN lang = 'en' THEN 1"
+            " ELSE 0 END) / count(*)) AS BIGINT)"
+        ).alias("en_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = src.agg(
+        F.expr("CAST((4 * sum(tokens)) DIV 10 AS BIGINT)").alias("budget")
+    )
+    w_ord = Window.orderBy(F.col("en_micro").desc(), "source")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = src.select(
+        "source",
+        "tokens",
+        "en_micro",
+        F.row_number().over(w_ord).alias("rk"),
+        F.coalesce(F.sum("tokens").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("taken_before"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+            "en_micro",
+            "tokens",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col("tokens"), F.col("budget") - F.col("taken_before")
+                ),
+            )
+            .cast("long")
+            .alias("alloc"),
+            F.when(F.col("budget") - F.col("taken_before") <= 0, 1)
+            .when(
+                F.col("budget") - F.col("taken_before") < F.col("tokens"), 2
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("boundary"),
+        )
+        .orderBy("rk")
+    )

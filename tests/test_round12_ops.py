@@ -1,4 +1,4 @@
-"""Property tests for the round-12 operator additions (q312-q320).
+"""Property tests for the round-12 operator additions (q312-q322).
 
 The differential oracle tests in test_queries_oracle.py already pin both
 engines to identical values; these tests pin the SEMANTICS — the
@@ -420,3 +420,67 @@ def test_q320_matches_pure_python(spark):
         # an exact .5 tie the last digit differs by 1e-6; compare to the
         # unrounded mean instead of re-rounding.
         assert abs(r.avg_logprob - (sum(lqs) / len(lqs)) / 1_000_000) <= 1e-6
+
+
+# --- q321: adaptive histogram binning --------------------------------------------
+
+
+def test_q321_decision_and_coverage(spark):
+    rows = REGISTRY["q321_adaptive_histogram"].fn(spark, SF).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0.rule in ("fd", "sturges")
+    if r0.rule == "fd":
+        assert r0.k_used == min(512, max(1, r0.k_fd))
+    else:
+        assert r0.k_fd == 0 and r0.k_used == min(512, max(1, r0.k_sturges))
+    bins = [r.bin for r in rows]
+    assert all(0 <= b < r0.k_used for b in bins)
+    assert len(set(bins)) == len(bins)
+    total = sum(r.cnt for r in rows)
+    assert total == spark.read.parquet(f"{SF}/events.parquet").count()
+
+
+def test_q321_fd_width_matches_numpy_convention(spark):
+    """k_fd must equal ceil(span / (2*IQR/cbrt(n))) on rank-based quartiles."""
+    import math as m
+
+    ev = sorted(
+        (r.value, r.event_id)
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+    )
+    xs = [v for v, _ in ev]
+    n = len(xs)
+    q1 = xs[(n + 3) // 4 - 1]
+    q3 = xs[(3 * n + 3) // 4 - 1]
+    h = 2.0 * (q3 - q1) / n ** (1.0 / 3.0)
+    want = m.ceil(round(1e9 * (xs[-1] - xs[0]) / h) / 1e9)
+    r0 = REGISTRY["q321_adaptive_histogram"].fn(spark, SF).collect()[0]
+    assert r0.k_fd == want
+
+
+# --- q322: budget waterfill --------------------------------------------------------
+
+
+def test_q322_waterfill_structure(spark):
+    rows = REGISTRY["q322_budget_waterfill"].fn(spark, SF).collect()
+    assert rows
+    total_tokens = sum(r.tokens for r in rows)
+    budget = (4 * total_tokens) // 10
+    assert sum(r.alloc for r in rows) == min(budget, total_tokens)
+    # quality-ordered: full allocations first, at most one partial, then zeros
+    states = [r.boundary for r in rows]  # 0 full, 2 partial, 1 starved
+    seen_partial = seen_starved = False
+    for st, r in zip(states, rows):
+        if st == 0:
+            assert not seen_partial and not seen_starved
+            assert r.alloc == r.tokens
+        elif st == 2:
+            assert not seen_partial and not seen_starved
+            seen_partial = True
+            assert 0 < r.alloc < r.tokens
+        else:
+            seen_starved = True
+            assert r.alloc == 0
+    ens = [r.en_micro for r in rows]
+    assert ens == sorted(ens, reverse=True)

@@ -968,6 +968,16 @@ CASES = {
     "counts (fan-out 1 per probe row); the distinct-bigram total "
     "is a one-row BroadcastExchange; per-bigram quantization keeps "
     "the doc agg integer.",
+    "q321_adaptive_histogram": "Adaptive histogram binning. What to "
+    "check: the quartile pass is the two-pass global index (range "
+    "partition, per-partition counts, broadcast offsets — no "
+    "single-partition WindowExec on the data); the decision row is "
+    "a one-row broadcast into the binning scan; the final agg folds "
+    "map-side onto <= k groups.",
+    "q322_budget_waterfill": "Budget waterfill allocation. What to "
+    "check: one hash agg to the source grain BEFORE any window; the "
+    "rank/cumsum window runs over |sources| rows; the budget is a "
+    "one-row broadcast. No per-document window anywhere.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
