@@ -151,8 +151,10 @@ def register(
 # diff-in-differences, q316 DSIR importance, q317 LSH param tuning,
 # q318 span-corruption plan, q319 host quota cap, q320 Kneser-Ney,
 # q321 adaptive histogram, q322 budget waterfill — all strict-replica
-# MATCH at sf0.01 when added, and q311-q320 verified by the round-12
-# full-registry driver-flow simulation) leave 34 batch slots — the r5
+# MATCH at sf0.01 when added; q311-q317 additionally rode the round-12
+# full-registry driver-flow simulation (317/317) and q318-q322 targeted
+# contract re-drives under the same non-UTC probe) leave 34 batch
+# slots — the r5
 # band's 34 oldest (all but q108/q110). Post-r13 the oldest band is r5
 # (2 left: q108 q110), r14 takes those plus 40+ of r6, and the ledger
 # converges to a ≤3-round-stale steady state by r17.
