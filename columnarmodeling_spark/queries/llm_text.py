@@ -5753,3 +5753,220 @@ def q320_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("lq").cast("double") / F.count("*")) / 1000000.0, 6
         ).alias("avg_logprob"),
     )
+
+
+# --- q323: leave-one-source-out perplexity ablation -----------------------------
+
+
+@register(
+    "q323_source_ablation_ppl",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT doc_id, source, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(tk))) AS i) idx
+      WHERE len(tk) >= 2),
+    held AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS hc
+      FROM pairs WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15))::BIGINT % 10 = 0 GROUP BY 1, 2),
+    train AS MATERIALIZED (
+      SELECT source, w1, w2 FROM pairs WHERE NOT (('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15))::BIGINT % 10 = 0)),
+    c2 AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM train GROUP BY 1, 2),
+    c1 AS MATERIALIZED (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM train GROUP BY 1),
+    c2s AS MATERIALIZED (
+      SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c2s
+      FROM train GROUP BY 1, 2, 3),
+    c1s AS MATERIALIZED (
+      SELECT source, w1, CAST(count(*) AS BIGINT) AS c1s
+      FROM train GROUP BY 1, 2),
+    vocab AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT unnest(tk) AS w FROM toks WHERE NOT (('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15))::BIGINT % 10 = 0))),
+    fullq AS (
+      SELECT h.w1, h.w2, h.hc,
+             coalesce(c2.c2, 0) AS c2, coalesce(c1.c1, 0) AS c1,
+             CAST(round(1000000.0 * ln(
+               (CAST(coalesce(c2.c2, 0) AS DOUBLE) + 1.0)
+               / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + vo.v)))
+               AS BIGINT) AS lq_full
+      FROM held h
+      LEFT JOIN c2 ON h.w1 = c2.w1 AND h.w2 = c2.w2
+      LEFT JOIN c1 ON h.w1 = c1.w1
+      CROSS JOIN vocab vo),
+    ftot AS (
+      SELECT CAST(sum(hc) AS BIGINT) AS n_big,
+             CAST(sum(hc * lq_full) AS BIGINT) AS full_sum
+      FROM fullq),
+    touched AS (
+      SELECT f.w1, f.w2, f.hc, f.c2, f.c1, f.lq_full, s.source,
+             coalesce(x.c2s, 0) AS c2s, s.c1s
+      FROM fullq f
+      JOIN c1s s ON f.w1 = s.w1
+      LEFT JOIN c2s x ON x.source = s.source AND x.w1 = f.w1
+                     AND x.w2 = f.w2),
+    deltas AS (
+      SELECT source,
+             CAST(sum(hc * (CAST(round(1000000.0 * ln(
+               (CAST(c2 - c2s AS DOUBLE) + 1.0)
+               / (CAST(c1 - c1s AS DOUBLE) + vo.v))) AS BIGINT)
+               - lq_full)) AS BIGINT) AS delta_sum
+      FROM touched CROSS JOIN vocab vo
+      GROUP BY source),
+    srcs AS (SELECT DISTINCT source FROM train)
+    SELECT s.source,
+           t.n_big AS n_heldout_bigrams,
+           CAST(round(CAST(t.full_sum AS DOUBLE) / t.n_big) AS BIGINT)
+             AS full_avg_micro,
+           CAST(round(CAST(t.full_sum + coalesce(d.delta_sum, 0) AS DOUBLE)
+             / t.n_big) AS BIGINT) AS ablated_avg_micro,
+           CAST(round(CAST(coalesce(d.delta_sum, 0) AS DOUBLE) / t.n_big)
+             AS BIGINT) AS contribution_micro
+    FROM srcs s
+    LEFT JOIN deltas d ON d.source = s.source
+    CROSS JOIN ftot t
+    ORDER BY contribution_micro, s.source
+    """,
+    doc="LEAVE-ONE-SOURCE-OUT PERPLEXITY ABLATION — data valuation "
+    "without retraining (the Shapley-flavored 'which sources "
+    "actually help the model?' read a mix builder wants before "
+    "q322 allocates budget): the add-one bigram LM (q100's "
+    "convention) is scored ONCE on the hash-split holdout (md5 of "
+    "doc_id, the q87 convention — a doc_id MOD rule would correlate "
+    "with the synthetic source assignment, exactly the q249 split- "
+    "leakage failure), "
+    "then each source's ablated model comes from COUNT ALGEBRA — "
+    "c2 - c2_s and c1 - c1_s — never a per-source re-aggregation "
+    "of the corpus; a source only perturbs the heldout bigrams "
+    "whose context it touched, so the delta join's fan-out is "
+    "bounded by |sources| per bigram and the 19 untouched sources "
+    "cost nothing. contribution = ablated - full mean log-prob "
+    "(negative contribution_micro: removing the source HURTS, the "
+    "source helps). Fixed train vocabulary across ablations "
+    "(documented simplification: V enters only the smoothing "
+    "denominator). Float discipline: every ln is micro-quantized "
+    "before the exact int64 weighted sums (q100 rule). Scale: "
+    "model tables are hash aggs; the heldout scoring joins are "
+    "fan-out-1; the ablation join is fan-out-|sources| on "
+    "pre-aggregated counts — at 100 TB this is the difference "
+    "between 20 LM retrainings and ONE extra bounded join.",
+    tags=("text", "llm", "valuation", "ablation", "scale"),
+)
+def q323_source_ablation_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("tk")
+    )
+    pairs = (
+        d.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> struct(tk[i] as w1, tk[i + 1] as w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "source", "p.w1", "p.w2")
+    )
+    held = (
+        pairs.filter(hex_hash(F.col("doc_id").cast("string")) % 10 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("hc"))
+    )
+    train = pairs.filter(hex_hash(F.col("doc_id").cast("string")) % 10 != 0)
+    c2 = train.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    c1 = train.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    c2s = train.groupBy("source", "w1", "w2").agg(
+        F.count("*").cast("long").alias("c2s")
+    )
+    c1s = train.groupBy("source", "w1").agg(
+        F.count("*").cast("long").alias("c1s")
+    )
+    vocab = (
+        d.filter(hex_hash(F.col("doc_id").cast("string")) % 10 != 0)
+        .select(F.explode("tk").alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    fullq = (
+        held.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "hc",
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            "v",
+            F.expr(
+                "CAST(round(1000000.0 * ln("
+                "(CAST(coalesce(c2, 0) AS DOUBLE) + 1.0)"
+                " / (CAST(coalesce(c1, 0) AS DOUBLE) + v))) AS BIGINT)"
+            ).alias("lq_full"),
+        )
+    )
+    ftot = fullq.agg(
+        F.sum("hc").cast("long").alias("n_big"),
+        F.sum(F.col("hc") * F.col("lq_full")).cast("long").alias("full_sum"),
+    )
+    touched = (
+        fullq.join(c1s, "w1")
+        .join(c2s, ["source", "w1", "w2"], "left")
+        .select(
+            "source",
+            "hc",
+            "c2",
+            "c1",
+            "v",
+            "lq_full",
+            F.coalesce("c2s", F.lit(0)).alias("c2s"),
+            "c1s",
+        )
+    )
+    deltas = touched.groupBy("source").agg(
+        F.sum(
+            F.col("hc")
+            * (
+                F.expr(
+                    "CAST(round(1000000.0 * ln("
+                    "(CAST(c2 - c2s AS DOUBLE) + 1.0)"
+                    " / (CAST(c1 - c1s AS DOUBLE) + v))) AS BIGINT)"
+                )
+                - F.col("lq_full")
+            )
+        )
+        .cast("long")
+        .alias("delta_sum")
+    )
+    srcs = train.select("source").distinct()
+    return (
+        srcs.join(deltas, "source", "left")
+        .crossJoin(F.broadcast(ftot))
+        .select(
+            "source",
+            F.col("n_big").alias("n_heldout_bigrams"),
+            F.expr(
+                "CAST(round(CAST(full_sum AS DOUBLE) / n_big) AS BIGINT)"
+            ).alias("full_avg_micro"),
+            F.expr(
+                "CAST(round(CAST(full_sum + coalesce(delta_sum, 0)"
+                " AS DOUBLE) / n_big) AS BIGINT)"
+            ).alias("ablated_avg_micro"),
+            F.expr(
+                "CAST(round(CAST(coalesce(delta_sum, 0) AS DOUBLE) / n_big)"
+                " AS BIGINT)"
+            ).alias("contribution_micro"),
+        )
+        .orderBy("contribution_micro", "source")
+    )

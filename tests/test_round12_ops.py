@@ -484,3 +484,94 @@ def test_q322_waterfill_structure(spark):
             assert r.alloc == 0
     ens = [r.en_micro for r in rows]
     assert ens == sorted(ens, reverse=True)
+
+
+# --- q323: leave-one-source-out ablation ------------------------------------------
+
+
+def test_q323_ablation_structure(spark):
+    rows = REGISTRY["q323_source_ablation_ppl"].fn(spark, SF).collect()
+    assert rows
+    from columnarmodeling_spark.functions.text import hex_hash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train_sources = {
+        r.source
+        for r in docs.filter(
+            hex_hash(F.col("doc_id").cast("string")) % 10 != 0
+        )
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert {r.source for r in rows} == train_sources
+    full = {r.full_avg_micro for r in rows}
+    assert len(full) == 1  # the full-model score is source-independent
+    for r in rows:
+        assert r.ablated_avg_micro - r.full_avg_micro == pytest.approx(
+            r.contribution_micro, abs=1
+        )
+
+
+def test_q323_removing_a_source_perturbs_both_ways(spark):
+    """Some sources must help (removal hurts: negative contribution) and,
+    with add-one smoothing, shrinking counts can also help — the test
+    pins that the deltas are non-trivial rather than all zero."""
+    rows = REGISTRY["q323_source_ablation_ppl"].fn(spark, SF).collect()
+    assert any(r.contribution_micro != 0 for r in rows)
+    contribs = [r.contribution_micro for r in rows]
+    assert contribs == sorted(contribs)
+
+
+def test_q323_count_algebra_matches_direct_retrain(spark):
+    """The count-algebra ablation must equal a direct rebuild of the LM
+    without the source — verified in pure Python for one source."""
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+
+    def bigrams(text):
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        return list(zip(toks, toks[1:]))
+
+    import hashlib
+
+    def is_held(doc_id):
+        return (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 10
+            == 0
+        )
+
+    held: Counter = Counter()
+    vocab = set()
+    for d in docs:
+        if is_held(d.doc_id):
+            held.update(bigrams(d.text))
+        else:
+            vocab.update(
+                t for t in re.split("[^a-z0-9]+", d.text.lower()) if t
+            )
+    rows = REGISTRY["q323_source_ablation_ppl"].fn(spark, SF).collect()
+    target = rows[0].source  # most negative contribution
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    for d in docs:
+        if is_held(d.doc_id) or d.source == target:
+            continue
+        bs = bigrams(d.text)
+        c2.update(bs)
+        c1.update(b[0] for b in bs)
+    v = len(vocab)
+    tot = 0
+    n = 0
+    for b, hc in held.items():
+        lq = round(
+            1_000_000
+            * math.log((c2.get(b, 0) + 1.0) / (c1.get(b[0], 0) + v))
+        )
+        tot += hc * lq
+        n += hc
+    want = round(tot / n)
+    got = {r.source: r.ablated_avg_micro for r in rows}[target]
+    assert got == want

@@ -978,6 +978,12 @@ CASES = {
     "check: one hash agg to the source grain BEFORE any window; the "
     "rank/cumsum window runs over |sources| rows; the budget is a "
     "one-row broadcast. No per-document window anywhere.",
+    "q323_source_ablation_ppl": "Leave-one-source-out LM ablation. "
+    "What to check: the four model tables are hash aggs over the ONE "
+    "train-pairs relation; heldout scoring joins are fan-out-1 on "
+    "pre-aggregated counts; the ablation join fans out by c1s "
+    "matches only (bounded by |sources| per bigram) — NO per-source "
+    "re-scan of the corpus anywhere in the plan.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
