@@ -6441,3 +6441,412 @@ def q322_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --- q324: O'Brien-Fleming group-sequential monitoring ---------------------------
+
+_GS_LOOKS = 5
+_GS_Z_FINAL_MICRO = 1_959_964  # two-sided 5% final boundary, fixed literal
+_GS_DAY_US = 86_400_000_000
+_GS_T0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+@register(
+    "q324_obrien_fleming",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm, value AS x,
+             least({_GS_LOOKS} - 1,
+                   (epoch_us(ts) - {_GS_T0_US})
+                   // (6 * {_GS_DAY_US})) AS slice
+      FROM events WHERE event_type = 'purchase'),
+    looks AS (SELECT unnest(range(1, {_GS_LOOKS} + 1)) AS k),
+    cum AS (
+      SELECT l.k, p.arm,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(p.x) AS sx, sum(p.x * p.x) AS sxx
+      FROM looks l JOIN p ON p.slice < l.k
+      GROUP BY 1, 2),
+    piv AS (
+      SELECT k,
+             max(CASE WHEN arm = 1 THEN n END) AS n_t,
+             max(CASE WHEN arm = 0 THEN n END) AS n_c,
+             max(CASE WHEN arm = 1 THEN sx END) AS sx_t,
+             max(CASE WHEN arm = 0 THEN sx END) AS sx_c,
+             max(CASE WHEN arm = 1 THEN sxx END) AS sxx_t,
+             max(CASE WHEN arm = 0 THEN sxx END) AS sxx_c
+      FROM cum GROUP BY k),
+    z AS (
+      SELECT k, n_t, n_c,
+             CAST(round(1000.0 * (sx_t / n_t - sx_c / n_c) / sqrt(
+               ((sxx_t - sx_t * sx_t / n_t) / (n_t - 1)) / n_t
+               + ((sxx_c - sx_c * sx_c / n_c) / (n_c - 1)) / n_c))
+               AS BIGINT) AS z_milli,
+             CAST(round(({_GS_Z_FINAL_MICRO} / 1000.0)
+               * sqrt(CAST({_GS_LOOKS} AS DOUBLE) / k)) AS BIGINT)
+               AS bound_milli
+      FROM piv),
+    dec AS (
+      SELECT k, n_t, n_c, z_milli, bound_milli,
+             CASE WHEN abs(z_milli) >= bound_milli THEN 1 ELSE 0 END
+               AS crossed
+      FROM z)
+    SELECT k, n_t, n_c, z_milli, bound_milli, CAST(crossed AS BIGINT)
+             AS crossed,
+           CAST(CASE WHEN crossed = 1 AND coalesce(sum(crossed)
+                  OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS first_stop
+    FROM dec ORDER BY k
+    """,
+    doc="O'BRIEN-FLEMING GROUP-SEQUENTIAL MONITORING — the fixed-"
+    "schedule interim-analysis design that complements q306's "
+    "fully-sequential SPRT (what an experimentation platform "
+    "actually ships: K=5 planned looks, early stopping only on "
+    "overwhelming evidence): cumulative Welch z per look over the "
+    "purchase-value metric (arm = user parity), against the "
+    "classic OBF boundary b_k = z_final * sqrt(K/k) — very "
+    "conservative early (b_1 ~ 4.38), the final look spends "
+    "nearly the full alpha. The z_final constant is a fixed "
+    "integer-micro literal (the q313 rule: model constants are "
+    "never re-derived per engine). first_stop marks the earliest "
+    "crossing via an exclusive running sum, so the oracle checks "
+    "the STOPPING DECISION, not just the statistics. Scale: the "
+    "look x arm cumulative moments come from one slice-bucketed "
+    "agg joined to the {_GS_LOOKS}-row look table (never K scans "
+    "of the fact stream); everything after is arithmetic on 2K "
+    "rows.",
+    tags=("analytics", "ab-test", "sequential", "scale"),
+)
+def q324_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            F.col("value").alias("x"),
+            F.expr(
+                f"least({_GS_LOOKS} - 1,"
+                f" (unix_micros(cast(ts AS timestamp)) - {_GS_T0_US})"
+                f" DIV (6 * {_GS_DAY_US}))"
+            ).alias("slice"),
+        )
+    )
+    looks = spark.range(1, _GS_LOOKS + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    cum = (
+        F.broadcast(looks)
+        .join(p, p["slice"] < F.col("k"))
+        .groupBy("k", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    piv = cum.groupBy("k").agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("sx"))).alias("sx_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("sx"))).alias("sx_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("sxx"))).alias("sxx_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("sxx"))).alias("sxx_c"),
+    )
+    z = piv.select(
+        "k",
+        "n_t",
+        "n_c",
+        F.expr(
+            "CAST(round(1000.0 * (sx_t / n_t - sx_c / n_c) / sqrt("
+            "((sxx_t - sx_t * sx_t / n_t) / (n_t - 1)) / n_t"
+            " + ((sxx_c - sx_c * sx_c / n_c) / (n_c - 1)) / n_c))"
+            " AS BIGINT)"
+        ).alias("z_milli"),
+        F.expr(
+            f"CAST(round(({_GS_Z_FINAL_MICRO} / 1000.0)"
+            f" * sqrt(CAST({_GS_LOOKS} AS DOUBLE) / k)) AS BIGINT)"
+        ).alias("bound_milli"),
+    )
+    dec = z.withColumn(
+        "crossed",
+        F.when(F.abs(F.col("z_milli")) >= F.col("bound_milli"), 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    w_prev = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    return dec.select(
+        "k",
+        "n_t",
+        "n_c",
+        "z_milli",
+        "bound_milli",
+        "crossed",
+        F.when(
+            (F.col("crossed") == 1)
+            & (
+                F.coalesce(F.sum("crossed").over(w_prev), F.lit(0)) == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("first_stop"),
+    ).orderBy("k")
+
+
+# --- q325: CUPED variance reduction ----------------------------------------------
+
+_CUPED_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16, the q315 cutoff
+
+
+@register(
+    "q325_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             sum(CASE WHEN epoch_us(ts) < {_CUPED_SPLIT_US}
+                      AND event_type = 'purchase'
+                      THEN value ELSE 0.0 END) AS pre,
+             sum(CASE WHEN epoch_us(ts) >= {_CUPED_SPLIT_US}
+                      AND event_type = 'purchase'
+                      THEN value ELSE 0.0 END) AS post
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(pre) AS sp, sum(post) AS so,
+             sum(pre * pre) AS spp, sum(post * post) AS soo,
+             sum(pre * post) AS spo
+      FROM per_user),
+    th AS (
+      SELECT n, sp, so,
+             (spo - sp * so / n) / (spp - sp * sp / n) AS theta,
+             (soo - so * so / n) / (n - 1) AS var_post,
+             ((soo - so * so / n)
+              - (spo - sp * so / n) * (spo - sp * so / n)
+                / (spp - sp * sp / n)) / (n - 1) AS var_adj
+      FROM m),
+    adj AS (
+      SELECT u.arm,
+             CAST(count(*) AS BIGINT) AS n_arm,
+             sum(u.post - t.theta * (u.pre - t.sp / t.n)) AS s_adj
+      FROM per_user u CROSS JOIN th t
+      GROUP BY 1)
+    SELECT t.n AS n_users,
+           CAST(round(1000000.0 * t.theta) AS BIGINT) AS theta_micro,
+           CAST(round(1000000.0 * t.var_post) AS BIGINT) AS var_post_micro,
+           CAST(round(1000000.0 * t.var_adj) AS BIGINT) AS var_adj_micro,
+           CAST(round(1000.0 * (1.0 - t.var_adj / t.var_post)) AS BIGINT)
+             AS reduction_milli,
+           CAST(round(1000000.0
+             * (max(CASE WHEN a.arm = 1 THEN a.s_adj END)
+                / max(CASE WHEN a.arm = 1 THEN a.n_arm END)
+                - max(CASE WHEN a.arm = 0 THEN a.s_adj END)
+                / max(CASE WHEN a.arm = 0 THEN a.n_arm END)))
+             AS BIGINT) AS adj_diff_micro
+    FROM adj a CROSS JOIN th t
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc="CUPED VARIANCE REDUCTION (Deng et al. 2013 — the industry-"
+    "standard pre-period adjustment every experimentation platform "
+    "applies before q315/q324 read the effect): per-user pre/post "
+    "purchase value from ONE zero-filled conditional agg over the "
+    "event scan, theta = cov(pre,post)/var(pre) from the five "
+    "moment sums, adjusted metric Y - theta*(X - mean(X)), and the "
+    "achieved variance reduction 1 - var_adj/var_post = rho^2. "
+    "Every sxx-style term evaluates in DOUBLE from the start (the "
+    "q255/q289 rule — the sums are already doubles here) and "
+    "var_adj uses the closed form var_post - cov^2/var_pre, so "
+    "no second pass over the adjusted values is needed for the "
+    "variance; the per-arm adjusted means DO take the one extra "
+    "broadcast-theta pass (two scans of the per-user relation "
+    "total, both map-side-combinable). Scale: user-keyed hash agg "
+    "then arithmetic on one row + two arm rows.",
+    tags=("analytics", "ab-test", "cuped", "scale"),
+)
+def q325_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).cast("long").alias("arm"))
+        .agg(
+            F.sum(
+                F.when(
+                    (
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        < _CUPED_SPLIT_US
+                    )
+                    & (F.col("event_type") == "purchase"),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    (
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        >= _CUPED_SPLIT_US
+                    )
+                    & (F.col("event_type") == "purchase"),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ).alias("post"),
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(F.col("post") * F.col("post")).alias("soo"),
+        F.sum(F.col("pre") * F.col("post")).alias("spo"),
+    )
+    th = m.select(
+        "n",
+        "sp",
+        "so",
+        F.expr("(spo - sp * so / n) / (spp - sp * sp / n)").alias("theta"),
+        F.expr("(soo - so * so / n) / (n - 1)").alias("var_post"),
+        F.expr(
+            "((soo - so * so / n)"
+            " - (spo - sp * so / n) * (spo - sp * so / n)"
+            " / (spp - sp * sp / n)) / (n - 1)"
+        ).alias("var_adj"),
+    )
+    adj = (
+        per_user.crossJoin(F.broadcast(th))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arm"),
+            F.sum(
+                F.col("post")
+                - F.col("theta") * (F.col("pre") - F.col("sp") / F.col("n"))
+            ).alias("s_adj"),
+        )
+    )
+    return (
+        adj.crossJoin(F.broadcast(th))
+        .groupBy(
+            F.col("n").alias("n_users"),
+            F.expr("CAST(round(1000000.0 * theta) AS BIGINT)").alias(
+                "theta_micro"
+            ),
+            F.expr("CAST(round(1000000.0 * var_post) AS BIGINT)").alias(
+                "var_post_micro"
+            ),
+            F.expr("CAST(round(1000000.0 * var_adj) AS BIGINT)").alias(
+                "var_adj_micro"
+            ),
+            F.expr(
+                "CAST(round(1000.0 * (1.0 - var_adj / var_post)) AS BIGINT)"
+            ).alias("reduction_milli"),
+        )
+        .agg(
+            F.expr(
+                "CAST(round(1000000.0"
+                " * (max(CASE WHEN arm = 1 THEN s_adj END)"
+                " / max(CASE WHEN arm = 1 THEN n_arm END)"
+                " - max(CASE WHEN arm = 0 THEN s_adj END)"
+                " / max(CASE WHEN arm = 0 THEN n_arm END))) AS BIGINT)"
+            ).alias("adj_diff_micro")
+        )
+    )
+
+
+# --- q326: sample-size / power planning from pilot moments -----------------------
+
+_PWR_Z_HALF_ALPHA_MICRO = 1_959_964  # z_{0.975}
+_PWR_Z_BETA_MICRO = 841_621  # z_{0.80}
+_PWR_MDE_PCT = 2  # minimum detectable effect: 2% of control mean
+
+
+@register(
+    "q326_power_planning",
+    oracle=f"""
+    WITH pilot AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm, value AS x
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx
+      FROM pilot WHERE arm = 0),
+    par AS (
+      SELECT n, sx / n AS mu,
+             (sxx - sx * sx / n) / (n - 1) AS s2,
+             ({_PWR_MDE_PCT} / 100.0) * (sx / n) AS delta
+      FROM m),
+    req AS (
+      SELECT n, mu, s2, delta,
+             CAST(ceil(
+               (({_PWR_Z_HALF_ALPHA_MICRO} + {_PWR_Z_BETA_MICRO})
+                 / 1000000.0)
+               * (({_PWR_Z_HALF_ALPHA_MICRO} + {_PWR_Z_BETA_MICRO})
+                 / 1000000.0)
+               * 2.0 * s2 / (delta * delta)) AS BIGINT) AS n_per_arm
+      FROM par)
+    SELECT n AS pilot_n,
+           CAST(round(1000000.0 * mu) AS BIGINT) AS control_mean_micro,
+           CAST(round(1000000.0 * s2) AS BIGINT) AS variance_micro,
+           CAST(round(1000000.0 * delta) AS BIGINT) AS mde_micro,
+           n_per_arm,
+           CAST(CASE WHEN n_per_arm > n THEN 1 ELSE 0 END AS BIGINT)
+             AS underpowered
+    FROM req
+    """,
+    doc="SAMPLE-SIZE / POWER PLANNING from pilot moments — the "
+    "pre-experiment arithmetic that decides whether q315/q324/q325 "
+    "are even worth running: n per arm = (z_a/2 + z_b)^2 * 2 "
+    "sigma^2 / delta^2 at 80% power, two-sided 5%, MDE = "
+    f"{_PWR_MDE_PCT}% of the control mean, with sigma^2 estimated "
+    "from the control arm of the pilot. Both z constants are fixed "
+    "integer-micro literals (the q313 rule — normal quantiles "
+    "re-derived per engine would need an inverse-CDF neither "
+    "engine guarantees bit-identical); the variance evaluates in "
+    "DOUBLE throughout. underpowered flags the decision so the "
+    "oracle checks it. Scale: one filtered scan folding map-side "
+    "to a single moment row; everything else is scalar "
+    "arithmetic.",
+    tags=("analytics", "ab-test", "power", "scale"),
+)
+def q326_power_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") % 2 == 0)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sx"),
+            F.sum(F.col("value") * F.col("value")).alias("sxx"),
+        )
+    )
+    par = m.select(
+        "n",
+        F.expr("sx / n").alias("mu"),
+        F.expr("(sxx - sx * sx / n) / (n - 1)").alias("s2"),
+        F.expr(f"({_PWR_MDE_PCT} / 100.0) * (sx / n)").alias("delta"),
+    )
+    zsum = f"(({_PWR_Z_HALF_ALPHA_MICRO} + {_PWR_Z_BETA_MICRO}) / 1000000.0)"
+    return par.select(
+        F.col("n").alias("pilot_n"),
+        F.expr("CAST(round(1000000.0 * mu) AS BIGINT)").alias(
+            "control_mean_micro"
+        ),
+        F.expr("CAST(round(1000000.0 * s2) AS BIGINT)").alias(
+            "variance_micro"
+        ),
+        F.expr("CAST(round(1000000.0 * delta) AS BIGINT)").alias(
+            "mde_micro"
+        ),
+        F.expr(
+            f"CAST(ceil({zsum} * {zsum} * 2.0 * s2 / (delta * delta))"
+            " AS BIGINT)"
+        ).alias("n_per_arm"),
+        F.expr(
+            f"CAST(CASE WHEN CAST(ceil({zsum} * {zsum} * 2.0 * s2"
+            " / (delta * delta)) AS BIGINT) > n THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("underpowered"),
+    )

@@ -575,3 +575,81 @@ def test_q323_count_algebra_matches_direct_retrain(spark):
     want = round(tot / n)
     got = {r.source: r.ablated_avg_micro for r in rows}[target]
     assert got == want
+
+
+# --- q324: O'Brien-Fleming group-sequential -----------------------------------------
+
+
+def test_q324_boundary_shape_and_stop_rule(spark):
+    rows = REGISTRY["q324_obrien_fleming"].fn(spark, SF).collect()
+    assert [r.k for r in rows] == [1, 2, 3, 4, 5]
+    bounds = [r.bound_milli for r in rows]
+    # OBF boundary is strictly decreasing and ends at the final z
+    assert bounds == sorted(bounds, reverse=True)
+    assert bounds[-1] == 1960  # round(1.959964 * 1000)
+    assert bounds[0] == round(1959.964 * (5 ** 0.5))
+    # sample sizes are cumulative
+    nts = [r.n_t for r in rows]
+    assert nts == sorted(nts)
+    # first_stop marks exactly the first crossing (or nowhere)
+    crossing = [r.k for r in rows if r.crossed == 1]
+    stops = [r.k for r in rows if r.first_stop == 1]
+    if crossing:
+        assert stops == [crossing[0]]
+    else:
+        assert stops == []
+
+
+# --- q325: CUPED ---------------------------------------------------------------------
+
+
+def test_q325_cuped_reduction_is_rho_squared(spark):
+    r = REGISTRY["q325_cuped"].fn(spark, SF).collect()[0]
+    assert 0 <= r.reduction_milli <= 1000
+    assert r.var_adj_micro <= r.var_post_micro
+    # reduction == 1 - var_adj/var_post at milli precision
+    assert r.reduction_milli == pytest.approx(
+        round(1000 * (1 - r.var_adj_micro / r.var_post_micro)), abs=1
+    )
+
+
+def test_q325_cuped_matches_pure_python(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    pre = {}
+    post = {}
+    cut = 1_705_363_200_000_000
+    for e in rows:
+        us = int(e.ts.timestamp() * 1_000_000)
+        pre.setdefault(e.user_id, 0.0)
+        post.setdefault(e.user_id, 0.0)
+        if e.event_type == "purchase":
+            if us < cut:
+                pre[e.user_id] += e.value
+            else:
+                post[e.user_id] += e.value
+    users = sorted(pre)
+    n = len(users)
+    sp = sum(pre[u] for u in users)
+    so = sum(post[u] for u in users)
+    spp = sum(pre[u] ** 2 for u in users)
+    soo = sum(post[u] ** 2 for u in users)
+    spo = sum(pre[u] * post[u] for u in users)
+    theta = (spo - sp * so / n) / (spp - sp * sp / n)
+    r = REGISTRY["q325_cuped"].fn(spark, SF).collect()[0]
+    assert r.n_users == n
+    assert abs(r.theta_micro - round(1e6 * theta)) <= 2
+
+
+# --- q326: power planning --------------------------------------------------------------
+
+
+def test_q326_sample_size_formula(spark):
+    r = REGISTRY["q326_power_planning"].fn(spark, SF).collect()[0]
+    mu = r.control_mean_micro / 1e6
+    s2 = r.variance_micro / 1e6
+    delta = r.mde_micro / 1e6
+    assert delta == pytest.approx(0.02 * mu, rel=1e-3)
+    want = math.ceil((1.959964 + 0.841621) ** 2 * 2 * s2 / delta**2)
+    # micro-quantized moments reach the same n within the rounding slack
+    assert abs(r.n_per_arm - want) <= max(2, want // 1000)
+    assert r.underpowered == (1 if r.n_per_arm > r.pilot_n else 0)

@@ -984,6 +984,17 @@ CASES = {
     "pre-aggregated counts; the ablation join fans out by c1s "
     "matches only (bounded by |sources| per bigram) — NO per-source "
     "re-scan of the corpus anywhere in the plan.",
+    "q324_obrien_fleming": "Group-sequential monitoring. What to "
+    "check: ONE slice-bucketed scan joined to the 5-row broadcast "
+    "look table builds all cumulative moments — never K re-scans of "
+    "the fact stream; the stopping window sorts 5 rows.",
+    "q325_cuped": "CUPED variance reduction. What to check: one "
+    "user-keyed hash agg builds pre/post; the moment row and theta "
+    "are broadcasts; the adjusted-mean pass is the only second scan "
+    "of the per-user relation (map-side-combinable).",
+    "q326_power_planning": "Power planning. What to check: one "
+    "filtered scan folding map-side to a single moment row; the "
+    "whole formula is scalar Project arithmetic.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
