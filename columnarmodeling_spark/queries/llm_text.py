@@ -5280,7 +5280,11 @@ _DSIR_TOP = 100
     "B={_DSIR_BUCKETS} rows — a broadcast; scoring is one hash-agg "
     "over the exploded tokens (map-side partial sums); the global "
     "top-k is Spark's TakeOrdered (per-partition heaps + driver "
-    "merge of k*P rows), never a full sort.",
+    "merge of k*P rows), never a full sort. The exploded feature "
+    "relation is localCheckpoint-ed once for its two consumers — "
+    "measured 2.5x at 64x vs recompute (SCALE.md): the tokenize+hash "
+    "subtree is compute-dominated, the case the q213 recompute rule "
+    "does NOT cover.",
     tags=("text", "llm", "dsir", "sampling", "scale"),
 )
 def q316_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5291,6 +5295,12 @@ def q316_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (hex_hash("w") % _DSIR_BUCKETS).alias("bucket"),
     )
+    # feat feeds TWO consumers (bucket-count agg + scoring join). The
+    # q213 rule said recompute narrow pipelines — but this one is
+    # compute-dominated (regex tokenize + md5 per token), and the 64x
+    # head-to-head measured materialize-once at 30.4s vs recompute at
+    # 75.1s (SCALE.md). Lazy localCheckpoint keeps the spec non-eager.
+    feat = feat.localCheckpoint(eager=False)
     tgt = d.filter(F.col("lang") == "en").select("doc_id")
     cnt = (
         feat.join(F.broadcast(tgt.withColumn("__t", F.lit(1))), "doc_id", "left")
