@@ -5118,7 +5118,10 @@ def _url_canon_steps(engine: str) -> list[tuple[str, str]]:
         ("hostport", "split_part(nofrag, '/', 1)"),
         ("rawhost", "lower(split_part(hostport, ':', 1))"),
         ("port", "split_part(hostport, ':', 2)"),
-        ("host", "regexp_replace(rawhost, '^(www|m)\\.', '')"),
+        # the + quantifier keeps the rule IDEMPOTENT: www.m.ex.net
+        # must fold to ex.net in one pass, not via two different
+        # canonical forms (caught by the differential grid test)
+        ("host", "regexp_replace(rawhost, '^((www|m)\\.)+', '')"),
         (
             "portpart",
             "CASE WHEN port = '' OR (scheme = 'http' AND port = '80') "

@@ -653,3 +653,53 @@ def test_q326_sample_size_formula(spark):
     # micro-quantized moments reach the same n within the rounding slack
     assert abs(r.n_per_arm - want) <= max(2, want // 1000)
     assert r.underpowered == (1 if r.n_per_arm > r.pilot_n else 0)
+
+
+def _py_canonicalize(url: str) -> str:
+    """Independent pure-Python reference for the q312 rules."""
+    scheme, _, rest = url.partition("://")
+    scheme = scheme.lower()
+    nofrag = rest.partition("#")[0]
+    hostport = nofrag.partition("/")[0]
+    rawhost = hostport.partition(":")[0].lower()
+    port = hostport.partition(":")[2]
+    import re as _re
+
+    host = _re.sub(r"^((www|m)\.)+", "", rawhost)
+    if port == "" or (scheme, port) in (("http", "80"), ("https", "443")):
+        portpart = ""
+    else:
+        portpart = ":" + port
+    pathq = nofrag[len(hostport):]
+    path = pathq.partition("?")[0] or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    qs = pathq.partition("?")[2]
+    keep = "&".join(sorted(p for p in qs.split("&") if p[:4] != "utm_"))
+    return scheme + "://" + host + portpart + path + (
+        "?" + keep if keep else ""
+    )
+
+
+def test_q312_grid_against_python_reference(spark):
+    """Differential grid: every combination of scheme, host case/prefix,
+    port, trailing slash, params and fragment must canonicalize to what
+    the independent Python reference produces — and be idempotent."""
+    urls = []
+    for scheme in ("http", "HTTP", "https"):
+        for host in ("ex.com", "WWW.Ex.COM", "m.ex.org", "www.m.ex.net"):
+            for port in ("", ":80", ":443", ":8080"):
+                for path in ("", "/", "/a", "/a/b/", "/A/"):
+                    for q in ("", "?z=1&a=2", "?utm_s=x", "?utm_s=x&b=3"):
+                        for frag in ("", "#f"):
+                            urls.append(
+                                f"{scheme}://{host}{port}{path}{q}{frag}"
+                            )
+    got = _canonicalize(spark, urls)
+    expect = {u: _py_canonicalize(u) for u in urls}
+    mismatches = {u: (got[u], expect[u]) for u in urls if got[u] != expect[u]}
+    assert not mismatches, list(mismatches.items())[:5]
+    # idempotence over the whole canonical set
+    canon = sorted(set(got.values()))
+    twice = _canonicalize(spark, canon)
+    assert all(twice[c] == c for c in canon)
