@@ -146,19 +146,19 @@ def register(
 #   never driver-checked: round-12 additions only (front round 13).
 # ROUND-13 PLAN (slot arithmetic written now so rotation is mechanical,
 # per r11 VERDICT item 6): q01 anchor + streaming tail (q206/q207/q222)
-# + the round-12 additions needing first rows (16: q311 adaptive join,
+# + the round-12 additions needing first rows (17: q311 adaptive join,
 # q312 URL canonicalize, q313 record linkage, q314 Kaplan-Meier, q315
 # diff-in-differences, q316 DSIR importance, q317 LSH param tuning,
 # q318 span-corruption plan, q319 host quota cap, q320 Kneser-Ney,
 # q321 adaptive histogram, q322 budget waterfill, q323 source-ablation
-# perplexity, q324 O'Brien-Fleming, q325 CUPED, q326 power planning —
-# all strict-replica MATCH at sf0.01 when added; q311-q317 additionally
-# rode the round-12 full-registry driver-flow simulation (317/317) and
-# q318-q326 targeted contract re-drives under the same non-UTC probe)
-# leave 30 batch slots — the r5 band's 30 oldest (all but q91-q93,
-# q106, q108, q110). Post-r13 the oldest band is r5 (6 left), r14
-# takes those plus 38 of r6, and the ledger converges to a
-# ≤3-round-stale steady state by r17.
+# perplexity, q324 O'Brien-Fleming, q325 CUPED, q326 power planning,
+# q327 blocklist filter — all strict-replica MATCH at sf0.01 when
+# added; q311-q317 additionally rode the round-12 full-registry
+# driver-flow simulation (317/317) and q318-q327 targeted contract
+# re-drives under the same non-UTC probe) leave 29 batch slots — the
+# r5 band's 29 oldest (all but q90-q93, q106, q108, q110). Post-r13
+# the oldest band is r5 (7 left), r14 takes those plus 37 of r6, and
+# the ledger converges to a ≤3-round-stale steady state by r17.
 # Round-11 full-registry re-verification: EVERY registered query —
 # all 310, including the whole staleness backlog and the never-checked
 # remainder — was run through the strict driver replica

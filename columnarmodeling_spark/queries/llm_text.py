@@ -5983,3 +5983,108 @@ def q323_source_ablation_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contribution_micro", "source")
     )
+
+
+# --- q327: blocklist / domain-suffix filtering ----------------------------------
+
+# Deterministic denylist: exact hosts AND registrable-domain entries that
+# must also catch every subdomain (the wildcard semantics real blocklists
+# carry). Matching runs on the RAW host (before www/m folding) — lists
+# are published against what appears in URLs.
+# src1 hits the EXACT-match arm (its dirt case carries no host prefix),
+# src3/src7 hit the SUBDOMAIN-suffix arm (their dirt cases prefix m.),
+# badhost.invalid matches nothing — all three rule paths execute.
+_BLOCKLIST = [
+    "src1.example.com",
+    "src3.example.com",
+    "src7.example.com",
+    "badhost.invalid",
+]
+_BLOCKLIST_SQL = ", ".join(f"('{e}')" for e in _BLOCKLIST)
+
+
+@register(
+    "q327_blocklist_filter",
+    oracle=f"""
+    WITH u0 AS (
+      SELECT doc_id, n_chars, {_URL_DIRTY_SQL} AS url FROM documents),
+    h AS (
+      SELECT doc_id, n_chars,
+             lower(split_part(split_part(split_part(url, '://', 2),
+                   '/', 1), ':', 1)) AS rawhost
+      FROM u0),
+    bl AS (SELECT * FROM (VALUES {_BLOCKLIST_SQL}) AS b(entry)),
+    flagged AS (
+      SELECT h.doc_id, h.n_chars, h.rawhost,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM bl
+               WHERE h.rawhost = bl.entry
+                  OR h.rawhost LIKE '%.' || bl.entry)
+             THEN 1 ELSE 0 END AS blocked
+      FROM h)
+    SELECT rawhost AS host,
+           CAST(any_value(blocked) AS BIGINT) AS blocked,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM flagged
+    GROUP BY rawhost
+    ORDER BY rawhost
+    """,
+    doc="BLOCKLIST / DOMAIN-SUFFIX FILTERING — the denylist gate a "
+    "web-corpus ingest runs before anything else (robots opt-outs, "
+    "abuse lists, licensing exclusions): an entry blocks its exact "
+    "host AND every subdomain (the wildcard semantics published "
+    "lists carry), matched against the RAW pre-normalization host "
+    "(lists name what appears in URLs, so www.src3.example.com "
+    "must fall to the src3.example.com entry via the suffix rule, "
+    "not via the q312 folding). Semantics: host = entry OR host "
+    "ends with '.' || entry. Scale: the blocklist is a broadcast "
+    "(the per-row cost is |list| suffix checks); at millions of "
+    "entries the registered escape is equality-joining on the "
+    "REGISTRABLE domain (extract the entry-length suffix, one "
+    "equi-join per label depth — the same bounded-fan-out trick "
+    "as the shingle joins), never a per-row scan of a giant list. "
+    "Per-host rollup with the blocked decision in the output so "
+    "the oracle checks the GATE, not just counts.",
+    tags=("text", "llm", "ingest", "filter", "scale"),
+)
+def q327_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.expr(_URL_DIRTY_SQL).alias("url"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "lower(split_part(split_part(split_part(url, '://', 2),"
+            " '/', 1), ':', 1))"
+        ).alias("rawhost"),
+    )
+    bl = spark.createDataFrame([(e,) for e in _BLOCKLIST], "entry STRING")
+    hit = (
+        h.join(
+            F.broadcast(bl),
+            (F.col("rawhost") == F.col("entry"))
+            | F.col("rawhost").endswith(
+                F.concat(F.lit("."), F.col("entry"))
+            ),
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("__b", F.lit(1))
+    )
+    flagged = h.join(F.broadcast(hit), "doc_id", "left").select(
+        "rawhost",
+        "n_chars",
+        F.when(F.col("__b").isNotNull(), 1).otherwise(0).alias("blocked"),
+    )
+    return (
+        flagged.groupBy(F.col("rawhost").alias("host"))
+        .agg(
+            F.first("blocked").cast("long").alias("blocked"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("host")
+    )

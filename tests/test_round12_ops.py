@@ -703,3 +703,32 @@ def test_q312_grid_against_python_reference(spark):
     canon = sorted(set(got.values()))
     twice = _canonicalize(spark, canon)
     assert all(twice[c] == c for c in canon)
+
+
+# --- q327: blocklist filtering -------------------------------------------------------
+
+
+def test_q327_blocklist_semantics(spark):
+    rows = REGISTRY["q327_blocklist_filter"].fn(spark, SF).collect()
+    assert rows
+    from columnarmodeling_spark.queries.llm_text import _BLOCKLIST
+
+    def expect_blocked(host):
+        return any(
+            host == e or host.endswith("." + e) for e in _BLOCKLIST
+        )
+
+    for r in rows:
+        assert r.blocked == (1 if expect_blocked(r.host) else 0)
+    # all three rule paths are live on the synthetic corpus: at least
+    # one exact match, one subdomain match, and unblocked hosts
+    blocked_hosts = {r.host for r in rows if r.blocked}
+    assert any(h in _BLOCKLIST for h in blocked_hosts)  # exact arm
+    assert any(
+        h not in _BLOCKLIST and expect_blocked(h) for h in blocked_hosts
+    )  # suffix arm
+    assert any(r.blocked == 0 for r in rows)
+    # a blocklist entry must never leak: unblocked hosts truly miss
+    for r in rows:
+        if not r.blocked:
+            assert not expect_blocked(r.host)

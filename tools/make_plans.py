@@ -995,6 +995,12 @@ CASES = {
     "q326_power_planning": "Power planning. What to check: one "
     "filtered scan folding map-side to a single moment row; the "
     "whole formula is scalar Project arithmetic.",
+    "q327_blocklist_filter": "Blocklist suffix filtering. What to "
+    "check: the denylist is a BroadcastExchange feeding a "
+    "left-semi BroadcastNestedLoopJoin (correct for the suffix "
+    "theta-predicate at list sizes this small; the registered "
+    "large-list escape is registrable-domain equi-joins); the "
+    "rollup is one hash agg on the host key.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
