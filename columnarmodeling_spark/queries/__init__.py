@@ -146,19 +146,20 @@ def register(
 #   never driver-checked: round-12 additions only (front round 13).
 # ROUND-13 PLAN (slot arithmetic written now so rotation is mechanical,
 # per r11 VERDICT item 6): q01 anchor + streaming tail (q206/q207/q222)
-# + the round-12 additions needing first rows (17: q311 adaptive join,
+# + the round-12 additions needing first rows (19: q311 adaptive join,
 # q312 URL canonicalize, q313 record linkage, q314 Kaplan-Meier, q315
 # diff-in-differences, q316 DSIR importance, q317 LSH param tuning,
 # q318 span-corruption plan, q319 host quota cap, q320 Kneser-Ney,
 # q321 adaptive histogram, q322 budget waterfill, q323 source-ablation
 # perplexity, q324 O'Brien-Fleming, q325 CUPED, q326 power planning,
-# q327 blocklist filter — all strict-replica MATCH at sf0.01 when
-# added; q311-q317 additionally rode the round-12 full-registry
-# driver-flow simulation (317/317) and q318-q327 targeted contract
-# re-drives under the same non-UTC probe) leave 29 batch slots — the
-# r5 band's 29 oldest (all but q90-q93, q106, q108, q110). Post-r13
-# the oldest band is r5 (7 left), r14 takes those plus 37 of r6, and
-# the ledger converges to a ≤3-round-stale steady state by r17.
+# q327 blocklist filter, q328 gazetteer tagging, q329 adaptive join
+# ordering — all strict-replica MATCH at sf0.01 when added; q311-q317
+# additionally rode the round-12 full-registry driver-flow simulation
+# (317/317) and q318-q329 targeted contract re-drives under the same
+# non-UTC probe) leave 27 batch slots — the r5 band's 27 oldest.
+# Post-r13 the oldest band is r5 (9 left: q88-q93, q106, q108, q110),
+# r14 takes those plus 35 of r6, and the ledger converges to a
+# ≤3-round-stale steady state by r17.
 # Round-11 full-registry re-verification: EVERY registered query —
 # all 310, including the whole staleness backlog and the never-checked
 # remainder — was run through the strict driver replica

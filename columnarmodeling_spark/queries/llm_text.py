@@ -6088,3 +6088,111 @@ def q327_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --- q328: gazetteer phrase tagging ---------------------------------------------
+
+# Dictionary entities over the corpus vocabulary: unigrams and bigrams
+# (multi-token phrases are what separates gazetteer matching from plain
+# token lookup). Deterministic fixed list — the gazetteer is an INPUT.
+_GAZETTEER = [
+    ("spark",),
+    ("stream",),
+    ("big", "table"),
+    ("hash", "join"),
+    ("fast", "scan"),
+]
+_GAZ_UNI_SQL = ", ".join(
+    f"('{e[0]}')" for e in _GAZETTEER if len(e) == 1
+)
+_GAZ_BI_SQL = ", ".join(
+    f"('{e[0]}', '{e[1]}')" for e in _GAZETTEER if len(e) == 2
+)
+
+
+@register(
+    "q328_gazetteer_tagging",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    uni AS (
+      SELECT doc_id, unnest(tk) AS w FROM toks),
+    bi AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(tk))) AS i) idx
+      WHERE len(tk) >= 2),
+    gu AS (SELECT * FROM (VALUES {_GAZ_UNI_SQL}) AS g(w)),
+    gb AS (SELECT * FROM (VALUES {_GAZ_BI_SQL}) AS g(w1, w2)),
+    hits AS (
+      SELECT u.doc_id, gu.w AS entity FROM uni u JOIN gu ON u.w = gu.w
+      UNION ALL
+      SELECT b.doc_id, gb.w1 || ' ' || gb.w2 AS entity
+      FROM bi b JOIN gb ON b.w1 = gb.w1 AND b.w2 = gb.w2)
+    SELECT entity,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hits
+    GROUP BY entity
+    ORDER BY entity
+    """,
+    doc="GAZETTEER PHRASE TAGGING — dictionary-based entity matching "
+    "(the brand/keyword/PII-list tagging step a corpus pipeline "
+    "runs when regexes (q55) are the wrong tool because the "
+    "dictionary IS the spec): unigram entries match the token "
+    "relation, MULTI-TOKEN entries match the consecutive-bigram "
+    "relation — phrase matching via position-adjacent joins, not "
+    "string CONTAINS (which would false-positive across token "
+    "boundaries and inside longer words). Output: per-entity "
+    "mention and document frequencies. Scale: both gazetteer "
+    "tables are broadcasts; the probes are equi-joins on the "
+    "token/bigram relations (fan-out bounded by dictionary "
+    "multiplicity, which is 1 for a deduplicated gazetteer); "
+    "count(DISTINCT doc_id) expands to the standard two-level "
+    "agg. An n-token gazetteer generalizes with one join per "
+    "phrase length — never a per-row loop over the dictionary.",
+    tags=("text", "llm", "gazetteer", "tagging", "scale"),
+)
+def q328_gazetteer_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    uni = d.select("doc_id", F.explode("tk").alias("w"))
+    bi = (
+        d.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> struct(tk[i] as w1, tk[i + 1] as w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    gu = spark.createDataFrame(
+        [(e[0],) for e in _GAZETTEER if len(e) == 1], "w STRING"
+    )
+    gb = spark.createDataFrame(
+        [e for e in _GAZETTEER if len(e) == 2], "w1 STRING, w2 STRING"
+    )
+    hits = uni.join(F.broadcast(gu), "w").select(
+        "doc_id", F.col("w").alias("entity")
+    ).unionByName(
+        bi.join(F.broadcast(gb), ["w1", "w2"]).select(
+            "doc_id",
+            F.concat_ws(" ", "w1", "w2").alias("entity"),
+        )
+    )
+    return (
+        hits.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("entity")
+    )

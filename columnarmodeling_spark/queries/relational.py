@@ -1725,3 +1725,133 @@ def q177_ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("keys_csv"),
     )
+
+
+# --- q329: profiler-driven adaptive join ORDERING ------------------------------
+#
+# The fifth leg of the adaptive-planning family — q310 picked the agg
+# strategy, q311 the join ALGORITHM, q317 the LSH banding, q321 the bin
+# count; this picks the join ORDER for a 3-table star from exact
+# profile counts (the optimizer's join-reordering move, made explicit
+# and oracle-checkable).
+
+_JORD_STATUS = "F"
+_JORD_QTY = 45.0
+
+
+def _q329_result(spark: SparkSession, sf_dir: str, customer_first: bool):
+    """The 3-table join in either order; inner joins commute, so the
+    RESULT is order-independent — only the intermediate sizes differ."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == _JORD_STATUS
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > _JORD_QTY)
+    c = t(spark, sf_dir, "customer")
+    if customer_first:
+        j = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+            li, F.col("o_orderkey") == li["l_orderkey"]
+        )
+    else:
+        j = o.join(li, F.col("o_orderkey") == li["l_orderkey"]).join(
+            c, F.col("o_custkey") == c["c_custkey"]
+        )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr(
+            "CAST(round(100.0 * sum(l_extendedprice * (1 - l_discount)))"
+            " AS BIGINT)"
+        ).alias("revenue_cents"),
+    )
+
+
+@register(
+    "q329_join_order_adaptive",
+    oracle=f"""
+    WITH st AS (
+      SELECT
+        (SELECT count(*) FROM orders
+          WHERE o_orderstatus = '{_JORD_STATUS}') AS n_of,
+        (SELECT count(*) FROM orders) AS n_o,
+        (SELECT count(*) FROM lineitem
+          WHERE l_quantity > {_JORD_QTY}) AS n_lf),
+    dec AS (
+      SELECT CAST(n_of AS BIGINT) AS est_oc_rows,
+             CAST(round(1000.0 * n_lf * n_of / n_o) AS BIGINT)
+               AS est_ol_milli
+      FROM st),
+    res AS (
+      SELECT c.c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(round(100.0 * sum(l.l_extendedprice
+               * (1 - l.l_discount))) AS BIGINT) AS revenue_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = '{_JORD_STATUS}'
+        AND l.l_quantity > {_JORD_QTY}
+      GROUP BY 1)
+    SELECT r.c_mktsegment, r.n_items, r.revenue_cents,
+           d.est_oc_rows, d.est_ol_milli,
+           CASE WHEN 1000 * d.est_oc_rows <= d.est_ol_milli
+                THEN 'customer_first' ELSE 'lineitem_first' END
+             AS join_order
+    FROM res r CROSS JOIN dec d
+    ORDER BY r.c_mktsegment
+    """,
+    doc="PROFILER-DRIVEN ADAPTIVE JOIN ORDERING — the fifth leg of the "
+    "adaptive-planning family (q310 agg strategy, q311 join "
+    "algorithm, q317 LSH banding, q321 bin count): a 3-table star "
+    "(filtered orders x customer x filtered lineitem) is joined in "
+    "the order that minimizes the FIRST intermediate, chosen from "
+    "exact profile counts — |O'xC| = |O'| (key-FK join preserves "
+    "cardinality) vs |O'xL'| ~ |L'| * |O'|/|O| (uniform-key "
+    "estimate, milli-quantized so the comparison is exact int64 on "
+    "both engines). Inner joins commute, so the RESULT is "
+    "order-invariant — what the decision changes is the plan, and "
+    "the decision columns (both estimates + the chosen order) ride "
+    "the output so the oracle checks the optimizer's CHOICE "
+    "against the same arithmetic. The spec is EAGER (eager=True): "
+    "building the DataFrame runs the one-row stats job, q310/q311 "
+    "convention. Scale: the profile is three count aggs (map-side "
+    "folds); the chosen plan is the normal shuffled star join that "
+    "AQE further refines at runtime — this query is the explicit, "
+    "testable version of the reordering a cost-based optimizer "
+    "does implicitly.",
+    tags=("relational", "join", "adaptive", "scale"),
+    eager=True,
+)
+def q329_join_order_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    stats = (
+        o.agg(
+            F.count(F.lit(1)).cast("long").alias("n_o"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == _JORD_STATUS, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_of"),
+        )
+        .crossJoin(
+            li.agg(
+                F.sum(F.when(F.col("l_quantity") > _JORD_QTY, 1).otherwise(0))
+                .cast("long")
+                .alias("n_lf")
+            )
+        )
+        .collect()[0]
+    )
+    est_oc_rows = int(stats["n_of"])
+    est_ol_milli = int(round(1000.0 * stats["n_lf"] * stats["n_of"] / stats["n_o"]))
+    customer_first = 1000 * est_oc_rows <= est_ol_milli
+    res = _q329_result(spark, sf_dir, customer_first)
+    return res.select(
+        "c_mktsegment",
+        "n_items",
+        "revenue_cents",
+        F.lit(est_oc_rows).cast("long").alias("est_oc_rows"),
+        F.lit(est_ol_milli).cast("long").alias("est_ol_milli"),
+        F.lit(
+            "customer_first" if customer_first else "lineitem_first"
+        ).alias("join_order"),
+    ).orderBy("c_mktsegment")

@@ -732,3 +732,69 @@ def test_q327_blocklist_semantics(spark):
     for r in rows:
         if not r.blocked:
             assert not expect_blocked(r.host)
+
+
+# --- q328: gazetteer tagging -----------------------------------------------------------
+
+
+def test_q328_phrase_matching_not_substring(spark):
+    """Multi-token entities must match consecutive tokens only, and
+    unigram matches must be whole-token (never inside longer words)."""
+    import re
+
+    rows = {
+        r.entity: r
+        for r in REGISTRY["q328_gazetteer_tagging"].fn(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    from columnarmodeling_spark.queries.llm_text import _GAZETTEER
+
+    for ent in _GAZETTEER:
+        mentions = 0
+        ndocs = 0
+        for d in docs:
+            toks = [t for t in re.split("[^a-z0-9]+", d.text.lower()) if t]
+            if len(ent) == 1:
+                c = sum(1 for w in toks if w == ent[0])
+            else:
+                c = sum(
+                    1
+                    for a, b in zip(toks, toks[1:])
+                    if (a, b) == ent
+                )
+            mentions += c
+            ndocs += 1 if c else 0
+        key = " ".join(ent)
+        if mentions:
+            assert rows[key].n_mentions == mentions
+            assert rows[key].n_docs == ndocs
+        else:
+            assert key not in rows
+
+
+# --- q329: adaptive join ordering --------------------------------------------------------
+
+
+def test_q329_both_orders_agree_and_decision_is_consistent(spark):
+    from columnarmodeling_spark.queries.relational import _q329_result
+
+    a = {
+        r.c_mktsegment: (r.n_items, r.revenue_cents)
+        for r in _q329_result(spark, SF, customer_first=True).collect()
+    }
+    b = {
+        r.c_mktsegment: (r.n_items, r.revenue_cents)
+        for r in _q329_result(spark, SF, customer_first=False).collect()
+    }
+    assert a == b  # inner joins commute: the order changes only the plan
+    rows = REGISTRY["q329_join_order_adaptive"].fn(spark, SF).collect()
+    assert rows
+    r0 = rows[0]
+    want = (
+        "customer_first"
+        if 1000 * r0.est_oc_rows <= r0.est_ol_milli
+        else "lineitem_first"
+    )
+    assert all(r.join_order == want for r in rows)
+    got = {r.c_mktsegment: (r.n_items, r.revenue_cents) for r in rows}
+    assert got == a

@@ -1001,6 +1001,17 @@ CASES = {
     "theta-predicate at list sizes this small; the registered "
     "large-list escape is registrable-domain equi-joins); the "
     "rollup is one hash agg on the host key.",
+    "q328_gazetteer_tagging": "Gazetteer phrase tagging. What to "
+    "check: both dictionary tables are BroadcastHashJoins against "
+    "the token/bigram relations (never a per-row dictionary loop); "
+    "the entity rollup's count(DISTINCT doc_id) expands to the "
+    "two-level agg.",
+    "q329_join_order_adaptive": "Adaptive join ordering. What to "
+    "check: the captured plan is the ORDER the profile chose (at "
+    "sf0.1 the filtered-lineitem estimate exceeds the orders-x-"
+    "customer intermediate, so expect customer-first: orders joins "
+    "customer before lineitem); the stats job ran eagerly at build "
+    "time (eager=True) and is not in the plan.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
