@@ -157,9 +157,11 @@ def test_spec_is_flagged_eager(spark):
     profile job when building-without-running (r11 ADVICE)."""
     assert REGISTRY["q311_join_adaptive_strategy"].eager is True
     assert REGISTRY["q310_skew_adaptive_agg"].eager is True
+    assert REGISTRY["q329_join_order_adaptive"].eager is True
     # and the rest of the registry stays lazy
     eager = [n for n, s in REGISTRY.items() if s.eager]
     assert sorted(eager) == [
         "q310_skew_adaptive_agg",
         "q311_join_adaptive_strategy",
+        "q329_join_order_adaptive",
     ]
