@@ -159,7 +159,13 @@ def register(
 # non-UTC probe) leave 27 batch slots — the r5 band's 27 oldest.
 # Post-r13 the oldest band is r5 (9 left: q88-q93, q106, q108, q110),
 # r14 takes those plus 35 of r6, and the ledger converges to a
-# ≤3-round-stale steady state by r17.
+# ≤3-round-stale steady state by r17. The whole r13 window — additions
+# AND drain set — is pre-verified: REPLICA_r12.json (checked in,
+# regenerated this round) carries 329/329 strict-match including every
+# r5-band query, so executing the rotation is evidence conversion, not
+# risk; the round-12 session also drove the full registry through the
+# driver-flow contract simulation (plain non-UTC SparkSession, entry +
+# all 329 queries vs DuckDB: 329/329 MATCH, zero failures).
 # Round-11 full-registry re-verification: EVERY registered query —
 # all 310, including the whole staleness backlog and the never-checked
 # remainder — was run through the strict driver replica
