@@ -5158,17 +5158,28 @@ def _url_canon_oracle() -> str:
         layers.append(f"u{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
         prev = f"u{i}"
     return (
-        "WITH " + ",\n    ".join(layers) + f"""
-    SELECT host,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
-           CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
-                AS BIGINT) AS https_docs,
-           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           min(canon_url) AS sample_url
-    FROM {prev}
-    GROUP BY host
-    ORDER BY host
+        "WITH " + ",\n    ".join(layers) + f""",
+    rollup AS (
+      SELECT host,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+             CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS https_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(min(('0x' || substr(md5(canon_url), 1, 15))::BIGINT)
+                  AS BIGINT) AS min_h
+      FROM {prev}
+      GROUP BY host),
+    sample AS (
+      SELECT u.host, min(u.canon_url) AS sample_url
+      FROM {prev} u
+      JOIN rollup r ON u.host = r.host
+        AND ('0x' || substr(md5(u.canon_url), 1, 15))::BIGINT = r.min_h
+      GROUP BY u.host)
+    SELECT r.host, r.n_docs, r.n_urls, r.https_docs, r.sum_chars,
+           s.sample_url
+    FROM rollup r JOIN sample s ON r.host = s.host
+    ORDER BY r.host
     """
     )
 
@@ -5193,7 +5204,11 @@ def _url_canon_oracle() -> str:
     "UDF, no shuffle until the host rollup) followed by one hash "
     "aggregate on a low-cardinality key; count(DISTINCT canon_url) "
     "expands to the standard two-level agg — no single-partition "
-    "bottleneck.",
+    "bottleneck. The sample-URL slot deliberately aggregates the "
+    "60-bit URL hash (long buffer, stays HashAggregate) instead of "
+    "min(STRING) (which demotes the whole rollup to SortAggregate — "
+    "string agg buffers are not hash-mutable), then recovers the "
+    "URL from the min-hash row; ties pin via min-url.",
     tags=("text", "llm", "url", "canonicalize", "scale"),
 )
 def q312_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5202,16 +5217,39 @@ def q312_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for col, expr in _url_canon_steps("spark"):
         d = d.withColumn(col, F.expr(expr))
+    # min(STRING) would force SortAggregate (string agg buffers are not
+    # hash-agg mutable) — the hot rollup instead takes min over the
+    # 60-bit URL hash (long buffer, HashAggregate) and the sample URL is
+    # recovered by probing the min-hash row per host and reducing the
+    # handful of matches (min-url tie-break pins hash collisions).
+    rollup = d.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("canon_url").cast("long").alias("n_urls"),
+        F.sum(F.when(F.col("scheme") == "https", 1).otherwise(0))
+        .cast("long")
+        .alias("https_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min(hex_hash("canon_url")).cast("long").alias("min_h"),
+    )
+    sample = (
+        d.select("host", "canon_url")
+        .join(
+            F.broadcast(rollup.select("host", "min_h")),
+            on=["host"],
+        )
+        .filter(hex_hash("canon_url") == F.col("min_h"))
+        .groupBy("host")
+        .agg(F.min("canon_url").alias("sample_url"))
+    )
     return (
-        d.groupBy("host")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.countDistinct("canon_url").cast("long").alias("n_urls"),
-            F.sum(F.when(F.col("scheme") == "https", 1).otherwise(0))
-            .cast("long")
-            .alias("https_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
-            F.min("canon_url").alias("sample_url"),
+        rollup.join(F.broadcast(sample), "host")
+        .select(
+            "host",
+            "n_docs",
+            "n_urls",
+            "https_docs",
+            "sum_chars",
+            "sample_url",
         )
         .orderBy("host")
     )

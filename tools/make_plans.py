@@ -924,9 +924,12 @@ CASES = {
     "q312_url_canonicalize": "URL canonicalization + host rollup. "
     "What to check: the whole 15-step canonicalization chain is "
     "per-row Project expressions inside ONE WholeStageCodegen span "
-    "over the scan (no UDF, no shuffle before the host agg); "
-    "count(DISTINCT canon_url) expands to the standard two-level "
-    "aggregate; ReadSchema carries only doc_id/source/n_chars.",
+    "over the scan (no UDF, no shuffle before the host agg); the "
+    "rollup is a HASH aggregate — the sample-URL slot aggregates "
+    "the 60-bit url hash (long buffer) precisely so min(STRING) "
+    "does not demote it to SortAggregate, and the sample join is a "
+    "broadcast of the tiny host relation; count(DISTINCT "
+    "canon_url) expands to the standard two-level aggregate.",
     "q313_record_linkage": "Fellegi-Sunter blocked linkage self-join. "
     "What to check: the join key is the (nation, band) BLOCK (equi), "
     "the a_k < b_k dedup is a post-condition; agreement vectors and "
