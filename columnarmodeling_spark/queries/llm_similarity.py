@@ -1145,14 +1145,22 @@ def _pq_subd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_codes_from_subd(subd: DataFrame) -> DataFrame:
+    # argmin via PACKED LONG, not min(struct(...)): struct aggregation
+    # buffers are not hash-agg mutable, so the struct form demotes this
+    # assign step — the HOT (vec_id x sub) path — to SortAggregate
+    # (per-partition sort of every candidate row). Packing preserves the
+    # lexicographic (d2, rank) order exactly because both fields are
+    # non-negative and rank < 1024: d2 <= 8 * (2 * 10^4)^2 ~ 3.2e9 from
+    # the milli-quantized embeddings, so d2 * 1024 + rank < 2^45 — no
+    # overflow, and the buffer is a plain long (HashAggregate).
     best = subd.groupBy("vec_id", "sub").agg(
-        F.min(F.struct("d2", "rank")).alias("b")
+        F.min(F.col("d2") * 1024 + F.col("rank")).alias("p")
     )
     return best.select(
         "vec_id",
         "sub",
-        F.col("b.rank").cast("long").alias("code"),
-        F.col("b.d2").alias("d2"),
+        (F.col("p") % 1024).cast("long").alias("code"),
+        F.expr("p DIV 1024").alias("d2"),
     )
 
 
@@ -1563,10 +1571,17 @@ def q143_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("d2")
             )
         )
+        # packed-long argmin (see _pq_codes_from_subd): keeps the hot
+        # per-round assign step HashAggregate; d2 <= 64 * (2 * 10^4)^2
+        # ~ 2.6e10 and cl < 1024, so d2 * 1024 + cl < 2^45.
         b = (
             a.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cl")).alias("m"))
-            .select("vec_id", F.col("m.cl").alias("cl"), F.col("m.d2").alias("d2"))
+            .agg(F.min(F.col("d2") * 1024 + F.col("cl")).alias("p"))
+            .select(
+                "vec_id",
+                (F.col("p") % 1024).alias("cl"),
+                F.expr("p DIV 1024").alias("d2"),
+            )
             .localCheckpoint()
         )
         cent = (
