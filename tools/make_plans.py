@@ -1292,10 +1292,12 @@ def _q143_round(spark, sf):
             ).alias("d2")
         )
     )
+    # packed-long argmin, mirroring the shipped q143 (struct buffers
+    # would demote the assign step to SortAggregate)
     b = (
         a.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cl")).alias("m"))
-        .select("vec_id", F.col("m.cl").alias("cl"))
+        .agg(F.min(F.col("d2") * 1024 + F.col("cl")).alias("p"))
+        .select("vec_id", (F.col("p") % 1024).alias("cl"))
     )
     return b.join(lv, "vec_id").groupBy("cl", "pos").agg(
         F.expr("div(sum(v), count(*))").alias("cv")
