@@ -144,28 +144,35 @@ def register(
 #   r12 band (50): q01 anchor, q295-q310, r4 drain + q07/q08/q18/q19/
 #     q26, q206/q207/q222
 #   never driver-checked: round-12 additions only (front round 13).
-# ROUND-13 PLAN (slot arithmetic written now so rotation is mechanical,
-# per r11 VERDICT item 6): q01 anchor + streaming tail (q206/q207/q222)
-# + the round-12 additions needing first rows (19: q311 adaptive join,
-# q312 URL canonicalize, q313 record linkage, q314 Kaplan-Meier, q315
-# diff-in-differences, q316 DSIR importance, q317 LSH param tuning,
-# q318 span-corruption plan, q319 host quota cap, q320 Kneser-Ney,
-# q321 adaptive histogram, q322 budget waterfill, q323 source-ablation
-# perplexity, q324 O'Brien-Fleming, q325 CUPED, q326 power planning,
-# q327 blocklist filter, q328 gazetteer tagging, q329 adaptive join
-# ordering — all strict-replica MATCH at sf0.01 when added; q311-q317
-# additionally rode the round-12 full-registry driver-flow simulation
-# (317/317) and q318-q329 targeted contract re-drives under the same
-# non-UTC probe) leave 27 batch slots — the r5 band's 27 oldest.
-# Post-r13 the oldest band is r5 (9 left: q88-q93, q106, q108, q110),
-# r14 takes those plus 35 of r6, and the ledger converges to a
-# ≤3-round-stale steady state by r17. The whole r13 window — additions
-# AND drain set — is pre-verified: REPLICA_r12.json (checked in,
-# regenerated this round) carries 329/329 strict-match including every
-# r5-band query, so executing the rotation is evidence conversion, not
-# risk; the round-12 session also drove the full registry through the
-# driver-flow contract simulation (plain non-UTC SparkSession, entry +
-# all 329 queries vs DuckDB: 329/329 MATCH, zero failures).
+# Round-13 rotation (executes the r12 VERDICT's "Next round" item 1 —
+# the judge's window composition, verbatim; it supersedes the round-12
+# ledger's draft plan by dropping the q206/q207/q222 standing canaries
+# for this one round and taking 30 drain slots instead of 27, so
+# streaming coverage rides the in-window q58/q80-q86 refresh instead).
+# Window composition, in order: the q01 anchor; the 19-query
+# never-checked round-12 additions q311-q329 (first driver rows — all
+# strict-replica MATCH at sf0.01 when added AND independently re-run
+# 19/19 strict by the r12 judge's replica session); then the r5 band's
+# 30 oldest per the VERDICT list (q33-q42, q58, q60, q61, q63, q65,
+# q71-q73, q75, q80-q86, q88-q91), batch rows oldest-first and the
+# streaming rows (q58, q80-q86 — fixed micro-batch drain cost) last so
+# a time-based cap cannot starve batch rows. 1+19+22+8 = 50.
+# Post-r13 ledger: never driver-checked = round-13 additions only
+# (q330+, front round 14); oldest staleness band r5 (6 left: q78, q92,
+# q93, q106, q108, q110).
+# ROUND-14 PLAN (slot arithmetic written now so rotation is mechanical):
+# q01 anchor + streaming tail (q206/q207/q222) + the round-13 additions
+# needing first rows (q330+, count N) + the r5 remainder (6: q78, q92,
+# q93, q106, q108, q110) + the r6 band's (40 - N) oldest (band order:
+# q51 q53 q55 q68 q70 q76 q77 q79 q94 q95 q97-q99 q102 q103 q107 q109
+# q111-q137). 1+3+N+6+(40-N) = 50. Post-r14 oldest band is r6
+# (4 + N left), and the ledger converges to a ≤3-round-stale steady
+# state by ~r17. The whole r13 window — additions AND drain set — is
+# pre-verified: REPLICA_r12.json carries 329/329 strict-match including
+# every r5-band query, so executing the rotation is evidence
+# conversion, not risk; the round-12 session also drove the full
+# registry through the driver-flow contract simulation (plain non-UTC
+# SparkSession, entry + all 329 queries vs DuckDB: 329/329 MATCH).
 # Round-11 full-registry re-verification: EVERY registered query —
 # all 310, including the whole staleness backlog and the never-checked
 # remainder — was run through the strict driver replica
@@ -178,62 +185,62 @@ def register(
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
-    # never-driver-checked remainder (first driver rows; strict-replica
-    # MATCH at sf0.01 when added AND judge-replica re-verified 16/16 in
-    # VERDICT r11) — oldest-added first
-    "q295_heldout_perplexity",
-    "q296_sq8_distortion",
-    "q297_time_decayed_features",
-    "q298_woe_iv",
-    "q299_clustering_coefficient",
-    "q300_conformal_coverage",
-    "q301_trailing_distinct_users",
-    "q302_fisher_separability",
-    "q303_hard_example_mining",
-    "q304_dq_audit",
-    "q305_ivf_mrr",
-    "q306_sprt",
-    "q307_gains_table",
-    "q308_join_size_sketch",
-    "q309_langid_macro_f1",
-    "q310_skew_adaptive_agg",
-    # staleness drain: the FULL r4 band (25, oldest-first)
-    "q06_range_band_join",
-    "q09_group_centroids",
-    "q10_event_histogram",
-    "q11_grouping_sets",
-    "q12_cube_agg",
-    "q13_pivot_qty",
-    "q14_string_funcs",
-    "q15_datetime_funcs",
-    "q16_math_clamp",
-    "q17_topk_per_group",
-    "q20_boundary_touch",
-    "q21_json_extract",
-    "q22_window_rank_lag",
-    "q23_wraparound_neighbor",
-    "q24_running_total",
-    "q25_row_grouping",
-    "q27_set_algebra",
-    "q28_disjointness",
-    "q29_intersect_projection",
-    "q31_bond_type_histogram",
-    "q32_asof_join",
-    "q100_bigram_logprob",
-    "q101_bpe_merge_topk",
-    "q104_minhash_estimate_error",
-    "q105_config_scan",
-    # staleness drain: the r5 band's 5 oldest
-    "q07_rounded_dedup_dense_id",
-    "q08_flag_quota",
-    "q18_array_hof",
-    "q19_mirror_union",
-    "q26_sessionization",
-    # streaming tail: fixed micro-batch drain cost, so last in-window;
-    # the streaming tier's standing regression guards
-    "q206_stream_transitions_late",
-    "q207_stream_ewma_late",
-    "q222_stream_decontamination",
+    # never-driver-checked round-12 additions (first driver rows;
+    # strict-replica MATCH at sf0.01 when added AND judge-replica
+    # re-verified 19/19 strict in VERDICT r12) — numeric order
+    "q311_join_adaptive_strategy",
+    "q312_url_canonicalize",
+    "q313_record_linkage",
+    "q314_kaplan_meier",
+    "q315_diff_in_differences",
+    "q316_dsir_importance",
+    "q317_lsh_param_tuning",
+    "q318_span_corruption_plan",
+    "q319_host_quota_cap",
+    "q320_kneser_ney_bigram",
+    "q321_adaptive_histogram",
+    "q322_budget_waterfill",
+    "q323_source_ablation_ppl",
+    "q324_obrien_fleming",
+    "q325_cuped",
+    "q326_power_planning",
+    "q327_blocklist_filter",
+    "q328_gazetteer_tagging",
+    "q329_join_order_adaptive",
+    # staleness drain: r5 band's 30 oldest per the r12 VERDICT list —
+    # batch rows first, oldest-first
+    "q33_affine_projection",
+    "q34_reject_filters",
+    "q35_rollup",
+    "q36_map_funcs",
+    "q37_percentiles",
+    "q38_salted_agg",
+    "q39_scalar_subquery",
+    "q40_exact_dedup",
+    "q41_epsilon_dedup",
+    "q42_ngram_jaccard_pairs",
+    "q60_stress_strain",
+    "q61_bbox_damage",
+    "q63_greedy_selection",
+    "q65_ranking_family",
+    "q71_fixed_format_lines",
+    "q72_multimodal_features",
+    "q73_frame_sample",
+    "q75_chunk_udtf",
+    "q88_grouped_agg_udaf",
+    "q89_whitespace_roundtrip",
+    "q90_voronoi_grains",
+    "q91_mesh_facets",
+    # staleness drain, streaming rows: fixed micro-batch drain cost, so
+    # last in-window (these double as this round's streaming-tier guard)
+    "q58_stream_dedup",
+    "q80_stream_tumbling",
+    "q81_stream_sliding",
+    "q82_session_window",
+    "q83_stream_static_join",
+    "q84_stateful_running",
+    "q85_stream_stream_join",
+    "q86_foreachbatch_upsert",
 )
 
 

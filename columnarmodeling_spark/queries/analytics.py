@@ -6237,8 +6237,9 @@ _FDH_CAP = 512  # bin-count guard
     SELECT c.rule, CAST(c.k AS BIGINT) AS k_used,
            CAST(c.k_fd AS BIGINT) AS k_fd,
            CAST(c.k_sturges AS BIGINT) AS k_sturges,
-           CAST(least(c.k - 1, CAST(floor((v.x - c.lo) / (c.hi - c.lo)
-                * c.k) AS BIGINT)) AS BIGINT) AS bin,
+           CAST(CASE WHEN c.hi = c.lo THEN 0 ELSE
+                least(c.k - 1, CAST(floor((v.x - c.lo) / (c.hi - c.lo)
+                * c.k) AS BIGINT)) END AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS cnt
     FROM v CROSS JOIN choice c
     GROUP BY 1, 2, 3, 4, 5
@@ -6330,9 +6331,14 @@ def q321_adaptive_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").cast("long").alias("k_used"),
             F.col("k_fd").cast("long").alias("k_fd"),
             F.col("k_sturges").cast("long").alias("k_sturges"),
+            # hi = lo (all values equal) makes (x-lo)/(hi-lo) 0/0: Spark
+            # (non-ANSI) silently casts the NaN to 0 while DuckDB errors
+            # casting NaN to BIGINT — guard the degenerate constant
+            # table to bin 0 explicitly on BOTH engines.
             F.expr(
-                "CAST(least(k - 1, CAST(floor((x - lo) / (hi - lo) * k)"
-                " AS BIGINT)) AS BIGINT)"
+                "CAST(CASE WHEN hi = lo THEN 0 ELSE"
+                " least(k - 1, CAST(floor((x - lo) / (hi - lo) * k)"
+                " AS BIGINT)) END AS BIGINT)"
             ).alias("bin"),
         )
         .groupBy("rule", "k_used", "k_fd", "k_sturges", "bin")
@@ -6513,7 +6519,7 @@ _GS_T0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
     "crossing via an exclusive running sum, so the oracle checks "
     "the STOPPING DECISION, not just the statistics. Scale: the "
     "look x arm cumulative moments come from one slice-bucketed "
-    "agg joined to the {_GS_LOOKS}-row look table (never K scans "
+    f"agg joined to the {_GS_LOOKS}-row look table (never K scans "
     "of the fact stream); everything after is arithmetic on 2K "
     "rows.",
     tags=("analytics", "ab-test", "sequential", "scale"),

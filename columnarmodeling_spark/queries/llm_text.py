@@ -5316,9 +5316,9 @@ _DSIR_TOP = 100
     "importance = sum over tokens of log(p_b/q_b). Float discipline: "
     "each bucket's log-ratio is micro-quantized BEFORE the per-doc "
     "sum (the q100 rule), so doc scores are exact int64 arithmetic "
-    "and the top-{_DSIR_TOP} cut plus (score, doc_id) tie-break is "
+    f"and the top-{_DSIR_TOP} cut plus (score, doc_id) tie-break is "
     "deterministic across engines. Scale: the bucket-weight table is "
-    "B={_DSIR_BUCKETS} rows — a broadcast; scoring is one hash-agg "
+    f"B={_DSIR_BUCKETS} rows — a broadcast; scoring is one hash-agg "
     "over the exploded tokens (map-side partial sums); the global "
     "top-k is Spark's TakeOrdered (per-partition heaps + driver "
     "merge of k*P rows), never a full sort. The exploded feature "
@@ -6100,29 +6100,35 @@ def q327_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rawhost"),
     )
     bl = spark.createDataFrame([(e,) for e in _BLOCKLIST], "entry STRING")
-    hit = (
-        h.join(
+    # blocked is a function of rawhost ALONE, so the document relation is
+    # touched exactly once: one doc-grain hash agg rolls up to the
+    # <=|hosts| relation, and the blocklist predicate runs there — one
+    # broadcast NL join of the |list|-entry table against HOSTS, never a
+    # per-document join (the r12 plan did the semi-join at doc grain and
+    # broadcast the data-proportional hit set back; at 100 TB with a
+    # high block rate that broadcast is unbounded).
+    hosts = h.groupBy("rawhost").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return (
+        hosts.join(
             F.broadcast(bl),
             (F.col("rawhost") == F.col("entry"))
             | F.col("rawhost").endswith(
                 F.concat(F.lit("."), F.col("entry"))
             ),
-            "left_semi",
+            "left",
         )
-        .select("doc_id")
-        .withColumn("__b", F.lit(1))
-    )
-    flagged = h.join(F.broadcast(hit), "doc_id", "left").select(
-        "rawhost",
-        "n_chars",
-        F.when(F.col("__b").isNotNull(), 1).otherwise(0).alias("blocked"),
-    )
-    return (
-        flagged.groupBy(F.col("rawhost").alias("host"))
+        # a host can match several entries (exact + suffix): re-fold the
+        # <=|hosts|+|matches| rows back to host grain
+        .groupBy(F.col("rawhost").alias("host"))
         .agg(
-            F.first("blocked").cast("long").alias("blocked"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.max(
+                F.when(F.col("entry").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("blocked"),
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.max("sum_chars").cast("long").alias("sum_chars"),
         )
         .orderBy("host")
     )

@@ -1839,10 +1839,19 @@ def q329_join_order_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_lf")
             )
         )
+        # The milli-quantized estimate is evaluated ENGINE-SIDE with the
+        # same expression text the oracle uses: Spark's round() on
+        # DOUBLE is HALF_UP, matching DuckDB, whereas Python's round()
+        # is banker's (half-to-even) and can differ by 1 on an exact .5
+        # quotient — enough to flip the join_order decision.
+        .withColumn(
+            "est_ol_milli",
+            F.expr("CAST(round(1000.0 * n_lf * n_of / n_o) AS BIGINT)"),
+        )
         .collect()[0]
     )
     est_oc_rows = int(stats["n_of"])
-    est_ol_milli = int(round(1000.0 * stats["n_lf"] * stats["n_of"] / stats["n_o"]))
+    est_ol_milli = int(stats["est_ol_milli"])
     customer_first = 1000 * est_oc_rows <= est_ol_milli
     res = _q329_result(spark, sf_dir, customer_first)
     return res.select(
