@@ -177,6 +177,16 @@ def _proc_tree(root_pid: int) -> set[int]:
     return tree
 
 
+def _steal_jiffies() -> float:
+    """Cumulative hypervisor steal jiffies (field 8 of /proc/stat cpu)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return float(parts[8]) if len(parts) > 8 else 0.0
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 def _foreign_cpu_jiffies(self_tree: set[int]) -> float:
     """Total utime+stime jiffies of all processes OUTSIDE our tree."""
     total = 0.0
@@ -210,6 +220,7 @@ class _RunMonitor:
         self.load1_max = 0.0
         self.foreign_cores_max = 0.0
         self.foreign_jvms_max = 0
+        self._steal0 = _steal_jiffies()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def _run(self) -> None:
@@ -238,13 +249,21 @@ class _RunMonitor:
 
     def summary(self) -> dict:
         # < 0.5 foreign core-equivalents at every sample = nothing else
-        # was meaningfully computing during the timed region
+        # was meaningfully computing during the timed region.
+        # steal_s: hypervisor-level CPU steal accumulated during the
+        # run — interference from OTHER GUESTS on the host, which the
+        # process-tree monitor cannot see (round-13 finding: a run with
+        # run_clean=true and zero foreign JVMs still halved the solver;
+        # the only witness is /proc/stat's steal column).
+        steal_s = (_steal_jiffies() - self._steal0) / self._clk
         return {
             "load1_max_during_run": round(self.load1_max, 2),
             "foreign_cpu_cores_max": round(self.foreign_cores_max, 2),
             "foreign_jvms_max": self.foreign_jvms_max,
+            "steal_s_during_run": round(steal_s, 1),
             "run_clean": self.foreign_cores_max < 0.5
-            and self.foreign_jvms_max == 0,
+            and self.foreign_jvms_max == 0
+            and steal_s < 30.0,
         }
 
 
@@ -285,9 +304,19 @@ def main() -> None:
         # correlating with list position; per-query spread (max - min)
         # is published alongside so a cross-round delta can be read
         # against the same-run noise band directly.
+        # GC + settle BEFORE each timed rep (round-12 verdict #2: the
+        # first clean back-to-back pair disagreed 6.9%, and the whole
+        # gap was two bimodal queries — q134 reps [5.2, 1.5, 4.6],
+        # q143 [5.3, 1.5, 1.4] — a major collection of the previous
+        # queries' shuffle garbage landing INSIDE a measured window.
+        # Forcing the collection into the untimed gap makes the pause
+        # deterministic instead of a coin flip over which query pays).
+        jvm_gc = spark.sparkContext._jvm.System.gc
         reps: dict[str, list[float]] = {n: [] for n in names}
         for _ in range(_QUERY_REPS):
             for name in names:
+                jvm_gc()
+                time.sleep(0.2)
                 t0 = time.perf_counter()
                 df = REGISTRY[name].fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()

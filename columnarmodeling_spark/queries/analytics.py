@@ -6856,3 +6856,182 @@ def q326_power_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("underpowered"),
     )
+
+
+# --- q332: quality-classifier calibration (reliability bins + ECE/Brier) ---------
+#
+# Fixed linear model over exact integer document-quality features; the
+# squashing function is the ALGEBRAIC sigmoid s = 1/2 + z/(2(1+|z|)) —
+# rational arithmetic only, so both engines evaluate bit-identical
+# doubles (exp/ln ulp drift, the q255 class, is designed out rather
+# than quantized around). Model constants are fixed integer-micro
+# literals (the q313 rule: never re-derived per engine).
+
+_QC_W_TOK = 30_000  # micro-weight per token above the 54-token center
+_QC_W_DR = 4_000  # micro-weight per milli of distinct-token ratio
+_QC_W_SR = 10_000  # micro-weight per milli of stopword ratio
+_QC_C_TOK = 54
+_QC_C_DR = 500
+_QC_C_SR = 62
+
+_QC_Z = (
+    f"CAST({_QC_W_TOK} * (n_tok - {_QC_C_TOK})"
+    f" + {_QC_W_DR} * (dr_milli - {_QC_C_DR})"
+    f" + {_QC_W_SR} * (sr_milli - {_QC_C_SR}) AS BIGINT)"
+)
+# z is CAST to DOUBLE before any literal touches it: Spark parses a
+# bare `1000000.0` as DECIMAL and would run the whole sigmoid in
+# decimal arithmetic (HALF_UP at intermediate scales) while DuckDB
+# runs it in DOUBLE — a 1-micro drift at round() boundaries (caught by
+# the strict replica on 4 of 500 docs). With the cast, every later op
+# promotes to DOUBLE on both engines and the IEEE results are
+# bit-identical.
+_QC_S = (
+    "CAST(round(1000000.0 * (0.5 + (CAST(z_micro AS DOUBLE) / 1000000.0)"
+    " / (2.0 * (1.0 + abs(CAST(z_micro AS DOUBLE) / 1000000.0)))))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q332_quality_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS arr
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             CAST(len(arr) AS BIGINT) AS n_tok,
+             CAST(round(1000.0 * CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr))
+                  AS BIGINT) AS dr_milli,
+             CAST(round(1000.0 * CAST(len(list_filter(arr,
+                  t -> t IN ('the', 'a'))) AS DOUBLE) / len(arr))
+                  AS BIGINT) AS sr_milli
+      FROM toks WHERE len(arr) > 0),
+    z AS (SELECT doc_id, label, {_QC_Z} AS z_micro FROM feat),
+    s AS (
+      SELECT doc_id, label, {_QC_S} AS s_micro FROM z),
+    e AS (
+      SELECT label, s_micro,
+             least(9, s_micro // 100000) AS bin,
+             CAST(round(1000000.0 * ((CAST(s_micro AS DOUBLE) / 1000000.0 - label)
+                  * (CAST(s_micro AS DOUBLE) / 1000000.0 - label)))
+                  AS BIGINT) AS sq_micro
+      FROM s),
+    bins AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(round(CAST(sum(s_micro) AS DOUBLE) / count(*)) AS BIGINT)
+               AS mean_pred_micro,
+             1000000 * CAST(sum(label) AS BIGINT) // count(*)
+               AS frac_pos_micro,
+             CAST(sum(sq_micro) AS BIGINT) AS sum_sq_micro
+      FROM e GROUP BY bin),
+    gaps AS (
+      SELECT bin, n_docs, mean_pred_micro, frac_pos_micro, sum_sq_micro,
+             abs(mean_pred_micro - frac_pos_micro) AS cal_gap_micro
+      FROM bins),
+    tot AS (
+      SELECT CAST(round(CAST(sum(n_docs * cal_gap_micro) AS DOUBLE)
+                  / sum(n_docs)) AS BIGINT) AS ece_micro,
+             CAST(round(CAST(sum(sum_sq_micro) AS DOUBLE) / sum(n_docs))
+                  AS BIGINT) AS brier_micro
+      FROM gaps)
+    SELECT g.bin, g.n_docs, g.mean_pred_micro, g.frac_pos_micro,
+           g.cal_gap_micro, t.ece_micro, t.brier_micro
+    FROM gaps g CROSS JOIN tot t
+    ORDER BY g.bin
+    """,
+    doc="QUALITY-CLASSIFIER CALIBRATION — the eval step that decides "
+    "whether a quality filter's scores can be USED as probabilities "
+    "(reliability bins + ECE + Brier, the proper-scoring "
+    "complement to q200's rank-decile curve): a fixed linear model "
+    "over exact integer doc features (token count, distinct-token "
+    "ratio, stopword ratio — all milli-quantized BEFORE the dot "
+    "product, the q100 rule) squashed by the ALGEBRAIC sigmoid "
+    "1/2 + z/(2(1+|z|)) — rational ops only, so the engines agree "
+    "bit-for-bit with no transcendental ulp risk (the q255 class "
+    "designed out). label = (lang = 'en'); 10 equal-width "
+    "probability bins; per-bin mean prediction vs observed rate, "
+    "|gap|, and corpus ECE/Brier in micro-units (per-doc squared "
+    "error micro-quantized before the sum, so the fold is exact "
+    "int64). Scale: one doc-grain projection + one hash-agg onto "
+    "<= 10 bins (map-side combinable); the totals fold runs on "
+    "the 10-row bin relation. Composes with q325: CUPED-adjusting "
+    "a metric by a calibrated score requires THIS check first.",
+    tags=("analytics", "llm", "quality", "calibration", "eval", "scale"),
+)
+def q332_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("arr"),
+    )
+    feat = toks.filter(F.size("arr") > 0).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.size("arr").cast("long").alias("n_tok"),
+        F.expr(
+            "CAST(round(1000.0 * CAST(size(array_distinct(arr)) AS DOUBLE)"
+            " / size(arr))"
+            " AS BIGINT)"
+        ).alias("dr_milli"),
+        F.expr(
+            "CAST(round(1000.0 * CAST(size(filter(arr,"
+            " t -> t IN ('the', 'a'))) AS DOUBLE) / size(arr)) AS BIGINT)"
+        ).alias("sr_milli"),
+    )
+    s = feat.withColumn("z_micro", F.expr(_QC_Z)).withColumn(
+        "s_micro", F.expr(_QC_S)
+    )
+    e = s.select(
+        "label",
+        "s_micro",
+        F.expr("least(9, s_micro div 100000)").alias("bin"),
+        F.expr(
+            "CAST(round(1000000.0 * ((CAST(s_micro AS DOUBLE) / 1000000.0 - label)"
+            " * (CAST(s_micro AS DOUBLE) / 1000000.0 - label))) AS BIGINT)"
+        ).alias("sq_micro"),
+    )
+    bins = e.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(round(CAST(sum(s_micro) AS DOUBLE) / count(1)) AS BIGINT)"
+        ).alias("mean_pred_micro"),
+        F.expr("1000000 * sum(label) div count(1)")
+        .cast("long")
+        .alias("frac_pos_micro"),
+        F.sum("sq_micro").cast("long").alias("sum_sq_micro"),
+    )
+    gaps = bins.withColumn(
+        "cal_gap_micro",
+        F.abs(F.col("mean_pred_micro") - F.col("frac_pos_micro")).cast("long"),
+    )
+    tot = gaps.agg(
+        F.expr(
+            "CAST(round(CAST(sum(n_docs * cal_gap_micro) AS DOUBLE)"
+            " / sum(n_docs)) AS BIGINT)"
+        ).alias("ece_micro"),
+        F.expr(
+            "CAST(round(CAST(sum(sum_sq_micro) AS DOUBLE) / sum(n_docs))"
+            " AS BIGINT)"
+        ).alias("brier_micro"),
+    )
+    return (
+        gaps.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_docs",
+            "mean_pred_micro",
+            "frac_pos_micro",
+            "cal_gap_micro",
+            "ece_micro",
+            "brier_micro",
+        )
+        .orderBy("bin")
+    )

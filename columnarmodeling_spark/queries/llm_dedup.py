@@ -2428,3 +2428,363 @@ def q317_lsh_param_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cost_micro", "bands")
     )
+
+
+# --- q330: suffix-array ExactSubstr (maximal repeated substrings) ----------------
+#
+# The EXACT form of q109's df-thresholded gram approximation (Lee et al.
+# 2021 §4, 'Deduplicating Training Data Makes Language Models Better'):
+# a suffix array over the corpus finds, for every position, the length
+# of the longest substring starting there that occurs ANYWHERE else in
+# the corpus (other docs or elsewhere in the same doc). Classic SA
+# property: that length equals the max LCP with the two lexicographic
+# NEIGHBOR suffixes, so one sort + one lag/lead window replaces the
+# all-pairs comparison. Distributed construction = prefix-bucketed
+# suffix sort: suffixes partition by their FIRST token (any repeat of
+# length >= 1 shares it, so bucket-local neighbors are exact), sort
+# within bucket, compare adjacent. Suffixes truncate at K tokens — LCP
+# values cap there, exact up to the cap (repeats longer than K all
+# report K; the removal decision needs only >= threshold).
+
+_SA_K = 12  # suffix truncation cap (max reportable repeat length)
+_SA_T = 4  # repeat threshold for n_rep_pos (q109's gram width)
+
+# LCP of two truncated suffix arrays — IDENTICAL formulation on both
+# engines: probe positions 1..min(len), first mismatch index - 1, or
+# min(len) when no mismatch ("not found" is 0 in Spark's
+# array_position and NULL/0 in DuckDB's list_position; both guarded).
+_SA_LCP_SPARK = (
+    "CASE WHEN {o} IS NULL THEN 0"
+    " WHEN array_position(transform(sequence(1, least(size(s), size({o}))),"
+    "  i -> element_at(s, i) = element_at({o}, i)), false) = 0"
+    " THEN least(size(s), size({o}))"
+    " ELSE array_position(transform(sequence(1, least(size(s), size({o}))),"
+    "  i -> element_at(s, i) = element_at({o}, i)), false) - 1 END"
+)
+_SA_LCP_SQL = (
+    "CASE WHEN {o} IS NULL THEN 0"
+    " WHEN coalesce(list_position(list_transform("
+    "   range(1, least(len(s), len({o})) + 1),"
+    "   i -> s[i] = {o}[i]), false), 0) = 0"
+    " THEN least(len(s), len({o}))"
+    " ELSE list_position(list_transform("
+    "   range(1, least(len(s), len({o})) + 1),"
+    "   i -> s[i] = {o}[i]), false) - 1 END"
+)
+
+
+@register(
+    "q330_suffix_repeats",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS arr
+      FROM documents),
+    base AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM toks),
+    sfx AS (
+      SELECT doc_id, i AS pos, arr[i] AS head,
+             arr[i : i + {_SA_K} - 1] AS s
+      FROM toks, LATERAL unnest(generate_series(1, len(arr))) t(i)),
+    nbr AS (
+      SELECT doc_id, pos, s,
+             lag(s)  OVER w AS p,
+             lead(s) OVER w AS nx
+      FROM sfx
+      WINDOW w AS (PARTITION BY head ORDER BY s, doc_id, pos)),
+    lcps AS (
+      SELECT doc_id, pos,
+             greatest({_SA_LCP_SQL.format(o='p')},
+                      {_SA_LCP_SQL.format(o='nx')}) AS lcp
+      FROM nbr),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(max(lcp) AS BIGINT) AS max_repeat,
+             CAST(sum(CASE WHEN lcp >= {_SA_T} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rep_pos
+      FROM lcps GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(p.max_repeat, 0) AS max_repeat,
+           coalesce(p.n_rep_pos, 0) AS n_rep_pos
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    doc="SUFFIX-ARRAY ExactSubstr — the exact form of q109's "
+    "df-thresholded 4-gram approximation (Lee et al. 2021 §4): per "
+    "position, the longest substring starting there that repeats "
+    f"anywhere in the corpus (capped at K={_SA_K} tokens), via the "
+    "SA property that a suffix's best match is one of its two "
+    "lexicographic neighbors — one sort + one lag/lead window, "
+    "never all pairs. Distributed SA = prefix-bucketed suffix "
+    "sort: partition by FIRST token (lossless for repeats >= 1; a "
+    "cross-bucket neighbor has LCP 0 by construction), sort the "
+    "truncated suffixes within bucket (token-ARRAY order, not the "
+    "joined string — array order keeps equal-prefix suffixes in a "
+    "contiguous interval, the chain property the neighbor argument "
+    "needs), adjacent-pair LCP entirely in JVM expressions. "
+    f"Per-doc: max repeat length and positions in a repeat >= "
+    f"{_SA_T} tokens (q109's width). Scale: the suffix relation is "
+    f"a K={_SA_K}x token blowup (documented cost of exactness — "
+    "Lee et al. materialize the same); the sort shuffles on the "
+    "well-spread first token; skew escape for a hot head token is "
+    "widening the bucket key to the first 2 tokens (exact for "
+    "repeats >= 2, same argument). LCP values are intrinsic "
+    "(independent of tie order among equal suffixes), so the "
+    "output is deterministic on both engines.",
+    tags=("llm", "dedup", "suffix-array", "span", "window", "scale"),
+)
+def q330_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return suffix_repeat_stats(t(spark, sf_dir, "documents"))
+
+
+def suffix_repeat_stats(
+    docs: DataFrame, k: int = _SA_K, rep_t: int = _SA_T
+) -> DataFrame:
+    """The q330 core over any (doc_id, text) relation — factored so the
+    property tests can drive crafted corpora with known repeats and the
+    forced-scale harness can replay it on replicated documents.
+    ``k`` is the suffix truncation cap, ``rep_t`` the repeat threshold
+    counted by n_rep_pos."""
+    from pyspark.sql import Window
+
+    K, T = k, rep_t
+    lcp_expr = _SA_LCP_SPARK
+    toks = docs.select(
+        "doc_id", tokens("text").alias("arr")
+    ).withColumn("n_tokens", F.size("arr").cast("long"))
+    sfx = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens").cast("int")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.slice("arr", i, K).alias("s"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.pos").cast("long").alias("pos"),
+        F.col("g.s").alias("s"),
+        F.element_at(F.col("g.s"), 1).alias("head"),
+    )
+    w = Window.partitionBy("head").orderBy("s", "doc_id", "pos")
+    nbr = sfx.select(
+        "doc_id",
+        "pos",
+        "s",
+        F.lag("s").over(w).alias("p"),
+        F.lead("s").over(w).alias("nx"),
+    )
+    lcp = F.greatest(
+        F.expr(lcp_expr.format(o="p")),
+        F.expr(lcp_expr.format(o="nx")),
+    )
+    per_doc = nbr.select("doc_id", lcp.alias("lcp")).groupBy("doc_id").agg(
+        F.max("lcp").cast("long").alias("max_repeat"),
+        F.sum(F.when(F.col("lcp") >= T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rep_pos"),
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("max_repeat", F.lit(0)).cast("long").alias("max_repeat"),
+            F.coalesce("n_rep_pos", F.lit(0)).cast("long").alias("n_rep_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- q331: cross-lingual near-dup via hashed bilingual lexicon + LSH -------------
+
+_XL_V = 4096  # interlingua concept-space size (hashed lexicon buckets)
+_XL_TAU_MICRO = 500_000  # candidate-pair keep threshold on est Jaccard
+
+
+@register(
+    "q331_crosslingual_neardup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS arr
+      FROM documents),
+    concepts AS (
+      SELECT DISTINCT doc_id, lang,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_XL_V} AS c
+      FROM toks, LATERAL unnest(arr) t(w)),
+    h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {MERSENNE_P} AS u
+      FROM concepts),
+    sig AS (
+      SELECT doc_id, lang,
+             {", ".join(f"min(({a} * u + {b}) % {MERSENNE_P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_AB))}
+      FROM h GROUP BY doc_id, lang),
+    bands AS (
+      SELECT doc_id, lang, 0 AS band, mh0 * {MERSENNE_P} + mh1 AS bv FROM sig
+      UNION ALL
+      SELECT doc_id, lang, 1, mh2 * {MERSENNE_P} + mh3 FROM sig
+      UNION ALL
+      SELECT doc_id, lang, 2, mh4 * {MERSENNE_P} + mh5 FROM sig
+      UNION ALL
+      SELECT doc_id, lang, 3, mh6 * {MERSENNE_P} + mh7 FROM sig),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_xx, x.lang AS lang_xx,
+             e.doc_id AS doc_en
+      FROM bands x JOIN bands e
+        ON x.band = e.band AND x.bv = e.bv
+      WHERE x.lang <> 'en' AND e.lang = 'en'),
+    scored AS (
+      SELECT c.doc_xx, c.lang_xx, c.doc_en,
+             CAST(round(1000000.0 * (
+               {" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8))}
+             ) / 8.0) AS BIGINT) AS est_micro
+      FROM cand c
+      JOIN sig sa ON c.doc_xx = sa.doc_id
+      JOIN sig sb ON c.doc_en = sb.doc_id),
+    best AS (
+      SELECT doc_xx, lang_xx, doc_en, est_micro,
+             row_number() OVER (PARTITION BY doc_xx
+                                ORDER BY est_micro DESC, doc_en) AS rk
+      FROM scored WHERE est_micro >= {_XL_TAU_MICRO})
+    SELECT doc_xx, lang_xx AS lang, doc_en, est_micro
+    FROM best WHERE rk = 1 ORDER BY doc_xx
+    """,
+    doc="CROSS-LINGUAL NEAR-DUP — translated-duplicate mining (the "
+    "multilingual-corpus step where a zh/es/de page is the same "
+    "document as an en page after translation): q328's dictionary "
+    "pattern composed with q43/q44's MinHash-LSH. Tokens map "
+    "through a HASHED bilingual lexicon into an interlingua "
+    f"concept space (md5 mod V={_XL_V} — the deterministic stand-in "
+    "for a real lexicon's concept ids; swapping in a learned "
+    "lexicon changes one broadcast join, not the pipeline), docs "
+    "become distinct-concept sets, 8-perm MinHash signatures band "
+    "4x2, and the band equi-join is RESTRICTED to en x non-en "
+    "pairs (the cross-lingual ask — same-language dups are q44's "
+    "job). Per non-en doc, the best en match above tau "
+    f"(est Jaccard >= {_XL_TAU_MICRO / 1e6}) with (est DESC, "
+    "doc_en) tie-break. Scale: the concept map is stateless "
+    "hashing (a real lexicon is a broadcast dim join); candidate "
+    "space is band-bucketed, never |xx| x |en|; hot concept "
+    "buckets (stopword concepts) carry the module's standard "
+    "max_df escape; the per-doc rank window partitions on doc_xx.",
+    tags=("llm", "dedup", "crosslingual", "minhash", "lsh", "scale"),
+)
+def q331_crosslingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return crosslingual_matches(t(spark, sf_dir, "documents"))
+
+
+def crosslingual_matches(
+    docs: DataFrame, v: int = _XL_V, tau_micro: int = _XL_TAU_MICRO
+) -> DataFrame:
+    """The q331 core over any (doc_id, lang, text) relation — factored
+    for crafted-corpus property tests and the forced-scale harness."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", "lang", tokens("text").alias("arr"))
+    concepts = (
+        toks.select(
+            "doc_id", "lang", F.explode("arr").alias("w")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (hex_hash("w") % v).alias("c"),
+        )
+        .distinct()
+    )
+    u = (hex_hash(F.col("c").cast("string")) % MERSENNE_P).alias("u")
+    sig = (
+        concepts.select("doc_id", "lang", u)
+        .groupBy("doc_id", "lang")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("u") + F.lit(b)) % MERSENNE_P
+                ).alias(f"mh{i}")
+                for i, (a, b) in enumerate(MINHASH_AB)
+            ]
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.col(f"mh{2 * i}") * MERSENNE_P
+                            + F.col(f"mh{2 * i + 1}")
+                        ).alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("g"),
+    ).select("doc_id", "lang", F.col("g.band").alias("band"), F.col("g.bv").alias("bv"))
+    bx = bands.filter(F.col("lang") != "en").select(
+        F.col("doc_id").alias("doc_xx"),
+        F.col("lang").alias("lang_xx"),
+        "band",
+        "bv",
+    )
+    be = bands.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("doc_en"), "band", "bv"
+    )
+    cand = (
+        bx.join(be, ["band", "bv"])
+        .select("doc_xx", "lang_xx", "doc_en")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_xx"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_en"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    scored = (
+        cand.join(sa, "doc_xx")
+        .join(sb, "doc_en")
+        .withColumn("agree8", agree)
+        .select(
+            "doc_xx",
+            "lang_xx",
+            "doc_en",
+            F.expr(
+                "CAST(round(1000000.0 * agree8 / 8.0) AS BIGINT)"
+            ).alias("est_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_xx").orderBy(
+        F.col("est_micro").desc(), "doc_en"
+    )
+    return (
+        scored.filter(F.col("est_micro") >= tau_micro)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_xx",
+            F.col("lang_xx").alias("lang"),
+            "doc_en",
+            "est_micro",
+        )
+        .orderBy("doc_xx")
+    )

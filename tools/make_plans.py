@@ -998,12 +998,14 @@ CASES = {
     "q326_power_planning": "Power planning. What to check: one "
     "filtered scan folding map-side to a single moment row; the "
     "whole formula is scalar Project arithmetic.",
-    "q327_blocklist_filter": "Blocklist suffix filtering. What to "
-    "check: the denylist is a BroadcastExchange feeding a "
-    "left-semi BroadcastNestedLoopJoin (correct for the suffix "
-    "theta-predicate at list sizes this small; the registered "
-    "large-list escape is registrable-domain equi-joins); the "
-    "rollup is one hash agg on the host key.",
+    "q327_blocklist_filter": "Blocklist suffix filtering (r13 host-"
+    "grain replan per the r12 verdict). What to check: the document "
+    "relation is touched by exactly ONE hash agg (doc grain -> host "
+    "grain) and the denylist's BroadcastNestedLoopJoin runs against "
+    "the <=|hosts| ROLLUP, not the doc stream; the r12 plan's "
+    "data-proportional F.broadcast(hit-on-doc_id) is gone — no "
+    "doc-keyed join anywhere; the post-join re-fold is a hash agg "
+    "on <=|hosts|+|matches| rows.",
     "q328_gazetteer_tagging": "Gazetteer phrase tagging. What to "
     "check: both dictionary tables are BroadcastHashJoins against "
     "the token/bigram relations (never a per-row dictionary loop); "
@@ -1015,6 +1017,27 @@ CASES = {
     "customer intermediate, so expect customer-first: orders joins "
     "customer before lineitem); the stats job ran eagerly at build "
     "time (eager=True) and is not in the plan.",
+    "q330_suffix_repeats": "Suffix-array ExactSubstr (exact maximal "
+    "repeats). What to check: ONE window exchange hash-partitioned "
+    "on the first-token bucket key (the distributed suffix sort — "
+    "never an unpartitioned global sort); suffix generation is a "
+    "generator expression inside the projection (no Python, no "
+    "join); the LCP arithmetic is all codegen'd array expressions; "
+    "the per-doc fold is a partial/final HashAggregate. No doc x "
+    "doc pair space anywhere in the plan.",
+    "q331_crosslingual_neardup": "Cross-lingual near-dup (hashed "
+    "lexicon + MinHash-LSH). What to check: concept hashing is "
+    "stateless projection; signatures are one HashAggregate on "
+    "doc_id; the en x non-en candidate join is an EQUI-join on "
+    "(band, bv) — the pair space is band-bucketed, never |xx| x "
+    "|en|; the per-doc best-match window partitions on doc_xx.",
+    "q332_quality_calibration": "Quality-classifier calibration "
+    "(reliability + ECE/Brier). What to check: one doc-grain "
+    "projection (features, algebraic sigmoid — no exp/ln anywhere "
+    "in the plan, rational ops only) feeding one partial/final "
+    "HashAggregate onto <=10 bins; the ECE/Brier fold and the "
+    "final cross join run on the 10-row bin relation "
+    "(BroadcastExchange of a 1-row agg).",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
