@@ -216,9 +216,13 @@ def q147_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS UNBOUNDED PRECEDING) AS run_id
       FROM chg),
     grp AS (
-      SELECT user_id, run_id, min(event_type) AS event_type,
+      -- event_type is CONSTANT within a run (runs are maximal
+      -- same-type stretches), so it rides the GROUP BY: string KEYS
+      -- hash-aggregate fine, string min() BUFFERS demote Spark to
+      -- SortAggregate (the r13 plan census caught this)
+      SELECT user_id, run_id, event_type,
              min(us) AS valid_from_us, count(*) AS n_events
-      FROM runs GROUP BY 1, 2)
+      FROM runs GROUP BY 1, 2, 3)
     SELECT user_id, event_type,
            CAST(valid_from_us AS BIGINT) AS valid_from_us,
            CAST(coalesce(lead(valid_from_us)
@@ -265,8 +269,11 @@ def q148_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
-    grp = runs.groupBy("user_id", "run_id").agg(
-        F.min("event_type").alias("event_type"),
+    # event_type is constant within a run: grouping by it keeps the
+    # aggregate a HashAggregate (string KEYS hash fine; a string min()
+    # BUFFER is not hash-mutable and demotes to SortAggregate — the
+    # r13 plan census caught exactly that here)
+    grp = runs.groupBy("user_id", "run_id", "event_type").agg(
         F.min("us").alias("valid_from_us"),
         F.count("*").alias("n_events"),
     )
@@ -566,6 +573,34 @@ def q161_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_val",
         )
 
+    def prof_str(col: str) -> DataFrame:
+        # STRING columns: min/max string BUFFERS are not hash-agg
+        # mutable — fused with count(DISTINCT)'s two-level expansion
+        # they demoted the whole data-sized pass to SortAggregate (r13
+        # plan census). Restructured: the big pass is a plain groupBy
+        # on the VALUE (string keys hash fine), and min/max/distinct
+        # fold over the <=|distinct| value relation — the only
+        # SortAggregate left is bounded by column cardinality.
+        d = o.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return d.agg(
+            F.coalesce(
+                F.sum(F.when(F.col(col).isNotNull(), F.col("cnt"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_nonnull"),
+            F.count(col).cast("long").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        ).select(
+            F.lit(col).alias("col"),
+            "n_nonnull",
+            "n_distinct",
+            "min_val",
+            "max_val",
+        )
+
+    str_cols = {"o_orderstatus", "o_orderpriority"}
     cols = [
         "o_orderkey",
         "o_custkey",
@@ -576,7 +611,7 @@ def q161_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = prof(cols[0])
     for c in cols[1:]:
-        out = out.unionByName(prof(c))
+        out = out.unionByName(prof_str(c) if c in str_cols else prof(c))
     return out
 
 
@@ -928,9 +963,11 @@ _PIT_OFFSET_US = 3_600_000_000  # probe each sampled event 1h after it fired
                                ROWS UNBOUNDED PRECEDING) AS run_id
       FROM chg),
     grp AS (
-      SELECT user_id, run_id, min(event_type) AS event_type,
+      -- event_type constant within a run -> group key, not a string
+      -- min() buffer (hash-agg demotion; see q148)
+      SELECT user_id, run_id, event_type,
              min(us) AS valid_from_us
-      FROM runs GROUP BY 1, 2),
+      FROM runs GROUP BY 1, 2, 3),
     hist AS (
       SELECT user_id, event_type, valid_from_us,
              coalesce(lead(valid_from_us)
@@ -984,8 +1021,8 @@ def q180_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
-    grp = runs.groupBy("user_id", "run_id").agg(
-        F.min("event_type").alias("event_type"),
+    # event_type constant within a run -> group key (see q148)
+    grp = runs.groupBy("user_id", "run_id", "event_type").agg(
         F.min("us").alias("valid_from_us"),
     )
     wr = W.partitionBy("user_id").orderBy("run_id")
