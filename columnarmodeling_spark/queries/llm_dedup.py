@@ -2477,9 +2477,17 @@ _SA_LCP_SQL = (
     "q330_suffix_repeats",
     oracle=f"""
     WITH toks AS MATERIALIZED (
+      -- tokens project to the repo's 60-bit md5 longs BEFORE suffixes
+      -- are built (the q43 hash convention): suffix rows then carry
+      -- K fixed 8-byte elements instead of K strings, which is what
+      -- makes the distributed suffix sort memory-sane at 100 TB;
+      -- hash-sequence LCP = token LCP under the standard
+      -- collision-negligible assumption
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         t -> t <> '') AS arr
+             list_transform(
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> ''),
+               w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS arr
       FROM documents),
     base AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM toks),
     sfx AS (
@@ -2549,8 +2557,15 @@ def suffix_repeat_stats(
 
     K, T = k, rep_t
     lcp_expr = _SA_LCP_SPARK
+    # 60-bit md5 token hashes (q43 convention) instead of strings: the
+    # suffix relation's payload drops from K strings to K longs per
+    # row — the 64x forced-scale run on the string form was
+    # SUPER-linear (136x, GCLocker allocation stalls); the hashed form
+    # is the memory-sane distributed suffix sort. Hash-sequence LCP =
+    # token LCP under the standard collision-negligible assumption.
     toks = docs.select(
-        "doc_id", tokens("text").alias("arr")
+        "doc_id",
+        F.transform(tokens("text"), hex_hash).alias("arr"),
     ).withColumn("n_tokens", F.size("arr").cast("long"))
     sfx = toks.select(
         "doc_id",
