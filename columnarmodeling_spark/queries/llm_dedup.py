@@ -2803,3 +2803,109 @@ def crosslingual_matches(
         )
         .orderBy("doc_xx")
     )
+
+
+# --- q333: cluster-aware train/dev/test split (leakage-free by construction) -----
+#
+# Splitting AFTER near-dup clustering is the step that makes a split
+# honest: hash the CLUSTER id, not the doc id, so every near-duplicate
+# family lands in one split and the dev/test sets cannot leak training
+# paraphrases (the failure q249 detects post-hoc; this op prevents it
+# by construction and carries the audit in its output).
+
+_CS_TRAIN_BUCKETS = 8  # of 10: 80/10/10
+
+
+@register(
+    "q333_cluster_split",
+    oracle=_SQL_CLUSTER_CTES + f""",
+    clus AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    assign AS (
+      SELECT c.doc_id, c.cluster_id,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 10 < {_CS_TRAIN_BUCKETS}
+                 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 10 = {_CS_TRAIN_BUCKETS}
+                 THEN 'dev'
+               ELSE 'test' END AS split
+      FROM clus c),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leak_clusters FROM (
+        SELECT cluster_id FROM assign
+        GROUP BY cluster_id HAVING count(DISTINCT split) > 1)),
+    rolled AS (
+      SELECT a.split, d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters
+      FROM assign a JOIN documents d ON a.doc_id = d.doc_id
+      GROUP BY 1, 2)
+    SELECT r.split, r.source, r.n_docs, r.n_clusters, l.leak_clusters
+    FROM rolled r CROSS JOIN leak l
+    ORDER BY r.split, r.source
+    """,
+    doc="CLUSTER-AWARE TRAIN/DEV/TEST SPLIT — leakage-free split "
+    "assignment (the step a dedup pipeline must run BETWEEN "
+    "clustering and training: doc-level split hashing puts "
+    "paraphrase families on both sides of the train/test fence — "
+    "the exact leak q249 detects post-hoc; hashing the CLUSTER id "
+    "prevents it by construction): q56's connected components "
+    "(q42 Jaccard pairs, large-star/small-star propagation), then "
+    "split = md5(cluster_id) mod 10 -> 80/10/10, then a per-"
+    "(split, source) rollup PLUS the audit column leak_clusters = "
+    "number of clusters spanning >1 split, which the oracle checks "
+    "is structurally zero on both engines. Scale: components are "
+    "the q56 shuffle-scale machinery; assignment is stateless "
+    "hashing; the rollup is one hash agg onto <= 3x|sources| keys "
+    "and the audit one hash agg on cluster_id.",
+    tags=("llm", "dedup", "split", "governance", "scale"),
+)
+def q333_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = q42_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    bucket = hex_hash(F.col("cluster_id").cast("string")) % 10
+    assign = cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < _CS_TRAIN_BUCKETS, "train")
+        .when(bucket == _CS_TRAIN_BUCKETS, "dev")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leak = (
+        assign.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leak_clusters")
+        )
+    )
+    rolled = (
+        assign.join(docs, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+    )
+    return (
+        rolled.crossJoin(F.broadcast(leak))
+        .select(
+            "split", "source", "n_docs", "n_clusters", "leak_clusters"
+        )
+        .orderBy("split", "source")
+    )

@@ -200,3 +200,55 @@ def test_q332_sigmoid_is_rational_and_bounded(spark):
     assert vals == sorted(vals)
     assert all(0 < v < 1_000_000 for v in vals)
     assert vals[2] == 500_000  # z = 0 -> exactly one half
+
+
+# --- q333: cluster-aware split --------------------------------------------------
+
+
+def test_q333_no_leakage_and_partition(spark):
+    from columnarmodeling_spark.queries.llm_dedup import q333_cluster_split
+
+    rows = q333_cluster_split(spark, SF).collect()
+    assert rows, "split rollup must be non-empty"
+    # the audit column is the guarantee: zero clusters span splits
+    assert all(r.leak_clusters == 0 for r in rows)
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "dev", "test"}
+    n_total = sum(r.n_docs for r in rows)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert n_total == n_docs  # every doc assigned exactly once
+    # 80/10/10 hash split: train must dominate
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert by_split.get("train", 0) > by_split.get("dev", 0)
+    assert by_split.get("train", 0) > by_split.get("test", 0)
+
+
+def test_q333_neardups_share_split(spark):
+    """Two near-duplicate docs (same cluster) must land in ONE split."""
+    from columnarmodeling_spark.queries.llm_dedup import q42_ngram_jaccard_pairs
+    from columnarmodeling_spark.operators.graph import connected_components
+    from columnarmodeling_spark.functions.text import hex_hash
+    from columnarmodeling_spark.queries.llm_dedup import _CS_TRAIN_BUCKETS
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    pairs = q42_ngram_jaccard_pairs(spark, SF).select("doc_a", "doc_b")
+    if pairs.limit(1).count() == 0:
+        return  # no near-dups at this sf — vacuous
+    cc = connected_components(
+        docs, pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    bucket = hex_hash(F.col("component").cast("string")) % 10
+    per_cluster = (
+        cc.select(
+            "component",
+            F.when(bucket < _CS_TRAIN_BUCKETS, "train")
+            .when(bucket == _CS_TRAIN_BUCKETS, "dev")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+    )
+    assert per_cluster.filter(F.col("ns") > 1).count() == 0

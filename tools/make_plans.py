@@ -1031,6 +1031,12 @@ CASES = {
     "doc_id; the en x non-en candidate join is an EQUI-join on "
     "(band, bv) — the pair space is band-bucketed, never |xx| x "
     "|en|; the per-doc best-match window partitions on doc_xx.",
+    "q333_cluster_split": "Cluster-aware train/dev/test split. What "
+    "to check: components are the q56 large-star/small-star loop "
+    "(iterative, behind localCheckpoint scans); split assignment is a "
+    "stateless md5 projection — NO extra shuffle between components "
+    "and the rollup beyond the (split, source) agg; the leak audit is "
+    "one hash agg on cluster_id feeding a 1-row BroadcastExchange.",
     "q332_quality_calibration": "Quality-classifier calibration "
     "(reliability + ECE/Brier). What to check: one doc-grain "
     "projection (features, algebraic sigmoid — no exp/ln anywhere "
