@@ -162,15 +162,16 @@ def register(
 # q93, q106, q108, q110).
 # ROUND-14 PLAN (slot arithmetic written now so rotation is mechanical):
 # q01 anchor + streaming tail (q206/q207/q222) + the round-13 additions
-# needing first rows (N=4: q330_suffix_repeats,
+# needing first rows (N=5: q330_suffix_repeats,
 # q331_crosslingual_neardup, q332_quality_calibration,
-# q333_cluster_split — all strict-replica MATCH at sf0.01 when added)
-# + the r5 remainder (6: q78, q92, q93, q106, q108, q110) + the r6
-# band's 36 oldest (band order: q51 q53 q55 q68 q70 q76 q77 q79 q94
-# q95 q97-q99 q102 q103 q107 q109 q111-q130). 1+3+4+6+36 = 50.
-# Post-r14 oldest band is r6 (8 left: q131-q137 + any r13 additions
-# past q333), and the ledger converges to a ≤3-round-stale steady
-# state by ~r17. The whole r13 window — additions AND drain set — is
+# q333_cluster_split, q334_stream_neardup_gate — all strict-replica
+# MATCH at sf0.01 when added; q334 is streaming, so it rides the
+# streaming tail) + the r5 remainder (6: q78, q92, q93, q106, q108,
+# q110) + the r6 band's 35 oldest (band order: q51 q53 q55 q68 q70
+# q76 q77 q79 q94 q95 q97-q99 q102 q103 q107 q109 q111-q129).
+# 1+3+5+6+35 = 50. Post-r14 oldest band is r6 (9 left: q130-q137 +
+# any r13 additions past q334), and the ledger converges to a
+# ≤3-round-stale steady state by ~r17. The whole r13 window — additions AND drain set — is
 # pre-verified: REPLICA_r12.json carries 329/329 strict-match including
 # every r5-band query, so executing the rotation is evidence
 # conversion, not risk; the round-12 session also drove the full

@@ -2719,6 +2719,12 @@ def crosslingual_matches(
         .distinct()
     )
     u = (hex_hash(F.col("c").cast("string")) % MERSENNE_P).alias("u")
+    # sig has THREE consumers (bands, both scored-join sides) and the
+    # captured plan showed 8 parquet scans with ZERO ReusedExchange —
+    # the tokenize+md5+distinct subtree is compute-dominated, so this
+    # is the q316 checkpoint case per the measured policy ("checkpoint
+    # when expensive AND no ReusedExchange covers it"): lazy
+    # localCheckpoint materializes the doc-grain signature once.
     sig = (
         concepts.select("doc_id", "lang", u)
         .groupBy("doc_id", "lang")
@@ -2730,6 +2736,7 @@ def crosslingual_matches(
                 for i, (a, b) in enumerate(MINHASH_AB)
             ]
         )
+        .localCheckpoint(eager=False)
     )
     bands = sig.select(
         "doc_id",

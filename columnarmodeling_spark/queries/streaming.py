@@ -1151,3 +1151,178 @@ def q290_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "cnt", "n_total")
         .orderBy(F.desc("cnt"), "tok")
     )
+
+
+# --- q334: streaming near-dup gate (stream-static MinHash-LSH at ingest) ---------
+#
+# The q44 LSH family moved to INGEST time: incoming docs are screened
+# against a static index corpus before they enter a training mix. The
+# load-bearing trick is that a MinHash signature is a PER-ROW ARRAY
+# EXPRESSION (min over the row's own shingle hashes), so the whole
+# stream path up to the stateful agg is stateless projection + one
+# broadcast equi-join — no stream-side shuffle, no per-doc grouping
+# state for signature construction.
+
+_SNG_N = 3  # shingle width (the q42/q43 convention)
+
+
+def _sql_row_sig(tk: str) -> str:
+    """Per-doc minhash signature columns from a token-list column —
+    DuckDB side (list_min over the doc's own shingle hashes)."""
+    from columnarmodeling_spark.functions.text import MERSENNE_P, MINHASH_AB
+
+    # range() is END-EXCLUSIVE: width-3 shingles start at 1..len-2, so
+    # the bound is len-1 (len - (N-2)); len - (N-1) silently drops the
+    # LAST shingle — caught by the sf0.001 differential test when the
+    # dropped shingle owned a minhash minimum
+    sh = (
+        f"list_transform(range(1, len({tk}) - {_SNG_N - 2}), "
+        f"i -> {tk}[i] || ' ' || {tk}[i+1] || ' ' || {tk}[i+2])"
+    )
+    u = (
+        f"list_transform(list_distinct({sh}), "
+        f"s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) "
+        f"% {MERSENNE_P})"
+    )
+    cols = ", ".join(
+        f"list_min(list_transform({u}, u -> ({a} * u + {b}) "
+        f"% {MERSENNE_P})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    return cols
+
+
+def _spark_row_sig(df: DataFrame) -> DataFrame:
+    """Per-row minhash signature columns over a ``tk`` token-array
+    column — stateless projection, no grouping (Spark side)."""
+    from columnarmodeling_spark.functions.text import (
+        MERSENNE_P,
+        MINHASH_AB,
+        hex_hash,
+        word_shingles,
+    )
+
+    u_arr = F.transform(
+        F.array_distinct(word_shingles("tk", _SNG_N)),
+        lambda s: hex_hash(s) % MERSENNE_P,
+    )
+    out = df.withColumn("u_arr", u_arr)
+    for i, (a, b) in enumerate(MINHASH_AB):
+        out = out.withColumn(
+            f"mh{i}",
+            F.array_min(
+                F.transform(
+                    F.col("u_arr"),
+                    lambda u: (F.lit(a) * u + F.lit(b)) % MERSENNE_P,
+                )
+            ),
+        )
+    return out.drop("u_arr")
+
+
+def _band_rows(df: DataFrame, id_out: str) -> DataFrame:
+    from columnarmodeling_spark.functions.text import MERSENNE_P
+
+    return df.select(
+        F.col("doc_id").alias(id_out),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.col(f"mh{2 * i}") * MERSENNE_P
+                            + F.col(f"mh{2 * i + 1}")
+                        ).alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("g"),
+    ).select(id_out, F.col("g.band").alias("band"), F.col("g.bv").alias("bv"))
+
+
+def _q334_oracle() -> str:
+    from columnarmodeling_spark.functions.text import MERSENNE_P
+
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    isig AS (
+      SELECT doc_id, {_sql_row_sig('tk')}
+      FROM tk WHERE doc_id % 10 = 0 AND len(tk) >= {_SNG_N}),
+    ssig AS (
+      SELECT doc_id, {_sql_row_sig('tk')}
+      FROM tk WHERE doc_id % 10 <> 0 AND len(tk) >= {_SNG_N}),
+    ib AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {i} AS band, mh{2 * i} * {MERSENNE_P} + mh{2 * i + 1} AS bv FROM isig" for i in range(4))}),
+    sb AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {i} AS band, mh{2 * i} * {MERSENNE_P} + mh{2 * i + 1} AS bv FROM ssig" for i in range(4))})
+    SELECT s.doc_id, i.doc_id AS cand,
+           CAST(count(*) AS BIGINT) AS n_band_hits
+    FROM sb s JOIN ib i ON s.band = i.band AND s.bv = i.bv
+    GROUP BY 1, 2
+    ORDER BY s.doc_id, cand
+    """
+
+
+@register(
+    "q334_stream_neardup_gate",
+    oracle=_q334_oracle(),
+    doc="STREAMING NEAR-DUP GATE — the q44 MinHash-LSH family applied "
+    "AT INGEST (the crawl-shard screen a pipeline wants instead of "
+    "a nightly batch rescan; complements q222's exact-gram "
+    "decontamination with the NEAR-dup rule): the static index "
+    "corpus (doc_id % 10 = 0) builds a (band, bv) table batch-side; "
+    "incoming docs compute their 8-perm MinHash signature as a "
+    "PER-ROW ARRAY EXPRESSION (min over the row's own shingle "
+    "hashes — signature construction needs NO stream-side grouping "
+    "state and no shuffle), explode 4 band rows statelessly, and "
+    "meet the index in a stream-static broadcast equi-join. The "
+    "only stateful operator is the update-mode count of band hits "
+    "per (incoming doc, index doc) candidate pair; counts are "
+    "cumulative so the post-drain max-resolution is exact under "
+    "any batch split (the q207/q222 monotone-state argument). "
+    "Oracle = the batch band-join equivalent. Scale: state is one "
+    "long per CANDIDATE PAIR (non-colliding docs never enter the "
+    "store), the broadcast is the index band table (its size is "
+    "the index corpus, which a real deployment shards or swaps "
+    "for a stream-stream interval join when the index itself is "
+    "huge — the documented escape), and the stream path before "
+    "the agg is entirely map-side.",
+    tags=("streaming", "llm", "dedup", "minhash", "lsh", "scale"),
+)
+def q334_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.functions.text import tokens
+    from columnarmodeling_spark.streaming.sources import documents_stream
+
+    # batch side: index-corpus band table
+    idx = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("tk", tokens("text"))
+        .filter(F.size("tk") >= _SNG_N)
+    )
+    ib = _band_rows(_spark_row_sig(idx), "cand")
+    # stream side: per-row signature -> stateless band explode
+    doc = (
+        documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 != 0)
+        .withColumn("tk", tokens("text"))
+        .filter(F.size("tk") >= _SNG_N)
+    )
+    sb = _band_rows(_spark_row_sig(doc), "doc_id")
+    hits = (
+        sb.join(F.broadcast(ib), ["band", "bv"])
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
+    )
+    drained = drain_to_memory(hits, mode="update").localCheckpoint()
+    return (
+        drained.groupBy("doc_id", "cand")
+        .agg(F.max("n_band_hits").cast("long").alias("n_band_hits"))
+        .orderBy("doc_id", "cand")
+    )

@@ -252,3 +252,36 @@ def test_q333_neardups_share_split(spark):
         .agg(F.countDistinct("split").alias("ns"))
     )
     assert per_cluster.filter(F.col("ns") > 1).count() == 0
+
+
+# --- q334: streaming near-dup gate ----------------------------------------------
+
+
+def test_q334_row_sig_equals_grouped_sig(spark):
+    """The stateless per-row signature (the q334 trick) must equal the
+    q43 groupBy-based signature on the same corpus."""
+    from columnarmodeling_spark.functions.text import tokens
+    from columnarmodeling_spark.queries.llm_dedup import _minhash_signatures
+    from columnarmodeling_spark.queries.streaming import _SNG_N, _spark_row_sig
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    row_sig = _spark_row_sig(
+        docs.withColumn("tk", tokens("text")).filter(F.size("tk") >= _SNG_N)
+    ).select("doc_id", *[f"mh{i}" for i in range(8)])
+    grp_sig = _minhash_signatures(spark, SF)
+    a = {r.doc_id: tuple(r[i + 1] for i in range(8)) for r in row_sig.collect()}
+    b = {r.doc_id: tuple(r[i + 1] for i in range(8)) for r in grp_sig.collect()}
+    shared = set(a) & set(b)
+    assert shared, "corpora must overlap"
+    for d in shared:
+        assert a[d] == b[d], f"doc {d}: row-sig {a[d]} != grouped {b[d]}"
+
+
+def test_q334_gate_contract(spark):
+    from columnarmodeling_spark.queries import REGISTRY
+
+    rows = REGISTRY["q334_stream_neardup_gate"].fn(spark, SF).collect()
+    for r in rows:
+        assert r.doc_id % 10 != 0  # stream side only
+        assert r.cand % 10 == 0  # candidates come from the index corpus
+        assert 1 <= r.n_band_hits <= 4

@@ -1412,6 +1412,40 @@ def _q207_stream(spark, sf):
     )
 
 
+def _q334_stream(spark, sf):
+    """The pre-drain plan of q334 (streaming near-dup gate)."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.functions.text import tokens
+    from columnarmodeling_spark.queries._util import t
+    from columnarmodeling_spark.queries.streaming import (
+        _SNG_N,
+        _band_rows,
+        _spark_row_sig,
+    )
+    from columnarmodeling_spark.streaming.sources import documents_stream
+
+    idx = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("tk", tokens("text"))
+        .filter(F.size("tk") >= _SNG_N)
+    )
+    ib = _band_rows(_spark_row_sig(idx), "cand")
+    doc = (
+        documents_stream(spark, sf)
+        .filter(F.col("doc_id") % 10 != 0)
+        .withColumn("tk", tokens("text"))
+        .filter(F.size("tk") >= _SNG_N)
+    )
+    sb = _band_rows(_spark_row_sig(doc), "doc_id")
+    return (
+        sb.join(F.broadcast(ib), ["band", "bv"])
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
+    )
+
+
 def _q222_stream(spark, sf):
     """The pre-drain plan of q222 (streaming decontamination)."""
     from pyspark.sql import functions as F
@@ -1481,6 +1515,16 @@ ROUND_CASES = {
         "(constant state: K counters per shard); no stream-side "
         "shuffle beyond the shard hash partition.",
         _q290_stream,
+    ),
+    "q334_stream_neardup_gate (pre-drain plan)": (
+        "Streaming near-dup gate (queries/streaming.py q334). What to "
+        "check: the MinHash signature is a PER-ROW array expression — "
+        "no grouping, no shuffle anywhere on the stream side before "
+        "the stateful agg (tokenize, shingle, per-row min, band "
+        "explode are all stateless projections); the index band table "
+        "enters via BroadcastExchange; the only stateful operator is "
+        "the (doc_id, cand)-keyed update-mode StateStoreSave agg.",
+        _q334_stream,
     ),
     "q222_stream_decontamination (pre-drain plan)": (
         "Streaming decontamination screen (queries/streaming.py q222). "
