@@ -160,17 +160,23 @@ def register(
 # Post-r13 ledger: never driver-checked = round-13 additions only
 # (q330+, front round 14); oldest staleness band r5 (6 left: q78, q92,
 # q93, q106, q108, q110).
-# ROUND-14 PLAN (slot arithmetic written now so rotation is mechanical):
-# q01 anchor + streaming tail (q206/q207/q222) + the round-13 additions
-# needing first rows (N=5: q330_suffix_repeats,
-# q331_crosslingual_neardup, q332_quality_calibration,
-# q333_cluster_split, q334_stream_neardup_gate — all strict-replica
-# MATCH at sf0.01 when added; q334 is streaming, so it rides the
-# streaming tail) + the r5 remainder (6: q78, q92, q93, q106, q108,
-# q110) + the r6 band's 35 oldest (band order: q51 q53 q55 q68 q70
-# q76 q77 q79 q94 q95 q97-q99 q102 q103 q107 q109 q111-q129).
-# 1+3+5+6+35 = 50. Post-r14 oldest band is r6 (9 left: q130-q137 +
-# any r13 additions past q334), and the ledger converges to a
+# Round-14 rotation (executes the plan committed in round 13's ledger,
+# adjusted for the two round-14 additions, which outrank staleness
+# refresh per the standing precedence): q01 anchor; round-13 batch
+# additions q330-q333 (first driver rows; 5/5 judge-replica strict in
+# VERDICT r13); the round-14 batch addition q336 (lexicon cross-lingual
+# — strict-replica MATCH at sf0.01 when added); the r5 remainder (6:
+# q78, q92, q93, q106, q108, q110); the r6 band's 33 oldest (band
+# order: q51 q53 q55 q68 q70 q76 q77 q79 q94 q95 q97-q99 q102 q103
+# q107 q109 q111-q126); streaming tail last (q334 + the round-14
+# q335 sharded gate, then q206/q207/q222 as the streaming-tier guard).
+# 1+4+1+6+33+5 = 50.
+# Post-r14 ledger: never driver-checked = round-14 additions past the
+# window (none — q335/q336 are in-window); oldest staleness band r6
+# (11 left: q127-q137), then r7 (q138-q181).
+# ROUND-15 PLAN: q01 anchor + any round-14/15 additions + r6 remainder
+# (q127-q137, 11) + the r7 band's oldest ~30 (q138+ in band order) +
+# streaming tail (q206/q207/q222). The ledger converges to a
 # ≤3-round-stale steady state by ~r17. The whole r13 window — additions AND drain set — is
 # pre-verified: REPLICA_r12.json carries 329/329 strict-match including
 # every r5-band query, so executing the rotation is evidence
@@ -189,62 +195,66 @@ def register(
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
-    # never-driver-checked round-12 additions (first driver rows;
+    # never-driver-checked round-13 additions (first driver rows; all
     # strict-replica MATCH at sf0.01 when added AND judge-replica
-    # re-verified 19/19 strict in VERDICT r12) — numeric order
-    "q311_join_adaptive_strategy",
-    "q312_url_canonicalize",
-    "q313_record_linkage",
-    "q314_kaplan_meier",
-    "q315_diff_in_differences",
-    "q316_dsir_importance",
-    "q317_lsh_param_tuning",
-    "q318_span_corruption_plan",
-    "q319_host_quota_cap",
-    "q320_kneser_ney_bigram",
-    "q321_adaptive_histogram",
-    "q322_budget_waterfill",
-    "q323_source_ablation_ppl",
-    "q324_obrien_fleming",
-    "q325_cuped",
-    "q326_power_planning",
-    "q327_blocklist_filter",
-    "q328_gazetteer_tagging",
-    "q329_join_order_adaptive",
-    # staleness drain: r5 band's 30 oldest per the r12 VERDICT list —
-    # batch rows first, oldest-first
-    "q33_affine_projection",
-    "q34_reject_filters",
-    "q35_rollup",
-    "q36_map_funcs",
-    "q37_percentiles",
-    "q38_salted_agg",
-    "q39_scalar_subquery",
-    "q40_exact_dedup",
-    "q41_epsilon_dedup",
-    "q42_ngram_jaccard_pairs",
-    "q60_stress_strain",
-    "q61_bbox_damage",
-    "q63_greedy_selection",
-    "q65_ranking_family",
-    "q71_fixed_format_lines",
-    "q72_multimodal_features",
-    "q73_frame_sample",
-    "q75_chunk_udtf",
-    "q88_grouped_agg_udaf",
-    "q89_whitespace_roundtrip",
-    "q90_voronoi_grains",
-    "q91_mesh_facets",
-    # staleness drain, streaming rows: fixed micro-batch drain cost, so
-    # last in-window (these double as this round's streaming-tier guard)
-    "q58_stream_dedup",
-    "q80_stream_tumbling",
-    "q81_stream_sliding",
-    "q82_session_window",
-    "q83_stream_static_join",
-    "q84_stateful_running",
-    "q85_stream_stream_join",
-    "q86_foreachbatch_upsert",
+    # re-verified 5/5 strict in VERDICT r13) — batch rows here, the
+    # streaming member (q334) rides the streaming tail below
+    "q330_suffix_repeats",
+    "q331_crosslingual_neardup",
+    "q332_quality_calibration",
+    "q333_cluster_split",
+    # never-driver-checked round-14 batch addition (strict-replica
+    # MATCH at sf0.01 when added; q335 is streaming — tail below)
+    "q336_lexicon_crosslingual_neardup",
+    # staleness drain: the r5 band remainder (oldest surviving rows)
+    "q78_media_resize",
+    "q92_clipped_facets",
+    "q93_vertex_line_roundtrip",
+    "q106_geometry_invariants",
+    "q108_media_decode",
+    "q110_ivf_recall",
+    # staleness drain: the r6 band's 33 oldest, band order
+    "q51_quality_score",
+    "q53_fingerprint",
+    "q55_pii_redaction",
+    "q68_stats_aggs",
+    "q70_snapshot_codec",
+    "q76_bpe_pretokenize",
+    "q77_consistency_checks",
+    "q79_unpivot",
+    "q94_contamination",
+    "q95_training_mix",
+    "q97_bm25_topterms",
+    "q98_semantic_dedup",
+    "q99_rollup_cascade",
+    "q102_full_outer_recon",
+    "q103_range_frame",
+    "q107_bond_breaks",
+    "q109_span_dedup",
+    "q111_load_curves",
+    "q112_weibull_breaks",
+    "q113_ivf_recall_curve",
+    "q114_bitmap_codec",
+    "q115_measure_series",
+    "q116_gravity_damping",
+    "q117_material_stiffness",
+    "q118_joint_weakening",
+    "q119_centrifuge_ramp",
+    "q120_bpe_apply",
+    "q121_incremental_dedup",
+    "q122_solver3d_steps",
+    "q123_pq_codes",
+    "q124_pq_adc_recall",
+    "q125_incremental_neardup",
+    "q126_ivfpq_search",
+    # streaming rows: fixed micro-batch drain cost, so last in-window —
+    # first driver rows for q334/q335, plus the r8-band late-data pair
+    # and the decontamination gate as this round's streaming-tier guard
+    "q334_stream_neardup_gate",
+    "q335_stream_neardup_gate_sharded",
+    "q206_stream_transitions_late",
+    "q207_stream_ewma_late",
+    "q222_stream_decontamination",
 )
 
 

@@ -2448,6 +2448,14 @@ def q317_lsh_param_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SA_K = 12  # suffix truncation cap (max reportable repeat length)
 _SA_T = 4  # repeat threshold for n_rep_pos (q109's gram width)
+# hot-head escape trigger: a head token owning more suffixes than this
+# gets its window bucket auto-widened to (head, second token). Under a
+# Zipf natural-language distribution only the stopword heads ("the",
+# "of", ...) cross it, and each of those is exactly the straggler the
+# widening exists to shard. 100k rows × K=12 longs ≈ 10 MB per window
+# partition — comfortably one task; far below it the extra bucket-key
+# machinery isn't worth the plan noise.
+_SA_HOT = 100_000
 
 # LCP of two truncated suffix arrays — IDENTICAL formulation on both
 # engines: probe positions 1..min(len), first mismatch index - 1, or
@@ -2534,9 +2542,12 @@ _SA_LCP_SQL = (
     f"{_SA_T} tokens (q109's width). Scale: the suffix relation is "
     f"a K={_SA_K}x token blowup (documented cost of exactness — "
     "Lee et al. materialize the same); the sort shuffles on the "
-    "well-spread first token; skew escape for a hot head token is "
-    "widening the bucket key to the first 2 tokens (exact for "
-    "repeats >= 2, same argument). LCP values are intrinsic "
+    "well-spread first token, and a Zipf-hot head token "
+    f"(>= {_SA_HOT} suffixes) AUTO-WIDENS its bucket key to the "
+    "first 2 tokens — still exact: repeats >= 2 share both tokens "
+    "(same bucket), and the max(lcp, 1) floor on hot rows restores "
+    "the LCP==1 partners the widening separates (a hot head always "
+    "repeats). LCP values are intrinsic "
     "(independent of tie order among equal suffixes), so the "
     "output is deterministic on both engines.",
     tags=("llm", "dedup", "suffix-array", "span", "window", "scale"),
@@ -2546,13 +2557,39 @@ def q330_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def suffix_repeat_stats(
-    docs: DataFrame, k: int = _SA_K, rep_t: int = _SA_T
+    docs: DataFrame,
+    k: int = _SA_K,
+    rep_t: int = _SA_T,
+    hot_head_threshold: int = _SA_HOT,
 ) -> DataFrame:
     """The q330 core over any (doc_id, text) relation — factored so the
     property tests can drive crafted corpora with known repeats and the
     forced-scale harness can replay it on replicated documents.
     ``k`` is the suffix truncation cap, ``rep_t`` the repeat threshold
-    counted by n_rep_pos."""
+    counted by n_rep_pos.
+
+    Hot-head skew escape (the r13 verdict's one real 100 TB straggler
+    risk): the suffix sort buckets on the FIRST token, and a Zipf-hot
+    head ("the") can own several percent of ALL corpus suffixes — one
+    window partition, one straggler task. Heads whose suffix count
+    reaches ``hot_head_threshold`` get their bucket key auto-widened to
+    (head, second token). That stays EXACT, not approximate:
+
+    * true LCP >= 2 → the best-match partner shares the first TWO
+      tokens, so it sits in the same widened bucket and the
+      neighbor-adjacency property still yields the exact value;
+    * true LCP == 1 → a hot head has >= hot_head_threshold >= 2
+      suffixes, so EVERY suffix under it repeats at least its head
+      token — the correction ``max(lcp, 1)`` applied only to hot-head
+      rows restores exactly the value the widened bucket can miss
+      (the partner that agrees on token 1 but not token 2);
+    * computed LCPs are always LCPs with a real suffix, so neither the
+      widening nor the correction can overshoot.
+
+    Length-1 suffixes (no second token) bucket under a -1 sentinel —
+    they can only ever have LCP <= 1, which the correction covers.
+    The hot set itself is found with a map-side-combinable count and
+    broadcast back, so detecting the skew never recreates it."""
     from pyspark.sql import Window
 
     K, T = k, rep_t
@@ -2587,17 +2624,47 @@ def suffix_repeat_stats(
         F.col("g.s").alias("s"),
         F.element_at(F.col("g.s"), 1).alias("head"),
     )
-    w = Window.partitionBy("head").orderBy("s", "doc_id", "pos")
+    # hot-head detection: per-head suffix counts are a hash aggregate
+    # (partial/final combinable — the hot key arrives as a handful of
+    # map-side partials, never as raw rows in one task), and the hot
+    # set is Zipf-tiny, so it broadcasts back onto the suffix relation.
+    hot = (
+        sfx.groupBy("head")
+        .agg(F.count(F.lit(1)).alias("__hn"))
+        .filter(F.col("__hn") >= hot_head_threshold)
+        .select("head", F.lit(True).alias("__hot"))
+    )
+    sfx = sfx.join(F.broadcast(hot), "head", "left").withColumn(
+        "__hot", F.coalesce("__hot", F.lit(False))
+    )
+    # widened bucket key: second token for hot heads, constant sentinel
+    # otherwise (keeps non-hot heads in ONE bucket = the original exact
+    # form). -1 never collides with the non-negative 60-bit hashes.
+    sfx = sfx.withColumn(
+        "k2",
+        F.when(
+            F.col("__hot"),
+            F.coalesce(F.try_element_at("s", F.lit(2)), F.lit(-1)),
+        ).otherwise(F.lit(-1)),
+    )
+    w = Window.partitionBy("head", "k2").orderBy("s", "doc_id", "pos")
     nbr = sfx.select(
         "doc_id",
         "pos",
         "s",
+        "__hot",
         F.lag("s").over(w).alias("p"),
         F.lead("s").over(w).alias("nx"),
     )
-    lcp = F.greatest(
+    raw_lcp = F.greatest(
         F.expr(lcp_expr.format(o="p")),
         F.expr(lcp_expr.format(o="nx")),
+    )
+    # hot-head floor: every suffix under a hot head repeats its head
+    # token somewhere (count >= threshold >= 2), and LCP == 1 partners
+    # are the only matches the widened bucket can separate.
+    lcp = F.when(F.col("__hot"), F.greatest(raw_lcp, F.lit(1))).otherwise(
+        raw_lcp
     )
     per_doc = nbr.select("doc_id", lcp.alias("lcp")).groupBy("doc_id").agg(
         F.max("lcp").cast("long").alias("max_repeat"),
@@ -2623,20 +2690,20 @@ def suffix_repeat_stats(
 _XL_V = 4096  # interlingua concept-space size (hashed lexicon buckets)
 _XL_TAU_MICRO = 500_000  # candidate-pair keep threshold on est Jaccard
 
-
-@register(
-    "q331_crosslingual_neardup",
-    oracle=f"""
-    WITH toks AS (
+# shared tokenizer CTE for the cross-lingual family (q331/q336)
+_XL_TOKS_SQL = """toks AS (
       SELECT doc_id, lang,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                          t -> t <> '') AS arr
-      FROM documents),
-    concepts AS (
-      SELECT DISTINCT doc_id, lang,
-             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_XL_V} AS c
-      FROM toks, LATERAL unnest(arr) t(w)),
-    h AS (
+      FROM documents)"""
+
+
+def _xl_tail_sql(tau_micro: int = _XL_TAU_MICRO) -> str:
+    """Oracle tail shared by q331 and q336: everything downstream of the
+    ``concepts`` CTE (doc_id, lang, c) — signature, banding, en×non-en
+    candidate join, agreement scoring, per-doc best pick. Factored so
+    the lexicon-backed variant provably swaps ONE upstream CTE."""
+    return f"""h AS (
       SELECT doc_id, lang,
              CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15)) AS BIGINT)
                % {MERSENNE_P} AS u
@@ -2671,9 +2738,20 @@ _XL_TAU_MICRO = 500_000  # candidate-pair keep threshold on est Jaccard
       SELECT doc_xx, lang_xx, doc_en, est_micro,
              row_number() OVER (PARTITION BY doc_xx
                                 ORDER BY est_micro DESC, doc_en) AS rk
-      FROM scored WHERE est_micro >= {_XL_TAU_MICRO})
+      FROM scored WHERE est_micro >= {tau_micro})
     SELECT doc_xx, lang_xx AS lang, doc_en, est_micro
-    FROM best WHERE rk = 1 ORDER BY doc_xx
+    FROM best WHERE rk = 1 ORDER BY doc_xx"""
+
+
+@register(
+    "q331_crosslingual_neardup",
+    oracle=f"""
+    WITH {_XL_TOKS_SQL},
+    concepts AS (
+      SELECT DISTINCT doc_id, lang,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_XL_V} AS c
+      FROM toks, LATERAL unnest(arr) t(w)),
+    {_xl_tail_sql()}
     """,
     doc="CROSS-LINGUAL NEAR-DUP — translated-duplicate mining (the "
     "multilingual-corpus step where a zh/es/de page is the same "
@@ -2704,8 +2782,6 @@ def crosslingual_matches(
 ) -> DataFrame:
     """The q331 core over any (doc_id, lang, text) relation — factored
     for crafted-corpus property tests and the forced-scale harness."""
-    from pyspark.sql import Window
-
     toks = docs.select("doc_id", "lang", tokens("text").alias("arr"))
     concepts = (
         toks.select(
@@ -2718,6 +2794,19 @@ def crosslingual_matches(
         )
         .distinct()
     )
+    return _crosslingual_from_concepts(concepts, tau_micro)
+
+
+def _crosslingual_from_concepts(
+    concepts: DataFrame, tau_micro: int = _XL_TAU_MICRO
+) -> DataFrame:
+    """Cross-lingual match tail shared by q331 (hashed interlingua) and
+    q336 (broadcast learned lexicon): takes a distinct (doc_id, lang, c)
+    concept relation, returns the per-doc best en match. The q331
+    docstring's claim — "swapping in a learned lexicon changes one
+    broadcast join, not the pipeline" — is this function's existence."""
+    from pyspark.sql import Window
+
     u = (hex_hash(F.col("c").cast("string")) % MERSENNE_P).alias("u")
     # sig has THREE consumers (bands, both scored-join sides) and the
     # captured plan showed 8 parquet scans with ZERO ReusedExchange —
@@ -2810,6 +2899,106 @@ def crosslingual_matches(
         )
         .orderBy("doc_xx")
     )
+
+
+# --- q336: cross-lingual near-dup via a REAL broadcast lexicon dim ---------------
+#
+# q331's docstring claims "swapping in a learned lexicon changes one
+# broadcast join, not the pipeline" — this query makes that claim a
+# tested code path (r13 verdict item 8). The lexicon is a checked-in
+# (word, lang, concept_id) dim table; tokens that a real aligner would
+# cover map through a broadcast equi-join into concept ids, OOV tokens
+# (incl. stopwords, which a learned lexicon deliberately omits) drop
+# out. Everything downstream — signature, banding, en×non-en candidate
+# join, scoring, best pick — is _crosslingual_from_concepts /
+# _xl_tail_sql, byte-identical to q331's tail.
+
+_LEX_LANGS = ("de", "en", "es", "fr", "zh")
+# content words only — the deliberate gap ("a", "the") is the lexicon
+# behaving like a learned one: stopwords carry no translation signal
+# and never get concept ids, so they can't pollute the interlingua set
+_LEX_WORDS = (
+    "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "value", "vector", "window",
+)
+
+
+def lexicon_rows() -> list[tuple[str, str, int]]:
+    """The checked-in (word, lang, concept_id) lexicon: every content
+    word maps to one language-independent concept id in every language.
+    Deterministic literal data — the stand-in for a learned aligner's
+    output table, shaped exactly like one (a real deployment reads this
+    from parquet and broadcasts it identically)."""
+    return [
+        (w, lang, cid)
+        for cid, w in enumerate(_LEX_WORDS)
+        for lang in _LEX_LANGS
+    ]
+
+
+def _lexicon_values_sql() -> str:
+    return ", ".join(
+        f"('{w}', '{lang}', {cid})" for w, lang, cid in lexicon_rows()
+    )
+
+
+@register(
+    "q336_lexicon_crosslingual_neardup",
+    oracle=f"""
+    WITH lex(word, wlang, c) AS (VALUES {_lexicon_values_sql()}),
+    {_XL_TOKS_SQL},
+    concepts AS (
+      SELECT DISTINCT t.doc_id, t.lang, l.c
+      FROM toks t
+      CROSS JOIN LATERAL unnest(t.arr) u(w)
+      JOIN lex l ON l.word = u.w AND l.wlang = t.lang),
+    {_xl_tail_sql()}
+    """,
+    doc="CROSS-LINGUAL NEAR-DUP, LEARNED-LEXICON FORM — q331 with the "
+    "hashed interlingua replaced by a REAL (word, lang, concept_id) "
+    "dim table met in a broadcast equi-join (the code path q331's "
+    "docstring promised; the tail — signature, 4x2 banding, en x "
+    "non-en candidate join, agreement scoring, best-match pick — is "
+    "the SAME factored function, so the swap is provably one join). "
+    "OOV tokens drop out, exactly like a learned aligner that only "
+    "emits entries for words it could align; stopwords are the "
+    "deliberate gap. Scale: the lexicon is vocabulary-sized (MB-GB "
+    "at 100 TB corpus scale — a broadcast dim by construction), the "
+    "join is stateless map-side, and the concept distinct + "
+    "signature agg inherit q331's hash-agg shape.",
+    tags=("llm", "dedup", "crosslingual", "minhash", "lsh", "broadcast"),
+)
+def q336_lexicon_crosslingual_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return lexicon_crosslingual_matches(
+        t(spark, sf_dir, "documents"),
+        spark.createDataFrame(
+            lexicon_rows(), "word STRING, wlang STRING, c LONG"
+        ),
+    )
+
+
+def lexicon_crosslingual_matches(
+    docs: DataFrame, lex: DataFrame, tau_micro: int = _XL_TAU_MICRO
+) -> DataFrame:
+    """The q336 core: concepts come from a broadcast lexicon dim join
+    ((token, lang) equi-join; OOV tokens drop) instead of q331's
+    stateless hash — one upstream swap, shared tail."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    )
+    concepts = (
+        toks.join(
+            F.broadcast(lex),
+            (toks["w"] == lex["word"]) & (toks["lang"] == lex["wlang"]),
+        )
+        .select("doc_id", "lang", "c")
+        .distinct()
+    )
+    return _crosslingual_from_concepts(concepts, tau_micro)
 
 
 # --- q333: cluster-aware train/dev/test split (leakage-free by construction) -----

@@ -1326,3 +1326,75 @@ def q334_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_band_hits").cast("long").alias("n_band_hits"))
         .orderBy("doc_id", "cand")
     )
+
+
+# --- q335: streaming near-dup gate, SHARDED-INDEX form ----------------------------
+#
+# q334's one documented scale gap: its broadcast is the FULL index band
+# table, so executor memory grows linearly with the index corpus. This
+# is the promised escape (r13 verdict item 3): the index is sharded on
+# a hash of the band value and the stream meets it in a SHUFFLED
+# stream-static equi-join — each task holds one shard's hash map, never
+# the whole index, so index size bounds nothing but total shard count.
+
+_GATE_SHARDS = 16
+
+
+@register(
+    "q335_stream_neardup_gate_sharded",
+    oracle=_q334_oracle(),
+    doc="STREAMING NEAR-DUP GATE, SHARDED-INDEX FORM — the huge-index "
+    "escape q334's docstring documents, now a registered code path: "
+    "identical semantics (same per-row MinHash signatures, same 4x2 "
+    "banding, same stateful candidate-pair count, same oracle), but "
+    "the index band table is explicitly SHARDED on "
+    f"pmod(xxhash64(bv), {_GATE_SHARDS}) and met in a shuffle-hash "
+    "stream-static join instead of a broadcast: the stream side "
+    "repartitions per micro-batch on (shard, band, bv) and each task "
+    "builds the hash map of ONE index shard, so per-executor memory "
+    "is index_size / n_shards instead of index_size — the knob that "
+    "keeps a 100 TB index corpus joinable (shards scale with the "
+    "index; the broadcast form is the latency-optimal choice only "
+    "while the index fits one executor). The shard key is a pure "
+    "function of the join key, so the join result — and therefore "
+    "the drained state — is byte-identical to q334's "
+    "(test_round14_ops pins the equivalence).",
+    tags=("streaming", "llm", "dedup", "minhash", "lsh", "scale"),
+)
+def q335_stream_neardup_gate_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from columnarmodeling_spark.functions.text import tokens
+    from columnarmodeling_spark.streaming.sources import documents_stream
+
+    shard = F.pmod(F.xxhash64("bv"), F.lit(_GATE_SHARDS)).alias("shard")
+    # batch side: index-corpus band table, sharded on hash(bv)
+    idx = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("tk", tokens("text"))
+        .filter(F.size("tk") >= _SNG_N)
+    )
+    ib = _band_rows(_spark_row_sig(idx), "cand").select("*", shard)
+    # stream side: per-row signature -> stateless band explode -> the
+    # SAME shard key (pure function of bv, so sharding loses nothing)
+    doc = (
+        documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 != 0)
+        .withColumn("tk", tokens("text"))
+        .filter(F.size("tk") >= _SNG_N)
+    )
+    sb = _band_rows(_spark_row_sig(doc), "doc_id").select("*", shard)
+    # shuffle-hash hint (NOT broadcast): per micro-batch, each task
+    # builds the hash map of one index shard — memory = index/N
+    hits = (
+        sb.join(ib.hint("shuffle_hash"), ["shard", "band", "bv"])
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
+    )
+    drained = drain_to_memory(hits, mode="update").localCheckpoint()
+    return (
+        drained.groupBy("doc_id", "cand")
+        .agg(F.max("n_band_hits").cast("long").alias("n_band_hits"))
+        .orderBy("doc_id", "cand")
+    )
