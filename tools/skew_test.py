@@ -153,6 +153,7 @@ def main() -> None:
 
     _round7_scenarios(spark, n_nodes=max(n_pts, 6000))
     _round8_scenarios(spark)
+    _round14_scenarios(spark)
 
 
 def _round7_scenarios(spark, n_nodes: int) -> None:
@@ -280,6 +281,53 @@ def _round8_scenarios(spark, n_ev: int = 1_000_000) -> None:
         f"{abs(results['plain-fold'] - results['segmented-64']):.3e}"
     )
     ev.unpersist()
+
+
+def _round14_scenarios(spark, n_docs: int = 20_000) -> None:
+    # --- Zipf-hot head token in the q330 suffix sort ---------------------
+    # Every other token is "the", so HALF of all corpus suffixes share
+    # one head token — with the escape off that is ONE window partition
+    # (one straggler sort task holding n_docs*30 suffix rows); with the
+    # escape on the hot head auto-widens to (head, second token) and the
+    # second tokens are document-unique, so the hot mass shards across
+    # the cluster. The r13 forced-scale row used disjoint-vocab replicas
+    # that CANNOT exhibit this skew (r13 verdict item 2); this is the
+    # forced-skew measurement that can. Outputs must agree exactly —
+    # the escape's whole point is being lossless.
+    from columnarmodeling_spark.queries.llm_dedup import suffix_repeat_stats
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 60), "
+            "i -> IF(i % 2 = 0, 'the', concat('d', id, 'x', i))))"
+        ).alias("text"),
+    ).cache()
+    docs.count()
+    results = {}
+    for name, thresh in (("escape-off", 1 << 60), ("escape-on", 100_000)):
+        for timed in (False, True):
+            # rebuild the pipeline per pass: a reused DataFrame would
+            # skip its shuffle map stages on the second collect and the
+            # "timed" number would measure only the final stage
+            agg = suffix_repeat_stats(
+                docs, hot_head_threshold=thresh
+            ).agg(
+                F.sum("max_repeat").alias("smr"),
+                F.sum("n_rep_pos").alias("srp"),
+            )
+            t0 = time.time()
+            row = agg.collect()[0]
+            if timed:
+                results[name] = (row["smr"], row["srp"])
+                print(
+                    f"q330 zipf-hot-head docs={n_docs} {name}: "
+                    f"{time.time() - t0:.2f}s sum_max_repeat={row['smr']} "
+                    f"sum_n_rep_pos={row['srp']}"
+                )
+    assert results["escape-off"] == results["escape-on"], results
+    print("q330 zipf-hot-head escape-off == escape-on: outputs identical")
+    docs.unpersist()
 
 
 if __name__ == "__main__":
