@@ -161,21 +161,22 @@ def register(
 # (q330+, front round 14); oldest staleness band r5 (6 left: q78, q92,
 # q93, q106, q108, q110).
 # Round-14 rotation (executes the plan committed in round 13's ledger,
-# adjusted for the two round-14 additions, which outrank staleness
+# adjusted for the six round-14 additions, which outrank staleness
 # refresh per the standing precedence): q01 anchor; round-13 batch
 # additions q330-q333 (first driver rows; 5/5 judge-replica strict in
-# VERDICT r13); the round-14 batch addition q336 (lexicon cross-lingual
-# — strict-replica MATCH at sf0.01 when added); the r5 remainder (6:
-# q78, q92, q93, q106, q108, q110); the r6 band's 33 oldest (band
+# VERDICT r13); the round-14 batch additions q336-q339 (lexicon
+# cross-lingual, key-join disjointness, Gopher repetition, chunk dedup
+# — all strict-replica MATCH at sf0.01 when added); the r5 remainder
+# (6: q78, q92, q93, q106, q108, q110); the r6 band's 30 oldest (band
 # order: q51 q53 q55 q68 q70 q76 q77 q79 q94 q95 q97-q99 q102 q103
-# q107 q109 q111-q126); streaming tail last (q334 + the round-14
+# q107 q109 q111-q123); streaming tail last (q334 + the round-14
 # q335 sharded gate, then q206/q207/q222 as the streaming-tier guard).
-# 1+4+1+6+33+5 = 50.
+# 1+4+4+6+30+5 = 50.
 # Post-r14 ledger: never driver-checked = round-14 additions past the
-# window (none — q335/q336 are in-window); oldest staleness band r6
-# (11 left: q127-q137), then r7 (q138-q181).
-# ROUND-15 PLAN: q01 anchor + any round-14/15 additions + r6 remainder
-# (q127-q137, 11) + the r7 band's oldest ~30 (q138+ in band order) +
+# window (none — q335-q339 are in-window); oldest staleness band r6
+# (14 left: q124-q137), then r7 (q138-q181).
+# ROUND-15 PLAN: q01 anchor + any round-15 additions + r6 remainder
+# (q124-q137, 14) + the r7 band's oldest ~27 (q138+ in band order) +
 # streaming tail (q206/q207/q222). The ledger converges to a
 # ≤3-round-stale steady state by ~r17. The whole r13 window — additions AND drain set — is
 # pre-verified: REPLICA_r12.json carries 329/329 strict-match including
@@ -203,9 +204,12 @@ PRIORITY: tuple[str, ...] = (
     "q331_crosslingual_neardup",
     "q332_quality_calibration",
     "q333_cluster_split",
-    # never-driver-checked round-14 batch addition (strict-replica
+    # never-driver-checked round-14 batch additions (strict-replica
     # MATCH at sf0.01 when added; q335 is streaming — tail below)
     "q336_lexicon_crosslingual_neardup",
+    "q337_disjointness_keyjoin",
+    "q338_gopher_repetition",
+    "q339_chunk_dedup",
     # staleness drain: the r5 band remainder (oldest surviving rows)
     "q78_media_resize",
     "q92_clipped_facets",
@@ -244,9 +248,6 @@ PRIORITY: tuple[str, ...] = (
     "q121_incremental_dedup",
     "q122_solver3d_steps",
     "q123_pq_codes",
-    "q124_pq_adc_recall",
-    "q125_incremental_neardup",
-    "q126_ivfpq_search",
     # streaming rows: fixed micro-batch drain cost, so last in-window —
     # first driver rows for q334/q335, plus the r8-band late-data pair
     # and the decontamination gate as this round's streaming-tier guard

@@ -3105,3 +3105,127 @@ def q333_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# --- q339: chunk-level exact dedup, first-occurrence-wins (C4 line dedup) --------
+#
+# C4's line-level dedup (Raffel et al. 2020 §2.2, public: "we discarded
+# all but one of any three-sentence span occurring more than once")
+# re-expressed on token streams without sentence boundaries: each doc's
+# token stream splits into fixed-width non-overlapping chunks, a chunk
+# survives iff it is the corpus-order FIRST occurrence of its content,
+# and the doc reports how much of it survived — the sub-document
+# granularity between q40 (whole-doc exact dedup) and q330 (per-position
+# suffix repeats).
+
+_CD_W = 8  # chunk width (tokens)
+
+
+@register(
+    "q339_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS arr
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS idx,
+             CAST(('0x' || substr(md5(
+               array_to_string(arr[(i*{_CD_W}+1):(i*{_CD_W}+{_CD_W})], ' ')
+             ), 1, 15)) AS BIGINT) AS hv
+      FROM toks,
+           LATERAL unnest(generate_series(
+             0, CAST(floor((len(arr) - 1) / {_CD_W}.0) AS INT))) t(i)
+      WHERE len(arr) >= 1),
+    firsts AS (
+      SELECT hv, min(doc_id * 1000000 + idx) AS fkey
+      FROM chunks GROUP BY hv),
+    marked AS (
+      SELECT c.doc_id,
+             CASE WHEN c.doc_id * 1000000 + c.idx = f.fkey
+                  THEN 1 ELSE 0 END AS kept
+      FROM chunks c JOIN firsts f ON c.hv = f.hv),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             CAST(round(1000000.0 * sum(kept) / count(*)) AS BIGINT)
+               AS kept_micro
+      FROM marked GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(p.n_chunks, 0) AS n_chunks,
+           coalesce(p.n_kept, 0) AS n_kept,
+           coalesce(p.kept_micro, 0) AS kept_micro
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="CHUNK-LEVEL EXACT DEDUP, FIRST-OCCURRENCE-WINS — C4's line "
+    "dedup (Raffel et al. 2020 §2.2) on token streams: docs split "
+    f"into fixed {_CD_W}-token non-overlapping chunks (the "
+    "line-analog when no sentence boundaries exist), a chunk "
+    "survives iff it is the corpus-order first occurrence of its "
+    "content (min (doc_id, idx) per 60-bit chunk hash — one hash "
+    "agg, the q40 canonical-min rule at sub-doc grain), per doc the "
+    "surviving fraction. Sits between q40 (whole-doc) and q330 "
+    "(per-position): the form that strips boilerplate paragraphs "
+    "repeated across a crawl without discarding the host documents. "
+    "Scale: chunks carry an 8-byte hash (never chunk text) through "
+    "the first-occurrence agg; the shuffle key is the chunk hash "
+    "(maximally spread — a boilerplate-hot chunk is ONE group whose "
+    "min combines map-side, the A3 rounded-key pattern); everything "
+    "is hash agg + equi-join, no windows, no collected lists.",
+    tags=("llm", "dedup", "chunk", "c4", "agg", "scale"),
+)
+def q339_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_dedup_stats(t(spark, sf_dir, "documents"))
+
+
+def chunk_dedup_stats(docs: DataFrame, width: int = _CD_W) -> DataFrame:
+    """The q339 core over any (doc_id, text) relation — factored for
+    crafted-corpus property tests and forced-scale replays."""
+    W = width
+    toks = docs.select("doc_id", tokens("text").alias("tk"))
+    chunks = (
+        toks.filter(F.size("tk") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(floor((size(tk) - 1) / {W}.0) AS INT)), "
+                    f"i -> struct(i AS idx, concat_ws(' ', slice(tk, i*{W}+1, {W})) AS chunk))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.idx").cast("long").alias("idx"),
+            hex_hash(F.col("c.chunk")).alias("hv"),
+        )
+        .withColumn("fkey", F.col("doc_id") * 1_000_000 + F.col("idx"))
+    )
+    firsts = chunks.groupBy("hv").agg(F.min("fkey").alias("first_fkey"))
+    marked = chunks.join(firsts, "hv").select(
+        "doc_id",
+        F.when(F.col("fkey") == F.col("first_fkey"), 1)
+        .otherwise(0)
+        .alias("kept"),
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.round(1000000.0 * F.sum("kept") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("kept_micro"),
+    )
+    return (
+        toks.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_micro", F.lit(0)).alias("kept_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -6240,3 +6240,119 @@ def q328_gazetteer_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity")
     )
+
+
+# --- q338: Gopher repetition filters (dup n-gram / top n-gram fractions) ---------
+#
+# The repetition tier of the Gopher quality rules (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1 — public): documents
+# dominated by repeated n-grams are boilerplate/spam; the filter
+# computes, per document, the duplicate-2/3-gram fraction and the
+# most-frequent-2-gram share, and keeps docs below the published
+# thresholds (0.20 / 0.18 / 0.20 — token-count analogs of the paper's
+# character-fraction rules, the standard simplification when chars
+# aren't tracked). Micro-quantized (round to 1e-6) so both engines
+# agree bit-exactly, the module's standard.
+
+_GR_DUP2_MAX = 200_000  # dup 2-gram fraction threshold (micro)
+_GR_DUP3_MAX = 180_000  # dup 3-gram fraction threshold (micro)
+_GR_TOP2_MAX = 200_000  # top 2-gram share threshold (micro)
+
+
+def _gr_gram_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"arr[i+{j}]" for j in range(n))
+    return f"""g{n} AS (
+      SELECT doc_id, {gram} AS g
+      FROM toks, LATERAL unnest(generate_series(1, len(arr) - {n - 1})) t(i)
+      WHERE len(arr) >= {n}),
+    c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2),
+    s{n} AS (
+      SELECT doc_id,
+             CAST(round(1000000.0 * (sum(c) - count(*)) / sum(c)) AS BIGINT)
+               AS dup{n}_micro,
+             CAST(round(1000000.0 * max(c) / sum(c)) AS BIGINT)
+               AS top{n}_micro
+      FROM c{n} GROUP BY doc_id)"""
+
+
+@register(
+    "q338_gopher_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS arr
+      FROM documents),
+    {_gr_gram_sql(2)},
+    {_gr_gram_sql(3)}
+    SELECT t.doc_id,
+           CAST(len(t.arr) AS BIGINT) AS n_tokens,
+           coalesce(s2.dup2_micro, 0) AS dup2_micro,
+           coalesce(s2.top2_micro, 0) AS top2_micro,
+           coalesce(s3.dup3_micro, 0) AS dup3_micro,
+           (coalesce(s2.dup2_micro, 0) <= {_GR_DUP2_MAX}
+            AND coalesce(s3.dup3_micro, 0) <= {_GR_DUP3_MAX}
+            AND coalesce(s2.top2_micro, 0) <= {_GR_TOP2_MAX}) AS keep
+    FROM toks t
+    LEFT JOIN s2 ON t.doc_id = s2.doc_id
+    LEFT JOIN s3 ON t.doc_id = s3.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="GOPHER REPETITION FILTERS (Rae et al. 2021 Table A1, public "
+    "rules) — the quality-filter tier q51 lacks: per doc, the "
+    "duplicate-2-gram fraction (1 - distinct/total), duplicate-3-gram "
+    "fraction, and most-frequent-2-gram share, micro-quantized; keep "
+    "iff all three sit under the published thresholds (0.20/0.18/"
+    "0.20, token-count analogs). Shape: per-n-gram counts are a "
+    "two-level hash agg — groupBy(doc, gram) then groupBy(doc) — so "
+    "per-row aggregation state is constant (count/max/sum), nothing "
+    "collects a gram LIST per doc; the shuffle key (doc_id, gram) is "
+    "maximally spread and a boilerplate-hot gram is still keyed by "
+    "doc_id (no global hot key exists, unlike the corpus-wide df "
+    "aggregations). Short docs (< n tokens) produce no grams and "
+    "keep by definition (fractions 0 via the left join).",
+    tags=("llm", "text", "quality", "gopher", "agg"),
+)
+def q338_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_repetition_stats(t(spark, sf_dir, "documents"))
+
+
+def gopher_repetition_stats(docs: DataFrame) -> DataFrame:
+    """The q338 core over any (doc_id, text) relation — factored for
+    crafted-corpus property tests (pure repetition, pure novelty, short
+    docs) and forced-scale replays."""
+    toks = docs.select("doc_id", tokens("text").alias("tk"))
+
+    def gram_stats(n: int) -> DataFrame:
+        g = toks.select(
+            "doc_id", F.explode(word_shingles("tk", n)).alias("g")
+        )
+        per = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        dup = F.round(
+            1000000.0 * (F.sum("c") - F.count(F.lit(1))) / F.sum("c")
+        ).cast("long")
+        top = F.round(1000000.0 * F.max("c") / F.sum("c")).cast("long")
+        return per.groupBy("doc_id").agg(
+            dup.alias(f"dup{n}_micro"), top.alias(f"top{n}_micro")
+        )
+
+    s2, s3 = gram_stats(2), gram_stats(3)
+    keep = (
+        (F.col("dup2_micro") <= _GR_DUP2_MAX)
+        & (F.col("dup3_micro") <= _GR_DUP3_MAX)
+        & (F.col("top2_micro") <= _GR_TOP2_MAX)
+    )
+    return (
+        toks.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(s2, "doc_id", "left")
+        .join(s3.select("doc_id", "dup3_micro"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup2_micro", F.lit(0)).alias("dup2_micro"),
+            F.coalesce("top2_micro", F.lit(0)).alias("top2_micro"),
+            F.coalesce("dup3_micro", F.lit(0)).alias("dup3_micro"),
+        )
+        .withColumn("keep", keep)
+        .orderBy("doc_id")
+    )

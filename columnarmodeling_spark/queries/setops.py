@@ -80,6 +80,54 @@ def q28_disjointness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q337_disjointness_keyjoin",
+    oracle="""
+    WITH sets AS (SELECT DISTINCT o_orderpriority AS pri, o_custkey AS ck
+                  FROM orders)
+    SELECT a.pri AS pri_a, b.pri AS pri_b,
+           (count(CASE WHEN a.ck = b.ck THEN 1 END) = 0) AS disjoint,
+           count(CASE WHEN a.ck = b.ck THEN 1 END) AS n_shared
+    FROM sets a JOIN sets b ON a.pri < b.pri AND a.ck = b.ck
+    GROUP BY a.pri, b.pri
+    """,
+    doc="Node-set disjointness, KEY-LEVEL EQUI-JOIN form — the 100 TB "
+    "escape for q28's collect_set payload (PLANCENSUS's one standing "
+    "honest caveat since r12: q28 materializes each group's full key "
+    "set in a single aggregation buffer, data-proportional per "
+    "group). Same semantics and same oracle as q28 — overlapping "
+    "group pairs with shared-key counts — but |A ∩ B| is computed by "
+    "self-joining the distinct (group, key) relation ON THE KEY and "
+    "counting per pair (the q42 shingle-intersection skeleton): "
+    "every operator is a hash agg or equi-join on well-spread keys, "
+    "per-row state is constant, and a hot key's fan-out is bounded "
+    "by the number of GROUPS it appears in (<= |priorities|), never "
+    "by corpus size. q28 stays registered as the reference-faithful "
+    "U3 array form (SURVEY §2.6, set(...).isdisjoint(...)); this is "
+    "the form a 100 TB deployment runs.",
+    tags=("setop", "U3", "join", "scale"),
+)
+def q337_disjointness_keyjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    sets = o.select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_custkey").alias("ck")
+    ).distinct()
+    a = sets.select(F.col("pri").alias("pri_a"), "ck")
+    b = sets.select(F.col("pri").alias("pri_b"), "ck")
+    return (
+        a.join(b, "ck")
+        .filter(F.col("pri_a") < F.col("pri_b"))
+        .groupBy("pri_a", "pri_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "pri_a",
+            "pri_b",
+            (F.col("n_shared") == 0).alias("disjoint"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+        )
+    )
+
+
+@register(
     "q29_intersect_projection",
     oracle="""
     SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 7000

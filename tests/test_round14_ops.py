@@ -191,3 +191,86 @@ def test_q336_oov_tokens_drop(spark):
         "word STRING, wlang STRING, c LONG",
     )
     assert lexicon_crosslingual_matches(docs, lex).count() == 0
+
+
+# --- q337 key-join disjointness ≡ q28 array form -------------------------------
+
+
+def test_q337_equals_q28(spark):
+    a = {
+        (r.pri_a, r.pri_b): (r.disjoint, r.n_shared)
+        for r in REGISTRY["q28_disjointness"].fn(spark, SF).collect()
+    }
+    b = {
+        (r.pri_a, r.pri_b): (r.disjoint, r.n_shared)
+        for r in REGISTRY["q337_disjointness_keyjoin"].fn(spark, SF).collect()
+    }
+    assert a == b
+    assert len(b) > 0
+
+
+# --- q338 Gopher repetition filters --------------------------------------------
+
+
+def test_q338_crafted_fractions(spark):
+    from columnarmodeling_spark.queries.llm_text import (
+        gopher_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x x x x x x"),          # pure repetition
+            (1, "a b c d e f"),          # pure novelty
+            (2, "one"),                  # too short for any gram
+            (3, "p q p q p q p q"),      # alternating
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r.asDict() for r in gopher_repetition_stats(docs).collect()
+    }
+    # doc 0: five 2-grams, all "x x" -> dup 4/5, top 5/5; keep False
+    assert got[0]["dup2_micro"] == 800000
+    assert got[0]["top2_micro"] == 1000000
+    assert got[0]["keep"] is False
+    # doc 1: all grams distinct -> 0/low; keep True
+    assert got[1]["dup2_micro"] == 0
+    assert got[1]["dup3_micro"] == 0
+    assert got[1]["keep"] is True
+    # doc 2: no grams at all -> zeros, keep True
+    assert got[2] == {
+        "doc_id": 2, "n_tokens": 1, "dup2_micro": 0, "top2_micro": 0,
+        "dup3_micro": 0, "keep": True,
+    }
+    # doc 3: seven 2-grams = 4x "p q" + 3x "q p" -> dup 5/7, top 4/7
+    assert got[3]["dup2_micro"] == round(1e6 * 5 / 7)
+    assert got[3]["top2_micro"] == round(1e6 * 4 / 7)
+    assert got[3]["keep"] is False
+
+
+# --- q339 chunk-level first-occurrence dedup ------------------------------------
+
+
+def test_q339_first_occurrence_wins(spark):
+    from columnarmodeling_spark.queries.llm_dedup import chunk_dedup_stats
+
+    boiler = "b1 b2 b3 b4"  # one 4-token chunk at width=4
+    docs = spark.createDataFrame(
+        [
+            (0, boiler),                           # owns the first copy
+            (1, f"{boiler} u1 u2 u3 u4"),          # copy drops, tail kept
+            (2, "s1 s2 s3 s4 s1 s2 s3 s4"),        # within-doc duplicate
+            (3, ""),                               # empty doc
+            (4, "t1 t2"),                          # partial chunk only
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.kept_micro)
+        for r in chunk_dedup_stats(docs, width=4).collect()
+    }
+    assert got[0] == (1, 1, 1000000)
+    assert got[1] == (2, 1, 500000)   # boilerplate chunk deduped away
+    assert got[2] == (2, 1, 500000)   # second within-doc copy drops
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (1, 1, 1000000)  # partial chunk is still content
