@@ -1019,12 +1019,16 @@ CASES = {
     "time (eager=True) and is not in the plan.",
     "q330_suffix_repeats": "Suffix-array ExactSubstr (exact maximal "
     "repeats). What to check: ONE window exchange hash-partitioned "
-    "on the first-token bucket key (the distributed suffix sort — "
-    "never an unpartitioned global sort); suffix generation is a "
-    "generator expression inside the projection (no Python, no "
-    "join); the LCP arithmetic is all codegen'd array expressions; "
-    "the per-doc fold is a partial/final HashAggregate. No doc x "
-    "doc pair space anywhere in the plan.",
+    "on the (head, k2) bucket key (the distributed suffix sort — "
+    "never an unpartitioned global sort; k2 is the r14 hot-head "
+    "auto-widen: second token for heads over the 100k threshold, "
+    "constant sentinel otherwise); the hot set is a partial/final "
+    "HashAggregate on head feeding a BroadcastExchange (detecting "
+    "the skew never recreates it); suffix generation is a generator "
+    "expression inside the projection (no Python); the LCP "
+    "arithmetic is all codegen'd array expressions; the per-doc "
+    "fold is a partial/final HashAggregate. No doc x doc pair "
+    "space anywhere in the plan.",
     "q331_crosslingual_neardup": "Cross-lingual near-dup (hashed "
     "lexicon + MinHash-LSH). What to check: concept hashing is "
     "stateless projection; signatures are one HashAggregate on "
@@ -1044,6 +1048,32 @@ CASES = {
     "HashAggregate onto <=10 bins; the ECE/Brier fold and the "
     "final cross join run on the 10-row bin relation "
     "(BroadcastExchange of a 1-row agg).",
+    "q336_lexicon_crosslingual_neardup": "Cross-lingual near-dup, "
+    "learned-lexicon form. What to check: the ONLY difference from "
+    "q331's plan is upstream — the 145-row lexicon dim enters via "
+    "BroadcastExchange into a BroadcastHashJoin on (word, lang) "
+    "replacing q331's md5 concept projection; signature agg, band "
+    "explode, en x non-en equi-join and the doc_xx rank window are "
+    "the same factored tail.",
+    "q337_disjointness_keyjoin": "Key-level disjointness (q28's 100 TB "
+    "form). What to check: NO collect_set anywhere — the plan is "
+    "distinct (hash agg) -> self equi-join on ck -> partial/final "
+    "HashAggregate on (pri_a, pri_b); per-row aggregation state is "
+    "a counter, and no aggregate buffer holds an array.",
+    "q338_gopher_repetition": "Gopher repetition filters. What to "
+    "check: the token relation is lazily checkpointed (Scan "
+    "ExistingRDD — it has 3 consumers and no covering exchange; "
+    "64x A/B: -24%), then two independent two-level HashAggregate "
+    "chains (keyed (doc_id, gram) then doc_id) — no collect_list "
+    "of grams, no window; gram generation is a codegen'd generator "
+    "expression; the final left joins run on doc-grain relations.",
+    "q339_chunk_dedup": "Chunk-level first-occurrence dedup (C4 line "
+    "dedup). What to check: chunks leave the projection as 8-byte "
+    "hashes (no chunk text crosses a shuffle) and the chunk "
+    "relation is lazily checkpointed (2 consumers, no covering "
+    "exchange); first-occurrence is one partial/final HashAggregate "
+    "(min fkey per hash) feeding an equi-join back on hv; per-doc "
+    "fold is a hash agg; no windows.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind
@@ -1446,6 +1476,42 @@ def _q334_stream(spark, sf):
     )
 
 
+def _q335_stream(spark, sf):
+    """The pre-drain plan of q335 (sharded-index streaming gate)."""
+    from pyspark.sql import functions as F
+
+    from columnarmodeling_spark.functions.text import tokens
+    from columnarmodeling_spark.queries._util import t
+    from columnarmodeling_spark.queries.streaming import (
+        _GATE_SHARDS,
+        _SNG_N,
+        _band_rows,
+        _spark_row_sig,
+    )
+    from columnarmodeling_spark.streaming.sources import documents_stream
+
+    shard = F.pmod(F.xxhash64("bv"), F.lit(_GATE_SHARDS)).alias("shard")
+    idx = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("tk", tokens("text"))
+        .filter(F.size("tk") >= _SNG_N)
+    )
+    ib = _band_rows(_spark_row_sig(idx), "cand").select("*", shard)
+    doc = (
+        documents_stream(spark, sf)
+        .filter(F.col("doc_id") % 10 != 0)
+        .withColumn("tk", tokens("text"))
+        .filter(F.size("tk") >= _SNG_N)
+    )
+    sb = _band_rows(_spark_row_sig(doc), "doc_id").select("*", shard)
+    return (
+        sb.join(ib.hint("shuffle_hash"), ["shard", "band", "bv"])
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
+    )
+
+
 def _q222_stream(spark, sf):
     """The pre-drain plan of q222 (streaming decontamination)."""
     from pyspark.sql import functions as F
@@ -1525,6 +1591,17 @@ ROUND_CASES = {
         "enters via BroadcastExchange; the only stateful operator is "
         "the (doc_id, cand)-keyed update-mode StateStoreSave agg.",
         _q334_stream,
+    ),
+    "q335_stream_neardup_gate_sharded (pre-drain plan)": (
+        "Sharded-index streaming near-dup gate (queries/streaming.py "
+        "q335 — q334's huge-index escape). What to check: NO "
+        "BroadcastExchange on the index side — the join is a "
+        "ShuffledHashJoin (or SortMergeJoin) on (shard, band, bv), "
+        "the static index build re-partitions per micro-batch and "
+        "each task holds ONE shard's hash map (memory = index/16); "
+        "the stream side's only shuffle is that join partitioning; "
+        "the stateful op is still the (doc_id, cand) update-mode agg.",
+        _q335_stream,
     ),
     "q222_stream_decontamination (pre-drain plan)": (
         "Streaming decontamination screen (queries/streaming.py q222). "
