@@ -3183,7 +3183,16 @@ def q339_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def chunk_dedup_stats(docs: DataFrame, width: int = _CD_W) -> DataFrame:
     """The q339 core over any (doc_id, text) relation — factored for
-    crafted-corpus property tests and forced-scale replays."""
+    crafted-corpus property tests and forced-scale replays.
+
+    The first-occurrence key is the arithmetic composite
+    ``doc_id * 1e6 + idx`` (kept identical in the SQL oracle so both
+    engines order occurrences the same way). Documented bounds: valid
+    for docs up to 1e6 chunks (8M tokens at W=8 — far above any sane
+    crawl-pipeline doc cap, which truncates upstream) and doc_ids up to
+    ~9.2e12; a corpus outside those bounds swaps this line for
+    ``F.min(F.struct("doc_id", "idx"))``, the same agg shape with a
+    struct buffer instead of a long."""
     W = width
     toks = docs.select("doc_id", tokens("text").alias("tk"))
     chunks = (

@@ -6321,13 +6321,17 @@ def gopher_repetition_stats(docs: DataFrame) -> DataFrame:
     """The q338 core over any (doc_id, text) relation — factored for
     crafted-corpus property tests (pure repetition, pure novelty, short
     docs) and forced-scale replays."""
-    # toks has THREE consumers (2-gram explode, 3-gram explode, base
-    # n_tokens) and no exchange covers it — the q316/q331 checkpoint
-    # case per the measured policy; the 64× A/B this round: 73.2s →
-    # 55.6s (−24%) with the lazy localCheckpoint.
-    toks = docs.select("doc_id", tokens("text").alias("tk")).localCheckpoint(
-        eager=False
-    )
+    # toks has THREE consumers and no covering exchange — but it does
+    # NOT get the q316/q331 localCheckpoint: the 256× doubling protocol
+    # measured the materialized token-ARRAY relation super-linear
+    # (64×→256×: ckpt 39.5s→246.2s = 6.2× for 4× data, recompute
+    # 41.2s→174.1s = 4.2× ≈ linear — block-manager storage pressure
+    # grows with the array payload, while re-running the stateless
+    # tokenize costs a flat ~5%). The checkpoint policy's payload
+    # corollary: materialize compact relations (q339's 8-byte hashes),
+    # recompute wide ones. A contended 64× A/B had shown ckpt −24%;
+    # the clean doubling exposed the inversion.
+    toks = docs.select("doc_id", tokens("text").alias("tk"))
 
     def gram_stats(n: int) -> DataFrame:
         g = toks.select(

@@ -1061,12 +1061,13 @@ CASES = {
     "HashAggregate on (pri_a, pri_b); per-row aggregation state is "
     "a counter, and no aggregate buffer holds an array.",
     "q338_gopher_repetition": "Gopher repetition filters. What to "
-    "check: the token relation is lazily checkpointed (Scan "
-    "ExistingRDD — it has 3 consumers and no covering exchange; "
-    "64x A/B: -24%), then two independent two-level HashAggregate "
-    "chains (keyed (doc_id, gram) then doc_id) — no collect_list "
-    "of grams, no window; gram generation is a codegen'd generator "
-    "expression; the final left joins run on doc-grain relations.",
+    "check: two independent two-level HashAggregate chains (keyed "
+    "(doc_id, gram) then doc_id) — no collect_list of grams, no "
+    "window; gram generation is a codegen'd generator expression; "
+    "the final left joins run on doc-grain relations. The token "
+    "relation is deliberately RECOMPUTED per consumer, not "
+    "checkpointed: the 256x doubling measured the materialized "
+    "token-array form super-linear (SCALE.md payload corollary).",
     "q339_chunk_dedup": "Chunk-level first-occurrence dedup (C4 line "
     "dedup). What to check: chunks leave the projection as 8-byte "
     "hashes (no chunk text crosses a shuffle) and the chunk "
