@@ -217,7 +217,7 @@ PRIORITY: tuple[str, ...] = (
     "q106_geometry_invariants",
     "q108_media_decode",
     "q110_ivf_recall",
-    # staleness drain: the r6 band's 33 oldest, band order
+    # staleness drain: the r6 band's 30 oldest, band order
     "q51_quality_score",
     "q53_fingerprint",
     "q55_pii_redaction",

@@ -2624,12 +2624,16 @@ def suffix_repeat_stats(
         F.col("g.s").alias("s"),
         F.element_at(F.col("g.s"), 1).alias("head"),
     )
-    # hot-head detection: per-head suffix counts are a hash aggregate
-    # (partial/final combinable — the hot key arrives as a handful of
-    # map-side partials, never as raw rows in one task), and the hot
-    # set is Zipf-tiny, so it broadcasts back onto the suffix relation.
+    # hot-head detection: a head's suffix count IS its token's corpus
+    # frequency (every position starts exactly one suffix), so the
+    # counting branch explodes the plain token relation — 1 long per
+    # row — instead of re-materializing the K-slice suffix arrays.
+    # Hash aggregate (partial/final combinable — the hot key arrives
+    # as a handful of map-side partials, never as raw rows in one
+    # task); the hot set is Zipf-tiny, so it broadcasts back.
     hot = (
-        sfx.groupBy("head")
+        toks.select(F.explode("arr").alias("head"))
+        .groupBy("head")
         .agg(F.count(F.lit(1)).alias("__hn"))
         .filter(F.col("__hn") >= hot_head_threshold)
         .select("head", F.lit(True).alias("__hot"))
