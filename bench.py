@@ -363,7 +363,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    max_attempts = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    )
 
     preflight = _preflight_idle()
     spark = get_spark("columnarmodeling-bench")

@@ -2592,6 +2592,12 @@ def suffix_repeat_stats(
     broadcast back, so detecting the skew never recreates it."""
     from pyspark.sql import Window
 
+    # exactness precondition: the max(lcp,1) hot-row floor is only
+    # valid when a hot head has >= 2 suffixes (so every suffix under it
+    # really repeats); threshold 1 would mark singleton heads hot and
+    # silently inflate LCP 0 -> 1.
+    hot_head_threshold = max(hot_head_threshold, 2)
+
     K, T = k, rep_t
     lcp_expr = _SA_LCP_SPARK
     # 60-bit md5 token hashes (q43 convention) instead of strings: the
