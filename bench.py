@@ -17,12 +17,21 @@ rescued the round's perf story):
    per-attempt run conditions) is written to BENCH_FULL.json at the
    repo root, regenerated every run.
 2. Retry-until-clean: the timed region re-runs (up to
-   $SPARK_GRAFT_BENCH_ATTEMPTS, default 3) until the run monitor
-   reports run_clean (no foreign CPU, no foreign JVMs, hypervisor
-   steal < 30 s). The published numbers are the FIRST clean attempt's;
-   if none is clean, the fastest attempt publishes with
-   "run_clean": false and every attempt is preserved in
-   BENCH_FULL.json so the artifact is decidable either way.
+   $SPARK_GRAFT_BENCH_ATTEMPTS, default 3, plus up to
+   $SPARK_GRAFT_BENCH_BACKOFFS extra windows after a
+   $SPARK_GRAFT_BENCH_BACKOFF_S sleep) until the run monitor reports
+   run_clean (no foreign CPU, no foreign JVMs, hypervisor steal under
+   5% of the region). The published numbers are the FIRST clean
+   attempt's; if none is clean, the LOWEST-STEAL attempt publishes
+   with "run_clean": false and every attempt is preserved so the
+   artifact is decidable either way.
+
+Round-15 cleanliness ratchet (r14 verdict item 1 — the round-14 close
+overwrote a committed clean BENCH_FULL.json with a dirty regen): when
+no attempt is clean but the existing BENCH_FULL.json at the same sf
+holds a clean published attempt, that file is left untouched, the
+dirty run lands in BENCH_FULL_dirty.json, and the stdout line
+republishes the protected clean numbers (flagged "protected_clean").
 """
 
 from __future__ import annotations
@@ -288,6 +297,13 @@ class _RunMonitor:
         steal_s = (_steal_jiffies() - self._steal0) / self._clk
         region_s = max(self._t_exit - self._t_enter, 1e-6)
         steal_frac = steal_s / region_s
+        # The absolute 30s arm is REGION-AWARE (r14 ADVICE): on a short
+        # timed region (trimmed headline list, solver-only run) a flat
+        # 30s allowance could approach half the region and still print
+        # run_clean — so the absolute arm only applies when the region
+        # is long enough (>= 300 s) that 30 s stays under ~10%. The
+        # rate arm (5%, matching the preflight's load gate) is the
+        # general criterion.
         return {
             "load1_max_during_run": round(self.load1_max, 2),
             "foreign_cpu_cores_max": round(self.foreign_cores_max, 2),
@@ -297,7 +313,10 @@ class _RunMonitor:
             "steal_frac": round(steal_frac, 4),
             "run_clean": self.foreign_cores_max < 0.5
             and self.foreign_jvms_max == 0
-            and (steal_s < 30.0 or steal_frac < 0.05),
+            and (
+                steal_frac < 0.05
+                or (steal_s < 30.0 and region_s >= 300.0)
+            ),
         }
 
 
@@ -386,20 +405,51 @@ def main() -> None:
     # retry-until-clean (r13 verdict item 1): a dirty timed region
     # re-runs up to max_attempts times; the first clean attempt
     # publishes. All attempts land in BENCH_FULL.json either way.
+    # When every attempt in the first window is dirty, BACK OFF and
+    # retry in later windows (r14 verdict item 1b — steal episodes on
+    # this host come and go on multi-minute scales, so a bounded sleep
+    # often lands a clean window that three back-to-back attempts
+    # cannot): up to $SPARK_GRAFT_BENCH_BACKOFFS extra windows
+    # (default 2), sleeping $SPARK_GRAFT_BENCH_BACKOFF_S (default 300)
+    # before each.
+    max_backoffs = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_BACKOFFS", "2"))
+    )
+    backoff_s = float(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF_S", "300"))
     attempts: list[dict] = []
-    for i in range(max_attempts):
-        if i:
-            # settle gap between attempts: collect the previous
-            # attempt's shuffle garbage outside any timed window and
-            # give a transient co-tenant time to finish
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(20)
-        att = _timed_attempt(spark, names, sf_dir)
-        attempts.append(att)
-        if att["run_conditions"]["run_clean"]:
+    for window in range(1 + max_backoffs):
+        if window:
+            print(
+                f"# all {len(attempts)} attempts dirty; backing off "
+                f"{backoff_s:.0f}s for window {window + 1}",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(backoff_s)
+        for i in range(max_attempts):
+            if attempts:
+                # settle gap between attempts: collect the previous
+                # attempt's shuffle garbage outside any timed window and
+                # give a transient co-tenant time to finish
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(20)
+            att = _timed_attempt(spark, names, sf_dir)
+            attempts.append(att)
+            if att["run_conditions"]["run_clean"]:
+                break
+        if attempts[-1]["run_conditions"]["run_clean"]:
             break
     clean = [a for a in attempts if a["run_conditions"]["run_clean"]]
-    published = clean[0] if clean else min(attempts, key=lambda a: a["value"])
+    # No clean attempt: publish the LOWEST-STEAL attempt, not the
+    # fastest (r14 ADVICE — min-by-value under noise systematically
+    # picks the luckiest run; least-interfered is the honest fallback).
+    published = (
+        clean[0]
+        if clean
+        else min(
+            attempts, key=lambda a: a["run_conditions"]["steal_frac"]
+        )
+    )
     spark.stop()
 
     full = {
@@ -413,8 +463,13 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
-    with open(full_path, "w") as fh:
-        json.dump(full, fh, indent=1)
+    # CLEANLINESS RATCHET (r14 verdict item 1 — the round-14 close
+    # overwrote a committed clean BENCH_FULL with a dirty regen): a
+    # dirty run NEVER replaces an existing clean artifact at the same
+    # sf. The dirty attempts are preserved in BENCH_FULL_dirty.json
+    # for decidability, the clean file stays, and the stdout line
+    # republishes the protected clean numbers.
+    published, protected = _ratcheted_publish(full, published, full_path)
 
     # compact stdout line — MUST stay under the driver's 2000-char tail
     # capture or BENCH_rNN.json parses to null (the r12/r13 failure):
@@ -426,6 +481,7 @@ def main() -> None:
         "sf": sf,
         "reps": _QUERY_REPS,
         "run_clean": published["run_conditions"]["run_clean"],
+        **({"protected_clean": True} if protected is not None else {}),
         "attempts": len(attempts),
         "steal_s": published["run_conditions"]["steal_s_during_run"],
         "queries": {
@@ -452,6 +508,50 @@ def main() -> None:
         line["queries_in"] = "BENCH_FULL.json"
         out = json.dumps(line, separators=(",", ":"))
     print(out)
+
+
+def _ratcheted_publish(
+    full: dict, published: dict, full_path: str
+) -> tuple[dict, dict | None]:
+    """Write the run's full record, subject to the CLEANLINESS RATCHET
+    (r14 verdict item 1): an all-dirty run never replaces an existing
+    clean BENCH_FULL.json at the same sf. In that case the dirty record
+    lands in BENCH_FULL_dirty.json, the clean file stays, and the
+    previously-published clean attempt is returned as ``protected`` to
+    be republished on stdout. Factored out of main() so the three
+    branches (clean run / dirty with no clean prior / dirty with a
+    clean prior) are unit-testable without a live timed region."""
+    pub_clean = published["run_conditions"]["run_clean"]
+    protected = None
+    if not pub_clean and os.path.exists(full_path):
+        try:
+            with open(full_path) as fh:
+                prev = json.load(fh)
+            prev_pub = prev["attempts"][prev["published_attempt"]]
+            if (
+                prev.get("sf") == full.get("sf")
+                and prev_pub["run_conditions"]["run_clean"]
+            ):
+                protected = prev_pub
+        except (KeyError, IndexError, ValueError):
+            protected = None
+    if protected is not None:
+        with open(
+            os.path.join(os.path.dirname(full_path), "BENCH_FULL_dirty.json"),
+            "w",
+        ) as fh:
+            json.dump(full, fh, indent=1)
+        print(
+            "# all attempts dirty; existing clean BENCH_FULL.json kept "
+            "(dirty run -> BENCH_FULL_dirty.json), republishing the "
+            "protected clean numbers",
+            file=sys.stderr,
+            flush=True,
+        )
+        return protected, protected
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    return published, None
 
 
 def _median(xs: list[float]) -> float:

@@ -175,9 +175,22 @@ def register(
 # Post-r14 ledger: never driver-checked = round-14 additions past the
 # window (none — q335-q339 are in-window); oldest staleness band r6
 # (14 left: q124-q137), then r7 (q138-q181).
-# ROUND-15 PLAN: q01 anchor + any round-15 additions + r6 remainder
-# (q124-q137, 14) + the r7 band's oldest ~27 (q138+ in band order) +
-# streaming tail (q206/q207/q222). The ledger converges to a
+# Round-15 rotation (executes the plan committed in round 14's ledger
+# and the r14 VERDICT's item 4, adjusted for the three round-15
+# additions q340-q342, which outrank staleness refresh per the standing
+# precedence): q01 anchor; the round-15 batch additions q340 (SimHash
+# Hamming-ball banded join), q341 (exact span removal composed from
+# q330), q342 (end-to-end curation pipeline) — all strict-replica MATCH
+# at sf0.01 when added; the r6 band remainder (14: q124-q137); the r7
+# band's 29 oldest (q138-q166 in band order), batch rows first and its
+# two streaming members (q146, q166) riding the streaming tail; tail =
+# q146, q166, then the standing streaming-tier guard q206/q207/q222.
+# 1+3+14+27+5 = 50.
+# Post-r15 ledger: never driver-checked = none; oldest staleness band
+# r7 (15 left: q167-q181), then r8 (44: q02-q05 q43 q45-q50 q52 q54
+# q57 q59 q62 q66 q67 q69 q74 q87 q182-q204). ROUND-16 PLAN: q01
+# anchor + any round-16 additions + r7 remainder (15) + the r8 band's
+# oldest ~28 + streaming tail. The ledger converges to a
 # ≤3-round-stale steady state by ~r17.
 # Pre-verification lineage (why executing a rotation is evidence
 # conversion, not risk): every round since r11 re-runs the strict
@@ -193,63 +206,60 @@ def register(
 PRIORITY: tuple[str, ...] = (
     # anchor
     "q01_pricing_summary",
-    # never-driver-checked round-13 additions (first driver rows; all
-    # strict-replica MATCH at sf0.01 when added AND judge-replica
-    # re-verified 5/5 strict in VERDICT r13) — batch rows here, the
-    # streaming member (q334) rides the streaming tail below
-    "q330_suffix_repeats",
-    "q331_crosslingual_neardup",
-    "q332_quality_calibration",
-    "q333_cluster_split",
-    # never-driver-checked round-14 batch additions (strict-replica
-    # MATCH at sf0.01 when added; q335 is streaming — tail below)
-    "q336_lexicon_crosslingual_neardup",
-    "q337_disjointness_keyjoin",
-    "q338_gopher_repetition",
-    "q339_chunk_dedup",
-    # staleness drain: the r5 band remainder (oldest surviving rows)
-    "q78_media_resize",
-    "q92_clipped_facets",
-    "q93_vertex_line_roundtrip",
-    "q106_geometry_invariants",
-    "q108_media_decode",
-    "q110_ivf_recall",
-    # staleness drain: the r6 band's 30 oldest, band order
-    "q51_quality_score",
-    "q53_fingerprint",
-    "q55_pii_redaction",
-    "q68_stats_aggs",
-    "q70_snapshot_codec",
-    "q76_bpe_pretokenize",
-    "q77_consistency_checks",
-    "q79_unpivot",
-    "q94_contamination",
-    "q95_training_mix",
-    "q97_bm25_topterms",
-    "q98_semantic_dedup",
-    "q99_rollup_cascade",
-    "q102_full_outer_recon",
-    "q103_range_frame",
-    "q107_bond_breaks",
-    "q109_span_dedup",
-    "q111_load_curves",
-    "q112_weibull_breaks",
-    "q113_ivf_recall_curve",
-    "q114_bitmap_codec",
-    "q115_measure_series",
-    "q116_gravity_damping",
-    "q117_material_stiffness",
-    "q118_joint_weakening",
-    "q119_centrifuge_ramp",
-    "q120_bpe_apply",
-    "q121_incremental_dedup",
-    "q122_solver3d_steps",
-    "q123_pq_codes",
-    # streaming rows: fixed micro-batch drain cost, so last in-window —
-    # first driver rows for q334/q335, plus the r8-band late-data pair
-    # and the decontamination gate as this round's streaming-tier guard
-    "q334_stream_neardup_gate",
-    "q335_stream_neardup_gate_sharded",
+    # never-driver-checked round-15 batch additions (first driver
+    # rows; all strict-replica MATCH at sf0.01 when added)
+    "q340_simhash_hamming_pairs",
+    "q341_exact_span_removal",
+    "q342_curation_pipeline",
+    # staleness drain: the r6 band remainder (oldest surviving rows)
+    "q124_pq_adc_recall",
+    "q125_incremental_neardup",
+    "q126_ivfpq_search",
+    "q127_bloom_prefilter",
+    "q128_triangle_count",
+    "q129_prefix_filter_join",
+    "q130_sequence_packing",
+    "q131_bpe_train",
+    "q132_countmin_sketch",
+    "q133_pagerank",
+    "q134_hll_distinct",
+    "q135_funnel",
+    "q136_skyline",
+    "q137_bfs_hops",
+    # staleness drain: the r7 band's 29 oldest, band order —
+    # batch rows here, streaming members (q146, q166) in the tail
+    "q138_biaxial_bcs",
+    "q139_triaxial_bcs",
+    "q140_brazil_disc",
+    "q141_kcore_peel",
+    "q142_weighted_sample",
+    "q143_kmeans_lloyd",
+    "q144_audio_windows",
+    "q145_interval_join",
+    "q147_global_quantiles",
+    "q148_scd2_history",
+    "q149_gap_fill",
+    "q150_sssp_weighted",
+    "q151_pmi_collocations",
+    "q152_status_pivot",
+    "q153_ols_trend",
+    "q154_token_entropy",
+    "q155_zorder_layout",
+    "q156_rolling_anomaly",
+    "q157_equidepth_hist",
+    "q158_cube_aggregate",
+    "q159_dbscan_cores",
+    "q160_jl_distortion",
+    "q161_column_profile",
+    "q162_bucketed_join",
+    "q163_mix_temperature",
+    "q164_event_transitions",
+    "q165_mad_robust",
+    # streaming rows: fixed micro-batch drain cost, so last in-window
+    # — the r7 band's two streaming members, then the standing
+    # streaming-tier guard
+    "q146_stream_hll",
+    "q166_stream_transitions",
     "q206_stream_transitions_late",
     "q207_stream_ewma_late",
     "q222_stream_decontamination",

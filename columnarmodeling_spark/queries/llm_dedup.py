@@ -351,6 +351,185 @@ def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q340: SimHash Hamming-ball candidate join (Manku block banding) -------
+#
+# q45 stops at fingerprints; this is the JOIN that makes SimHash a
+# usable near-dup screen (the r14 verdict's "most-likely-hit gap"):
+# Manku/Jain/Sarma 2007 (WWW, "Detecting Near-Duplicates for Web
+# Crawling") block-permute pigeonhole banding. Split the fingerprint
+# into BLOCKS contiguous blocks; any pair within K bit flips differs in
+# at most K blocks, so with K < BLOCKS the pair agrees EXACTLY on at
+# least one block — equi-joining per (block index, block value) finds
+# every such pair with zero false negatives, and an exact
+# popcount(xor) <= K verify removes the false positives.
+#
+# The fingerprint here is 60-bit (15 bits x 4 blocks), not q45's
+# 16-bit: banding needs block values wide enough to be selective —
+# with 4-bit blocks (16 values) every ~n/16th doc shares a bucket and
+# the candidate space goes quadratic; 15-bit blocks (32768 values) keep
+# bucket populations ~n/32768, the Manku production geometry (they use
+# 64-bit prints). 60 bits = the repo's single-md5-call hash budget.
+
+_SH_BITS = 60
+_SH_BLOCKS = 4
+_SH_BLOCK_W = _SH_BITS // _SH_BLOCKS  # 15
+_SH_K = 3  # Hamming radius; K < BLOCKS gives the pigeonhole guarantee
+
+
+def _simhash_fp_sql(bits: int = _SH_BITS) -> str:
+    """Oracle CTEs producing fp(doc_id, fp) — shared with the Spark
+    form bit-for-bit: per-token 60-bit md5 hash, signed vote per bit
+    position over the token MULTISET, sign -> fingerprint bit."""
+    return f"""toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS u
+      FROM tok),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (u >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, {bits})) AS j) pos
+      GROUP BY doc_id, j),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                  AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id)"""
+
+
+@register(
+    "q340_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_simhash_fp_sql()},
+    blocks AS (
+      SELECT doc_id, b, (fp >> ({_SH_BLOCK_W} * b)) & {(1 << _SH_BLOCK_W) - 1} AS bv
+      FROM fp CROSS JOIN (SELECT unnest(range(0, {_SH_BLOCKS})) AS b) blk),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a JOIN blocks b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON c.doc_a = fa.doc_id
+    JOIN fp fb ON c.doc_b = fb.doc_id
+    WHERE bit_count(xor(fa.fp, fb.fp)) <= {_SH_K}
+    ORDER BY c.doc_a, c.doc_b
+    """,
+    doc="SIMHASH HAMMING-BALL CANDIDATE JOIN — the Manku et al. 2007 "
+    "block-permute pigeonhole banding that turns q45's fingerprints "
+    f"into a usable near-dup screen: {_SH_BITS}-bit SimHash (signed "
+    "per-bit token votes, multiset-weighted), split into "
+    f"{_SH_BLOCKS} contiguous {_SH_BLOCK_W}-bit blocks, equi-join on "
+    "(block index, block value), exact popcount(xor) <= "
+    f"{_SH_K} verify. Pigeonhole guarantee (property-tested): a pair "
+    f"within {_SH_K} bit flips differs in at most {_SH_K} < "
+    f"{_SH_BLOCKS} blocks, so it agrees exactly on >= 1 block — NO "
+    "false negatives, the same candidate-contract as q44's MinHash "
+    "bands in Jaccard space (reference analog: the A4 eps-dedup "
+    "family, BooleanOperation.py:85-95, in Hamming space). Scale: "
+    "the fingerprint build is ONE hash agg on doc_id with 60 long "
+    "vote buffers (map-side combinable — no 60x row explosion; q45's "
+    "explode-j form kept there for oracle parity); the block join's "
+    f"bucket key has {1 << _SH_BLOCK_W} values per block, so bucket "
+    "population is ~n/32768 per block — the quadratic-proof geometry "
+    "q45's 16-bit prints cannot give (4-bit blocks = 16 buckets). "
+    "Candidates exist only as (id, id) pairs; text never crosses the "
+    "shuffle.",
+    tags=("dedup", "llm", "simhash", "hamming", "join", "scale"),
+)
+def q340_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_hamming_pairs(t(spark, sf_dir, "documents"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    bits: int = _SH_BITS,
+    blocks: int = _SH_BLOCKS,
+    k: int = _SH_K,
+) -> DataFrame:
+    """The q340 core over any (doc_id, text) relation — factored so the
+    no-false-negative property test can drive crafted corpora and
+    compare against brute-force all-pairs Hamming.
+
+    ``k`` must stay below ``blocks`` for the pigeonhole guarantee;
+    enforced here rather than documented."""
+    if k >= blocks:
+        raise ValueError(
+            f"Hamming radius k={k} needs k < blocks={blocks} for the "
+            "pigeonhole no-false-negative guarantee"
+        )
+    if bits % blocks:
+        raise ValueError(f"bits={bits} must split evenly into {blocks} blocks")
+    bw = bits // blocks
+    mask = (1 << bw) - 1
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    h = tok.select("doc_id", hex_hash("w").alias("u"))
+    # one pass: 60 signed vote sums as long agg buffers (partial/final
+    # combinable), then the fingerprint folds client-side expressions —
+    # never the 60x j-explode (that form survives in q45 where the
+    # output IS the per-bit machinery)
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(u, {j}) & 1) = 1"), 1).otherwise(
+                    -1
+                )
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = votes.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(bits)
+        ).alias("fp"),
+    )
+    blk = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(f"(shiftright(fp, {bw * b}) & {mask})").alias(
+                            "bv"
+                        ),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.b").alias("b"), F.col("g.bv").alias("bv"))
+    cand = (
+        blk.alias("a")
+        .join(blk.alias("bb"), ["b", "bv"])
+        .filter(F.col("a.doc_id") < F.col("bb.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fpa"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fpb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.expr("bit_count(fpa ^ fpb)").cast("long"))
+        .filter(F.col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # the full Jaccard-cluster CTE chain (recursive transitive closure),
 # shared by q56 and the q224 histogram rollup
 _SQL_CLUSTER_CTES = f"""
@@ -2481,10 +2660,10 @@ _SA_LCP_SQL = (
 )
 
 
-@register(
-    "q330_suffix_repeats",
-    oracle=f"""
-    WITH toks AS MATERIALIZED (
+# q330's oracle CTE chain up to the per-position LCP relation
+# lcps(doc_id, pos, lcp) — factored so q341 (span REMOVAL) provably
+# replays the same repeat-location machinery and only adds the cut.
+_SA_ORACLE_LCP_CTES = f"""toks AS MATERIALIZED (
       -- tokens project to the repo's 60-bit md5 longs BEFORE suffixes
       -- are built (the q43 hash convention): suffix rows then carry
       -- K fixed 8-byte elements instead of K strings, which is what
@@ -2512,7 +2691,13 @@ _SA_LCP_SQL = (
       SELECT doc_id, pos,
              greatest({_SA_LCP_SQL.format(o='p')},
                       {_SA_LCP_SQL.format(o='nx')}) AS lcp
-      FROM nbr),
+      FROM nbr)"""
+
+
+@register(
+    "q330_suffix_repeats",
+    oracle=f"""
+    WITH {_SA_ORACLE_LCP_CTES},
     per_doc AS (
       SELECT doc_id,
              CAST(max(lcp) AS BIGINT) AS max_repeat,
@@ -2590,6 +2775,39 @@ def suffix_repeat_stats(
     they can only ever have LCP <= 1, which the correction covers.
     The hot set itself is found with a map-side-combinable count and
     broadcast back, so detecting the skew never recreates it."""
+    toks, lcp_rel = _suffix_lcp_rel(docs, k, hot_head_threshold)
+    T = rep_t
+    per_doc = lcp_rel.groupBy("doc_id").agg(
+        F.max("lcp").cast("long").alias("max_repeat"),
+        F.sum(F.when(F.col("lcp") >= T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rep_pos"),
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("max_repeat", F.lit(0)).cast("long").alias("max_repeat"),
+            F.coalesce("n_rep_pos", F.lit(0)).cast("long").alias("n_rep_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _suffix_lcp_rel(
+    docs: DataFrame, k: int, hot_head_threshold: int
+) -> tuple[DataFrame, DataFrame]:
+    """The q330/q341 shared core: the prefix-bucketed suffix sort with
+    the hot-head escape, down to the per-position LCP relation.
+
+    Returns ``(toks, lcps)`` — ``toks(doc_id, n_tokens)`` (one row per
+    input doc) and ``lcps(doc_id, pos, lcp)`` (one row per token
+    position; ``lcp`` is the length of the longest substring starting
+    at ``pos`` that occurs anywhere else in the corpus, capped at
+    ``k``). q330 aggregates this to per-doc repeat stats; q341 cuts the
+    flagged spans out (the Lee et al. ExactSubstr removal)."""
     from pyspark.sql import Window
 
     # exactness precondition: the max(lcp,1) hot-row floor is only
@@ -2598,7 +2816,7 @@ def suffix_repeat_stats(
     # silently inflate LCP 0 -> 1.
     hot_head_threshold = max(hot_head_threshold, 2)
 
-    K, T = k, rep_t
+    K = k
     lcp_expr = _SA_LCP_SPARK
     # 60-bit md5 token hashes (q43 convention) instead of strings: the
     # suffix relation's payload drops from K strings to K longs per
@@ -2676,20 +2894,130 @@ def suffix_repeat_stats(
     lcp = F.when(F.col("__hot"), F.greatest(raw_lcp, F.lit(1))).otherwise(
         raw_lcp
     )
-    per_doc = nbr.select("doc_id", lcp.alias("lcp")).groupBy("doc_id").agg(
-        F.max("lcp").cast("long").alias("max_repeat"),
-        F.sum(F.when(F.col("lcp") >= T, 1).otherwise(0))
-        .cast("long")
-        .alias("n_rep_pos"),
+    return (
+        toks.select("doc_id", "n_tokens"),
+        nbr.select("doc_id", "pos", lcp.alias("lcp")),
+    )
+
+
+# --- q341: exact repeated-span REMOVAL composed from q330 ------------------------
+#
+# Lee et al. 2021's ExactSubstr produces a CUT corpus, not a report:
+# every maximal repeat the suffix array locates is removed from the
+# token stream. q330 stops at per-doc repeat stats; this composes its
+# per-position LCP relation with q109's gaps-and-islands overlap merge
+# to produce the actual removal accounting — the r14 verdict's gap 3.
+
+_SR_T = _SA_T  # removal threshold: spans >= 4 tokens are cut (q109's width)
+
+
+@register(
+    "q341_exact_span_removal",
+    oracle=f"""
+    WITH {_SA_ORACLE_LCP_CTES},
+    spans AS (
+      SELECT doc_id, pos, pos + lcp - 1 AS e
+      FROM lcps WHERE lcp >= {_SR_T}),
+    flagged AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(
+                    max(e) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM spans),
+    isl AS (
+      SELECT doc_id, pos, e,
+             SUM(is_new) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged),
+    merged AS (
+      SELECT doc_id, island, min(pos) AS s, max(e) AS e
+      FROM isl GROUP BY doc_id, island),
+    cut AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+      FROM merged GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(c.n_spans, 0) AS n_spans,
+           coalesce(c.n_removed, 0) AS n_removed,
+           b.n_tokens - coalesce(c.n_removed, 0) AS n_kept
+    FROM base b LEFT JOIN cut c USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    doc="EXACT REPEATED-SPAN REMOVAL — the actual output of Lee et "
+    "al. 2021's ExactSubstr (their pipeline CUTS the repeats; q330 "
+    "only locates them): every position whose suffix-array LCP is "
+    f">= {_SR_T} starts a repeat span [pos, pos+lcp-1]; overlapping "
+    "spans merge per doc via q109's gaps-and-islands running-max "
+    "window so removed-token counts never double-count; per doc the "
+    "removal accounting (n_spans, n_removed, n_kept) with the "
+    "conservation invariant n_removed + n_kept = n_tokens (property-"
+    "tested). Composition is literal: the Spark side reuses q330's "
+    "_suffix_lcp_rel (hashed prefix-bucketed suffix sort, hot-head "
+    "escape included) and the oracle reuses q330's CTE chain up to "
+    "lcps verbatim — the cut is the ONLY new machinery. Scale "
+    "inherits q330's story (the span merge adds one per-doc window "
+    "over only the FLAGGED positions, a vanishing fraction of the "
+    "suffix relation).",
+    tags=("llm", "dedup", "suffix-array", "span", "window", "scale"),
+)
+def q341_exact_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_span_removal(t(spark, sf_dir, "documents"))
+
+
+def exact_span_removal(
+    docs: DataFrame,
+    k: int = _SA_K,
+    cut_t: int = _SR_T,
+    hot_head_threshold: int = _SA_HOT,
+) -> DataFrame:
+    """The q341 core over any (doc_id, text) relation — factored for
+    the conservation property test and forced-scale replays. ``cut_t``
+    is the minimum repeat length that gets cut; ``k`` caps reportable
+    repeat length exactly as in q330."""
+    from pyspark.sql import Window
+
+    toks, lcp_rel = _suffix_lcp_rel(docs, k, hot_head_threshold)
+    spans = lcp_rel.filter(F.col("lcp") >= cut_t).select(
+        "doc_id", "pos", (F.col("pos") + F.col("lcp") - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = spans.withColumn(
+        "is_new",
+        (F.col("pos") > F.coalesce(F.max("e").over(w_prev), F.lit(-1))).cast(
+            "int"
+        ),
+    ).withColumn("island", F.sum("is_new").over(w_run))
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    cut = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed"),
     )
     return (
-        toks.select("doc_id", "n_tokens")
-        .join(per_doc, "doc_id", "left")
+        toks.join(cut, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce("max_repeat", F.lit(0)).cast("long").alias("max_repeat"),
-            F.coalesce("n_rep_pos", F.lit(0)).cast("long").alias("n_rep_pos"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
         )
         .orderBy("doc_id")
     )
@@ -3149,11 +3477,11 @@ _CD_W = 8  # chunk width (tokens)
              0, CAST(floor((len(arr) - 1) / {_CD_W}.0) AS INT))) t(i)
       WHERE len(arr) >= 1),
     firsts AS (
-      SELECT hv, min(doc_id * 1000000 + idx) AS fkey
+      SELECT hv, min(row(doc_id, idx)) AS fkey
       FROM chunks GROUP BY hv),
     marked AS (
       SELECT c.doc_id,
-             CASE WHEN c.doc_id * 1000000 + c.idx = f.fkey
+             CASE WHEN row(c.doc_id, c.idx) = f.fkey
                   THEN 1 ELSE 0 END AS kept
       FROM chunks c JOIN firsts f ON c.hv = f.hv),
     per_doc AS (
@@ -3195,14 +3523,13 @@ def chunk_dedup_stats(docs: DataFrame, width: int = _CD_W) -> DataFrame:
     """The q339 core over any (doc_id, text) relation — factored for
     crafted-corpus property tests and forced-scale replays.
 
-    The first-occurrence key is the arithmetic composite
-    ``doc_id * 1e6 + idx`` (kept identical in the SQL oracle so both
-    engines order occurrences the same way). Documented bounds: valid
-    for docs up to 1e6 chunks (8M tokens at W=8 — far above any sane
-    crawl-pipeline doc cap, which truncates upstream) and doc_ids up to
-    ~9.2e12; a corpus outside those bounds swaps this line for
-    ``F.min(F.struct("doc_id", "idx"))``, the same agg shape with a
-    struct buffer instead of a long."""
+    The first-occurrence key is ``min(struct(doc_id, idx))`` —
+    lexicographic struct min, the same agg shape as a long min but
+    with NO bound on chunks-per-doc or doc_id magnitude (r14 ADVICE:
+    the previous ``doc_id * 1e6 + idx`` composite silently corrupted
+    ordering past 1e6 chunks/doc; the struct form removes the bound
+    instead of guarding it). The oracle mirrors it with
+    ``min(row(doc_id, idx))``."""
     W = width
     toks = docs.select("doc_id", tokens("text").alias("tk"))
     chunks = (
@@ -3221,7 +3548,7 @@ def chunk_dedup_stats(docs: DataFrame, width: int = _CD_W) -> DataFrame:
             F.col("c.idx").cast("long").alias("idx"),
             hex_hash(F.col("c.chunk")).alias("hv"),
         )
-        .withColumn("fkey", F.col("doc_id") * 1_000_000 + F.col("idx"))
+        .withColumn("fkey", F.struct("doc_id", "idx"))
         # chunks feeds BOTH the first-occurrence agg and the marking
         # join with no covering exchange (q316/q331 checkpoint policy);
         # 64× A/B this round: 23.9s → 21.3s lazy-checkpointed

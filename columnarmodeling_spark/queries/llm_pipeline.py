@@ -959,3 +959,447 @@ def q284_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "pick", "doc_id", "nt", "n_alloc", "s_micro")
         .orderBy("source", "pick")
     )
+
+
+# --- q342: end-to-end CommonCrawl-style curation pipeline -------------------------
+#
+# The r14 verdict's item 7: every stage of a web-corpus curation run
+# exists as its own registered operator (q327 blocklist, q312 URL canon,
+# q319 host quota, q52 lang-id, q226 quality funnel, q339 chunk dedup,
+# q209 decontamination, q258/q95 mix); this composes them into ONE
+# pipeline with per-stage survival accounting — the artifact a data
+# curator actually ships, and the remaining scale claim (where the
+# composition checkpoints, which stages see survivor sets vs the full
+# corpus).
+
+_CP_QM = 3          # host-quota multiplier: keep 3*ceil(sqrt(n)) per host (q319)
+_CP_LANG_MIN = 1    # lang-id confidence floor: >= 1 English marker token
+_CP_MINTOK = 45     # minimum token count (q226's rule, tuned to this corpus)
+_CP_STOP_MILLI = 50   # stopword ratio floor 5%
+_CP_REP_MILLI = 120   # max-token-frequency cap 12%
+_CP_W = 8           # chunk width (q339's)
+_CP_KEEP_NUM, _CP_KEEP_DEN = 1, 2  # chunk-survival floor: n_kept/n_chunks >= 1/2
+_CP_MIX_CAP = 10    # per-source cap in the final mix
+
+_CP_STAGES = [
+    (1, "blocklist"),
+    (2, "host_quota"),
+    (3, "lang_id"),
+    (4, "min_length"),
+    (5, "stopword_floor"),
+    (6, "repetition_cap"),
+    (7, "chunk_dedup"),
+    (8, "decontamination"),
+    (9, "source_mix"),
+]
+
+
+def _q342_oracle() -> str:
+    from columnarmodeling_spark.queries.llm_text import (
+        _BLOCKLIST,
+        _LANG_MARKERS,
+        _STOPWORDS,
+        _URL_DIRTY_SQL,
+        _url_canon_steps,
+    )
+
+    layers = [
+        "u0 AS (SELECT doc_id, n_chars, source, text, "
+        f"{_URL_DIRTY_SQL} AS url FROM documents)"
+    ]
+    prev = "u0"
+    for i, (col, expr) in enumerate(_url_canon_steps("duck"), start=1):
+        layers.append(f"u{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = f"u{i}"
+    canon = ",\n    ".join(layers)
+    bl_sql = ", ".join(f"('{e}')" for e in _BLOCKLIST)
+    en, es, zh = (_LANG_MARKERS[lang] for lang in ("en", "es", "zh"))
+    W = _CP_W
+    funnel_rows = "\n      UNION ALL ".join(
+        f"SELECT {s} AS stage, '{r}' AS rule, "
+        f"(SELECT count(*) FROM s{s - 1}) - (SELECT count(*) FROM s{s})"
+        f" AS n_dropped, (SELECT count(*) FROM s{s}) AS n_surviving"
+        for s, r in _CP_STAGES
+    )
+    return f"""
+    WITH {canon},
+    base AS (
+      SELECT doc_id, n_chars, source, host,
+             lower(split_part(split_part(split_part(url, '://', 2),
+                   '/', 1), ':', 1)) AS rawhost,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM {prev}),
+    s0 AS (SELECT doc_id FROM base),
+    bl AS (SELECT * FROM (VALUES {bl_sql}) AS b(entry)),
+    s1 AS (SELECT doc_id FROM base b WHERE NOT EXISTS (
+            SELECT 1 FROM bl
+            WHERE b.rawhost = bl.entry
+               OR b.rawhost LIKE '%.' || bl.entry)),
+    r2 AS (SELECT b.doc_id,
+                  row_number() OVER (PARTITION BY b.host
+                    ORDER BY b.n_chars DESC, b.doc_id) AS rk,
+                  count(*) OVER (PARTITION BY b.host) AS n
+           FROM base b JOIN s1 USING (doc_id)),
+    s2 AS (SELECT doc_id FROM r2
+           WHERE rk <= {_CP_QM} * ceil(sqrt(CAST(n AS DOUBLE)))),
+    lng AS (SELECT doc_id,
+             len(list_filter(tk, x -> list_contains({en!r}, x))) AS s_en,
+             len(list_filter(tk, x -> list_contains({es!r}, x))) AS s_es,
+             len(list_filter(tk, x -> list_contains({zh!r}, x))) AS s_zh
+            FROM base),
+    s3 AS (SELECT l.doc_id FROM lng l JOIN s2 USING (doc_id)
+           WHERE s_en >= s_es AND s_en >= s_zh AND s_en >= {_CP_LANG_MIN}),
+    q AS (SELECT doc_id, len(tk) AS n_tok,
+            len(list_filter(tk, x -> list_contains({_STOPWORDS!r}, x)))
+              AS n_stop
+          FROM base),
+    tf AS (SELECT doc_id, max(c) AS mx FROM (
+             SELECT doc_id, w, count(*) AS c
+             FROM (SELECT doc_id, unnest(tk) AS w FROM base)
+             GROUP BY 1, 2) GROUP BY 1),
+    s4 AS (SELECT q.doc_id FROM q JOIN s3 USING (doc_id)
+           WHERE n_tok >= {_CP_MINTOK}),
+    s5 AS (SELECT q.doc_id FROM q JOIN s4 USING (doc_id)
+           WHERE 1000 * n_stop >= {_CP_STOP_MILLI} * n_tok),
+    s6 AS (SELECT q.doc_id FROM q JOIN s5 USING (doc_id)
+           JOIN tf USING (doc_id)
+           WHERE 1000 * mx <= {_CP_REP_MILLI} * n_tok),
+    chunks AS (
+      SELECT b.doc_id, i AS idx,
+             CAST(('0x' || substr(md5(
+               array_to_string(tk[(i*{W}+1):(i*{W}+{W})], ' ')
+             ), 1, 15)) AS BIGINT) AS hv
+      FROM base b JOIN s6 USING (doc_id),
+           LATERAL unnest(generate_series(
+             0, CAST(floor((len(tk) - 1) / {W}.0) AS INT))) t(i)
+      WHERE len(tk) >= 1),
+    firsts AS (SELECT hv, min(row(doc_id, idx)) AS fkey
+               FROM chunks GROUP BY hv),
+    ckept AS (SELECT c.doc_id, count(*) AS n_chunks,
+                     sum(CASE WHEN row(c.doc_id, c.idx) = f.fkey
+                         THEN 1 ELSE 0 END) AS n_kept
+              FROM chunks c JOIN firsts f ON c.hv = f.hv GROUP BY 1),
+    s7 AS (SELECT doc_id FROM ckept
+           WHERE {_CP_KEEP_DEN} * n_kept >= {_CP_KEEP_NUM} * n_chunks),
+    g AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(tk) - 6), i ->
+              tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+              tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' ||
+              tk[i+6] || ' ' || tk[i+7])) AS gr
+          FROM base),
+    bench AS (SELECT DISTINCT gr FROM g WHERE doc_id % 10 = 0),
+    hits AS (SELECT DISTINCT g.doc_id
+             FROM g JOIN s7 USING (doc_id) JOIN bench USING (gr)),
+    s8 AS (SELECT doc_id FROM s7 WHERE NOT EXISTS (
+            SELECT 1 FROM hits h WHERE h.doc_id = s7.doc_id)),
+    r9 AS (SELECT b.doc_id,
+                  row_number() OVER (PARTITION BY b.source
+                    ORDER BY CAST(('0x' || substr(md5(
+                      CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    b.doc_id) AS rk
+           FROM base b JOIN s8 USING (doc_id)),
+    s9 AS (SELECT doc_id FROM r9 WHERE rk <= {_CP_MIX_CAP}),
+    funnel AS (
+      {funnel_rows})
+    SELECT CAST(stage AS INT) AS stage, rule,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(n_surviving AS BIGINT) AS n_surviving
+    FROM funnel ORDER BY stage
+    """
+
+
+@register(
+    "q342_curation_pipeline",
+    oracle=_q342_oracle(),
+    doc="END-TO-END CURATION PIPELINE — the CommonCrawl-style run that "
+    "chains the registered single-purpose operators in production "
+    "order, each stage filtering the PREVIOUS stage's survivors: "
+    "(1) blocklist gate on the raw host (q327 semantics), (2) "
+    "sqrt-damped per-host quota on the q312-canonicalized host "
+    "(q319), (3) lang-id argmax with a marker-evidence floor (q52), "
+    "(4-6) the Gopher/C4 quality gates — min length, stopword "
+    "floor, repetition cap (q226), (7) chunk-level first-occurrence "
+    "dedup among survivors, keep docs with >= 1/2 surviving chunks "
+    "(q339), (8) 8-gram decontamination against the doc_id%10==0 "
+    "eval slice of the ORIGINAL corpus (q209 — the eval suite is "
+    "external, so its gram set does not shrink as stages drop "
+    "training docs), (9) deterministic per-source mix cap (q258's "
+    "hash-order selection). Output: the 9-row funnel with per-stage "
+    "n_dropped/n_surviving (telescoping, property-tested). Scale: "
+    "per-doc stage flags are computed once each and combined into a "
+    "single first-drop-stage label (one CASE over left joins), so "
+    "the funnel is ONE doc-grain pass + a <=10-row rollup — never 9 "
+    "repeated corpus scans; the blocklist verdict is computed at "
+    "HOST grain and shuffle-joined back (never a data-proportional "
+    "broadcast); windows partition by host/source (the q319/q17 "
+    "top-k shape, group-rank escape registered); chunk and gram "
+    "relations carry 8-byte hashes only. The stage constants are "
+    "corpus-calibrated so every rule's boundary is live at sf0.01.",
+    tags=("llm", "pipeline", "curation", "funnel", "composition", "scale"),
+)
+def q342_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.functions.text import (
+        hex_hash,
+        word_shingles,
+    )
+    from columnarmodeling_spark.queries.llm_text import (
+        _BLOCKLIST,
+        _LANG_MARKERS,
+        _STOPWORDS,
+        _URL_DIRTY_SQL,
+        _url_canon_steps,
+    )
+
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+
+    def _marker_count(lang: str) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return (
+            F.size(F.filter("tk", lambda x: F.array_contains(arr, x)))
+            .cast("long")
+            .alias(f"s_{lang}")
+        )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source", "text",
+        F.expr(_URL_DIRTY_SQL).alias("url"),
+    )
+    for col, expr in _url_canon_steps("spark"):
+        d = d.withColumn(col, F.expr(expr))
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        "source",
+        "host",
+        F.expr(
+            "lower(split_part(split_part(split_part(url, '://', 2),"
+            " '/', 1), ':', 1))"
+        ).alias("rawhost"),
+        tokens("text").alias("tk"),
+    ).withColumn("n_tok", F.size("tk").cast("long")).withColumn(
+        "n_stop",
+        F.size(F.filter("tk", lambda x: F.array_contains(stop_arr, x)))
+        .cast("long"),
+    ).withColumn("s_en", _marker_count("en")).withColumn(
+        "s_es", _marker_count("es")
+    ).withColumn("s_zh", _marker_count("zh"))
+
+    # stage 1 — blocklist: verdict at HOST grain (q327's plan: the
+    # broadcast NL join runs against <=|hosts| rows), shuffle-joined
+    # back to doc grain on rawhost
+    bl = spark.createDataFrame(
+        [(e,) for e in _BLOCKLIST], "entry STRING"
+    )
+    hostflag = (
+        base.groupBy("rawhost")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(
+            F.broadcast(bl),
+            (F.col("rawhost") == F.col("entry"))
+            | F.col("rawhost").endswith(
+                F.concat(F.lit("."), F.col("entry"))
+            ),
+            "left",
+        )
+        .groupBy("rawhost")
+        .agg(
+            F.max(F.when(F.col("entry").isNotNull(), 1).otherwise(0))
+            .alias("blocked")
+        )
+    )
+    b1 = base.join(hostflag, "rawhost")
+    s1 = b1.filter(F.col("blocked") == 0).select("doc_id")
+
+    # stage 2 — host quota: rank within canonical host by the
+    # (n_chars desc, doc_id) quality proxy over stage-1 survivors
+    r2 = (
+        base.join(s1, "doc_id")
+        .select(
+            "doc_id",
+            "host",
+            F.row_number()
+            .over(
+                W.partitionBy("host").orderBy(
+                    F.col("n_chars").desc(), "doc_id"
+                )
+            )
+            .alias("rk2"),
+            F.count(F.lit(1)).over(W.partitionBy("host")).alias("n2"),
+        )
+        .withColumn(
+            "cap2",
+            F.expr(
+                f"CAST({_CP_QM} * ceil(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)"
+            ),
+        )
+        .select("doc_id", "rk2", "cap2")
+    )
+    s2 = r2.filter(F.col("rk2") <= F.col("cap2")).select("doc_id")
+
+    # stages 3-6 — per-doc gates (flags live in base)
+    lang_pass = (
+        (F.col("s_en") >= F.col("s_es"))
+        & (F.col("s_en") >= F.col("s_zh"))
+        & (F.col("s_en") >= _CP_LANG_MIN)
+    )
+    s3 = base.join(s2, "doc_id").filter(lang_pass).select("doc_id")
+    s4 = (
+        base.join(s3, "doc_id")
+        .filter(F.col("n_tok") >= _CP_MINTOK)
+        .select("doc_id")
+    )
+    s5 = (
+        base.join(s4, "doc_id")
+        .filter(1000 * F.col("n_stop") >= _CP_STOP_MILLI * F.col("n_tok"))
+        .select("doc_id")
+    )
+    # repetition cap needs the per-doc max token frequency — computed
+    # over stage-5 survivors only (values identical to a full-corpus
+    # computation for the docs that reach the gate)
+    tf = (
+        base.join(s5, "doc_id")
+        .select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("mx"))
+    )
+    s6 = (
+        base.join(tf, "doc_id")
+        .filter(1000 * F.col("mx") <= _CP_REP_MILLI * F.col("n_tok"))
+        .select("doc_id")
+    )
+
+    # stage 7 — chunk-level first-occurrence dedup AMONG SURVIVORS
+    # (q339's machinery; the chunk hash is the only payload shuffled)
+    Wc = _CP_W
+    chunks = (
+        base.join(s6, "doc_id")
+        .filter(F.size("tk") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(floor((size(tk) - 1) / {Wc}.0) AS INT)), "
+                    f"i -> struct(i AS idx, concat_ws(' ', slice(tk, i*{Wc}+1, {Wc})) AS chunk))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.idx").cast("long").alias("idx"),
+            hex_hash(F.col("c.chunk")).alias("hv"),
+        )
+        .withColumn("fkey", F.struct("doc_id", "idx"))
+        .localCheckpoint(eager=False)
+    )
+    firsts = chunks.groupBy("hv").agg(F.min("fkey").alias("first_fkey"))
+    ckept = (
+        chunks.join(firsts, "hv")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("fkey") == F.col("first_fkey"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    s7 = ckept.filter(
+        _CP_KEEP_DEN * F.col("n_kept") >= _CP_KEEP_NUM * F.col("n_chunks")
+    ).select("doc_id")
+
+    # stage 8 — decontamination: eval grams come from the FULL corpus
+    # slice (the suite is external and fixed — broadcast-pinned, q209)
+    g_all = base.select(
+        "doc_id", F.explode(word_shingles("tk", 8)).alias("gr")
+    ).distinct()
+    bench = (
+        g_all.filter(F.col("doc_id") % 10 == 0).select("gr").distinct()
+    )
+    hits = (
+        g_all.join(s7, "doc_id")
+        .join(F.broadcast(bench), "gr")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    s8 = (
+        s7.join(hits, "doc_id", "left_anti").select("doc_id")
+    )
+
+    # stage 9 — deterministic per-source mix cap (hash-order pick)
+    r9 = (
+        base.join(s8, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.row_number()
+            .over(
+                W.partitionBy("source").orderBy(
+                    hex_hash(F.col("doc_id").cast("string")), "doc_id"
+                )
+            )
+            .alias("rk9"),
+        )
+        .select("doc_id", "rk9")
+    )
+
+    # one doc-grain pass: label every doc with its first drop stage
+    # (10 = survived the whole pipeline), then a <=10-row rollup
+    lab = (
+        b1.select(
+            "doc_id", "blocked", "n_tok", "n_stop",
+            "s_en", "s_es", "s_zh",
+        )
+        .join(r2, "doc_id", "left")
+        .join(tf, "doc_id", "left")
+        .join(ckept, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .join(r9, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("blocked") == 1, 1)
+            .when(F.col("rk2") > F.col("cap2"), 2)
+            .when(~lang_pass, 3)
+            .when(F.col("n_tok") < _CP_MINTOK, 4)
+            .when(
+                1000 * F.col("n_stop") < _CP_STOP_MILLI * F.col("n_tok"), 5
+            )
+            .when(1000 * F.col("mx") > _CP_REP_MILLI * F.col("n_tok"), 6)
+            .when(
+                _CP_KEEP_DEN * F.col("n_kept")
+                < _CP_KEEP_NUM * F.col("n_chunks"),
+                7,
+            )
+            .when(F.col("hit") == 1, 8)
+            .when(F.col("rk9") > _CP_MIX_CAP, 9)
+            .otherwise(10)
+            .alias("drop_stage"),
+        )
+    )
+    per = lab.groupBy("drop_stage").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stages = spark.createDataFrame(_CP_STAGES, "stage INT, rule STRING")
+    return (
+        stages.crossJoin(F.broadcast(per))
+        .groupBy("stage", "rule")
+        .agg(
+            F.sum(
+                F.when(F.col("drop_stage") == F.col("stage"), F.col("cnt"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("drop_stage") > F.col("stage"), F.col("cnt"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_surviving"),
+        )
+        .orderBy("stage")
+    )

@@ -131,9 +131,21 @@ def test_q330_hot_escape_randomized(spark):
 def test_q330_default_threshold_inert_at_test_scale(spark):
     # at sf0.001 no head is near _SA_HOT: the registered query must be
     # unaffected by the escape machinery (pure no-op join against an
-    # empty hot set).
-    got = REGISTRY["q330_suffix_repeats"].fn(spark, SF)
-    assert got.filter("max_repeat > 0").count() > 0
+    # empty hot set). r14 ADVICE: assert full-output equality against
+    # the escape-DISABLED form (huge threshold) on the same relation —
+    # "some repeats exist" alone would miss a regression where an
+    # empty hot set still perturbs results.
+    from columnarmodeling_spark.queries._util import t as _t
+
+    got = REGISTRY["q330_suffix_repeats"].fn(spark, SF).collect()
+    assert any(r.max_repeat > 0 for r in got)
+    disabled = (
+        suffix_repeat_stats(
+            _t(spark, SF, "documents"), hot_head_threshold=_HUGE
+        )
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in disabled]
 
 
 # --- q335 sharded stream gate ≡ q334 broadcast gate ---------------------------

