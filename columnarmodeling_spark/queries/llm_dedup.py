@@ -3445,6 +3445,25 @@ def q333_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# first-occurrence composite key shared by q339 and q342's chunk stage:
+# (doc_id, idx) -> one long that orders lexicographically INSIDE the
+# enforced domain, and raises OUTSIDE it (r14 ADVICE — the bound must
+# be a runtime error, not a docstring). The guard lives in the key
+# expression so column pruning can never drop it.
+_FK_IDX_BITS = 20   # up to 2^20 chunks/doc = 8.4M tokens at W=8
+_FK_DOC_MAX = 1 << 42  # doc_id * 2^20 stays under 2^62
+
+
+def _first_occurrence_key(doc_col: str, idx_col: str) -> F.Column:
+    return F.expr(
+        f"CASE WHEN {doc_col} >= 0 AND {doc_col} < {_FK_DOC_MAX}"
+        f" AND {idx_col} >= 0 AND {idx_col} < {1 << _FK_IDX_BITS}"
+        f" THEN {doc_col} * {1 << _FK_IDX_BITS} + {idx_col}"
+        f" ELSE CAST(raise_error('first-occurrence key out of domain: '"
+        f" || {doc_col} || ':' || {idx_col}) AS BIGINT) END"
+    )
+
+
 # --- q339: chunk-level exact dedup, first-occurrence-wins (C4 line dedup) --------
 #
 # C4's line-level dedup (Raffel et al. 2020 §2.2, public: "we discarded
@@ -3523,13 +3542,20 @@ def chunk_dedup_stats(docs: DataFrame, width: int = _CD_W) -> DataFrame:
     """The q339 core over any (doc_id, text) relation — factored for
     crafted-corpus property tests and forced-scale replays.
 
-    The first-occurrence key is ``min(struct(doc_id, idx))`` —
-    lexicographic struct min, the same agg shape as a long min but
-    with NO bound on chunks-per-doc or doc_id magnitude (r14 ADVICE:
-    the previous ``doc_id * 1e6 + idx`` composite silently corrupted
-    ordering past 1e6 chunks/doc; the struct form removes the bound
-    instead of guarding it). The oracle mirrors it with
-    ``min(row(doc_id, idx))``."""
+    The first-occurrence key is the arithmetic composite
+    ``doc_id * 2^20 + idx``, now with the bounds ENFORCED in the key
+    expression itself (r14 ADVICE: the old ``* 1e6`` composite
+    silently corrupted corpus ordering past its bound): a doc over
+    2^20 chunks (8.4M tokens at W=8) or a doc_id >= 2^42 raises at
+    execution instead of mis-ordering. The straight ``min(struct)``
+    alternative the ADVICE floated was measured against and rejected:
+    struct agg buffers are not hash-map mutable, so it demotes the
+    first-occurrence aggregation — the operator's ONE big shuffle —
+    from HashAggregate to SortAggregate (the exact q312/census
+    demotion class); a guarded long keeps the hash agg and makes the
+    bound a loud error rather than a docstring promise. The oracle
+    uses ``min(row(doc_id, idx))`` — same semantics inside the
+    enforced domain."""
     W = width
     toks = docs.select("doc_id", tokens("text").alias("tk"))
     chunks = (
@@ -3548,7 +3574,7 @@ def chunk_dedup_stats(docs: DataFrame, width: int = _CD_W) -> DataFrame:
             F.col("c.idx").cast("long").alias("idx"),
             hex_hash(F.col("c.chunk")).alias("hv"),
         )
-        .withColumn("fkey", F.struct("doc_id", "idx"))
+        .withColumn("fkey", _first_occurrence_key("doc_id", "idx"))
         # chunks feeds BOTH the first-occurrence agg and the marking
         # join with no covering exchange (q316/q331 checkpoint policy);
         # 64× A/B this round: 23.9s → 21.3s lazy-checkpointed

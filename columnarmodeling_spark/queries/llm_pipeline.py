@@ -1143,6 +1143,9 @@ def q342_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         hex_hash,
         word_shingles,
     )
+    from columnarmodeling_spark.queries.llm_dedup import (
+        _first_occurrence_key,
+    )
     from columnarmodeling_spark.queries.llm_text import (
         _BLOCKLIST,
         _LANG_MARKERS,
@@ -1291,7 +1294,7 @@ def q342_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.idx").cast("long").alias("idx"),
             hex_hash(F.col("c.chunk")).alias("hv"),
         )
-        .withColumn("fkey", F.struct("doc_id", "idx"))
+        .withColumn("fkey", _first_occurrence_key("doc_id", "idx"))
         .localCheckpoint(eager=False)
     )
     firsts = chunks.groupBy("hv").agg(F.min("fkey").alias("first_fkey"))

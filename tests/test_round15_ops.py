@@ -221,6 +221,32 @@ def test_q341_registered_conservation_at_sf(spark):
     assert any(r.n_removed > 0 for r in rows)  # the cut actually fires
 
 
+# --- q339/q342 first-occurrence key guard ----------------------------------------
+
+
+def test_first_occurrence_key_guard_raises_out_of_domain(spark):
+    # the r14 ADVICE: the composite-key bound must be a runtime error,
+    # not a docstring. A doc_id past 2^42 must fail LOUDLY.
+    # (raise_error surfaces as SparkRuntimeException USER_RAISED_EXCEPTION)
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from columnarmodeling_spark.queries.llm_dedup import chunk_dedup_stats
+
+    docs = _mkdocs(spark, {1 << 50: "a b c d e f g h i j"})
+    with pytest.raises(SparkRuntimeException, match="out of domain"):
+        chunk_dedup_stats(docs).collect()
+
+
+def test_first_occurrence_key_in_domain_unchanged(spark):
+    # inside the domain the guarded key is plain arithmetic — q339
+    # results on the sf corpus are identical to the brute first-
+    # occurrence rule
+    rows = REGISTRY["q339_chunk_dedup"].fn(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r.n_kept <= r.n_chunks for r in rows)
+
+
 # --- q342: funnel telescope + per-stage recomputation ---------------------------
 
 

@@ -1074,7 +1074,35 @@ CASES = {
     "relation is lazily checkpointed (2 consumers, no covering "
     "exchange); first-occurrence is one partial/final HashAggregate "
     "(min fkey per hash) feeding an equi-join back on hv; per-doc "
-    "fold is a hash agg; no windows.",
+    "fold is a hash agg; no windows. The first-occurrence key is the "
+    "GUARDED long composite (raise_error outside 2^42 doc / 2^20 "
+    "chunk domain) — a min(struct) form was rejected because struct "
+    "agg buffers demote this, the operator's one big shuffle, to "
+    "SortAggregate.",
+    "q340_simhash_hamming_pairs": "SimHash Hamming-ball banded join "
+    "(Manku block-permute). What to check: the fingerprint build is "
+    "ONE partial/final HashAggregate on doc_id carrying 60 long "
+    "vote buffers (no per-bit row explosion — q45's explode-j form "
+    "is the oracle-parity variant, not this plan); blocks explode "
+    "4 structs/doc; candidates come from a (block, value) equi-join "
+    "+ distinct; the verify is a codegen'd bit_count(xor) filter "
+    "after two equi-joins back to fingerprints.",
+    "q341_exact_span_removal": "Exact repeated-span removal (composed "
+    "from q330). What to check: identical prefix to q330's plan "
+    "(hashed suffix explode, hot-head broadcast, (head, k2) window) "
+    "— the composition adds ONLY a lcp>=T filter, one per-doc "
+    "running-max window over the flagged positions (a vanishing "
+    "fraction of the suffix relation), and two hash aggs; no new "
+    "shuffle on the suffix relation itself.",
+    "q342_curation_pipeline": "End-to-end curation pipeline (9-stage "
+    "funnel). What to check: ONE doc-grain labeling pass — the "
+    "stage relations join back by doc_id and the first-drop CASE "
+    "collapses them; the blocklist verdict is host-grain (broadcast "
+    "NL of the literal list against <=|hosts| rows, never a "
+    "data-proportional broadcast); windows partition by host/source "
+    "(q319's top-k shape); chunk + gram relations carry 8-byte "
+    "hashes; the final funnel is a <=10-row rollup crossed with the "
+    "9-row stages literal.",
 }
 
 # Iterative operators: the registered query's final DataFrame sits behind

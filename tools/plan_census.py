@@ -112,6 +112,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "HashAggregate — restructured this round after the census "
         "caught the original form demoting the full stream",
     # --- BNLJ builds the tree classifier cannot prove, audited by hand --
+    ("q342_curation_pipeline", "BNLJ-unproven"):
+        "build = the drop-stage rollup: a HashAggregate keyed on the "
+        "first-drop CASE label, whose value domain is {1..10} by "
+        "construction — <= 10 rows broadcast against the 9-row "
+        "stages literal (the funnel's final fold)",
     ("q06_range_band_join", "BNLJ-unproven"):
         "build = the region dim scan projected to (lo, hi) bands — the "
         "reference's O(1)-row boundary-condition table analog (5 rows "
