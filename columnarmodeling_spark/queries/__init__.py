@@ -180,17 +180,19 @@ def register(
 # additions q340-q342, which outrank staleness refresh per the standing
 # precedence): q01 anchor; the round-15 batch additions q340 (SimHash
 # Hamming-ball banded join), q341 (exact span removal composed from
-# q330), q342 (end-to-end curation pipeline) — all strict-replica MATCH
-# at sf0.01 when added; the r6 band remainder (14: q124-q137); the r7
-# band's 29 oldest (q138-q166 in band order), batch rows first and its
-# two streaming members (q146, q166) riding the streaming tail; tail =
-# q146, q166, then the standing streaming-tier guard q206/q207/q222.
-# 1+3+14+27+5 = 50.
+# q330), q342 (end-to-end curation pipeline), q343 (SimHash dup
+# clusters), q344 (per-doc curation manifest) — all strict-replica
+# MATCH at sf0.01 when added; the r6 band remainder (14: q124-q137);
+# the r7 band's oldest (q138-q163 batch rows in band order — q164/q165
+# yield their draft slots to the q343/q344 additions per the standing
+# never-checked-first precedence) plus its two streaming members
+# (q146, q166) riding the streaming tail; tail = q146, q166, then the
+# standing streaming-tier guard q206/q207/q222. 1+5+14+25+5 = 50.
 # Post-r15 ledger: never driver-checked = none; oldest staleness band
-# r7 (15 left: q167-q181), then r8 (44: q02-q05 q43 q45-q50 q52 q54
-# q57 q59 q62 q66 q67 q69 q74 q87 q182-q204). ROUND-16 PLAN: q01
-# anchor + any round-16 additions + r7 remainder (15) + the r8 band's
-# oldest ~28 + streaming tail. The ledger converges to a
+# r7 (17 left: q164, q165, q167-q181), then r8 (44: q02-q05 q43
+# q45-q50 q52 q54 q57 q59 q62 q66 q67 q69 q74 q87 q182-q204).
+# ROUND-16 PLAN: q01 anchor + any round-16 additions + r7 remainder
+# (17) + the r8 band's oldest ~26 + streaming tail. The ledger converges to a
 # ≤3-round-stale steady state by ~r17.
 # Pre-verification lineage (why executing a rotation is evidence
 # conversion, not risk): every round since r11 re-runs the strict
@@ -211,6 +213,8 @@ PRIORITY: tuple[str, ...] = (
     "q340_simhash_hamming_pairs",
     "q341_exact_span_removal",
     "q342_curation_pipeline",
+    "q343_simhash_dup_clusters",
+    "q344_curation_manifest",
     # staleness drain: the r6 band remainder (oldest surviving rows)
     "q124_pq_adc_recall",
     "q125_incremental_neardup",
@@ -253,8 +257,6 @@ PRIORITY: tuple[str, ...] = (
     "q161_column_profile",
     "q162_bucketed_join",
     "q163_mix_temperature",
-    "q164_event_transitions",
-    "q165_mad_robust",
     # streaming rows: fixed micro-batch drain cost, so last in-window
     # — the r7 band's two streaming members, then the standing
     # streaming-tier guard

@@ -401,24 +401,32 @@ def _simhash_fp_sql(bits: int = _SH_BITS) -> str:
       FROM bits GROUP BY doc_id)"""
 
 
-@register(
-    "q340_simhash_hamming_pairs",
-    oracle=f"""
-    WITH {_simhash_fp_sql()},
+# oracle CTE chain down to the verified Hamming-ball pair list
+# hpairs(doc_a, doc_b, hamming) — shared by q340 (the pair list itself)
+# and q343 (connected components over it)
+_SH_ORACLE_PAIR_CTES = f"""{_simhash_fp_sql()},
     blocks AS (
       SELECT doc_id, b, (fp >> ({_SH_BLOCK_W} * b)) & {(1 << _SH_BLOCK_W) - 1} AS bv
       FROM fp CROSS JOIN (SELECT unnest(range(0, {_SH_BLOCKS})) AS b) blk),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM blocks a JOIN blocks b
-        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
-    SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-    FROM cand c
-    JOIN fp fa ON c.doc_a = fa.doc_id
-    JOIN fp fb ON c.doc_b = fb.doc_id
-    WHERE bit_count(xor(fa.fp, fb.fp)) <= {_SH_K}
-    ORDER BY c.doc_a, c.doc_b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    hpairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN fp fa ON c.doc_a = fa.doc_id
+      JOIN fp fb ON c.doc_b = fb.doc_id
+      WHERE bit_count(xor(fa.fp, fb.fp)) <= {_SH_K})"""
+
+
+@register(
+    "q340_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SH_ORACLE_PAIR_CTES}
+    SELECT doc_a, doc_b, hamming FROM hpairs
+    ORDER BY doc_a, doc_b
     """,
     doc="SIMHASH HAMMING-BALL CANDIDATE JOIN — the Manku et al. 2007 "
     "block-permute pigeonhole banding that turns q45's fingerprints "
@@ -527,6 +535,55 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= k)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q343_simhash_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SH_ORACLE_PAIR_CTES},
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM hpairs
+           UNION SELECT doc_b, doc_a FROM hpairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT ed.v, reach.r FROM reach JOIN ed ON reach.id = ed.u)
+    SELECT id AS doc_id,
+           min(r) AS cluster_id,
+           (id = min(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    doc="SIMHASH DUPLICATE CLUSTERS — the Hamming tier's end-to-end "
+    "dedup shape, mirroring what q56 gives the Jaccard tier: q340's "
+    "verified Hamming-ball pair list as an undirected graph, "
+    "connected components by the same iterative min-label "
+    "propagation (operators/graph.py), canonical doc = min id per "
+    "component; docs with no near-dup partner (or no tokens, hence "
+    "no fingerprint) are singleton clusters of themselves. This is "
+    "the form a crawl pipeline actually consumes SimHash through — "
+    "Manku et al.'s production flow is fingerprint -> Hamming "
+    "neighbors -> duplicate CLUSTERS -> keep one. The oracle "
+    "replays components with a recursive CTE (transitive closure "
+    "over the verified pairs, q56's pattern). Scale: inherits "
+    "q340's banded candidate bound and the component loop's "
+    "per-round checkpointed join+agg (rounds = cluster diameter, "
+    "small for near-dup families).",
+    tags=("dedup", "llm", "simhash", "hamming", "graph", "components",
+          "scale"),
+)
+def q343_simhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnarmodeling_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = simhash_hamming_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(
+        docs.select("doc_id"), pairs,
+        id_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
     )
 
 

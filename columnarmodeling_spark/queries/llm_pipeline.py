@@ -994,7 +994,10 @@ _CP_STAGES = [
 ]
 
 
-def _q342_oracle() -> str:
+def _cp_oracle_ctes() -> str:
+    """The q342/q344 shared oracle CTE chain: base + the survivor sets
+    s0..s9 (one per pipeline stage). q342 folds them into the funnel;
+    q344 labels every doc with its first drop stage."""
     from columnarmodeling_spark.queries.llm_text import (
         _BLOCKLIST,
         _LANG_MARKERS,
@@ -1015,12 +1018,6 @@ def _q342_oracle() -> str:
     bl_sql = ", ".join(f"('{e}')" for e in _BLOCKLIST)
     en, es, zh = (_LANG_MARKERS[lang] for lang in ("en", "es", "zh"))
     W = _CP_W
-    funnel_rows = "\n      UNION ALL ".join(
-        f"SELECT {s} AS stage, '{r}' AS rule, "
-        f"(SELECT count(*) FROM s{s - 1}) - (SELECT count(*) FROM s{s})"
-        f" AS n_dropped, (SELECT count(*) FROM s{s}) AS n_surviving"
-        for s, r in _CP_STAGES
-    )
     return f"""
     WITH {canon},
     base AS (
@@ -1099,13 +1096,46 @@ def _q342_oracle() -> str:
                       CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
                     b.doc_id) AS rk
            FROM base b JOIN s8 USING (doc_id)),
-    s9 AS (SELECT doc_id FROM r9 WHERE rk <= {_CP_MIX_CAP}),
+    s9 AS (SELECT doc_id FROM r9 WHERE rk <= {_CP_MIX_CAP})"""
+
+
+def _q342_oracle() -> str:
+    funnel_rows = "\n      UNION ALL ".join(
+        f"SELECT {s} AS stage, '{r}' AS rule, "
+        f"(SELECT count(*) FROM s{s - 1}) - (SELECT count(*) FROM s{s})"
+        f" AS n_dropped, (SELECT count(*) FROM s{s}) AS n_surviving"
+        for s, r in _CP_STAGES
+    )
+    return f"""{_cp_oracle_ctes()},
     funnel AS (
       {funnel_rows})
     SELECT CAST(stage AS INT) AS stage, rule,
            CAST(n_dropped AS BIGINT) AS n_dropped,
            CAST(n_surviving AS BIGINT) AS n_surviving
     FROM funnel ORDER BY stage
+    """
+
+
+def _q344_oracle() -> str:
+    joins = "\n    ".join(
+        f"LEFT JOIN s{s} m{s} ON b.doc_id = m{s}.doc_id"
+        for s, _ in _CP_STAGES
+    )
+    first_null = "\n           ".join(
+        f"WHEN m{s}.doc_id IS NULL THEN {s}" for s, _ in _CP_STAGES
+    )
+    rule_case = "\n           ".join(
+        f"WHEN m{s}.doc_id IS NULL THEN '{r}'" for s, r in _CP_STAGES
+    )
+    return f"""{_cp_oracle_ctes()}
+    SELECT b.doc_id,
+           CAST(CASE {first_null}
+           ELSE 10 END AS INT) AS drop_stage,
+           CASE {rule_case}
+           ELSE 'kept' END AS rule
+    FROM base b
+    {joins}
+    ORDER BY b.doc_id
     """
 
 
@@ -1139,6 +1169,36 @@ def _q342_oracle() -> str:
     tags=("llm", "pipeline", "curation", "funnel", "composition", "scale"),
 )
 def q342_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _curation_label_rel(spark, sf_dir)
+    per = lab.groupBy("drop_stage").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stages = spark.createDataFrame(_CP_STAGES, "stage INT, rule STRING")
+    return (
+        stages.crossJoin(F.broadcast(per))
+        .groupBy("stage", "rule")
+        .agg(
+            F.sum(
+                F.when(F.col("drop_stage") == F.col("stage"), F.col("cnt"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(
+                F.when(F.col("drop_stage") > F.col("stage"), F.col("cnt"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_surviving"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _curation_label_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q342/q344 shared core: one doc-grain relation
+    ``(doc_id, drop_stage)`` where drop_stage is the FIRST pipeline
+    stage that drops the doc (10 = survived all nine)."""
     from columnarmodeling_spark.functions.text import (
         hex_hash,
         word_shingles,
@@ -1351,8 +1411,8 @@ def q342_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # one doc-grain pass: label every doc with its first drop stage
-    # (10 = survived the whole pipeline), then a <=10-row rollup
-    lab = (
+    # (10 = survived the whole pipeline)
+    return (
         b1.select(
             "doc_id", "blocked", "n_tok", "n_stop",
             "s_en", "s_es", "s_zh",
@@ -1380,29 +1440,43 @@ def q342_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("hit") == 1, 8)
             .when(F.col("rk9") > _CP_MIX_CAP, 9)
             .otherwise(10)
+            .cast("int")
             .alias("drop_stage"),
         )
     )
-    per = lab.groupBy("drop_stage").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+
+
+@register(
+    "q344_curation_manifest",
+    oracle=_q344_oracle(),
+    doc="PER-DOC CURATION MANIFEST — the other artifact a curation run "
+    "ships alongside q342's funnel: every document labeled with the "
+    "FIRST pipeline stage that dropped it (and the stage's rule "
+    "name), 'kept' for full survivors. Same stage machinery as q342 "
+    "(the label relation is literally shared — q342 is this rolled "
+    "up to 9 rows), but the oracle check is much stronger here: the "
+    "driver hashes the per-document DECISIONS, so a single doc "
+    "swapping stages is a hash mismatch even when the funnel counts "
+    "happen to balance. This is the relation a debugging curator "
+    "joins back to raw docs ('why did doc X disappear?') and the "
+    "provenance record reproducibility audits replay. Scale: "
+    "identical to q342 minus the final rollup — the manifest IS the "
+    "doc-grain labeling pass, written out instead of counted.",
+    tags=("llm", "pipeline", "curation", "manifest", "provenance", "scale"),
+)
+def q344_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _curation_label_rel(spark, sf_dir)
     stages = spark.createDataFrame(_CP_STAGES, "stage INT, rule STRING")
     return (
-        stages.crossJoin(F.broadcast(per))
-        .groupBy("stage", "rule")
-        .agg(
-            F.sum(
-                F.when(F.col("drop_stage") == F.col("stage"), F.col("cnt"))
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("n_dropped"),
-            F.sum(
-                F.when(F.col("drop_stage") > F.col("stage"), F.col("cnt"))
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("n_surviving"),
+        lab.join(
+            F.broadcast(stages),
+            lab["drop_stage"] == stages["stage"],
+            "left",
         )
-        .orderBy("stage")
+        .select(
+            "doc_id",
+            "drop_stage",
+            F.coalesce("rule", F.lit("kept")).alias("rule"),
+        )
+        .orderBy("doc_id")
     )

@@ -250,6 +250,72 @@ def test_first_occurrence_key_in_domain_unchanged(spark):
 # --- q342: funnel telescope + per-stage recomputation ---------------------------
 
 
+def test_q343_clusters_transitive_closure(spark):
+    # brute-force union-find over brute Hamming pairs must equal the
+    # distributed components — including transitivity: A~B and B~C in
+    # radius with A,C outside it still share a cluster
+    rng = random.Random(1507)
+    vocab = ["the", "of", "to", "cat", "dog", "run", "big", "red"]
+    texts: dict[int, str] = {}
+    for d in range(0, 9, 3):
+        words = [rng.choice(vocab) for _ in range(200)]
+        texts[d] = " ".join(words)
+        m1 = list(words)
+        m1[5] = "zebra"
+        texts[d + 1] = " ".join(m1)
+        m2 = list(m1)
+        m2[100] = "yak"
+        texts[d + 2] = " ".join(m2)
+    fps = _fingerprints(spark, texts, 60)
+    pairs = _brute_hamming_pairs(fps, 3)
+    parent = {d: d for d in texts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in texts}
+
+    from columnarmodeling_spark.operators.graph import connected_components
+
+    docs = _mkdocs(spark, texts)
+    p = simhash_hamming_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(
+        docs.select("doc_id"), p, id_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+    got = {r.id: r.component for r in cc.collect()}
+    assert got == want
+    assert len(set(want.values())) < len(texts)  # something clustered
+
+
+def test_q344_manifest_consistent_with_q342_funnel(spark):
+    # the manifest rolled up by drop stage must reproduce the funnel
+    # exactly (shared label relation), and every doc gets one label
+    man = REGISTRY["q344_curation_manifest"].fn(spark, SF).collect()
+    fun = (
+        REGISTRY["q342_curation_pipeline"].fn(spark, SF)
+        .orderBy("stage")
+        .collect()
+    )
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(man) == n_docs
+    from collections import Counter
+
+    by_stage = Counter(r.drop_stage for r in man)
+    for f in fun:
+        assert by_stage.get(f.stage, 0) == f.n_dropped, f
+    assert by_stage.get(10, 0) == fun[-1].n_surviving
+    kept = [r for r in man if r.drop_stage == 10]
+    assert all(r.rule == "kept" for r in kept)
+
+
 def test_q342_funnel_telescopes(spark):
     rows = (
         REGISTRY["q342_curation_pipeline"].fn(spark, SF)

@@ -1094,6 +1094,16 @@ CASES = {
     "running-max window over the flagged positions (a vanishing "
     "fraction of the suffix relation), and two hash aggs; no new "
     "shuffle on the suffix relation itself.",
+    # q343_simhash_dup_clusters is deliberately NOT captured here: its
+    # registered fn runs the component loop eagerly and the final
+    # DataFrame is a checkpoint scan. Its plan story is exactly
+    # q340_simhash_hamming_pairs (captured above) feeding the
+    # q56_dup_clusters propagation round (captured in ROUND_CASES).
+    "q344_curation_manifest": "Per-doc curation manifest (q342's "
+    "label relation written out). What to check: identical to "
+    "q342's plan MINUS the funnel rollup — the stage joins collapse "
+    "into one doc-grain CASE; the stages dim enters as a broadcast "
+    "of a 9-row literal for the rule-name join.",
     "q342_curation_pipeline": "End-to-end curation pipeline (9-stage "
     "funnel). What to check: ONE doc-grain labeling pass — the "
     "stage relations join back by doc_id and the first-drop CASE "
