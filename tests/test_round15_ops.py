@@ -247,6 +247,90 @@ def test_first_occurrence_key_in_domain_unchanged(spark):
     assert all(r.n_kept <= r.n_chunks for r in rows)
 
 
+# --- q345: image dHash dup classes vs independent closed-form reference ---------
+
+
+def _ref_dhash(doc_id: int) -> int:
+    # the SEEDING FORMULA, never the decoder — an independent
+    # reimplementation of the fingerprint
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+
+    def gray(x, y):
+        return (doc_id * 31 + y) % 256 + (x * y) % 256 + (doc_id + x) % 256
+
+    out = 0
+    for j in range(6):
+        y = (j * h) // 6
+        for i in range(10):
+            x0, x1 = (i * w) // 11, ((i + 1) * w) // 11
+            if gray(x1, y) > gray(x0, y):
+                out |= 1 << (10 * j + i)
+    return out
+
+
+def test_q345_classes_match_independent_closed_form(spark):
+    import duckdb  # only for reading the parquet doc_ids
+    from collections import defaultdict
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF}/documents.parquet') "
+            "WHERE doc_id % 2 = 0"
+        ).fetchall()
+    ]
+    groups = defaultdict(list)
+    for d in ids:
+        groups[_ref_dhash(d)].append(d)
+    want = {
+        fp: (len(v), min(v), max(v)) for fp, v in groups.items()
+    }
+    got = {
+        r.fp: (r.n_images, r.canonical_doc, r.max_doc)
+        for r in REGISTRY["q345_image_phash_dup_classes"].fn(spark, SF)
+        .collect()
+    }
+    assert got == want
+    assert any(n > 1 for n, _, _ in want.values())  # real dup classes
+
+
+def test_q345_near_miss_band_via_generic_helper(spark):
+    # the radius path on the same REAL-DECODE fingerprints: banded
+    # pairs at k=3 must equal brute force over the closed-form hashes
+    # (empty on this corpus's fp space — the assertion is exactness,
+    # not existence; q340/q343 cover populated radii)
+    import duckdb
+
+    from columnarmodeling_spark.queries.io_codec import (
+        image_dhash_fingerprints,
+    )
+    from columnarmodeling_spark.queries.llm_dedup import hamming_ball_pairs
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF}/documents.parquet') "
+            "WHERE doc_id % 2 = 0"
+        ).fetchall()
+    ]
+    fps = {d: _ref_dhash(d) for d in ids}
+    want = {}
+    s = sorted(ids)
+    for ai, a in enumerate(s):
+        for b in s[ai + 1 :]:
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if 1 <= d <= 3:
+                want[(a, b)] = d
+    fp_rel = image_dhash_fingerprints(spark, SF)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_ball_pairs(fp_rel, bits=60, blocks=4, k=3)
+        .filter("hamming >= 1")
+        .collect()
+    }
+    assert got == want
+
+
 # --- q342: funnel telescope + per-stage recomputation ---------------------------
 
 

@@ -1099,6 +1099,11 @@ CASES = {
     # DataFrame is a checkpoint scan. Its plan story is exactly
     # q340_simhash_hamming_pairs (captured above) feeding the
     # q56_dup_clusters propagation round (captured in ROUND_CASES).
+    "q345_image_phash_dup_classes": "Image dHash dup classes (real "
+    "decode). What to check: ONE ArrowEvalPython/mapInPandas span "
+    "for encode+decode+hash (no per-row Python), then a single "
+    "partial/final HashAggregate on the 8-byte fingerprint — the "
+    "class relation is the only shuffle; no pair space anywhere.",
     "q344_curation_manifest": "Per-doc curation manifest (q342's "
     "label relation written out). What to check: identical to "
     "q342's plan MINUS the funnel rollup — the stage joins collapse "
