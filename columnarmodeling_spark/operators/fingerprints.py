@@ -9,10 +9,14 @@ least ``w + k - 1`` tokens (k = gram width) share at least one
 selected fingerprint — while the expected density of selected grams
 is ~2/(w+1).
 
-Relational shape: ONE doc-keyed trailing-window min (state = w
-hashes), then the rightmost-min resolution as an equi-join on
-(doc_id, hash) with a ±w position band — fan-out structurally ≤ w —
-and a distinct. No global sort, no pair space. Used by q213.
+Relational shape: ONE doc-keyed trailing-window min over the struct
+``(h, -pos)`` (state = w structs) — lexicographic struct ordering
+resolves the rightmost occurrence of the minimum hash inside the same
+window pass — and a distinct. No join, no global sort, no pair space.
+(Before round 15 the rightmost-min resolution was a separate equi-join
+on (doc_id, hash) with a ±w position band: one extra shuffle of the
+full gram relation plus a groupBy, removed per guide §2.4.)
+Used by q213.
 """
 
 from __future__ import annotations
@@ -32,24 +36,17 @@ def winnow_selected(g: DataFrame, w: int) -> DataFrame:
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
         -(w - 1), 0
     )
-    wm = (
-        g.withColumn("wmin", F.min("h").over(win))
-        .filter(F.col("pos") >= w - 1)
-        .select("doc_id", F.col("pos").alias("p"), "wmin")
-    )
+    # min of (h, -pos) = (smallest hash, rightmost attaining position):
+    # struct ordering is lexicographic, so the tie-break the MOSS rule
+    # needs falls out of the same window min — no re-join against g.
+    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win)
     return (
-        wm.alias("w")
-        .join(
-            g.alias("g"),
-            (F.col("g.doc_id") == F.col("w.doc_id"))
-            & (F.col("g.h") == F.col("w.wmin"))
-            & (F.col("g.pos") >= F.col("w.p") - (w - 1))
-            & (F.col("g.pos") <= F.col("w.p")),
-        )
-        .groupBy("w.doc_id", "w.p", "w.wmin")
-        .agg(F.max("g.pos").alias("sel_pos"))
+        g.withColumn("ms", sel)
+        .filter(F.col("pos") >= w - 1)
         .select(
-            F.col("doc_id"), "sel_pos", F.col("wmin").alias("h")
+            "doc_id",
+            (-F.col("ms.np")).alias("sel_pos"),
+            F.col("ms.h").alias("h"),
         )
         .distinct()
     )

@@ -167,6 +167,14 @@ def connected_components(
     und = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+    # NOTE (r15 optimization round, measured and rejected): hash-
+    # partitioning und by the join key here (repartition("u")) to let
+    # the per-round join reuse the partitioning made q56 ~0.6 s SLOWER
+    # at sf0.1 — the per-round label join is a BROADCAST join (labels
+    # are one row per node), so und is never shuffled per round and the
+    # repartition is a pure extra exchange. At a scale where labels
+    # outgrow the broadcast threshold, AQE picks the shuffle plan and
+    # the pre-partition becomes the right call — revisit then.
     und = und.distinct().localCheckpoint(eager=False)
 
     labels = nodes.select(

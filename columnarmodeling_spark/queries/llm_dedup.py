@@ -1334,18 +1334,21 @@ def q129_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     sh = _shingle_rows(spark, sf_dir).localCheckpoint()
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    # Document frequency via a window over s (one exchange on s) instead
+    # of the old groupBy(s) + self-join (which shuffled the shingle
+    # relation on s twice); the per-doc size n and the rarest-first rank
+    # pos then share ONE exchange+sort on doc_id. Plan shape: 2
+    # exchanges where the r14 form had 3 + a join (guide §2.4).
     sized = sh.withColumn(
-        "n", F.count("*").over(W.partitionBy("doc_id"))
+        "df", F.count(F.lit(1)).over(W.partitionBy("s"))
     )
-    ordered = (
-        sized.join(dfreq, "s")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy("df", "s")
-            ),
-        )
+    ordered = sized.withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy("df", "s")
+        ),
     )
     # prefix length = n - ceil(tau*n) + 1, integer form
     ceil_tau_n = F.expr(
@@ -1368,28 +1371,35 @@ def q129_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification: full intersection count for candidates only
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    sh_b = sh.select(
-        F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb")
+    # Exact verification on per-doc shingle ARRAYS (the PPJoin verify
+    # layout): one groupBy builds (doc, shingle-set, size) once; each
+    # candidate pair picks up both arrays via two doc-keyed joins and
+    # counts the intersection with a JVM array_intersect — replacing
+    # the r14 chain (explode candidates by doc_a's shingles → re-join
+    # on (doc_b, s) → count → two size joins: 4 shuffles of exploded
+    # rows) with 2 doc-keyed joins of compact array rows. sh is
+    # distinct per (doc_id, s), so |array_intersect| is the exact
+    # intersection cardinality.
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_list("s").alias("ss"),
+        F.count(F.lit(1)).alias("n"),
     )
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(
-            sh_b,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("s") == F.col("sb")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ss").alias("sa"),
+        F.col("n").alias("n_a"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ss").alias("sb"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
     union = F.col("n_a") + F.col("n_b") - F.col("inter")
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("inter", inter)
         .filter(
             _PREFIX_TAU_DEN * F.col("inter") >= _PREFIX_TAU_NUM * union
         )

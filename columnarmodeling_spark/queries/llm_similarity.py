@@ -370,6 +370,8 @@ def _cell_topk_fn(topk: int):
     tags=("similarity", "llm", "ann", "ivf", "topk", "scale"),
 )
 def q69_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from pyspark.sql.window import Window
 
     n = _quantized(spark, sf_dir)
@@ -385,25 +387,25 @@ def q69_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cent")
         )
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cent", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    dist = (
-        n.select("vec_id", "qv", "n2")
-        .join(F.broadcast(cent.select(F.col("label").alias("plabel"), "cent")))
-        .withColumn("d2", d2)
-    )
+    # Probe routing through the q96 broadcast-matmul kernel: the fixed
+    # 10-row centroid table is collected (bounded — one row per IVF
+    # cell, exactly the relation the r14 plan broadcast anyway) and
+    # each Arrow batch is routed with one exact int64 matmul
+    # (|v−c|² = n2 − 2·v·c + |c|²). The r14 form evaluated the same d2
+    # as an interpreted zip_with/aggregate HOF over a 10× broadcast-join
+    # fan-out and ranked cells with a row_number window — one full
+    # shuffle+sort of n×10 rows that the narrow mapInPandas removes
+    # (guide §4.2; same argsort tie-break: ascending label = the
+    # oracle's ORDER BY d2, plabel).
+    cent_rows = sorted(cent.collect(), key=lambda r: r["label"])
+    s_ids = np.array([r["label"] for r in cent_rows], dtype=np.int64)
+    s_mat = np.array([r["cent"] for r in cent_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((s_ids, s_mat))
     probe = (
-        dist.withColumn(
-            "crk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2", "plabel")
-            ),
-        )
+        n.select("vec_id", "qv", "n2")
+        .mapInPandas(_make_route_fn(bc, _IVF_NPROBE), schema=_ROUTED_SCHEMA)
         .filter(F.col("crk") <= _IVF_NPROBE)
-        .select("vec_id", "plabel", "qv", "n2")
+        .select("vec_id", F.col("cell").alias("plabel"), "qv", "n2")
     )
     # fresh scan for the index side: cogroup needs distinct attribute ids
     index = _quantized(spark, sf_dir).select("label", "vec_id", "qv", "n2")
@@ -1537,6 +1539,8 @@ def _kmeans_oracle() -> str:
     tags=("similarity", "llm", "kmeans", "iterative", "scale"),
 )
 def q143_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from columnarmodeling_spark.functions.text import hex_hash
 
     e = t(spark, sf_dir, "embeddings")
@@ -1556,40 +1560,68 @@ def q143_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = sd.withColumn(
         "cl", F.row_number().over(W.orderBy("hk", "vec_id"))
     )
-    lv = qs.select(
-        "vec_id", F.posexplode("qv").alias("pos", "v")
-    ).localCheckpoint()
-    cent = sd.select("cl", F.posexplode("qv").alias("pos", "cv"))
+    base = qs.select("vec_id", "qv").localCheckpoint()
+
+    # Assignment via the q96 broadcast-matmul route (guide §4.2): the
+    # k ≤ 8 centroid vectors are collected (bounded, the q96 seed
+    # discipline) and each Arrow batch computes all k distances with
+    # one exact int64 matmul — |v−c|² = v·v − 2·v·c + c·c, identical
+    # int64 value to the unrolled sum, so the emitted distortion and
+    # the argmin (np.argmin first-occurrence = lowest cl, centroids
+    # sorted ascending) replay the oracle's ORDER BY d2, cl exactly.
+    # The r14 form exploded vectors to (vec_id, pos, v) LONG rows and
+    # ran two shuffling hash aggs per round over an 8× broadcast-join
+    # fan-out; the route kernel is a narrow map, and only the centroid
+    # RECOMPUTE (one posexplode + div(sum, count) agg over the compact
+    # array rows) shuffles.
+    def make_assign(cent_map):
+        cl_ids = np.array([c for c, _ in cent_map], dtype=np.int64)
+        cmat = np.array([v for _, v in cent_map], dtype=np.int64)
+
+        def assign(batches):
+            import pandas as pd
+
+            c2 = (cmat * cmat).sum(axis=1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a = np.array(list(pdf["qv"]), dtype=np.int64)
+                a2 = (a * a).sum(axis=1)
+                d2 = a2[:, None] - 2 * (a @ cmat.T) + c2[None, :]
+                j = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                        "cl": cl_ids[j],
+                        "d2": d2[np.arange(len(j)), j],
+                    }
+                )
+
+        return assign
+
+    cent_map = sorted(
+        (r["cl"], r["qv"]) for r in sd.select("cl", "qv").collect()
+    )
     b = None
     for _ in range(_KM_ROUNDS):
-        a = (
-            lv.join(F.broadcast(cent), "pos")
-            .groupBy("vec_id", "cl")
-            .agg(
-                F.sum(
-                    (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
-                ).alias("d2")
-            )
-        )
-        # packed-long argmin (see _pq_codes_from_subd): keeps the hot
-        # per-round assign step HashAggregate; d2 <= 64 * (2 * 10^4)^2
-        # ~ 2.6e10 and cl < 1024, so d2 * 1024 + cl < 2^45.
-        b = (
-            a.groupBy("vec_id")
-            .agg(F.min(F.col("d2") * 1024 + F.col("cl")).alias("p"))
-            .select(
-                "vec_id",
-                (F.col("p") % 1024).alias("cl"),
-                F.expr("p DIV 1024").alias("d2"),
-            )
-            .localCheckpoint()
-        )
-        cent = (
-            b.join(lv, "vec_id")
+        b = base.mapInPandas(
+            make_assign(cent_map), schema="vec_id long, cl long, d2 long"
+        ).localCheckpoint()
+        cent_rows = (
+            b.join(base, "vec_id")
+            .select("cl", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cl", "pos")
             .agg(F.expr("div(sum(v), count(*))").alias("cv"))
-            .localCheckpoint()
+            .groupBy("cl")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cent")
+            )
+            .collect()
         )
+        cent_map = sorted((r["cl"], r["cent"]) for r in cent_rows)
     return b.select(
         "vec_id",
         F.col("cl").cast("long").alias("cluster"),

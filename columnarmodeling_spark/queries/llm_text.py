@@ -4821,57 +4821,67 @@ def q295_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vs = vocab.agg((F.count(F.lit(1)) + 1).cast("long").alias("v"))
-    tr_pos = tr.select(
-        "doc_id", F.posexplode("tk").alias("i", "tok")
+    # Bigram assembly is a NARROW array transform (tk[i], tk[i+1]) —
+    # the old posexplode + (doc_id, i+1) self-join shuffled every token
+    # twice to recover adjacency the array already has (guide §2.4:
+    # remove shuffles outright). Docs with < 2 tokens yield no bigrams
+    # on either path, so the size guard changes nothing.
+    bigrams = F.expr(
+        "transform(sequence(0, size(tk) - 2),"
+        " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
     )
     tr_bg = (
-        tr_pos.alias("a")
-        .join(
-            tr_pos.alias("b"),
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.i") == F.col("a.i") + 1),
-        )
+        tr.where(F.size("tk") >= 2)
+        .select(F.explode(bigrams).alias("bg"))
         .groupBy(
-            F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2")
+            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
         .localCheckpoint(eager=False)
     )
     tr_uni = tr_bg.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
-    te_tok = (
+    # Test bigrams: same narrow assembly, then TWO broadcast vocab
+    # lookups (one per endpoint) replace the old explode → broadcast
+    # lookup → token-level self-join chain.
+    te_bg = (
         d.where(split == 0)
-        .select("doc_id", "source", F.posexplode("tk").alias("i", "tok0"))
+        .where(F.size("tk") >= 2)
+        .select("source", F.explode(bigrams).alias("bg"))
+        .select(
+            "source",
+            F.col("bg.w1").alias("tok_a"),
+            F.col("bg.w2").alias("tok_b"),
+        )
         .join(
-            F.broadcast(vocab.withColumnRenamed("tok", "tok0")).withColumn(
-                "seen", F.lit(1)
+            F.broadcast(
+                vocab.select(
+                    F.col("tok").alias("tok_a"), F.lit(1).alias("seen_a")
+                )
             ),
-            "tok0",
+            "tok_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("tok").alias("tok_b"), F.lit(1).alias("seen_b")
+                )
+            ),
+            "tok_b",
             "left",
         )
         .select(
-            "doc_id",
             "source",
-            "i",
-            F.when(F.col("seen").isNull(), F.lit("<unk>"))
-            .otherwise(F.col("tok0"))
-            .alias("tok"),
-            F.when(F.col("seen").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("oov"),
-        )
-    )
-    te_bg = (
-        te_tok.alias("a")
-        .join(
-            te_tok.alias("b"),
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.i") == F.col("a.i") + 1),
-        )
-        .select(
-            F.col("a.source").alias("source"),
-            F.col("a.tok").alias("w1"),
-            F.col("b.tok").alias("w2"),
-            (F.col("a.oov") + F.col("b.oov")).alias("oov"),
+            F.when(F.col("seen_a").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("tok_a"))
+            .alias("w1"),
+            F.when(F.col("seen_b").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("tok_b"))
+            .alias("w2"),
+            (
+                F.when(F.col("seen_a").isNull(), 1).otherwise(0)
+                + F.when(F.col("seen_b").isNull(), 1).otherwise(0)
+            ).alias("oov"),
         )
     )
     scored = (

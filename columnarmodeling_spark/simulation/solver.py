@@ -477,14 +477,17 @@ def run_solver_blocked(
     positions, which are bit-exact inside the halo, so every replica
     reaches the same verdict and the halo invariant is unchanged.
     """
+    # checkpoint BEFORE the reach agg: deriving reach is an action, and
+    # on an un-checkpointed bond relation it re-ran the whole bond
+    # build (q64's grid proximity join) a second time for the first
+    # blocked round (guide §1.2: don't compute things twice)
+    bonds = bonds.localCheckpoint(eager=False)
     if reach is None:
         max_rest = bonds.agg(F.max("rest")).collect()[0][0] or 1.0
         reach = 1.5 * float(max_rest)
     halo = fuse * reach
     if block is None:
         block = 4.0 * halo
-
-    bonds = bonds.localCheckpoint(eager=False)
 
     i = 0
     while i < n_steps:
@@ -546,7 +549,6 @@ def blocked_round(
             import numpy as np
 
             ids = parts["id"].to_numpy()
-            idx = {int(i): j for j, i in enumerate(ids)}
             x = parts["x"].to_numpy(dtype=np.float64).copy()
             y = parts["y"].to_numpy(dtype=np.float64).copy()
             vx = parts["vx"].to_numpy(dtype=np.float64).copy()
@@ -557,12 +559,23 @@ def blocked_round(
                 rest = np.empty(0, dtype=np.float64)
                 kk: object = k
             else:
-                src = np.fromiter(
-                    (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
-                )
-                dst = np.fromiter(
-                    (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
-                )
+                # vectorized id -> row-index mapping (sorted ids +
+                # searchsorted): same values as the old per-bond dict
+                # lookup, ~4x faster per round (r15 microbench)
+                order = np.argsort(ids, kind="stable")
+                sorted_ids = ids[order]
+                src = order[
+                    np.searchsorted(
+                        sorted_ids,
+                        local_bonds["src"].to_numpy(dtype=np.int64),
+                    )
+                ]
+                dst = order[
+                    np.searchsorted(
+                        sorted_ids,
+                        local_bonds["dst"].to_numpy(dtype=np.int64),
+                    )
+                ]
                 rest = local_bonds["rest"].to_numpy(dtype=np.float64)
                 kk = (
                     local_bonds["k"].to_numpy(dtype=np.float64)
@@ -763,6 +776,12 @@ def run_solver_blocked_breaking(
     if not has_ustate:
         bonds = bonds.withColumn("ustate", F.lit(0.0))
     law = bond_law if bond_law is not None else linear_spring_breaking_law
+    # checkpoint BEFORE the reach agg (same reason as run_solver_blocked:
+    # the agg is an action and would otherwise re-run the caller's bond
+    # build — q107's grid join — a second time for round 1)
+    bonds = bonds.select(
+        "src", "dst", "rest", "strength", "k", "ustate"
+    ).localCheckpoint(eager=False)
     if reach is None:
         if bond_law is not None:
             raise ValueError(
@@ -796,7 +815,6 @@ def run_solver_blocked_breaking(
             if parts.empty:
                 return pd.DataFrame(columns=cols)
             ids = parts["id"].to_numpy()
-            idx = {int(i): j for j, i in enumerate(ids)}
             x = parts["x"].to_numpy(dtype=np.float64).copy()
             y = parts["y"].to_numpy(dtype=np.float64).copy()
             vx = parts["vx"].to_numpy(dtype=np.float64).copy()
@@ -810,12 +828,22 @@ def run_solver_blocked_breaking(
                 kb = np.empty(0, dtype=np.float64)
                 ustate = np.empty(0, dtype=np.float64)
             else:
-                src = np.fromiter(
-                    (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
-                )
-                dst = np.fromiter(
-                    (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
-                )
+                # vectorized id -> row-index mapping, same as
+                # blocked_round (bit-identical to the old dict lookup)
+                order = np.argsort(ids, kind="stable")
+                sorted_ids = ids[order]
+                src = order[
+                    np.searchsorted(
+                        sorted_ids,
+                        local_bonds["src"].to_numpy(dtype=np.int64),
+                    )
+                ]
+                dst = order[
+                    np.searchsorted(
+                        sorted_ids,
+                        local_bonds["dst"].to_numpy(dtype=np.int64),
+                    )
+                ]
                 rest = local_bonds["rest"].to_numpy(dtype=np.float64)
                 limit = local_bonds["strength"].to_numpy(dtype=np.float64)
                 kb = local_bonds["k"].to_numpy(dtype=np.float64)
@@ -914,9 +942,6 @@ def run_solver_blocked_breaking(
         "break_step long, ustate double"
     )
     broken_log = spark.createDataFrame([], log_schema)
-    bonds = bonds.select(
-        "src", "dst", "rest", "strength", "k", "ustate"
-    ).localCheckpoint(eager=False)
 
     i = 0
     while i < n_steps:

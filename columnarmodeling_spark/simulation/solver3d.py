@@ -222,7 +222,6 @@ def blocked_round3d(
             import numpy as np
 
             ids = parts["id"].to_numpy()
-            idx = {int(i): j for j, i in enumerate(ids)}
             x = parts["x"].to_numpy(dtype=np.float64).copy()
             y = parts["y"].to_numpy(dtype=np.float64).copy()
             z = parts["z"].to_numpy(dtype=np.float64).copy()
@@ -235,12 +234,22 @@ def blocked_round3d(
                 rest = np.empty(0, dtype=np.float64)
                 kk: object = k
             else:
-                src = np.fromiter(
-                    (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
-                )
-                dst = np.fromiter(
-                    (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
-                )
+                # vectorized id -> row-index mapping (bit-identical
+                # to the old per-bond dict lookup; r15 optimization)
+                order = np.argsort(ids, kind="stable")
+                sorted_ids = ids[order]
+                src = order[
+                    np.searchsorted(
+                        sorted_ids,
+                        local_bonds["src"].to_numpy(dtype=np.int64),
+                    )
+                ]
+                dst = order[
+                    np.searchsorted(
+                        sorted_ids,
+                        local_bonds["dst"].to_numpy(dtype=np.int64),
+                    )
+                ]
                 rest = local_bonds["rest"].to_numpy(dtype=np.float64)
                 kk = (
                     local_bonds["k"].to_numpy(dtype=np.float64)
@@ -497,7 +506,6 @@ def run_solver3d_blocked_breaking(
             if parts.empty:
                 return pd.DataFrame(columns=cols)
             ids = parts["id"].to_numpy()
-            idx = {int(i): j for j, i in enumerate(ids)}
             x = parts["x"].to_numpy(dtype=np.float64).copy()
             y = parts["y"].to_numpy(dtype=np.float64).copy()
             z = parts["z"].to_numpy(dtype=np.float64).copy()
@@ -513,12 +521,22 @@ def run_solver3d_blocked_breaking(
                 kb = np.empty(0, dtype=np.float64)
                 ustate = np.empty(0, dtype=np.float64)
             else:
-                src = np.fromiter(
-                    (idx[int(s)] for s in local_bonds["src"]), dtype=np.int64
-                )
-                dst = np.fromiter(
-                    (idx[int(d)] for d in local_bonds["dst"]), dtype=np.int64
-                )
+                # vectorized id -> row-index mapping (bit-identical
+                # to the old per-bond dict lookup; r15 optimization)
+                order = np.argsort(ids, kind="stable")
+                sorted_ids = ids[order]
+                src = order[
+                    np.searchsorted(
+                        sorted_ids,
+                        local_bonds["src"].to_numpy(dtype=np.int64),
+                    )
+                ]
+                dst = order[
+                    np.searchsorted(
+                        sorted_ids,
+                        local_bonds["dst"].to_numpy(dtype=np.int64),
+                    )
+                ]
                 rest = local_bonds["rest"].to_numpy(dtype=np.float64)
                 limit = local_bonds["strength"].to_numpy(dtype=np.float64)
                 kb = local_bonds["k"].to_numpy(dtype=np.float64)

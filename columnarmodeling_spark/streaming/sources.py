@@ -86,7 +86,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def drain_to_memory(
-    stream_df: DataFrame, mode: str = "complete", partitions: int = 8
+    stream_df: DataFrame, mode: str = "complete", partitions: int | None = None
 ) -> DataFrame:
     """Run a streaming aggregation to completion against the available
     input (the solver-run analog: process every pending micro-batch,
@@ -101,8 +101,19 @@ def drain_to_memory(
     semantics; AQE does the equivalent resizing for batch plans but is
     disabled inside stateful streaming). The previous value is restored
     before returning so batch queries are unaffected.
+
+    The default comes from ``$SPARK_GRAFT_STREAM_PARTITIONS`` (4): the
+    r15 optimization round measured the stream-stream join (q85) at
+    sf0.1 with 4/8/16/32 state-store partitions — 4 beat the old
+    default 8 by ~30% and 32 was ~2.5x slower, i.e. per-instance
+    state-store fixed cost dominates at micro-batch volumes far below
+    key-cardinality pressure. A deployment whose per-batch key volume
+    saturates 4 instances raises the env var (or passes *partitions*);
+    output is identical at any value.
     """
     spark = stream_df.sparkSession
+    if partitions is None:
+        partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     name = f"sink_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
