@@ -1212,6 +1212,9 @@ def _bloom_ab_sql() -> str:
     tags=("dedup", "llm", "bloom", "contamination", "scale"),
 )
 def q127_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     ab = spark.createDataFrame(
         [(j, a, b) for j, (a, b) in enumerate(MINHASH_AB[:_BLOOM_K])],
         "j INT, a LONG, b LONG",
@@ -1240,31 +1243,47 @@ def q127_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
-    probe_pos = (
+    # The finished filter is <= 2048 words REGARDLESS of corpus size (the
+    # operator's defining property), so collect it into a dense bitmap
+    # and fold all k=4 probes into ONE narrow numpy map per Arrow batch
+    # (guide §4.2). The r14 plan exploded every probe shingle 4x through
+    # a crossJoin, broadcast-joined the word table, and re-aggregated by
+    # (doc_id, u) — two extra shuffles of the probe relation that carry
+    # no information the bitmap lookup doesn't. Arithmetic is exact
+    # int64 throughout (a <= 167, u < 2^31 => a*u + b < 2^39); a word
+    # absent from the agg output is all-zeroes, exactly the old
+    # bits-IS-NULL => miss branch.
+    bits_arr = np.zeros(_BLOOM_M_BITS // _BLOOM_W, dtype=np.int64)
+    for r in words.collect():
+        bits_arr[int(r["word"])] = int(r["bits"])
+    a_vec = np.array([a for a, _ in MINHASH_AB[:_BLOOM_K]], dtype=np.int64)
+    b_vec = np.array([b for _, b in MINHASH_AB[:_BLOOM_K]], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((bits_arr, a_vec, b_vec))
+
+    def bloom_probe(batches):
+        bits, av, bv = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            u = pdf["u"].to_numpy(np.int64)
+            p = ((u[:, None] * av[None, :] + bv[None, :]) % MERSENNE_P) % (
+                _BLOOM_M_BITS
+            )
+            mask = np.int64(1) << (p % _BLOOM_W)
+            hit = (bits[p // _BLOOM_W] & mask) != 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "u": u,
+                    "bloom_hit": hit.all(axis=1).astype(np.int64),
+                }
+            )
+
+    per_shingle = (
         h.filter(F.col("doc_id") % 4 == 0)
-        .crossJoin(F.broadcast(ab))
-        .select("doc_id", "u", "j", pos.alias("pos"))
-        .withColumn("word", (F.col("pos") / _BLOOM_W).cast("long"))
-    )
-    # the finished filter is tiny (<= 2048 rows) -> broadcast the lookup
-    checked = probe_pos.join(F.broadcast(words), "word", "left").select(
-        "doc_id",
-        "u",
-        F.when(
-            F.col("bits").isNotNull()
-            & (
-                F.col("bits").bitwiseAND(
-                    F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_W} as int))")
-                )
-                != 0
-            ),
-            1,
+        .mapInPandas(
+            bloom_probe, schema="doc_id long, u long, bloom_hit int"
         )
-        .otherwise(0)
-        .alias("hit"),
-    )
-    per_shingle = checked.groupBy("doc_id", "u").agg(
-        F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_hit")
     )
     flagged = per_shingle.join(
         train_u.withColumnRenamed("u", "tu"),

@@ -492,30 +492,49 @@ def q49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n = _quantized(spark, sf_dir)
-    planes = spark.createDataFrame(
+    # Hyperplane signs via ONE exact int64 matmul per Arrow batch
+    # against the broadcast 16x64 weight matrix (guide §4.2), emitting
+    # (vec_id, band, bv, qv, n2) rows directly. The r14 plan exploded
+    # every vector to 64 component rows, broadcast-joined the 1024-row
+    # plane table (16x fan-out -> n*1024 rows) and ran two shuffling
+    # hash aggs, then joined the band keys back to the vectors; all of
+    # that is a narrow map here — the only remaining shuffle is the
+    # (band, bv) bucket cogroup the verify step genuinely needs. Same
+    # arithmetic: d = sum(w*qv) exact int64, bit p set iff d > 0.
+    wmat = np.array(
         [
-            (p, i, _lcg_weight(p, i))
+            [_lcg_weight(p, i) for i in range(1, 65)]
             for p in range(_NEARDUP_PLANES)
-            for i in range(1, 65)
         ],
-        "p INT, i INT, w LONG",
+        dtype=np.int64,
     )
-    comp = n.select("vec_id", F.posexplode("qv").alias("pos", "v")).withColumn(
-        "i", F.col("pos") + 1
+    bc = spark.sparkContext.broadcast(wmat)
+    n_bands = _NEARDUP_PLANES // 4
+    bit_w = 1 << np.arange(4, dtype=np.int64)
+
+    def band_rows(batches):
+        wm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(list(pdf["qv"]), dtype=np.int64)
+            bits = (a @ wm.T > 0).astype(np.int64)
+            for band in range(n_bands):
+                bv = (bits[:, band * 4 : band * 4 + 4] * bit_w).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                        "band": band,
+                        "bv": bv,
+                        "qv": pdf["qv"],
+                        "n2": pdf["n2"].to_numpy(np.int64),
+                    }
+                )
+
+    grouped = n.select("vec_id", "qv", "n2").mapInPandas(
+        band_rows,
+        schema="vec_id long, band int, bv long, qv array<long>, n2 long",
     )
-    dots = (
-        comp.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("w") * F.col("v")).alias("d"))
-    )
-    bits = dots.groupBy("vec_id", (F.col("p") / 4).cast("int").alias("band")).agg(
-        F.sum(
-            F.when(
-                F.col("d") > 0, F.expr("shiftleft(cast(1 as bigint), p % 4)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("bv")
-    )
-    grouped = bits.join(n.select("vec_id", "qv", "n2"), "vec_id")
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

@@ -855,11 +855,24 @@ def q35_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95"),
-        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("price_p50"),
+    # one percentile() buffer per column: the array form computes all
+    # three l_quantity order statistics from a single per-group buffer
+    # instead of three (same interpolation, same values — r15)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_quantity, array(0.25D, 0.50D, 0.95D))"
+            ).alias("qs"),
+            F.expr("percentile(l_extendedprice, 0.50D)").alias("ep"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("qs")[0], 6).alias("p25"),
+            F.round(F.col("qs")[1], 6).alias("p50"),
+            F.round(F.col("qs")[2], 6).alias("p95"),
+            F.round("ep", 6).alias("price_p50"),
+        )
     )
 
 

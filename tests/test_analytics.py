@@ -381,6 +381,36 @@ def test_winnowing_selects_every_window_min(spark):
     assert 0 < len(sel) <= len(hs)
 
 
+def test_winnowing_tie_breaks_to_rightmost(spark):
+    """The MOSS tie rule the r15 struct-min rewrite must preserve: when
+    a window's minimum hash occurs at several positions, the RIGHTMOST
+    occurrence is selected. Forced duplicate minima (the random test
+    above never produces ties), brute-force reference per window."""
+    from columnarmodeling_spark.operators.fingerprints import winnow_selected
+
+    #            pos: 0  1  2  3  4  5  6  7  8
+    hs = [5, 2, 9, 2, 2, 7, 1, 1, 8]
+    w = 3
+    g = spark.createDataFrame(
+        [(3, i, h) for i, h in enumerate(hs)],
+        "doc_id long, pos long, h long",
+    )
+    sel = {(r.sel_pos, r.h) for r in winnow_selected(g, w).collect()}
+    expect = set()
+    for s in range(len(hs) - w + 1):
+        window = hs[s : s + w]
+        m = min(window)
+        expect.add((s + max(i for i, h in enumerate(window) if h == m), m))
+    assert sel == expect
+    # windows [2,2,7] (pos 2..4... min 2 at pos 3 AND 4) and [1,1,8]
+    # (min 1 at pos 6 AND 7) contain in-window duplicate minima; the
+    # rightmost occurrences 4 and 7 must be among the selections
+    assert (4, 2) in sel and (7, 1) in sel
+    # a leftmost-tie implementation would select (2, 9, 2)'s pos 1 for
+    # window s=1 instead of pos 3 — i.e. (3, 2) would vanish
+    assert (3, 2) in sel
+
+
 def test_q214_spans_consistent_with_q209(spark):
     """Every doc q214 reports a span for is q209-contaminated, spans
     are >= the 8-token seed length, and run/partner counts cohere."""
