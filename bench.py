@@ -32,6 +32,14 @@ no attempt is clean but the existing BENCH_FULL.json at the same sf
 holds a clean published attempt, that file is left untouched, the
 dirty run lands in BENCH_FULL_dirty.json, and the stdout line
 republishes the protected clean numbers (flagged "protected_clean").
+
+Round-16 fixes: (1) the idle preflight degrades to a clean:false
+publish instead of exit 3 (r15 verdict item 1 — both driver runs were
+mute because one persistent foreign JVM never settled; strict refusal
+now requires SPARK_GRAFT_BENCH_STRICT=1); (2) the ratchet only
+protects a clean artifact produced by the SAME code revision ("head"
+stamp) — clean numbers from different code must not be republished as
+if they measured HEAD.
 """
 
 from __future__ import annotations
@@ -143,18 +151,28 @@ def _other_jvms() -> list[int]:
 def _preflight_idle(
     max_wait_s: float = 600.0, thresh_frac: float = 0.05
 ) -> dict:
-    """Refuse to time on a loaded machine (round-5 verdict #4; round-8
-    verdict #1: the old 0.25 x ncpu = 8.0 threshold stamped a load1=6.62
-    machine as clean, inflating every BENCH_r08 number ~1.4x). The gate
-    is now 0.05 x ncpu (load1 <= 1.6 on 32 cores) with a 10-minute
-    settle window. If the machine never settles the bench REFUSES to
-    publish (exit 3, no JSON on stdout) — a contaminated run must never
-    enter the artifact series. Set SPARK_GRAFT_BENCH_FORCE=1 to run
-    anyway for local iteration; the JSON is then stamped
-    ``clean: false``."""
+    """Wait for an idle machine before timing (round-5 verdict #4;
+    round-8 verdict #1: the old 0.25 x ncpu = 8.0 threshold stamped a
+    load1=6.62 machine as clean, inflating every BENCH_r08 number
+    ~1.4x). The gate is 0.05 x ncpu (load1 <= 1.6 on 32 cores) with a
+    10-minute settle window.
+
+    Round-16 fix (r15 verdict item 1 — BOTH driver runs exited 3 at
+    this gate because one persistent foreign java process never went
+    away, so the round published ZERO numbers): if the machine never
+    settles, RUN ANYWAY and publish with ``clean: false`` + the
+    preflight detail. The run monitor still stamps run_clean per
+    attempt, and the cleanliness ratchet already guarantees a dirty
+    run can never overwrite a committed clean BENCH_FULL.json — so a
+    degraded publish is decidable and safe, while a mute bench is a
+    measurement-availability bug. Refusal (exit 3, no stdout JSON) is
+    reserved for an explicit SPARK_GRAFT_BENCH_STRICT=1.
+    SPARK_GRAFT_BENCH_FORCE=1 skips the settle wait entirely (local
+    iteration)."""
     ncpu = os.cpu_count() or 1
     thresh = thresh_frac * ncpu
-    deadline = time.time() + max_wait_s
+    force = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+    deadline = time.time() + (0.0 if force else max_wait_s)
     while True:
         load1 = os.getloadavg()[0]
         jvms = _other_jvms()
@@ -166,15 +184,19 @@ def _preflight_idle(
                 f"(load1={load1:.2f} thresh={thresh:.2f}, "
                 f"{len(jvms)} foreign JVMs)"
             )
-            if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
-                print(f"WARNING: {msg} — forced dirty run", file=sys.stderr)
-                return {
-                    "load1": round(load1, 2),
-                    "other_jvms": len(jvms),
-                    "clean": False,
-                }
-            print(f"REFUSING TO PUBLISH: {msg}", file=sys.stderr)
-            sys.exit(3)
+            if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+                print(f"REFUSING TO PUBLISH: {msg}", file=sys.stderr)
+                sys.exit(3)
+            print(
+                f"WARNING: {msg} — running anyway, publishing clean:false",
+                file=sys.stderr,
+            )
+            return {
+                "load1": round(load1, 2),
+                "other_jvms": len(jvms),
+                "clean": False,
+                "detail": msg,
+            }
         time.sleep(5)
 
 
@@ -455,6 +477,7 @@ def main() -> None:
     full = {
         "sf": sf,
         "reps": _QUERY_REPS,
+        "head": _code_rev(),
         "preflight": preflight,
         "n_attempts": len(attempts),
         "published_attempt": attempts.index(published),
@@ -481,6 +504,15 @@ def main() -> None:
         "sf": sf,
         "reps": _QUERY_REPS,
         "run_clean": published["run_conditions"]["run_clean"],
+        **(
+            {}
+            if preflight["clean"]
+            else {
+                "preflight_clean": False,
+                "preflight_load1": preflight["load1"],
+                "preflight_jvms": preflight["other_jvms"],
+            }
+        ),
         **({"protected_clean": True} if protected is not None else {}),
         "attempts": len(attempts),
         "steal_s": published["run_conditions"]["steal_s_during_run"],
@@ -510,17 +542,45 @@ def main() -> None:
     print(out)
 
 
+def _code_rev() -> str:
+    """Identify the code the bench ran: short git rev + dirty flag.
+    Lets the cleanliness ratchet distinguish 'dirty regen of the SAME
+    code' (protect the clean artifact) from 'new code measured under
+    interference' (publish the new dirty numbers — republishing the old
+    code's clean numbers would misattribute them to HEAD)."""
+    import subprocess
+
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        rev = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not rev:
+            return "unknown"
+        dirty = subprocess.run(
+            ["git", "-C", root, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return rev + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
 def _ratcheted_publish(
     full: dict, published: dict, full_path: str
 ) -> tuple[dict, dict | None]:
     """Write the run's full record, subject to the CLEANLINESS RATCHET
     (r14 verdict item 1): an all-dirty run never replaces an existing
-    clean BENCH_FULL.json at the same sf. In that case the dirty record
-    lands in BENCH_FULL_dirty.json, the clean file stays, and the
-    previously-published clean attempt is returned as ``protected`` to
-    be republished on stdout. Factored out of main() so the three
-    branches (clean run / dirty with no clean prior / dirty with a
-    clean prior) are unit-testable without a live timed region."""
+    clean BENCH_FULL.json at the same sf AND the same code revision
+    (r16 — a clean artifact from DIFFERENT code must not be republished
+    as if it measured HEAD; in that case the honest output is this
+    run's lowest-steal dirty numbers, flagged run_clean: false). When
+    protection applies, the dirty record lands in BENCH_FULL_dirty.json,
+    the clean file stays, and the previously-published clean attempt is
+    returned as ``protected`` to be republished on stdout. Factored out
+    of main() so the branches are unit-testable without a live timed
+    region."""
     pub_clean = published["run_conditions"]["run_clean"]
     protected = None
     if not pub_clean and os.path.exists(full_path):
@@ -530,6 +590,8 @@ def _ratcheted_publish(
             prev_pub = prev["attempts"][prev["published_attempt"]]
             if (
                 prev.get("sf") == full.get("sf")
+                and prev.get("head") is not None
+                and prev.get("head") == full.get("head")
                 and prev_pub["run_conditions"]["run_clean"]
             ):
                 protected = prev_pub

@@ -16,8 +16,9 @@ Two interchangeable algorithms:
 - :func:`connected_components` — min-label propagation. Rounds = graph
   diameter (dup clusters and grain fragments are small-diameter, so a
   handful). Each round is one shuffle (edge join + min agg); lineage is
-  truncated per round with ``localCheckpoint`` (the same iterative-loop
-  discipline as Lloyd, SURVEY §4).
+  truncated with lazy ``localCheckpoint`` and TWO rounds share one
+  convergence-count job (the same iterative-loop discipline as Lloyd,
+  SURVEY §4).
 - :func:`connected_components_star` — the large-star/small-star
   edge-rewriting algorithm (Kiveris et al., "Connected Components in
   MapReduce and Beyond", SoCC'14 — public algorithm): alternately hook
@@ -59,7 +60,7 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def closed_min(e: DataFrame) -> DataFrame:
@@ -81,7 +82,7 @@ def connected_components_star(
             large.union(kept)
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # small-star: over edges directed high→low, hook every neighbor
         # (and u itself) onto the closed-neighborhood min
@@ -97,18 +98,24 @@ def connected_components_star(
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # converged when the (undirected) edge set is unchanged
         new_und = (
             small.union(small.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        diff = new_und.exceptAll(und).limit(1).count() + und.exceptAll(
-            new_und
-        ).limit(1).count()
+        # one convergence job per round, not two eager checkpoints plus
+        # two counts: the union of the two limit-1 probes materializes
+        # every lazy checkpoint above as a side effect (r16, guide §1.2)
+        diff = (
+            new_und.exceptAll(und)
+            .limit(1)
+            .union(und.exceptAll(new_und).limit(1))
+            .count()
+        )
         und = new_und
         if diff == 0:
             break
@@ -181,9 +188,22 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     )
     changed = 0
+    # TWO propagation rounds per materialization + LAZY checkpoints
+    # (r16, guide §2.4/§5): the old loop paid 2 jobs per round (eager
+    # checkpoint + convergence count); now ONE count job drives two
+    # rounds — the count materializes both cache-backed checkpoints.
+    # Convergence stays exact: if the SECOND round changed nothing, its
+    # input was already a fixpoint (propagation is a deterministic
+    # function of the labels), and labels == that fixpoint.
     for _ in range(max_iter):
-        new_labels = propagation_round(und, labels).localCheckpoint()
-        # eager checkpoint: truncate lineage, reuse for test+next round
+        mid = (
+            propagation_round(und, labels)
+            .drop("__chg")
+            .localCheckpoint(eager=False)
+        )
+        new_labels = propagation_round(und, mid).localCheckpoint(
+            eager=False
+        )
         changed = new_labels.filter(F.col("__chg")).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -192,9 +212,10 @@ def connected_components(
         # Partially-propagated labels are silently wrong (the oracle's
         # recursive CTE computes the true closure) — fail loudly instead.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); graph diameter exceeds "
-            "max_iter — raise max_iter or switch to the large-star/"
-            "small-star rewrite for adversarial-diameter graphs"
+            f"connected_components did not converge in {2 * max_iter} "
+            f"propagation rounds ({changed} labels still changing); graph "
+            "diameter exceeds the round budget — raise max_iter or switch "
+            "to the large-star/small-star rewrite for adversarial-diameter "
+            "graphs"
         )
     return labels

@@ -1208,7 +1208,11 @@ def _bloom_ab_sql() -> str:
     "shingle count, Bloom hits, exact hits, false positives, and the "
     "false-positive rate among truly-clean shingles. The Bloom "
     "guarantee (no false negatives: every exact hit is a Bloom hit) "
-    "is property-tested; all counting is integer-exact.",
+    "is property-tested; all counting is integer-exact. NOTE: EAGER "
+    "AT BUILD — constructing this query runs the bounded ≤2048-row "
+    "filter build/collect (Spark jobs over the train side) before any "
+    "action on the returned frame; explain-only tooling sees those "
+    "jobs.",
     tags=("dedup", "llm", "bloom", "contamination", "scale"),
 )
 def q127_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,7 +1356,10 @@ _PREFIX_TAU_DEN = 5
 def q129_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    sh = _shingle_rows(spark, sf_dir).localCheckpoint()
+    # lazy checkpoint (r16): the first downstream action materializes
+    # the cache-backed shingle relation once for both consumers (the
+    # window chain and docsets) — no separate build-time job
+    sh = _shingle_rows(spark, sf_dir).localCheckpoint(eager=False)
     # Document frequency via a window over s (one exchange on s) instead
     # of the old groupBy(s) + self-join (which shuffled the shingle
     # relation on s twice); the per-doc size n and the rarest-first rank

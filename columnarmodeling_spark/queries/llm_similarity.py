@@ -366,7 +366,10 @@ def _cell_topk_fn(topk: int):
     "to the driver: probes and index co-shuffle on cell id into a "
     "cogrouped applyInPandas (per-cell NumPy matmul), so cells stream "
     "executor-side and the pair space is bounded by cell occupancy — "
-    "at 100 TB only the 10-row centroid table is broadcast.",
+    "at 100 TB only the 10-row centroid table is broadcast. NOTE: "
+    "EAGER AT BUILD — constructing this query runs the bounded "
+    "centroid collect (one Spark job) before any action on the "
+    "returned frame; explain-only tooling sees that job.",
     tags=("similarity", "llm", "ann", "ivf", "topk", "scale"),
 )
 def q69_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,7 +407,8 @@ def q69_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = (
         n.select("vec_id", "qv", "n2")
         .mapInPandas(_make_route_fn(bc, _IVF_NPROBE), schema=_ROUTED_SCHEMA)
-        .filter(F.col("crk") <= _IVF_NPROBE)
+        # no crk filter: the route kernel emits exactly crk 1..nprobe
+        # rows per vector (r15 ADVICE — the old filter was dead)
         .select("vec_id", F.col("cell").alias("plabel"), "qv", "n2")
     )
     # fresh scan for the index side: cogroup needs distinct attribute ids
@@ -711,15 +715,18 @@ def _ivf_adaptive_topk(
     probe = (
         n.select("vec_id", "qv", "n2")
         .mapInPandas(route, schema=routed_schema)
-        .filter(F.col("crk") <= nprobe)
+        # no crk filter: the route kernel emits exactly crk 1..nprobe
+        # rows per vector (r15 ADVICE — the old filter was dead)
         .select("vec_id", F.col("cell").alias("pcell"), "qv", "n2")
     )
-    # fresh scan for the index side: cogroup needs distinct attribute ids
+    # fresh scan for the index side: cogroup needs distinct attribute
+    # ids. Routed at width 1 — argsort is stable, so the top-1 cell is
+    # identical to the old nprobe-wide route + crk==1 filter, without
+    # emitting (and then discarding) nprobe-1 rows per vector (r16)
     index = (
         _quantized(spark, sf_dir)
         .select("vec_id", "qv", "n2")
-        .mapInPandas(route, schema=routed_schema)
-        .filter(F.col("crk") == 1)
+        .mapInPandas(_make_route_fn(bc, 1), schema=routed_schema)
         .select(F.col("cell").alias("cell"), "vec_id", "qv", "n2")
     )
     local = (
@@ -1554,7 +1561,10 @@ def _kmeans_oracle() -> str:
     "relation shape is exactly what a 100 TB corpus shards; "
     "localCheckpoint truncates lineage per round. The oracle unrolls "
     "both rounds; ties break to the lower cluster rank via "
-    "min(struct)/row_number on both sides.",
+    "min(struct)/row_number on both sides. NOTE: EAGER AT BUILD — "
+    "constructing this query runs the per-round bounded k=8 centroid "
+    "collects (Spark jobs) before any action on the returned frame; "
+    "explain-only tooling sees those jobs.",
     tags=("similarity", "llm", "kmeans", "iterative", "scale"),
 )
 def q143_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:

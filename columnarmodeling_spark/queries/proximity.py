@@ -972,7 +972,11 @@ def q193_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "id", F.coalesce("new_lbl", "lbl").alias("lbl")
             )
-            .localCheckpoint()
+            # LAZY (r16): fixed round count means no per-round action is
+            # needed at all — plan truncation is eagerness-independent,
+            # and the final action materializes all four cache-backed
+            # rounds in ONE job instead of one eager job per round
+            .localCheckpoint(eager=False)
         )
     sizes = lbl.groupBy("lbl").agg(F.count("*").alias("n"))
     return lbl.join(sizes, "lbl").select(
@@ -1045,7 +1049,9 @@ def q202_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     comm = (
         q193_label_propagation(spark, sf_dir)
         .select("id", F.col("community").alias("lbl"))
-        .localCheckpoint()
+        # lazy: computes once on the final action, reused by all four
+        # consumers below via the cache-backed checkpoint RDD
+        .localCheckpoint(eager=False)
     )
     edges = grid_proximity_join(
         _points(spark, sf_dir), eps=_EPS, id_col="id"

@@ -848,9 +848,14 @@ def q35_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact interpolated percentiles per group (order statistics over "
     "the snapshot fact — the engine's quantile surface; Spark "
     "percentile() and DuckDB quantile_cont share the linear-"
-    "interpolation definition). At scale the approximate path is "
-    "percentile_approx (t-digest) — same call shape, sketch-mergeable "
-    "across partitions.",
+    "interpolation definition). EXACTNESS CONSTRAINT (guide §5, "
+    "accepted): exact percentile() buffers EVERY value per group in "
+    "the agg state — bounded here only because l_returnflag has 3 "
+    "groups of sf-proportional size; do NOT 'optimize' this into "
+    "percentile_approx (t-digest) — the approximate sketch changes "
+    "the values and breaks oracle parity. At scale the approximate "
+    "path is percentile_approx — same call shape, sketch-mergeable "
+    "across partitions — but it is a DIFFERENT query contract.",
     tags=("agg", "percentile", "stats"),
 )
 def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,6 +72,31 @@ from pyspark.sql import functions as F
 # damage-retaining bilinear cohesive law (q192).
 
 
+def _checked_positions(sorted_ids, wanted):
+    """``searchsorted`` positions of *wanted* in *sorted_ids*, failing
+    LOUDLY when a value is absent. Plain ``searchsorted`` silently maps
+    a missing bond endpoint to the next-larger particle's row (wrong
+    physics) or indexes out of range with an opaque IndexError; the old
+    per-bond dict lookup raised KeyError. The eb membership join
+    guarantees presence, so this is a halo-invariant guard, not a code
+    path — two vectorized compares per bond per round (r15 ADVICE)."""
+    import numpy as np
+
+    pos = np.searchsorted(sorted_ids, wanted)
+    n = len(sorted_ids)
+    if pos.size and (
+        (pos >= n).any() or (sorted_ids[np.minimum(pos, n - 1)] != wanted).any()
+    ):
+        missing = wanted[
+            (pos >= n) | (sorted_ids[np.minimum(pos, n - 1)] != wanted)
+        ]
+        raise KeyError(
+            "bond endpoint id(s) missing from block particle set "
+            f"(halo invariant violated): {missing[:5].tolist()}"
+        )
+    return pos
+
+
 def linear_spring_law(dist, rest, k, strength, ustate, alive):
     """Default Hookean law: f = k·(dist − rest) along the bond; never
     breaks. Bit-identical to the original blocked_round kernel."""
@@ -423,7 +448,9 @@ def run_solver(
         for _ in range(burst):
             state = step(state, bonds, k, dt, gravity=gravity, damping=damping)
         i += burst
-        state = state.localCheckpoint()
+        # lazy: plan truncation is eagerness-independent; rounds fold
+        # into the caller's action (or the cadence write below)
+        state = state.localCheckpoint(eager=False)
         if n_out and out_path and i % n_out == 0:
             state.withColumn("step", F.lit(i)).write.mode("append").partitionBy(
                 "step"
@@ -492,11 +519,18 @@ def run_solver_blocked(
     i = 0
     while i < n_steps:
         burst = min(fuse, n_steps - i)
+        # LAZY per-round checkpoint (r16, guide §1.2/§5): checkpoint()
+        # truncates the Catalyst plan at call time regardless of
+        # eagerness (the returned frame is a LogicalRDD scan), so
+        # laziness keeps plans bounded while folding every round into
+        # the caller's single action — one job total instead of one
+        # eager materialization job per round. The RDD is still
+        # cache-backed, so each round computes exactly once.
         state = blocked_round(
             state, bonds, k, dt, burst, block, halo,
             bcs=bcs, step0=step0 + i, gravity=gravity, damping=damping,
             gravity_curve=gravity_curve, force_law=force_law,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         i += burst
     return state
 
@@ -565,13 +599,13 @@ def blocked_round(
                 order = np.argsort(ids, kind="stable")
                 sorted_ids = ids[order]
                 src = order[
-                    np.searchsorted(
+                    _checked_positions(
                         sorted_ids,
                         local_bonds["src"].to_numpy(dtype=np.int64),
                     )
                 ]
                 dst = order[
-                    np.searchsorted(
+                    _checked_positions(
                         sorted_ids,
                         local_bonds["dst"].to_numpy(dtype=np.int64),
                     )
@@ -666,30 +700,60 @@ def blocked_round(
         )
         .select("id", "x", "y", "vx", "vy", "m", "bx", "by", "owned")
     )
-    # 2. bonds whose BOTH ends live in the same block replica
-    mem_src = rep.select(
+    # 2. bonds whose BOTH ends live in the same block replica — derived
+    # directly from endpoint positions (r16, guide §2.3/§3): join the
+    # 1x state relation twice (src/dst positions), enumerate the 3x3
+    # candidate blocks around the src owner, and re-apply rep's EXACT
+    # membership predicate to both endpoints (owner match, or in-halo
+    # AND within +-1 of the endpoint's own owner — the explode bound).
+    # Identical (bond, block) set to the old double join against the
+    # 9x-exploded rep, with 9x smaller join inputs and rep no longer
+    # computed three times per round.
+    sp = state.select(
         F.col("id").alias("src"),
-        F.col("bx").alias("sbx"),
-        F.col("by").alias("sby"),
+        F.col("x").alias("__sx"),
+        F.col("y").alias("__sy"),
     )
-    mem_dst = rep.select(
+    dp = state.select(
         F.col("id").alias("dst"),
-        F.col("bx").alias("dbx"),
-        F.col("by").alias("dby"),
+        F.col("x").alias("__dx"),
+        F.col("y").alias("__dy"),
+    )
+
+    def _in_halo(xc, yc):
+        return (
+            (xc >= F.col("bx") * block - halo)
+            & (xc < (F.col("bx") + 1) * block + halo)
+            & (yc >= F.col("by") * block - halo)
+            & (yc < (F.col("by") + 1) * block + halo)
+        )
+
+    sxc, syc = F.col("__sx"), F.col("__sy")
+    dxc, dyc = F.col("__dx"), F.col("__dy")
+    dobx = F.floor(dxc / F.lit(block))
+    doby = F.floor(dyc / F.lit(block))
+    mem_s = (
+        (F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)
+    ) | _in_halo(sxc, syc)
+    mem_d = ((dobx == F.col("bx")) & (doby == F.col("by"))) | (
+        _in_halo(dxc, dyc)
+        & (F.abs(F.col("bx") - dobx) <= 1)
+        & (F.abs(F.col("by") - doby) <= 1)
     )
     eb = (
-        bonds.join(mem_src, "src")
-        .join(mem_dst, "dst")
-        .filter(
-            (F.col("sbx") == F.col("dbx")) & (F.col("sby") == F.col("dby"))
-        )
+        bonds.join(sp, "src")
+        .join(dp, "dst")
+        .withColumn("__o", F.explode(offs))
+        .withColumn("bx", F.floor(sxc / F.lit(block)) + F.col("__o.dx"))
+        .withColumn("by", F.floor(syc / F.lit(block)) + F.col("__o.dy"))
+        .filter(mem_s & mem_d)
         .select(
             "src",
             "dst",
             "rest",
             *(["k"] if has_k else []),
-            F.col("sbx").alias("bx"),
-            F.col("sby").alias("by"),
+            "bx",
+            "by",
         )
     )
     # 3. `burst` sub-steps inside one cogrouped Arrow batch per block
@@ -833,13 +897,13 @@ def run_solver_blocked_breaking(
                 order = np.argsort(ids, kind="stable")
                 sorted_ids = ids[order]
                 src = order[
-                    np.searchsorted(
+                    _checked_positions(
                         sorted_ids,
                         local_bonds["src"].to_numpy(dtype=np.int64),
                     )
                 ]
                 dst = order[
-                    np.searchsorted(
+                    _checked_positions(
                         sorted_ids,
                         local_bonds["dst"].to_numpy(dtype=np.int64),
                     )
@@ -975,33 +1039,66 @@ def run_solver_blocked_breaking(
             )
             .select("id", "x", "y", "vx", "vy", "m", "bx", "by", "owned")
         )
-        mem_src = rep.select(
+        # bond co-blocks from endpoint positions — same fused form (and
+        # the same exact rep-membership predicate) as blocked_round
+        sp = state.select(
             F.col("id").alias("src"),
-            F.col("bx").alias("sbx"),
-            F.col("by").alias("sby"),
+            F.col("x").alias("__sx"),
+            F.col("y").alias("__sy"),
         )
-        mem_dst = rep.select(
+        dp = state.select(
             F.col("id").alias("dst"),
-            F.col("bx").alias("dbx"),
-            F.col("by").alias("dby"),
+            F.col("x").alias("__dx"),
+            F.col("y").alias("__dy"),
+        )
+
+        def _in_halo(xc, yc):
+            return (
+                (xc >= F.col("bx") * block - halo)
+                & (xc < (F.col("bx") + 1) * block + halo)
+                & (yc >= F.col("by") * block - halo)
+                & (yc < (F.col("by") + 1) * block + halo)
+            )
+
+        sxc, syc = F.col("__sx"), F.col("__sy")
+        dxc, dyc = F.col("__dx"), F.col("__dy")
+        dobx = F.floor(dxc / F.lit(block))
+        doby = F.floor(dyc / F.lit(block))
+        mem_s = (
+            (F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)
+        ) | _in_halo(sxc, syc)
+        mem_d = ((dobx == F.col("bx")) & (doby == F.col("by"))) | (
+            _in_halo(dxc, dyc)
+            & (F.abs(F.col("bx") - dobx) <= 1)
+            & (F.abs(F.col("by") - doby) <= 1)
         )
         eb = (
-            bonds.join(mem_src, "src")
-            .join(mem_dst, "dst")
-            .filter(
-                (F.col("sbx") == F.col("dbx")) & (F.col("sby") == F.col("dby"))
+            bonds.join(sp, "src")
+            .join(dp, "dst")
+            .withColumn("__o", F.explode(offs))
+            .withColumn(
+                "bx", F.floor(sxc / F.lit(block)) + F.col("__o.dx")
             )
+            .withColumn(
+                "by", F.floor(syc / F.lit(block)) + F.col("__o.dy")
+            )
+            .filter(mem_s & mem_d)
             .select(
                 "src", "dst", "rest", "strength", "k", "ustate",
-                F.col("sbx").alias("bx"),
-                F.col("sby").alias("by"),
+                "bx", "by",
             )
         )
+        # LAZY checkpoint (r16, guide §1.2/§5): plan truncation happens
+        # at checkpoint() call time either way (LogicalRDD), and the
+        # cache-backed RDD still computes once for all three consumers
+        # (state, bond_rows, dropped guard) — but laziness folds every
+        # round's materialization into the caller's final action instead
+        # of paying one eager job per round.
         out = (
             rep.groupBy("bx", "by")
             .cogroup(eb.groupBy("bx", "by"))
             .applyInPandas(make_kernel(burst, step0 + i), schema=out_schema)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         state = out.filter("kind = 0 AND owned").select(
             "id", "x", "y", "vx", "vy", "m"

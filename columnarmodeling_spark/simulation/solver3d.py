@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from columnarmodeling_spark.simulation.solver import (
     BoundaryCondition,
+    _checked_positions,
     _curve_scale,
     linear_spring_law,
 )
@@ -133,7 +134,9 @@ def run_solver3d(
                 "m",
             )
         i += burst
-        state = state.localCheckpoint()
+        # lazy: plan truncation is eagerness-independent; rounds fold
+        # into the caller's single action
+        state = state.localCheckpoint(eager=False)
     return state
 
 
@@ -158,6 +161,10 @@ def run_solver3d_blocked(
     *force_law* constitutive hook); BC range boxes use all
     three axes and velocity/force/acceleration values are
     ``(vx, vy, vz)``."""
+    # checkpoint BEFORE the reach agg (r16 — the r15 fix landed only in
+    # the 2D solver): the agg is an action, and on un-checkpointed bonds
+    # it re-ran the caller's whole bond build a second time
+    bonds = bonds.localCheckpoint(eager=False)
     if reach is None:
         max_rest = bonds.agg(F.max("rest")).collect()[0][0] or 1.0
         reach = 1.5 * float(max_rest)
@@ -165,16 +172,18 @@ def run_solver3d_blocked(
     if block is None:
         block = 4.0 * halo
 
-    bonds = bonds.localCheckpoint(eager=False)
     i = 0
     while i < n_steps:
         burst = min(fuse, n_steps - i)
+        # LAZY per-round checkpoint — same rationale as
+        # run_solver_blocked (plan truncation is eagerness-independent;
+        # one caller job instead of one eager job per round)
         state = blocked_round3d(
             state, bonds, k, dt, burst, block, halo,
             bcs=bcs, step0=step0 + i, gravity=gravity, damping=damping,
             gravity_curve=gravity_curve,
             force_law=force_law,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         i += burst
     return state
 
@@ -239,13 +248,13 @@ def blocked_round3d(
                 order = np.argsort(ids, kind="stable")
                 sorted_ids = ids[order]
                 src = order[
-                    np.searchsorted(
+                    _checked_positions(
                         sorted_ids,
                         local_bonds["src"].to_numpy(dtype=np.int64),
                     )
                 ]
                 dst = order[
-                    np.searchsorted(
+                    _checked_positions(
                         sorted_ids,
                         local_bonds["dst"].to_numpy(dtype=np.int64),
                     )
@@ -378,34 +387,71 @@ def blocked_round3d(
             "bx", "by", "bz", "owned",
         )
     )
-    mem_src = rep.select(
+    # bond co-blocks from endpoint positions — same fused form (and the
+    # same exact rep-membership predicate) as the 2D blocked_round:
+    # join the 1x state twice, enumerate the 3x3x3 candidates around
+    # the src owner, test both endpoints (owner match, or in-halo AND
+    # within +-1 of the endpoint's own owner). Identical (bond, block)
+    # set to the old double join against the 27x-exploded rep.
+    sp = state.select(
         F.col("id").alias("src"),
-        F.col("bx").alias("sbx"),
-        F.col("by").alias("sby"),
-        F.col("bz").alias("sbz"),
+        F.col("x").alias("__sx"),
+        F.col("y").alias("__sy"),
+        F.col("z").alias("__sz"),
     )
-    mem_dst = rep.select(
+    dp = state.select(
         F.col("id").alias("dst"),
-        F.col("bx").alias("dbx"),
-        F.col("by").alias("dby"),
-        F.col("bz").alias("dbz"),
+        F.col("x").alias("__dx"),
+        F.col("y").alias("__dy"),
+        F.col("z").alias("__dz"),
+    )
+
+    def _in_halo3(xc, yc, zc):
+        return (
+            (xc >= F.col("bx") * block - halo)
+            & (xc < (F.col("bx") + 1) * block + halo)
+            & (yc >= F.col("by") * block - halo)
+            & (yc < (F.col("by") + 1) * block + halo)
+            & (zc >= F.col("bz") * block - halo)
+            & (zc < (F.col("bz") + 1) * block + halo)
+        )
+
+    sxc, syc, szc = F.col("__sx"), F.col("__sy"), F.col("__sz")
+    dxc, dyc, dzc = F.col("__dx"), F.col("__dy"), F.col("__dz")
+    dobx = F.floor(dxc / F.lit(block))
+    doby = F.floor(dyc / F.lit(block))
+    dobz = F.floor(dzc / F.lit(block))
+    mem_s = (
+        (F.col("__o.dx") == 0)
+        & (F.col("__o.dy") == 0)
+        & (F.col("__o.dz") == 0)
+    ) | _in_halo3(sxc, syc, szc)
+    mem_d = (
+        (dobx == F.col("bx"))
+        & (doby == F.col("by"))
+        & (dobz == F.col("bz"))
+    ) | (
+        _in_halo3(dxc, dyc, dzc)
+        & (F.abs(F.col("bx") - dobx) <= 1)
+        & (F.abs(F.col("by") - doby) <= 1)
+        & (F.abs(F.col("bz") - dobz) <= 1)
     )
     eb = (
-        bonds.join(mem_src, "src")
-        .join(mem_dst, "dst")
-        .filter(
-            (F.col("sbx") == F.col("dbx"))
-            & (F.col("sby") == F.col("dby"))
-            & (F.col("sbz") == F.col("dbz"))
-        )
+        bonds.join(sp, "src")
+        .join(dp, "dst")
+        .withColumn("__o", F.explode(offs))
+        .withColumn("bx", F.floor(sxc / F.lit(block)) + F.col("__o.dx"))
+        .withColumn("by", F.floor(syc / F.lit(block)) + F.col("__o.dy"))
+        .withColumn("bz", F.floor(szc / F.lit(block)) + F.col("__o.dz"))
+        .filter(mem_s & mem_d)
         .select(
             "src",
             "dst",
             "rest",
             *(["k"] if has_k else []),
-            F.col("sbx").alias("bx"),
-            F.col("sby").alias("by"),
-            F.col("sbz").alias("bz"),
+            "bx",
+            "by",
+            "bz",
         )
     )
     stepped = (
@@ -470,6 +516,12 @@ def run_solver3d_blocked_breaking(
     if not has_ustate:
         bonds = bonds.withColumn("ustate", F.lit(0.0))
     law = bond_law if bond_law is not None else _default_breaking_law()
+    # checkpoint BEFORE the reach agg (r16 — the r15 fix landed only in
+    # the 2D solver): the agg below is an action, and on un-checkpointed
+    # bonds it re-ran the caller's whole bond build a second time
+    bonds = bonds.select(
+        "src", "dst", "rest", "strength", "k", "ustate"
+    ).localCheckpoint(eager=False)
     if reach is None:
         if bond_law is not None:
             raise ValueError(
@@ -526,13 +578,13 @@ def run_solver3d_blocked_breaking(
                 order = np.argsort(ids, kind="stable")
                 sorted_ids = ids[order]
                 src = order[
-                    np.searchsorted(
+                    _checked_positions(
                         sorted_ids,
                         local_bonds["src"].to_numpy(dtype=np.int64),
                     )
                 ]
                 dst = order[
-                    np.searchsorted(
+                    _checked_positions(
                         sorted_ids,
                         local_bonds["dst"].to_numpy(dtype=np.int64),
                     )
@@ -666,9 +718,6 @@ def run_solver3d_blocked_breaking(
         "break_step long, ustate double"
     )
     broken_log = spark.createDataFrame([], log_schema)
-    bonds = bonds.select(
-        "src", "dst", "rest", "strength", "k", "ustate"
-    ).localCheckpoint(eager=False)
 
     offs = F.array(
         *[
@@ -713,38 +762,80 @@ def run_solver3d_blocked_breaking(
                 "bx", "by", "bz", "owned",
             )
         )
-        mem_src = rep.select(
+        # bond co-blocks from endpoint positions — same fused form (and
+        # the same exact rep-membership predicate) as blocked_round3d
+        sp = state.select(
             F.col("id").alias("src"),
-            F.col("bx").alias("sbx"),
-            F.col("by").alias("sby"),
-            F.col("bz").alias("sbz"),
+            F.col("x").alias("__sx"),
+            F.col("y").alias("__sy"),
+            F.col("z").alias("__sz"),
         )
-        mem_dst = rep.select(
+        dp = state.select(
             F.col("id").alias("dst"),
-            F.col("bx").alias("dbx"),
-            F.col("by").alias("dby"),
-            F.col("bz").alias("dbz"),
+            F.col("x").alias("__dx"),
+            F.col("y").alias("__dy"),
+            F.col("z").alias("__dz"),
+        )
+
+        def _in_halo3(xc, yc, zc):
+            return (
+                (xc >= F.col("bx") * block - halo)
+                & (xc < (F.col("bx") + 1) * block + halo)
+                & (yc >= F.col("by") * block - halo)
+                & (yc < (F.col("by") + 1) * block + halo)
+                & (zc >= F.col("bz") * block - halo)
+                & (zc < (F.col("bz") + 1) * block + halo)
+            )
+
+        sxc, syc, szc = F.col("__sx"), F.col("__sy"), F.col("__sz")
+        dxc, dyc, dzc = F.col("__dx"), F.col("__dy"), F.col("__dz")
+        dobx = F.floor(dxc / F.lit(block))
+        doby = F.floor(dyc / F.lit(block))
+        dobz = F.floor(dzc / F.lit(block))
+        mem_s = (
+            (F.col("__o.dx") == 0)
+            & (F.col("__o.dy") == 0)
+            & (F.col("__o.dz") == 0)
+        ) | _in_halo3(sxc, syc, szc)
+        mem_d = (
+            (dobx == F.col("bx"))
+            & (doby == F.col("by"))
+            & (dobz == F.col("bz"))
+        ) | (
+            _in_halo3(dxc, dyc, dzc)
+            & (F.abs(F.col("bx") - dobx) <= 1)
+            & (F.abs(F.col("by") - doby) <= 1)
+            & (F.abs(F.col("bz") - dobz) <= 1)
         )
         eb = (
-            bonds.join(mem_src, "src")
-            .join(mem_dst, "dst")
-            .filter(
-                (F.col("sbx") == F.col("dbx"))
-                & (F.col("sby") == F.col("dby"))
-                & (F.col("sbz") == F.col("dbz"))
+            bonds.join(sp, "src")
+            .join(dp, "dst")
+            .withColumn("__o", F.explode(offs))
+            .withColumn(
+                "bx", F.floor(sxc / F.lit(block)) + F.col("__o.dx")
             )
+            .withColumn(
+                "by", F.floor(syc / F.lit(block)) + F.col("__o.dy")
+            )
+            .withColumn(
+                "bz", F.floor(szc / F.lit(block)) + F.col("__o.dz")
+            )
+            .filter(mem_s & mem_d)
             .select(
                 "src", "dst", "rest", "strength", "k", "ustate",
-                F.col("sbx").alias("bx"),
-                F.col("sby").alias("by"),
-                F.col("sbz").alias("bz"),
+                "bx", "by", "bz",
             )
         )
+        # LAZY checkpoint — same rationale as the 2D breaking solver
+        # (plan truncation is eagerness-independent; the cache-backed
+        # RDD computes once for all three consumers, and every round
+        # folds into the caller's final action instead of one eager
+        # job per round)
         out = (
             rep.groupBy("bx", "by", "bz")
             .cogroup(eb.groupBy("bx", "by", "bz"))
             .applyInPandas(make_kernel(burst, step0 + i), schema=out_schema)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         state = out.filter("kind = 0 AND owned").select(
             "id", "x", "y", "z", "vx", "vy", "vz", "m"

@@ -102,18 +102,36 @@ def drain_to_memory(
     disabled inside stateful streaming). The previous value is restored
     before returning so batch queries are unaffected.
 
-    The default comes from ``$SPARK_GRAFT_STREAM_PARTITIONS`` (4): the
-    r15 optimization round measured the stream-stream join (q85) at
-    sf0.1 with 4/8/16/32 state-store partitions — 4 beat the old
-    default 8 by ~30% and 32 was ~2.5x slower, i.e. per-instance
-    state-store fixed cost dominates at micro-batch volumes far below
-    key-cardinality pressure. A deployment whose per-batch key volume
-    saturates 4 instances raises the env var (or passes *partitions*);
+    The default is SCALE-DERIVED (r16; the r15 constant 4 was a
+    local-mode tune): ``max(4, defaultParallelism // 8)`` — the r15
+    4/8/16/32 sweep on the stream-stream join (q85, sf0.1) showed
+    per-instance state-store fixed cost dominating until roughly one
+    instance per 8 cores (4 beat 8 by ~30%, 32 was ~2.5x slower), so
+    the instance count now tracks cluster size instead of freezing the
+    local optimum: local[32] and local[8] both resolve to 4 (bench
+    numbers stay comparable across the driver's core counts), while a
+    1024-core cluster gets 128 state-store instances. A deployment
+    whose per-batch key volume needs a different sizing sets
+    ``$SPARK_GRAFT_STREAM_PARTITIONS`` (or passes *partitions*);
     output is identical at any value.
     """
     spark = stream_df.sparkSession
     if partitions is None:
-        partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+        env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+        if env is not None:
+            try:
+                partitions = int(env)
+                if partitions <= 0:
+                    raise ValueError
+            except ValueError:
+                raise ValueError(
+                    "SPARK_GRAFT_STREAM_PARTITIONS must be a positive "
+                    f"integer, got {env!r}"
+                ) from None
+        else:
+            partitions = max(
+                4, spark.sparkContext.defaultParallelism // 8
+            )
     name = f"sink_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))

@@ -32,9 +32,10 @@ def _attempt(value: float, clean: bool, steal_s: float, region_s: float):
     }
 
 
-def _full(sf: float, attempts: list[dict], published: int):
+def _full(sf: float, attempts: list[dict], published: int, head="abc123"):
     return {
         "sf": sf,
+        "head": head,
         "n_attempts": len(attempts),
         "published_attempt": published,
         "attempts": attempts,
@@ -84,6 +85,43 @@ def test_ratchet_clean_replaces_anything(tmp_path):
     assert json.load(open(full_path)) == new
 
 
+def test_ratchet_code_rev_mismatch_does_not_protect(tmp_path):
+    # r16: a clean artifact from DIFFERENT code must not be republished
+    # as if it measured HEAD — the honest output for new code under
+    # interference is the new dirty numbers
+    full_path = str(tmp_path / "BENCH_FULL.json")
+    clean_prior = _full(
+        0.1, [_attempt(70.0, True, 1.0, 600.0)], 0, head="oldrev"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(clean_prior, fh)
+    att = _attempt(77.0, False, 200.0, 600.0)
+    new = _full(0.1, [att], 0, head="newrev")
+    published, protected = bench._ratcheted_publish(new, att, full_path)
+    assert protected is None
+    assert published is att
+    assert json.load(open(full_path)) == new
+
+
+def test_ratchet_headless_prior_does_not_protect(tmp_path):
+    # pre-r16 artifacts carry no "head" stamp: code identity is
+    # unknown, so protection must not fire from them
+    full_path = str(tmp_path / "BENCH_FULL.json")
+    clean_prior = {
+        "sf": 0.1,
+        "n_attempts": 1,
+        "published_attempt": 0,
+        "attempts": [_attempt(70.0, True, 1.0, 600.0)],
+    }
+    with open(full_path, "w") as fh:
+        json.dump(clean_prior, fh)
+    att = _attempt(77.0, False, 200.0, 600.0)
+    new = _full(0.1, [att], 0)
+    published, protected = bench._ratcheted_publish(new, att, full_path)
+    assert protected is None
+    assert published is att
+
+
 def test_ratchet_sf_mismatch_does_not_protect(tmp_path):
     # a clean sf0.01 smoke run must not block publishing a dirty sf0.1
     # record — but note the ratchet also must not fire FROM it
@@ -112,6 +150,39 @@ def test_dirty_fallback_picks_lowest_steal_not_fastest():
         else min(attempts, key=lambda a: a["run_conditions"]["steal_frac"])
     )
     assert published["value"] == 75.0
+
+
+def test_preflight_degrades_to_dirty_publish_not_exit3(monkeypatch):
+    # r15 verdict item 1: a persistent foreign JVM made both driver
+    # bench runs exit 3 and the round published NOTHING. Default path
+    # must now return clean:false after the settle window instead of
+    # refusing; exit 3 only under SPARK_GRAFT_BENCH_STRICT=1.
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.0, 9.0, 9.0))
+    monkeypatch.setattr(bench, "_other_jvms", lambda: [12345])
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_STRICT", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    res = bench._preflight_idle(max_wait_s=0.0)
+    assert res["clean"] is False
+    assert res["other_jvms"] == 1
+    assert "detail" in res
+
+
+def test_preflight_strict_still_refuses(monkeypatch):
+    import pytest
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.0, 9.0, 9.0))
+    monkeypatch.setattr(bench, "_other_jvms", lambda: [12345])
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_STRICT", "1")
+    with pytest.raises(SystemExit) as exc:
+        bench._preflight_idle(max_wait_s=0.0)
+    assert exc.value.code == 3
+
+
+def test_preflight_clean_machine_passes(monkeypatch):
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.2, 0.2, 0.2))
+    monkeypatch.setattr(bench, "_other_jvms", lambda: [])
+    res = bench._preflight_idle(max_wait_s=0.0)
+    assert res["clean"] is True
 
 
 def test_clean_gate_region_aware():

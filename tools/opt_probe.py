@@ -4,7 +4,7 @@ Usage:
   python tools/opt_probe.py plans  <suffix> q129_prefix_filter_join [...]
   python tools/opt_probe.py time   <reps>   q129_prefix_filter_join [...]
 
-``plans`` writes ``plans/r15/<name>_<suffix>.txt`` with the
+``plans`` writes ``plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<suffix>.txt`` (default r16) with the
 ``explain('formatted')`` output of each named query (suffix = before/after).
 ``time`` runs each named query <reps> times into the noop sink (guide §1.4)
 after one untimed warmup pass, printing per-rep seconds and the median —
@@ -35,7 +35,7 @@ def main() -> None:
         out_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "plans",
-            "r15",
+            os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"),
         )
         os.makedirs(out_dir, exist_ok=True)
         for name in names:
@@ -73,6 +73,37 @@ def main() -> None:
             print(
                 f"{name}: median {med:.3f}s reps "
                 + " ".join(f"{t:.3f}" for t in ts),
+                flush=True,
+            )
+    elif mode == "jobs":
+        # Count Spark jobs (and their stages) for ONE end-to-end run of
+        # each query — the per-round scheduling evidence for iterative
+        # operators whose checkpoints truncate the final explain() into
+        # LogicalRDD scans (solver rounds, CC/LPA rounds), where a plan
+        # dump cannot show the job-count change (r16).
+        names = sys.argv[2:]
+        for name in names:
+            # warmup (codegen, page cache) so the counted run is steady
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            group = f"jobs_{name}"
+            sc = spark.sparkContext
+            sc.setJobGroup(group, f"count jobs for {name}")
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            tracker = sc.statusTracker()
+            job_ids = tracker.getJobIdsForGroup(group)
+            n_stages = 0
+            for jid in job_ids:
+                info = tracker.getJobInfo(jid)
+                if info is not None:
+                    n_stages += len(info.stageIds)
+            print(
+                f"{name}: jobs {len(job_ids)} stages {n_stages}",
                 flush=True,
             )
     else:
