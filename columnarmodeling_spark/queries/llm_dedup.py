@@ -1071,7 +1071,7 @@ def q121_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "minhash", "lsh", "incremental", "join"),
 )
 def q125_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signatures(spark, sf_dir).localCheckpoint()
+    sig = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
     hist = sig.filter(F.col("doc_id") % 4 != 0)
     inc = sig.filter(F.col("doc_id") % 4 == 0)
     band_structs = F.array(
@@ -1230,7 +1230,7 @@ def q127_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train_u = (
         h.filter(F.col("doc_id") % 4 != 0).select("u").distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pos = ((F.col("a") * F.col("u") + F.col("b")) % MERSENNE_P) % F.lit(
         _BLOOM_M_BITS
@@ -1608,7 +1608,7 @@ def q169_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("wgt"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nrm = wt.groupBy("doc_id").agg(
         F.sum(F.col("wgt") * F.col("wgt")).cast("long").alias("n2")
@@ -1884,7 +1884,7 @@ def q211_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.join(dfreq, "gr")
         .filter(F.col("df") <= _CONT_MAXDF)
         .select("doc_id", "gr")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sz = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (

@@ -907,7 +907,7 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q110_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _quantized(spark, sf_dir)
-    probes = _probe_ids(n).localCheckpoint()
+    probes = _probe_ids(n).localCheckpoint(eager=False)
     probe_vecs = n.join(F.broadcast(probes), "vec_id")
     ivf = (
         q96_ivf_adaptive(spark, sf_dir)
@@ -1036,13 +1036,13 @@ def _recall_curve_oracle() -> str:
 )
 def q113_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _quantized(spark, sf_dir)
-    base = _probe_ids(n).localCheckpoint()
+    base = _probe_ids(n).localCheckpoint(eager=False)
     exact = (
         _bruteforce_cosine_topk(
             spark, sf_dir, probe=n.join(F.broadcast(base), "vec_id")
         )
         .select("vec_id", "neighbor")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = None
     for np_ in _RECALL_SWEEP_NPROBES:
@@ -1262,7 +1262,7 @@ _PQ_TOPK = 3
 def q124_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    n = _quantized(spark, sf_dir).select("vec_id", "qv").localCheckpoint()
+    n = _quantized(spark, sf_dir).select("vec_id", "qv").localCheckpoint(eager=False)
     # q46-style guard: the exact L2 baseline below is |probes| x n; the
     # per-probe ranking window holds n rows, so bound the index side the
     # same way the brute-force kernel does.
@@ -1273,8 +1273,8 @@ def q124_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the 1M bound. Evaluate on a sampled candidate subset or "
             "use the production IVF-PQ search (q126) at this scale."
         )
-    probes = _probe_ids(n).localCheckpoint()
-    subd = _pq_subd(spark, sf_dir).localCheckpoint()
+    probes = _probe_ids(n).localCheckpoint(eager=False)
+    subd = _pq_subd(spark, sf_dir).localCheckpoint(eager=False)
     codes = _pq_codes_from_subd(subd).select("vec_id", "sub", "code")
     # LUT side restricted to the probe sample: the (sub, code) equi-join
     # then fans out 8 rows per (probe, candidate) — linear in n.
@@ -1442,7 +1442,7 @@ def q126_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-query LUT: the (sub, rank) distortion table as one ordered
     # 128-entry array (index = sub*16 + rank-1)
-    subd = _pq_subd(spark, sf_dir).localCheckpoint()
+    subd = _pq_subd(spark, sf_dir).localCheckpoint(eager=False)
     lut = subd.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "rank", "d2"))),
@@ -1589,7 +1589,7 @@ def q143_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = sd.withColumn(
         "cl", F.row_number().over(W.orderBy("hk", "vec_id"))
     )
-    base = qs.select("vec_id", "qv").localCheckpoint()
+    base = qs.select("vec_id", "qv").localCheckpoint(eager=False)
 
     # Assignment via the q96 broadcast-matmul route (guide §4.2): the
     # k ≤ 8 centroid vectors are collected (bounded, the q96 seed
@@ -1635,7 +1635,7 @@ def q143_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KM_ROUNDS):
         b = base.mapInPandas(
             make_assign(cent_map), schema="vec_id long, cl long, d2 long"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         cent_rows = (
             b.join(base, "vec_id")
             .select("cl", F.posexplode("qv").alias("pos", "v"))
@@ -1909,7 +1909,7 @@ def q198_residual_vq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(2 * _RVQ_K)
         .withColumn("ork", F.row_number().over(ordw))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     s1 = ordered.filter(F.col("ork") <= _RVQ_K).select(
         F.col("ork").alias("rank"), F.col("qv").alias("c")
@@ -1938,7 +1938,7 @@ def q198_residual_vq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d1",
             F.zip_with("qv", "c", lambda a, b: a - b).alias("r"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     zero = spark.range(1).select(
         F.lit(0).cast("long").alias("rank2"),
@@ -3347,14 +3347,14 @@ def _mrr_oracle() -> str:
 )
 def q305_ivf_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _quantized(spark, sf_dir)
-    base = _probe_ids(n).localCheckpoint()
+    base = _probe_ids(n).localCheckpoint(eager=False)
     exact1 = (
         _bruteforce_cosine_topk(
             spark, sf_dir, probe=n.join(F.broadcast(base), "vec_id")
         )
         .filter(F.col("rk") == 1)
         .select("vec_id", "neighbor")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ivf = _ivf_adaptive_topk(spark, sf_dir, nprobe=_MRR_NPROBE).select(
         "vec_id", "neighbor", "rk"

@@ -878,7 +878,7 @@ def q131_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("|"), F.regexp_replace("w", "(.)", "$1|")
             ).alias("seq")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     learned = []
     for r in range(1, _BPE_TRAIN_ROUNDS + 1):
@@ -913,7 +913,7 @@ def q131_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq = seq.withColumn(
                 "seq", F.expr(f"replace(seq, '{pat}', '{rep}')")
             )
-        seq = seq.localCheckpoint()
+        seq = seq.localCheckpoint(eager=False)
     return spark.createDataFrame(
         learned, "merge_round int, lhs string, rhs string, cnt long"
     )
@@ -1005,7 +1005,7 @@ def q132_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = toks.select(
         "tk", (hex_hash("tk") % MERSENNE_P).alias("u")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     col = ((F.col("a") * F.col("u") + F.col("b")) % MERSENNE_P) % F.lit(
         _CMS_W
     )
@@ -1122,7 +1122,7 @@ def q134_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tk", tokens("text"))
         .select("lang", F.explode(word_shingles("tk", 3)).alias("tk"))
     )
-    h = toks.select("lang", "tk", hex_hash("tk").alias("u")).localCheckpoint()
+    h = toks.select("lang", "tk", hex_hash("tk").alias("u")).localCheckpoint(eager=False)
     w = F.expr(f"div(u, {m})")
     rho = F.when(w == F.lit(0), F.lit(52)).otherwise(
         F.lit(52) - F.length(F.bin(w))
@@ -1404,7 +1404,7 @@ def q185_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tk", tokens("text"))
         .select("lang", F.explode(word_shingles("tk", 3)).alias("tk"))
     )
-    h = toks.select("lang", "tk", hex_hash("tk").alias("u")).localCheckpoint()
+    h = toks.select("lang", "tk", hex_hash("tk").alias("u")).localCheckpoint(eager=False)
     w = F.expr(f"div(u, {m})")
     rho = F.when(w == F.lit(0), F.lit(52)).otherwise(
         F.lit(52) - F.length(F.bin(w))
@@ -1413,7 +1413,7 @@ def q185_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.select("lang", (F.col("u") % m).alias("bucket"), rho.alias("rho"))
         .groupBy("lang", "bucket")
         .agg(F.max("rho").alias("r"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ureg = reg.groupBy("bucket").agg(F.max("r").alias("r"))
 

@@ -183,7 +183,7 @@ def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
         .select("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -211,7 +211,7 @@ def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("deg_src").alias("d"), F.col("src").alias("i"))
         )
         .alias("vkey"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     o1 = oriented.select("u", F.col("v").alias("b"), F.col("vkey").alias("bk"))
     o2 = oriented.select("u", F.col("v").alias("c"), F.col("vkey").alias("ck"))
     wedges = o1.join(o2, "u").filter(F.col("bk") < F.col("ck")).select(
@@ -308,10 +308,10 @@ def q133_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("degree")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pr = deg.select("id", F.lit(_PR_UNIT).cast("long").alias("pr"))
     src_deg = deg.select(
         F.col("id").alias("src"), F.col("degree").alias("src_deg")
@@ -333,7 +333,7 @@ def q133_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"div(850000 * sum(share), {_PR_UNIT})")
                 ).alias("pr")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return deg.join(pr, "id").select(
         "id",
@@ -403,7 +403,7 @@ def q137_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst")
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dist = (
         und.select(F.col("src").alias("id"))
         .distinct()
@@ -414,7 +414,7 @@ def q137_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("d"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(_BFS_ROUNDS):
         relaxed = (
@@ -430,7 +430,7 @@ def q137_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("d"), F.coalesce(F.col("nd"), F.lit(_BFS_INF))
                 ).alias("d"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist.select("id", F.col("d").cast("long").alias("hops"))
 
@@ -499,7 +499,7 @@ def q141_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst")
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e = und
     for _ in range(_KCORE_ROUNDS):
         keep = (
@@ -511,7 +511,7 @@ def q141_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = (
             e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return e.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("degree")
@@ -668,7 +668,7 @@ def q150_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dist = (
         und.select(F.col("src").alias("id"))
         .distinct()
@@ -679,7 +679,7 @@ def q150_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("d"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(_SSSP_ROUNDS):
         relaxed = (
@@ -695,7 +695,7 @@ def q150_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("d"), F.coalesce(F.col("nd"), F.lit(_SSSP_INF))
                 ).alias("d"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist.select(
         "id",
@@ -753,7 +753,7 @@ def q159_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("dg")
     )
@@ -767,7 +767,7 @@ def q159_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_core"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     core_ids = lab.filter("is_core").select(F.col("id").alias("src"))
     bordered = (
@@ -1193,13 +1193,13 @@ def q246_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
         .select("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     h = nodes.select("id", F.lit(_HITS_UNIT).cast("long").alias("v"))
     a = None
@@ -1236,7 +1236,7 @@ def _hits_rescale(nodes: DataFrame, raw: DataFrame) -> DataFrame:
             "id",
             F.expr(f"div({_HITS_UNIT} * v, m)").cast("long").alias("v"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1341,15 +1341,15 @@ def q273_laplacian_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
         .select("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    deg = deg.localCheckpoint()
+    deg = deg.localCheckpoint(eager=False)
     v = deg.select(
         "id",
         (
@@ -1392,7 +1392,7 @@ def q273_laplacian_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" ELSE -div({_LAP_UNIT} * (-w), m) END AS BIGINT)"
                 ).alias("v"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     nbf = (
         und.join(v.select(F.col("id").alias("dst"), "v"), "dst")
@@ -1501,14 +1501,14 @@ def q289_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
         .select("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     j = (
         edges.join(deg.select(F.col("id").alias("src"),
@@ -1603,7 +1603,7 @@ def q299_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         grid_proximity_join(_points(spark, sf_dir), eps=_EPS, id_col="id")
         .select("src", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("src").alias("id"))

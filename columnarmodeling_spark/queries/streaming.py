@@ -617,7 +617,7 @@ def q166_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         drained.groupBy("from_type", "to_type")
         .agg(F.sum("c").cast("long").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = c.groupBy("from_type").agg(
         F.sum("c").cast("long").alias("row_total")
@@ -696,7 +696,7 @@ def q201_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    drained = drain_to_memory(out, mode="update").localCheckpoint()
+    drained = drain_to_memory(out, mode="update").localCheckpoint(eager=False)
     # final state per user = the update with the largest cumulative n
     return (
         drained.groupBy("user_id")
@@ -828,7 +828,7 @@ def q206_stream_transitions_late(
     agg = (
         drained.groupBy("from_type", "to_type")
         .agg(F.sum("c").cast("long").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     mat = agg.filter(F.col("from_type") != "__late__")
     tot = mat.groupBy("from_type").agg(
@@ -944,7 +944,7 @@ def q207_stream_ewma_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    drained = drain_to_memory(out, mode="update").localCheckpoint()
+    drained = drain_to_memory(out, mode="update").localCheckpoint(eager=False)
     return (
         drained.groupBy("user_id")
         .agg(F.max(F.struct("n_events", "n_late", "ewma")).alias("m"))
@@ -1031,7 +1031,7 @@ def q222_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = doc.join(F.broadcast(bench), "gr").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_hit_grams")
     )
-    drained = drain_to_memory(hits, mode="update").localCheckpoint()
+    drained = drain_to_memory(hits, mode="update").localCheckpoint(eager=False)
     return (
         drained.groupBy("doc_id")
         .agg(F.max("n_hit_grams").cast("long").alias("n_hit_grams"))
@@ -1134,7 +1134,7 @@ def q290_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain_to_memory(cand_stream, mode="update")
         .select("tok")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     corpus = t(spark, sf_dir, "documents").select(
         F.explode(tokens("text")).alias("tok")
@@ -1320,7 +1320,7 @@ def q334_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "cand")
         .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
     )
-    drained = drain_to_memory(hits, mode="update").localCheckpoint()
+    drained = drain_to_memory(hits, mode="update").localCheckpoint(eager=False)
     return (
         drained.groupBy("doc_id", "cand")
         .agg(F.max("n_band_hits").cast("long").alias("n_band_hits"))
@@ -1392,7 +1392,7 @@ def q335_stream_neardup_gate_sharded(
         .groupBy("doc_id", "cand")
         .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
     )
-    drained = drain_to_memory(hits, mode="update").localCheckpoint()
+    drained = drain_to_memory(hits, mode="update").localCheckpoint(eager=False)
     return (
         drained.groupBy("doc_id", "cand")
         .agg(F.max("n_band_hits").cast("long").alias("n_band_hits"))

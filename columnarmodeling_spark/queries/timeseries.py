@@ -669,7 +669,7 @@ def q175_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # portable argmax: max deviation per user, then smallest k at it
-    dev = dev.localCheckpoint()
+    dev = dev.localCheckpoint(eager=False)
     mx = dev.groupBy("user_id").agg(
         F.max("n").alias("n_mx"), F.max("d").alias("dmax")
     )

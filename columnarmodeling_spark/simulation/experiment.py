@@ -122,7 +122,7 @@ def run_experiment(
 
     if bonds is None:
         # dGap bond build (the solver's own linking pass)
-        bonds = build_bonds(particles, cfg).localCheckpoint()
+        bonds = build_bonds(particles, cfg).localCheckpoint(eager=False)
     else:
         # explicit MLSBond.dat-style edge list (src, dst[, type]):
         # rest length = initial center distance, same equilibrium
@@ -150,7 +150,7 @@ def run_experiment(
                 )
                 .drop("__ax", "__ay", "__bx", "__by")
             )
-        bonds = bonds.drop("type").localCheckpoint()
+        bonds = bonds.drop("type").localCheckpoint(eager=False)
 
     if cfg.platen_vy is not None:
         # load-driven run: the two MLSLD00.dat BC blocks — bottom slab
@@ -191,7 +191,7 @@ def run_experiment(
     if cfg.weibull is not None:
         # Webull.dat heterogeneity: every bond draws its own strength
         m_shape, sigma0 = cfg.weibull
-        bonds = weibull_strengths(bonds, m_shape, sigma0).localCheckpoint()
+        bonds = weibull_strengths(bonds, m_shape, sigma0).localCheckpoint(eager=False)
     bond_cols = bonds.columns
 
     n_bonds_total = bonds.count()
@@ -199,7 +199,7 @@ def run_experiment(
         # MeasurePar.dat probes: displacement baseline = the t=0 state
         m_base = state.filter(F.col("id").isin(*cfg.measure_ids)).select(
             "id", F.col("x").alias("x0"), F.col("y").alias("y0")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     e_rows: list[DataFrame] = []
     b_rows: list[DataFrame] = []
     m_rows: list[DataFrame] = []
@@ -232,7 +232,7 @@ def run_experiment(
             bonds = (
                 bond_log.filter("break_step < 0")
                 .select(*bond_cols)
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             n_alive = bonds.count()
         step += burst
